@@ -1,0 +1,98 @@
+"""Analysis chain: tokenize → lowercase → stop, plus per-doc norms.
+
+Re-expression of the reference analyzer pipeline
+(lucene/core .../analysis/standard/StandardTokenizer.java:48-199,
+analysis/LowerCaseFilter.java:27, analysis/StopFilter.java:28,
+StandardAnalyzer.java:39-88) as plain-function composition over batches.
+
+Contract notes mirrored from the reference:
+- Default analyzer = tokenize + lowercase with an EMPTY stopword set
+  (StandardAnalyzer.java:51-53 — CharArraySet.EMPTY_SET by default).
+- Tokens longer than ``max_token_length`` (default 255,
+  StandardAnalyzer.java:39) are skipped — they are never indexed and do not
+  count toward the field length used for norms (the tokenizer never emits
+  them: StandardTokenizer.java:152-175).
+- The default token pattern is the documented ASCII/Latin subset of UAX#29
+  word-break: maximal runs of [a-z0-9] over lowercased text. The fixture
+  corpus is ASCII web text, so this subset is exhaustive for it; the DuckDB
+  oracle expression is ``regexp_extract_all(lower(text), '[a-z0-9]+')``.
+
+Everything returns flat numpy/Arrow-friendly structures so the SPIMI
+inverter can stay vectorized: one flat token list + an int64 lengths array
+per batch (no per-row Python objects leak out of this module).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+import numpy as np
+
+MAX_TOKEN_LENGTH = 255  # StandardAnalyzer.java:39 (maxTokenLength default)
+
+# Maximal alnum runs; lowercasing is applied to the whole text first, which
+# is equivalent to per-token lowercase for this ASCII pattern.
+TOKEN_RE = re.compile(r"[a-z0-9]+")
+
+
+@dataclass(frozen=True)
+class Analyzer:
+    """Composable analysis config (the reference's Analyzer subclass surface,
+    analysis/Analyzer.java — here: a token regex + stopword set + max len)."""
+
+    token_pattern: str = r"[a-z0-9]+"
+    stopwords: frozenset[str] = field(default_factory=frozenset)
+    max_token_length: int = MAX_TOKEN_LENGTH
+
+    def compiled(self) -> re.Pattern[str]:
+        return re.compile(self.token_pattern)
+
+
+DEFAULT_ANALYZER = Analyzer()
+
+
+def tokenize(text: str, analyzer: Analyzer = DEFAULT_ANALYZER) -> list[str]:
+    """Tokens for one document (lowercased, stopped, long tokens skipped)."""
+    toks = analyzer.compiled().findall(text.lower())
+    mx = analyzer.max_token_length
+    stop = analyzer.stopwords
+    if stop:
+        return [t for t in toks if len(t) <= mx and t not in stop]
+    return [t for t in toks if len(t) <= mx]
+
+
+def analyze_batch(
+    texts: list[str], analyzer: Analyzer = DEFAULT_ANALYZER
+) -> tuple[list[str], np.ndarray]:
+    """Analyze a batch of documents.
+
+    Returns ``(flat_tokens, doc_lengths)`` where ``flat_tokens`` is every
+    emitted token in document order and ``doc_lengths[i]`` is the number of
+    tokens emitted for document i (the BM25 norm input: FieldInvertState
+    length, DefaultIndexingChain.java:965-1112).
+    """
+    pat = analyzer.compiled()
+    mx = analyzer.max_token_length
+    stop = analyzer.stopwords
+    flat: list[str] = []
+    lengths = np.empty(len(texts), dtype=np.int64)
+    append = flat.extend
+    for i, text in enumerate(texts):
+        toks = pat.findall(text.lower()) if text else []
+        if stop:
+            toks = [t for t in toks if len(t) <= mx and t not in stop]
+        elif toks and any(len(t) > mx for t in toks):
+            toks = [t for t in toks if len(t) <= mx]
+        lengths[i] = len(toks)
+        append(toks)
+    return flat, lengths
+
+
+def compute_norms(doc_lengths: np.ndarray) -> np.ndarray:
+    """Per-doc norm bytes: SmallFloat.intToByte4(numTerms)
+    (BM25Similarity.java:115-126, discountOverlaps default — no overlap
+    tokens exist in this chain, so numTerms == emitted token count)."""
+    from .smallfloat import int_to_byte4_array
+
+    return int_to_byte4_array(doc_lengths)
