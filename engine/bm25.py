@@ -1,0 +1,136 @@
+"""BM25 scoring — exact float32 port of the reference arithmetic.
+
+Reference: search/similarities/BM25Similarity.java
+- idf:    (float) log(1 + (docCount - docFreq + 0.5)/(docFreq + 0.5))   (:69-72)
+- multi-term idf: per-term float idfs summed in a double, cast to float (:172-181)
+- avgdl:  (float)(sumTotalTermFreq / (double) docCount)                 (:80-82)
+- cache:  cache[i] = 1f / (k1 * ((1-b) + b * LENGTH_TABLE[i] / avgdl))  (:188-191)
+- weight: boost * idf  (float32)                                        (:219)
+- score:  weight - weight / (1f + freq * cache[norm & 0xFF])            (:222-235)
+- defaults k1=1.2, b=0.75 (:59-67); similarity default in IndexSearcher.java:117.
+
+Disjunctions/conjunctions sum per-term float32 scores in a float64
+accumulator and cast the total to float32 (DisjunctionSumScorer /
+WANDScorer.score() accumulate in double). numpy float32 elementwise ops
+reproduce Java float semantics bit-exactly (IEEE 754, round-to-nearest).
+
+Also provides the exhaustive brute-force top-k oracle used by the
+CheckHits-style pruned-vs-exhaustive tests (test-framework/.../CheckHits.java
+model) and by golden-fixture generation.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+
+from .smallfloat import LENGTH_TABLE
+
+K1_DEFAULT = np.float32(1.2)
+B_DEFAULT = np.float32(0.75)
+
+
+def idf(doc_freq: int, doc_count: int) -> np.float32:
+    """float64 math, cast to float32 (BM25Similarity.java:69-72)."""
+    return np.float32(math.log(1.0 + (doc_count - doc_freq + 0.5) / (doc_freq + 0.5)))
+
+
+def avg_field_length(sum_total_term_freq: int, doc_count: int) -> np.float32:
+    return np.float32(sum_total_term_freq / float(doc_count))
+
+
+def norm_inverse_cache(
+    avgdl: np.float32, k1: np.float32 = K1_DEFAULT, b: np.float32 = B_DEFAULT
+) -> np.ndarray:
+    """cache[i] = 1f / (k1 * ((1-b) + b * LENGTH_TABLE[i] / avgdl)), all ops
+    float32 in the reference's order (BM25Similarity.java:188-191)."""
+    one = np.float32(1.0)
+    t = np.multiply(b, LENGTH_TABLE, dtype=np.float32)
+    t = np.divide(t, avgdl, dtype=np.float32)
+    t = np.add(np.subtract(one, b, dtype=np.float32), t, dtype=np.float32)
+    t = np.multiply(k1, t, dtype=np.float32)
+    return np.divide(one, t, dtype=np.float32)
+
+
+@dataclass(frozen=True)
+class TermScorerParams:
+    """Per-(query-term, index) scoring state — the reference's BM25Scorer
+    (weight + norm-inverse cache), built once per term per search."""
+
+    weight: np.float32
+    cache: np.ndarray  # float32[256]
+
+    def score(self, freqs: np.ndarray, norm_bytes: np.ndarray) -> np.ndarray:
+        """Vectorized float32: weight - weight / (1 + freq * cache[norm])."""
+        one = np.float32(1.0)
+        f32 = freqs.astype(np.float32)
+        inv = self.cache[np.asarray(norm_bytes, dtype=np.uint8)]
+        t = np.multiply(f32, inv, dtype=np.float32)
+        t = np.add(one, t, dtype=np.float32)
+        t = np.divide(self.weight, t, dtype=np.float32)
+        return np.subtract(self.weight, t, dtype=np.float32)
+
+    def max_score(self, imp_freq: np.ndarray, imp_norm: np.ndarray) -> np.float32:
+        """Block-max bound from a competitive-impact frontier."""
+        if len(imp_freq) == 0:
+            return np.float32(0.0)
+        return np.float32(self.score(np.asarray(imp_freq), np.asarray(imp_norm)).max())
+
+
+def make_term_scorer(
+    doc_freq: int,
+    doc_count: int,
+    sum_total_term_freq: int,
+    k1: np.float32 = K1_DEFAULT,
+    b: np.float32 = B_DEFAULT,
+    boost: np.float32 = np.float32(1.0),
+) -> TermScorerParams:
+    w = np.multiply(boost, idf(doc_freq, doc_count), dtype=np.float32)
+    avgdl = avg_field_length(sum_total_term_freq, doc_count)
+    return TermScorerParams(weight=w, cache=norm_inverse_cache(avgdl, k1, b))
+
+
+# ---------------------------------------------------------------------------
+# Exhaustive oracle (uncompressed postings, float32 per-term + float64 sum).
+# ---------------------------------------------------------------------------
+
+
+def topk_sort(doc_ids: np.ndarray, scores: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """(score desc, docID asc) tie-break of TopScoreDocCollector.java:88-98."""
+    order = np.lexsort((doc_ids, -scores.astype(np.float32)))
+    order = order[:k]
+    return doc_ids[order], scores[order].astype(np.float32)
+
+
+def brute_force_topk(
+    term_postings: list[tuple[np.ndarray, np.ndarray]],
+    term_params: list[TermScorerParams],
+    norms: np.ndarray,
+    k: int,
+    mode: str = "or",
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exhaustive top-k over uncompressed postings.
+
+    ``term_postings``: per query term (docs int64, freqs int64) — docs are
+    indices into ``norms`` (i.e. docID - docBase for a single segment, or
+    global docIDs with a global norms array).
+    ``mode``: "or" (sum over matching terms) / "and" (require all terms).
+    Returns (doc_ids, float32 scores) sorted by (score desc, doc asc).
+    """
+    if not term_postings:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
+    n_docs = len(norms)
+    acc = np.zeros(n_docs, dtype=np.float64)
+    match_count = np.zeros(n_docs, dtype=np.int32)
+    for (docs, freqs), params in zip(term_postings, term_params):
+        s = params.score(freqs, norms[docs])
+        np.add.at(acc, docs, s.astype(np.float64))
+        match_count[docs] += 1
+    if mode == "and":
+        matched = np.flatnonzero(match_count == len(term_postings))
+    else:
+        matched = np.flatnonzero(match_count > 0)
+    scores = acc[matched].astype(np.float32)
+    return topk_sort(matched, scores, k)

@@ -1,0 +1,85 @@
+"""Index invariant validation — the CheckIndex analogue
+(index/CheckIndex.java:712-733: liveDocs, fieldInfos, norms, postings
+order/counts/impacts, stats consistency).
+
+``check_segment`` decodes every posting list and asserts the structural
+invariants; ``check_index`` validates a whole manifest (disjoint doc
+ranges, global stat sums). Tests run this after every build and merge.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .codec import BLOCK_SIZE, decode_term_postings
+from .segment import Segment
+
+
+def check_segment(seg: Segment | str) -> dict:
+    if isinstance(seg, str):
+        seg = Segment(seg)
+    terms = seg._terms
+    tbl = seg._terms_tbl
+    assert terms == sorted(terms), f"{seg.dir}: terms not sorted"
+    assert len(set(terms)) == len(terms), f"{seg.dir}: duplicate terms"
+    doc_lo = seg.doc_base
+    doc_hi = seg.doc_base + len(seg._norms)
+    sum_ttf_check = 0
+    rows = tbl.to_pylist()
+    for row in rows:
+        t = row["term"]
+        df, ttf = row["df"], row["ttf"]
+        if df == 1:
+            assert row["singleton_doc"] >= 0, f"{t}: singleton_doc missing"
+            assert row["blob"] in (None, b""), f"{t}: singleton has blob"
+            docs = np.array([row["singleton_doc"]])
+            freqs = np.array([ttf])
+        else:
+            assert row["singleton_doc"] == -1, f"{t}: non-singleton pulsed"
+            docs, freqs = decode_term_postings(row["blob"], df)
+        assert len(docs) == df, f"{t}: df {df} != len(postings) {len(docs)}"
+        assert int(freqs.sum()) == ttf, f"{t}: ttf mismatch"
+        assert (freqs >= 1).all(), f"{t}: zero freq"
+        assert (np.diff(docs) > 0).all(), f"{t}: docs out of order"
+        assert docs[0] >= doc_lo and docs[-1] < doc_hi, f"{t}: doc out of range"
+        # skip arrays
+        nfull = df // BLOCK_SIZE
+        tail = df - nfull * BLOCK_SIZE
+        nblocks = nfull + (1 if tail else 0)
+        last = np.array(row["last_docs"])
+        assert len(last) == nblocks, f"{t}: skip count"
+        for b in range(nfull):
+            assert last[b] == docs[(b + 1) * BLOCK_SIZE - 1], f"{t}: last_doc[{b}]"
+        assert last[-1] == docs[-1], f"{t}: final last_doc"
+        # impacts: per block, frontier must dominate every (freq, norm) pair
+        imp_f, imp_n = np.array(row["imp_freq"]), np.array(row["imp_norm"])
+        imp_s = np.array(row["imp_start"])
+        assert len(imp_s) == nblocks + 1, f"{t}: imp_start count"
+        norms = seg.norm_of(docs)
+        for b in range(nblocks):
+            lo = b * BLOCK_SIZE
+            hi = min(lo + BLOCK_SIZE, df)
+            ff = imp_f[imp_s[b] : imp_s[b + 1]]
+            nn = imp_n[imp_s[b] : imp_s[b + 1]]
+            for f_i, n_i in zip(freqs[lo:hi], norms[lo:hi]):
+                assert any(
+                    (ff >= f_i) & (nn <= n_i)
+                ), f"{t}: block {b} impact misses ({f_i},{n_i})"
+        sum_ttf_check += ttf
+    assert sum_ttf_check == seg.sum_ttf, (
+        f"{seg.dir}: sum_ttf {seg.sum_ttf} != postings total {sum_ttf_check}"
+    )
+    return {"dir": seg.dir, "n_terms": len(terms), "n_docs": seg.n_docs, "ok": True}
+
+
+def check_index(manifest: dict) -> dict:
+    """Validate every segment of a build manifest + global stats."""
+    results = []
+    prev_end = -1
+    for row in manifest["partitions"]:
+        assert row["doc_base"] > prev_end, "overlapping partitions"
+        prev_end = row["doc_base"] + row["n_docs"] - 1
+        results.append(check_segment(row["seg_dir"]))
+    assert manifest["doc_count"] == sum(r["n_docs"] for r in manifest["partitions"])
+    assert manifest["sum_ttf"] == sum(r["sum_ttf"] for r in manifest["partitions"])
+    return {"segments": results, "ok": True}

@@ -1,0 +1,339 @@
+"""Posting-list codec: 128-doc FOR blocks + VInt tails + block-max impacts.
+
+Numpy re-expression of the Lucene84 postings encoding semantics
+(codecs/lucene84/Lucene84PostingsWriter.java:61-567, ForUtil.java:39
+BLOCK_SIZE=128, ForDeltaUtil.java:56-70, Lucene84SkipWriter.java:92-93,
+CompetitiveImpactAccumulator.java:33-144). Layout is self-describing and
+semantically equivalent, not byte-compatible:
+
+Per-term blob (docFreq >= 2)::
+
+    repeat nfull = docFreq // 128 times:
+        [doc_token: uint8]   width of packed doc-delta block; 0 = all deltas == 1
+                             (the ForDeltaUtil all-ones special, :56-70)
+        [16*width bytes]     128 deltas bit-packed little-endian-by-value
+        [freq_token: uint8]  width of packed freq block; 0 = all freqs equal,
+                             followed by one VInt with the value
+        [...]
+    tail (docFreq % 128 entries):
+        [VInt (delta << 1 | (freq == 1))] x tail_n     # the documented
+           DocDelta/2 + freq-pulse flag semantics of
+           Lucene84PostingsFormat.java:216-231.  NOTE: the fork's writer has
+           a bug (writes docDelta<<15, Lucene84PostingsWriter.java:409); we
+           follow the documented/reader semantics (<<1).  Deviation from the
+           reference layout: tail freqs follow as a second VInt stream
+           instead of being interleaved, so decode stays vectorized.
+        [VInt freq] for each tail entry whose flag bit was 0, in order
+
+docFreq == 1 terms store no blob at all: the single (doc, freq) is pulsed
+into the term-table row (singleton_doc), mirroring the singletonDocID rule
+(Lucene84PostingsFormat.java:159-161).
+
+Doc deltas are vs. the previous docID with an implicit previous of -1
+(delta[0] = doc[0] + 1 >= 1), so blocks are skippable given the previous
+block's last doc (kept in the per-term skip arrays).
+
+Skip/impact data is stored as plain arrays in the term table (not a byte
+format): per block (incl. the tail as a final short block) the last docID,
+the blob byte offset, and the competitive (freq, norm) pareto frontier that
+bounds block-max BM25 scores.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+BLOCK_SIZE = 128  # ForUtil.java:39
+
+
+# ---------------------------------------------------------------------------
+# VInt / VLong (LSB-first 7-bit groups, continuation high bit) — vectorized.
+# ---------------------------------------------------------------------------
+
+_MAX_VBYTES = 10  # 64 bits / 7
+
+
+def write_vints(values: np.ndarray) -> bytes:
+    """Vectorized VLong encode of a uint64 array into one byte stream."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    shifts = np.arange(_MAX_VBYTES, dtype=np.uint64) * np.uint64(7)
+    groups = (v[:, None] >> shifts[None, :]) & np.uint64(0x7F)
+    # number of 7-bit groups needed per value (at least 1)
+    nbytes = np.maximum((64 - np.clip(_clz64(v), 0, 63) + 6) // 7, 1)
+    valid = np.arange(_MAX_VBYTES)[None, :] < nbytes[:, None]
+    cont = np.arange(_MAX_VBYTES)[None, :] < (nbytes - 1)[:, None]
+    out = (groups | (cont.astype(np.uint64) << np.uint64(7))).astype(np.uint8)
+    return out[valid].tobytes()
+
+
+def _clz64(v: np.ndarray) -> np.ndarray:
+    """Count of leading zeros for uint64 via bit_length (searchsorted trick)."""
+    pow2 = _POW2_64
+    bl = np.searchsorted(pow2, v, side="right")
+    return 64 - bl
+
+
+_POW2_64 = np.array([1 << k for k in range(64)], dtype=np.uint64)
+
+
+def read_vints(buf: bytes | memoryview, count: int, offset: int = 0) -> tuple[np.ndarray, int]:
+    """Vectorized VLong decode: read ``count`` values starting at ``offset``.
+
+    Returns (values uint64, next_offset)."""
+    if count == 0:
+        return np.empty(0, dtype=np.uint64), offset
+    raw = np.frombuffer(buf, dtype=np.uint8)
+    # terminators: bytes with high bit clear; the count-th terminator ends us
+    region = raw[offset:]
+    is_term = (region & 0x80) == 0
+    term_idx = np.flatnonzero(is_term)
+    if term_idx.size < count:
+        raise ValueError("truncated VInt stream")
+    end = term_idx[count - 1] + 1
+    chunk = region[:end].astype(np.uint64)
+    low7 = chunk & np.uint64(0x7F)
+    # group id per byte = number of terminators strictly before it
+    terms = (chunk & np.uint64(0x80)) == 0
+    gid = np.concatenate(([0], np.cumsum(terms[:-1])))
+    # position within group
+    starts = np.concatenate(([0], term_idx[: count - 1] + 1))
+    pos = np.arange(end, dtype=np.int64) - starts[gid]
+    vals = np.zeros(count, dtype=np.uint64)
+    np.add.at(vals, gid, low7 << (np.uint64(7) * pos.astype(np.uint64)))
+    return vals, offset + int(end)
+
+
+# ---------------------------------------------------------------------------
+# FOR bit-packing of fixed 128-value blocks — vectorized.
+# ---------------------------------------------------------------------------
+
+
+def pack_block(values: np.ndarray, width: int) -> bytes:
+    """Bit-pack BLOCK_SIZE uint64 values at ``width`` bits each (big-endian
+    bit order within the value so unpackbits round-trips)."""
+    v = np.asarray(values, dtype=np.uint64)
+    shifts = np.arange(width - 1, -1, -1, dtype=np.uint64)
+    bits = ((v[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.uint8)
+    return np.packbits(bits.ravel()).tobytes()
+
+
+def unpack_block(buf: bytes | memoryview, width: int, n: int = BLOCK_SIZE) -> np.ndarray:
+    nbits = n * width
+    raw = np.frombuffer(buf, dtype=np.uint8, count=(nbits + 7) // 8)
+    bits = np.unpackbits(raw, count=nbits).reshape(n, width).astype(np.uint64)
+    shifts = np.arange(width - 1, -1, -1, dtype=np.uint64)
+    return (bits << shifts[None, :]).sum(axis=1, dtype=np.uint64)
+
+
+def _width_of(values: np.ndarray) -> int:
+    mx = int(values.max()) if values.size else 0
+    return max(mx.bit_length(), 1)
+
+
+# ---------------------------------------------------------------------------
+# Competitive impacts (pareto frontier of (freq, norm) pairs).
+# ---------------------------------------------------------------------------
+
+
+def impact_frontier(freqs: np.ndarray, norms: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Non-dominated (freq, norm) pairs: keep a pair unless another has
+    freq >= it AND norm <= it (CompetitiveImpactAccumulator.java:33-144).
+    Returned sorted by norm ascending with strictly decreasing freqs is the
+    canonical frontier; BM25 block-max = max score over these pairs."""
+    norms = np.asarray(norms, dtype=np.int64)
+    freqs = np.asarray(freqs, dtype=np.int64)
+    order = np.lexsort((-freqs, norms))
+    n_sorted, f_sorted = norms[order], freqs[order]
+    # first (max-freq) entry per distinct norm
+    first = np.concatenate(([True], n_sorted[1:] != n_sorted[:-1]))
+    n_u, f_u = n_sorted[first], f_sorted[first]
+    # keep entries whose freq exceeds every lower-norm freq (running max)
+    keep = np.ones(len(n_u), dtype=bool)
+    if len(n_u) > 1:
+        runmax = np.maximum.accumulate(f_u)
+        keep[1:] = f_u[1:] > runmax[:-1]
+    return f_u[keep].astype(np.int64), n_u[keep].astype(np.uint8)
+
+
+def merge_frontiers(
+    f1: np.ndarray, n1: np.ndarray, f2: np.ndarray, n2: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Union two frontiers into one (used by upper skip levels / merges)."""
+    return impact_frontier(np.concatenate([f1, f2]), np.concatenate([n1, n2]))
+
+
+# ---------------------------------------------------------------------------
+# Per-term postings encode / decode.
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class TermPostings:
+    """Encoded postings + skip/impact arrays for one term."""
+
+    blob: bytes
+    block_last_doc: np.ndarray  # int64, one per block incl. tail block
+    block_offset: np.ndarray  # int64 byte offset of each block in blob
+    imp_freq: np.ndarray  # int64 flattened frontier freqs
+    imp_norm: np.ndarray  # uint8 flattened frontier norms
+    imp_start: np.ndarray  # int64 per-block start index into imp_* (+ end sentinel)
+
+
+def encode_term_postings(
+    docs: np.ndarray, freqs: np.ndarray, norms: np.ndarray
+) -> TermPostings:
+    """Encode one term's postings (docs sorted ascending, freqs >= 1,
+    norms = per-posting norm byte of the containing doc)."""
+    docs = np.asarray(docs, dtype=np.int64)
+    freqs = np.asarray(freqs, dtype=np.int64)
+    df = len(docs)
+    assert df >= 2, "singletons are pulsed into the term table, not encoded"
+    deltas = np.empty(df, dtype=np.uint64)
+    deltas[0] = docs[0] + 1
+    deltas[1:] = np.diff(docs).astype(np.uint64)
+    nfull = df // BLOCK_SIZE
+    tail_n = df - nfull * BLOCK_SIZE
+
+    parts: list[bytes] = []
+    block_off: list[int] = []
+    block_last: list[int] = []
+    imp_f: list[np.ndarray] = []
+    imp_n: list[np.ndarray] = []
+    pos = 0
+    for b in range(nfull):
+        lo, hi = b * BLOCK_SIZE, (b + 1) * BLOCK_SIZE
+        block_off.append(pos)
+        block_last.append(int(docs[hi - 1]))
+        d = deltas[lo:hi]
+        if bool((d == 1).all()):
+            parts.append(b"\x00")
+            pos += 1
+        else:
+            w = _width_of(d)
+            packed = pack_block(d, w)
+            parts.append(bytes([w]) + packed)
+            pos += 1 + len(packed)
+        f = freqs[lo:hi].astype(np.uint64)
+        if bool((f == f[0]).all()):
+            fv = write_vints(f[:1])
+            parts.append(b"\x00" + fv)
+            pos += 1 + len(fv)
+        else:
+            w = _width_of(f)
+            packed = pack_block(f, w)
+            parts.append(bytes([w]) + packed)
+            pos += 1 + len(packed)
+        ff, nn = impact_frontier(freqs[lo:hi], norms[lo:hi])
+        imp_f.append(ff)
+        imp_n.append(nn)
+
+    if tail_n:
+        lo = nfull * BLOCK_SIZE
+        block_off.append(pos)
+        block_last.append(int(docs[-1]))
+        d = deltas[lo:]
+        f = freqs[lo:]
+        flags = (f == 1).astype(np.uint64)
+        combined = (d << np.uint64(1)) | flags
+        enc = write_vints(combined)
+        parts.append(enc)
+        pos += len(enc)
+        rest = f[f != 1].astype(np.uint64)
+        enc2 = write_vints(rest)
+        parts.append(enc2)
+        pos += len(enc2)
+        ff, nn = impact_frontier(f, norms[lo:])
+        imp_f.append(ff)
+        imp_n.append(nn)
+
+    starts = np.zeros(len(imp_f) + 1, dtype=np.int64)
+    np.cumsum([len(x) for x in imp_f], out=starts[1:])
+    return TermPostings(
+        blob=b"".join(parts),
+        block_last_doc=np.array(block_last, dtype=np.int64),
+        block_offset=np.array(block_off, dtype=np.int64),
+        imp_freq=np.concatenate(imp_f) if imp_f else np.empty(0, dtype=np.int64),
+        imp_norm=np.concatenate(imp_n) if imp_n else np.empty(0, dtype=np.uint8),
+        imp_start=starts,
+    )
+
+
+def decode_term_postings(blob: bytes | memoryview, df: int) -> tuple[np.ndarray, np.ndarray]:
+    """Decode a full term blob back to (docs int64, freqs int64)."""
+    nfull = df // BLOCK_SIZE
+    tail_n = df - nfull * BLOCK_SIZE
+    deltas = np.empty(df, dtype=np.uint64)
+    freqs = np.empty(df, dtype=np.int64)
+    mv = memoryview(blob)
+    pos = 0
+    for b in range(nfull):
+        lo = b * BLOCK_SIZE
+        pos = _decode_block_into(mv, pos, deltas, freqs, lo, BLOCK_SIZE)
+    if tail_n:
+        lo = nfull * BLOCK_SIZE
+        combined, pos = read_vints(mv, tail_n, pos)
+        d = combined >> np.uint64(1)
+        flags = (combined & np.uint64(1)).astype(bool)
+        n_rest = int((~flags).sum())
+        rest, pos = read_vints(mv, n_rest, pos)
+        deltas[lo:] = d
+        f = np.ones(tail_n, dtype=np.int64)
+        f[~flags] = rest.astype(np.int64)
+        freqs[lo:] = f
+    docs = np.cumsum(deltas.astype(np.int64)) - 1
+    return docs, freqs
+
+
+def _decode_block_into(
+    mv: memoryview, pos: int, deltas: np.ndarray, freqs: np.ndarray, lo: int, n: int
+) -> int:
+    w = mv[pos]
+    pos += 1
+    if w == 0:
+        deltas[lo : lo + n] = 1
+    else:
+        nb = (n * w + 7) // 8
+        deltas[lo : lo + n] = unpack_block(mv[pos : pos + nb], w, n)
+        pos += nb
+    wf = mv[pos]
+    pos += 1
+    if wf == 0:
+        val, pos = read_vints(mv, 1, pos)
+        freqs[lo : lo + n] = int(val[0])
+    else:
+        nb = (n * wf + 7) // 8
+        freqs[lo : lo + n] = unpack_block(mv[pos : pos + nb], wf, n).astype(np.int64)
+        pos += nb
+    return pos
+
+
+def decode_block(
+    blob: bytes | memoryview,
+    tp_offsets: np.ndarray,
+    block_idx: int,
+    df: int,
+    prev_last_doc: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Decode a single block (for WAND block skipping). ``prev_last_doc`` is
+    the last docID of the previous block (-1 for block 0)."""
+    nfull = df // BLOCK_SIZE
+    mv = memoryview(blob)
+    pos = int(tp_offsets[block_idx])
+    if block_idx < nfull:
+        deltas = np.empty(BLOCK_SIZE, dtype=np.uint64)
+        freqs = np.empty(BLOCK_SIZE, dtype=np.int64)
+        _decode_block_into(mv, pos, deltas, freqs, 0, BLOCK_SIZE)
+    else:
+        tail_n = df - nfull * BLOCK_SIZE
+        combined, pos = read_vints(mv, tail_n, pos)
+        deltas = combined >> np.uint64(1)
+        flags = (combined & np.uint64(1)).astype(bool)
+        rest, pos = read_vints(mv, int((~flags).sum()), pos)
+        freqs = np.ones(tail_n, dtype=np.int64)
+        freqs[~flags] = rest.astype(np.int64)
+    docs = np.cumsum(deltas.astype(np.int64)) + prev_last_doc
+    return docs, freqs

@@ -1,0 +1,203 @@
+"""Segment on-disk format + reader.
+
+A *segment* is the engine's analogue of a Lucene segment
+(index/SegmentInfo.java): an immutable, self-contained mini-index over a
+contiguous global docID range. Both SPIMI partition outputs and merge
+outputs use the same layout, so merge/search/check code is uniform:
+
+    <dir>/terms.parquet   sorted term dictionary:
+        term:string, df:int64, ttf:int64, singleton_doc:int64 (-1 unless
+        df==1 — the pulsed singleton, Lucene84PostingsFormat.java:159-161),
+        blob:binary (engine/codec.py layout; empty for singletons),
+        last_docs:list<int64>, offsets:list<int64>   per-block skip arrays
+        (Lucene84SkipWriter analogue), imp_freq:list<int64>,
+        imp_norm:list<int64>, imp_start:list<int64>  block impact frontiers
+        (CompetitiveImpactAccumulator analogue)
+    <dir>/norms.parquet   doc_id:int64, norm:uint8  (Lucene80NormsFormat
+        analogue — 1 byte per doc for the indexed body field)
+    <dir>/meta.json       doc_base, n_docs, sum_ttf, field, n_terms,
+        lineage {...}, wall_ms, kind ("partition" | "merged")
+
+The term dictionary stays sorted; lookup is binary search over the term
+column (the role of the BlockTree FST prefix index,
+codecs/blocktree/BlockTreeTermsWriter.java:200-217 — at 100 TB scale the
+dictionary would be block-sharded with a first-term-per-block index; the
+in-memory bisect here is the single-shard case of that design).
+
+Writes are atomic (tmp dir + os.rename) and keyed by doc_base, which makes
+partition builds idempotent under Ray task retries (SURVEY §4 stragglers).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from bisect import bisect_left
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+TERMS_SCHEMA = pa.schema(
+    [
+        ("term", pa.string()),
+        ("df", pa.int64()),
+        ("ttf", pa.int64()),
+        ("singleton_doc", pa.int64()),
+        ("blob", pa.binary()),
+        ("last_docs", pa.list_(pa.int64())),
+        ("offsets", pa.list_(pa.int64())),
+        ("imp_freq", pa.list_(pa.int64())),
+        ("imp_norm", pa.list_(pa.int64())),
+        ("imp_start", pa.list_(pa.int64())),
+    ]
+)
+
+
+@dataclass
+class TermInfo:
+    term: str
+    df: int
+    ttf: int
+    singleton_doc: int
+    blob: bytes
+    last_docs: np.ndarray
+    offsets: np.ndarray
+    imp_freq: np.ndarray
+    imp_norm: np.ndarray
+    imp_start: np.ndarray
+
+
+def write_segment(
+    out_dir: str,
+    terms_table: pa.Table,
+    norm_doc_ids: np.ndarray,
+    norms: np.ndarray,
+    meta: dict,
+) -> dict:
+    """Atomically write a segment directory (tmp + rename, the two-phase
+    commit analogue of SegmentInfos.java:781-834). Returns the meta dict.
+    If ``out_dir`` already exists the write is skipped (resume/idempotence)
+    and the existing meta is returned."""
+    if os.path.exists(os.path.join(out_dir, "meta.json")):
+        with open(os.path.join(out_dir, "meta.json")) as f:
+            return json.load(f)
+    parent = os.path.dirname(out_dir)
+    os.makedirs(parent, exist_ok=True)
+    tmp = os.path.join(parent, f".tmp-{os.path.basename(out_dir)}-{uuid.uuid4().hex[:8]}")
+    os.makedirs(tmp)
+    try:
+        pq.write_table(terms_table, os.path.join(tmp, "terms.parquet"))
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(norm_doc_ids, type=pa.int64()),
+                    "norm": pa.array(norms, type=pa.uint8()),
+                }
+            ),
+            os.path.join(tmp, "norms.parquet"),
+        )
+        with open(os.path.join(tmp, "meta.json"), "w") as f:
+            json.dump(meta, f, sort_keys=True)
+        try:
+            os.rename(tmp, out_dir)
+        except OSError:
+            # lost the race to a concurrent retry — its output is equivalent
+            shutil.rmtree(tmp, ignore_errors=True)
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    with open(os.path.join(out_dir, "meta.json")) as f:
+        return json.load(f)
+
+
+class Segment:
+    """Open segment: term dictionary + norms + stats, loaded once and
+    queried many times (the open-IndexReader-leaf analogue)."""
+
+    def __init__(self, seg_dir: str):
+        self.dir = seg_dir
+        with open(os.path.join(seg_dir, "meta.json")) as f:
+            self.meta = json.load(f)
+        self._terms_tbl = pq.read_table(os.path.join(seg_dir, "terms.parquet"))
+        self._terms: list[str] = self._terms_tbl.column("term").to_pylist()
+        self._df = self._terms_tbl.column("df").to_numpy()
+        self._ttf = self._terms_tbl.column("ttf").to_numpy()
+        nt = pq.read_table(os.path.join(seg_dir, "norms.parquet"))
+        doc_ids = nt.column("doc_id").to_numpy()
+        self.doc_base = int(self.meta["doc_base"])
+        self.n_docs = int(self.meta["n_docs"])
+        self.max_doc = int(doc_ids.max()) + 1 if len(doc_ids) else self.doc_base
+        # dense norm array over [doc_base, max_doc) — contiguous in practice,
+        # scatter handles any gaps from rejected/filtered rows
+        self._norms = np.zeros(self.max_doc - self.doc_base, dtype=np.uint8)
+        self._norms[doc_ids - self.doc_base] = nt.column("norm").to_numpy()
+
+    @property
+    def sum_ttf(self) -> int:
+        return int(self.meta["sum_ttf"])
+
+    def norm_of(self, doc_ids: np.ndarray) -> np.ndarray:
+        return self._norms[np.asarray(doc_ids, dtype=np.int64) - self.doc_base]
+
+    def term_index(self, term: str) -> int:
+        i = bisect_left(self._terms, term)
+        if i < len(self._terms) and self._terms[i] == term:
+            return i
+        return -1
+
+    def term_stats(self, term: str) -> tuple[int, int]:
+        """(docFreq, totalTermFreq) — 0,0 if absent (TermStates.build role)."""
+        i = self.term_index(term)
+        if i < 0:
+            return 0, 0
+        return int(self._df[i]), int(self._ttf[i])
+
+    def term_info(self, term: str) -> TermInfo | None:
+        i = self.term_index(term)
+        if i < 0:
+            return None
+        row = self._terms_tbl.slice(i, 1).to_pylist()[0]
+        return TermInfo(
+            term=row["term"],
+            df=row["df"],
+            ttf=row["ttf"],
+            singleton_doc=row["singleton_doc"],
+            blob=row["blob"] or b"",
+            last_docs=np.array(row["last_docs"], dtype=np.int64),
+            offsets=np.array(row["offsets"], dtype=np.int64),
+            imp_freq=np.array(row["imp_freq"], dtype=np.int64),
+            imp_norm=np.array(row["imp_norm"], dtype=np.int64),
+            imp_start=np.array(row["imp_start"], dtype=np.int64),
+        )
+
+    def iter_term_rows(self):
+        """Stream (term, row-dict) in sorted term order (merge input)."""
+        for batch in self._terms_tbl.to_batches():
+            yield from batch.to_pylist()
+
+    def postings(self, term: str) -> tuple[np.ndarray, np.ndarray]:
+        """Fully decoded (docs, freqs) for a term — oracle/merge path."""
+        from .codec import decode_term_postings
+
+        ti = self.term_info(term)
+        if ti is None:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+        if ti.df == 1:
+            return (
+                np.array([ti.singleton_doc], dtype=np.int64),
+                np.array([ti.ttf], dtype=np.int64),
+            )
+        return decode_term_postings(ti.blob, ti.df)
+
+
+def make_terms_table(rows: dict[str, list]) -> pa.Table:
+    return pa.table(rows, schema=TERMS_SCHEMA)
+
+
+def now_ms() -> float:
+    return time.perf_counter() * 1000.0
