@@ -1,0 +1,63 @@
+"""Minimal query parser → boolean IR.
+
+The reference query surface for the north rule is term / boolean BM25
+(SURVEY §2.5; classic/QueryParser.java:81 is the full grammar — out of
+scope). Supported syntax, mirroring the classic parser's boolean handling
+(BooleanQuery clause semantics, search/BooleanQuery.java):
+
+    term term          -> SHOULD should (default OR, contributes if present)
+    +term              -> MUST
+    -term              -> MUST_NOT
+    a AND b            -> both MUST (classic-parser conjunction)
+    field:term         -> term (single indexed field; prefix dropped)
+
+Each term text runs through the same analyzer as indexing; terms that
+analyze to nothing are dropped (e.g. pure punctuation).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from .analyze import DEFAULT_ANALYZER, Analyzer, tokenize
+
+
+@dataclass(frozen=True)
+class BoolQuery:
+    must: tuple[str, ...] = ()
+    should: tuple[str, ...] = ()
+    must_not: tuple[str, ...] = ()
+
+    @property
+    def empty(self) -> bool:
+        return not (self.must or self.should)
+
+
+def parse_query(q: str, analyzer: Analyzer = DEFAULT_ANALYZER) -> BoolQuery:
+    must: list[str] = []
+    should: list[str] = []
+    must_not: list[str] = []
+    raw = q.split()
+    and_mode = "AND" in raw
+    for tok in raw:
+        if tok in ("AND", "OR", "&&", "||"):
+            continue
+        bucket = should
+        if tok.startswith("+"):
+            bucket, tok = must, tok[1:]
+        elif tok.startswith("-"):
+            bucket, tok = must_not, tok[1:]
+        elif and_mode:
+            bucket = must
+        if ":" in tok:
+            tok = tok.split(":", 1)[1]
+        for t in tokenize(tok, analyzer):
+            bucket.append(t)
+    # BooleanQuery rewrite: dedup SHOULD clauses (BooleanQuery.java rewrite)
+    seen = set()
+    should_d = [t for t in should if not (t in seen or seen.add(t))]
+    seen = set()
+    must_d = [t for t in must if not (t in seen or seen.add(t))]
+    return BoolQuery(
+        must=tuple(must_d), should=tuple(should_d), must_not=tuple(sorted(set(must_not)))
+    )

@@ -1,0 +1,295 @@
+"""Search execution: per-segment scorers, top-k collection, actor pools.
+
+Shape (SURVEY §3.2): an ``IndexSearcher`` opens the index's segments once
+(the open-IndexReader analogue), computes *global* collection + term stats
+(sum over leaves — IndexSearcher.java:803-815, TermStates.build in
+TermQuery.java:194-206), and evaluates each query per segment in docID
+order with a shared collector (shared hits-threshold / bottom score, like
+the shared MaxScoreAccumulator), finishing with the (score desc, docID asc)
+order of TopDocs.merge — global docIDs already encode (shard, hit) order,
+so one lexsort reproduces the reference's (score, shardIndex, hitIndex)
+tie-break (TopDocs.java:68-118).
+
+Two physical plans per (query, segment) — the Boolean2ScorerSupplier role:
+
+- ``taat``: exhaustive vectorized term-at-a-time numpy scoring (decode all
+  postings, scatter-add float32 scores into a float64 accumulator). Exact,
+  no pruning, optimal for small segments (this sandbox's scale).
+- ``wand``: document-at-a-time block-max WAND / block-max conjunction with
+  dynamic pruning (engine/wand.py), optimal when postings ≫ k (the 100 TB
+  scale path).
+
+Both are rank-identical by construction (same float32 score arithmetic;
+pruning is sound) and tested against each other (CheckHits model).
+
+``BatchSearcher`` is the stateful actor-pool stage: pass the CLASS to
+``ds.map_batches(BatchSearcher, fn_constructor_kwargs=..., concurrency=N)``
+— segments load once per actor in ``__init__``, queries stream as batches.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .bm25 import TermScorerParams, make_term_scorer, topk_sort
+from .queryparse import BoolQuery, parse_query
+from .segment import Segment
+from .wand import (
+    TOTAL_HITS_THRESHOLD,
+    TermIterator,
+    TopKCollector,
+    conjunction_topk,
+    wand_or_topk,
+)
+
+WAND_POSTINGS_CUTOVER = 262_144  # auto plan: wand above, taat below
+
+
+class IndexSearcher:
+    def __init__(self, manifest: dict, algorithm: str = "auto"):
+        seg_rows = manifest.get("segments") or manifest["partitions"]
+        seg_dirs = [r["seg_dir"] for r in sorted(seg_rows, key=lambda r: r["doc_base"])]
+        self.segments = [Segment(d) for d in seg_dirs]
+        self.doc_count = int(manifest["doc_count"])
+        self.sum_ttf = int(manifest["sum_ttf"])
+        self.algorithm = algorithm
+
+    # -- stats pass (createWeight analogue) --------------------------------
+
+    def global_term_stats(self, term: str) -> tuple[int, int]:
+        df = ttf = 0
+        for seg in self.segments:
+            d, t = seg.term_stats(term)
+            df += d
+            ttf += t
+        return df, ttf
+
+    def _params_for(self, terms: tuple[str, ...]) -> dict[str, TermScorerParams | None]:
+        out: dict[str, TermScorerParams | None] = {}
+        for t in terms:
+            df, _ = self.global_term_stats(t)
+            out[t] = (
+                make_term_scorer(df, self.doc_count, self.sum_ttf) if df > 0 else None
+            )
+        return out
+
+    # -- query entry -------------------------------------------------------
+
+    def search(
+        self,
+        query: str | BoolQuery,
+        k: int = 10,
+        threshold: int = TOTAL_HITS_THRESHOLD,
+        algorithm: str | None = None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Top-k (global docIDs, float32 scores), (score desc, docID asc)."""
+        q = parse_query(query) if isinstance(query, str) else query
+        algorithm = algorithm or self.algorithm
+        if q.empty or k <= 0:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
+        # must_not params are never used for scoring, only to build iterators
+        params = self._params_for(tuple(q.must) + tuple(q.should) + tuple(q.must_not))
+        if any(params[t] is None for t in q.must):
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
+        live_should = tuple(t for t in q.should if params[t] is not None)
+        if not q.must and not live_should:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
+
+        if algorithm == "auto":
+            total_postings = sum(
+                self.global_term_stats(t)[0] for t in tuple(q.must) + live_should
+            )
+            algorithm = "wand" if total_postings > WAND_POSTINGS_CUTOVER else "taat"
+
+        if algorithm == "taat":
+            return self._search_taat(q, live_should, params, k)
+        return self._search_wand(q, live_should, params, k, threshold)
+
+    # -- exhaustive vectorized plan ----------------------------------------
+
+    def _search_taat(
+        self,
+        q: BoolQuery,
+        live_should: tuple[str, ...],
+        params: dict[str, TermScorerParams | None],
+        k: int,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        all_docs: list[np.ndarray] = []
+        all_scores: list[np.ndarray] = []
+        n_must = len(q.must)
+        for seg in self.segments:
+            lo = seg.doc_base
+            span = len(seg._norms)
+            acc = np.zeros(span, dtype=np.float64)
+            must_cnt = np.zeros(span, dtype=np.int16) if n_must else None
+            matched = np.zeros(span, dtype=bool)
+            for t in tuple(q.must) + live_should:
+                docs, freqs = seg.postings(t)
+                if len(docs) == 0:
+                    if t in q.must:
+                        must_cnt = None
+                        break
+                    continue
+                local = docs - lo
+                s = params[t].score(freqs, seg.norm_of(docs))
+                acc[local] += s.astype(np.float64)
+                matched[local] = True
+                if t in q.must:
+                    must_cnt[local] += 1
+            if n_must and must_cnt is None:
+                continue
+            if n_must:
+                sel = must_cnt == n_must
+            else:
+                sel = matched
+            for t in q.must_not:
+                docs, _ = seg.postings(t)
+                if len(docs):
+                    sel[docs - lo] = False
+            local_sel = np.flatnonzero(sel)
+            if len(local_sel):
+                all_docs.append(local_sel + lo)
+                all_scores.append(acc[local_sel].astype(np.float32))
+        if not all_docs:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
+        return topk_sort(np.concatenate(all_docs), np.concatenate(all_scores), k)
+
+    # -- block-max WAND plan -----------------------------------------------
+
+    def _search_wand(
+        self,
+        q: BoolQuery,
+        live_should: tuple[str, ...],
+        params: dict[str, TermScorerParams | None],
+        k: int,
+        threshold: int,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        collector = TopKCollector(k, threshold)
+        for seg in self.segments:  # docID order => shared bottom stays sound
+            def iters(terms: tuple[str, ...]) -> list[TermIterator]:
+                out = []
+                for t in terms:
+                    ti = seg.term_info(t)
+                    if ti is not None:
+                        out.append(TermIterator(seg, ti, params[t]))
+                return out
+
+            must_iters = iters(q.must)
+            if q.must and len(must_iters) < len(q.must):
+                continue  # a required term has no postings in this segment
+            if q.must:
+                conjunction_topk(
+                    must_iters,
+                    iters(live_should),
+                    k,
+                    threshold,
+                    excludes=iters(q.must_not),
+                    collector=collector,
+                )
+            else:
+                sh = iters(live_should)
+                ex = iters(q.must_not)
+                if ex:
+                    # disjunction with must_not (ReqExclScorer analogue):
+                    # exhaustive doc-order evaluation, no pruning (rare path)
+                    self._wand_with_excludes(sh, ex, collector)
+                else:
+                    wand_or_topk(sh, k, threshold, collector=collector)
+        return collector.results()
+
+    @staticmethod
+    def _wand_with_excludes(
+        shoulds: list[TermIterator], excludes: list[TermIterator], collector: TopKCollector
+    ) -> None:
+        """Doc-order disjunction with must_not exclusion (ReqExclScorer
+        analogue); pruning disabled for simplicity on this rare path."""
+        from .wand import NO_MORE_DOCS, _combined_score, setup_scaling
+
+        setup_scaling(shoulds)
+        for it in shoulds + excludes:
+            it.start()
+        active = [it for it in shoulds if it.doc != NO_MORE_DOCS]
+        while active:
+            doc = min(it.doc for it in active)
+            matching = [it for it in active if it.doc == doc]
+            skip = False
+            for ex in excludes:
+                if ex.doc < doc:
+                    ex.advance(doc)
+                if ex.doc == doc:
+                    skip = True
+            if not skip:
+                collector.collect(doc, _combined_score(matching))
+            for it in matching:
+                it.next()
+            active = [it for it in active if it.doc != NO_MORE_DOCS]
+
+
+# ---------------------------------------------------------------------------
+# Ray Data stages
+# ---------------------------------------------------------------------------
+
+
+class BatchSearcher:
+    """Stateful actor-pool search stage: segments open once per actor
+    (__init__), query batches stream through __call__ (SURVEY §7.3)."""
+
+    def __init__(self, index_dir: str, algorithm: str = "auto", default_k: int = 10):
+        from .checkpoint import load_manifest, load_merge_manifest
+
+        manifest = load_merge_manifest(index_dir) or load_manifest(index_dir)
+        if manifest is None:
+            raise FileNotFoundError(f"no manifest under {index_dir}")
+        self.searcher = IndexSearcher(manifest, algorithm=algorithm)
+        self.default_k = default_k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids = batch.column("query_id").to_pylist()
+        queries = batch.column("query").to_pylist()
+        ks = (
+            batch.column("k").to_pylist()
+            if "k" in batch.column_names
+            else [self.default_k] * len(qids)
+        )
+        out_qid: list[int] = []
+        out_rank: list[int] = []
+        out_doc: list[int] = []
+        out_score: list[float] = []
+        for qid, qs, k in zip(qids, queries, ks):
+            docs, scores = self.searcher.search(qs, int(k))
+            out_qid.extend([qid] * len(docs))
+            out_rank.extend(range(len(docs)))
+            out_doc.extend(docs.tolist())
+            out_score.extend(scores.tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_qid, type=pa.int64()),
+                "rank": pa.array(out_rank, type=pa.int32()),
+                "doc_id": pa.array(out_doc, type=pa.int64()),
+                "score": pa.array(out_score, type=pa.float32()),
+            }
+        )
+
+
+def search_dataset(queries_ds, index_dir: str, concurrency: int = 4, batch_size: int = 64):
+    """queries (query_id, query[, k]) → hits (query_id, rank, doc_id, score)
+    via an actor pool; each actor opens the index once."""
+    return queries_ds.map_batches(
+        BatchSearcher,
+        fn_constructor_kwargs={"index_dir": index_dir},
+        batch_size=batch_size,
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+
+def merge_topk(
+    results: list[tuple[np.ndarray, np.ndarray]], k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """TopDocs.merge analogue over shard-local top-k lists."""
+    if not results:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
+    docs = np.concatenate([r[0] for r in results])
+    scores = np.concatenate([r[1] for r in results])
+    return topk_sort(docs, scores, k)

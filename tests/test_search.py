@@ -1,0 +1,190 @@
+"""Rank-identity: block-max WAND == exhaustive TAAT == brute-force oracle
+(the CheckHits pruned-vs-exhaustive model, test-framework/.../CheckHits.java),
+with dynamic pruning genuinely active (>1000-hit stop terms)."""
+
+import numpy as np
+import pytest
+
+from engine.analyze import analyze_batch, compute_norms
+from engine.bm25 import brute_force_topk, make_term_scorer
+from engine.build import invert_to_segment
+from engine.checkpoint import finalize_build_manifest
+from engine.fixtures import make_pages
+from engine.search import IndexSearcher
+from engine.wand import scale_max_score, scale_min_score, scaling_factor
+
+N_DOCS = 3000
+N_SEGS = 4
+
+QUERIES = [
+    ("the00", 10),  # stop term, df ~1800 > threshold => pruning active
+    ("the19", 10),  # heaviest stop term
+    ("the00 the07 the19", 10),  # stop-only OR disjunction (WAND stress)
+    ("t00000", 10),  # highest-zipf vocab term
+    ("t00000 t00017 t09999", 10),  # mixed df OR
+    ("t00003 the02", 100),
+    ("+t00000 +the01", 10),  # conjunction
+    ("+t00000 t00001 t00002", 10),  # mixed must/should
+    ("t00000 AND t00001", 10),  # AND keyword
+    ("tiekey", 15),  # identical-score cluster: docID tie-break
+    ("s000300", 5),  # singleton term
+    ("zzznomatch", 10),  # no hits
+    ("zzznomatch t00005", 10),  # partial match OR
+    ("+zzznomatch t00005", 10),  # impossible must
+    ("the00 -t00000", 20),  # exclusion
+    ("+the00 -t00001", 20),  # conjunction with exclusion
+    ("the05", 1000),  # k crossing the hit-count threshold
+    ("t00002 t00004 t00006 t00008 t00010", 50),
+]
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("searchidx")
+    pages = make_pages(N_DOCS, seed=42)
+    texts = pages.column("text").to_pylist()
+    rows = []
+    per = N_DOCS // N_SEGS
+    for s in range(N_SEGS):
+        lo, hi = s * per, (s + 1) * per if s < N_SEGS - 1 else N_DOCS
+        seg_dir = str(root / f"partitions/p{lo:012d}")
+        meta = invert_to_segment(np.arange(lo, hi, dtype=np.int64), texts[lo:hi], seg_dir)
+        rows.append(
+            {
+                "seg_dir": seg_dir,
+                "doc_base": meta["doc_base"],
+                "n_docs": meta["n_docs"],
+                "sum_ttf": meta["sum_ttf"],
+                "n_terms": meta["n_terms"],
+                "wall_ms": meta["wall_ms"],
+            }
+        )
+    manifest = finalize_build_manifest(str(root), rows)
+
+    # brute-force oracle state straight from the raw text
+    flat, lengths = analyze_batch(texts)
+    norms = compute_norms(lengths)
+    postings: dict[str, list[list[int]]] = {}
+    tok_doc = np.repeat(np.arange(N_DOCS), lengths)
+    order = np.lexsort((tok_doc, np.array(flat, dtype=object)))
+    flat_a = np.array(flat, dtype=object)[order]
+    docs_a = tok_doc[order]
+    oracle = {}
+    i = 0
+    while i < len(flat_a):
+        j = i
+        term = flat_a[i]
+        while j < len(flat_a) and flat_a[j] == term:
+            j += 1
+        docs, freqs = np.unique(docs_a[i:j], return_counts=True)
+        oracle[term] = (docs.astype(np.int64), freqs.astype(np.int64))
+        i = j
+    return {
+        "manifest": manifest,
+        "oracle_postings": oracle,
+        "norms": norms,
+        "doc_count": N_DOCS,
+        "sum_ttf": int(lengths.sum()),
+    }
+
+
+def _oracle_topk(corpus, qstr, k):
+    from engine.queryparse import parse_query
+
+    q = parse_query(qstr)
+    op = corpus["oracle_postings"]
+    if any(t not in op for t in q.must):
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
+    terms = tuple(q.must) + tuple(t for t in q.should if t in op)
+    if not terms:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
+    tp = [op[t] for t in terms]
+    params = [
+        make_term_scorer(len(op[t][0]), corpus["doc_count"], corpus["sum_ttf"])
+        for t in terms
+    ]
+    mode = "and" if q.must and len(q.must) == len(terms) else "or"
+    if q.must and len(q.must) != len(terms):
+        # mixed must/should: brute force manually
+        n = corpus["doc_count"]
+        acc = np.zeros(n, dtype=np.float64)
+        cnt = np.zeros(n, dtype=np.int32)
+        for (docs, freqs), p in zip(tp, params):
+            s = p.score(freqs, corpus["norms"][docs])
+            acc[docs] += s.astype(np.float64)
+        for t in q.must:
+            cnt[op[t][0]] += 1
+        sel = np.flatnonzero(cnt == len(q.must))
+        from engine.bm25 import topk_sort
+
+        res = topk_sort(sel, acc[sel].astype(np.float32), n)
+        docs, scores = res
+    else:
+        docs, scores = brute_force_topk(tp, params, corpus["norms"], corpus["doc_count"], mode)
+    # apply exclusions then cut to k
+    if q.must_not:
+        ex = set()
+        for t in q.must_not:
+            if t in op:
+                ex.update(op[t][0].tolist())
+        keep = [i for i, d in enumerate(docs.tolist()) if d not in ex]
+        docs, scores = docs[keep], scores[keep]
+    return docs[:k], scores[:k]
+
+
+@pytest.mark.parametrize("qstr,k", QUERIES)
+def test_rank_identity_all_plans(corpus, qstr, k):
+    oracle_docs, oracle_scores = _oracle_topk(corpus, qstr, k)
+    taat = IndexSearcher(corpus["manifest"], algorithm="taat")
+    wand = IndexSearcher(corpus["manifest"], algorithm="wand")
+    td, ts = taat.search(qstr, k)
+    wd, ws = wand.search(qstr, k)
+    np.testing.assert_array_equal(td, oracle_docs, err_msg=f"taat docs {qstr}")
+    np.testing.assert_array_equal(ts, oracle_scores, err_msg=f"taat scores {qstr}")
+    np.testing.assert_array_equal(wd, oracle_docs, err_msg=f"wand docs {qstr}")
+    np.testing.assert_array_equal(ws, oracle_scores, err_msg=f"wand scores {qstr}")
+    assert ts.dtype == np.float32 and ws.dtype == np.float32
+
+
+def test_tiekey_docid_tiebreak(corpus):
+    s = IndexSearcher(corpus["manifest"], algorithm="taat")
+    docs, scores = s.search("tiekey", 15)
+    # 20 identical docs, identical scores: top-15 must be the 15 smallest docIDs
+    assert docs.tolist() == list(range(15))
+    assert len(set(scores.tolist())) == 1
+
+
+def test_scaling_helpers():
+    # scalingFactor puts f × 2^sf in ]2^15, 2^16]
+    for f in [1e-30, 0.001, 0.5, 1.0, 7.3, 100.0, 1e30]:
+        sf = scaling_factor(np.float32(f))
+        scaled = np.ldexp(np.float64(f), sf)
+        assert 1 << 15 < scaled <= (1 << 16) or f == 0
+    # ceil vs floor bounds
+    assert scale_max_score(np.float32(1.5), 2) == 6
+    assert scale_min_score(np.float32(1.5), 2) == 6
+    assert scale_max_score(np.float32(1.1), 1) == 3  # ceil
+    assert scale_min_score(np.float32(1.1), 1) == 2  # floor
+    assert scale_max_score(np.float32(0.0), 10) == 0
+
+
+def test_pruning_actually_happens(corpus):
+    # sanity that the WAND path prunes (fewer collected hits than matches)
+    wand = IndexSearcher(corpus["manifest"], algorithm="wand")
+    from engine.queryparse import parse_query
+
+    q = parse_query("the19")
+    params = wand._params_for(q.should)
+    from engine.wand import TermIterator, wand_or_topk
+
+    total_df = wand.global_term_stats("the19")[0]
+    assert total_df > 1500  # pruning threshold crossable
+    coll = None
+    from engine.wand import TopKCollector
+
+    coll = TopKCollector(10, 1000)
+    for seg in wand.segments:
+        ti = seg.term_info("the19")
+        if ti:
+            wand_or_topk([TermIterator(seg, ti, params["the19"])], 10, 1000, coll)
+    assert coll.total_hits < total_df  # some blocks were skipped
