@@ -48,12 +48,28 @@ WAND_POSTINGS_CUTOVER = 262_144  # auto plan: wand above, taat below
 
 class IndexSearcher:
     def __init__(self, manifest: dict, algorithm: str = "auto"):
-        seg_rows = manifest.get("segments") or manifest["partitions"]
-        seg_dirs = [r["seg_dir"] for r in sorted(seg_rows, key=lambda r: r["doc_base"])]
-        self.segments = [Segment(d) for d in seg_dirs]
+        if manifest.get("kind") == "merge-by-term":
+            from .merge import MergedIndex
+
+            self.segments: list = [MergedIndex(None, manifest=manifest)]
+        else:
+            seg_rows = manifest.get("segments") or manifest["partitions"]
+            seg_dirs = [
+                r["seg_dir"] for r in sorted(seg_rows, key=lambda r: r["doc_base"])
+            ]
+            self.segments = [Segment(d) for d in seg_dirs]
         self.doc_count = int(manifest["doc_count"])
         self.sum_ttf = int(manifest["sum_ttf"])
         self.algorithm = algorithm
+
+    @classmethod
+    def from_segments(cls, segments: list, doc_count: int, sum_ttf: int, algorithm: str = "auto"):
+        obj = cls.__new__(cls)
+        obj.segments = segments
+        obj.doc_count = doc_count
+        obj.sum_ttf = sum_ttf
+        obj.algorithm = algorithm
+        return obj
 
     # -- stats pass (createWeight analogue) --------------------------------
 

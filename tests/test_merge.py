@@ -1,0 +1,142 @@
+"""Merge paths: k-way tree (Path A) and salted groupby-term shuffle (Path B)
+must preserve every posting and keep search rank-identical; resume reuses
+completed nodes."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from engine.build import invert_to_segment
+from engine.checkindex import check_segment
+from engine.checkpoint import finalize_build_manifest, load_merge_manifest
+from engine.fixtures import make_pages
+from engine.merge import MergedIndex, merge_by_term, merge_segments, merge_tree, plan_merge_tree
+from engine.search import IndexSearcher
+from engine.segment import Segment
+
+N_DOCS = 1200
+N_SEGS = 8
+
+QUERIES = ["the00", "the19 the03", "t00000 t00123", "+t00000 +t00001", "tiekey", "s000300"]
+
+
+@pytest.fixture(scope="module")
+def built(tmp_path_factory):
+    root = tmp_path_factory.mktemp("mergeidx")
+    pages = make_pages(N_DOCS, seed=7)
+    texts = pages.column("text").to_pylist()
+    rows = []
+    per = N_DOCS // N_SEGS
+    for s in range(N_SEGS):
+        lo, hi = s * per, (s + 1) * per if s < N_SEGS - 1 else N_DOCS
+        seg_dir = str(root / f"partitions/p{lo:012d}")
+        meta = invert_to_segment(np.arange(lo, hi, dtype=np.int64), texts[lo:hi], seg_dir)
+        rows.append({k: meta[k] for k in ("doc_base", "n_docs", "sum_ttf", "n_terms", "wall_ms")} | {"seg_dir": seg_dir})
+    manifest = finalize_build_manifest(str(root), rows)
+    return {"root": str(root), "manifest": manifest}
+
+
+def _all_postings(index_like, terms):
+    return {t: tuple(map(tuple, map(np.ndarray.tolist, index_like.postings(t)))) for t in terms}
+
+
+def test_merge_segments_kway(built, tmp_path):
+    m = built["manifest"]
+    dirs = [r["seg_dir"] for r in m["partitions"][:3]]
+    out = str(tmp_path / "m0")
+    meta = merge_segments(dirs, out)
+    assert meta["n_docs"] == sum(r["n_docs"] for r in m["partitions"][:3])
+    seg = Segment(out)
+    check_segment(seg)
+    # postings equality vs inputs
+    segs = [Segment(d) for d in dirs]
+    for t in ["the00", "t00000", "tiekey"]:
+        exp_docs = np.concatenate([s.postings(t)[0] for s in segs])
+        exp_freqs = np.concatenate([s.postings(t)[1] for s in segs])
+        got_docs, got_freqs = seg.postings(t)
+        np.testing.assert_array_equal(got_docs, exp_docs)
+        np.testing.assert_array_equal(got_freqs, exp_freqs)
+
+
+def test_plan_merge_tree_deterministic(built):
+    rows = built["manifest"]["partitions"]
+    p1 = plan_merge_tree(rows, fan_in=3)
+    p2 = plan_merge_tree(rows, fan_in=3)
+    assert json.dumps(p1, default=str) == json.dumps(p2, default=str)
+    assert len(p1) == 2  # 8 -> 3 -> 1
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_merge_tree_and_rank_identity(built):
+    m = built["manifest"]
+    mm = merge_tree(m, built["root"], fan_in=3)
+    assert len(mm["segments"]) == 1
+    merged_seg = Segment(mm["segments"][0]["seg_dir"])
+    check_segment(merged_seg)
+    base = IndexSearcher(m, algorithm="taat")
+    merged = IndexSearcher(mm, algorithm="taat")
+    merged_wand = IndexSearcher(mm, algorithm="wand")
+    for q in QUERIES:
+        bd, bs = base.search(q, 20)
+        md, ms = merged.search(q, 20)
+        wd, ws = merged_wand.search(q, 20)
+        np.testing.assert_array_equal(md, bd, err_msg=q)
+        np.testing.assert_array_equal(ms, bs, err_msg=q)
+        np.testing.assert_array_equal(wd, bd, err_msg=q)
+        np.testing.assert_array_equal(ws, bs, err_msg=q)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_merge_tree_resume_reuses_nodes(built, tmp_path):
+    m = built["manifest"]
+    root = built["root"]
+    # pre-complete the first L1 node out-of-band; merge_tree must adopt it
+    g0 = [r["seg_dir"] for r in m["partitions"][:3]]
+    pre_dir = os.path.join(root, "merged", "L1", f"m{m['partitions'][0]['doc_base']:012d}")
+    pre_meta = merge_segments(g0, pre_dir)
+    mm = merge_tree(m, root, fan_in=3)  # may already be committed by prior test
+    # the committed manifest's level-1 node reused the pre-completed segment
+    with open(os.path.join(pre_dir, "meta.json")) as f:
+        assert json.load(f)["wall_ms"] == pre_meta["wall_ms"]
+    assert load_merge_manifest(root) == mm
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_merge_by_term_salted(built, tmp_path_factory):
+    m = built["manifest"]
+    root = str(tmp_path_factory.mktemp("bt"))
+    # low threshold so the stop band (df 60-95% of 1200) is genuinely salted
+    mm = merge_by_term(m, root, salt_threshold=400, n_salts=4)
+    assert mm["kind"] == "merge-by-term"
+    assert mm["n_heavy_terms"] >= 15  # the00..the19 band
+    assert any(s["path"].endswith("shard-heavy.parquet") for s in mm["shards"])
+    mi = MergedIndex(root)
+    # every posting preserved for light, salted and singleton terms
+    segs = [Segment(r["seg_dir"]) for r in m["partitions"]]
+    for t in ["the00", "the19", "t00000", "t00777", "tiekey", "s000300"]:
+        exp_docs = np.concatenate([s.postings(t)[0] for s in segs])
+        exp_freqs = np.concatenate([s.postings(t)[1] for s in segs])
+        got_docs, got_freqs = mi.postings(t)
+        np.testing.assert_array_equal(got_docs, exp_docs, err_msg=t)
+        np.testing.assert_array_equal(got_freqs, exp_freqs, err_msg=t)
+    # term count conservation
+    all_terms = set()
+    for s in segs:
+        all_terms.update(s._terms)
+    assert sum(sh["n_terms"] for sh in mm["shards"]) == len(all_terms)
+    # rank identity through the searcher on the merged-by-term index
+    base = IndexSearcher(m, algorithm="taat")
+    merged = IndexSearcher(mm, algorithm="taat")
+    merged_wand = IndexSearcher(mm, algorithm="wand")
+    for q in QUERIES:
+        bd, bs = base.search(q, 20)
+        md, ms = merged.search(q, 20)
+        wd, ws = merged_wand.search(q, 20)
+        np.testing.assert_array_equal(md, bd, err_msg=q)
+        np.testing.assert_array_equal(ms, bs, err_msg=q)
+        np.testing.assert_array_equal(wd, bd, err_msg=q)
+        np.testing.assert_array_equal(ws, bs, err_msg=q)
+    # resume: second call returns the committed manifest untouched
+    assert merge_by_term(m, root) == mm
