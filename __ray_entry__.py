@@ -1,44 +1,244 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship pipeline (pages fixture → extract → SPIMI
+invert → salted groupby-term merge → BM25 actor-pool search) at sf0.001.
+``queries()`` exposes one entry per implemented operator family from
+SURVEY.md §2 (+ the training-data extras); ``oracle_sql()`` gives DuckDB
+equivalents where SQL can express the semantics — index-derived entries
+(term stats, token counts) are thereby checked *end-to-end* against a raw
+recomputation from documents.text.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here (or in engine/) calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+# the analyzer's documented token rule, verbatim for DuckDB
+_TOK = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: build + merge + search;
+    returns the reference-query hit table (query_id, rank, doc_id, score)."""
+    from engine.pipelines import bm25_search_results
+
+    res = bm25_search_results("/root/testdata/sf0.001")
+    return res.to_pandas()
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from engine import ann, dedup, pipelines, relational, textops
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def _docs(sf_dir):
+        import ray.data
+
+        return ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        )
+
+    def _emb(sf_dir):
+        import ray.data
+
+        return ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+    def _query_vectors(sf_dir, n=10):
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+        df = t.to_pandas()
+        df = df[df["vec_id"] < n].sort_values("vec_id")
+        return np.stack(df["embedding"].to_numpy()), df["vec_id"].to_numpy()
+
+    def q_quality_features(sf_dir):
+        return _docs(sf_dir).map_batches(
+            textops.quality_features_batch, batch_format="pyarrow"
+        )
+
+    def q_fingerprint(sf_dir):
+        return _docs(sf_dir).map_batches(textops.fingerprint_batch, batch_format="pyarrow")
+
+    def q_token_count_docs(sf_dir):
+        return _docs(sf_dir).map_batches(textops.token_count_batch, batch_format="pyarrow")
+
+    def q_quality_scores(sf_dir):
+        return _docs(sf_dir).map_batches(
+            textops.QualityScorer, batch_format="pyarrow", concurrency=2
+        )
+
+    def q_langid(sf_dir):
+        return _docs(sf_dir).map_batches(
+            textops.LangId, batch_format="pyarrow", concurrency=2
+        )
+
+    def q_rolling_fp(sf_dir):
+        return _docs(sf_dir).map_batches(
+            textops.rolling_fingerprint_batch, batch_format="pyarrow"
+        )
+
+    def q_exact_dedup(sf_dir):
+        return dedup.exact_dedup(_docs(sf_dir))
+
+    def q_minhash(sf_dir):
+        return dedup.minhash_lsh_dedup(_docs(sf_dir), threshold=0.7)
+
+    def q_simhash(sf_dir):
+        return _docs(sf_dir).map_batches(dedup.simhash_batch, batch_format="pyarrow")
+
+    def q_simhash_pairs(sf_dir):
+        return dedup.simhash_near_dups(_docs(sf_dir), max_hamming=3)
+
+    def q_ann_brute(sf_dir):
+        qv, qids = _query_vectors(sf_dir)
+        res = ann.brute_force_topk_ds(_emb(sf_dir), qv, qids, k=10)
+        return res.select_columns(["query_id", "rank", "neighbor_id"])
+
+    def q_ann_ivf(sf_dir):
+        qv, qids = _query_vectors(sf_dir)
+        return ann.ivf_topk_ds(_emb(sf_dir), qv, qids, k=10)
+
+    def q_emb_neardup(sf_dir):
+        return ann.embedding_near_dups(_emb(sf_dir), threshold=0.95)
+
+    return {
+        # --- inverted index / fulltext core (built end-to-end) ------------
+        "term_df_ttf": pipelines.term_df_ttf,
+        "top100_terms": pipelines.top100_terms,
+        "token_counts_extracted": pipelines.token_counts,
+        "collection_stats": pipelines.collection_stats,
+        "doc_norms": pipelines.doc_norms,
+        "bm25_topk": pipelines.bm25_search_results,
+        # --- text analysis ------------------------------------------------
+        "token_counts_docs": q_token_count_docs,
+        "quality_features": q_quality_features,
+        "quality_scores": q_quality_scores,
+        "langid": q_langid,
+        "fingerprint_md5": q_fingerprint,
+        "fingerprint_rolling": q_rolling_fp,
+        # --- dedup ---------------------------------------------------------
+        "exact_dedup": q_exact_dedup,
+        "minhash_lsh_pairs": q_minhash,
+        "simhash64": q_simhash,
+        "simhash_near_dup_pairs": q_simhash_pairs,
+        # --- similarity search --------------------------------------------
+        "ann_cosine_top10": q_ann_brute,
+        "ann_ivf_top10": q_ann_ivf,
+        "embedding_near_dups": q_emb_neardup,
+        # --- relational / streaming-expression analogues ------------------
+        "rollup_lineitem": relational.rollup_lineitem,
+        "orders_per_nation": relational.orders_per_nation,
+        "top_orders": relational.top_orders,
+        "unique_event_types": relational.unique_event_types,
+        "events_timeseries": relational.events_timeseries,
+        "orders_semi_join": relational.orders_semi_join,
+        "top_orders_per_priority": relational.top_orders_per_priority,
+        "lang_facet": relational.lang_facet,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    tok_pairs = f"""
+        SELECT doc_id, t AS term, count(*) AS cnt FROM (
+            SELECT doc_id, unnest({_TOK}) AS t FROM documents
+        ) GROUP BY doc_id, t
     """
-    return {}
+    return {
+        "term_df_ttf": f"""
+            SELECT term, count(*) AS df, sum(cnt) AS ttf
+            FROM ({tok_pairs}) GROUP BY term
+        """,
+        "top100_terms": f"""
+            SELECT term, count(*) AS df FROM ({tok_pairs})
+            GROUP BY term ORDER BY df DESC, term ASC LIMIT 100
+        """,
+        "token_counts_extracted": f"""
+            SELECT doc_id, len({_TOK}) AS n_tokens FROM documents
+        """,
+        "token_counts_docs": f"""
+            SELECT doc_id, len({_TOK}) AS n_tokens FROM documents
+        """,
+        "collection_stats": f"""
+            SELECT
+              (SELECT count(*) FROM documents) AS doc_count,
+              (SELECT sum(len({_TOK})) FROM documents) AS sum_ttf,
+              (SELECT count(DISTINCT t) FROM
+                 (SELECT unnest({_TOK}) AS t FROM documents)) AS n_terms
+        """,
+        "quality_features": f"""
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   len({_TOK}) AS n_tokens,
+                   len(list_distinct({_TOK})) AS n_uniq_tokens
+            FROM documents
+        """,
+        "fingerprint_md5": """
+            SELECT doc_id,
+                   md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+                     AS fingerprint
+            FROM documents
+        """,
+        "exact_dedup": """
+            SELECT min(doc_id) AS kept_doc_id, count(*) AS dup_count
+            FROM documents GROUP BY text
+        """,
+        "ann_cosine_top10": """
+            SELECT query_id, rank, neighbor_id FROM (
+              SELECT q.vec_id AS query_id,
+                     (row_number() OVER (
+                        PARTITION BY q.vec_id
+                        ORDER BY list_cosine_similarity(q.embedding, v.embedding) DESC,
+                                 v.vec_id ASC) - 1) AS rank,
+                     v.vec_id AS neighbor_id
+              FROM embeddings q CROSS JOIN embeddings v
+              WHERE q.vec_id < 10
+            ) WHERE rank < 10
+        """,
+        "rollup_lineitem": """
+            SELECT l_returnflag, l_linestatus,
+                   count(*) AS n,
+                   sum(l_quantity) AS sum_qty,
+                   sum(l_quantity) / count(*) AS avg_qty
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "orders_per_nation": """
+            SELECT n.n_name, count(*) AS n_orders
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name
+        """,
+        "top_orders": """
+            SELECT (row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC) - 1)
+                     AS rank,
+                   o_orderkey, o_totalprice
+            FROM orders ORDER BY rank LIMIT 10
+        """,
+        "unique_event_types": "SELECT DISTINCT event_type FROM events",
+        "events_timeseries": """
+            SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n_events
+            FROM events GROUP BY event_type, day
+        """,
+        "orders_semi_join": """
+            SELECT o_orderkey, o_custkey FROM orders
+            WHERE o_custkey IN (
+              SELECT c_custkey FROM customer c
+              JOIN nation n ON c.c_nationkey = n.n_nationkey
+              WHERE n.n_name = 'NATION_7')
+        """,
+        "top_orders_per_priority": """
+            SELECT o_orderpriority, CAST(rn - 1 AS BIGINT) AS grp_rank,
+                   o_orderkey, o_totalprice
+            FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+                         row_number() OVER (
+                           PARTITION BY o_orderpriority
+                           ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+                  FROM orders)
+            WHERE rn <= 2
+        """,
+        "lang_facet": "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang",
+    }

@@ -1,0 +1,284 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Ray-Data shapes (the guide's sketch patterns):
+- exact: content-hash column in map_batches → groupby(hash) → keep min id
+  (the hash-partition + per-group-first pattern; the reference's analogue
+  is updateDocument(term, doc) delete-then-add dedup, IndexWriter.java:1771)
+- MinHash+LSH: shingle → minhash signature per doc (vectorized) → explode
+  to (band_id, band_hash, doc_id) rows → groupby bands → candidate pairs →
+  verify exact n-gram Jaccard on the pair (only candidates are verified)
+- SimHash: 64-bit hyperplane-free signature from token hashes; near-dup =
+  hamming distance ≤ k via banding on 4 × 16-bit chunks
+- embedding-cosine: delegated to engine/ann.py (same top-k kernel)
+
+All hashes are deterministic FNV/md5 derivatives (never builtin hash() —
+per-process salted).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+from .analyze import TOKEN_RE
+from .textops import fnv1a
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def content_hash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    texts = batch.column(text_col).to_pylist()
+    hashes = [hashlib.md5((t or "").encode()).hexdigest() for t in texts]
+    return batch.append_column("content_hash", pa.array(hashes, type=pa.string()))
+
+
+def exact_dedup(ds, text_col: str = "text"):
+    """Dataset (doc_id, text, ...) → (kept_doc_id, dup_count) per distinct
+    content. groupby on the hash; per-group keep the smallest doc_id."""
+    import pandas as pd
+
+    hashed = ds.map_batches(
+        lambda b: content_hash_batch(b, text_col), batch_format="pyarrow"
+    )
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"kept_doc_id": [int(g["doc_id"].min())], "dup_count": [len(g)]}
+        )
+
+    return hashed.groupby("content_hash").map_groups(keep_first, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# shingles / minhash / LSH
+# ---------------------------------------------------------------------------
+
+N_HASHES = 64
+N_BANDS = 16  # 16 bands x 4 rows: catches jaccard >~ 0.5
+ROWS_PER_BAND = N_HASHES // N_BANDS
+_MERSENNE = (1 << 61) - 1
+
+
+def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    toks = TOKEN_RE.findall((text or "").lower())
+    if len(toks) < k:
+        shingles = {" ".join(toks)} if toks else set()
+    else:
+        shingles = {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+    return np.fromiter((fnv1a(s) for s in shingles), dtype=np.uint64, count=len(shingles))
+
+
+_A = None
+_B = None
+
+
+def _coeffs() -> tuple[np.ndarray, np.ndarray]:
+    global _A, _B
+    if _A is None:
+        rng = np.random.default_rng(424242)  # fixed: signatures must agree everywhere
+        _A = rng.integers(1, _MERSENNE, size=N_HASHES, dtype=np.int64).astype(np.uint64)
+        _B = rng.integers(0, _MERSENNE, size=N_HASHES, dtype=np.int64).astype(np.uint64)
+    return _A, _B
+
+
+def minhash_signature(text: str, k: int = 3) -> np.ndarray:
+    """64-permutation MinHash over k-token shingles, vectorized:
+    sig[j] = min over shingles of (a_j * h + b_j mod 2^61-1)."""
+    h = _shingle_hashes(text, k)
+    if len(h) == 0:
+        return np.full(N_HASHES, np.uint64(_MERSENNE), dtype=np.uint64)
+    a, b = _coeffs()
+    # (n_shingles, n_hashes) in uint64 with wraparound is fine for min-comparing
+    vals = (h[:, None] * a[None, :] + b[None, :]) % np.uint64(_MERSENNE)
+    return vals.min(axis=0)
+
+
+def minhash_bands_batch(batch: pa.Table, k: int = 3) -> pa.Table:
+    """Explode each doc into N_BANDS (band_id, band_hash, doc_id) rows."""
+    texts = batch.column("text").to_pylist()
+    doc_ids = batch.column("doc_id").to_numpy()
+    n = len(texts)
+    band_ids = np.tile(np.arange(N_BANDS, dtype=np.int32), n)
+    out_docs = np.repeat(doc_ids, N_BANDS)
+    band_hashes = np.empty(n * N_BANDS, dtype=np.int64)
+    for i, t in enumerate(texts):
+        sig = minhash_signature(t, k)
+        bands = sig.reshape(N_BANDS, ROWS_PER_BAND)
+        for bi in range(N_BANDS):
+            d = hashlib.md5(bands[bi].tobytes()).digest()[:8]
+            band_hashes[i * N_BANDS + bi] = int.from_bytes(d, "little") >> 1
+    return pa.table(
+        {
+            "band_id": pa.array(band_ids),
+            "band_hash": pa.array(band_hashes),
+            "doc_id": pa.array(out_docs, type=pa.int64()),
+        }
+    )
+
+
+def ngram_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
+    """Exact k-token-shingle Jaccard (the verify step after LSH)."""
+    sa = set(_shingle_hashes(text_a, k).tolist())
+    sb = set(_shingle_hashes(text_b, k).tolist())
+    if not sa and not sb:
+        return 1.0
+    inter = len(sa & sb)
+    return inter / (len(sa) + len(sb) - inter)
+
+
+def minhash_lsh_dedup(ds, threshold: float = 0.7, k: int = 3):
+    """Dataset (doc_id, text) → verified near-dup pairs
+    (doc_a, doc_b, jaccard) with doc_a < doc_b.
+
+    shingle→minhash→band (map_batches) → groupby(band) → candidate pairs →
+    exact-Jaccard verify on broadcast texts. The text broadcast (ray.put
+    once) is the small-side-lookup pattern; at 100 TB the verify step would
+    instead re-read the pair's rows from the source parquet by doc_id."""
+    import itertools
+
+    import pandas as pd
+    import ray
+
+    texts_tbl = ds.select_columns(["doc_id", "text"]).to_pandas()
+    text_of = dict(zip(texts_tbl["doc_id"], texts_tbl["text"]))
+    text_ref = ray.put(text_of)
+
+    bands = ds.map_batches(
+        lambda b: minhash_bands_batch(b, k), batch_format="pyarrow"
+    )
+
+    def candidates(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(set(g["doc_id"].tolist()))
+        if len(ids) < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": []})
+        pairs = list(itertools.combinations(ids, 2))
+        return pd.DataFrame(
+            {"doc_a": [p[0] for p in pairs], "doc_b": [p[1] for p in pairs]}
+        )
+
+    cand = bands.groupby(["band_id", "band_hash"]).map_groups(
+        candidates, batch_format="pandas"
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        texts = ray.get(text_ref)
+        seen = set()
+        rows = {"doc_a": [], "doc_b": [], "jaccard": []}
+        for a, b in zip(
+            batch.column("doc_a").to_pylist(), batch.column("doc_b").to_pylist()
+        ):
+            if (a, b) in seen:
+                continue
+            seen.add((a, b))
+            j = ngram_jaccard(texts[a], texts[b], k)
+            if j >= threshold:
+                rows["doc_a"].append(int(a))
+                rows["doc_b"].append(int(b))
+                rows["jaccard"].append(float(j))
+        return pa.table(
+            {
+                "doc_a": pa.array(rows["doc_a"], type=pa.int64()),
+                "doc_b": pa.array(rows["doc_b"], type=pa.int64()),
+                "jaccard": pa.array(rows["jaccard"], type=pa.float64()),
+            }
+        )
+
+    verified = cand.map_batches(verify, batch_format="pyarrow")
+    # a pair found by several bands appears several times: distinct it
+    import pandas as pd
+
+    def dedupe_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    return verified.groupby(["doc_a", "doc_b"]).map_groups(
+        dedupe_pairs, batch_format="pandas"
+    )
+
+
+# ---------------------------------------------------------------------------
+# simhash
+# ---------------------------------------------------------------------------
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over token hashes weighted by term frequency."""
+    toks = TOKEN_RE.findall((text or "").lower())
+    if not toks:
+        return 0
+    from collections import Counter
+
+    acc = np.zeros(64, dtype=np.int64)
+    for w, c in Counter(toks).items():
+        h = fnv1a(w)
+        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+        acc += np.where(bits.astype(bool), c, -c)
+    out = 0
+    for i in range(64):
+        if acc[i] > 0:
+            out |= 1 << i
+    return out & 0x7FFFFFFFFFFFFFFF  # fits int64
+
+
+def simhash_batch(batch: pa.Table) -> pa.Table:
+    texts = batch.column("text").to_pylist()
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "simhash": pa.array([simhash64(t) for t in texts], type=pa.int64()),
+        }
+    )
+
+
+def simhash_near_dups(ds, max_hamming: int = 3):
+    """SimHash near-dup pairs via 16-bit banding (4 chunks: any pair with
+    hamming ≤ 3 shares at least one exact chunk — pigeonhole)."""
+    import itertools
+
+    import pandas as pd
+
+    sh = ds.map_batches(simhash_batch, batch_format="pyarrow")
+
+    def explode(batch: pa.Table) -> pa.Table:
+        doc = batch.column("doc_id").to_numpy()
+        h = batch.column("simhash").to_numpy().astype(np.uint64)
+        rows = {"chunk_id": [], "chunk_val": [], "doc_id": [], "simhash": []}
+        for ci in range(4):
+            rows["chunk_id"].extend([ci] * len(doc))
+            rows["chunk_val"].extend(((h >> np.uint64(16 * ci)) & np.uint64(0xFFFF)).tolist())
+            rows["doc_id"].extend(doc.tolist())
+            rows["simhash"].extend(h.astype(np.int64).tolist())
+        return pa.table(
+            {
+                "chunk_id": pa.array(rows["chunk_id"], type=pa.int32()),
+                "chunk_val": pa.array(rows["chunk_val"], type=pa.int64()),
+                "doc_id": pa.array(rows["doc_id"], type=pa.int64()),
+                "simhash": pa.array(rows["simhash"], type=pa.int64()),
+            }
+        )
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out = {"doc_a": [], "doc_b": [], "hamming": []}
+        rows = sorted(zip(g["doc_id"], g["simhash"]))
+        for (da, ha), (db, hb) in itertools.combinations(rows, 2):
+            d = int(bin(int(ha) ^ int(hb)).count("1"))
+            if d <= max_hamming and da != db:
+                out["doc_a"].append(int(da))
+                out["doc_b"].append(int(db))
+                out["hamming"].append(d)
+        return pd.DataFrame(out)
+
+    cand = (
+        sh.map_batches(explode, batch_format="pyarrow")
+        .groupby(["chunk_id", "chunk_val"])
+        .map_groups(pairs, batch_format="pandas")
+    )
+
+    def dedupe_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    return cand.groupby(["doc_a", "doc_b"]).map_groups(dedupe_pairs, batch_format="pandas")

@@ -1,0 +1,161 @@
+"""End-to-end pipelines + per-sf_dir index cache for the driver contract.
+
+``get_index(sf_dir)`` materializes the full flagship chain once per corpus:
+
+    documents.parquet → pages fixture (html rendered, shared extractor)
+    → write pages parquet (4 files = 4+ input partitions)
+    → build_index: read_parquet(doc_id, html) → extract → SPIMI invert
+    → merge_by_term: salted groupby-term shuffle → merged index
+
+and caches the result under /tmp keyed by the corpus row count, so every
+driver query entry (term stats, norms, BM25 search, ...) reuses one build.
+The index-derived queries are thereby *oracle-checked end-to-end*: DuckDB
+recomputes df/ttf/token counts from raw documents.text while the engine
+answers from its merged inverted index.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+CACHE_ROOT = "/tmp/rayfts-cache"
+
+# fixed reference query set over the documents vocabulary (mix per
+# FIXTURES.md §2: single terms high/mid df, OR disjunctions, AND
+# conjunction, +must mixed, no-match)
+REFERENCE_QUERIES: list[tuple[int, str, int]] = [
+    (0, "data", 10),
+    (1, "the", 10),
+    (2, "join merge", 10),
+    (3, "spark stream window", 10),
+    (4, "query AND filter", 10),
+    (5, "+sort batch", 10),
+    (6, "customer", 100),
+    (7, "data -join", 10),
+    (8, "zzznomatch", 10),
+    (9, "table scan hash group row", 25),
+]
+
+
+def _cache_dir(sf_dir: str, n_rows: int) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    return os.path.join(CACHE_ROOT, f"{tag}-{n_rows}")
+
+
+def get_index(sf_dir: str, partition_docs: int = 2048) -> dict:
+    """Build (or reuse) the full index for a corpus dir. Returns
+    {"index_dir", "build_manifest", "merge_manifest"}."""
+    from .build import build_index
+    from .checkpoint import load_manifest, load_merge_manifest
+    from .fixtures import pages_from_documents, write_pages
+    from .merge import merge_by_term
+
+    n_rows = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+    root = _cache_dir(sf_dir, n_rows)
+    pages_dir = os.path.join(root, "pages")
+    index_dir = os.path.join(root, "index")
+    os.makedirs(root, exist_ok=True)
+
+    build_manifest = load_manifest(index_dir)
+    if build_manifest is None:
+        if not os.path.exists(os.path.join(pages_dir, "pages-00000.parquet")):
+            write_pages(pages_from_documents(sf_dir), pages_dir, n_files=4)
+        build_manifest = build_index(
+            pages_dir, index_dir, partition_docs=partition_docs, from_html=True
+        )
+    merge_manifest = load_merge_manifest(index_dir)
+    if merge_manifest is None:
+        merge_manifest = merge_by_term(build_manifest, index_dir)
+    return {
+        "index_dir": index_dir,
+        "build_manifest": build_manifest,
+        "merge_manifest": merge_manifest,
+    }
+
+
+# ---------------------------------------------------------------------------
+# index-derived query entries (oracle-checked against raw documents.text)
+# ---------------------------------------------------------------------------
+
+
+def term_df_ttf(sf_dir: str) -> pa.Table:
+    """(term, df, ttf) straight from the merged term dictionary — the
+    end-to-end check of extract → tokenize → invert → salted merge."""
+    idx = get_index(sf_dir)
+    tables = [
+        pq.read_table(s["path"], columns=["term", "df", "ttf"])
+        for s in idx["merge_manifest"]["shards"]
+    ]
+    return pa.concat_tables(tables)
+
+
+def top100_terms(sf_dir: str) -> pa.Table:
+    """Top 100 terms by df (tie: term asc) — sort/limit over the index."""
+    t = term_df_ttf(sf_dir).to_pandas()
+    t = t.sort_values(["df", "term"], ascending=[False, True]).head(100)
+    return pa.Table.from_pandas(t[["term", "df"]], preserve_index=False)
+
+
+def token_counts(sf_dir: str) -> pa.Table:
+    """(doc_id, n_tokens) computed through the full html-extraction path —
+    checks byte-level token preservation of render+extract vs raw text."""
+    import ray.data
+
+    from .extract import extract_batch
+    from .textops import token_count_batch
+
+    idx = get_index(sf_dir)
+    pages_dir = os.path.dirname(idx["index_dir"]) + "/pages"
+    ds = ray.data.read_parquet(pages_dir, columns=["doc_id", "html"])
+    return ds.map_batches(
+        lambda b: token_count_batch(extract_batch(b)), batch_format="pyarrow"
+    )
+
+
+def doc_norms(sf_dir: str) -> pa.Table:
+    """(doc_id, norm) — SmallFloat-quantized lengths from the index
+    (no SQL oracle: the byte4 quantization isn't SQL-expressible)."""
+    idx = get_index(sf_dir)
+    tables = [pq.read_table(p) for p in idx["merge_manifest"]["norm_files"]]
+    t = pa.concat_tables(tables)
+    return pa.table(
+        {
+            "doc_id": t.column("doc_id"),
+            "norm": pa.compute.cast(t.column("norm"), pa.int64()),
+        }
+    )
+
+
+def bm25_search_results(sf_dir: str, algorithm: str = "auto") -> pa.Table:
+    """Reference query set through the actor-pool searcher over the merged
+    index: (query_id, rank, doc_id, score)."""
+    import ray.data
+
+    from .search import search_dataset
+
+    idx = get_index(sf_dir)
+    queries = ray.data.from_items(
+        [{"query_id": q, "query": s, "k": k} for q, s, k in REFERENCE_QUERIES]
+    )
+    res = search_dataset(queries, idx["index_dir"], concurrency=2, batch_size=4)
+    return res
+
+
+def collection_stats(sf_dir: str) -> pa.Table:
+    """Global collection statistics (docCount, sumTotalTermFreq, distinct
+    terms) from the build+merge manifests."""
+    idx = get_index(sf_dir)
+    mm = idx["merge_manifest"]
+    return pa.table(
+        {
+            "doc_count": pa.array([mm["doc_count"]], type=pa.int64()),
+            "sum_ttf": pa.array([mm["sum_ttf"]], type=pa.int64()),
+            "n_terms": pa.array(
+                [int(sum(s["n_terms"] for s in mm["shards"]))], type=pa.int64()
+            ),
+        }
+    )

@@ -1,0 +1,206 @@
+"""Text-analysis operators for large-scale corpus pipelines.
+
+Each operator is a vectorized ``map_batches`` stage over the documents
+table (SURVEY's "beyond the reference" training-data operators): token
+counting, quality features/scoring, language ID (char-n-gram profile
+heuristic), and document fingerprinting (MD5 canonical + Rabin-Karp
+winnowing). Stateful pieces (per-language profiles, compiled patterns) are
+built once per actor via callable classes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .analyze import TOKEN_RE
+
+_WS_RE = re.compile(r"[^a-z0-9]+")
+
+
+def fnv1a(s: str) -> int:
+    """Deterministic 64-bit FNV-1a string hash (process-independent, unlike
+    builtin hash())."""
+    h = 0xCBF29CE484222325
+    for b in s.encode("utf-8"):
+        h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+STOPWORDS_EN = frozenset(
+    "the a an and or of to in is are was were be been it this that for on with as by".split()
+)
+
+
+def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """(doc_id, n_tokens) — whitespace+regex token counting."""
+    texts = batch.column(text_col).to_pylist()
+    counts = np.fromiter(
+        (len(TOKEN_RE.findall(t.lower())) if t else 0 for t in texts),
+        dtype=np.int64,
+        count=len(texts),
+    )
+    return pa.table(
+        {"doc_id": batch.column("doc_id"), "n_tokens": pa.array(counts, type=pa.int64())}
+    )
+
+
+def quality_features_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Integer quality features (SQL-oracle-safe): n_chars, n_tokens,
+    n_uniq_tokens."""
+    texts = batch.column(text_col).to_pylist()
+    n = len(texts)
+    n_chars = np.empty(n, dtype=np.int64)
+    n_tokens = np.empty(n, dtype=np.int64)
+    n_uniq = np.empty(n, dtype=np.int64)
+    for i, t in enumerate(texts):
+        t = t or ""
+        toks = TOKEN_RE.findall(t.lower())
+        n_chars[i] = len(t)
+        n_tokens[i] = len(toks)
+        n_uniq[i] = len(set(toks))
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_chars": pa.array(n_chars),
+            "n_tokens": pa.array(n_tokens),
+            "n_uniq_tokens": pa.array(n_uniq),
+        }
+    )
+
+
+class QualityScorer:
+    """Actor-pool stage: composite quality score in [0, 1] from length,
+    punctuation ratio, stopword ratio and type-token ratio (the usual
+    web-corpus filtering heuristics). Regexes compile once per actor."""
+
+    def __init__(self):
+        self.word = TOKEN_RE
+        self.punct = re.compile(r"[^\w\s]")
+        self.stop = STOPWORDS_EN
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        scores = np.empty(len(texts), dtype=np.float64)
+        for i, t in enumerate(texts):
+            t = t or ""
+            toks = self.word.findall(t.lower())
+            n = len(toks)
+            if n == 0:
+                scores[i] = 0.0
+                continue
+            len_score = min(n, 500) / 500.0
+            punct_ratio = len(self.punct.findall(t)) / max(len(t), 1)
+            stop_ratio = sum(1 for w in toks if w in self.stop) / n
+            ttr = len(set(toks)) / n
+            scores[i] = (
+                0.4 * len_score
+                + 0.2 * (1.0 - min(punct_ratio * 5, 1.0))
+                + 0.2 * min(stop_ratio * 3, 1.0)
+                + 0.2 * ttr
+            )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "quality": pa.array(scores, type=pa.float64()),
+            }
+        )
+
+
+class LangId:
+    """Char-trigram-profile language ID (n-gram heuristic). Profiles are
+    built deterministically in __init__ (once per actor) from tiny built-in
+    seed text per language; prediction = cosine over trigram counts with a
+    tie-break on profile order. Real corpora would load real profiles —
+    the Ray plumbing (actor pool, vectorized batch) is the point."""
+
+    SEEDS = {
+        "en": "the quick brown fox jumps over the lazy dog and runs away with it",
+        "de": "der schnelle braune fuchs springt ueber den faulen hund und weg",
+        "fr": "le renard brun rapide saute par dessus le chien paresseux et vite",
+        "es": "el rapido zorro marron salta sobre el perro perezoso y corre",
+        "zh": "ni hao shi jie zhe shi yi ge ce shi wen ben hen gao xing",
+    }
+
+    def __init__(self):
+        self.langs = sorted(self.SEEDS)
+        self.profiles = {}
+        for lang in self.langs:
+            self.profiles[lang] = self._trigrams(self.SEEDS[lang])
+
+    @staticmethod
+    def _trigrams(t: str) -> dict[str, int]:
+        t = f"  {t.lower()}  "
+        out: dict[str, int] = {}
+        for i in range(len(t) - 2):
+            g = t[i : i + 3]
+            out[g] = out.get(g, 0) + 1
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        preds = []
+        for t in texts:
+            tg = self._trigrams(t or "")
+            best, best_s = "und", -1.0
+            tn = sum(v * v for v in tg.values()) ** 0.5 or 1.0
+            for lang in self.langs:
+                p = self.profiles[lang]
+                dot = sum(v * p.get(g, 0) for g, v in tg.items())
+                pn = sum(v * v for v in p.values()) ** 0.5
+                s = dot / (tn * pn)
+                if s > best_s:
+                    best, best_s = lang, s
+            preds.append(best)
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "lang_pred": pa.array(preds, type=pa.string())}
+        )
+
+
+def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Canonical document fingerprint: md5 over the normalized token stream
+    (lowercase, non-alnum collapsed to single spaces, trimmed) — exactly
+    expressible in SQL for the oracle."""
+    texts = batch.column(text_col).to_pylist()
+    fps = [
+        hashlib.md5(_WS_RE.sub(" ", (t or "").lower()).strip().encode()).hexdigest()
+        for t in texts
+    ]
+    return pa.table(
+        {"doc_id": batch.column("doc_id"), "fingerprint": pa.array(fps, type=pa.string())}
+    )
+
+
+def rolling_fingerprint_batch(
+    batch: pa.Table, window: int = 8, keep: int = 4, text_col: str = "text"
+) -> pa.Table:
+    """Winnowing-style rolling-hash fingerprint: Rabin-Karp over the token
+    stream, keep the ``keep`` smallest window hashes (robust to small
+    edits; vectorized via numpy sliding windows)."""
+    texts = batch.column(text_col).to_pylist()
+    out: list[list[int]] = []
+    B = np.uint64(1099511628211)
+    for t in texts:
+        toks = TOKEN_RE.findall((t or "").lower())
+        # deterministic token hash (Python's hash() is per-process salted)
+        h = np.fromiter(
+            (fnv1a(w) for w in toks), dtype=np.uint64, count=len(toks)
+        )
+        if len(h) < window:
+            wh = h if len(h) else np.zeros(1, dtype=np.uint64)
+        else:
+            # windowed polynomial hash, vectorized over all windows
+            pw = np.array([B ** np.uint64(i) for i in range(window)], dtype=np.uint64)
+            sw = np.lib.stride_tricks.sliding_window_view(h, window)
+            wh = (sw * pw[None, :]).sum(axis=1, dtype=np.uint64)
+        smallest = np.sort(wh)[:keep] & np.uint64(0x7FFFFFFFFFFFFFFF)
+        out.append([int(x) for x in smallest])
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "minhashes": pa.array(out, type=pa.list_(pa.int64())),
+        }
+    )
