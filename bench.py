@@ -1,0 +1,172 @@
+"""Benchmark harness — build + merge + BM25 query over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <headline seconds>, "unit": "sec",
+   "queries": {stage: sec, ...}, "sf": ..., "num_cpus": N,
+   "docs_per_sec": ..., "query_p50_ms": ..., "query_p99_ms": ...}
+
+``--scaling`` reruns the identical job in two fresh processes at
+num_cpus=8 and num_cpus=32 on the same input and reports both throughputs
+plus efficiency = (t_8 / t_32) / (32 / 8)  (1.0 = linear). Mirrors the
+reference harness's rec/s + elapsedSec report columns
+(lucene/benchmark/.../tasks/ReportTask.java:66-67).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPEAT = int(os.environ.get("BENCH_REPEAT", "16"))
+QUERY_REPS = int(os.environ.get("BENCH_QUERY_REPS", "25"))
+BENCH_ROOT = "/tmp/rayfts-bench"
+
+
+def ensure_pages(sf_dir: str) -> tuple[str, int]:
+    """Deterministic pages parquet for the bench corpus (generation is NOT
+    timed; also serves as the warm-cache read the guide recommends)."""
+    import pyarrow.parquet as pq
+
+    from engine.fixtures import pages_from_documents, write_pages
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    pages_dir = os.path.join(BENCH_ROOT, f"pages-{tag}-x{REPEAT}")
+    marker = os.path.join(pages_dir, "_done")
+    if not os.path.exists(marker):
+        tbl = pages_from_documents(sf_dir, repeat=REPEAT)
+        write_pages(tbl, pages_dir, n_files=32)
+        with open(marker, "w") as f:
+            f.write(str(tbl.num_rows))
+    n_docs = sum(
+        pq.read_metadata(os.path.join(pages_dir, f)).num_rows
+        for f in os.listdir(pages_dir)
+        if f.endswith(".parquet")
+    )
+    return pages_dir, n_docs
+
+
+def run_bench(sf_dir: str, num_cpus: int) -> dict:
+    import numpy as np
+    import ray
+    import ray.data
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from engine.build import build_index
+    from engine.merge import merge_by_term
+    from engine.pipelines import REFERENCE_QUERIES
+    from engine.search import BatchSearcher
+
+    pages_dir, n_docs = ensure_pages(sf_dir)
+    index_dir = os.path.join(BENCH_ROOT, f"index-{os.path.basename(pages_dir)}-c{num_cpus}")
+    shutil.rmtree(index_dir, ignore_errors=True)
+
+    part_docs = max(256, n_docs // 64)  # ~64 partitions regardless of corpus size
+
+    t0 = time.perf_counter()
+    manifest = build_index(pages_dir, index_dir, partition_docs=part_docs, from_html=True)
+    t_build = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    mm = merge_by_term(manifest, index_dir)
+    t_merge = time.perf_counter() - t0
+
+    # query workload: reference set x QUERY_REPS through the actor pool
+    items = []
+    qid = 0
+    for rep in range(QUERY_REPS):
+        for _, q, k in REFERENCE_QUERIES:
+            items.append({"query_id": qid, "query": q, "k": k})
+            qid += 1
+    queries_ds = ray.data.from_items(items)
+    pool = max(2, min(num_cpus - 2, 16))
+    t0 = time.perf_counter()
+    res = queries_ds.map_batches(
+        BatchSearcher,
+        fn_constructor_kwargs={"index_dir": index_dir, "emit_latency": True},
+        batch_size=8,
+        batch_format="pyarrow",
+        concurrency=pool,
+    ).to_pandas()
+    t_search = time.perf_counter() - t0
+    lat = res.groupby("query_id")["latency_ms"].first().to_numpy()
+    n_queries = len(items)
+
+    out = {
+        "metric": "index-build docs/sec + BM25 query p50/p99 (build+merge+search sec)",
+        "value": round(t_build + t_merge + t_search, 3),
+        "unit": "sec",
+        "queries": {
+            "build": round(t_build, 3),
+            "merge_by_term": round(t_merge, 3),
+            "search": round(t_search, 3),
+        },
+        "sf": os.path.basename(os.path.normpath(sf_dir)),
+        "num_cpus": num_cpus,
+        "n_docs": n_docs,
+        "n_queries": n_queries,
+        "docs_per_sec": round(n_docs / (t_build + t_merge), 1),
+        "queries_per_sec": round(n_queries / t_search, 1),
+        "query_p50_ms": round(float(np.percentile(lat, 50)), 2),
+        "query_p99_ms": round(float(np.percentile(lat, 99)), 2),
+        "n_heavy_terms": mm.get("n_heavy_terms"),
+    }
+    ray.shutdown()
+    return out
+
+
+def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    ensure_pages(sf_dir)  # generate once + warm the page cache
+    r_lo = run(lo)
+    r_hi = run(hi)
+    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    return {
+        "metric": "scaling efficiency (N->4N cpus, fresh processes, same input)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "sf": r_lo["sf"],
+        f"sec_{lo}": r_lo["value"],
+        f"sec_{hi}": r_hi["value"],
+        f"docs_per_sec_{lo}": r_lo["docs_per_sec"],
+        f"docs_per_sec_{hi}": r_hi["docs_per_sec"],
+        f"queries_per_sec_{lo}": r_lo["queries_per_sec"],
+        f"queries_per_sec_{hi}": r_hi["queries_per_sec"],
+        "stages_lo": r_lo["queries"],
+        "stages_hi": r_hi["queries"],
+        "scaling_efficiency": round(eff, 3),
+    }
+
+
+if __name__ == "__main__":
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling(sf_dir)))
+    else:
+        num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+        print(json.dumps(run_bench(sf_dir, num_cpus)))

@@ -175,11 +175,19 @@ def build_index(
     if existing is not None:
         return existing
 
-    columns = ["doc_id", "html"] if from_html else ["doc_id", "text"]
-    ds = ray.data.read_parquet(input_paths, columns=columns)
-    rows = ds.map_batches(
-        make_inverter(index_dir, analyzer, from_html=from_html),
-        batch_size=partition_docs,
-        batch_format="pyarrow",
-    ).take_all()  # manifest rows only: O(#partitions), tiny
+    # preserve_order keeps read blocks in file/row order so each batch is a
+    # contiguous doc_id range (the partition/docBase invariant)
+    ctx = ray.data.DataContext.get_current()
+    prev_order = ctx.execution_options.preserve_order
+    ctx.execution_options.preserve_order = True
+    try:
+        columns = ["doc_id", "html"] if from_html else ["doc_id", "text"]
+        ds = ray.data.read_parquet(input_paths, columns=columns)
+        rows = ds.map_batches(
+            make_inverter(index_dir, analyzer, from_html=from_html),
+            batch_size=partition_docs,
+            batch_format="pyarrow",
+        ).take_all()  # manifest rows only: O(#partitions), tiny
+    finally:
+        ctx.execution_options.preserve_order = prev_order
     return finalize_build_manifest(index_dir, rows)

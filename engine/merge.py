@@ -20,9 +20,10 @@ postings. Skew handling is explicit: a pre-pass computes global df with a
 pruned-column read + groupby-sum, terms above ``salt_threshold`` (stop
 words) are salted by contiguous partition rank ranges into ``n_salts``
 sub-groups that merge in parallel; light terms are final after the single
-shuffle, and the stop-word-sized set of salted runs is concatenated by the
-driver (order restored by doc sort — a no-op concat when salts are
-contiguous rank ranges). Output is a term-range-sharded merged index (one
+shuffle, and the salted runs go through a second, tiny groupby(term) —
+n_heavy x n_salts rows — whose groups concatenate in parallel (order
+restored by doc sort — a no-op concat when salts are contiguous rank
+ranges). Output is a term-range-sharded merged index (one
 logical segment over the full doc range) whose norms reference the
 partition norm files (no rewrite).
 """
@@ -438,25 +439,48 @@ def merge_by_term(
     heavy_run_files = [r["path"] for r in results if r.get("kind") == "heavy_runs"]
 
     if heavy_run_files:
-        runs_tbl = pa.concat_tables(pq.read_table(p) for p in heavy_run_files)
-        by_term: dict[str, list[dict]] = {}
-        for r in runs_tbl.to_pylist():
-            by_term.setdefault(r["term"], []).append(r)
-        cols: dict[str, list] = {f.name: [] for f in TERMS_SCHEMA}
-        for term in sorted(by_term):
-            docs, freqs, norms = _concat_group_arrays(by_term[term])
-            _emit_from_arrays(cols, term, docs, freqs, norms)
-        tbl = pa.table(cols, schema=TERMS_SCHEMA)
-        path = os.path.join(shard_dir, "shard-heavy.parquet")
-        pq.write_table(tbl, path + ".tmp")
-        os.replace(path + ".tmp", path)
-        shards.append(
-            {
-                "path": path,
-                "term_min": tbl.column("term")[0].as_py(),
-                "term_max": tbl.column("term")[-1].as_py(),
-                "n_terms": tbl.num_rows,
-            }
+        # final pass over the salted runs only: a second (tiny) groupby —
+        # n_heavy_terms x n_salts rows — concatenates each heavy term's
+        # doc-ordered runs in parallel and writes heavy shards
+        runs = ray.data.read_parquet(heavy_run_files)
+
+        def _final_heavy(batch: pa.Table) -> pa.Table:
+            rows = batch.to_pylist()
+            docs, freqs, norms = _concat_group_arrays(rows)
+            cols: dict[str, list] = {f.name: [] for f in TERMS_SCHEMA}
+            _emit_from_arrays(cols, rows[0]["term"], docs, freqs, norms)
+            return pa.table(cols, schema=TERMS_SCHEMA)
+
+        def _write_heavy_shard(batch: pa.Table) -> pa.Table:
+            import uuid as _uuid
+
+            idx = pa.compute.sort_indices(batch.column("term"))
+            batch = batch.take(idx)
+            path = os.path.join(shard_dir, f"shard-heavy-{_uuid.uuid4().hex[:12]}.parquet")
+            pq.write_table(batch, path + ".tmp")
+            os.replace(path + ".tmp", path)
+            return pa.Table.from_pylist(
+                [
+                    {
+                        "kind": "shard",
+                        "path": path,
+                        "term_min": batch.column("term")[0].as_py(),
+                        "term_max": batch.column("term")[-1].as_py(),
+                        "n_terms": batch.num_rows,
+                    }
+                ],
+                schema=_RESULT_SCHEMA,
+            )
+
+        heavy_shards = (
+            runs.groupby("term")
+            .map_groups(_final_heavy, batch_format="pyarrow")
+            .map_batches(_write_heavy_shard, batch_size=4096, batch_format="pyarrow")
+            .take_all()
+        )
+        shards.extend(
+            {k: r[k] for k in ("path", "term_min", "term_max", "n_terms")}
+            for r in heavy_shards
         )
 
     out = {

@@ -43,7 +43,12 @@ from .wand import (
     wand_or_topk,
 )
 
-WAND_POSTINGS_CUTOVER = 262_144  # auto plan: wand above, taat below
+# auto plan: TAAT below, WAND above. The vectorized TAAT scan costs ~10ns
+# per posting while the Python document-at-a-time WAND loop costs ~1µs per
+# *surviving* doc, so WAND only wins when block-max pruning can skip >99%
+# of postings — i.e. at shard sizes far beyond this sandbox. (In the
+# reference, with C-speed per-doc cost, the cutover is effectively 0.)
+WAND_POSTINGS_CUTOVER = 8_000_000
 
 
 class IndexSearcher:
@@ -251,7 +256,13 @@ class BatchSearcher:
     """Stateful actor-pool search stage: segments open once per actor
     (__init__), query batches stream through __call__ (SURVEY §7.3)."""
 
-    def __init__(self, index_dir: str, algorithm: str = "auto", default_k: int = 10):
+    def __init__(
+        self,
+        index_dir: str,
+        algorithm: str = "auto",
+        default_k: int = 10,
+        emit_latency: bool = False,
+    ):
         from .checkpoint import load_manifest, load_merge_manifest
 
         manifest = load_merge_manifest(index_dir) or load_manifest(index_dir)
@@ -259,8 +270,11 @@ class BatchSearcher:
             raise FileNotFoundError(f"no manifest under {index_dir}")
         self.searcher = IndexSearcher(manifest, algorithm=algorithm)
         self.default_k = default_k
+        self.emit_latency = emit_latency
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import time
+
         qids = batch.column("query_id").to_pylist()
         queries = batch.column("query").to_pylist()
         ks = (
@@ -272,20 +286,25 @@ class BatchSearcher:
         out_rank: list[int] = []
         out_doc: list[int] = []
         out_score: list[float] = []
+        out_lat: list[float] = []
         for qid, qs, k in zip(qids, queries, ks):
+            t0 = time.perf_counter()
             docs, scores = self.searcher.search(qs, int(k))
+            lat_ms = (time.perf_counter() - t0) * 1000.0
             out_qid.extend([qid] * len(docs))
             out_rank.extend(range(len(docs)))
             out_doc.extend(docs.tolist())
             out_score.extend(scores.tolist())
-        return pa.table(
-            {
-                "query_id": pa.array(out_qid, type=pa.int64()),
-                "rank": pa.array(out_rank, type=pa.int32()),
-                "doc_id": pa.array(out_doc, type=pa.int64()),
-                "score": pa.array(out_score, type=pa.float32()),
-            }
-        )
+            out_lat.extend([lat_ms] * len(docs))
+        cols = {
+            "query_id": pa.array(out_qid, type=pa.int64()),
+            "rank": pa.array(out_rank, type=pa.int32()),
+            "doc_id": pa.array(out_doc, type=pa.int64()),
+            "score": pa.array(out_score, type=pa.float32()),
+        }
+        if self.emit_latency:
+            cols["latency_ms"] = pa.array(out_lat, type=pa.float64())
+        return pa.table(cols)
 
 
 def search_dataset(queries_ds, index_dir: str, concurrency: int = 4, batch_size: int = 64):

@@ -111,7 +111,7 @@ def test_merge_by_term_salted(built, tmp_path_factory):
     mm = merge_by_term(m, root, salt_threshold=400, n_salts=4)
     assert mm["kind"] == "merge-by-term"
     assert mm["n_heavy_terms"] >= 15  # the00..the19 band
-    assert any(s["path"].endswith("shard-heavy.parquet") for s in mm["shards"])
+    assert any("shard-heavy" in s["path"] for s in mm["shards"])
     mi = MergedIndex(root)
     # every posting preserved for light, salted and singleton terms
     segs = [Segment(r["seg_dir"]) for r in m["partitions"]]
