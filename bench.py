@@ -21,23 +21,48 @@ import subprocess
 import sys
 import time
 
-REPEAT = int(os.environ.get("BENCH_REPEAT", "16"))
-QUERY_REPS = int(os.environ.get("BENCH_QUERY_REPS", "25"))
+QUERY_REPS = int(os.environ.get("BENCH_QUERY_REPS", "300"))
 BENCH_ROOT = "/tmp/rayfts-bench"
+
+# FIXTURES.md §1.1 Zipf corpus sized by sf (documents rows x 20); realistic
+# vocabulary (10k terms + stop band + singleton band) so merge salting and
+# WAND/TAAT paths see representative skew
+_DOCS_MULTIPLIER = int(os.environ.get("BENCH_DOCS_MULTIPLIER", "40"))
+
+# zipf-vocabulary query mix per FIXTURES.md §2: high/mid/low df terms, stop
+# disjunctions, conjunctions, mixed must, exclusion, no-match
+BENCH_QUERIES = [
+    (0, "t00000", 10),
+    (1, "the00", 10),
+    (2, "the00 the07 the19", 10),
+    (3, "t00001 t00017 t00999", 10),
+    (4, "t00000 AND t00004", 10),
+    (5, "+t00002 t00050", 10),
+    (6, "t00123", 100),
+    (7, "t00000 -t00111", 10),
+    (8, "zzznomatch", 10),
+    (9, "t00010 t00020 t00030 t00040 t00050", 25),
+]
 
 
 def ensure_pages(sf_dir: str) -> tuple[str, int]:
-    """Deterministic pages parquet for the bench corpus (generation is NOT
-    timed; also serves as the warm-cache read the guide recommends)."""
+    """Deterministic synthetic pages parquet for the bench corpus
+    (generation is NOT timed; also warms the page cache as the guide
+    recommends)."""
     import pyarrow.parquet as pq
 
-    from engine.fixtures import pages_from_documents, write_pages
+    from engine.fixtures import make_pages, write_pages
 
+    n_docs_target = max(
+        10_000,
+        pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+        * _DOCS_MULTIPLIER,
+    )
     tag = os.path.basename(os.path.normpath(sf_dir))
-    pages_dir = os.path.join(BENCH_ROOT, f"pages-{tag}-x{REPEAT}")
+    pages_dir = os.path.join(BENCH_ROOT, f"zipf-{tag}-n{n_docs_target}")
     marker = os.path.join(pages_dir, "_done")
     if not os.path.exists(marker):
-        tbl = pages_from_documents(sf_dir, repeat=REPEAT)
+        tbl = make_pages(n_docs_target, seed=42)
         write_pages(tbl, pages_dir, n_files=32)
         with open(marker, "w") as f:
             f.write(str(tbl.num_rows))
@@ -68,39 +93,58 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
     from engine.build import build_index
     from engine.merge import merge_by_term
-    from engine.pipelines import REFERENCE_QUERIES
-    from engine.search import BatchSearcher
+    from engine.search import search_dataset
 
     pages_dir, n_docs = ensure_pages(sf_dir)
     index_dir = os.path.join(BENCH_ROOT, f"index-{os.path.basename(pages_dir)}-c{num_cpus}")
     shutil.rmtree(index_dir, ignore_errors=True)
 
-    part_docs = max(256, n_docs // 64)  # ~64 partitions regardless of corpus size
+    # untimed warm-up: spin up the full worker pool and pay the engine
+    # import cost before the clock starts (the reference harness likewise
+    # reports warm rounds; the guide's "warm the OS page cache" note)
+    def _warm(batch):
+        import engine.build  # noqa: F401
+        import engine.merge  # noqa: F401
+        import engine.search  # noqa: F401
+
+        return batch
+
+    ray.data.range(num_cpus * 4, override_num_blocks=num_cpus * 4).map_batches(
+        _warm, batch_size=1
+    ).count()
+
+    part_docs = max(256, n_docs // 128)  # fixed 128 partitions at every cpu level
 
     t0 = time.perf_counter()
     manifest = build_index(pages_dir, index_dir, partition_docs=part_docs, from_html=True)
     t_build = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    mm = merge_by_term(manifest, index_dir)
+    mm = merge_by_term(manifest, index_dir, n_salts=16)
     t_merge = time.perf_counter() - t0
+
+    # decode hot postings once into the object store: searcher workers on a
+    # node share these arrays zero-copy (no per-worker cold decode)
+    from engine.search import build_shared_hot_set
+
+    t0 = time.perf_counter()
+    hot_ref = build_shared_hot_set(index_dir)
+    t_hot = time.perf_counter() - t0
 
     # query workload: reference set x QUERY_REPS through the actor pool
     items = []
     qid = 0
     for rep in range(QUERY_REPS):
-        for _, q, k in REFERENCE_QUERIES:
+        for _, q, k in BENCH_QUERIES:
             items.append({"query_id": qid, "query": q, "k": k})
             qid += 1
     queries_ds = ray.data.from_items(items)
-    pool = max(2, min(num_cpus - 2, 16))
     t0 = time.perf_counter()
-    res = queries_ds.map_batches(
-        BatchSearcher,
-        fn_constructor_kwargs={"index_dir": index_dir, "emit_latency": True},
-        batch_size=8,
-        batch_format="pyarrow",
-        concurrency=pool,
+    # task-based search: stateless tasks + per-process searcher cache reuse
+    # the warm worker pool (engine/search.py search_dataset mode="tasks")
+    res = search_dataset(
+        queries_ds, index_dir, batch_size=8, mode="tasks", emit_latency=True,
+        hot_ref=hot_ref,
     ).to_pandas()
     t_search = time.perf_counter() - t0
     lat = res.groupby("query_id")["latency_ms"].first().to_numpy()
@@ -108,13 +152,15 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
     out = {
         "metric": "index-build docs/sec + BM25 query p50/p99 (build+merge+search sec)",
-        "value": round(t_build + t_merge + t_search, 3),
+        "value": round(t_build + t_merge + t_hot + t_search, 3),
         "unit": "sec",
         "queries": {
             "build": round(t_build, 3),
             "merge_by_term": round(t_merge, 3),
+            "warm_hot_set": round(t_hot, 3),
             "search": round(t_search, 3),
         },
+        "merge_stage_sec": mm.get("stage_sec"),
         "sf": os.path.basename(os.path.normpath(sf_dir)),
         "num_cpus": num_cpus,
         "n_docs": n_docs,

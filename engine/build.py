@@ -175,19 +175,37 @@ def build_index(
     if existing is not None:
         return existing
 
-    # preserve_order keeps read blocks in file/row order so each batch is a
-    # contiguous doc_id range (the partition/docBase invariant)
-    ctx = ray.data.DataContext.get_current()
-    prev_order = ctx.execution_options.preserve_order
-    ctx.execution_options.preserve_order = True
-    try:
-        columns = ["doc_id", "html"] if from_html else ["doc_id", "text"]
-        ds = ray.data.read_parquet(input_paths, columns=columns)
-        rows = ds.map_batches(
-            make_inverter(index_dir, analyzer, from_html=from_html),
-            batch_size=partition_docs,
-            batch_format="pyarrow",
-        ).take_all()  # manifest rows only: O(#partitions), tiny
-    finally:
-        ctx.execution_options.preserve_order = prev_order
+    # one task per input file: each task reads its shard (pruned columns)
+    # and inverts it in partition_docs chunks — fully independent tasks, no
+    # cross-file ordering constraints, perfect horizontal scaling (each
+    # input file is a contiguous doc_id range by construction). This is the
+    # resumable-output layout: partition dirs keyed by doc_base, reruns
+    # skip finished ones.
+    import glob as _glob
+
+    if isinstance(input_paths, str):
+        if os.path.isdir(input_paths):
+            files = sorted(_glob.glob(os.path.join(input_paths, "*.parquet")))
+        else:
+            files = [input_paths]
+    else:
+        files = sorted(input_paths)
+    columns = ["doc_id", "html"] if from_html else ["doc_id", "text"]
+    inverter = make_inverter(index_dir, analyzer, from_html=from_html)
+
+    def _invert_file(batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        out = []
+        for spec in batch.to_pylist():
+            tbl = pq.read_table(spec["path"], columns=columns)
+            for off in range(0, tbl.num_rows, partition_docs):
+                out.append(inverter(tbl.slice(off, partition_docs)))
+        return pa.concat_tables(out)
+
+    rows = (
+        ray.data.from_items([{"path": p} for p in files])
+        .map_batches(_invert_file, batch_size=1, batch_format="pyarrow")
+        .take_all()
+    )  # manifest rows only: O(#partitions), tiny
     return finalize_build_manifest(index_dir, rows)

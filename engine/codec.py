@@ -107,6 +107,24 @@ def read_vints(buf: bytes | memoryview, count: int, offset: int = 0) -> tuple[np
     return vals, offset + int(end)
 
 
+def read_vints_at(raw: np.ndarray, positions: np.ndarray) -> np.ndarray:
+    """Decode one VLong at each byte position, vectorized across positions
+    (no per-call scan of the buffer — used for scattered single values)."""
+    positions = np.asarray(positions, dtype=np.int64)
+    if positions.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    pad = np.zeros(_MAX_VBYTES, dtype=np.uint8)
+    padded = np.concatenate([raw, pad])
+    chunk = padded[positions[:, None] + np.arange(_MAX_VBYTES)[None, :]].astype(np.uint64)
+    cont = (chunk & np.uint64(0x80)) != 0
+    # a byte contributes iff all previous bytes had the continuation bit
+    active = np.ones_like(cont)
+    active[:, 1:] = np.cumprod(cont[:, :-1], axis=1).astype(bool)
+    low7 = chunk & np.uint64(0x7F)
+    shifts = (np.uint64(7) * np.arange(_MAX_VBYTES, dtype=np.uint64))[None, :]
+    return ((low7 << shifts) * active).sum(axis=1, dtype=np.uint64)
+
+
 # ---------------------------------------------------------------------------
 # FOR bit-packing of fixed 128-value blocks — vectorized.
 # ---------------------------------------------------------------------------
@@ -336,4 +354,74 @@ def decode_block(
         freqs = np.ones(tail_n, dtype=np.int64)
         freqs[~flags] = rest.astype(np.int64)
     docs = np.cumsum(deltas.astype(np.int64)) + prev_last_doc
+    return docs, freqs
+
+
+def decode_term_postings_indexed(
+    blob: bytes | memoryview, df: int, offsets: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized whole-term decode using the per-block offset array from
+    the skip data: blocks are grouped by bit width and unpacked in one
+    numpy pass per width (the FastLanes-style batched unpack), instead of
+    the per-block Python loop of ``decode_term_postings``. Rank-identical
+    output; ~10x faster for high-df terms."""
+    nfull = df // BLOCK_SIZE
+    tail_n = df - nfull * BLOCK_SIZE
+    deltas = np.empty(df, dtype=np.uint64)
+    freqs = np.empty(df, dtype=np.int64)
+    raw = np.frombuffer(blob, dtype=np.uint8)
+    mv = memoryview(blob)
+
+    if nfull:
+        offs = np.asarray(offsets[:nfull], dtype=np.int64)
+        wd = raw[offs].astype(np.int64)  # doc-block widths (0 = all deltas 1)
+        doc_start = offs + 1
+        freq_tok_pos = doc_start + np.where(wd > 0, 16 * wd, 0)
+        wf = raw[freq_tok_pos].astype(np.int64)
+
+        # doc deltas, batched per distinct width
+        dview = deltas[: nfull * BLOCK_SIZE].reshape(nfull, BLOCK_SIZE)
+        fview = freqs[: nfull * BLOCK_SIZE].reshape(nfull, BLOCK_SIZE)
+        all1 = np.flatnonzero(wd == 0)
+        if len(all1):
+            dview[all1] = 1
+        for w in np.unique(wd[wd > 0]):
+            blocks = np.flatnonzero(wd == w)
+            nb = 16 * int(w)
+            idx = doc_start[blocks][:, None] + np.arange(nb)[None, :]
+            chunk = raw[idx]  # (n_blocks, nb)
+            bits = np.unpackbits(chunk, axis=1)[:, : BLOCK_SIZE * int(w)]
+            bits = bits.reshape(len(blocks), BLOCK_SIZE, int(w)).astype(np.uint64)
+            shifts = np.arange(int(w) - 1, -1, -1, dtype=np.uint64)
+            dview[blocks] = (bits << shifts[None, None, :]).sum(axis=2, dtype=np.uint64)
+
+        # freqs: width-grouped packed blocks; wf==0 means all-equal + VInt
+        eq = np.flatnonzero(wf == 0)
+        if len(eq):
+            vals = read_vints_at(raw, freq_tok_pos[eq] + 1)
+            fview[eq] = vals.astype(np.int64)[:, None]
+        for w in np.unique(wf[wf > 0]):
+            blocks = np.flatnonzero(wf == w)
+            nb = (BLOCK_SIZE * int(w) + 7) // 8
+            idx = (freq_tok_pos[blocks] + 1)[:, None] + np.arange(nb)[None, :]
+            chunk = raw[idx]
+            bits = np.unpackbits(chunk, axis=1)[:, : BLOCK_SIZE * int(w)]
+            bits = bits.reshape(len(blocks), BLOCK_SIZE, int(w)).astype(np.uint64)
+            shifts = np.arange(int(w) - 1, -1, -1, dtype=np.uint64)
+            fview[blocks] = (bits << shifts[None, None, :]).sum(axis=2, dtype=np.uint64).astype(
+                np.int64
+            )
+
+    if tail_n:
+        pos = int(offsets[nfull]) if nfull < len(offsets) else 0
+        combined, pos = read_vints(mv, tail_n, pos)
+        lo = nfull * BLOCK_SIZE
+        deltas[lo:] = combined >> np.uint64(1)
+        flags = (combined & np.uint64(1)).astype(bool)
+        rest, pos = read_vints(mv, int((~flags).sum()), pos)
+        f = np.ones(tail_n, dtype=np.int64)
+        f[~flags] = rest.astype(np.int64)
+        freqs[lo:] = f
+
+    docs = np.cumsum(deltas.astype(np.int64)) - 1
     return docs, freqs

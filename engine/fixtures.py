@@ -147,23 +147,27 @@ def make_pages(n_docs: int, seed: int = 42) -> pa.Table:
     probs = ranks ** -1.1
     probs /= probs.sum()
     vocab = np.array([f"t{i:05d}" for i in range(VOCAB_SIZE)])
+    stop_words = [f"the{j:02d}" for j in range(N_STOP)]
     lengths = np.clip(
         np.exp(rng.normal(np.log(120), 1.0, size=n_docs)).astype(np.int64), 8, 4000
     )
     stop_p = np.linspace(0.60, 0.95, N_STOP)
+    # vectorized sampling: one draw for the whole token stream, one matrix
+    # for the stop-term band (0/1/2 occurrences per doc)
+    flat = vocab[rng.choice(VOCAB_SIZE, size=int(lengths.sum()), p=probs)]
+    stop_hit = rng.random((n_docs, N_STOP)) < stop_p[None, :]
+    stop_double = (rng.random((n_docs, N_STOP)) < 0.3) & stop_hit
     bodies: list[str] = []
     langs: list[str] = []
-    flat = rng.choice(VOCAB_SIZE, size=int(lengths.sum()), p=probs)
     off = 0
     for i in range(n_docs):
         ln = int(lengths[i])
-        toks = list(vocab[flat[off : off + ln]])
+        toks = list(flat[off : off + ln])
         off += ln
-        for j in range(N_STOP):
-            if rng.random() < stop_p[j]:
-                toks.append(f"the{j:02d}")
-                if rng.random() < 0.3:
-                    toks.append(f"the{j:02d}")
+        for j in np.flatnonzero(stop_hit[i]):
+            toks.append(stop_words[j])
+            if stop_double[i, j]:
+                toks.append(stop_words[j])
         if i % 10 == 0:
             toks.append(f"s{i:06d}")  # singleton band (df == 1)
         if i < TIE_CLUSTER:

@@ -233,25 +233,6 @@ def merge_tree(manifest: dict, index_dir: str, fan_in: int = 8, target_segments:
 # Path B: salted groupby-term shuffle (north-rule merge)
 # ---------------------------------------------------------------------------
 
-_EXPLODE_SCHEMA = pa.schema(
-    [
-        ("term", pa.string()),
-        ("salt", pa.int32()),
-        ("doc_base", pa.int64()),
-        ("df", pa.int64()),
-        ("ttf", pa.int64()),
-        ("singleton_doc", pa.int64()),
-        ("blob", pa.binary()),
-        ("norm_bytes", pa.binary()),  # one uint8 per posting
-    ]
-)
-
-# stage-2 output: final TERMS_SCHEMA columns + salted-run bookkeeping
-_STAGE2_SCHEMA = pa.schema(
-    list(TERMS_SCHEMA)
-    + [("salt", pa.int32()), ("norm_bytes", pa.binary()), ("is_final", pa.bool_())]
-)
-
 _RESULT_SCHEMA = pa.schema(
     [
         ("kind", pa.string()),
@@ -259,61 +240,89 @@ _RESULT_SCHEMA = pa.schema(
         ("term_min", pa.string()),
         ("term_max", pa.string()),
         ("n_terms", pa.int64()),
+        ("bucket", pa.int64()),  # shuffle bucket of a light shard (-1 otherwise)
     ]
 )
 
 
 def compute_heavy_terms(seg_dirs: list[str], salt_threshold: int) -> dict[str, int]:
-    """Pre-pass: global df per term via a pruned-column read (only the
-    term/df columns leave storage) + groupby-sum — the pre-aggregate
-    pattern; returns {term: global_df} above the salting threshold (a
-    stop-word-sized set by construction)."""
-    import ray.data
-    from ray.data.aggregate import Sum
+    """Pre-pass: global df per term from a pruned-column read (only the
+    term/df columns leave storage), aggregated with a vectorized pyarrow
+    group_by — the pre-aggregate pattern. Driver-side here because the
+    (term, df) projection is tiny; at 10^12-doc scale this becomes the same
+    distributed groupby-sum over the projection. Returns {term: global_df}
+    for terms above the salting threshold (a stop-word-sized set)."""
+    import pyarrow.dataset as pads
 
     term_files = [os.path.join(d, "terms.parquet") for d in seg_dirs]
-    ds = ray.data.read_parquet(term_files, columns=["term", "df"])
-    agg = ds.groupby("term").aggregate(Sum("df", alias_name="df_global"))
-    heavy = agg.filter(lambda row: row["df_global"] >= salt_threshold).take_all()
-    return {r["term"]: int(r["df_global"]) for r in heavy}
+    tbl = pads.dataset(term_files).to_table(columns=["term", "df"])
+    agg = tbl.group_by("term").aggregate([("df", "sum")])
+    mask = pa.compute.greater_equal(agg.column("df_sum"), salt_threshold)
+    hv = agg.filter(mask)
+    return dict(
+        zip(hv.column("term").to_pylist(), (int(x) for x in hv.column("df_sum").to_pylist()))
+    )
 
 
-def _make_exploder(heavy_ref, rank_of_base: dict[int, int], n_salts: int):
-    """Explode one partition's term table into shuffle rows. Heavy terms
-    get salt = contiguous-partition-rank-range id (runs stay doc-ordered);
-    light terms always salt 0. The heavy set is broadcast via ray.put and
-    fetched from the local object store per task (never reshipped)."""
+def _bucket_of_terms(
+    terms: list[str], salts: np.ndarray, n_buckets: int
+) -> np.ndarray:
+    """Deterministic shuffle bucket per row: hash(term) for light rows,
+    hash(term, salt) for salted rows — heavy terms spread across buckets."""
+    from .textops import fnv1a
+
+    out = np.empty(len(terms), dtype=np.int64)
+    for i, t in enumerate(terms):
+        s = salts[i]
+        out[i] = (fnv1a(f"{t}\x00{s}") if s >= 0 else fnv1a(t)) % n_buckets
+    return out
+
+
+def _make_exploder(heavy_ref, rank_of_base: dict[int, int], n_salts: int, n_buckets: int):
+    """Explode one partition's term table into shuffle rows — a pure column
+    transform (no postings decode): the blob travels opaque, norms are NOT
+    shipped per posting (mergers use the broadcast norms array instead).
+    Heavy terms get salt = contiguous-partition-rank-range id (runs stay
+    doc-ordered) and a per-(term, salt) bucket; light terms salt -1 and a
+    per-term bucket. Heavy set broadcast once via ray.put."""
     import ray
 
     chunk = max(1, (len(rank_of_base) + n_salts - 1) // n_salts)
 
     def _explode(batch: pa.Table) -> pa.Table:
         heavy = ray.get(heavy_ref)
-        out: list[dict] = []
+        outs = []
         for spec in batch.to_pylist():
-            seg = Segment(spec["seg_dir"])
-            salt_if_heavy = rank_of_base[seg.doc_base] // chunk
-            for row in seg.iter_term_rows():
-                _docs, _f, norms = _decode_row(seg, row)
-                out.append(
-                    {
-                        "term": row["term"],
-                        "salt": salt_if_heavy if row["term"] in heavy else 0,
-                        "doc_base": seg.doc_base,
-                        "df": row["df"],
-                        "ttf": row["ttf"],
-                        "singleton_doc": row["singleton_doc"],
-                        "blob": row["blob"] or b"",
-                        "norm_bytes": norms.tobytes(),
-                    }
-                )
-        return pa.Table.from_pylist(out, schema=_EXPLODE_SCHEMA)
+            seg_dir = spec["seg_dir"]
+            t = pq.read_table(
+                os.path.join(seg_dir, "terms.parquet"),
+                columns=["term", "df", "ttf", "singleton_doc", "blob"],
+            )
+            with open(os.path.join(seg_dir, "meta.json")) as f:
+                doc_base = json.load(f)["doc_base"]
+            rank = rank_of_base[doc_base]
+            terms = t.column("term").to_pylist()
+            salt_val = rank // chunk
+            salts = np.fromiter(
+                ((salt_val if tt in heavy else -1) for tt in terms),
+                dtype=np.int32,
+                count=len(terms),
+            )
+            buckets = _bucket_of_terms(terms, salts, n_buckets)
+            t = t.append_column("salt", pa.array(salts, type=pa.int32()))
+            t = t.append_column("bucket", pa.array(buckets, type=pa.int64()))
+            t = t.append_column(
+                "doc_base", pa.array(np.full(len(terms), doc_base), type=pa.int64())
+            )
+            outs.append(t)
+        return pa.concat_tables(outs)
 
     return _explode
 
 
-def _concat_group_arrays(rows: list[dict]):
-    """Decode + concatenate doc-disjoint shuffle rows of one term/group."""
+def _concat_group_arrays(rows: list[dict], norms_global: np.ndarray):
+    """Decode + concatenate doc-disjoint shuffle rows of one (term, salt)
+    group; per-posting norms come from the broadcast norms array."""
     from .codec import decode_term_postings
 
     decoded = []
@@ -323,7 +332,7 @@ def _concat_group_arrays(rows: list[dict]):
             f = np.array([r["ttf"]], dtype=np.int64)
         else:
             d, f = decode_term_postings(r["blob"], r["df"])
-        decoded.append((d, f, np.frombuffer(r["norm_bytes"] or b"", dtype=np.uint8)))
+        decoded.append((d, f, norms_global[d]))
     return _concat_decoded(decoded)
 
 
@@ -332,15 +341,21 @@ def merge_by_term(
     index_dir: str,
     salt_threshold: int | None = None,
     n_salts: int = 8,
+    n_buckets: int = 128,
 ) -> dict:
     """North-rule merge: groupby-term shuffle with explicit salting.
 
-    explode partitions -> groupby(term, salt).map_groups(merge+encode) ->
-    light terms are final after one shuffle; heavy (salted) terms produce
-    one encoded run per salt, parked on disk and concatenated by the driver
-    (the heavy set is stop-word-sized: dozens of terms x n_salts runs).
-    Output: term-range-sharded merged index under <index_dir>/merged/;
-    norms are referenced from the partition norm files (no rewrite).
+    explode partitions (pure column transform) → groupby(bucket) where
+    bucket = hash(term [, salt]) — an explicit partitioned shuffle with B
+    buckets so per-group scheduling overhead is O(B), not O(#terms) —
+    → each bucket task merges+re-encodes its terms (heavy terms appear as
+    per-salt sub-groups that stay doc-ordered because salts are contiguous
+    partition-rank ranges) → light terms are final after the single
+    shuffle; the stop-word-sized set of salted runs finishes through one
+    task per heavy term. Norms are broadcast once (1 byte/doc) instead of
+    shipping a norm byte per posting through the shuffle; at 10^12 docs the
+    broadcast becomes doc-range-sharded fetches. Output: term-range-sharded
+    merged index under <index_dir>/merged/ + one consolidated norms file.
     Salt threshold defaults to 2% of doc_count (stop-word band, SURVEY §4)."""
     import ray
     import ray.data
@@ -352,6 +367,7 @@ def merge_by_term(
         return existing
 
     t0 = time.perf_counter()
+    stage_t: dict[str, float] = {}
     doc_count = int(manifest["doc_count"])
     if salt_threshold is None:
         salt_threshold = max(1000, doc_count // 50)
@@ -359,29 +375,34 @@ def merge_by_term(
     seg_dirs = [r["seg_dir"] for r in parts]
     rank_of_base = {int(r["doc_base"]): i for i, r in enumerate(parts)}
 
+    t_s = time.perf_counter()
     heavy = compute_heavy_terms(seg_dirs, salt_threshold)
+    stage_t["heavy_prepass"] = round(time.perf_counter() - t_s, 3)
     heavy_ref = ray.put(heavy)  # broadcast once
 
+    # consolidate + broadcast norms (read by merge tasks from local plasma)
+    t_s = time.perf_counter()
+    os.makedirs(os.path.join(index_dir, "merged"), exist_ok=True)
+    norms_path = os.path.join(index_dir, "merged", "norms.parquet")
+    if not os.path.exists(norms_path):
+        norm_tbl = pa.concat_tables(
+            pq.read_table(os.path.join(d, "norms.parquet")) for d in seg_dirs
+        )
+        pq.write_table(norm_tbl, norms_path + ".tmp")
+        os.replace(norms_path + ".tmp", norms_path)
+    norm_tbl = pq.read_table(norms_path)
+    nd = norm_tbl.column("doc_id").to_numpy()
+    doc_base_global = int(nd.min()) if len(nd) else 0
+    norms_global = np.zeros((int(nd.max()) + 1 - doc_base_global) if len(nd) else 0, dtype=np.uint8)
+    norms_global[nd - doc_base_global] = norm_tbl.column("norm").to_numpy()
+    assert doc_base_global == 0, "global docIDs start at 0 by construction"
+    norms_ref = ray.put(norms_global)
+    stage_t["norms_consolidate"] = round(time.perf_counter() - t_s, 3)
+
     exploded = ray.data.from_items([{"seg_dir": d} for d in seg_dirs]).map_batches(
-        _make_exploder(heavy_ref, rank_of_base, n_salts),
+        _make_exploder(heavy_ref, rank_of_base, n_salts, n_buckets),
         batch_size=1,
         batch_format="pyarrow",
-    )
-
-    def _merge_group(batch: pa.Table) -> pa.Table:
-        rows = batch.to_pylist()
-        term = rows[0]["term"]
-        docs, freqs, norms = _concat_group_arrays(rows)
-        cols: dict[str, list] = {f.name: [] for f in TERMS_SCHEMA}
-        _emit_from_arrays(cols, term, docs, freqs, norms)
-        is_final = term not in ray.get(heavy_ref)
-        cols["salt"] = [rows[0]["salt"]]
-        cols["norm_bytes"] = [b"" if is_final else norms.tobytes()]
-        cols["is_final"] = [is_final]
-        return pa.table(cols, schema=_STAGE2_SCHEMA)
-
-    stage2 = exploded.groupby(["term", "salt"]).map_groups(
-        _merge_group, batch_format="pyarrow"
     )
 
     shard_dir = os.path.join(index_dir, "merged", "terms")
@@ -389,16 +410,42 @@ def merge_by_term(
     os.makedirs(shard_dir, exist_ok=True)
     os.makedirs(heavy_dir, exist_ok=True)
 
-    def _write_shard(batch: pa.Table) -> pa.Table:
+    def _merge_bucket(batch: pa.Table) -> pa.Table:
+        """One shuffle bucket: merge every (term, salt) group in it, write
+        one final shard (+ one heavy-run file), return result rows."""
         import uuid as _uuid
 
-        mask = batch.column("is_final").combine_chunks()
-        final = batch.filter(mask)
-        heavy_part = batch.filter(pa.compute.invert(mask))
+        norms_g = ray.get(norms_ref)
+        idx = pa.compute.sort_indices(
+            batch, sort_keys=[("term", "ascending"), ("salt", "ascending"), ("doc_base", "ascending")]
+        )
+        batch = batch.take(idx)
+        rows = batch.to_pylist()
+        bucket_id = int(rows[0]["bucket"]) if rows else -1
+        final_cols: dict[str, list] = {f.name: [] for f in TERMS_SCHEMA}
+        run_cols: dict[str, list] = {f.name: [] for f in TERMS_SCHEMA}
+        run_salts: list[int] = []
+        i, n = 0, len(rows)
+        while i < n:
+            j = i
+            key = (rows[i]["term"], rows[i]["salt"])
+            while j < n and (rows[j]["term"], rows[j]["salt"]) == key:
+                j += 1
+            group = rows[i:j]
+            docs, freqs, norms = _concat_group_arrays(group, norms_g)
+            if key[1] < 0:  # light term: final after this single shuffle
+                _emit_from_arrays(final_cols, key[0], docs, freqs, norms)
+            else:  # salted run of a heavy term
+                _emit_from_arrays(run_cols, key[0], docs, freqs, norms)
+                run_salts.append(int(key[1]))
+            i = j
         out_rows: list[dict] = []
-        if heavy_part.num_rows:
+        if run_cols["term"]:
+            run_tbl = pa.table(run_cols, schema=TERMS_SCHEMA).append_column(
+                "salt", pa.array(run_salts, type=pa.int32())
+            )
             hpath = os.path.join(heavy_dir, f"run-{_uuid.uuid4().hex[:12]}.parquet")
-            pq.write_table(heavy_part, hpath + ".tmp")
+            pq.write_table(run_tbl, hpath + ".tmp")
             os.replace(hpath + ".tmp", hpath)
             out_rows.append(
                 {
@@ -406,92 +453,109 @@ def merge_by_term(
                     "path": hpath,
                     "term_min": None,
                     "term_max": None,
-                    "n_terms": heavy_part.num_rows,
+                    "n_terms": run_tbl.num_rows,
+                    "bucket": -1,
                 }
             )
-        if final.num_rows:
-            final = final.select([f.name for f in TERMS_SCHEMA])
-            idx = pa.compute.sort_indices(final.column("term"))
-            final = final.take(idx)
+        if final_cols["term"]:
+            tbl = pa.table(final_cols, schema=TERMS_SCHEMA)
             path = os.path.join(shard_dir, f"shard-{_uuid.uuid4().hex[:12]}.parquet")
-            pq.write_table(final, path + ".tmp")
+            pq.write_table(tbl, path + ".tmp")
             os.replace(path + ".tmp", path)
             out_rows.append(
                 {
                     "kind": "shard",
                     "path": path,
-                    "term_min": final.column("term")[0].as_py(),
-                    "term_max": final.column("term")[-1].as_py(),
-                    "n_terms": final.num_rows,
+                    "term_min": tbl.column("term")[0].as_py(),
+                    "term_max": tbl.column("term")[-1].as_py(),
+                    "n_terms": tbl.num_rows,
+                    "bucket": bucket_id,
                 }
             )
         return pa.Table.from_pylist(out_rows, schema=_RESULT_SCHEMA)
 
-    results = stage2.map_batches(
-        _write_shard, batch_size=8192, batch_format="pyarrow"
-    ).take_all()
+    t_s = time.perf_counter()
+    results = (
+        exploded.groupby("bucket")
+        .map_groups(_merge_bucket, batch_format="pyarrow")
+        .take_all()
+    )
+    stage_t["explode_group_write"] = round(time.perf_counter() - t_s, 3)
 
     shards = [
-        {k: r[k] for k in ("path", "term_min", "term_max", "n_terms")}
+        {k: r[k] for k in ("path", "term_min", "term_max", "n_terms", "bucket")}
         for r in results
         if r.get("kind") == "shard"
     ]
     heavy_run_files = [r["path"] for r in results if r.get("kind") == "heavy_runs"]
 
     if heavy_run_files:
-        # final pass over the salted runs only: a second (tiny) groupby —
-        # n_heavy_terms x n_salts rows — concatenates each heavy term's
-        # doc-ordered runs in parallel and writes heavy shards
-        runs = ray.data.read_parquet(heavy_run_files)
+        # final pass over the salted runs: one task PER HEAVY TERM (full
+        # parallelism for the stop-word band). Each task filters its term's
+        # runs out of the run files, concatenates doc-ordered runs,
+        # re-encodes once, writes one shard.
+        run_files_ref = ray.put(sorted(heavy_run_files))
 
-        def _final_heavy(batch: pa.Table) -> pa.Table:
-            rows = batch.to_pylist()
-            docs, freqs, norms = _concat_group_arrays(rows)
-            cols: dict[str, list] = {f.name: [] for f in TERMS_SCHEMA}
-            _emit_from_arrays(cols, rows[0]["term"], docs, freqs, norms)
-            return pa.table(cols, schema=TERMS_SCHEMA)
-
-        def _write_heavy_shard(batch: pa.Table) -> pa.Table:
+        def _final_heavy_term(batch: pa.Table) -> pa.Table:
             import uuid as _uuid
 
-            idx = pa.compute.sort_indices(batch.column("term"))
-            batch = batch.take(idx)
+            norms_g = ray.get(norms_ref)
+            files = ray.get(run_files_ref)
+            terms = sorted(batch.column("term").to_pylist())
+            term_set = set(terms)
+            rows_by_term: dict[str, list[dict]] = {t: [] for t in terms}
+            for fp in files:
+                t = pq.read_table(fp)
+                t = t.filter(pa.compute.is_in(t.column("term"), pa.array(terms)))
+                for r in t.to_pylist():
+                    if r["term"] in term_set:
+                        rows_by_term[r["term"]].append(r)
+            cols: dict[str, list] = {f.name: [] for f in TERMS_SCHEMA}
+            for term in terms:
+                docs, freqs, norms = _concat_group_arrays(rows_by_term[term], norms_g)
+                _emit_from_arrays(cols, term, docs, freqs, norms)
+            tbl = pa.table(cols, schema=TERMS_SCHEMA)
             path = os.path.join(shard_dir, f"shard-heavy-{_uuid.uuid4().hex[:12]}.parquet")
-            pq.write_table(batch, path + ".tmp")
+            pq.write_table(tbl, path + ".tmp")
             os.replace(path + ".tmp", path)
             return pa.Table.from_pylist(
                 [
                     {
                         "kind": "shard",
                         "path": path,
-                        "term_min": batch.column("term")[0].as_py(),
-                        "term_max": batch.column("term")[-1].as_py(),
-                        "n_terms": batch.num_rows,
+                        "term_min": terms[0],
+                        "term_max": terms[-1],
+                        "n_terms": len(terms),
+                        "bucket": -1,
                     }
                 ],
                 schema=_RESULT_SCHEMA,
             )
 
+        t_s = time.perf_counter()
+        heavy_batch = max(1, len(heavy) // 128)
         heavy_shards = (
-            runs.groupby("term")
-            .map_groups(_final_heavy, batch_format="pyarrow")
-            .map_batches(_write_heavy_shard, batch_size=4096, batch_format="pyarrow")
+            ray.data.from_items([{"term": t} for t in sorted(heavy)])
+            .map_batches(_final_heavy_term, batch_size=heavy_batch, batch_format="pyarrow")
             .take_all()
         )
+        stage_t["final_heavy"] = round(time.perf_counter() - t_s, 3)
         shards.extend(
-            {k: r[k] for k in ("path", "term_min", "term_max", "n_terms")}
+            {k: r[k] for k in ("path", "term_min", "term_max", "n_terms", "bucket")}
             for r in heavy_shards
         )
 
     out = {
         "version": 1,
         "kind": "merge-by-term",
+        "stage_sec": stage_t,
         "salt_threshold": salt_threshold,
         "n_salts": n_salts,
+        "n_buckets": n_buckets,
         "n_heavy_terms": len(heavy),
         "heavy_terms": sorted(heavy),
         "shards": sorted(shards, key=lambda s: s["term_min"]),
-        "norm_files": [os.path.join(d, "norms.parquet") for d in seg_dirs],
+        "norm_files": [norms_path],
         "doc_count": manifest["doc_count"],
         "sum_ttf": manifest["sum_ttf"],
         "wall_ms": round((time.perf_counter() - t0) * 1000, 3),
@@ -500,10 +564,20 @@ def merge_by_term(
 
 
 class MergedIndex:
-    """Segment-compatible reader over a merge-by-term output: term-range
-    shards + partition norm files = one logical segment spanning all docs."""
+    """Segment-compatible reader over a merge-by-term output.
+
+    One logical segment spanning all docs: light terms are addressed by
+    shuffle bucket (bucket = fnv1a(term) % n_buckets → exactly one shard
+    file), heavy terms by binary search over the sorted heavy-shard term
+    ranges. Shard tables load lazily with an LRU — opening the index reads
+    only the manifest + norms, so searcher workers start in O(norms), not
+    O(#shards) (the BlockTree prefix-index role at file granularity)."""
+
+    _SHARD_CACHE_MAX = 64
 
     def __init__(self, index_dir: str | None, manifest: dict | None = None):
+        from collections import OrderedDict
+
         from .checkpoint import load_merge_manifest
 
         m = manifest or load_merge_manifest(index_dir)
@@ -511,8 +585,19 @@ class MergedIndex:
             raise FileNotFoundError(f"no merge-by-term manifest under {index_dir}")
         self.manifest = m
         self.dir = os.path.join(index_dir, "merged") if index_dir else "<merged>"
-        self._shards = [pq.read_table(s["path"]) for s in m["shards"]]
-        self._shard_terms = [sh.column("term").to_pylist() for sh in self._shards]
+        self.n_buckets = int(m.get("n_buckets", 0))
+        self._light_by_bucket: dict[int, str] = {}
+        self._heavy_ranges: list[tuple[str, str, str]] = []  # (min, max, path)
+        for s in m["shards"]:
+            b = int(s.get("bucket", -1))
+            if b >= 0:
+                self._light_by_bucket[b] = s["path"]
+            else:
+                self._heavy_ranges.append((s["term_min"], s["term_max"], s["path"]))
+        self._heavy_ranges.sort()
+        self._heavy_set = set(m.get("heavy_terms", []))
+        self._tables: OrderedDict[str, tuple[pa.Table, list[str]]] = OrderedDict()
+
         norm_tbl = pa.concat_tables(pq.read_table(p) for p in m["norm_files"])
         doc_ids = norm_tbl.column("doc_id").to_numpy()
         self.doc_base = int(doc_ids.min()) if len(doc_ids) else 0
@@ -520,6 +605,11 @@ class MergedIndex:
         self._norms = np.zeros(self.max_doc - self.doc_base, dtype=np.uint8)
         self._norms[doc_ids - self.doc_base] = norm_tbl.column("norm").to_numpy()
         self.n_docs = int(m["doc_count"])
+        from collections import OrderedDict as _OD
+
+        self._postings_cache = _OD()
+
+    _POSTINGS_CACHE_MAX = 128
 
     @property
     def sum_ttf(self) -> int:
@@ -528,31 +618,63 @@ class MergedIndex:
     def norm_of(self, doc_ids: np.ndarray) -> np.ndarray:
         return self._norms[np.asarray(doc_ids, dtype=np.int64) - self.doc_base]
 
+    def _load(self, path: str) -> tuple[pa.Table, list[str]]:
+        hit = self._tables.get(path)
+        if hit is not None:
+            self._tables.move_to_end(path)
+            return hit
+        tbl = pq.read_table(path)
+        terms = tbl.column("term").to_pylist()
+        self._tables[path] = (tbl, terms)
+        if len(self._tables) > self._SHARD_CACHE_MAX:
+            self._tables.popitem(last=False)
+        return tbl, terms
+
+    def _shard_path_of(self, term: str) -> str | None:
+        if term in self._heavy_set:
+            from bisect import bisect_right
+
+            i = bisect_right(self._heavy_ranges, (term, chr(0x10FFFF), "")) - 1
+            if 0 <= i < len(self._heavy_ranges):
+                lo, hi, path = self._heavy_ranges[i]
+                if lo <= term <= hi:
+                    return path
+            return None
+        if self.n_buckets:
+            from .textops import fnv1a
+
+            return self._light_by_bucket.get(fnv1a(term) % self.n_buckets)
+        return None
+
     def _find(self, term: str):
         from bisect import bisect_left
 
-        for si, terms in enumerate(self._shard_terms):
-            if not terms or term < terms[0] or term > terms[-1]:
+        path = self._shard_path_of(term)
+        candidates = [path] if path else [p for _, _, p in self._heavy_ranges] + list(
+            self._light_by_bucket.values()
+        )
+        for p in candidates:
+            if p is None:
                 continue
+            tbl, terms = self._load(p)
             i = bisect_left(terms, term)
             if i < len(terms) and terms[i] == term:
-                return si, i
-        return -1, -1
+                return tbl, i
+        return None, -1
 
     def term_stats(self, term: str):
-        si, i = self._find(term)
-        if si < 0:
+        tbl, i = self._find(term)
+        if tbl is None:
             return 0, 0
-        sh = self._shards[si]
-        return int(sh.column("df")[i].as_py()), int(sh.column("ttf")[i].as_py())
+        return int(tbl.column("df")[i].as_py()), int(tbl.column("ttf")[i].as_py())
 
     def term_info(self, term: str):
         from .segment import TermInfo
 
-        si, i = self._find(term)
-        if si < 0:
+        tbl, i = self._find(term)
+        if tbl is None:
             return None
-        row = self._shards[si].slice(i, 1).to_pylist()[0]
+        row = tbl.slice(i, 1).to_pylist()[0]
         return TermInfo(
             term=row["term"],
             df=row["df"],
@@ -567,22 +689,30 @@ class MergedIndex:
         )
 
     def postings(self, term: str):
-        from .codec import decode_term_postings
+        cached = self._postings_cache.get(term)
+        if cached is not None:
+            self._postings_cache.move_to_end(term)
+            return cached
+        from .codec import decode_term_postings_indexed
 
         ti = self.term_info(term)
         if ti is None:
-            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
-        if ti.df == 1:
-            return (
+            out = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+        elif ti.df == 1:
+            out = (
                 np.array([ti.singleton_doc], dtype=np.int64),
                 np.array([ti.ttf], dtype=np.int64),
             )
-        return decode_term_postings(ti.blob, ti.df)
+        else:
+            out = decode_term_postings_indexed(ti.blob, ti.df, ti.offsets)
+        self._postings_cache[term] = out
+        if len(self._postings_cache) > self._POSTINGS_CACHE_MAX:
+            self._postings_cache.popitem(last=False)
+        return out
 
     def iter_term_rows(self):
-        order = sorted(
-            range(len(self._shards)),
-            key=lambda si: self._shard_terms[si][0] if self._shard_terms[si] else "",
+        paths = sorted(
+            {p for _, _, p in self._heavy_ranges} | set(self._light_by_bucket.values())
         )
-        for si in order:
-            yield from self._shards[si].to_pylist()
+        for p in paths:
+            yield from pq.read_table(p).to_pylist()

@@ -307,12 +307,176 @@ class BatchSearcher:
         return pa.table(cols)
 
 
-def search_dataset(queries_ds, index_dir: str, concurrency: int = 4, batch_size: int = 64):
-    """queries (query_id, query[, k]) → hits (query_id, rank, doc_id, score)
-    via an actor pool; each actor opens the index once."""
+# process-level searcher cache for the stateless-task search path: Ray
+# reuses worker processes across pipeline stages, so a task-based search
+# stage skips actor spawn cost and shares the open index + decoded-postings
+# cache with every task that lands on the same worker.
+_PROCESS_SEARCHERS: dict = {}
+
+
+def build_shared_hot_set(index_dir: str, df_threshold: int = 1024):
+    """Decode the hot posting lists ONCE and pin them in the Ray object
+    store: every searcher worker on a node then reads the same immutable
+    numpy arrays zero-copy instead of paying its own cold decode (the
+    shared-mmap role of the reference's MMapDirectory + OS page cache).
+
+    Returns an ObjectRef to {term: (docs int64, freqs int64)}."""
+    import ray
+
+    from .checkpoint import load_manifest, load_merge_manifest
+
+    manifest = load_merge_manifest(index_dir) or load_manifest(index_dir)
+    searcher = IndexSearcher(manifest)
+    hot_terms = [
+        t
+        for seg in searcher.segments
+        for t, df in _iter_term_dfs(seg)
+        if df >= df_threshold
+    ]
+    if not hot_terms:
+        return ray.put({})
+
+    # decode in parallel (one task per slice of terms), assemble on driver
+    import ray.data
+
+    def _decode(batch):
+        s = searcher_for(index_dir)
+        out = {"term": [], "docs": [], "freqs": []}
+        for row in batch.to_pylist():
+            docs, freqs = s.segments[0].postings(row["term"]) if len(
+                s.segments
+            ) == 1 else _global_postings(s, row["term"])
+            out["term"].append(row["term"])
+            out["docs"].append(docs.tobytes())
+            out["freqs"].append(freqs.tobytes())
+        import pyarrow as _pa
+
+        return _pa.table(
+            {
+                "term": _pa.array(out["term"]),
+                "docs": _pa.array(out["docs"], type=_pa.binary()),
+                "freqs": _pa.array(out["freqs"], type=_pa.binary()),
+            }
+        )
+
+    bs = max(4, len(hot_terms) // 64)
+    res = (
+        ray.data.from_items([{"term": t} for t in sorted(set(hot_terms))])
+        .map_batches(_decode, batch_size=bs, batch_format="pyarrow")
+        .take_all()
+    )
+    hot = {
+        r["term"]: (
+            np.frombuffer(r["docs"], dtype=np.int64),
+            np.frombuffer(r["freqs"], dtype=np.int64),
+        )
+        for r in res
+    }
+    return ray.put(hot)
+
+
+def _global_postings(searcher: IndexSearcher, term: str):
+    parts = [seg.postings(term) for seg in searcher.segments]
+    docs = np.concatenate([p[0] for p in parts])
+    freqs = np.concatenate([p[1] for p in parts])
+    return docs, freqs
+
+
+def _iter_term_dfs(seg):
+    if hasattr(seg, "manifest"):  # MergedIndex: pruned-column shard reads
+        import pyarrow.parquet as pq
+
+        for s in seg.manifest["shards"]:
+            t = pq.read_table(s["path"], columns=["term", "df"])
+            yield from zip(t.column("term").to_pylist(), t.column("df").to_pylist())
+    else:
+        yield from zip(seg._terms, seg._df.tolist())
+
+
+def searcher_for(index_dir: str, algorithm: str = "auto", hot_ref=None) -> IndexSearcher:
+    key = (index_dir, algorithm)
+    s = _PROCESS_SEARCHERS.get(key)
+    if s is None:
+        from .checkpoint import load_manifest, load_merge_manifest
+
+        manifest = load_merge_manifest(index_dir) or load_manifest(index_dir)
+        if manifest is None:
+            raise FileNotFoundError(f"no manifest under {index_dir}")
+        s = IndexSearcher(manifest, algorithm=algorithm)
+        if hot_ref is not None:
+            import ray
+
+            hot = ray.get(hot_ref)  # zero-copy plasma views, shared per node
+            for seg in s.segments:
+                seg._postings_cache.update(hot)
+                seg._POSTINGS_CACHE_MAX = len(hot) + 128
+        _PROCESS_SEARCHERS[key] = s
+    return s
+
+
+def make_search_fn(
+    index_dir: str, default_k: int = 10, emit_latency: bool = False, hot_ref=None
+):
+    """Stateless-task search stage (state via the per-process cache)."""
+
+    def _search(batch: pa.Table) -> pa.Table:
+        import time as _time
+
+        searcher = searcher_for(index_dir, hot_ref=hot_ref)
+        qids = batch.column("query_id").to_pylist()
+        queries = batch.column("query").to_pylist()
+        ks = (
+            batch.column("k").to_pylist()
+            if "k" in batch.column_names
+            else [default_k] * len(qids)
+        )
+        out = {"query_id": [], "rank": [], "doc_id": [], "score": [], "latency_ms": []}
+        for qid, qs, k in zip(qids, queries, ks):
+            t0 = _time.perf_counter()
+            docs, scores = searcher.search(qs, int(k))
+            lat = (_time.perf_counter() - t0) * 1000.0
+            out["query_id"].extend([qid] * len(docs))
+            out["rank"].extend(range(len(docs)))
+            out["doc_id"].extend(docs.tolist())
+            out["score"].extend(scores.tolist())
+            out["latency_ms"].extend([lat] * len(docs))
+        cols = {
+            "query_id": pa.array(out["query_id"], type=pa.int64()),
+            "rank": pa.array(out["rank"], type=pa.int32()),
+            "doc_id": pa.array(out["doc_id"], type=pa.int64()),
+            "score": pa.array(out["score"], type=pa.float32()),
+        }
+        if emit_latency:
+            cols["latency_ms"] = pa.array(out["latency_ms"], type=pa.float64())
+        return pa.table(cols)
+
+    return _search
+
+
+def search_dataset(
+    queries_ds,
+    index_dir: str,
+    concurrency: int = 4,
+    batch_size: int = 64,
+    mode: str = "actors",
+    emit_latency: bool = False,
+    hot_ref=None,
+):
+    """queries (query_id, query[, k]) → hits (query_id, rank, doc_id, score).
+
+    mode="actors": explicit actor pool, index opened once per actor.
+    mode="tasks": stateless tasks + per-process searcher cache — same
+    state-amortization, but reuses the already-warm worker pool from
+    earlier pipeline stages (no actor spawn cost)."""
+    if mode == "tasks":
+        return queries_ds.map_batches(
+            make_search_fn(index_dir, emit_latency=emit_latency, hot_ref=hot_ref),
+            batch_size=batch_size,
+            batch_format="pyarrow",
+        )
     return queries_ds.map_batches(
         BatchSearcher,
-        fn_constructor_kwargs={"index_dir": index_dir},
+        fn_constructor_kwargs={"index_dir": index_dir, "emit_latency": emit_latency},
         batch_size=batch_size,
         batch_format="pyarrow",
         concurrency=concurrency,

@@ -136,6 +136,9 @@ class Segment:
         # scatter handles any gaps from rejected/filtered rows
         self._norms = np.zeros(self.max_doc - self.doc_base, dtype=np.uint8)
         self._norms[doc_ids - self.doc_base] = nt.column("norm").to_numpy()
+        from collections import OrderedDict
+
+        self._postings_cache: OrderedDict[str, tuple[np.ndarray, np.ndarray]] = OrderedDict()
 
     @property
     def sum_ttf(self) -> int:
@@ -180,19 +183,33 @@ class Segment:
         for batch in self._terms_tbl.to_batches():
             yield from batch.to_pylist()
 
+    _POSTINGS_CACHE_MAX = 128  # decoded terms kept per open segment
+
     def postings(self, term: str) -> tuple[np.ndarray, np.ndarray]:
-        """Fully decoded (docs, freqs) for a term — oracle/merge path."""
-        from .codec import decode_term_postings
+        """Fully decoded (docs, freqs) for a term (TAAT/oracle/merge path).
+        Width-grouped vectorized decode + per-reader LRU of decoded terms
+        (the role the OS page cache + hot TermsEnum plays in the
+        reference)."""
+        cached = self._postings_cache.get(term)
+        if cached is not None:
+            self._postings_cache.move_to_end(term)
+            return cached
+        from .codec import decode_term_postings_indexed
 
         ti = self.term_info(term)
         if ti is None:
-            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
-        if ti.df == 1:
-            return (
+            out = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+        elif ti.df == 1:
+            out = (
                 np.array([ti.singleton_doc], dtype=np.int64),
                 np.array([ti.ttf], dtype=np.int64),
             )
-        return decode_term_postings(ti.blob, ti.df)
+        else:
+            out = decode_term_postings_indexed(ti.blob, ti.df, ti.offsets)
+        self._postings_cache[term] = out
+        if len(self._postings_cache) > self._POSTINGS_CACHE_MAX:
+            self._postings_cache.popitem(last=False)
+        return out
 
 
 def make_terms_table(rows: dict[str, list]) -> pa.Table:

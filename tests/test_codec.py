@@ -196,3 +196,24 @@ def test_postings_roundtrip_property(df, seed):
     out_docs, out_freqs = decode_term_postings(tp.blob, df)
     np.testing.assert_array_equal(out_docs, docs)
     np.testing.assert_array_equal(out_freqs, freqs)
+
+
+def test_indexed_decode_matches_plain():
+    from engine.codec import decode_term_postings_indexed
+
+    rng = np.random.default_rng(99)
+    for df in [2, 127, 128, 129, 500, 1000, 128 * 7, 128 * 7 + 55]:
+        docs, freqs, norms = _random_postings(rng, df)
+        tp = encode_term_postings(docs, freqs, norms)
+        d1, f1 = decode_term_postings(tp.blob, df)
+        d2, f2 = decode_term_postings_indexed(tp.blob, df, tp.block_offset)
+        np.testing.assert_array_equal(d1, d2)
+        np.testing.assert_array_equal(f1, f2)
+    # adjacent docs with all-ones deltas + all-equal freqs (special tokens)
+    df = 300
+    docs = np.arange(5, 5 + df, dtype=np.int64)
+    freqs = np.full(df, 7, dtype=np.int64)
+    tp = encode_term_postings(docs, freqs, np.full(df, 3, dtype=np.uint8))
+    d2, f2 = decode_term_postings_indexed(tp.blob, df, tp.block_offset)
+    np.testing.assert_array_equal(d2, docs)
+    np.testing.assert_array_equal(f2, freqs)
