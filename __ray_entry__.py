@@ -105,6 +105,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_emb_neardup(sf_dir):
         return ann.embedding_near_dups(_emb(sf_dir), threshold=0.95)
 
+    def q_dedup_by_url(sf_dir):
+        import ray.data
+
+        from engine.pipelines import get_index
+
+        idx = get_index(sf_dir)
+        pages_dir = os.path.dirname(idx["index_dir"]) + "/pages"
+        ds = ray.data.read_parquet(pages_dir, columns=["doc_id", "url", "warc_ts"])
+        from engine.dedup import dedup_pages_by_url
+
+        return dedup_pages_by_url(ds)
+
+    def q_image_meta(sf_dir):
+        import ray.data
+
+        from engine.multimodal import ImageMetaExtractor, synth_image_payloads
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+        )
+        return synth_image_payloads(ds).map_batches(
+            ImageMetaExtractor, batch_format="pyarrow", batch_size=64, concurrency=2
+        )
+
     return {
         # --- inverted index / fulltext core (built end-to-end) ------------
         "term_df_ttf": pipelines.term_df_ttf,
@@ -125,6 +149,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_lsh_pairs": q_minhash,
         "simhash64": q_simhash,
         "simhash_near_dup_pairs": q_simhash_pairs,
+        # --- multimodal plumbing (decode stubbed, see engine/multimodal) --
+        "image_meta": q_image_meta,
+        "dedup_pages_by_url": q_dedup_by_url,
         # --- similarity search --------------------------------------------
         "ann_cosine_top10": q_ann_brute,
         "ann_ivf_top10": q_ann_ivf,

@@ -282,3 +282,22 @@ def simhash_near_dups(ds, max_hamming: int = 3):
         return g.head(1)
 
     return cand.groupby(["doc_a", "doc_b"]).map_groups(dedupe_pairs, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# dedup-by-url (keep latest) — the updateDocument(term, doc) analogue
+# ---------------------------------------------------------------------------
+
+
+def dedup_pages_by_url(ds):
+    """Exact dedup by url keeping the newest warc_ts (the reference's
+    updateDocument(term, doc) delete-then-add semantics,
+    index/IndexWriter.java:1771): groupby(url) → keep max warc_ts, tie →
+    smallest doc_id. A hash shuffle on url (SURVEY §7.4)."""
+    import pandas as pd
+
+    def keep_latest(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["warc_ts", "doc_id"], ascending=[False, True])
+        return g.head(1)
+
+    return ds.groupby("url").map_groups(keep_latest, batch_format="pandas")

@@ -1,0 +1,188 @@
+"""Multimodal column operators — binary payloads with typed metadata.
+
+Treats image/audio/video as opaque ``binary`` columns (the input-hint html
+column is the template: bytes + metadata columns). The actual codec work
+(JPEG decode, resampling, frame extraction) depends on libraries not
+present in this container, so the decode kernels are STUBBED behind
+``NotImplementedError`` or a clearly-marked deterministic fake — but the
+Ray-side plumbing is real and tested: schemas, actor-pool signatures,
+batch sizing for large binary cells, and output layouts are exactly what a
+real decoder would drop into.
+
+Stages are callable CLASSES for ``map_batches(Cls, concurrency=N)`` —
+model/codec setup happens once per actor in ``__init__``; per the memory
+guidance, binary payload stages use small ``batch_size`` so
+batch x concurrency fits the worker heap.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+import pyarrow as pa
+
+IMAGE_META_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("n_bytes", pa.int64()),
+        ("format", pa.string()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+        ("sha1", pa.string()),
+    ]
+)
+
+
+def sniff_format(payload: bytes) -> str:
+    """Real (non-stub) container sniffing from magic bytes."""
+    if payload[:3] == b"\xff\xd8\xff":
+        return "jpeg"
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        return "webp"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "wav"
+    if payload[:3] == b"ID3" or payload[:2] in (b"\xff\xfb", b"\xff\xf3"):
+        return "mp3"
+    return "unknown"
+
+
+def parse_dimensions(payload: bytes, fmt: str) -> tuple[int, int]:
+    """Real header parsing for PNG/GIF (pure struct math); other formats
+    would need a codec — stubbed to (-1, -1)."""
+    try:
+        if fmt == "png" and len(payload) >= 24:
+            w, h = struct.unpack(">II", payload[16:24])
+            return int(w), int(h)
+        if fmt == "gif" and len(payload) >= 10:
+            w, h = struct.unpack("<HH", payload[6:10])
+            return int(w), int(h)
+    except struct.error:
+        pass
+    return -1, -1
+
+
+class ImageMetaExtractor:
+    """Actor-pool stage: binary image column → typed metadata rows.
+    Everything here is real (sniffing, header math, hashing); only full
+    decode is delegated to ``ImageDecoder``."""
+
+    def __init__(self, payload_col: str = "payload"):
+        self.payload_col = payload_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column(self.payload_col).to_pylist()
+        rows = {k.name: [] for k in IMAGE_META_SCHEMA}
+        doc_ids = batch.column("doc_id").to_pylist()
+        for did, p in zip(doc_ids, payloads):
+            p = p or b""
+            fmt = sniff_format(p)
+            w, h = parse_dimensions(p, fmt)
+            rows["doc_id"].append(did)
+            rows["n_bytes"].append(len(p))
+            rows["format"].append(fmt)
+            rows["width"].append(w)
+            rows["height"].append(h)
+            rows["sha1"].append(hashlib.sha1(p).hexdigest())
+        return pa.table(rows, schema=IMAGE_META_SCHEMA)
+
+
+class ImageDecoder:
+    """Actor-pool decode stage (STUB). A real deployment passes
+    ``decode_fn`` (e.g. PIL/turbojpeg) loaded once per actor here; in this
+    container the default raises, and ``fake=True`` produces a
+    deterministic 8x8 grayscale thumbnail derived from the payload hash so
+    downstream stages (resize, embedding) are testable end-to-end."""
+
+    THUMB = 8
+
+    def __init__(self, decode_fn=None, fake: bool = False, payload_col: str = "payload"):
+        self.decode_fn = decode_fn
+        self.fake = fake
+        self.payload_col = payload_col
+
+    def _decode(self, payload: bytes) -> np.ndarray:
+        if self.decode_fn is not None:
+            return self.decode_fn(payload)
+        if self.fake:
+            digest = hashlib.sha256(payload or b"").digest()
+            arr = np.frombuffer((digest * 2)[: self.THUMB * self.THUMB], dtype=np.uint8)
+            return arr.reshape(self.THUMB, self.THUMB)
+        raise NotImplementedError(
+            "image codecs are not available in this container; pass decode_fn "
+            "or fake=True"
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column(self.payload_col).to_pylist()
+        thumbs = [self._decode(p).ravel().tolist() for p in payloads]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "thumb": pa.array(thumbs, type=pa.list_(pa.uint8())),
+            }
+        )
+
+
+class AudioFrameSampler:
+    """Actor-pool stage (STUB wiring): audio binary → fixed-rate frame
+    windows. Real resampling needs an audio lib; the deterministic fake
+    treats the payload bytes as int8 PCM so windowing math is real."""
+
+    def __init__(self, frame_len: int = 256, hop: int = 128, fake: bool = True):
+        if not fake:
+            raise NotImplementedError("audio codecs unavailable; use fake=True")
+        self.frame_len = frame_len
+        self.hop = hop
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_doc, out_frame, out_energy = [], [], []
+        for did, p in zip(
+            batch.column("doc_id").to_pylist(), batch.column("payload").to_pylist()
+        ):
+            pcm = np.frombuffer(p or b"\x00" * self.frame_len, dtype=np.int8).astype(
+                np.float64
+            )
+            n = max(0, (len(pcm) - self.frame_len) // self.hop + 1)
+            for f in range(n):
+                w = pcm[f * self.hop : f * self.hop + self.frame_len]
+                out_doc.append(did)
+                out_frame.append(f)
+                out_energy.append(float(np.sqrt(np.mean(w * w))))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_doc, type=pa.int64()),
+                "frame": pa.array(out_frame, type=pa.int32()),
+                "rms_energy": pa.array(out_energy, type=pa.float64()),
+            }
+        )
+
+
+def synth_image_payloads(ds, seed: int = 42):
+    """Deterministic fake binary payload column for testing the plumbing:
+    tiny valid PNG/GIF headers + hash-derived bytes, sized by doc_id."""
+
+    def _mk(batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        payloads = []
+        for did in doc_ids:
+            h = hashlib.sha256(f"{seed}:{did}".encode()).digest()
+            if did % 3 == 0:
+                head = b"\x89PNG\r\n\x1a\n" + b"\x00" * 8 + struct.pack(
+                    ">II", 16 + did % 64, 9 + did % 32
+                )
+            elif did % 3 == 1:
+                head = b"GIF89a" + struct.pack("<HH", 32 + did % 100, 24)
+            else:
+                head = b"\xff\xd8\xff\xe0"
+            payloads.append(head + h * ((did % 5) + 1))
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "payload": pa.array(payloads, type=pa.binary())}
+        )
+
+    return ds.map_batches(_mk, batch_format="pyarrow")

@@ -320,59 +320,37 @@ def build_shared_hot_set(index_dir: str, df_threshold: int = 1024):
     numpy arrays zero-copy instead of paying its own cold decode (the
     shared-mmap role of the reference's MMapDirectory + OS page cache).
 
-    Returns an ObjectRef to {term: (docs int64, freqs int64)}."""
+    Implementation: raw ray.remote tasks (the one place the Dataset API
+    can't express the semantics — a shared in-memory structure): each task
+    decodes a slice of the hot terms and its RETURN VALUE stays in plasma;
+    the driver only collects ObjectRefs, no data round-trips. Returns a
+    list of refs, each to a {term: (docs, freqs)} dict shard."""
     import ray
 
     from .checkpoint import load_manifest, load_merge_manifest
 
     manifest = load_merge_manifest(index_dir) or load_manifest(index_dir)
     searcher = IndexSearcher(manifest)
-    hot_terms = [
-        t
-        for seg in searcher.segments
-        for t, df in _iter_term_dfs(seg)
-        if df >= df_threshold
-    ]
-    if not hot_terms:
-        return ray.put({})
-
-    # decode in parallel (one task per slice of terms), assemble on driver
-    import ray.data
-
-    def _decode(batch):
-        s = searcher_for(index_dir)
-        out = {"term": [], "docs": [], "freqs": []}
-        for row in batch.to_pylist():
-            docs, freqs = s.segments[0].postings(row["term"]) if len(
-                s.segments
-            ) == 1 else _global_postings(s, row["term"])
-            out["term"].append(row["term"])
-            out["docs"].append(docs.tobytes())
-            out["freqs"].append(freqs.tobytes())
-        import pyarrow as _pa
-
-        return _pa.table(
-            {
-                "term": _pa.array(out["term"]),
-                "docs": _pa.array(out["docs"], type=_pa.binary()),
-                "freqs": _pa.array(out["freqs"], type=_pa.binary()),
-            }
-        )
-
-    bs = max(4, len(hot_terms) // 64)
-    res = (
-        ray.data.from_items([{"term": t} for t in sorted(set(hot_terms))])
-        .map_batches(_decode, batch_size=bs, batch_format="pyarrow")
-        .take_all()
+    hot_terms = sorted(
+        {
+            t
+            for seg in searcher.segments
+            for t, df in _iter_term_dfs(seg)
+            if df >= df_threshold
+        }
     )
-    hot = {
-        r["term"]: (
-            np.frombuffer(r["docs"], dtype=np.int64),
-            np.frombuffer(r["freqs"], dtype=np.int64),
-        )
-        for r in res
-    }
-    return ray.put(hot)
+    if not hot_terms:
+        return []
+
+    @ray.remote
+    def _decode_shard(terms: list[str]) -> dict:
+        s = searcher_for(index_dir)
+        return {t: _global_postings(s, t) for t in terms}
+
+    n_shards = min(64, max(1, len(hot_terms) // 16))
+    per = (len(hot_terms) + n_shards - 1) // n_shards
+    chunks = [hot_terms[i : i + per] for i in range(0, len(hot_terms), per)]
+    return [_decode_shard.remote(c) for c in chunks]
 
 
 def _global_postings(searcher: IndexSearcher, term: str):
@@ -403,13 +381,18 @@ def searcher_for(index_dir: str, algorithm: str = "auto", hot_ref=None) -> Index
         if manifest is None:
             raise FileNotFoundError(f"no manifest under {index_dir}")
         s = IndexSearcher(manifest, algorithm=algorithm)
-        if hot_ref is not None:
+        if hot_ref:
             import ray
 
-            hot = ray.get(hot_ref)  # zero-copy plasma views, shared per node
+            refs = hot_ref if isinstance(hot_ref, list) else [hot_ref]
+            n_hot = 0
+            for r in refs:
+                hot = ray.get(r)  # zero-copy plasma views, shared per node
+                n_hot += len(hot)
+                for seg in s.segments:
+                    seg._postings_cache.update(hot)
             for seg in s.segments:
-                seg._postings_cache.update(hot)
-                seg._POSTINGS_CACHE_MAX = len(hot) + 128
+                seg._POSTINGS_CACHE_MAX = n_hot + 128
         _PROCESS_SEARCHERS[key] = s
     return s
 

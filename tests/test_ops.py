@@ -1,0 +1,174 @@
+"""Training-data operator suite: textops, dedup, ANN, multimodal plumbing."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from engine.dedup import (
+    exact_dedup,
+    minhash_lsh_dedup,
+    minhash_signature,
+    ngram_jaccard,
+    simhash64,
+    simhash_near_dups,
+    dedup_pages_by_url,
+)
+from engine.multimodal import (
+    AudioFrameSampler,
+    ImageDecoder,
+    ImageMetaExtractor,
+    parse_dimensions,
+    sniff_format,
+    synth_image_payloads,
+)
+from engine.textops import LangId, QualityScorer, fnv1a, rolling_fingerprint_batch
+
+
+def test_fnv1a_deterministic():
+    assert fnv1a("hello") == fnv1a("hello")
+    assert fnv1a("hello") != fnv1a("hellp")
+    assert fnv1a("") == 0xCBF29CE484222325
+
+
+def test_minhash_similarity_property():
+    a = "the quick brown fox jumps over the lazy dog " * 5
+    b = "the quick brown fox jumps over the lazy cat " * 5
+    c = "completely different content about databases and queries " * 5
+    sa, sb, sc = (minhash_signature(t) for t in (a, b, c))
+    sim_ab = float((sa == sb).mean())
+    sim_ac = float((sa == sc).mean())
+    assert sim_ab > 0.5  # near-dup
+    assert sim_ac < 0.2  # unrelated
+    assert ngram_jaccard(a, a) == 1.0
+    assert ngram_jaccard(a, c) < 0.05
+
+
+def test_simhash_hamming_locality():
+    a = "the quick brown fox jumps over the lazy dog " * 10
+    b = a.replace("lazy", "sleepy")
+    c = "unrelated text about inverted indexes and postings " * 10
+    ha, hb, hc = simhash64(a), simhash64(b), simhash64(c)
+    d_ab = bin(ha ^ hb).count("1")
+    d_ac = bin(ha ^ hc).count("1")
+    assert d_ab < d_ac
+    assert 0 <= ha < 2**63  # fits int64
+
+
+def test_image_sniffing_and_dims():
+    png = b"\x89PNG\r\n\x1a\n" + b"\x00" * 8 + (640).to_bytes(4, "big") + (480).to_bytes(4, "big")
+    assert sniff_format(png) == "png"
+    assert parse_dimensions(png, "png") == (640, 480)
+    gif = b"GIF89a" + (100).to_bytes(2, "little") + (50).to_bytes(2, "little")
+    assert sniff_format(gif) == "gif"
+    assert parse_dimensions(gif, "gif") == (100, 50)
+    assert sniff_format(b"\xff\xd8\xff\xe0stuff") == "jpeg"
+    assert sniff_format(b"??") == "unknown"
+
+
+def test_image_decoder_stub_contract():
+    dec = ImageDecoder()
+    with pytest.raises(NotImplementedError):
+        dec._decode(b"abc")
+    fake = ImageDecoder(fake=True)
+    t1 = fake._decode(b"abc")
+    t2 = fake._decode(b"abc")
+    np.testing.assert_array_equal(t1, t2)  # deterministic
+    assert t1.shape == (8, 8)
+
+
+def test_quality_scorer_batch():
+    qs = QualityScorer()
+    out = qs(pa.table({"doc_id": [1, 2], "text": ["the quick brown fox and the dog run", ""]}))
+    scores = out.column("quality").to_pylist()
+    assert 0 < scores[0] <= 1
+    assert scores[1] == 0.0
+
+
+def test_langid_batch():
+    li = LangId()
+    out = li(pa.table({"doc_id": [1], "text": ["the quick brown fox jumps over the dog"]}))
+    assert out.column("lang_pred").to_pylist() == ["en"]
+
+
+def test_rolling_fingerprint_edit_robustness():
+    a = "w00 w01 w02 w03 w04 w05 w06 w07 w08 w09 w10 w11 w12 w13 w14 w15 w16 w17 w18 w19"
+    b = a + " extraword"
+    out = rolling_fingerprint_batch(pa.table({"doc_id": [1, 2], "text": [a, b]}))
+    f1, f2 = out.column("minhashes").to_pylist()
+    assert len(set(f1) & set(f2)) >= 2  # shared windows survive the edit
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRayOps:
+    def _docs_ds(self):
+        import ray.data
+
+        texts = [
+            "alpha beta gamma delta epsilon zeta eta theta",
+            "alpha beta gamma delta epsilon zeta eta theta",  # exact dup of 0
+            "alpha beta gamma delta epsilon zeta eta iota",  # near dup of 0
+            "totally different words about search engines here",
+            "another unrelated document mentioning ray data pipelines",
+        ]
+        return ray.data.from_items(
+            [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+        )
+
+    def test_exact_dedup(self):
+        out = exact_dedup(self._docs_ds()).to_pandas()
+        assert len(out) == 4  # 5 docs, one exact dup collapsed
+        row = out[out["dup_count"] == 2]
+        assert row["kept_doc_id"].tolist() == [0]
+
+    def test_minhash_lsh(self):
+        pairs = minhash_lsh_dedup(self._docs_ds(), threshold=0.5).to_pandas()
+        got = set(zip(pairs["doc_a"], pairs["doc_b"]))
+        assert (0, 1) in got  # exact dup found
+        assert (0, 2) in got or (1, 2) in got  # near dup found
+        assert all(p[0] < 5 and p[1] < 5 for p in got)
+
+    def test_simhash_pairs(self):
+        pairs = simhash_near_dups(self._docs_ds(), max_hamming=3).to_pandas()
+        got = set(zip(pairs["doc_a"], pairs["doc_b"]))
+        assert (0, 1) in got
+
+    def test_dedup_by_url(self):
+        import ray.data
+
+        rows = [
+            {"doc_id": 0, "url": "u/a", "warc_ts": 100, "text": "old"},
+            {"doc_id": 1, "url": "u/a", "warc_ts": 200, "text": "new"},
+            {"doc_id": 2, "url": "u/b", "warc_ts": 50, "text": "only"},
+        ]
+        out = dedup_pages_by_url(ray.data.from_items(rows)).to_pandas()
+        assert len(out) == 2
+        assert set(out["doc_id"]) == {1, 2}
+
+    def test_multimodal_pipeline(self):
+        import ray.data
+
+        ds = ray.data.from_items([{"doc_id": i} for i in range(30)])
+        with_payloads = synth_image_payloads(ds)
+        meta = with_payloads.map_batches(
+            ImageMetaExtractor, batch_format="pyarrow", batch_size=8, concurrency=2
+        ).to_pandas()
+        assert len(meta) == 30
+        assert set(meta["format"]) == {"png", "gif", "jpeg"}
+        png = meta[meta["format"] == "png"]
+        assert (png["width"] > 0).all()
+        thumbs = with_payloads.map_batches(
+            lambda b: ImageDecoder(fake=True)(b), batch_format="pyarrow", batch_size=8
+        ).to_pandas()
+        assert all(len(t) == 64 for t in thumbs["thumb"])
+
+    def test_audio_sampler(self):
+        import ray.data
+
+        ds = ray.data.from_items(
+            [{"doc_id": 0, "payload": bytes(range(256)) * 4}]
+        )
+        frames = ds.map_batches(
+            AudioFrameSampler, batch_format="pyarrow", concurrency=1
+        ).to_pandas()
+        assert len(frames) == (1024 - 256) // 128 + 1
+        assert (frames["rms_energy"] > 0).all()
