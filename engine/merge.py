@@ -454,7 +454,7 @@ def merge_by_term(
                     "term_min": None,
                     "term_max": None,
                     "n_terms": run_tbl.num_rows,
-                    "bucket": -1,
+                    "bucket": bucket_id,
                 }
             )
         if final_cols["term"]:
@@ -490,19 +490,32 @@ def merge_by_term(
     heavy_run_files = [r["path"] for r in results if r.get("kind") == "heavy_runs"]
 
     if heavy_run_files:
-        # final pass over the salted runs: one task PER HEAVY TERM (full
-        # parallelism for the stop-word band). Each task filters its term's
-        # runs out of the run files, concatenates doc-ordered runs,
-        # re-encodes once, writes one shard.
-        run_files_ref = ray.put(sorted(heavy_run_files))
+        # final pass over the salted runs. A term's salted rows live in
+        # exactly the buckets hash(term, salt) % B for salt in 0..n_salts-1,
+        # and stage 2 wrote one run file per bucket — so each per-term task
+        # reads at most n_salts run files, not all of them.
+        bucket_to_run = {
+            int(r["bucket"]): r["path"] for r in results if r.get("kind") == "heavy_runs"
+        }
+        run_map_ref = ray.put(bucket_to_run)
 
         def _final_heavy_term(batch: pa.Table) -> pa.Table:
             import uuid as _uuid
 
+            from .textops import fnv1a
+
             norms_g = ray.get(norms_ref)
-            files = ray.get(run_files_ref)
+            run_map = ray.get(run_map_ref)
             terms = sorted(batch.column("term").to_pylist())
             term_set = set(terms)
+            files = sorted(
+                {
+                    run_map[b]
+                    for t in terms
+                    for s in range(n_salts)
+                    if (b := fnv1a(f"{t}\x00{s}") % n_buckets) in run_map
+                }
+            )
             rows_by_term: dict[str, list[dict]] = {t: [] for t in terms}
             for fp in files:
                 t = pq.read_table(fp)
@@ -661,6 +674,28 @@ class MergedIndex:
             if i < len(terms) and terms[i] == term:
                 return tbl, i
         return None, -1
+
+    def expand_prefix(self, prefix: str, max_terms: int = 1024) -> list[str]:
+        """Prefix scan over every shard (terms are hash-bucketed, so all
+        shards may hold matches; at dictionary scale this would be served
+        by a dedicated term-range-sorted dictionary level)."""
+        from bisect import bisect_left
+
+        out: list[str] = []
+        paths = sorted(
+            {p for _, _, p in self._heavy_ranges} | set(self._light_by_bucket.values())
+        )
+        for p in paths:
+            _, terms = self._load(p)
+            i = bisect_left(terms, prefix)
+            while i < len(terms) and len(out) < max_terms:
+                if not terms[i].startswith(prefix):
+                    break
+                out.append(terms[i])
+                i += 1
+            if len(out) >= max_terms:
+                break
+        return out
 
     def term_stats(self, term: str):
         tbl, i = self._find(term)

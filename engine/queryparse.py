@@ -27,16 +27,20 @@ class BoolQuery:
     must: tuple[str, ...] = ()
     should: tuple[str, ...] = ()
     must_not: tuple[str, ...] = ()
+    prefixes: tuple[str, ...] = ()  # trailing-* terms, expanded at search time
+    match_all: bool = False  # bare '*' (MatchAllDocsQuery)
 
     @property
     def empty(self) -> bool:
-        return not (self.must or self.should)
+        return not (self.must or self.should or self.prefixes or self.match_all)
 
 
 def parse_query(q: str, analyzer: Analyzer = DEFAULT_ANALYZER) -> BoolQuery:
     must: list[str] = []
     should: list[str] = []
     must_not: list[str] = []
+    prefixes: list[str] = []
+    match_all = False
     raw = q.split()
     and_mode = "AND" in raw
     for tok in raw:
@@ -51,6 +55,17 @@ def parse_query(q: str, analyzer: Analyzer = DEFAULT_ANALYZER) -> BoolQuery:
             bucket = must
         if ":" in tok:
             tok = tok.split(":", 1)[1]
+        if tok == "*":
+            match_all = True  # MatchAllDocsQuery
+            continue
+        if tok.endswith("*") and len(tok) > 1 and bucket is should:
+            # PrefixQuery (search/PrefixQuery.java): expanded against the
+            # sorted term dictionary at search time, scoring rewrite to a
+            # SHOULD disjunction capped at the max-clause count
+            stem = tokenize(tok[:-1], analyzer)
+            if stem:
+                prefixes.append(stem[0])
+            continue
         for t in tokenize(tok, analyzer):
             bucket.append(t)
     # BooleanQuery rewrite: dedup SHOULD clauses (BooleanQuery.java rewrite)
@@ -59,5 +74,9 @@ def parse_query(q: str, analyzer: Analyzer = DEFAULT_ANALYZER) -> BoolQuery:
     seen = set()
     must_d = [t for t in must if not (t in seen or seen.add(t))]
     return BoolQuery(
-        must=tuple(must_d), should=tuple(should_d), must_not=tuple(sorted(set(must_not)))
+        must=tuple(must_d),
+        should=tuple(should_d),
+        must_not=tuple(sorted(set(must_not))),
+        prefixes=tuple(dict.fromkeys(prefixes)),
+        match_all=match_all,
     )

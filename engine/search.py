@@ -78,6 +78,15 @@ class IndexSearcher:
 
     # -- stats pass (createWeight analogue) --------------------------------
 
+    def expand_prefix(self, prefix: str, max_terms: int = 1024) -> list[str]:
+        """Terms starting with ``prefix``, merged over segments, sorted."""
+        out: set[str] = set()
+        for seg in self.segments:
+            out.update(seg.expand_prefix(prefix, max_terms))
+            if len(out) >= max_terms:
+                break
+        return sorted(out)[:max_terms]
+
     def global_term_stats(self, term: str) -> tuple[int, int]:
         df = ttf = 0
         for seg in self.segments:
@@ -109,12 +118,31 @@ class IndexSearcher:
         algorithm = algorithm or self.algorithm
         if q.empty or k <= 0:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
+        if q.prefixes:
+            # PrefixQuery scoring rewrite: expand against the sorted term
+            # dictionary into SHOULD clauses, capped like BooleanQuery's
+            # maxClauseCount (search/PrefixQuery.java + BooleanQuery.java)
+            expanded = list(q.should)
+            seen = set(expanded)
+            for p in q.prefixes:
+                for t in self.expand_prefix(p, max_terms=1024):
+                    if t not in seen:
+                        seen.add(t)
+                        expanded.append(t)
+            q = BoolQuery(
+                must=q.must,
+                should=tuple(expanded),
+                must_not=q.must_not,
+                match_all=q.match_all,
+            )
+        if q.match_all:
+            algorithm = "taat"  # constant-score clause: vectorized plan only
         # must_not params are never used for scoring, only to build iterators
         params = self._params_for(tuple(q.must) + tuple(q.should) + tuple(q.must_not))
         if any(params[t] is None for t in q.must):
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
         live_should = tuple(t for t in q.should if params[t] is not None)
-        if not q.must and not live_should:
+        if not q.must and not live_should and not q.match_all:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
 
         if algorithm == "auto":
@@ -145,6 +173,10 @@ class IndexSearcher:
             acc = np.zeros(span, dtype=np.float64)
             must_cnt = np.zeros(span, dtype=np.int16) if n_must else None
             matched = np.zeros(span, dtype=bool)
+            if q.match_all:
+                # MatchAllDocsQuery: constant score 1.0f for every doc
+                acc += 1.0
+                matched[:] = True
             for t in tuple(q.must) + live_should:
                 docs, freqs = seg.postings(t)
                 if len(docs) == 0:

@@ -153,6 +153,21 @@ class Segment:
             return i
         return -1
 
+    def expand_prefix(self, prefix: str, max_terms: int = 1024) -> list[str]:
+        """Sorted-dictionary range scan [prefix, prefix+MAX) — the
+        PrefixQuery TermsEnum seek (BlockTree intersect role)."""
+        from bisect import bisect_left
+
+        i = bisect_left(self._terms, prefix)
+        out = []
+        while i < len(self._terms) and len(out) < max_terms:
+            t = self._terms[i]
+            if not t.startswith(prefix):
+                break
+            out.append(t)
+            i += 1
+        return out
+
     def term_stats(self, term: str) -> tuple[int, int]:
         """(docFreq, totalTermFreq) — 0,0 if absent (TermStates.build role)."""
         i = self.term_index(term)

@@ -188,3 +188,26 @@ def test_pruning_actually_happens(corpus):
         if ti:
             wand_or_topk([TermIterator(seg, ti, params["the19"])], 10, 1000, coll)
     assert coll.total_hits < total_df  # some blocks were skipped
+
+
+def test_prefix_query_expansion(corpus):
+    s = IndexSearcher(corpus["manifest"], algorithm="taat")
+    # 'the*' expands to the stop band the00..the19
+    docs, scores = s.search("the0*", 10)
+    # equivalent explicit disjunction must give identical results
+    explicit = " ".join(f"the0{i}" for i in range(10))
+    d2, s2 = s.search(explicit, 10)
+    np.testing.assert_array_equal(docs, d2)
+    np.testing.assert_array_equal(scores, s2)
+    assert s.expand_prefix("the0") == [f"the0{i}" for i in range(10)]
+
+
+def test_match_all_query(corpus):
+    s = IndexSearcher(corpus["manifest"], algorithm="taat")
+    docs, scores = s.search("*", 5)
+    # constant score 1.0, docID-ascending tie-break
+    assert docs.tolist() == [0, 1, 2, 3, 4]
+    assert set(scores.tolist()) == {1.0}
+    # match_all combined with must_not
+    docs2, _ = s.search("* -tiekey", 5)
+    assert docs2.tolist() == [20, 21, 22, 23, 24]  # tie cluster excluded
