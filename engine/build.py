@@ -131,12 +131,30 @@ def make_inverter(
     leaves the task)."""
 
     def _invert(batch: pa.Table) -> pa.Table:
-        if from_html:
-            batch = extract_batch(batch)
+        import json
+
         doc_ids = batch.column("doc_id").to_numpy()
-        texts = batch.column("text").to_pylist()
         base = int(doc_ids.min()) if len(doc_ids) else 0
         out_dir = os.path.join(index_dir, PARTITIONS_SUBDIR, f"p{base:012d}")
+        meta_path = os.path.join(out_dir, "meta.json")
+        if os.path.exists(meta_path):
+            # resume: partition already built (atomic rename completed) —
+            # skip extraction + inversion entirely
+            with open(meta_path) as f:
+                meta = json.load(f)
+            return pa.table(
+                {
+                    "seg_dir": [out_dir],
+                    "doc_base": [meta["doc_base"]],
+                    "n_docs": [meta["n_docs"]],
+                    "sum_ttf": [meta["sum_ttf"]],
+                    "n_terms": [meta["n_terms"]],
+                    "wall_ms": [meta["wall_ms"]],
+                }
+            )
+        if from_html:
+            batch = extract_batch(batch)
+        texts = batch.column("text").to_pylist()
         lineage = {
             "row_range": [int(doc_ids.min()), int(doc_ids.max())] if len(doc_ids) else [],
             "n_rows": len(doc_ids),
