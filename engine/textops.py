@@ -204,3 +204,59 @@ def rolling_fingerprint_batch(
             "minhashes": pa.array(out, type=pa.list_(pa.int64())),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# highlighter (snippet extraction per hit) — lucene/highlighter analogue
+# ---------------------------------------------------------------------------
+
+
+def make_snippet(text: str, terms: list[str], window: int = 8, max_fragments: int = 2) -> str:
+    """Best-window snippet: find token positions matching any query term,
+    emit up to ``max_fragments`` windows of ±window tokens with ** marks
+    around matches (the per-hit map of SURVEY §2.7 highlighter row)."""
+    toks = TOKEN_RE.findall((text or "").lower())
+    term_set = set(terms)
+    hits = [i for i, t in enumerate(toks) if t in term_set]
+    if not hits:
+        return " ".join(toks[: 2 * window])
+    frags: list[str] = []
+    used_upto = -1
+    for h in hits:
+        if h <= used_upto:
+            continue
+        lo, hi = max(0, h - window), min(len(toks), h + window + 1)
+        frag = " ".join(f"**{t}**" if t in term_set else t for t in toks[lo:hi])
+        frags.append(frag)
+        used_upto = hi
+        if len(frags) >= max_fragments:
+            break
+    return " ... ".join(frags)
+
+
+def snippets_for_hits(hits_ds, pages_path: str, query_terms: list[str], window: int = 8):
+    """Phase-2 fetch + highlight: join hit doc_ids back to the source
+    parquet row store (the QueryComponent two-phase distributed-search
+    shape — ids first, fields second) and emit snippets."""
+    import pyarrow.dataset as pads
+    import ray
+
+    hit_ids = sorted({int(d) for d in hits_ds.to_pandas()["doc_id"]})
+    # pushdown row filter: only the hit rows leave storage
+    tbl = pads.dataset(pages_path).to_table(
+        columns=["doc_id", "text"], filter=pads.field("doc_id").isin(hit_ids)
+    )
+    text_of = dict(zip(tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()))
+    text_ref = ray.put(text_of)
+    terms_ref = ray.put(list(query_terms))
+
+    def _snip(batch: pa.Table) -> pa.Table:
+        texts = ray.get(text_ref)
+        terms = ray.get(terms_ref)
+        snips = [
+            make_snippet(texts.get(int(d), ""), terms, window)
+            for d in batch.column("doc_id").to_pylist()
+        ]
+        return batch.append_column("snippet", pa.array(snips, type=pa.string()))
+
+    return hits_ds.map_batches(_snip, batch_format="pyarrow")

@@ -172,3 +172,37 @@ class TestRayOps:
         ).to_pandas()
         assert len(frames) == (1024 - 256) // 128 + 1
         assert (frames["rms_energy"] > 0).all()
+
+
+def test_make_snippet():
+    from engine.textops import make_snippet
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    s = make_snippet(text, ["delta", "eta"], window=2)
+    assert "**delta**" in s and "epsilon" in s
+    assert make_snippet(text, ["nomatch"], window=3).startswith("alpha beta")
+    assert make_snippet("", ["x"]) == ""
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_snippets_for_hits(tmp_path):
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from engine.textops import snippets_for_hits
+
+    pages = pa.table(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                "the quick brown fox jumps over the lazy dog",
+                "an unrelated note about postings and skip lists",
+                "fox hunting season and fox habitats in the north",
+            ],
+        }
+    )
+    p = str(tmp_path / "pages.parquet")
+    pq.write_table(pages, p)
+    hits = ray.data.from_items([{"doc_id": 0, "score": 1.5}, {"doc_id": 2, "score": 1.1}])
+    out = snippets_for_hits(hits, p, ["fox"]).to_pandas().sort_values("doc_id")
+    assert all("**fox**" in s for s in out["snippet"])
