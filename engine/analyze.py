@@ -34,6 +34,9 @@ MAX_TOKEN_LENGTH = 255  # StandardAnalyzer.java:39 (maxTokenLength default)
 # Maximal alnum runs; lowercasing is applied to the whole text first, which
 # is equivalent to per-token lowercase for this ASCII pattern.
 TOKEN_RE = re.compile(r"[a-z0-9]+")
+# fast screen for over-long tokens (C-speed) so the per-token length filter
+# only runs on documents that actually contain one
+_LONG_RE = re.compile(r"[a-z0-9]{256,}")
 
 
 @dataclass(frozen=True)
@@ -78,11 +81,17 @@ def analyze_batch(
     flat: list[str] = []
     lengths = np.empty(len(texts), dtype=np.int64)
     append = flat.extend
+    default = pat.pattern == DEFAULT_ANALYZER.token_pattern and mx == MAX_TOKEN_LENGTH
     for i, text in enumerate(texts):
-        toks = pat.findall(text.lower()) if text else []
+        low = text.lower() if text else ""
+        toks = pat.findall(low) if low else []
         if stop:
             toks = [t for t in toks if len(t) <= mx and t not in stop]
-        elif toks and any(len(t) > mx for t in toks):
+        elif toks and (
+            (_LONG_RE.search(low) is not None)
+            if default
+            else any(len(t) > mx for t in toks)
+        ):
             toks = [t for t in toks if len(t) <= mx]
         lengths[i] = len(toks)
         append(toks)

@@ -63,51 +63,105 @@ def invert_to_segment(
     norms = compute_norms(lengths)
 
     # --- vectorized inversion (TermsHash + FreqProx analogue) -------------
+    # Arrow dictionary_encode interns term bytes; np.unique over a
+    # (term, doc) key yields per-term (doc, freq) runs; stats and the
+    # VInt tail encoding for light terms (df < 128 — the vast majority
+    # under a Zipf vocabulary) are computed with reduceat/cumsum over the
+    # whole partition at once. Only terms with full 128-blocks go through
+    # the per-term block encoder. Light terms carry a single dominating
+    # (maxFreq, minNorm) impact pair — a sound (coarser) upper bound; the
+    # exact competitive frontier is kept for multi-block terms where
+    # block-max pruning matters (CompetitiveImpactAccumulator role).
+    from .codec import BLOCK_SIZE, vint_byte_counts, write_vints
+
+    cols: dict[str, list] = {k.name: [] for k in TERMS_SCHEMA}
     if flat:
         enc = pc.dictionary_encode(pa.array(flat, type=pa.string()))
         term_idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        dictionary = enc.dictionary.to_pylist()
-        tok_doc = np.repeat(np.arange(n_docs, dtype=np.int64), lengths)
-        key = term_idx * n_docs + tok_doc
-        pair_key, pair_freq = np.unique(key, return_counts=True)
-        pair_term = pair_key // n_docs
-        pair_doc = pair_key % n_docs
-        # per-dict-term slice boundaries (pair_key sorted => grouped by term)
+        dictionary = np.asarray(enc.dictionary)
         n_terms = len(dictionary)
-        starts = np.searchsorted(pair_term, np.arange(n_terms))
-        ends = np.searchsorted(pair_term, np.arange(n_terms) + 1)
-        sorted_tids = sorted(range(n_terms), key=dictionary.__getitem__)
-    else:
-        dictionary, sorted_tids = [], []
+        rank_of = np.empty(n_terms, dtype=np.int64)
+        rank_of[np.argsort(dictionary, kind="stable")] = np.arange(n_terms)
+        tok_doc = np.repeat(np.arange(n_docs, dtype=np.int64), lengths)
+        key = rank_of[term_idx] * n_docs + tok_doc
+        pair_key, pair_freq = np.unique(key, return_counts=True)
+        pair_rank = pair_key // n_docs
+        pair_doc = pair_key % n_docs
+        pair_freq = pair_freq.astype(np.int64)
+        sorted_terms = np.sort(dictionary, kind="stable")
 
-    cols: dict[str, list] = {k.name: [] for k in TERMS_SCHEMA}
-    for tid in sorted_tids:
-        s, e = int(starts[tid]), int(ends[tid])
-        docs_local = pair_doc[s:e]
-        freqs = pair_freq[s:e].astype(np.int64)
-        docs = doc_ids[docs_local]
-        df = e - s
-        cols["term"].append(dictionary[tid])
-        cols["df"].append(df)
-        cols["ttf"].append(int(freqs.sum()))
-        if df == 1:
-            # singleton pulse (Lucene84PostingsFormat.java:159-161)
-            cols["singleton_doc"].append(int(docs[0]))
-            cols["blob"].append(b"")
-            cols["last_docs"].append([int(docs[0])])
-            cols["offsets"].append([])
-            cols["imp_freq"].append([int(freqs[0])])
-            cols["imp_norm"].append([int(norms[docs_local[0]])])
-            cols["imp_start"].append([0, 1])
-        else:
-            tp = encode_term_postings(docs, freqs, norms[docs_local])
-            cols["singleton_doc"].append(-1)
-            cols["blob"].append(tp.blob)
-            cols["last_docs"].append(tp.block_last_doc.tolist())
-            cols["offsets"].append(tp.block_offset.tolist())
-            cols["imp_freq"].append(tp.imp_freq.tolist())
-            cols["imp_norm"].append(tp.imp_norm.tolist())
-            cols["imp_start"].append(tp.imp_start.tolist())
+        counts = np.bincount(pair_rank, minlength=n_terms).astype(np.int64)
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        ends = starts + counts
+        docs_g = doc_ids[pair_doc]
+        norms_pp = norms[pair_doc]
+
+        # doc deltas with implicit prev = -1 at each term start
+        deltas = np.empty(len(docs_g), dtype=np.uint64)
+        deltas[1:] = (docs_g[1:] - docs_g[:-1]).astype(np.uint64)
+        deltas[starts] = (docs_g[starts] + 1).astype(np.uint64)
+        combined = (deltas << np.uint64(1)) | (pair_freq == 1).astype(np.uint64)
+
+        ttf = np.add.reduceat(pair_freq, starts)
+        max_freq = np.maximum.reduceat(pair_freq, starts)
+        min_norm = np.minimum.reduceat(norms_pp, starts)
+        last_doc = docs_g[ends - 1]
+        first_doc = docs_g[starts]
+
+        light = (counts >= 2) & (counts < BLOCK_SIZE)
+        heavy = counts >= BLOCK_SIZE
+        single = counts == 1
+
+        # one batched VInt pass for every light term's tail stream
+        d_nbytes = vint_byte_counts(combined)
+        f_mask = pair_freq != 1
+        f_nbytes = np.where(f_mask, vint_byte_counts(pair_freq.astype(np.uint64)), 0)
+        d_stream = write_vints(combined)
+        f_stream = write_vints(pair_freq[f_mask].astype(np.uint64))
+        d_off = np.concatenate(([0], np.cumsum(d_nbytes)))
+        f_off_pp = np.concatenate(([0], np.cumsum(f_nbytes)))
+        d_mv = memoryview(d_stream)
+        f_mv = memoryview(f_stream)
+
+        for r in range(n_terms):
+            term = str(sorted_terms[r])
+            df = int(counts[r])
+            cols["term"].append(term)
+            cols["df"].append(df)
+            cols["ttf"].append(int(ttf[r]))
+            if single[r]:
+                cols["singleton_doc"].append(int(first_doc[r]))
+                cols["blob"].append(b"")
+                cols["last_docs"].append([int(first_doc[r])])
+                cols["offsets"].append([])
+                cols["imp_freq"].append([int(max_freq[r])])
+                cols["imp_norm"].append([int(min_norm[r])])
+                cols["imp_start"].append([0, 1])
+            elif light[r]:
+                s, e = int(starts[r]), int(ends[r])
+                blob = bytes(d_mv[d_off[s] : d_off[e]]) + bytes(
+                    f_mv[f_off_pp[s] : f_off_pp[e]]
+                )
+                cols["singleton_doc"].append(-1)
+                cols["blob"].append(blob)
+                cols["last_docs"].append([int(last_doc[r])])
+                cols["offsets"].append([0])
+                cols["imp_freq"].append([int(max_freq[r])])
+                cols["imp_norm"].append([int(min_norm[r])])
+                cols["imp_start"].append([0, 1])
+            else:  # heavy: full block codec + exact impact frontiers
+                s, e = int(starts[r]), int(ends[r])
+                tp = encode_term_postings(docs_g[s:e], pair_freq[s:e], norms_pp[s:e])
+                cols["singleton_doc"].append(-1)
+                cols["blob"].append(tp.blob)
+                cols["last_docs"].append(tp.block_last_doc.tolist())
+                cols["offsets"].append(tp.block_offset.tolist())
+                cols["imp_freq"].append(tp.imp_freq.tolist())
+                cols["imp_norm"].append(tp.imp_norm.tolist())
+                cols["imp_start"].append(tp.imp_start.tolist())
+        n_terms_out = n_terms
+    else:
+        n_terms_out = 0
 
     meta = {
         "kind": "partition",
@@ -115,7 +169,7 @@ def invert_to_segment(
         "doc_base": int(doc_ids.min()) if n_docs else 0,
         "n_docs": n_docs,
         "sum_ttf": int(lengths.sum()),
-        "n_terms": len(dictionary),
+        "n_terms": n_terms_out,
         "lineage": lineage or {},
         "wall_ms": None,  # filled below
     }

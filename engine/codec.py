@@ -60,6 +60,14 @@ def write_vints(values: np.ndarray) -> bytes:
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
         return b""
+    if v.size < 32:  # scalar path beats the (n,10) matrix for tiny inputs
+        out = bytearray()
+        for x in v.tolist():
+            while x >= 0x80:
+                out.append((x & 0x7F) | 0x80)
+                x >>= 7
+            out.append(x)
+        return bytes(out)
     shifts = np.arange(_MAX_VBYTES, dtype=np.uint64) * np.uint64(7)
     groups = (v[:, None] >> shifts[None, :]) & np.uint64(0x7F)
     # number of 7-bit groups needed per value (at least 1)
@@ -68,6 +76,12 @@ def write_vints(values: np.ndarray) -> bytes:
     cont = np.arange(_MAX_VBYTES)[None, :] < (nbytes - 1)[:, None]
     out = (groups | (cont.astype(np.uint64) << np.uint64(7))).astype(np.uint8)
     return out[valid].tobytes()
+
+
+def vint_byte_counts(values: np.ndarray) -> np.ndarray:
+    """Encoded VLong size in bytes per value (vectorized)."""
+    v = np.asarray(values, dtype=np.uint64)
+    return np.maximum((64 - np.clip(_clz64(v), 0, 63) + 6) // 7, 1).astype(np.int64)
 
 
 def _clz64(v: np.ndarray) -> np.ndarray:
