@@ -27,7 +27,7 @@ BENCH_ROOT = "/tmp/rayfts-bench"
 # FIXTURES.md §1.1 Zipf corpus sized by sf (documents rows x 20); realistic
 # vocabulary (10k terms + stop band + singleton band) so merge salting and
 # WAND/TAAT paths see representative skew
-_DOCS_MULTIPLIER = int(os.environ.get("BENCH_DOCS_MULTIPLIER", "80"))
+_DOCS_MULTIPLIER = int(os.environ.get("BENCH_DOCS_MULTIPLIER", "40"))
 
 # zipf-vocabulary query mix per FIXTURES.md §2: high/mid/low df terms, stop
 # disjunctions, conjunctions, mixed must, exclusion, no-match
@@ -193,8 +193,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
 
 def run_scaling(sf_dir: str, lo: int | None = None, hi: int | None = None) -> dict:
-    lo = lo or int(os.environ.get("BENCH_SCALE_LO", "8"))
-    hi = hi or int(os.environ.get("BENCH_SCALE_HI", "32"))
+    lo = lo or int(os.environ.get("BENCH_SCALE_LO", "2"))
+    hi = hi or int(os.environ.get("BENCH_SCALE_HI", "8"))
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
         out = subprocess.run(
