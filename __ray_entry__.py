@@ -15,6 +15,8 @@ here (or in engine/) calls ray.init()/ray.shutdown().
 from __future__ import annotations
 
 import os
+
+from engine.rayenv import remote_args as _rargs
 from collections.abc import Callable
 from typing import Any
 
@@ -57,28 +59,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def q_quality_features(sf_dir):
         return _docs(sf_dir).map_batches(
-            textops.quality_features_batch, batch_format="pyarrow"
+            textops.quality_features_batch, batch_format="pyarrow", **_rargs()
         )
 
     def q_fingerprint(sf_dir):
-        return _docs(sf_dir).map_batches(textops.fingerprint_batch, batch_format="pyarrow")
+        return _docs(sf_dir).map_batches(textops.fingerprint_batch, batch_format="pyarrow", **_rargs())
 
     def q_token_count_docs(sf_dir):
-        return _docs(sf_dir).map_batches(textops.token_count_batch, batch_format="pyarrow")
+        return _docs(sf_dir).map_batches(textops.token_count_batch, batch_format="pyarrow", **_rargs())
 
     def q_quality_scores(sf_dir):
         return _docs(sf_dir).map_batches(
-            textops.QualityScorer, batch_format="pyarrow", concurrency=2
+            textops.QualityScorer, batch_format="pyarrow", concurrency=2, **_rargs()
         )
 
     def q_langid(sf_dir):
         return _docs(sf_dir).map_batches(
-            textops.LangId, batch_format="pyarrow", concurrency=2
+            textops.LangId, batch_format="pyarrow", concurrency=2, **_rargs()
         )
 
     def q_rolling_fp(sf_dir):
         return _docs(sf_dir).map_batches(
-            textops.rolling_fingerprint_batch, batch_format="pyarrow"
+            textops.rolling_fingerprint_batch, batch_format="pyarrow", **_rargs()
         )
 
     def q_exact_dedup(sf_dir):
@@ -88,7 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return dedup.minhash_lsh_dedup(_docs(sf_dir), threshold=0.7)
 
     def q_simhash(sf_dir):
-        return _docs(sf_dir).map_batches(dedup.simhash_batch, batch_format="pyarrow")
+        return _docs(sf_dir).map_batches(dedup.simhash_batch, batch_format="pyarrow", **_rargs())
 
     def q_simhash_pairs(sf_dir):
         return dedup.simhash_near_dups(_docs(sf_dir), max_hamming=3)
@@ -126,7 +128,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
         )
         return synth_image_payloads(ds).map_batches(
-            ImageMetaExtractor, batch_format="pyarrow", batch_size=64, concurrency=2
+            ImageMetaExtractor, batch_format="pyarrow", batch_size=64, concurrency=2, **_rargs()
         )
 
     return {

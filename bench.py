@@ -21,6 +21,8 @@ import subprocess
 import sys
 import time
 
+from engine.rayenv import remote_args as _rargs
+
 QUERY_REPS = int(os.environ.get("BENCH_QUERY_REPS", "300"))
 BENCH_ROOT = "/tmp/rayfts-bench"
 
@@ -113,7 +115,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         return batch
 
     ray.data.range(num_cpus * 4, override_num_blocks=num_cpus * 4).map_batches(
-        _warm, batch_size=1
+        _warm, batch_size=1, **_rargs()
     ).count()
 
     part_docs = max(256, n_docs // 128)  # fixed 128 partitions at every cpu level

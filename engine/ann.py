@@ -17,6 +17,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from .rayenv import remote_args as _rargs
+
 
 def _batch_matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
     arr = batch.column(col)
@@ -71,9 +73,9 @@ def brute_force_topk_ds(ds, queries: np.ndarray, query_ids: np.ndarray, k: int =
         return g[["query_id", "rank", "neighbor_id", "cosine"]]
 
     return (
-        ds.map_batches(partial, batch_format="pyarrow")
+        ds.map_batches(partial, batch_format="pyarrow", **_rargs())
         .groupby("query_id")
-        .map_groups(reduce_topk, batch_format="pandas")
+        .map_groups(reduce_topk, batch_format="pandas", **_rargs())
     )
 
 
@@ -121,7 +123,7 @@ def ivf_topk_ds(
         assign = np.argmax(m @ c.T, axis=1).astype(np.int32)
         return batch.append_column("bucket", pa.array(assign))
 
-    bucketed = ds.map_batches(bucketize, batch_format="pyarrow")
+    bucketed = ds.map_batches(bucketize, batch_format="pyarrow", **_rargs())
 
     def scan_bucket(g: pd.DataFrame) -> pd.DataFrame:
         qn_, qids_, probe_of = ray.get(q_ref)
@@ -148,9 +150,9 @@ def ivf_topk_ds(
 
     return (
         bucketed.groupby("bucket")
-        .map_groups(scan_bucket, batch_format="pandas")
+        .map_groups(scan_bucket, batch_format="pandas", **_rargs())
         .groupby("query_id")
-        .map_groups(reduce_topk, batch_format="pandas")
+        .map_groups(reduce_topk, batch_format="pandas", **_rargs())
     )
 
 
@@ -173,9 +175,9 @@ def embedding_near_dups(ds, threshold: float = 0.95, k: int = 5):
         out = pd.DataFrame({"doc_a": a, "doc_b": b, "cosine": df["cosine"]})
         return pa.Table.from_pandas(out, preserve_index=False)
 
-    pairs = res.map_batches(to_pairs, batch_format="pyarrow")
+    pairs = res.map_batches(to_pairs, batch_format="pyarrow", **_rargs())
 
     def dedupe(g: pd.DataFrame) -> pd.DataFrame:
         return g.head(1)
 
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(dedupe, batch_format="pandas")
+    return pairs.groupby(["doc_a", "doc_b"]).map_groups(dedupe, batch_format="pandas", **_rargs())

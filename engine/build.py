@@ -32,6 +32,8 @@ import time
 
 import numpy as np
 import pyarrow as pa
+
+from .rayenv import remote_args as _rargs
 import pyarrow.compute as pc
 
 from .analyze import DEFAULT_ANALYZER, Analyzer, analyze_batch, compute_norms
@@ -277,7 +279,7 @@ def build_index(
 
     rows = (
         ray.data.from_items([{"path": p} for p in files])
-        .map_batches(_invert_file, batch_size=1, batch_format="pyarrow")
+        .map_batches(_invert_file, batch_size=1, batch_format="pyarrow", **_rargs())
         .take_all()
     )  # manifest rows only: O(#partitions), tiny
     return finalize_build_manifest(index_dir, rows)

@@ -23,6 +23,8 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
+from .rayenv import remote_args as _rargs
+
 from .analyze import TOKEN_RE
 from .textops import fnv1a
 
@@ -43,7 +45,7 @@ def exact_dedup(ds, text_col: str = "text"):
     import pandas as pd
 
     hashed = ds.map_batches(
-        lambda b: content_hash_batch(b, text_col), batch_format="pyarrow"
+        lambda b: content_hash_batch(b, text_col), batch_format="pyarrow", **_rargs()
     )
 
     def keep_first(g: pd.DataFrame) -> pd.DataFrame:
@@ -51,7 +53,7 @@ def exact_dedup(ds, text_col: str = "text"):
             {"kept_doc_id": [int(g["doc_id"].min())], "dup_count": [len(g)]}
         )
 
-    return hashed.groupby("content_hash").map_groups(keep_first, batch_format="pandas")
+    return hashed.groupby("content_hash").map_groups(keep_first, batch_format="pandas", **_rargs())
 
 
 # ---------------------------------------------------------------------------
@@ -149,7 +151,7 @@ def minhash_lsh_dedup(ds, threshold: float = 0.7, k: int = 3):
     text_ref = ray.put(text_of)
 
     bands = ds.map_batches(
-        lambda b: minhash_bands_batch(b, k), batch_format="pyarrow"
+        lambda b: minhash_bands_batch(b, k), batch_format="pyarrow", **_rargs()
     )
 
     def candidates(g: pd.DataFrame) -> pd.DataFrame:
@@ -162,7 +164,7 @@ def minhash_lsh_dedup(ds, threshold: float = 0.7, k: int = 3):
         )
 
     cand = bands.groupby(["band_id", "band_hash"]).map_groups(
-        candidates, batch_format="pandas"
+        candidates, batch_format="pandas", **_rargs()
     )
 
     def verify(batch: pa.Table) -> pa.Table:
@@ -188,7 +190,7 @@ def minhash_lsh_dedup(ds, threshold: float = 0.7, k: int = 3):
             }
         )
 
-    verified = cand.map_batches(verify, batch_format="pyarrow")
+    verified = cand.map_batches(verify, batch_format="pyarrow", **_rargs())
     # a pair found by several bands appears several times: distinct it
     import pandas as pd
 
@@ -196,7 +198,7 @@ def minhash_lsh_dedup(ds, threshold: float = 0.7, k: int = 3):
         return g.head(1)
 
     return verified.groupby(["doc_a", "doc_b"]).map_groups(
-        dedupe_pairs, batch_format="pandas"
+        dedupe_pairs, batch_format="pandas", **_rargs()
     )
 
 
@@ -241,7 +243,7 @@ def simhash_near_dups(ds, max_hamming: int = 3):
 
     import pandas as pd
 
-    sh = ds.map_batches(simhash_batch, batch_format="pyarrow")
+    sh = ds.map_batches(simhash_batch, batch_format="pyarrow", **_rargs())
 
     def explode(batch: pa.Table) -> pa.Table:
         doc = batch.column("doc_id").to_numpy()
@@ -273,15 +275,15 @@ def simhash_near_dups(ds, max_hamming: int = 3):
         return pd.DataFrame(out)
 
     cand = (
-        sh.map_batches(explode, batch_format="pyarrow")
+        sh.map_batches(explode, batch_format="pyarrow", **_rargs())
         .groupby(["chunk_id", "chunk_val"])
-        .map_groups(pairs, batch_format="pandas")
+        .map_groups(pairs, batch_format="pandas", **_rargs())
     )
 
     def dedupe_pairs(g: pd.DataFrame) -> pd.DataFrame:
         return g.head(1)
 
-    return cand.groupby(["doc_a", "doc_b"]).map_groups(dedupe_pairs, batch_format="pandas")
+    return cand.groupby(["doc_a", "doc_b"]).map_groups(dedupe_pairs, batch_format="pandas", **_rargs())
 
 
 # ---------------------------------------------------------------------------
@@ -300,4 +302,4 @@ def dedup_pages_by_url(ds):
         g = g.sort_values(["warc_ts", "doc_id"], ascending=[False, True])
         return g.head(1)
 
-    return ds.groupby("url").map_groups(keep_latest, batch_format="pandas")
+    return ds.groupby("url").map_groups(keep_latest, batch_format="pandas", **_rargs())

@@ -37,6 +37,8 @@ import time
 
 import numpy as np
 import pyarrow as pa
+
+from .rayenv import remote_args as _rargs
 import pyarrow.parquet as pq
 
 from .codec import encode_term_postings
@@ -214,7 +216,7 @@ def merge_tree(manifest: dict, index_dir: str, fan_in: int = 8, target_segments:
 
         rows = (
             ray.data.from_items(specs)
-            .map_batches(_run, batch_size=1, batch_format="pyarrow")
+            .map_batches(_run, batch_size=1, batch_format="pyarrow", **_rargs())
             .take_all()
         )
         rows = sorted(rows, key=lambda r: r["doc_base"])
@@ -403,6 +405,7 @@ def merge_by_term(
         _make_exploder(heavy_ref, rank_of_base, n_salts, n_buckets),
         batch_size=1,
         batch_format="pyarrow",
+        **_rargs(),
     )
 
     shard_dir = os.path.join(index_dir, "merged", "terms")
@@ -477,7 +480,7 @@ def merge_by_term(
     t_s = time.perf_counter()
     results = (
         exploded.groupby("bucket")
-        .map_groups(_merge_bucket, batch_format="pyarrow")
+        .map_groups(_merge_bucket, batch_format="pyarrow", **_rargs())
         .take_all()
     )
     stage_t["explode_group_write"] = round(time.perf_counter() - t_s, 3)
@@ -549,7 +552,7 @@ def merge_by_term(
         heavy_batch = max(1, len(heavy) // 128)
         heavy_shards = (
             ray.data.from_items([{"term": t} for t in sorted(heavy)])
-            .map_batches(_final_heavy_term, batch_size=heavy_batch, batch_format="pyarrow")
+            .map_batches(_final_heavy_term, batch_size=heavy_batch, batch_format="pyarrow", **_rargs())
             .take_all()
         )
         stage_t["final_heavy"] = round(time.perf_counter() - t_s, 3)

@@ -23,6 +23,8 @@ import struct
 import numpy as np
 import pyarrow as pa
 
+from .rayenv import remote_args as _rargs
+
 IMAGE_META_SCHEMA = pa.schema(
     [
         ("doc_id", pa.int64()),
@@ -185,4 +187,4 @@ def synth_image_payloads(ds, seed: int = 42):
             {"doc_id": batch.column("doc_id"), "payload": pa.array(payloads, type=pa.binary())}
         )
 
-    return ds.map_batches(_mk, batch_format="pyarrow")
+    return ds.map_batches(_mk, batch_format="pyarrow", **_rargs())

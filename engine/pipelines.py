@@ -38,6 +38,8 @@ REFERENCE_QUERIES: list[tuple[int, str, int]] = [
     (7, "data -join", 10),
     (8, "zzznomatch", 10),
     (9, "table scan hash group row", 25),
+    (10, "quer* filt*", 10),  # PrefixQuery expansion
+    (11, "* -data", 5),  # MatchAll with exclusion
 ]
 
 
@@ -111,8 +113,10 @@ def token_counts(sf_dir: str) -> pa.Table:
     idx = get_index(sf_dir)
     pages_dir = os.path.dirname(idx["index_dir"]) + "/pages"
     ds = ray.data.read_parquet(pages_dir, columns=["doc_id", "html"])
+    from .rayenv import remote_args as _rargs
+
     return ds.map_batches(
-        lambda b: token_count_batch(extract_batch(b)), batch_format="pyarrow"
+        lambda b: token_count_batch(extract_batch(b)), batch_format="pyarrow", **_rargs()
     )
 
 

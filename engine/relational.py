@@ -25,6 +25,8 @@ import os
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+
+from .rayenv import remote_args as _rargs
 import pyarrow.compute as pc
 
 
@@ -53,7 +55,7 @@ def rollup_lineitem(sf_dir: str):
         return pa.Table.from_pandas(g, preserve_index=False)
 
     agg = (
-        ds.map_batches(partial, batch_format="pyarrow")
+        ds.map_batches(partial, batch_format="pyarrow", **_rargs())
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(Sum("n", alias_name="n"), Sum("sum_qty", alias_name="sum_qty"))
     )
@@ -67,7 +69,7 @@ def rollup_lineitem(sf_dir: str):
             preserve_index=False,
         )
 
-    return agg.map_batches(finish, batch_format="pyarrow")
+    return agg.map_batches(finish, batch_format="pyarrow", **_rargs())
 
 
 def orders_per_nation(sf_dir: str):
@@ -97,7 +99,7 @@ def orders_per_nation(sf_dir: str):
         return pa.Table.from_pandas(g, preserve_index=False)
 
     return (
-        orders.map_batches(partial, batch_format="pyarrow")
+        orders.map_batches(partial, batch_format="pyarrow", **_rargs())
         .groupby("n_name")
         .aggregate(Sum("n_orders", alias_name="n_orders"))
     )
@@ -115,7 +117,7 @@ def top_orders(sf_dir: str, k: int = 10):
             preserve_index=False,
         )
 
-    parts = ds.map_batches(partial_topk, batch_format="pyarrow").to_pandas()
+    parts = ds.map_batches(partial_topk, batch_format="pyarrow", **_rargs()).to_pandas()
     out = parts.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True]).head(k)
     out = out.reset_index(drop=True)
     out["rank"] = np.arange(len(out), dtype=np.int64)
@@ -143,7 +145,7 @@ def events_timeseries(sf_dir: str):
         return pa.Table.from_pandas(g, preserve_index=False)
 
     return (
-        ds.map_batches(partial, batch_format="pyarrow")
+        ds.map_batches(partial, batch_format="pyarrow", **_rargs())
         .groupby(["event_type", "day"])
         .aggregate(Sum("n_events", alias_name="n_events"))
     )
@@ -170,7 +172,7 @@ def orders_semi_join(sf_dir: str, nation_name: str = "NATION_7"):
         mask = pa.array([int(c) in ks for c in batch.column("o_custkey").to_pylist()])
         return batch.filter(mask).select(["o_orderkey", "o_custkey"])
 
-    return orders.map_batches(filt, batch_format="pyarrow")
+    return orders.map_batches(filt, batch_format="pyarrow", **_rargs())
 
 
 def top_orders_per_priority(sf_dir: str, per_group: int = 2):
@@ -184,7 +186,7 @@ def top_orders_per_priority(sf_dir: str, per_group: int = 2):
         g["grp_rank"] = np.arange(len(g), dtype=np.int64)
         return g[["o_orderpriority", "grp_rank", "o_orderkey", "o_totalprice"]]
 
-    return ds.groupby("o_orderpriority").map_groups(topn, batch_format="pandas")
+    return ds.groupby("o_orderpriority").map_groups(topn, batch_format="pandas", **_rargs())
 
 
 def lang_facet(sf_dir: str):

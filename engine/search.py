@@ -32,6 +32,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from .rayenv import remote_args as _rargs
+
 from .bm25 import TermScorerParams, make_term_scorer, topk_sort
 from .queryparse import BoolQuery, parse_query
 from .segment import Segment
@@ -374,7 +376,7 @@ def build_shared_hot_set(index_dir: str, df_threshold: int = 1024):
     if not hot_terms:
         return []
 
-    @ray.remote
+    @ray.remote(**_rargs())
     def _decode_shard(terms: list[str]) -> dict:
         s = searcher_for(index_dir)
         return {t: _global_postings(s, t) for t in terms}
@@ -488,6 +490,7 @@ def search_dataset(
             make_search_fn(index_dir, emit_latency=emit_latency, hot_ref=hot_ref),
             batch_size=batch_size,
             batch_format="pyarrow",
+            **_rargs(),
         )
     return queries_ds.map_batches(
         BatchSearcher,
@@ -495,6 +498,7 @@ def search_dataset(
         batch_size=batch_size,
         batch_format="pyarrow",
         concurrency=concurrency,
+        **_rargs(),
     )
 
 

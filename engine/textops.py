@@ -15,6 +15,8 @@ import re
 
 import numpy as np
 import pyarrow as pa
+
+from .rayenv import remote_args as _rargs
 import pyarrow.compute as pc
 
 from .analyze import TOKEN_RE
@@ -259,4 +261,4 @@ def snippets_for_hits(hits_ds, pages_path: str, query_terms: list[str], window: 
         ]
         return batch.append_column("snippet", pa.array(snips, type=pa.string()))
 
-    return hits_ds.map_batches(_snip, batch_format="pyarrow")
+    return hits_ds.map_batches(_snip, batch_format="pyarrow", **_rargs())
