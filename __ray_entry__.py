@@ -139,6 +139,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "collection_stats": pipelines.collection_stats,
         "doc_norms": pipelines.doc_norms,
         "bm25_topk": pipelines.bm25_search_results,
+        "phrase_match_docs": pipelines.phrase_match_docs,
+        "phrase_topk": pipelines.phrase_topk,
         # --- text analysis ------------------------------------------------
         "token_counts_docs": q_token_count_docs,
         "quality_features": q_quality_features,
@@ -187,6 +189,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_counts_extracted": f"""
             SELECT doc_id, len({_TOK}) AS n_tokens FROM documents
+        """,
+        "phrase_match_docs": f"""
+            SELECT doc_id FROM documents
+            WHERE ' ' || array_to_string({_TOK}, ' ') || ' ' LIKE '% data join %'
         """,
         "token_counts_docs": f"""
             SELECT doc_id, len({_TOK}) AS n_tokens FROM documents

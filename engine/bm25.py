@@ -92,6 +92,25 @@ def make_term_scorer(
     return TermScorerParams(weight=w, cache=norm_inverse_cache(avgdl, k1, b))
 
 
+def make_phrase_scorer(
+    dfs: list[int],
+    doc_count: int,
+    sum_total_term_freq: int,
+    k1: np.float32 = K1_DEFAULT,
+    b: np.float32 = B_DEFAULT,
+    boost: np.float32 = np.float32(1.0),
+) -> TermScorerParams:
+    """PhraseQuery scoring state: idf = per-term float32 idfs summed in a
+    double then cast (BM25Similarity.idfExplain(termStats[]), :172-181);
+    score uses the phrase frequency as freq."""
+    acc = 0.0
+    for df in dfs:
+        acc += float(idf(df, doc_count))
+    w = np.multiply(boost, np.float32(acc), dtype=np.float32)
+    avgdl = avg_field_length(sum_total_term_freq, doc_count)
+    return TermScorerParams(weight=w, cache=norm_inverse_cache(avgdl, k1, b))
+
+
 # ---------------------------------------------------------------------------
 # Exhaustive oracle (uncompressed postings, float32 per-term + float64 sum).
 # ---------------------------------------------------------------------------

@@ -50,6 +50,7 @@ def invert_to_segment(
     out_dir: str,
     analyzer: Analyzer = DEFAULT_ANALYZER,
     lineage: dict | None = None,
+    index_positions: bool = True,
 ) -> dict:
     """Invert one partition worth of documents into a segment directory.
 
@@ -74,7 +75,12 @@ def invert_to_segment(
     # (maxFreq, minNorm) impact pair — a sound (coarser) upper bound; the
     # exact competitive frontier is kept for multi-block terms where
     # block-max pruning matters (CompetitiveImpactAccumulator role).
-    from .codec import BLOCK_SIZE, vint_byte_counts, write_vints
+    from .codec import (
+        BLOCK_SIZE,
+        encode_positions,
+        vint_byte_counts,
+        write_vints,
+    )
 
     cols: dict[str, list] = {k.name: [] for k in TERMS_SCHEMA}
     if flat:
@@ -85,11 +91,21 @@ def invert_to_segment(
         rank_of = np.empty(n_terms, dtype=np.int64)
         rank_of[np.argsort(dictionary, kind="stable")] = np.arange(n_terms)
         tok_doc = np.repeat(np.arange(n_docs, dtype=np.int64), lengths)
+        doc_starts = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+        tok_pos = np.arange(len(flat), dtype=np.int64) - np.repeat(doc_starts, lengths)
         key = rank_of[term_idx] * n_docs + tok_doc
-        pair_key, pair_freq = np.unique(key, return_counts=True)
+        # stable sort groups tokens by (term, doc) keeping position order
+        order = np.argsort(key, kind="stable")
+        skey = key[order]
+        spos = tok_pos[order]
+        pair_start_mask = np.empty(len(skey), dtype=bool)
+        pair_start_mask[0] = True
+        np.not_equal(skey[1:], skey[:-1], out=pair_start_mask[1:])
+        pair_tok_starts = np.flatnonzero(pair_start_mask)
+        pair_key = skey[pair_tok_starts]
+        pair_freq = np.diff(np.concatenate((pair_tok_starts, [len(skey)]))).astype(np.int64)
         pair_rank = pair_key // n_docs
         pair_doc = pair_key % n_docs
-        pair_freq = pair_freq.astype(np.int64)
         sorted_terms = np.sort(dictionary, kind="stable")
 
         counts = np.bincount(pair_rank, minlength=n_terms).astype(np.int64)
@@ -125,12 +141,35 @@ def invert_to_segment(
         d_mv = memoryview(d_stream)
         f_mv = memoryview(f_stream)
 
+        # positions: one batched VInt pass over the whole prox stream,
+        # per-term blobs = byte slices at term token boundaries
+        if index_positions:
+            p_deltas = np.empty(len(spos), dtype=np.uint64)
+            p_deltas[1:] = (spos[1:] - spos[:-1]).astype(np.uint64)
+            p_deltas[pair_tok_starts] = (spos[pair_tok_starts] + 1).astype(np.uint64)
+            p_stream = write_vints(p_deltas)
+            p_nbytes = vint_byte_counts(p_deltas)
+            p_off = np.concatenate(([0], np.cumsum(p_nbytes)))
+            term_tok_starts = np.concatenate(([0], np.cumsum(ttf)))
+            p_mv = memoryview(p_stream)
+
+            def pos_slice(r: int) -> bytes:
+                return bytes(
+                    p_mv[p_off[term_tok_starts[r]] : p_off[term_tok_starts[r + 1]]]
+                )
+
+        else:
+
+            def pos_slice(r: int) -> bytes:
+                return b""
+
         for r in range(n_terms):
             term = str(sorted_terms[r])
             df = int(counts[r])
             cols["term"].append(term)
             cols["df"].append(df)
             cols["ttf"].append(int(ttf[r]))
+            cols["pos_blob"].append(pos_slice(r))
             if single[r]:
                 cols["singleton_doc"].append(int(first_doc[r]))
                 cols["blob"].append(b"")
@@ -168,6 +207,7 @@ def invert_to_segment(
     meta = {
         "kind": "partition",
         "field": "body",
+        "index_options": "docs_freqs_positions" if index_positions else "docs_freqs",
         "doc_base": int(doc_ids.min()) if n_docs else 0,
         "n_docs": n_docs,
         "sum_ttf": int(lengths.sum()),

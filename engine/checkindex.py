@@ -65,6 +65,17 @@ def check_segment(seg: Segment | str) -> dict:
                 assert any(
                     (ff >= f_i) & (nn <= n_i)
                 ), f"{t}: block {b} impact misses ({f_i},{n_i})"
+        # prox stream (if indexed): totals + strictly ascending per posting
+        if row.get("pos_blob"):
+            from .codec import decode_positions
+
+            plists = decode_positions(row["pos_blob"], freqs)
+            assert len(plists) == df, f"{t}: positions posting count"
+            for pl, f_i in zip(plists, freqs):
+                assert len(pl) == f_i, f"{t}: positions != freq"
+                assert (pl >= 0).all() and (np.diff(pl) > 0).all() if len(pl) > 1 else (pl >= 0).all(), (
+                    f"{t}: positions not ascending"
+                )
         sum_ttf_check += ttf
     assert sum_ttf_check == seg.sum_ttf, (
         f"{seg.dir}: sum_ttf {seg.sum_ttf} != postings total {sum_ttf_check}"

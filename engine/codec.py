@@ -439,3 +439,42 @@ def decode_term_postings_indexed(
 
     docs = np.cumsum(deltas.astype(np.int64)) - 1
     return docs, freqs
+
+
+# ---------------------------------------------------------------------------
+# Positions (prox stream) — DOCS_AND_FREQS_AND_POSITIONS support.
+# ---------------------------------------------------------------------------
+
+
+def encode_positions(positions: np.ndarray, freqs: np.ndarray) -> bytes:
+    """Encode per-posting position lists as one VInt delta stream.
+
+    ``positions`` is the concatenation of each posting's ascending token
+    positions (freqs[i] values for posting i); deltas reset at each doc
+    with first = pos + 1 (so every delta >= 1), mirroring the
+    FreqProxTermsWriter prox deltas (FreqProxTermsWriterPerField.java prox
+    stream; payloads unsupported so no flag bit)."""
+    positions = np.asarray(positions, dtype=np.int64)
+    if positions.size == 0:
+        return b""
+    starts = np.concatenate(([0], np.cumsum(freqs)[:-1]))
+    deltas = np.empty(len(positions), dtype=np.uint64)
+    deltas[1:] = (positions[1:] - positions[:-1]).astype(np.uint64)
+    deltas[starts] = (positions[starts] + 1).astype(np.uint64)
+    return write_vints(deltas)
+
+
+def decode_positions(pos_blob: bytes, freqs: np.ndarray) -> list[np.ndarray]:
+    """Decode the prox stream back to one ascending array per posting."""
+    freqs = np.asarray(freqs, dtype=np.int64)
+    total = int(freqs.sum())
+    vals, _ = read_vints(pos_blob, total)
+    starts = np.concatenate(([0], np.cumsum(freqs)[:-1]))
+    deltas = vals.astype(np.int64)
+    # absolute positions: cumsum within each posting, reset at starts
+    flat = np.cumsum(deltas)
+    # subtract the running total before each group + restore the +1 offset
+    base = np.repeat(flat[starts] - deltas[starts], freqs)
+    flat = flat - base - 1
+    ends = np.cumsum(freqs)
+    return [flat[s:e] for s, e in zip(starts, ends)]

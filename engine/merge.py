@@ -67,8 +67,8 @@ def merge_segments(seg_dirs: list[str], out_dir: str) -> dict:
     cols: dict[str, list] = {f.name: [] for f in TERMS_SCHEMA}
     for term, group in _group_sorted(heapq.merge(*streams)):
         decoded = [_decode_row(segs[si], row) for _, si, row in group]
-        docs, freqs, nrm = _concat_decoded(decoded)
-        _emit_from_arrays(cols, term, docs, freqs, nrm)
+        docs, freqs, nrm, pos_blob = _concat_decoded(decoded)
+        _emit_from_arrays(cols, term, docs, freqs, nrm, pos_blob)
     meta = {
         "kind": "merged",
         "field": "body",
@@ -98,7 +98,7 @@ def _group_sorted(it):
 
 
 def _decode_row(seg, row: dict):
-    """(docs, freqs, norms) for one per-segment term row."""
+    """(docs, freqs, norms, pos_blob) for one per-segment term row."""
     from .codec import decode_term_postings
 
     if row["df"] == 1:
@@ -108,28 +108,45 @@ def _decode_row(seg, row: dict):
     else:
         docs, freqs = decode_term_postings(row["blob"], row["df"])
         norms = seg.norm_of(docs)
-    return docs, freqs, norms
+    return docs, freqs, norms, row.get("pos_blob") or b""
 
 
 def _concat_decoded(decoded):
-    """Concatenate doc-disjoint (docs, freqs, norms) runs; restore doc order
-    (a no-op concat when runs are contiguous doc ranges)."""
+    """Concatenate doc-disjoint (docs, freqs, norms, pos_blob) runs; restore
+    doc order. Position streams byte-concatenate without re-encoding when
+    runs are already doc-ordered (deltas reset per doc); a rare reorder
+    decodes and re-encodes them."""
     decoded = sorted(decoded, key=lambda t: int(t[0][0]))
-    docs = np.concatenate([d for d, _, _ in decoded])
-    freqs = np.concatenate([f for _, f, _ in decoded])
-    norms = np.concatenate([n for _, _, n in decoded])
+    docs = np.concatenate([d[0] for d in decoded])
+    freqs = np.concatenate([d[1] for d in decoded])
+    norms = np.concatenate([d[2] for d in decoded])
+    has_pos = len(decoded) > 0 and all(len(d) > 3 and d[3] for d in decoded)
     if len(docs) > 1 and not bool((np.diff(docs) > 0).all()):
         order = np.argsort(docs, kind="stable")
-        docs, freqs, norms = docs[order], freqs[order], norms[order]
-    return docs, freqs, norms
+        if has_pos:
+            from .codec import decode_positions, encode_positions
+
+            per_posting: list[np.ndarray] = []
+            for d in decoded:
+                per_posting.extend(decode_positions(d[3], d[1]))
+            reordered = [per_posting[i] for i in order]
+            pos_blob = encode_positions(np.concatenate(reordered), freqs[order])
+        else:
+            pos_blob = b""
+        return docs[order], freqs[order], norms[order], pos_blob
+    pos_blob = b"".join(d[3] for d in decoded) if has_pos else b""
+    return docs, freqs, norms, pos_blob
 
 
-def _emit_from_arrays(cols: dict[str, list], term: str, docs, freqs, norms) -> None:
+def _emit_from_arrays(
+    cols: dict[str, list], term: str, docs, freqs, norms, pos_blob: bytes = b""
+) -> None:
     """Append one TERMS_SCHEMA row built from raw postings arrays."""
     df = len(docs)
     cols["term"].append(term)
     cols["df"].append(df)
     cols["ttf"].append(int(freqs.sum()))
+    cols["pos_blob"].append(pos_blob)
     if df == 1:
         cols["singleton_doc"].append(int(docs[0]))
         cols["blob"].append(b"")
@@ -298,7 +315,7 @@ def _make_exploder(heavy_ref, rank_of_base: dict[int, int], n_salts: int, n_buck
             seg_dir = spec["seg_dir"]
             t = pq.read_table(
                 os.path.join(seg_dir, "terms.parquet"),
-                columns=["term", "df", "ttf", "singleton_doc", "blob"],
+                columns=["term", "df", "ttf", "singleton_doc", "blob", "pos_blob"],
             )
             with open(os.path.join(seg_dir, "meta.json")) as f:
                 doc_base = json.load(f)["doc_base"]
@@ -334,7 +351,7 @@ def _concat_group_arrays(rows: list[dict], norms_global: np.ndarray):
             f = np.array([r["ttf"]], dtype=np.int64)
         else:
             d, f = decode_term_postings(r["blob"], r["df"])
-        decoded.append((d, f, norms_global[d]))
+        decoded.append((d, f, norms_global[d], r.get("pos_blob") or b""))
     return _concat_decoded(decoded)
 
 
@@ -435,11 +452,11 @@ def merge_by_term(
             while j < n and (rows[j]["term"], rows[j]["salt"]) == key:
                 j += 1
             group = rows[i:j]
-            docs, freqs, norms = _concat_group_arrays(group, norms_g)
+            docs, freqs, norms, pos_blob = _concat_group_arrays(group, norms_g)
             if key[1] < 0:  # light term: final after this single shuffle
-                _emit_from_arrays(final_cols, key[0], docs, freqs, norms)
+                _emit_from_arrays(final_cols, key[0], docs, freqs, norms, pos_blob)
             else:  # salted run of a heavy term
-                _emit_from_arrays(run_cols, key[0], docs, freqs, norms)
+                _emit_from_arrays(run_cols, key[0], docs, freqs, norms, pos_blob)
                 run_salts.append(int(key[1]))
             i = j
         out_rows: list[dict] = []
@@ -528,8 +545,10 @@ def merge_by_term(
                         rows_by_term[r["term"]].append(r)
             cols: dict[str, list] = {f.name: [] for f in TERMS_SCHEMA}
             for term in terms:
-                docs, freqs, norms = _concat_group_arrays(rows_by_term[term], norms_g)
-                _emit_from_arrays(cols, term, docs, freqs, norms)
+                docs, freqs, norms, pos_blob = _concat_group_arrays(
+                    rows_by_term[term], norms_g
+                )
+                _emit_from_arrays(cols, term, docs, freqs, norms, pos_blob)
             tbl = pa.table(cols, schema=TERMS_SCHEMA)
             path = os.path.join(shard_dir, f"shard-heavy-{_uuid.uuid4().hex[:12]}.parquet")
             pq.write_table(tbl, path + ".tmp")
@@ -724,7 +743,18 @@ class MergedIndex:
             imp_freq=np.array(row["imp_freq"], dtype=np.int64),
             imp_norm=np.array(row["imp_norm"], dtype=np.int64),
             imp_start=np.array(row["imp_start"], dtype=np.int64),
+            pos_blob=row.get("pos_blob") or b"",
         )
+
+    def positions(self, term: str):
+        """Per-posting position arrays (None if positions not indexed)."""
+        from .codec import decode_positions
+
+        ti = self.term_info(term)
+        if ti is None or not ti.pos_blob:
+            return None
+        _, freqs = self.postings(term)
+        return decode_positions(ti.pos_blob, freqs)
 
     def postings(self, term: str):
         cached = self._postings_cache.get(term)

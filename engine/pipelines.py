@@ -163,3 +163,39 @@ def collection_stats(sf_dir: str) -> pa.Table:
             ),
         }
     )
+
+
+def phrase_match_docs(sf_dir: str, phrase: str = "data join") -> pa.Table:
+    """(doc_id) of documents containing the exact phrase — positional
+    (slop-0) matching over the merged index's prox streams (PhraseQuery /
+    ExactPhraseMatcher role); oracle: a LIKE scan over the normalized token
+    string in DuckDB."""
+    from .checkpoint import load_merge_manifest
+    from .search import IndexSearcher, _phrase_postings
+
+    idx = get_index(sf_dir)
+    searcher = IndexSearcher(load_merge_manifest(idx["index_dir"]))
+    terms = tuple(phrase.split())
+    docs_all = []
+    for seg in searcher.segments:
+        docs, _freqs = _phrase_postings(seg, terms)
+        docs_all.append(docs)
+    out = np.sort(np.concatenate(docs_all)) if docs_all else np.empty(0, dtype=np.int64)
+    return pa.table({"doc_id": pa.array(out, type=pa.int64())})
+
+
+def phrase_topk(sf_dir: str, phrase: str = "data join", k: int = 10) -> pa.Table:
+    """BM25-scored phrase top-k (summed-idf weight x phrase frequency)."""
+    from .checkpoint import load_merge_manifest
+    from .search import IndexSearcher
+
+    idx = get_index(sf_dir)
+    searcher = IndexSearcher(load_merge_manifest(idx["index_dir"]))
+    docs, scores = searcher.search(f'"{phrase}"', k)
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(len(docs)), type=pa.int64()),
+            "doc_id": pa.array(docs, type=pa.int64()),
+            "score": pa.array(scores, type=pa.float32()),
+        }
+    )

@@ -29,10 +29,13 @@ class BoolQuery:
     must_not: tuple[str, ...] = ()
     prefixes: tuple[str, ...] = ()  # trailing-* terms, expanded at search time
     match_all: bool = False  # bare '*' (MatchAllDocsQuery)
+    phrases: tuple[tuple[str, ...], ...] = ()  # "quoted" exact phrases (slop 0)
 
     @property
     def empty(self) -> bool:
-        return not (self.must or self.should or self.prefixes or self.match_all)
+        return not (
+            self.must or self.should or self.prefixes or self.match_all or self.phrases
+        )
 
 
 def parse_query(q: str, analyzer: Analyzer = DEFAULT_ANALYZER) -> BoolQuery:
@@ -40,7 +43,20 @@ def parse_query(q: str, analyzer: Analyzer = DEFAULT_ANALYZER) -> BoolQuery:
     should: list[str] = []
     must_not: list[str] = []
     prefixes: list[str] = []
+    phrases: list[tuple[str, ...]] = []
     match_all = False
+    # "quoted phrases" are extracted first (PhraseQuery, slop 0)
+    import re as _re
+
+    def _grab_phrase(m: "_re.Match[str]") -> str:
+        toks = tuple(tokenize(m.group(1), analyzer))
+        if len(toks) >= 2:
+            phrases.append(toks)
+        elif toks:
+            should.append(toks[0])  # single-term phrase degrades to a term
+        return " "
+
+    q = _re.sub(r'"([^"]*)"', _grab_phrase, q)
     raw = q.split()
     and_mode = "AND" in raw
     for tok in raw:
@@ -79,4 +95,5 @@ def parse_query(q: str, analyzer: Analyzer = DEFAULT_ANALYZER) -> BoolQuery:
         must_not=tuple(sorted(set(must_not))),
         prefixes=tuple(dict.fromkeys(prefixes)),
         match_all=match_all,
+        phrases=tuple(phrases),
     )

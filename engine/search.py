@@ -34,7 +34,7 @@ import pyarrow as pa
 
 from .rayenv import remote_args as _rargs
 
-from .bm25 import TermScorerParams, make_term_scorer, topk_sort
+from .bm25 import TermScorerParams, make_phrase_scorer, make_term_scorer, topk_sort
 from .queryparse import BoolQuery, parse_query
 from .segment import Segment
 from .wand import (
@@ -137,14 +137,14 @@ class IndexSearcher:
                 must_not=q.must_not,
                 match_all=q.match_all,
             )
-        if q.match_all:
-            algorithm = "taat"  # constant-score clause: vectorized plan only
+        if q.match_all or q.phrases:
+            algorithm = "taat"  # constant-score / positional clauses: vectorized plan
         # must_not params are never used for scoring, only to build iterators
         params = self._params_for(tuple(q.must) + tuple(q.should) + tuple(q.must_not))
         if any(params[t] is None for t in q.must):
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
         live_should = tuple(t for t in q.should if params[t] is not None)
-        if not q.must and not live_should and not q.match_all:
+        if not q.must and not live_should and not q.match_all and not q.phrases:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
 
         if algorithm == "auto":
@@ -179,6 +179,18 @@ class IndexSearcher:
                 # MatchAllDocsQuery: constant score 1.0f for every doc
                 acc += 1.0
                 matched[:] = True
+            for phrase in q.phrases:
+                docs_p, freqs_p = _phrase_postings(seg, phrase)
+                if len(docs_p) == 0:
+                    continue
+                params_p = make_phrase_scorer(
+                    [self.global_term_stats(t)[0] for t in phrase],
+                    self.doc_count,
+                    self.sum_ttf,
+                )
+                sp = params_p.score(freqs_p, seg.norm_of(docs_p))
+                acc[docs_p - lo] += sp.astype(np.float64)
+                matched[docs_p - lo] = True
             for t in tuple(q.must) + live_should:
                 docs, freqs = seg.postings(t)
                 if len(docs) == 0:
@@ -279,6 +291,45 @@ class IndexSearcher:
             for it in matching:
                 it.next()
             active = [it for it in active if it.doc != NO_MORE_DOCS]
+
+
+def _phrase_postings(seg, phrase: tuple[str, ...]) -> tuple[np.ndarray, np.ndarray]:
+    """Exact (slop 0) phrase matching over one segment: docs containing all
+    terms in adjacent positions, with the phrase frequency per doc (the
+    ExactPhraseMatcher role). Requires DOCS_AND_FREQS_AND_POSITIONS."""
+    term_docs = []
+    term_pos: list[list[np.ndarray]] = []
+    for t in phrase:
+        ti = seg.term_info(t)
+        if ti is None:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+        if not ti.pos_blob:
+            raise ValueError(
+                f"phrase query needs positions but term {t!r} has no prox "
+                "stream (index built with index_positions=False)"
+            )
+        docs, _ = seg.postings(t)
+        term_docs.append(docs)
+        term_pos.append(seg.positions(t))
+    cand = term_docs[0]
+    for d in term_docs[1:]:
+        cand = np.intersect1d(cand, d, assume_unique=True)
+    if len(cand) == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    out_docs: list[int] = []
+    out_freqs: list[int] = []
+    idx_per_term = [np.searchsorted(term_docs[i], cand) for i in range(len(phrase))]
+    for ci, doc in enumerate(cand.tolist()):
+        match = term_pos[0][idx_per_term[0][ci]]
+        for off in range(1, len(phrase)):
+            nxt = term_pos[off][idx_per_term[off][ci]]
+            match = np.intersect1d(match, nxt - off, assume_unique=True)
+            if len(match) == 0:
+                break
+        if len(match):
+            out_docs.append(doc)
+            out_freqs.append(len(match))
+    return np.array(out_docs, dtype=np.int64), np.array(out_freqs, dtype=np.int64)
 
 
 # ---------------------------------------------------------------------------

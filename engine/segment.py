@@ -54,6 +54,11 @@ TERMS_SCHEMA = pa.schema(
         ("imp_freq", pa.list_(pa.int64())),
         ("imp_norm", pa.list_(pa.int64())),
         ("imp_start", pa.list_(pa.int64())),
+        # prox stream (DOCS_AND_FREQS_AND_POSITIONS): VInt position deltas,
+        # reset per doc (first = pos+1), freqs[i] values per posting — the
+        # FreqProxTermsWriter stream-1 analogue (.pos file role). Empty when
+        # positions are not indexed.
+        ("pos_blob", pa.binary()),
     ]
 )
 
@@ -70,6 +75,7 @@ class TermInfo:
     imp_freq: np.ndarray
     imp_norm: np.ndarray
     imp_start: np.ndarray
+    pos_blob: bytes = b""
 
 
 def write_segment(
@@ -191,7 +197,22 @@ class Segment:
             imp_freq=np.array(row["imp_freq"], dtype=np.int64),
             imp_norm=np.array(row["imp_norm"], dtype=np.int64),
             imp_start=np.array(row["imp_start"], dtype=np.int64),
+            pos_blob=row.get("pos_blob") or b"",
         )
+
+    def positions(self, term: str) -> list[np.ndarray] | None:
+        """Per-posting position arrays (None if positions not indexed)."""
+        from .codec import decode_positions
+
+        ti = self.term_info(term)
+        if ti is None or not ti.pos_blob:
+            return None
+        _, freqs = (
+            (np.array([ti.singleton_doc]), np.array([ti.ttf]))
+            if ti.df == 1
+            else self.postings(term)
+        )
+        return decode_positions(ti.pos_blob, freqs)
 
     def iter_term_rows(self):
         """Stream (term, row-dict) in sorted term order (merge input)."""

@@ -19,7 +19,16 @@ from engine.segment import Segment
 N_DOCS = 1200
 N_SEGS = 8
 
-QUERIES = ["the00", "the19 the03", "t00000 t00123", "+t00000 +t00001", "tiekey", "s000300"]
+QUERIES = [
+    "the00",
+    "the19 the03",
+    "t00000 t00123",
+    "+t00000 +t00001",
+    "tiekey",
+    "s000300",
+    '"the00 the01"',  # phrase: prox streams must survive both merge paths
+    '"t00000 t00001"',
+]
 
 
 @pytest.fixture(scope="module")
@@ -140,3 +149,31 @@ def test_merge_by_term_salted(built, tmp_path_factory):
         np.testing.assert_array_equal(ws, bs, err_msg=q)
     # resume: second call returns the committed manifest untouched
     assert merge_by_term(m, root) == mm
+
+
+def test_concat_decoded_reorders_positions():
+    # interleaved (non-contiguous) runs force the decode+reorder path for
+    # the prox stream; result must equal a straight re-encode
+    import numpy as np
+
+    from engine.codec import decode_positions, encode_positions
+    from engine.merge import _concat_decoded
+
+    run1 = (
+        np.array([5, 20]),
+        np.array([2, 1]),
+        np.array([3, 3], dtype=np.uint8),
+        encode_positions(np.array([1, 4, 0]), np.array([2, 1])),
+    )
+    run2 = (
+        np.array([10]),
+        np.array([3]),
+        np.array([7], dtype=np.uint8),
+        encode_positions(np.array([2, 5, 9]), np.array([3])),
+    )
+    docs, freqs, norms, blob = _concat_decoded([run1, run2])
+    assert docs.tolist() == [5, 10, 20]
+    assert freqs.tolist() == [2, 3, 1]
+    assert norms.tolist() == [3, 7, 3]
+    out = decode_positions(blob, freqs)
+    assert [o.tolist() for o in out] == [[1, 4], [2, 5, 9], [0]]

@@ -211,3 +211,79 @@ def test_match_all_query(corpus):
     # match_all combined with must_not
     docs2, _ = s.search("* -tiekey", 5)
     assert docs2.tolist() == [20, 21, 22, 23, 24]  # tie cluster excluded
+
+
+def _phrase_oracle(corpus_texts, phrase, doc_count, sum_ttf, oracle_postings, norms, k):
+    """Brute-force phrase top-k from raw texts (positional scan)."""
+    from engine.analyze import tokenize
+    from engine.bm25 import make_phrase_scorer, topk_sort
+
+    terms = phrase.split()
+    docs, freqs = [], []
+    for i, t in enumerate(corpus_texts):
+        toks = tokenize(t)
+        n = 0
+        for p in range(len(toks) - len(terms) + 1):
+            if toks[p : p + len(terms)] == terms:
+                n += 1
+        if n:
+            docs.append(i)
+            freqs.append(n)
+    if not docs:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
+    docs = np.array(docs, dtype=np.int64)
+    freqs = np.array(freqs, dtype=np.int64)
+    params = make_phrase_scorer(
+        [len(oracle_postings.get(t, ([], []))[0]) for t in terms], doc_count, sum_ttf
+    )
+    scores = params.score(freqs, norms[docs])
+    return topk_sort(docs, scores, k)
+
+
+def test_phrase_query_rank_identity(corpus, tmp_path_factory):
+    pages = make_pages(N_DOCS, seed=42)
+    texts = pages.column("text").to_pylist()
+    s = IndexSearcher(corpus["manifest"], algorithm="taat")
+    for phrase in ["the00 the01", "t00000 t00001", "tiekey tiekey"]:
+        od, osc = _phrase_oracle(
+            texts,
+            phrase,
+            corpus["doc_count"],
+            corpus["sum_ttf"],
+            corpus["oracle_postings"],
+            corpus["norms"],
+            10,
+        )
+        gd, gs = s.search(f'"{phrase}"', 10)
+        np.testing.assert_array_equal(gd, od, err_msg=phrase)
+        np.testing.assert_array_equal(gs, osc, err_msg=phrase)
+    # no-match phrase
+    gd, gs = s.search('"zzznomatch t00000"', 10)
+    assert len(gd) == 0
+    # phrase mixed with a term clause runs and returns hits
+    gd, gs = s.search('"the00 the01" t00000', 10)
+    assert len(gd) > 0
+
+
+def test_phrase_survives_merges(corpus, tmp_path_factory):
+    import os
+
+    from engine.merge import MergedIndex, merge_by_term, merge_segments
+
+    m = corpus["manifest"]
+    pages = make_pages(N_DOCS, seed=42)
+    texts = pages.column("text").to_pylist()
+    base = IndexSearcher(m, algorithm="taat")
+    # path A: k-way merged segment
+    out = str(tmp_path_factory.mktemp("pm") / "m0")
+    merge_segments([r["seg_dir"] for r in m["partitions"]], out)
+    from engine.segment import Segment
+
+    merged = IndexSearcher.from_segments(
+        [Segment(out)], corpus["doc_count"], corpus["sum_ttf"], algorithm="taat"
+    )
+    for phrase in ['"the00 the01"', '"t00000 t00001"']:
+        bd, bs = base.search(phrase, 10)
+        md, ms = merged.search(phrase, 10)
+        np.testing.assert_array_equal(md, bd, err_msg=phrase)
+        np.testing.assert_array_equal(ms, bs, err_msg=phrase)
