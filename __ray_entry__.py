@@ -141,6 +141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": pipelines.bm25_search_results,
         "phrase_match_docs": pipelines.phrase_match_docs,
         "phrase_topk": pipelines.phrase_topk,
+        "term_filter_sort_by_field": pipelines.term_filter_sort_by_field,
         # --- text analysis ------------------------------------------------
         "token_counts_docs": q_token_count_docs,
         "quality_features": q_quality_features,
@@ -169,6 +170,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_semi_join": relational.orders_semi_join,
         "top_orders_per_priority": relational.top_orders_per_priority,
         "lang_facet": relational.lang_facet,
+        "lineitem_revenue_expr": relational.lineitem_revenue_expr,
+        "orders_sample": relational.orders_sample,
     }
 
 
@@ -276,4 +279,16 @@ def oracle_sql() -> dict[str, str]:
             WHERE rn <= 2
         """,
         "lang_facet": "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang",
+        "term_filter_sort_by_field": f"""
+            SELECT (row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) - 1) AS rank,
+                   doc_id, n_chars
+            FROM documents
+            WHERE list_contains({_TOK}, 'data')
+            ORDER BY rank LIMIT 20
+        """,
+        "lineitem_revenue_expr": """
+            SELECT l_orderkey, l_linenumber,
+                   l_extendedprice * (1 - l_discount) AS revenue
+            FROM lineitem
+        """,
     }

@@ -199,3 +199,37 @@ def phrase_topk(sf_dir: str, phrase: str = "data join", k: int = 10) -> pa.Table
             "score": pa.array(scores, type=pa.float32()),
         }
     )
+
+
+def term_filter_sort_by_field(
+    sf_dir: str, term: str = "data", k: int = 20
+) -> pa.Table:
+    """Sort-by-field search (Sort/TopFieldCollector role): docs matching
+    ``term`` ordered by the n_chars doc-value column desc (tie: doc_id
+    asc), top k. Two-phase: docIDs from the inverted index, field values
+    fetched from the source table with a row-filter pushdown (the
+    QueryComponent ids-then-fields shape)."""
+    import pyarrow.dataset as pads
+
+    from .checkpoint import load_merge_manifest
+    from .search import IndexSearcher
+
+    idx = get_index(sf_dir)
+    searcher = IndexSearcher(load_merge_manifest(idx["index_dir"]))
+    docs = np.concatenate([seg.postings(term)[0] for seg in searcher.segments])
+    if len(docs) == 0:
+        return pa.table(
+            {
+                "rank": pa.array([], type=pa.int64()),
+                "doc_id": pa.array([], type=pa.int64()),
+                "n_chars": pa.array([], type=pa.int64()),
+            }
+        )
+    tbl = pads.dataset(os.path.join(sf_dir, "documents.parquet")).to_table(
+        columns=["doc_id", "n_chars"],
+        filter=pads.field("doc_id").isin([int(d) for d in docs]),
+    )
+    df = tbl.to_pandas().sort_values(["n_chars", "doc_id"], ascending=[False, True]).head(k)
+    df = df.reset_index(drop=True)
+    df["rank"] = np.arange(len(df), dtype=np.int64)
+    return pa.Table.from_pandas(df[["rank", "doc_id", "n_chars"]], preserve_index=False)

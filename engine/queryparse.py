@@ -30,11 +30,17 @@ class BoolQuery:
     prefixes: tuple[str, ...] = ()  # trailing-* terms, expanded at search time
     match_all: bool = False  # bare '*' (MatchAllDocsQuery)
     phrases: tuple[tuple[str, ...], ...] = ()  # "quoted" exact phrases (slop 0)
+    synonyms: tuple[tuple[str, ...], ...] = ()  # a|b|c groups (SynonymQuery)
 
     @property
     def empty(self) -> bool:
         return not (
-            self.must or self.should or self.prefixes or self.match_all or self.phrases
+            self.must
+            or self.should
+            or self.prefixes
+            or self.match_all
+            or self.phrases
+            or self.synonyms
         )
 
 
@@ -44,6 +50,7 @@ def parse_query(q: str, analyzer: Analyzer = DEFAULT_ANALYZER) -> BoolQuery:
     must_not: list[str] = []
     prefixes: list[str] = []
     phrases: list[tuple[str, ...]] = []
+    synonyms: list[tuple[str, ...]] = []
     match_all = False
     # "quoted phrases" are extracted first (PhraseQuery, slop 0)
     import re as _re
@@ -74,6 +81,15 @@ def parse_query(q: str, analyzer: Analyzer = DEFAULT_ANALYZER) -> BoolQuery:
         if tok == "*":
             match_all = True  # MatchAllDocsQuery
             continue
+        if "|" in tok and bucket is should:
+            # SynonymQuery (search/SynonymQuery.java): terms scored as one
+            # pseudo-term — summed freqs, blended df
+            grp = tuple(t for part in tok.split("|") for t in tokenize(part, analyzer))
+            if len(grp) >= 2:
+                synonyms.append(grp)
+            elif grp:
+                should.append(grp[0])
+            continue
         if tok.endswith("*") and len(tok) > 1 and bucket is should:
             # PrefixQuery (search/PrefixQuery.java): expanded against the
             # sorted term dictionary at search time, scoring rewrite to a
@@ -96,4 +112,5 @@ def parse_query(q: str, analyzer: Analyzer = DEFAULT_ANALYZER) -> BoolQuery:
         prefixes=tuple(dict.fromkeys(prefixes)),
         match_all=match_all,
         phrases=tuple(phrases),
+        synonyms=tuple(synonyms),
     )

@@ -196,3 +196,31 @@ def lang_facet(sf_dir: str):
 
     ds = _read(sf_dir, "documents", ["lang"])
     return ds.groupby("lang").aggregate(Count(alias_name="n_docs"))
+
+
+def lineitem_revenue_expr(sf_dir: str):
+    """Expressions-module analogue (lucene/expressions: compiled scalar
+    expressions over doc-value columns): revenue = extendedprice * (1 -
+    discount), vectorized per Arrow batch."""
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"])
+
+    def expr(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            batch.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+        )
+        return pa.table(
+            {
+                "l_orderkey": batch.column("l_orderkey"),
+                "l_linenumber": batch.column("l_linenumber"),
+                "revenue": rev,
+            }
+        )
+
+    return ds.map_batches(expr, batch_format="pyarrow", **_rargs())
+
+
+def orders_sample(sf_dir: str, fraction: float = 0.1, seed: int = 7):
+    """RandomStream / sampling analogue: seeded bernoulli sample."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    return ds.random_sample(fraction, seed=seed)

@@ -137,14 +137,20 @@ class IndexSearcher:
                 must_not=q.must_not,
                 match_all=q.match_all,
             )
-        if q.match_all or q.phrases:
-            algorithm = "taat"  # constant-score / positional clauses: vectorized plan
+        if q.match_all or q.phrases or q.synonyms:
+            algorithm = "taat"  # constant-score / positional / blended clauses
         # must_not params are never used for scoring, only to build iterators
         params = self._params_for(tuple(q.must) + tuple(q.should) + tuple(q.must_not))
         if any(params[t] is None for t in q.must):
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
         live_should = tuple(t for t in q.should if params[t] is not None)
-        if not q.must and not live_should and not q.match_all and not q.phrases:
+        if (
+            not q.must
+            and not live_should
+            and not q.match_all
+            and not q.phrases
+            and not q.synonyms
+        ):
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
 
         if algorithm == "auto":
@@ -179,6 +185,27 @@ class IndexSearcher:
                 # MatchAllDocsQuery: constant score 1.0f for every doc
                 acc += 1.0
                 matched[:] = True
+            for group in q.synonyms:
+                # SynonymQuery semantics: df = max over terms, freq = sum of
+                # term freqs per doc (SynonymQuery.java blended stats)
+                dfs = [self.global_term_stats(t)[0] for t in group]
+                if max(dfs, default=0) == 0:
+                    continue
+                params_s = make_term_scorer(max(dfs), self.doc_count, self.sum_ttf)
+                freq_sum = np.zeros(span, dtype=np.int64)
+                any_hit = np.zeros(span, dtype=bool)
+                for t in group:
+                    docs, freqs = seg.postings(t)
+                    if len(docs):
+                        freq_sum[docs - lo] += freqs
+                        any_hit[docs - lo] = True
+                hit_local = np.flatnonzero(any_hit)
+                if len(hit_local):
+                    s = params_s.score(
+                        freq_sum[hit_local], seg.norm_of(hit_local + lo)
+                    )
+                    acc[hit_local] += s.astype(np.float64)
+                    matched[hit_local] = True
             for phrase in q.phrases:
                 docs_p, freqs_p = _phrase_postings(seg, phrase)
                 if len(docs_p) == 0:
@@ -291,6 +318,73 @@ class IndexSearcher:
             for it in matching:
                 it.next()
             active = [it for it in active if it.doc != NO_MORE_DOCS]
+
+
+def explain(searcher: IndexSearcher, query: str, doc_id: int) -> dict:
+    """Weight.explain analogue: per-clause score breakdown for one doc;
+    the clause sum (float64 → float32) must equal Scorer.score — the
+    CheckHits explain-vs-score invariant (CheckHits.java:725)."""
+    from .bm25 import idf as _idf
+
+    q = parse_query(query)
+    seg = next(
+        s
+        for s in searcher.segments
+        if s.doc_base <= doc_id < s.doc_base + len(s._norms)
+    )
+    norm = int(seg.norm_of(np.array([doc_id]))[0])
+    clauses = []
+    acc = 0.0
+    for t in tuple(q.must) + tuple(q.should):
+        df, _ = searcher.global_term_stats(t)
+        if df == 0:
+            continue
+        docs, freqs = seg.postings(t)
+        i = int(np.searchsorted(docs, doc_id))
+        if i >= len(docs) or docs[i] != doc_id:
+            continue
+        params = make_term_scorer(df, searcher.doc_count, searcher.sum_ttf)
+        s = float(params.score(freqs[i : i + 1], np.array([norm], dtype=np.uint8))[0])
+        clauses.append(
+            {
+                "type": "term",
+                "term": t,
+                "freq": int(freqs[i]),
+                "norm": norm,
+                "doc_freq": df,
+                "idf": float(_idf(df, searcher.doc_count)),
+                "score": s,
+            }
+        )
+        acc += s
+    for phrase in q.phrases:
+        docs_p, freqs_p = _phrase_postings(seg, phrase)
+        i = int(np.searchsorted(docs_p, doc_id))
+        if i < len(docs_p) and docs_p[i] == doc_id:
+            params = make_phrase_scorer(
+                [searcher.global_term_stats(t)[0] for t in phrase],
+                searcher.doc_count,
+                searcher.sum_ttf,
+            )
+            s = float(
+                params.score(freqs_p[i : i + 1], np.array([norm], dtype=np.uint8))[0]
+            )
+            clauses.append(
+                {
+                    "type": "phrase",
+                    "term": " ".join(phrase),
+                    "freq": int(freqs_p[i]),
+                    "norm": norm,
+                    "score": s,
+                }
+            )
+            acc += s
+    return {
+        "doc_id": doc_id,
+        "score": float(np.float32(acc)),
+        "norm": norm,
+        "clauses": clauses,
+    }
 
 
 def _phrase_postings(seg, phrase: tuple[str, ...]) -> tuple[np.ndarray, np.ndarray]:

@@ -287,3 +287,39 @@ def test_phrase_survives_merges(corpus, tmp_path_factory):
         md, ms = merged.search(phrase, 10)
         np.testing.assert_array_equal(md, bd, err_msg=phrase)
         np.testing.assert_array_equal(ms, bs, err_msg=phrase)
+
+
+def test_synonym_query(corpus):
+    s = IndexSearcher(corpus["manifest"], algorithm="taat")
+    docs, scores = s.search("t00003|t00004", 10)
+    # manual oracle: freq = sum over group, df = max over group
+    from engine.bm25 import make_term_scorer, topk_sort
+
+    op = corpus["oracle_postings"]
+    n = corpus["doc_count"]
+    freq_sum = np.zeros(n, dtype=np.int64)
+    hit = np.zeros(n, dtype=bool)
+    for t in ("t00003", "t00004"):
+        d, f = op[t]
+        freq_sum[d] += f
+        hit[d] = True
+    params = make_term_scorer(
+        max(len(op["t00003"][0]), len(op["t00004"][0])), n, corpus["sum_ttf"]
+    )
+    sel = np.flatnonzero(hit)
+    exp_scores = params.score(freq_sum[sel], corpus["norms"][sel])
+    ed, es = topk_sort(sel, exp_scores, 10)
+    np.testing.assert_array_equal(docs, ed)
+    np.testing.assert_array_equal(scores, es)
+
+
+def test_explain_matches_score(corpus):
+    from engine.search import explain
+
+    s = IndexSearcher(corpus["manifest"], algorithm="taat")
+    for q in ["t00000 t00001", "the00", '"the00 the01" t00002']:
+        docs, scores = s.search(q, 5)
+        for d, sc in zip(docs.tolist()[:3], scores.tolist()[:3]):
+            ex = explain(s, q, d)
+            assert ex["score"] == np.float32(sc), (q, d, ex)
+            assert len(ex["clauses"]) >= 1
