@@ -719,6 +719,23 @@ class MergedIndex:
                 break
         return out
 
+    def expand_range(self, lo: str, hi: str, max_terms: int = 1024) -> list[str]:
+        """Inclusive term-range scan over every shard (hash-bucketed)."""
+        from bisect import bisect_left, bisect_right
+
+        out: list[str] = []
+        paths = sorted(
+            {p for _, _, p in self._heavy_ranges} | set(self._light_by_bucket.values())
+        )
+        for p in paths:
+            _, terms = self._load(p)
+            i = bisect_left(terms, lo)
+            j = bisect_right(terms, hi)
+            out.extend(terms[i:j])
+            if len(out) >= max_terms:
+                break
+        return sorted(out)[:max_terms]
+
     def term_stats(self, term: str):
         tbl, i = self._find(term)
         if tbl is None:

@@ -31,6 +31,9 @@ class BoolQuery:
     match_all: bool = False  # bare '*' (MatchAllDocsQuery)
     phrases: tuple[tuple[str, ...], ...] = ()  # "quoted" exact phrases (slop 0)
     synonyms: tuple[tuple[str, ...], ...] = ()  # a|b|c groups (SynonymQuery)
+    ranges: tuple[tuple[str, str], ...] = ()  # [lo TO hi] term ranges, inclusive
+    wildcards: tuple[str, ...] = ()  # patterns with mid-string * or ?
+    boosts: tuple[tuple[str, float], ...] = ()  # term^boost factors
 
     @property
     def empty(self) -> bool:
@@ -41,6 +44,9 @@ class BoolQuery:
             or self.match_all
             or self.phrases
             or self.synonyms
+            or self.ranges
+            or self.wildcards
+            or self.boosts
         )
 
 
@@ -51,6 +57,9 @@ def parse_query(q: str, analyzer: Analyzer = DEFAULT_ANALYZER) -> BoolQuery:
     prefixes: list[str] = []
     phrases: list[tuple[str, ...]] = []
     synonyms: list[tuple[str, ...]] = []
+    ranges: list[tuple[str, str]] = []
+    wildcards: list[str] = []
+    boosts: list[tuple[str, float]] = []
     match_all = False
     # "quoted phrases" are extracted first (PhraseQuery, slop 0)
     import re as _re
@@ -64,6 +73,16 @@ def parse_query(q: str, analyzer: Analyzer = DEFAULT_ANALYZER) -> BoolQuery:
         return " "
 
     q = _re.sub(r'"([^"]*)"', _grab_phrase, q)
+
+    # [lo TO hi] inclusive term ranges (TermRangeQuery, classic parser syntax)
+    def _grab_range(m: "_re.Match[str]") -> str:
+        lo = tokenize(m.group(1), analyzer)
+        hi = tokenize(m.group(2), analyzer)
+        if lo and hi:
+            ranges.append((lo[0], hi[0]))
+        return " "
+
+    q = _re.sub(r"\[\s*(\S+)\s+TO\s+(\S+)\s*\]", _grab_range, q)
     raw = q.split()
     and_mode = "AND" in raw
     for tok in raw:
@@ -90,6 +109,21 @@ def parse_query(q: str, analyzer: Analyzer = DEFAULT_ANALYZER) -> BoolQuery:
             elif grp:
                 should.append(grp[0])
             continue
+        if bucket is should and ("*" in tok[:-1] or "?" in tok):
+            # mid-string wildcard (WildcardQuery): dictionary scan rewrite
+            wildcards.append(tok.lower())
+            continue
+        if "^" in tok and bucket is should:
+            # term^boost (classic parser boost syntax)
+            base, _, bv = tok.partition("^")
+            toks = tokenize(base, analyzer)
+            try:
+                bf = float(bv)
+            except ValueError:
+                bf = 1.0
+            if toks:
+                boosts.append((toks[0], bf))
+            continue
         if tok.endswith("*") and len(tok) > 1 and bucket is should:
             # PrefixQuery (search/PrefixQuery.java): expanded against the
             # sorted term dictionary at search time, scoring rewrite to a
@@ -113,4 +147,7 @@ def parse_query(q: str, analyzer: Analyzer = DEFAULT_ANALYZER) -> BoolQuery:
         match_all=match_all,
         phrases=tuple(phrases),
         synonyms=tuple(synonyms),
+        ranges=tuple(ranges),
+        wildcards=tuple(wildcards),
+        boosts=tuple(boosts),
     )

@@ -120,6 +120,41 @@ class IndexSearcher:
         algorithm = algorithm or self.algorithm
         if q.empty or k <= 0:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
+        if q.ranges or q.wildcards:
+            # MultiTermQuery scoring rewrite: expand against the dictionary
+            import fnmatch
+
+            extra = list(q.should)
+            seen = set(extra)
+            for lo_t, hi_t in q.ranges:
+                for seg in self.segments:
+                    for t in seg.expand_range(lo_t, hi_t, 1024):
+                        if t not in seen:
+                            seen.add(t)
+                            extra.append(t)
+            for pat in q.wildcards:
+                # scan from the fixed prefix of the pattern (BlockTree
+                # intersect role); bounded like maxClauseCount
+                fixed = pat.split("*", 1)[0].split("?", 1)[0]
+                for seg in self.segments:
+                    for t in seg.expand_prefix(fixed, 65536):
+                        if fnmatch.fnmatchcase(t, pat) and t not in seen:
+                            seen.add(t)
+                            extra.append(t)
+                            if len(extra) >= 1024:
+                                break
+            q = BoolQuery(
+                must=q.must,
+                should=tuple(extra),
+                must_not=q.must_not,
+                prefixes=q.prefixes,
+                match_all=q.match_all,
+                phrases=q.phrases,
+                synonyms=q.synonyms,
+                boosts=q.boosts,
+            )
+        if q.boosts:
+            algorithm = "taat"  # boosted clauses: vectorized plan only
         if q.prefixes:
             # PrefixQuery scoring rewrite: expand against the sorted term
             # dictionary into SHOULD clauses, capped like BooleanQuery's
@@ -150,6 +185,7 @@ class IndexSearcher:
             and not q.match_all
             and not q.phrases
             and not q.synonyms
+            and not q.boosts
         ):
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
 
@@ -185,6 +221,18 @@ class IndexSearcher:
                 # MatchAllDocsQuery: constant score 1.0f for every doc
                 acc += 1.0
                 matched[:] = True
+            for t, bf in q.boosts:
+                df, _ = self.global_term_stats(t)
+                if df == 0:
+                    continue
+                params_b = make_term_scorer(
+                    df, self.doc_count, self.sum_ttf, boost=np.float32(bf)
+                )
+                docs, freqs = seg.postings(t)
+                if len(docs):
+                    sb = params_b.score(freqs, seg.norm_of(docs))
+                    acc[docs - lo] += sb.astype(np.float64)
+                    matched[docs - lo] = True
             for group in q.synonyms:
                 # SynonymQuery semantics: df = max over terms, freq = sum of
                 # term freqs per doc (SynonymQuery.java blended stats)

@@ -174,6 +174,14 @@ class Segment:
             i += 1
         return out
 
+    def expand_range(self, lo: str, hi: str, max_terms: int = 1024) -> list[str]:
+        """Inclusive sorted-dictionary range scan (TermRangeQuery role)."""
+        from bisect import bisect_left, bisect_right
+
+        i = bisect_left(self._terms, lo)
+        j = bisect_right(self._terms, hi)
+        return self._terms[i : min(j, i + max_terms)]
+
     def term_stats(self, term: str) -> tuple[int, int]:
         """(docFreq, totalTermFreq) — 0,0 if absent (TermStates.build role)."""
         i = self.term_index(term)

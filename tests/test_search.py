@@ -323,3 +323,53 @@ def test_explain_matches_score(corpus):
             ex = explain(s, q, d)
             assert ex["score"] == np.float32(sc), (q, d, ex)
             assert len(ex["clauses"]) >= 1
+
+
+def test_range_wildcard_boost_queries(corpus):
+    s = IndexSearcher(corpus["manifest"], algorithm="taat")
+    # range == explicit disjunction over the expansion
+    d1, s1 = s.search("[the00 TO the04]", 10)
+    d2, s2 = s.search("the00 the01 the02 the03 the04", 10)
+    np.testing.assert_array_equal(d1, d2)
+    np.testing.assert_array_equal(s1, s2)
+    # wildcard with mid-string ? — the0? == the00..the09
+    d3, s3 = s.search("the0?", 10)
+    d4, s4 = s.search(" ".join(f"the0{i}" for i in range(10)), 10)
+    np.testing.assert_array_equal(d3, d4)
+    np.testing.assert_array_equal(s3, s4)
+    # boost scales the term weight (boost * idf) — compare to manual oracle
+    from engine.bm25 import make_term_scorer, topk_sort
+
+    op = corpus["oracle_postings"]
+    docs, freqs = op["t00005"]
+    params = make_term_scorer(
+        len(docs), corpus["doc_count"], corpus["sum_ttf"], boost=np.float32(2.5)
+    )
+    exp = params.score(freqs, corpus["norms"][docs])
+    ed, es = topk_sort(docs, exp, 10)
+    gd, gs = s.search("t00005^2.5", 10)
+    np.testing.assert_array_equal(gd, ed)
+    np.testing.assert_array_equal(gs, es)
+
+
+def test_quality_harness(corpus):
+    from engine.quality import average_precision, evaluate, freq_qrels, precision_at_k
+
+    # unit math
+    assert precision_at_k(np.array([1, 2, 3, 4]), {1, 3}, 4) == 0.5
+    assert average_precision(np.array([1, 9, 3]), {1, 3}) == (1 / 1 + 2 / 3) / 2
+    assert average_precision(np.array([9, 8]), {1}) == 0.0
+
+    s = IndexSearcher(corpus["manifest"], algorithm="taat")
+    terms = ["t00000", "t00001", "the00"]
+    qrels = freq_qrels(s, terms, min_freq=2)
+    topics = [(t, t) for t in terms]
+    res = evaluate(s, topics, qrels, k=10)
+    # BM25 on a single term ranks freq>=2 docs above freq==1 docs when norms
+    # are comparable: precision at the top must be near-perfect. (MAP is
+    # recall-limited here because judgment sets are much larger than the
+    # retrieved depth — exactly how TREC-style MAP behaves.)
+    assert res["p_at_10"] > 0.8
+    n_rel = sum(len(qrels[t]) for t in terms) / 3
+    assert res["map"] > 0.0  # sanity; bounded by retrieved/|rel|
+    assert len(res["per_topic"]) == 3
