@@ -153,3 +153,56 @@ def brute_force_topk(
         matched = np.flatnonzero(match_count > 0)
     scores = acc[matched].astype(np.float32)
     return topk_sort(matched, scores, k)
+
+
+# ---------------------------------------------------------------------------
+# Similarity extension point (search/similarities/Similarity.java surface):
+# a scorer is anything exposing score(freqs, norm_bytes) + weight/max_score.
+# ClassicSimilarity (TFIDFSimilarity) is the second built-in model.
+# ---------------------------------------------------------------------------
+
+
+def make_classic_scorer(
+    doc_freq: int,
+    doc_count: int,
+    sum_total_term_freq: int,  # unused by TF-IDF; kept for interface parity
+    boost: np.float32 = np.float32(1.0),
+) -> TermScorerParams:
+    """ClassicSimilarity (TFIDFSimilarity): score = boost * idf^2 * sqrt(tf)
+    * (1/sqrt(length)) with idf = log((docCount+1)/(docFreq+1)) + 1 and the
+    norm byte decoding through the same SmallFloat length table
+    (search/similarities/ClassicSimilarity.java + TFIDFSimilarity.java:
+    tf=sqrt, idf, lengthNorm=1/sqrt(numTerms); Lucene 8 norm byte4).
+
+    Implemented through the same TermScorerParams shape: weight carries
+    boost*idf^2 and the 256-entry cache carries 1/sqrt(LENGTH_TABLE[i]);
+    the score kernel differs, so a subclass overrides score()."""
+    idf_c = np.float32(math.log((doc_count + 1) / (doc_freq + 1)) + 1.0)
+    w = np.multiply(boost, np.multiply(idf_c, idf_c, dtype=np.float32), dtype=np.float32)
+    with np.errstate(divide="ignore"):
+        cache = np.divide(
+            np.float32(1.0), np.sqrt(LENGTH_TABLE, dtype=np.float32), dtype=np.float32
+        )
+    cache[LENGTH_TABLE == 0] = np.float32(0.0)
+    return ClassicScorerParams(weight=w, cache=cache)
+
+
+@dataclass(frozen=True)
+class ClassicScorerParams(TermScorerParams):
+    def score(self, freqs: np.ndarray, norm_bytes: np.ndarray) -> np.ndarray:
+        tf = np.sqrt(freqs.astype(np.float32), dtype=np.float32)
+        ln = self.cache[np.asarray(norm_bytes, dtype=np.uint8)]
+        return np.multiply(
+            np.multiply(self.weight, tf, dtype=np.float32), ln, dtype=np.float32
+        )
+
+    def max_score(self, imp_freq: np.ndarray, imp_norm: np.ndarray) -> np.float32:
+        if len(imp_freq) == 0:
+            return np.float32(0.0)
+        return np.float32(self.score(np.asarray(imp_freq), np.asarray(imp_norm)).max())
+
+
+SIMILARITIES = {
+    "bm25": make_term_scorer,
+    "classic": make_classic_scorer,
+}

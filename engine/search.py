@@ -54,7 +54,7 @@ WAND_POSTINGS_CUTOVER = 8_000_000
 
 
 class IndexSearcher:
-    def __init__(self, manifest: dict, algorithm: str = "auto"):
+    def __init__(self, manifest: dict, algorithm: str = "auto", similarity: str = "bm25"):
         if manifest.get("kind") == "merge-by-term":
             from .merge import MergedIndex
 
@@ -68,6 +68,9 @@ class IndexSearcher:
         self.doc_count = int(manifest["doc_count"])
         self.sum_ttf = int(manifest["sum_ttf"])
         self.algorithm = algorithm
+        from .bm25 import SIMILARITIES
+
+        self.make_scorer = SIMILARITIES[similarity]  # Similarity plug point
 
     @classmethod
     def from_segments(cls, segments: list, doc_count: int, sum_ttf: int, algorithm: str = "auto"):
@@ -76,6 +79,9 @@ class IndexSearcher:
         obj.doc_count = doc_count
         obj.sum_ttf = sum_ttf
         obj.algorithm = algorithm
+        from .bm25 import SIMILARITIES
+
+        obj.make_scorer = SIMILARITIES["bm25"]
         return obj
 
     # -- stats pass (createWeight analogue) --------------------------------
@@ -102,7 +108,7 @@ class IndexSearcher:
         for t in terms:
             df, _ = self.global_term_stats(t)
             out[t] = (
-                make_term_scorer(df, self.doc_count, self.sum_ttf) if df > 0 else None
+                self.make_scorer(df, self.doc_count, self.sum_ttf) if df > 0 else None
             )
         return out
 

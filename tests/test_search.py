@@ -373,3 +373,22 @@ def test_quality_harness(corpus):
     n_rel = sum(len(qrels[t]) for t in terms) / 3
     assert res["map"] > 0.0  # sanity; bounded by retrieved/|rel|
     assert len(res["per_topic"]) == 3
+
+
+def test_classic_similarity_pluggable(corpus):
+    from engine.bm25 import make_classic_scorer, topk_sort
+
+    s = IndexSearcher(corpus["manifest"], algorithm="taat", similarity="classic")
+    docs, scores = s.search("t00000", 10)
+    # manual TF-IDF oracle
+    op = corpus["oracle_postings"]
+    d, f = op["t00000"]
+    params = make_classic_scorer(len(d), corpus["doc_count"], corpus["sum_ttf"])
+    exp = params.score(f, corpus["norms"][d])
+    ed, es = topk_sort(d, exp, 10)
+    np.testing.assert_array_equal(docs, ed)
+    np.testing.assert_array_equal(scores, es)
+    # ordering differs from BM25 in general but both are valid rankings
+    s2 = IndexSearcher(corpus["manifest"], algorithm="taat")
+    d2, _ = s2.search("t00000", 10)
+    assert len(d2) == 10
