@@ -170,6 +170,18 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     lat = res.groupby("query_id")["latency_ms"].first().to_numpy()
     n_queries = len(items)
 
+    # relevance quality (MAP / P@10 — the reference harness's quality
+    # metric, benchmark/quality/QualityBenchmark.java) over deterministic
+    # freq-based judgments for the single-term topics
+    from engine.quality import evaluate, freq_qrels
+    from engine.search import searcher_for
+
+    s = searcher_for(index_dir)
+    topic_terms = ["t00000", "t00010", "t00123", "the00", "the19"]
+    quality = evaluate(
+        s, [(t, t) for t in topic_terms], freq_qrels(s, topic_terms), k=10, depth=1000
+    )
+
     out = {
         "metric": "index-build docs/sec + BM25 query p50/p99 (build+merge+search sec)",
         "value": round(t_build + t_merge + t_search, 3),
@@ -188,6 +200,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "queries_per_sec": round(n_queries / t_search, 1),
         "query_p50_ms": round(float(np.percentile(lat, 50)), 2),
         "query_p99_ms": round(float(np.percentile(lat, 99)), 2),
+        "quality_map_at_1000": quality["map"],
+        "quality_p_at_10": quality["p_at_10"],
         "n_heavy_terms": mm.get("n_heavy_terms"),
     }
     ray.shutdown()

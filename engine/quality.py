@@ -48,17 +48,23 @@ def freq_qrels(searcher, terms: list[str], min_freq: int = 2) -> dict[str, set[i
 
 
 def evaluate(
-    searcher, topics: list[tuple[str, str]], qrels: dict[str, set[int]], k: int = 10
+    searcher,
+    topics: list[tuple[str, str]],
+    qrels: dict[str, set[int]],
+    k: int = 10,
+    depth: int = 1000,
 ) -> dict:
     """Run topics, judge, aggregate (the QualityBenchmark.execute loop).
 
     ``topics``: (topic_id, query string); ``qrels``: topic_id → relevant
-    docIDs. Returns {"map", "p_at_k", "per_topic"}."""
+    docIDs; ``depth`` = retrieval depth for AP (trec_eval-style MAP@depth —
+    recall-limited when judgment sets exceed it). Returns
+    {"map", "p_at_k", "per_topic"}."""
     per_topic = []
     ap_sum = 0.0
     p_sum = 0.0
     for tid, query in topics:
-        docs, _scores = searcher.search(query, max(k, 100))
+        docs, _scores = searcher.search(query, max(k, depth))
         rel = qrels.get(tid, set())
         ap = average_precision(docs, rel)
         p = precision_at_k(docs, rel, k)

@@ -99,3 +99,22 @@ def test_build_index_ray_pipeline(tmp_path):
     # cross-check stats vs a direct tokenization of the corpus
     _, lengths = analyze_batch(pages.column("text").to_pylist())
     assert manifest["sum_ttf"] == int(lengths.sum())
+
+
+def test_wide_rows_multi_mb_html(tmp_path):
+    # SURVEY §7.5 hard part 6: multi-MB html cells must build correctly
+    from engine.extract import extract_batch
+    import pyarrow as pa
+
+    big_body = ("lorem ipsum dolor sit amet " * 40000).strip()  # ~1 MB
+    html = f"<html><head><title>big</title></head><body><p>{big_body}</p></body></html>".encode()
+    tbl = pa.table({"doc_id": [0, 1], "html": [html, b"<html><body>tiny doc</body></html>"]})
+    ex = extract_batch(tbl)
+    seg_dir = str(tmp_path / "wide")
+    meta = invert_to_segment(
+        ex.column("doc_id").to_numpy(), ex.column("text").to_pylist(), seg_dir
+    )
+    assert meta["sum_ttf"] == 200000 + 2
+    seg = Segment(seg_dir)
+    assert seg.term_stats("lorem") == (1, 40000)
+    check_segment(seg)
