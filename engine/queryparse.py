@@ -34,6 +34,7 @@ class BoolQuery:
     ranges: tuple[tuple[str, str], ...] = ()  # [lo TO hi] term ranges, inclusive
     wildcards: tuple[str, ...] = ()  # patterns with mid-string * or ?
     boosts: tuple[tuple[str, float], ...] = ()  # term^boost factors
+    fuzzies: tuple[tuple[str, int], ...] = ()  # term~N edit-distance terms
 
     @property
     def empty(self) -> bool:
@@ -47,6 +48,7 @@ class BoolQuery:
             or self.ranges
             or self.wildcards
             or self.boosts
+            or self.fuzzies
         )
 
 
@@ -60,6 +62,7 @@ def parse_query(q: str, analyzer: Analyzer = DEFAULT_ANALYZER) -> BoolQuery:
     ranges: list[tuple[str, str]] = []
     wildcards: list[str] = []
     boosts: list[tuple[str, float]] = []
+    fuzzies: list[tuple[str, int]] = []
     match_all = False
     # "quoted phrases" are extracted first (PhraseQuery, slop 0)
     import re as _re
@@ -113,6 +116,17 @@ def parse_query(q: str, analyzer: Analyzer = DEFAULT_ANALYZER) -> BoolQuery:
             # mid-string wildcard (WildcardQuery): dictionary scan rewrite
             wildcards.append(tok.lower())
             continue
+        if "~" in tok and bucket is should:
+            # term~N fuzzy (FuzzyQuery, default maxEdits 2)
+            base, _, ed = tok.partition("~")
+            toks = tokenize(base, analyzer)
+            try:
+                n = int(ed) if ed else 2
+            except ValueError:
+                n = 2
+            if toks:
+                fuzzies.append((toks[0], max(0, min(n, 2))))
+            continue
         if "^" in tok and bucket is should:
             # term^boost (classic parser boost syntax)
             base, _, bv = tok.partition("^")
@@ -150,4 +164,5 @@ def parse_query(q: str, analyzer: Analyzer = DEFAULT_ANALYZER) -> BoolQuery:
         ranges=tuple(ranges),
         wildcards=tuple(wildcards),
         boosts=tuple(boosts),
+        fuzzies=tuple(fuzzies),
     )

@@ -126,6 +126,30 @@ class IndexSearcher:
         algorithm = algorithm or self.algorithm
         if q.empty or k <= 0:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
+        if q.fuzzies:
+            # FuzzyQuery scoring rewrite: scan dictionary terms within edit
+            # distance (banded Levenshtein; the Lucene automaton intersect
+            # role at dictionary granularity), cap like maxClauseCount
+            extra_f = list(q.should)
+            seen_f = set(extra_f)
+            for base, max_ed in q.fuzzies:
+                for seg in self.segments:
+                    for t in _fuzzy_expand(seg, base, max_ed, 50):
+                        if t not in seen_f:
+                            seen_f.add(t)
+                            extra_f.append(t)
+            q = BoolQuery(
+                must=q.must,
+                should=tuple(extra_f),
+                must_not=q.must_not,
+                prefixes=q.prefixes,
+                match_all=q.match_all,
+                phrases=q.phrases,
+                synonyms=q.synonyms,
+                ranges=q.ranges,
+                wildcards=q.wildcards,
+                boosts=q.boosts,
+            )
         if q.ranges or q.wildcards:
             # MultiTermQuery scoring rewrite: expand against the dictionary
             import fnmatch
@@ -177,6 +201,9 @@ class IndexSearcher:
                 should=tuple(expanded),
                 must_not=q.must_not,
                 match_all=q.match_all,
+                phrases=q.phrases,
+                synonyms=q.synonyms,
+                boosts=q.boosts,
             )
         if q.match_all or q.phrases or q.synonyms:
             algorithm = "taat"  # constant-score / positional / blended clauses
@@ -372,6 +399,44 @@ class IndexSearcher:
             for it in matching:
                 it.next()
             active = [it for it in active if it.doc != NO_MORE_DOCS]
+
+
+def _edit_distance_le(a: str, b: str, k: int) -> bool:
+    """Levenshtein distance(a, b) <= k (k in 0..2), early-aborting when a
+    full DP row exceeds k."""
+    if abs(len(a) - len(b)) > k:
+        return False
+    if k == 0:
+        return a == b
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        row_min = i
+        for j, cb in enumerate(b, 1):
+            v = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            cur.append(v)
+            row_min = min(row_min, v)
+        if row_min > k:
+            return False
+        prev = cur
+    return prev[len(b)] <= k
+
+
+def _fuzzy_expand(seg, base: str, max_ed: int, max_terms: int) -> list[str]:
+    """Terms within edit distance of ``base`` (exact term first). Scans the
+    dictionary restricted by the shared-prefix heuristic Lucene's automaton
+    achieves structurally: candidate lengths within ±max_ed."""
+    out = []
+    if hasattr(seg, "_terms"):
+        candidates = seg._terms
+    else:  # MergedIndex: all shard terms (dictionary-level scan)
+        candidates = [r["term"] for r in seg.iter_term_rows()]
+    for t in candidates:
+        if _edit_distance_le(base, t, max_ed):
+            out.append(t)
+            if len(out) >= max_terms:
+                break
+    return out
 
 
 def explain(searcher: IndexSearcher, query: str, doc_id: int) -> dict:
@@ -710,3 +775,120 @@ def merge_topk(
     docs = np.concatenate([r[0] for r in results])
     scores = np.concatenate([r[1] for r in results])
     return topk_sort(docs, scores, k)
+
+
+# ---------------------------------------------------------------------------
+# Doc-sharded distributed search (SURVEY §3.2 scatter/gather):
+# (query × shard) fan-out → shard-local top-k in a cached-shard task pool →
+# groupby(query_id) TopDocs-merge reduce. This is the multi-node layout:
+# each worker holds only its shard set, global stats come from the build
+# manifest + a per-term stats sum gathered per query.
+# ---------------------------------------------------------------------------
+
+_PROCESS_SHARDS: dict = {}
+
+
+def _shard_searcher(manifest_ref, shard_id: int, n_shards: int) -> IndexSearcher:
+    """Per-process cache of shard-local searchers: each shard = a subset of
+    partition segments, opened once per worker (stats still global)."""
+    import ray
+
+    key = (id(manifest_ref), shard_id)
+    s = _PROCESS_SHARDS.get(key)
+    if s is None:
+        manifest = ray.get(manifest_ref)
+        rows = sorted(manifest["partitions"], key=lambda r: r["doc_base"])
+        mine = [r for i, r in enumerate(rows) if i % n_shards == shard_id]
+        segs = [Segment(r["seg_dir"]) for r in mine]
+        s = IndexSearcher.from_segments(
+            segs, int(manifest["doc_count"]), int(manifest["sum_ttf"])
+        )
+        _PROCESS_SHARDS[key] = s
+    return s
+
+
+def search_dataset_sharded(
+    queries_ds, manifest: dict, n_shards: int = 4, batch_size: int = 32
+):
+    """queries (query_id, query[, k]) → exact global top-k hits.
+
+    Shard-local searchers score with GLOBAL term statistics (df/ttf summed
+    across all shards per query — the TermStates.build stats pass), so
+    shard-local scores are globally comparable and the reduce is a pure
+    TopDocs merge on (score desc, docID asc)."""
+    import pandas as pd
+    import ray
+
+    manifest_ref = ray.put(manifest)
+    full = IndexSearcher(manifest)
+
+    def fanout(batch: pa.Table) -> pa.Table:
+        rows = []
+        for r in batch.to_pylist():
+            # stats pass once per query on the driver-side full view would
+            # also work; here each fan-out row carries the per-term global
+            # stats so shard tasks stay stateless about other shards
+            q = parse_query(r["query"])
+            terms = tuple(q.must) + tuple(q.should) + tuple(q.must_not)
+            stats = {t: full.global_term_stats(t) for t in terms}
+            for sid in range(n_shards):
+                rows.append(
+                    {
+                        "query_id": r["query_id"],
+                        "query": r["query"],
+                        "k": int(r.get("k", 10)),
+                        "shard_id": sid,
+                        "stats": str(stats),
+                    }
+                )
+        return pa.Table.from_pylist(rows)
+
+    def shard_search(batch: pa.Table) -> pa.Table:
+        import ast
+
+        out = {"query_id": [], "doc_id": [], "score": [], "k": []}
+        for r in batch.to_pylist():
+            s = _shard_searcher(manifest_ref, int(r["shard_id"]), n_shards)
+            stats = ast.literal_eval(r["stats"])
+            q = parse_query(r["query"])
+            params = {
+                t: (make_term_scorer(df, s.doc_count, s.sum_ttf) if df else None)
+                for t, (df, _ttf) in stats.items()
+            }
+            if any(params.get(t) is None for t in q.must):
+                continue
+            live = tuple(t for t in q.should if params.get(t) is not None)
+            docs, scores = s._search_taat(q, live, params, int(r["k"]))
+            out["query_id"].extend([r["query_id"]] * len(docs))
+            out["doc_id"].extend(docs.tolist())
+            out["score"].extend(scores.tolist())
+            out["k"].extend([int(r["k"])] * len(docs))
+        return pa.table(
+            {
+                "query_id": pa.array(out["query_id"], type=pa.int64()),
+                "doc_id": pa.array(out["doc_id"], type=pa.int64()),
+                "score": pa.array(out["score"], type=pa.float32()),
+                "k": pa.array(out["k"], type=pa.int32()),
+            }
+        )
+
+    def reduce_query(g: pd.DataFrame) -> pd.DataFrame:
+        k = int(g["k"].iloc[0])
+        docs, scores = topk_sort(
+            g["doc_id"].to_numpy(), g["score"].to_numpy().astype(np.float32), k
+        )
+        return pd.DataFrame(
+            {
+                "query_id": g["query_id"].iloc[0],
+                "rank": np.arange(len(docs), dtype=np.int32),
+                "doc_id": docs,
+                "score": scores,
+            }
+        )
+
+    return (
+        queries_ds.map_batches(fanout, batch_format="pyarrow", **_rargs())
+        .map_batches(shard_search, batch_size=batch_size, batch_format="pyarrow", **_rargs())
+        .groupby("query_id")
+        .map_groups(reduce_query, batch_format="pandas", **_rargs())
+    )

@@ -392,3 +392,27 @@ def test_classic_similarity_pluggable(corpus):
     s2 = IndexSearcher(corpus["manifest"], algorithm="taat")
     d2, _ = s2.search("t00000", 10)
     assert len(d2) == 10
+
+
+def test_prefix_combined_with_phrase(corpus):
+    # regression: the prefix rewrite must not drop phrase clauses
+    s = IndexSearcher(corpus["manifest"], algorithm="taat")
+    d1, s1 = s.search('the0* "the00 the01"', 10)
+    # equivalent: explicit expansion + phrase
+    explicit = " ".join(f"the0{i}" for i in range(10)) + ' "the00 the01"'
+    d2, s2 = s.search(explicit, 10)
+    np.testing.assert_array_equal(d1, d2)
+    np.testing.assert_array_equal(s1, s2)
+
+
+def test_fuzzy_query(corpus):
+    s = IndexSearcher(corpus["manifest"], algorithm="taat")
+    # 'the0x~1' matches the00..the09 (substitute last char) = the0? expansion
+    d1, s1 = s.search("the0x~1", 10)
+    d2, s2 = s.search("the0?", 10)
+    np.testing.assert_array_equal(d1, d2)
+    np.testing.assert_array_equal(s1, s2)
+    # exact term within distance 0 of itself
+    d3, _ = s.search("tiekey~0", 5)
+    d4, _ = s.search("tiekey", 5)
+    np.testing.assert_array_equal(d3, d4)

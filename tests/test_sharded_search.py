@@ -1,0 +1,50 @@
+"""Doc-sharded scatter/gather search must be rank-identical to the
+single-searcher answer (TopDocs.merge exactness with global stats)."""
+
+import numpy as np
+import pytest
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sharded_search_rank_identity(tmp_path_factory):
+    import ray.data
+
+    from engine.build import invert_to_segment
+    from engine.checkpoint import finalize_build_manifest
+    from engine.fixtures import make_pages
+    from engine.search import IndexSearcher, search_dataset_sharded
+
+    root = tmp_path_factory.mktemp("sharded")
+    pages = make_pages(800, seed=11)
+    texts = pages.column("text").to_pylist()
+    rows = []
+    for s in range(8):
+        lo, hi = s * 100, (s + 1) * 100
+        seg_dir = str(root / f"partitions/p{lo:012d}")
+        meta = invert_to_segment(np.arange(lo, hi, dtype=np.int64), texts[lo:hi], seg_dir)
+        rows.append(
+            {k: meta[k] for k in ("doc_base", "n_docs", "sum_ttf", "n_terms", "wall_ms")}
+            | {"seg_dir": seg_dir}
+        )
+    manifest = finalize_build_manifest(str(root), rows)
+
+    queries = [
+        {"query_id": 0, "query": "the00", "k": 10},
+        {"query_id": 1, "query": "t00000 t00001", "k": 15},
+        {"query_id": 2, "query": "+t00000 t00002", "k": 10},
+        {"query_id": 3, "query": "zzznomatch", "k": 10},
+        {"query_id": 4, "query": "tiekey", "k": 10},
+    ]
+    res = (
+        search_dataset_sharded(ray.data.from_items(queries), manifest, n_shards=3)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+    )
+    base = IndexSearcher(manifest, algorithm="taat")
+    for q in queries:
+        bd, bs = base.search(q["query"], q["k"])
+        sub = res[res["query_id"] == q["query_id"]]
+        np.testing.assert_array_equal(sub["doc_id"].to_numpy(), bd, err_msg=q["query"])
+        np.testing.assert_array_equal(
+            sub["score"].to_numpy().astype(np.float32), bs, err_msg=q["query"]
+        )
