@@ -114,6 +114,46 @@ class IndexSearcher:
 
     # -- query entry -------------------------------------------------------
 
+    def search_dismax(
+        self, query: str | BoolQuery, k: int = 10, tie_breaker: float = 0.0
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """DisjunctionMaxQuery over the SHOULD terms: per doc
+        score = max(clause scores) + tie_breaker * (sum - max)
+        (search/DisjunctionMaxQuery.java semantics, float32 result)."""
+        q = parse_query(query) if isinstance(query, str) else query
+        params = self._params_for(q.should)
+        live = [t for t in q.should if params[t] is not None]
+        if not live or k <= 0:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
+        tie = np.float32(tie_breaker)
+        all_docs, all_scores = [], []
+        for seg in self.segments:
+            span = len(seg._norms)
+            lo = seg.doc_base
+            mx = np.zeros(span, dtype=np.float32)
+            sm = np.zeros(span, dtype=np.float64)
+            matched = np.zeros(span, dtype=bool)
+            for t in live:
+                docs, freqs = seg.postings(t)
+                if not len(docs):
+                    continue
+                s = params[t].score(freqs, seg.norm_of(docs))
+                loc = docs - lo
+                np.maximum.at(mx, loc, s)
+                sm[loc] += s.astype(np.float64)
+                matched[loc] = True
+            sel = np.flatnonzero(matched)
+            if len(sel):
+                total = np.float32(0.0) + mx[sel] + np.multiply(
+                    tie, (sm[sel] - mx[sel].astype(np.float64)).astype(np.float32),
+                    dtype=np.float32,
+                )
+                all_docs.append(sel + lo)
+                all_scores.append(total.astype(np.float32))
+        if not all_docs:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
+        return topk_sort(np.concatenate(all_docs), np.concatenate(all_scores), k)
+
     def search(
         self,
         query: str | BoolQuery,

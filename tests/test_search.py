@@ -416,3 +416,81 @@ def test_fuzzy_query(corpus):
     d3, _ = s.search("tiekey~0", 5)
     d4, _ = s.search("tiekey", 5)
     np.testing.assert_array_equal(d3, d4)
+
+
+def test_dismax_query(corpus):
+    s = IndexSearcher(corpus["manifest"], algorithm="taat")
+    # tie_breaker=1.0 degenerates to the plain disjunction sum
+    d1, s1 = s.search_dismax("t00000 t00001", 10, tie_breaker=1.0)
+    d2, s2 = s.search("t00000 t00001", 10)
+    np.testing.assert_array_equal(d1, d2)
+    np.testing.assert_allclose(s1, s2, rtol=1e-6)
+    # tie_breaker=0: pure max — manual oracle
+    from engine.bm25 import make_term_scorer, topk_sort
+
+    op = corpus["oracle_postings"]
+    n = corpus["doc_count"]
+    mx = np.zeros(n, dtype=np.float32)
+    hit = np.zeros(n, dtype=bool)
+    for t in ("t00000", "t00001"):
+        d, f = op[t]
+        p = make_term_scorer(len(d), n, corpus["sum_ttf"])
+        sc = p.score(f, corpus["norms"][d])
+        np.maximum.at(mx, d, sc)
+        hit[d] = True
+    sel = np.flatnonzero(hit)
+    ed, es = topk_sort(sel, mx[sel], 10)
+    gd, gs = s.search_dismax("t00000 t00001", 10, tie_breaker=0.0)
+    np.testing.assert_array_equal(gd, ed)
+    np.testing.assert_array_equal(gs, es)
+
+
+def test_term_iterator_advance_conformance(corpus):
+    # BasePostingsFormatTestCase-style: random advance() targets must agree
+    # with the uncompressed postings (every skip path)
+    from engine.wand import NO_MORE_DOCS, TermIterator
+
+    seg = IndexSearcher(corpus["manifest"]).segments[0]
+    rng = np.random.default_rng(5)
+    for term in ["the00", "t00000", "t00050", "s000300"]:
+        ti = seg.term_info(term)
+        if ti is None:
+            continue
+        docs, freqs = seg.postings(term)
+        params = IndexSearcher(corpus["manifest"])._params_for((term,))[term]
+        it = TermIterator(seg, ti, params)
+        it.set_scaling(0)
+        it.start()
+        # walk with random advances
+        for _ in range(50):
+            target = int(rng.integers(0, docs[-1] + 10))
+            if target <= it.doc:
+                got = it.next()
+                idx = np.searchsorted(docs, it.doc) if got != NO_MORE_DOCS else -1
+            else:
+                got = it.advance(target)
+                if got == NO_MORE_DOCS:
+                    assert target > docs[-1]
+                    break
+                expect = docs[np.searchsorted(docs, target)]
+                assert got == expect, (term, target)
+                assert it.freq() == freqs[np.searchsorted(docs, got)]
+            if got == NO_MORE_DOCS:
+                break
+
+
+def test_stopword_analyzer_end_to_end(tmp_path):
+    from engine.analyze import Analyzer
+    from engine.build import invert_to_segment
+    from engine.segment import Segment
+
+    an = Analyzer(stopwords=frozenset({"the", "of"}))
+    seg_dir = str(tmp_path / "stop")
+    invert_to_segment(
+        np.arange(2), ["the cat of the house", "cat house the"], seg_dir, analyzer=an
+    )
+    seg = Segment(seg_dir)
+    assert seg.term_stats("the") == (0, 0)  # stopped at index time
+    assert seg.term_stats("cat") == (2, 2)
+    # norms exclude stopped tokens (posIncr semantics for norms)
+    assert seg.norm_of(np.array([0])).tolist() == [2]  # cat, house
