@@ -21,3 +21,28 @@ Lucene 8.7 (reference: HuBlanker/lucene-solr-8.7.0) on Ray Data:
 """
 
 __version__ = "0.1.0"
+
+__all__ = [
+    "build_index",
+    "merge_by_term",
+    "merge_tree",
+    "IndexSearcher",
+    "search_dataset",
+    "search_dataset_sharded",
+]
+
+
+def __getattr__(name):  # lazy top-level API (avoids import cost at package load)
+    if name == "build_index":
+        from .build import build_index as f
+
+        return f
+    if name in ("merge_by_term", "merge_tree"):
+        from . import merge
+
+        return getattr(merge, name)
+    if name in ("IndexSearcher", "search_dataset", "search_dataset_sharded"):
+        from . import search
+
+        return getattr(search, name)
+    raise AttributeError(name)
