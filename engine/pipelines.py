@@ -233,3 +233,23 @@ def term_filter_sort_by_field(
     df = df.reset_index(drop=True)
     df["rank"] = np.arange(len(df), dtype=np.int64)
     return pa.Table.from_pandas(df[["rank", "doc_id", "n_chars"]], preserve_index=False)
+
+
+def bm25_topk_sharded(sf_dir: str, n_shards: int = 3) -> pa.Table:
+    """The doc-sharded scatter/gather search path (SURVEY §3.2) over the
+    partition index: must produce the same hits as the single-searcher
+    plan for plain boolean queries (TopDocs-merge exactness)."""
+    import ray.data
+
+    from .search import search_dataset_sharded
+
+    idx = get_index(sf_dir)
+    plain = [
+        (q, s, k)
+        for q, s, k in REFERENCE_QUERIES
+        if "*" not in s  # prefix/match-all rewrites live in the full searcher
+    ]
+    queries = ray.data.from_items(
+        [{"query_id": q, "query": s, "k": k} for q, s, k in plain]
+    )
+    return search_dataset_sharded(queries, idx["build_manifest"], n_shards=n_shards)

@@ -48,3 +48,18 @@ def test_sharded_search_rank_identity(tmp_path_factory):
         np.testing.assert_array_equal(
             sub["score"].to_numpy().astype(np.float32), bs, err_msg=q["query"]
         )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pipeline_sharded_matches_plain():
+    from engine.pipelines import bm25_topk_sharded, bm25_search_results
+
+    sharded = bm25_topk_sharded("/root/testdata/sf0.001").to_pandas()
+    plain = bm25_search_results("/root/testdata/sf0.001").to_pandas()
+    plain = plain[plain["query_id"].isin(sharded["query_id"].unique())]
+    a = sharded.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    b = plain.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    np.testing.assert_array_equal(a["doc_id"].to_numpy(), b["doc_id"].to_numpy())
+    np.testing.assert_array_equal(
+        a["score"].to_numpy().astype(np.float32), b["score"].to_numpy().astype(np.float32)
+    )
