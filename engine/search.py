@@ -45,11 +45,14 @@ from .wand import (
     wand_or_topk,
 )
 
-# auto plan: TAAT below, WAND above. The vectorized TAAT scan costs ~10ns
-# per posting while the Python document-at-a-time WAND loop costs ~1µs per
-# *surviving* doc, so WAND only wins when block-max pruning can skip >99%
-# of postings — i.e. at shard sizes far beyond this sandbox. (In the
-# reference, with C-speed per-doc cost, the cutover is effectively 0.)
+# auto plan: TAAT below, WAND above. With the decoded-postings LRU, the
+# vectorized TAAT scan costs ~10ns/posting warm; the block-max WAND path
+# (vectorized block-at-a-time for single terms) wins COLD — it decodes
+# only competitive blocks (e.g. 9ms vs 62ms cold on a df=150k term) — but
+# re-decodes per query, so hot repeated workloads favor TAAT. The auto
+# cutover therefore stays high; callers with cold/larger-than-memory
+# shards pass algorithm="wand" explicitly (measured trade-off in
+# BASELINE.md / CLAUDE.md).
 WAND_POSTINGS_CUTOVER = 8_000_000
 
 

@@ -261,6 +261,41 @@ def setup_scaling(iters: list[TermIterator]) -> int:
     return sf
 
 
+def _single_term_block_topk(it: TermIterator, collector: TopKCollector, sf: int) -> None:
+    """Single-iterator fast path: score whole blocks vectorized, skip blocks
+    whose scaled max is below the min competitive score (TermScorer +
+    ImpactsDISI with batch scoring — same results, ~100x less Python)."""
+    n_blocks = len(it.last_docs)
+    b = 0
+    while b < n_blocks:
+        min_c_f32 = collector.min_competitive_f32()
+        if min_c_f32 > 0:
+            min_c = scale_min_score(min_c_f32, sf)
+            while b < n_blocks and it.scaled_block_max[b] < min_c:
+                b += 1  # advanceShallow past non-competitive blocks
+            if b >= n_blocks:
+                return
+        docs, freqs = (
+            (it._docs, it._freqs)
+            if it.df == 1
+            else decode_block(it.blob, it.offsets, b, it.df, int(it.last_docs[b - 1]) if b else -1)
+        )
+        scores = it.params.score(freqs, it.seg.norm_of(docs))
+        h = collector.heap
+        if len(h) >= collector.k:
+            bottom = h[0][0]
+            cand = np.flatnonzero(scores > np.float32(bottom))
+            collector.total_hits += len(docs)
+            for i in cand.tolist():
+                s = float(scores[i])
+                if s > h[0][0]:
+                    collector._heapq.heapreplace(h, (s, -int(docs[i])))
+        else:
+            for i in range(len(docs)):
+                collector.collect(int(docs[i]), scores[i])
+        b += 1
+
+
 def wand_or_topk(
     iters: list[TermIterator],
     k: int,
@@ -272,6 +307,12 @@ def wand_or_topk(
     if not iters or k == 0:
         return collector
     sf = setup_scaling(iters)
+    if len(iters) == 1:
+        it = iters[0]
+        it.start()
+        if it.doc != NO_MORE_DOCS:
+            _single_term_block_topk(it, collector, sf)
+        return collector
     for it in iters:
         it.start()
     active = [it for it in iters if it.doc != NO_MORE_DOCS]
