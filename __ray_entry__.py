@@ -184,7 +184,7 @@ def oracle_sql() -> dict[str, str]:
     """
     return {
         "term_df_ttf": f"""
-            SELECT term, count(*) AS df, sum(cnt) AS ttf
+            SELECT term, count(*) AS df, CAST(sum(cnt) AS BIGINT) AS ttf
             FROM ({tok_pairs}) GROUP BY term
         """,
         "top100_terms": f"""
@@ -204,7 +204,7 @@ def oracle_sql() -> dict[str, str]:
         "collection_stats": f"""
             SELECT
               (SELECT count(*) FROM documents) AS doc_count,
-              (SELECT sum(len({_TOK})) FROM documents) AS sum_ttf,
+              (SELECT CAST(sum(len({_TOK})) AS BIGINT) FROM documents) AS sum_ttf,
               (SELECT count(DISTINCT t) FROM
                  (SELECT unnest({_TOK}) AS t FROM documents)) AS n_terms
         """,

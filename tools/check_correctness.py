@@ -85,19 +85,23 @@ def main():
             print(f"FAIL  {name}: rows {len(a)} != {len(b)}")
             n_fail += 1
             continue
-        try:
-            pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
+        # Predict the driver's hash check: it formats every value (so int64 840 vs
+        # float64 840.0 MISMATCH even though numerically equal) — compare the
+        # formatted-value frames, never with dtype tolerance.
+        fa, fb = a.astype(object).map(repr), b.astype(object).map(repr)
+        if fa.equals(fb):
             print(f"PASS  {name}: {len(a)} rows ({dt:.1f}s)")
             n_pass += 1
-        except AssertionError as e:
-            # retry with tolerance to show magnitude
+        else:
             try:
                 pd.testing.assert_frame_equal(a, b, check_dtype=False, rtol=1e-9)
-                print(f"WARN  {name}: values equal only within rtol=1e-9 ({dt:.1f}s)")
-                n_pass += 1
-            except AssertionError:
+                print(
+                    f"FAIL  {name}: values equal within rtol but formatted-value "
+                    f"(driver hash) mismatch — dtype/format drift ({dt:.1f}s)"
+                )
+            except AssertionError as e:
                 print(f"FAIL  {name}: value mismatch: {str(e)[:300]}")
-                n_fail += 1
+            n_fail += 1
     print(f"\n{n_pass} exact-pass, {n_rowsonly} rows-only, {n_fail} fail")
     ray.shutdown()
     sys.exit(1 if n_fail else 0)
