@@ -697,10 +697,43 @@ class MergedIndex:
                 return tbl, i
         return None, -1
 
+    def _dict_ranges(self) -> list[tuple[str, str, str]] | None:
+        """Sorted-dictionary level (the BlockTree .tim/.tip role —
+        codecs/blocktree/BlockTreeTermsWriter.java:200-217): term-range-
+        sorted single-column files written at merge time. None on old
+        manifests (fall back to full shard scans)."""
+        d = self.manifest.get("dict_files")
+        if not d:
+            return None
+        return [(r["term_min"], r["term_max"], r["path"]) for r in d]
+
+    def _dict_terms_overlapping(self, lo: str, hi: str) -> list[str] | None:
+        """All dictionary terms in [lo, hi], touching only the dict files
+        whose [term_min, term_max] overlaps — O(matching files) I/O."""
+        from bisect import bisect_left, bisect_right
+
+        ranges = self._dict_ranges()
+        if ranges is None:
+            return None
+        out: list[str] = []
+        for tmin, tmax, path in ranges:
+            if tmax < lo or tmin > hi:
+                continue
+            terms = pq.read_table(path, columns=["term"]).column("term").to_pylist()
+            i = bisect_left(terms, lo)
+            j = bisect_right(terms, hi)
+            out.extend(terms[i:j])
+        return out  # dict files are disjoint sorted ranges => already sorted
+
     def expand_prefix(self, prefix: str, max_terms: int = 1024) -> list[str]:
-        """Prefix scan over every shard (terms are hash-bucketed, so all
-        shards may hold matches; at dictionary scale this would be served
-        by a dedicated term-range-sorted dictionary level)."""
+        """Terms starting with ``prefix``, lexicographic, capped. Served by
+        the sorted dictionary level when present (reads only overlapping
+        dict files); falls back to scanning every hash-bucketed shard.
+        The cap always keeps the lexicographically-first terms."""
+        hi = prefix + chr(0x10FFFF)
+        hit = self._dict_terms_overlapping(prefix, hi)
+        if hit is not None:
+            return [t for t in hit if t.startswith(prefix)][:max_terms]
         from bisect import bisect_left
 
         out: list[str] = []
@@ -710,17 +743,19 @@ class MergedIndex:
         for p in paths:
             _, terms = self._load(p)
             i = bisect_left(terms, prefix)
-            while i < len(terms) and len(out) < max_terms:
+            while i < len(terms):
                 if not terms[i].startswith(prefix):
                     break
                 out.append(terms[i])
                 i += 1
-            if len(out) >= max_terms:
-                break
-        return out
+        return sorted(out)[:max_terms]
 
     def expand_range(self, lo: str, hi: str, max_terms: int = 1024) -> list[str]:
-        """Inclusive term-range scan over every shard (hash-bucketed)."""
+        """Inclusive term-range scan; sorted dictionary level when present,
+        else every shard. Cap keeps the lexicographically-first terms."""
+        hit = self._dict_terms_overlapping(lo, hi)
+        if hit is not None:
+            return hit[:max_terms]
         from bisect import bisect_left, bisect_right
 
         out: list[str] = []
@@ -732,8 +767,6 @@ class MergedIndex:
             i = bisect_left(terms, lo)
             j = bisect_right(terms, hi)
             out.extend(terms[i:j])
-            if len(out) >= max_terms:
-                break
         return sorted(out)[:max_terms]
 
     def term_stats(self, term: str):
@@ -794,6 +827,21 @@ class MergedIndex:
         if len(self._postings_cache) > self._POSTINGS_CACHE_MAX:
             self._postings_cache.popitem(last=False)
         return out
+
+    def iter_terms(self):
+        """Enumerate dictionary terms with PRUNED single-column reads —
+        never touches postings blobs (the fix for whole-row .to_pylist()
+        scans; fuzzy expansion goes through this)."""
+        ranges = self._dict_ranges()
+        if ranges is not None:
+            for _tmin, _tmax, p in ranges:
+                yield from pq.read_table(p, columns=["term"]).column("term").to_pylist()
+            return
+        paths = sorted(
+            {p for _, _, p in self._heavy_ranges} | set(self._light_by_bucket.values())
+        )
+        for p in paths:
+            yield from pq.read_table(p, columns=["term"]).column("term").to_pylist()
 
     def iter_term_rows(self):
         paths = sorted(

@@ -30,11 +30,18 @@ class BoolQuery:
     prefixes: tuple[str, ...] = ()  # trailing-* terms, expanded at search time
     match_all: bool = False  # bare '*' (MatchAllDocsQuery)
     phrases: tuple[tuple[str, ...], ...] = ()  # "quoted" exact phrases (slop 0)
+    # "quoted"~N sloppy phrases: ((terms...), slop) pairs, slop >= 1
+    # (search/PhraseQuery.java:92,147; SloppyPhraseMatcher)
+    sloppy: tuple[tuple[tuple[str, ...], int], ...] = ()
     synonyms: tuple[tuple[str, ...], ...] = ()  # a|b|c groups (SynonymQuery)
     ranges: tuple[tuple[str, str], ...] = ()  # [lo TO hi] term ranges, inclusive
     wildcards: tuple[str, ...] = ()  # patterns with mid-string * or ?
     boosts: tuple[tuple[str, float], ...] = ()  # term^boost factors
     fuzzies: tuple[tuple[str, int], ...] = ()  # term~N edit-distance terms
+    # minimumNumberShouldMatch (search/BooleanQuery.java:78): a hit must
+    # match at least this many optional (SHOULD/synonym/phrase/boost)
+    # clauses. Set programmatically (no classic-parser syntax for it).
+    min_should_match: int = 0
 
     @property
     def empty(self) -> bool:
@@ -44,6 +51,7 @@ class BoolQuery:
             or self.prefixes
             or self.match_all
             or self.phrases
+            or self.sloppy
             or self.synonyms
             or self.ranges
             or self.wildcards
@@ -58,6 +66,7 @@ def parse_query(q: str, analyzer: Analyzer = DEFAULT_ANALYZER) -> BoolQuery:
     must_not: list[str] = []
     prefixes: list[str] = []
     phrases: list[tuple[str, ...]] = []
+    sloppy: list[tuple[tuple[str, ...], int]] = []
     synonyms: list[tuple[str, ...]] = []
     ranges: list[tuple[str, str]] = []
     wildcards: list[str] = []
@@ -69,13 +78,17 @@ def parse_query(q: str, analyzer: Analyzer = DEFAULT_ANALYZER) -> BoolQuery:
 
     def _grab_phrase(m: "_re.Match[str]") -> str:
         toks = tuple(tokenize(m.group(1), analyzer))
+        slop = int(m.group(2)) if m.group(2) else 0
         if len(toks) >= 2:
-            phrases.append(toks)
+            (sloppy if slop > 0 else phrases).append(
+                (toks, slop) if slop > 0 else toks
+            )
         elif toks:
             should.append(toks[0])  # single-term phrase degrades to a term
         return " "
 
-    q = _re.sub(r'"([^"]*)"', _grab_phrase, q)
+    # "quoted"~N = sloppy phrase, slop N (classic-parser phrase-slop syntax)
+    q = _re.sub(r'"([^"]*)"(?:~(\d+))?', _grab_phrase, q)
 
     # [lo TO hi] inclusive term ranges (TermRangeQuery, classic parser syntax)
     def _grab_range(m: "_re.Match[str]") -> str:
@@ -160,6 +173,7 @@ def parse_query(q: str, analyzer: Analyzer = DEFAULT_ANALYZER) -> BoolQuery:
         prefixes=tuple(dict.fromkeys(prefixes)),
         match_all=match_all,
         phrases=tuple(phrases),
+        sloppy=tuple(sloppy),
         synonyms=tuple(synonyms),
         ranges=tuple(ranges),
         wildcards=tuple(wildcards),

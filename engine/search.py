@@ -71,6 +71,7 @@ class IndexSearcher:
         self.doc_count = int(manifest["doc_count"])
         self.sum_ttf = int(manifest["sum_ttf"])
         self.algorithm = algorithm
+        self.stats_override: dict | None = None
         from .bm25 import SIMILARITIES
 
         self.make_scorer = SIMILARITIES[similarity]  # Similarity plug point
@@ -82,6 +83,7 @@ class IndexSearcher:
         obj.doc_count = doc_count
         obj.sum_ttf = sum_ttf
         obj.algorithm = algorithm
+        obj.stats_override = None
         from .bm25 import SIMILARITIES
 
         obj.make_scorer = SIMILARITIES["bm25"]
@@ -90,15 +92,22 @@ class IndexSearcher:
     # -- stats pass (createWeight analogue) --------------------------------
 
     def expand_prefix(self, prefix: str, max_terms: int = 1024) -> list[str]:
-        """Terms starting with ``prefix``, merged over segments, sorted."""
+        """Terms starting with ``prefix``, merged over segments, sorted.
+        Collect from ALL segments before truncating so the cap keeps the
+        lexicographically-first terms deterministically (each segment's own
+        expansion is sorted, so its first max_terms are its smallest)."""
         out: set[str] = set()
         for seg in self.segments:
             out.update(seg.expand_prefix(prefix, max_terms))
-            if len(out) >= max_terms:
-                break
         return sorted(out)[:max_terms]
 
     def global_term_stats(self, term: str) -> tuple[int, int]:
+        """Whole-index (df, ttf) for a term — the TermStates.build stats
+        pass. ``stats_override`` lets a shard-subset searcher score with
+        true global stats injected by the fan-out (sharded search)."""
+        ov = getattr(self, "stats_override", None)
+        if ov is not None and term in ov:
+            return ov[term]
         df = ttf = 0
         for seg in self.segments:
             d, t = seg.term_stats(term)
@@ -166,9 +175,17 @@ class IndexSearcher:
     ) -> tuple[np.ndarray, np.ndarray]:
         """Top-k (global docIDs, float32 scores), (score desc, docID asc)."""
         q = parse_query(query) if isinstance(query, str) else query
-        algorithm = algorithm or self.algorithm
         if q.empty or k <= 0:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
+        return self.execute(self.rewrite(q), k, threshold, algorithm)
+
+    def rewrite(self, q: BoolQuery) -> BoolQuery:
+        """Multi-term scoring rewrites against this searcher's dictionary
+        (fuzzy/range/wildcard/prefix → capped SHOULD disjunctions) — the
+        Query.rewrite pass; the result is a *flat* BoolQuery that any
+        searcher (incl. shard-subset searchers) can execute."""
+        from dataclasses import replace
+
         if q.fuzzies:
             # FuzzyQuery scoring rewrite: scan dictionary terms within edit
             # distance (banded Levenshtein; the Lucene automaton intersect
@@ -181,18 +198,7 @@ class IndexSearcher:
                         if t not in seen_f:
                             seen_f.add(t)
                             extra_f.append(t)
-            q = BoolQuery(
-                must=q.must,
-                should=tuple(extra_f),
-                must_not=q.must_not,
-                prefixes=q.prefixes,
-                match_all=q.match_all,
-                phrases=q.phrases,
-                synonyms=q.synonyms,
-                ranges=q.ranges,
-                wildcards=q.wildcards,
-                boosts=q.boosts,
-            )
+            q = replace(q, should=tuple(extra_f), fuzzies=())
         if q.ranges or q.wildcards:
             # MultiTermQuery scoring rewrite: expand against the dictionary
             import fnmatch
@@ -216,18 +222,7 @@ class IndexSearcher:
                             extra.append(t)
                             if len(extra) >= 1024:
                                 break
-            q = BoolQuery(
-                must=q.must,
-                should=tuple(extra),
-                must_not=q.must_not,
-                prefixes=q.prefixes,
-                match_all=q.match_all,
-                phrases=q.phrases,
-                synonyms=q.synonyms,
-                boosts=q.boosts,
-            )
-        if q.boosts:
-            algorithm = "taat"  # boosted clauses: vectorized plan only
+            q = replace(q, should=tuple(extra), ranges=(), wildcards=())
         if q.prefixes:
             # PrefixQuery scoring rewrite: expand against the sorted term
             # dictionary into SHOULD clauses, capped like BooleanQuery's
@@ -239,17 +234,32 @@ class IndexSearcher:
                     if t not in seen:
                         seen.add(t)
                         expanded.append(t)
-            q = BoolQuery(
-                must=q.must,
-                should=tuple(expanded),
-                must_not=q.must_not,
-                match_all=q.match_all,
-                phrases=q.phrases,
-                synonyms=q.synonyms,
-                boosts=q.boosts,
-            )
-        if q.match_all or q.phrases or q.synonyms:
-            algorithm = "taat"  # constant-score / positional / blended clauses
+            q = replace(q, should=tuple(expanded), prefixes=())
+        return q
+
+    def execute(
+        self,
+        q: BoolQuery,
+        k: int = 10,
+        threshold: int = TOTAL_HITS_THRESHOLD,
+        algorithm: str | None = None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Run an already-rewritten (flat) BoolQuery — the Weight.scorer +
+        collect phase. Plan choice mirrors Boolean2ScorerSupplier."""
+        if q.empty or k <= 0:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
+        algorithm = algorithm or self.algorithm
+        if (
+            q.match_all
+            or q.phrases
+            or q.sloppy
+            or q.synonyms
+            or q.boosts
+            or q.min_should_match
+        ):
+            # constant-score / positional / blended / boosted / msm clauses:
+            # vectorized exhaustive plan only
+            algorithm = "taat"
         # must_not params are never used for scoring, only to build iterators
         params = self._params_for(tuple(q.must) + tuple(q.should) + tuple(q.must_not))
         if any(params[t] is None for t in q.must):
@@ -260,6 +270,7 @@ class IndexSearcher:
             and not live_should
             and not q.match_all
             and not q.phrases
+            and not q.sloppy
             and not q.synonyms
             and not q.boosts
         ):
@@ -293,6 +304,9 @@ class IndexSearcher:
             acc = np.zeros(span, dtype=np.float64)
             must_cnt = np.zeros(span, dtype=np.int16) if n_must else None
             matched = np.zeros(span, dtype=bool)
+            should_cnt = (
+                np.zeros(span, dtype=np.int16) if q.min_should_match else None
+            )
             if q.match_all:
                 # MatchAllDocsQuery: constant score 1.0f for every doc
                 acc += 1.0
@@ -309,6 +323,8 @@ class IndexSearcher:
                     sb = params_b.score(freqs, seg.norm_of(docs))
                     acc[docs - lo] += sb.astype(np.float64)
                     matched[docs - lo] = True
+                    if should_cnt is not None:
+                        should_cnt[docs - lo] += 1
             for group in q.synonyms:
                 # SynonymQuery semantics: df = max over terms, freq = sum of
                 # term freqs per doc (SynonymQuery.java blended stats)
@@ -330,6 +346,8 @@ class IndexSearcher:
                     )
                     acc[hit_local] += s.astype(np.float64)
                     matched[hit_local] = True
+                    if should_cnt is not None:
+                        should_cnt[hit_local] += 1
             for phrase in q.phrases:
                 docs_p, freqs_p = _phrase_postings(seg, phrase)
                 if len(docs_p) == 0:
@@ -342,10 +360,31 @@ class IndexSearcher:
                 sp = params_p.score(freqs_p, seg.norm_of(docs_p))
                 acc[docs_p - lo] += sp.astype(np.float64)
                 matched[docs_p - lo] = True
-            for t in tuple(q.must) + live_should:
+                if should_cnt is not None:
+                    should_cnt[docs_p - lo] += 1
+            for phrase_s, slop in q.sloppy:
+                docs_p, freqs_p = _phrase_postings(seg, phrase_s, slop)
+                if len(docs_p) == 0:
+                    continue
+                params_p = make_phrase_scorer(
+                    [self.global_term_stats(t)[0] for t in phrase_s],
+                    self.doc_count,
+                    self.sum_ttf,
+                )
+                sp = params_p.score(freqs_p, seg.norm_of(docs_p))
+                acc[docs_p - lo] += sp.astype(np.float64)
+                matched[docs_p - lo] = True
+                if should_cnt is not None:
+                    should_cnt[docs_p - lo] += 1
+            # Iterate must then should by POSITION (not `t in q.must`): a term
+            # present in both MUST and SHOULD (e.g. "+foo foo") scores twice
+            # (both clauses contribute, as in the WAND plan) but bumps
+            # must_cnt exactly once — otherwise must_cnt==n_must never holds.
+            for i, t in enumerate(tuple(q.must) + live_should):
+                is_must = i < n_must
                 docs, freqs = seg.postings(t)
                 if len(docs) == 0:
-                    if t in q.must:
+                    if is_must:
                         must_cnt = None
                         break
                     continue
@@ -353,14 +392,21 @@ class IndexSearcher:
                 s = params[t].score(freqs, seg.norm_of(docs))
                 acc[local] += s.astype(np.float64)
                 matched[local] = True
-                if t in q.must:
+                if is_must:
                     must_cnt[local] += 1
+                elif should_cnt is not None:
+                    should_cnt[local] += 1
             if n_must and must_cnt is None:
                 continue
             if n_must:
                 sel = must_cnt == n_must
             else:
                 sel = matched
+            if should_cnt is not None:
+                # minimumNumberShouldMatch (search/BooleanQuery.java:78,102):
+                # optional clauses that match count toward the minimum;
+                # synonym/phrase/boost groups count as SHOULD clauses too
+                sel = sel & (should_cnt >= q.min_should_match)
             for t in q.must_not:
                 docs, _ = seg.postings(t)
                 if len(docs):
@@ -472,8 +518,8 @@ def _fuzzy_expand(seg, base: str, max_ed: int, max_terms: int) -> list[str]:
     out = []
     if hasattr(seg, "_terms"):
         candidates = seg._terms
-    else:  # MergedIndex: all shard terms (dictionary-level scan)
-        candidates = [r["term"] for r in seg.iter_term_rows()]
+    else:  # MergedIndex: pruned-column dictionary enumeration (no blobs)
+        candidates = seg.iter_terms()
     for t in candidates:
         if _edit_distance_le(base, t, max_ed):
             out.append(t)
@@ -549,10 +595,14 @@ def explain(searcher: IndexSearcher, query: str, doc_id: int) -> dict:
     }
 
 
-def _phrase_postings(seg, phrase: tuple[str, ...]) -> tuple[np.ndarray, np.ndarray]:
-    """Exact (slop 0) phrase matching over one segment: docs containing all
-    terms in adjacent positions, with the phrase frequency per doc (the
-    ExactPhraseMatcher role). Requires DOCS_AND_FREQS_AND_POSITIONS."""
+def _phrase_postings(
+    seg, phrase: tuple[str, ...], slop: int = 0
+) -> tuple[np.ndarray, np.ndarray]:
+    """Phrase matching over one segment: docs matching the phrase with the
+    per-doc phrase frequency. slop=0 is the ExactPhraseMatcher role (freq =
+    int match count); slop>0 is the SloppyPhraseMatcher role (freq = sum of
+    sloppyWeight 1/(1+matchLength), a float — PhraseQuery.java:92,147,
+    SloppyPhraseScorer semantics). Requires DOCS_AND_FREQS_AND_POSITIONS."""
     term_docs = []
     term_pos: list[list[np.ndarray]] = []
     for t in phrase:
@@ -573,19 +623,77 @@ def _phrase_postings(seg, phrase: tuple[str, ...]) -> tuple[np.ndarray, np.ndarr
     if len(cand) == 0:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
     out_docs: list[int] = []
-    out_freqs: list[int] = []
+    out_freqs: list = []
     idx_per_term = [np.searchsorted(term_docs[i], cand) for i in range(len(phrase))]
     for ci, doc in enumerate(cand.tolist()):
-        match = term_pos[0][idx_per_term[0][ci]]
-        for off in range(1, len(phrase)):
-            nxt = term_pos[off][idx_per_term[off][ci]]
-            match = np.intersect1d(match, nxt - off, assume_unique=True)
-            if len(match) == 0:
-                break
-        if len(match):
-            out_docs.append(doc)
-            out_freqs.append(len(match))
-    return np.array(out_docs, dtype=np.int64), np.array(out_freqs, dtype=np.int64)
+        if slop == 0:
+            match = term_pos[0][idx_per_term[0][ci]]
+            for off in range(1, len(phrase)):
+                nxt = term_pos[off][idx_per_term[off][ci]]
+                match = np.intersect1d(match, nxt - off, assume_unique=True)
+                if len(match) == 0:
+                    break
+            if len(match):
+                out_docs.append(doc)
+                out_freqs.append(len(match))
+        else:
+            adj = [
+                term_pos[i][idx_per_term[i][ci]] - i for i in range(len(phrase))
+            ]
+            f = _sloppy_freq(adj, slop, phrase)
+            if f > 0.0:
+                out_docs.append(doc)
+                out_freqs.append(f)
+    freq_dtype = np.int64 if slop == 0 else np.float32
+    return np.array(out_docs, dtype=np.int64), np.array(out_freqs, dtype=freq_dtype)
+
+
+def _sloppy_freq(adj: list[np.ndarray], slop: int, phrase: tuple[str, ...]) -> float:
+    """Sloppy phrase frequency for one doc: scan offset-adjusted position
+    lists (pos_i - i, the PhrasePositions adjustment) with a k-way min-heap;
+    every time the current selection's span (max - min) <= slop, count a
+    match with sloppyWeight = 1/(1 + span) and advance the min list.
+
+    Matching-doc semantics equal Lucene's (a doc matches iff some selection
+    of one occurrence per phrase slot has adjusted span <= slop; repeated
+    terms must use distinct token occurrences); the per-match enumeration is
+    a minimal-window scan rather than SloppyPhraseMatcher's pq machinery, so
+    freq can differ from Lucene's on overlapping-repeat edge cases."""
+    import heapq
+
+    n = len(adj)
+    # distinct-occurrence constraint only matters for repeated phrase terms
+    rpt_groups: list[list[int]] = []
+    seen_terms: dict[str, list[int]] = {}
+    for i, t in enumerate(phrase):
+        seen_terms.setdefault(t, []).append(i)
+    rpt_groups = [v for v in seen_terms.values() if len(v) > 1]
+    idx = [0] * n
+    heap = [(int(adj[i][0]), i) for i in range(n)]
+    heapq.heapify(heap)
+    cur_max = max(h[0] for h in heap)
+    cur = [int(adj[i][0]) for i in range(n)]
+    freq = 0.0
+    while True:
+        mn, i = heap[0]
+        span = cur_max - mn
+        if span <= slop:
+            ok = True
+            for grp in rpt_groups:
+                # actual token positions (adj + slot offset) must be distinct
+                actual = [cur[j] + j for j in grp]
+                if len(set(actual)) != len(actual):
+                    ok = False
+                    break
+            if ok:
+                freq += 1.0 / (1.0 + span)
+        idx[i] += 1
+        if idx[i] >= len(adj[i]):
+            return freq
+        v = int(adj[i][idx[i]])
+        cur[i] = v
+        heapq.heapreplace(heap, (v, i))
+        cur_max = max(cur_max, v)
 
 
 # ---------------------------------------------------------------------------
@@ -851,13 +959,18 @@ def _shard_searcher(manifest_ref, shard_id: int, n_shards: int) -> IndexSearcher
 
 
 def search_dataset_sharded(
-    queries_ds, manifest: dict, n_shards: int = 4, batch_size: int = 32
+    queries_ds, manifest: dict, n_shards: int = 4, batch_size: int = 32,
+    algorithm: str | None = None,
 ):
     """queries (query_id, query[, k]) → exact global top-k hits.
 
-    Shard-local searchers score with GLOBAL term statistics (df/ttf summed
-    across all shards per query — the TermStates.build stats pass), so
-    shard-local scores are globally comparable and the reduce is a pure
+    The fan-out REWRITES each query once against the full dictionary
+    (prefix/range/wildcard/fuzzy → flat SHOULD clauses) and collects global
+    (df, ttf) for every term the rewritten query touches — incl. phrase,
+    synonym and boost terms — the TermStates.build stats pass. Shard tasks
+    execute the flat plan through the normal planner (TAAT/WAND auto) with
+    the global stats injected via ``stats_override``, so shard-local scores
+    are globally comparable for ALL clause types and the reduce is a pure
     TopDocs merge on (score desc, docID asc)."""
     import pandas as pd
     import ray
@@ -866,22 +979,29 @@ def search_dataset_sharded(
     full = IndexSearcher(manifest)
 
     def fanout(batch: pa.Table) -> pa.Table:
+        from dataclasses import asdict
+
         rows = []
         for r in batch.to_pylist():
-            # stats pass once per query on the driver-side full view would
-            # also work; here each fan-out row carries the per-term global
-            # stats so shard tasks stay stateless about other shards
-            q = parse_query(r["query"])
-            terms = tuple(q.must) + tuple(q.should) + tuple(q.must_not)
-            stats = {t: full.global_term_stats(t) for t in terms}
+            q = full.rewrite(parse_query(r["query"]))
+            terms = set(q.must) | set(q.should) | set(q.must_not)
+            for grp in q.synonyms:
+                terms.update(grp)
+            for ph in q.phrases:
+                terms.update(ph)
+            for ph, _slop in q.sloppy:
+                terms.update(ph)
+            for t, _bf in q.boosts:
+                terms.add(t)
+            stats = {t: full.global_term_stats(t) for t in sorted(terms)}
+            plan = repr((asdict(q), stats))
             for sid in range(n_shards):
                 rows.append(
                     {
                         "query_id": r["query_id"],
-                        "query": r["query"],
                         "k": int(r.get("k", 10)),
                         "shard_id": sid,
-                        "stats": str(stats),
+                        "plan": plan,
                     }
                 )
         return pa.Table.from_pylist(rows)
@@ -892,16 +1012,13 @@ def search_dataset_sharded(
         out = {"query_id": [], "doc_id": [], "score": [], "k": []}
         for r in batch.to_pylist():
             s = _shard_searcher(manifest_ref, int(r["shard_id"]), n_shards)
-            stats = ast.literal_eval(r["stats"])
-            q = parse_query(r["query"])
-            params = {
-                t: (make_term_scorer(df, s.doc_count, s.sum_ttf) if df else None)
-                for t, (df, _ttf) in stats.items()
-            }
-            if any(params.get(t) is None for t in q.must):
-                continue
-            live = tuple(t for t in q.should if params.get(t) is not None)
-            docs, scores = s._search_taat(q, live, params, int(r["k"]))
+            qd, stats = ast.literal_eval(r["plan"])
+            q = BoolQuery(**qd)
+            s.stats_override = stats
+            try:
+                docs, scores = s.execute(q, int(r["k"]), algorithm=algorithm)
+            finally:
+                s.stats_override = None
             out["query_id"].extend([r["query_id"]] * len(docs))
             out["doc_id"].extend(docs.tolist())
             out["score"].extend(scores.tolist())

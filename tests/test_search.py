@@ -494,3 +494,88 @@ def test_stopword_analyzer_end_to_end(tmp_path):
     assert seg.term_stats("cat") == (2, 2)
     # norms exclude stopped tokens (posIncr semantics for norms)
     assert seg.norm_of(np.array([0])).tolist() == [2]  # cat, house
+
+
+def test_must_and_should_same_term(corpus):
+    """'+foo foo' — a term in both MUST and SHOULD scores twice but counts
+    toward the must-match requirement once; TAAT must agree with WAND
+    (regression: must_cnt was double-incremented, TAAT returned 0 hits)."""
+    taat = IndexSearcher(corpus["manifest"], algorithm="taat")
+    wand = IndexSearcher(corpus["manifest"], algorithm="wand")
+    for qstr, k in [("+t00000 t00000", 10), ("+the00 the00 t00001", 10)]:
+        td, ts = taat.search(qstr, k)
+        wd, ws = wand.search(qstr, k)
+        assert len(td) > 0, qstr
+        np.testing.assert_array_equal(td, wd, err_msg=qstr)
+        np.testing.assert_array_equal(ts, ws, err_msg=qstr)
+
+
+def test_minimum_should_match(corpus):
+    """minimumNumberShouldMatch (search/BooleanQuery.java:78): hits must
+    match >= msm optional clauses; scores unchanged vs the plain query."""
+    from dataclasses import replace
+
+    from engine.queryparse import parse_query
+
+    s = IndexSearcher(corpus["manifest"], algorithm="taat")
+    q0 = parse_query("t00000 t00001 t00002")
+    base_docs, base_scores = s.search(q0, corpus["doc_count"])
+    op = corpus["oracle_postings"]
+    sets = [set(op[t][0].tolist()) for t in ("t00000", "t00001", "t00002")]
+    by_doc = dict(zip(base_docs.tolist(), base_scores.tolist()))
+    for msm in (1, 2, 3):
+        docs, scores = s.search(replace(q0, min_should_match=msm), corpus["doc_count"])
+        expect = {d for d in by_doc if sum(d in s_ for s_ in sets) >= msm}
+        assert set(docs.tolist()) == expect, f"msm={msm}"
+        for d, sc in zip(docs.tolist(), scores.tolist()):
+            assert sc == by_doc[d]  # msm filters, never rescores
+    # msm combined with a MUST clause
+    q1 = replace(parse_query("+the00 t00000 t00001"), min_should_match=1)
+    docs, _ = s.search(q1, corpus["doc_count"])
+    must_set = set(op["the00"][0].tolist())
+    s0, s1 = set(op["t00000"][0].tolist()), set(op["t00001"][0].tolist())
+    assert set(docs.tolist()) == must_set & (s0 | s1)
+
+
+def test_sloppy_phrase(corpus):
+    """"a b"~N matches iff some (pa, pb) has (pb-1) - pa in [-N, N]
+    (offset-adjusted span <= slop, the SloppyPhraseMatcher criterion);
+    slop large enough degrades toward the AND doc set."""
+    from engine.analyze import analyze_batch
+
+    pages = make_pages(N_DOCS, seed=42)
+    texts = pages.column("text").to_pylist()
+    s = IndexSearcher(corpus["manifest"], algorithm="taat")
+    a, b = "the00", "the01"
+    # positions oracle straight from the analyzed token stream
+    pos: dict[str, list[list[int]]] = {a: [], b: []}
+    for txt in texts:
+        toks, _ = analyze_batch([txt])
+        for t in (a, b):
+            pos[t].append([i for i, x in enumerate(toks) if x == t])
+    for slop in (1, 2, 4):
+        docs, scores = s.search(f'"{a} {b}"~{slop}', corpus["doc_count"])
+        expect = set()
+        for d in range(N_DOCS):
+            pa, pb = pos[a][d], pos[b][d]
+            if pa and pb and any(abs((j - 1) - i) <= slop for i in pa for j in pb):
+                expect.add(d)
+        assert set(docs.tolist()) == expect, f"slop={slop}"
+        assert scores.dtype == np.float32
+    # slop 0 via the sloppy path == the exact-phrase doc set
+    d0, _ = s.search(f'"{a} {b}"', corpus["doc_count"])
+    dsl, _ = s.search(f'"{a} {b}"~1', corpus["doc_count"])
+    assert set(d0.tolist()) <= set(dsl.tolist())
+
+
+def test_sloppy_phrase_repeated_term(corpus):
+    """Repeated phrase terms must bind distinct token occurrences:
+    "tiekey tiekey"~2 requires two tiekey occurrences."""
+    s = IndexSearcher(corpus["manifest"], algorithm="taat")
+    exact, _ = s.search('"tiekey tiekey"', corpus["doc_count"])
+    sloppy, _ = s.search('"tiekey tiekey"~2', corpus["doc_count"])
+    op = corpus["oracle_postings"]
+    docs, freqs = op["tiekey"]
+    multi = set(docs[freqs >= 2].tolist())
+    assert set(sloppy.tolist()) <= multi
+    assert set(exact.tolist()) <= set(sloppy.tolist())

@@ -63,3 +63,57 @@ def test_pipeline_sharded_matches_plain():
     np.testing.assert_array_equal(
         a["score"].to_numpy().astype(np.float32), b["score"].to_numpy().astype(np.float32)
     )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sharded_rich_clauses_match_single(tmp_path_factory):
+    """Prefix / wildcard / phrase / synonym / boost / fuzzy clauses must
+    survive the shard fan-out: the rewrite happens once against the full
+    dictionary and shard tasks score with injected GLOBAL stats
+    (regression: rewrites were silently dropped and phrase/synonym/boost
+    used shard-local df)."""
+    import ray.data
+
+    from engine.build import invert_to_segment
+    from engine.checkpoint import finalize_build_manifest
+    from engine.fixtures import make_pages
+    from engine.search import IndexSearcher, search_dataset_sharded
+
+    root = tmp_path_factory.mktemp("shardedrich")
+    pages = make_pages(600, seed=13)
+    texts = pages.column("text").to_pylist()
+    rows = []
+    for s in range(6):
+        lo, hi = s * 100, (s + 1) * 100
+        seg_dir = str(root / f"partitions/p{lo:012d}")
+        meta = invert_to_segment(np.arange(lo, hi, dtype=np.int64), texts[lo:hi], seg_dir)
+        rows.append(
+            {k: meta[k] for k in ("doc_base", "n_docs", "sum_ttf", "n_terms", "wall_ms")}
+            | {"seg_dir": seg_dir}
+        )
+    manifest = finalize_build_manifest(str(root), rows)
+
+    queries = [
+        {"query_id": 0, "query": "t0000*", "k": 10},       # prefix rewrite
+        {"query_id": 1, "query": '"the00 the01"', "k": 10},  # phrase
+        {"query_id": 2, "query": "t00000|t00001", "k": 10},  # synonym
+        {"query_id": 3, "query": "t00000^2.5 t00002", "k": 10},  # boost
+        {"query_id": 4, "query": "t0000?", "k": 10},       # wildcard
+        {"query_id": 5, "query": "t00000~1", "k": 10},     # fuzzy
+        {"query_id": 6, "query": '"the00 the02"~2', "k": 10},  # sloppy phrase
+        {"query_id": 7, "query": "[t00000 TO t00004]", "k": 10},  # term range
+    ]
+    res = (
+        search_dataset_sharded(ray.data.from_items(queries), manifest, n_shards=3)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+    )
+    base = IndexSearcher(manifest, algorithm="taat")
+    for q in queries:
+        bd, bs = base.search(q["query"], q["k"])
+        sub = res[res["query_id"] == q["query_id"]]
+        assert len(bd) > 0, f"fixture should hit: {q['query']}"
+        np.testing.assert_array_equal(sub["doc_id"].to_numpy(), bd, err_msg=q["query"])
+        np.testing.assert_array_equal(
+            sub["score"].to_numpy().astype(np.float32), bs, err_msg=q["query"]
+        )
