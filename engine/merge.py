@@ -265,52 +265,194 @@ _RESULT_SCHEMA = pa.schema(
 
 
 def compute_heavy_terms(seg_dirs: list[str], salt_threshold: int) -> dict[str, int]:
-    """Pre-pass: global df per term from a pruned-column read (only the
-    term/df columns leave storage), aggregated with a vectorized pyarrow
-    group_by — the pre-aggregate pattern. Driver-side here because the
-    (term, df) projection is tiny; at 10^12-doc scale this becomes the same
-    distributed groupby-sum over the projection. Returns {term: global_df}
-    for terms above the salting threshold (a stop-word-sized set)."""
-    import pyarrow.dataset as pads
+    """Heavy-term pre-pass — the driver never holds the (term, df)
+    projection of the whole dictionary, only the stop-word-sized survivor
+    set of one distributed filter pass.
+
+    Candidates: pruned-column read of (term, df), map-side filter
+    df >= ceil(T / n_parts). By pigeonhole, any term with global df >= T
+    has at least one partition row above that floor, so the survivors are a
+    guaranteed superset of the heavy set — and only a stop-word-sized set
+    of rows (<= n_parts x |stop words|) ever leaves the map tasks.
+
+    The driver then pyarrow-group-sums ONLY the filtered rows — a
+    stop-word-sized table — and thresholds at T. The candidate-partial sum
+    is a lower bound on global df within n_parts x (floor-1) < T, so every
+    term with global df >= 2T is guaranteed salted and only the borderline
+    [T, 2T) band can stay unsalted — acceptable because salting is a pure
+    layout/skew decision with no effect on merged output. Returns
+    {term: candidate df sum} for terms above the salting threshold."""
+    import pyarrow.compute as pc
+    import ray.data
 
     term_files = [os.path.join(d, "terms.parquet") for d in seg_dirs]
-    tbl = pads.dataset(term_files).to_table(columns=["term", "df"])
+    floor = -(-salt_threshold // max(1, len(seg_dirs)))  # ceil(T / n_parts)
+
+    def _cand(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater_equal(batch.column("df"), floor)).select(
+            ["term", "df"]
+        )
+
+    cand = (
+        ray.data.read_parquet(
+            term_files,
+            columns=["term", "df"],
+            override_num_blocks=min(len(term_files), 32),
+        )
+        .map_batches(_cand, batch_format="pyarrow", **_rargs())
+        .to_arrow_refs()
+    )
+    import ray as _ray
+
+    tbls = [t for t in _ray.get(cand) if t.num_rows]
+    if not tbls:
+        return {}
+    tbl = pa.concat_tables(tbls)
     agg = tbl.group_by("term").aggregate([("df", "sum")])
-    mask = pa.compute.greater_equal(agg.column("df_sum"), salt_threshold)
+    mask = pc.greater_equal(agg.column("df_sum"), salt_threshold)
     hv = agg.filter(mask)
     return dict(
-        zip(hv.column("term").to_pylist(), (int(x) for x in hv.column("df_sum").to_pylist()))
+        zip(
+            hv.column("term").to_pylist(),
+            (int(x) for x in hv.column("df_sum").to_pylist()),
+        )
     )
 
 
-def _bucket_of_terms(
-    terms: list[str], salts: np.ndarray, n_buckets: int
-) -> np.ndarray:
-    """Deterministic shuffle bucket per row: hash(term) for light rows,
-    hash(term, salt) for salted rows — heavy terms spread across buckets."""
-    from .textops import fnv1a
+def write_norm_shards_async(
+    parts: list[dict], out_dir: str, parts_per_shard: int = 8
+) -> tuple[list[dict], list]:
+    """Consolidate partition norms into doc-range-sharded files with raw
+    Ray tasks — the driver never holds a whole-corpus norms array (the
+    round-1 dense ray.put broadcast was a ~1 TB driver allocation at 10^12
+    docs). Each shard = the concatenated (doc_id, norm) rows of
+    parts_per_shard doc-contiguous partitions, written atomically.
 
-    out = np.empty(len(terms), dtype=np.int64)
-    for i, t in enumerate(terms):
-        s = salts[i]
-        out[i] = (fnv1a(f"{t}\x00{s}") if s >= 0 else fnv1a(t)) % n_buckets
-    return out
+    Returns ([{doc_lo, doc_hi, path}], task refs) IMMEDIATELY so the
+    writes overlap the heavy-term pre-pass; ray.get the refs before any
+    merge task needs the files. Raw @ray.remote (not a Dataset job) on
+    purpose: a handful of independent file writes, launch latency matters."""
+    import ray
+
+    parts = sorted(parts, key=lambda r: r["doc_base"])
+    groups = [
+        parts[i : i + parts_per_shard] for i in range(0, len(parts), parts_per_shard)
+    ]
+    specs = []
+    for g in groups:
+        lo = int(g[0]["doc_base"])
+        hi = int(g[-1]["doc_base"]) + int(g[-1]["n_docs"])
+        specs.append(
+            {
+                "doc_lo": lo,
+                "doc_hi": hi,
+                "path": os.path.join(out_dir, f"norms-{lo:012d}.parquet"),
+                "inputs": [r["seg_dir"] for r in g],
+            }
+        )
+
+    @ray.remote(**_rargs())
+    def _write(spec: dict) -> str:
+        if not os.path.exists(spec["path"]):  # idempotent resume
+            tbl = pa.concat_tables(
+                pq.read_table(os.path.join(d, "norms.parquet"))
+                for d in spec["inputs"]
+            )
+            pq.write_table(tbl, spec["path"] + ".tmp")
+            os.replace(spec["path"] + ".tmp", spec["path"])
+        return spec["path"]
+
+    refs = [_write.remote(s) for s in specs]
+    rows = [{k: s[k] for k in ("doc_lo", "doc_hi", "path")} for s in specs]
+    return rows, refs
+
+
+class _NormStore:
+    """Per-worker lazy loader of doc-range norm shards: ``norms_for(docs)``
+    for a doc-sorted run that lies inside one partition (hence one shard).
+    Shards decode to dense uint8 arrays once per worker process and stay
+    cached (LRU) — on a multi-node cluster each node reads only the shards
+    its merge rows touch, from shared storage, once per worker; nothing is
+    ever broadcast whole."""
+
+    _CACHE_MAX = 64
+
+    def __init__(self, shards: list[dict]):
+        from collections import OrderedDict
+
+        self.shards = sorted(shards, key=lambda r: r["doc_lo"])
+        self._lo = np.array([s["doc_lo"] for s in self.shards], dtype=np.int64)
+        self._cache: OrderedDict[int, np.ndarray] = OrderedDict()
+
+    def _dense(self, i: int) -> np.ndarray:
+        hit = self._cache.get(i)
+        if hit is not None:
+            self._cache.move_to_end(i)
+            return hit
+        s = self.shards[i]
+        tbl = pq.read_table(s["path"])
+        arr = np.zeros(int(s["doc_hi"]) - int(s["doc_lo"]), dtype=np.uint8)
+        arr[tbl.column("doc_id").to_numpy() - int(s["doc_lo"])] = tbl.column(
+            "norm"
+        ).to_numpy()
+        self._cache[i] = arr
+        if len(self._cache) > self._CACHE_MAX:
+            self._cache.popitem(last=False)
+        return arr
+
+    def norms_for(self, docs: np.ndarray) -> np.ndarray:
+        """Norm byte per doc for an ARBITRARY (not necessarily sorted) doc
+        array; fast path when the whole array lies inside one shard."""
+        if len(docs) == 0:
+            return np.empty(0, dtype=np.uint8)
+        lo_d, hi_d = int(docs.min()), int(docs.max())
+        i = int(np.searchsorted(self._lo, lo_d, side="right")) - 1
+        s = self.shards[i]
+        if hi_d < int(s["doc_hi"]):  # fast path: all docs inside one shard
+            return self._dense(i)[docs - int(s["doc_lo"])]
+        out = np.empty(len(docs), dtype=np.uint8)  # spans shards
+        idx = np.searchsorted(self._lo, docs, side="right") - 1
+        for j in np.unique(idx):
+            m = idx == j
+            out[m] = self._dense(int(j))[docs[m] - int(self.shards[int(j)]["doc_lo"])]
+        return out
+
+
+_NORM_STORES: dict = {}
+
+
+def _norm_store_for(key: str, shards: list[dict]) -> _NormStore:
+    st = _NORM_STORES.get(key)
+    if st is None:
+        st = _NormStore(shards)
+        _NORM_STORES[key] = st
+    return st
 
 
 def _make_exploder(heavy_ref, rank_of_base: dict[int, int], n_salts: int, n_buckets: int):
-    """Explode one partition's term table into shuffle rows — a pure column
-    transform (no postings decode): the blob travels opaque, norms are NOT
-    shipped per posting (mergers use the broadcast norms array instead).
-    Heavy terms get salt = contiguous-partition-rank-range id (runs stay
-    doc-ordered) and a per-(term, salt) bucket; light terms salt -1 and a
-    per-term bucket. Heavy set broadcast once via ray.put."""
+    """Explode one partition's term table into PACKED shuffle rows — a pure
+    column transform (no postings decode): the blob travels opaque inside
+    one Arrow-IPC fragment per (partition, bucket), so the groupby shuffle
+    moves n_parts x n_buckets rows instead of one row per (term,
+    partition) — same bytes, ~2 orders of magnitude less per-row shuffle
+    overhead. Heavy terms get salt = contiguous-partition-rank-range id
+    (runs stay doc-ordered) and a per-(term, salt) bucket; light terms
+    salt -1 and a per-term bucket. Bucket hashing is the vectorized FNV-1a
+    (identical to the scalar fnv1a the searcher uses for shard routing).
+    Heavy set broadcast once via ray.put."""
     import ray
 
     chunk = max(1, (len(rank_of_base) + n_salts - 1) // n_salts)
 
     def _explode(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from .textops import fnv1a_extend_vec, fnv1a_vec
+
         heavy = ray.get(heavy_ref)
-        outs = []
+        heavy_arr = pa.array(sorted(heavy), type=pa.string())
+        out_buckets: list[int] = []
+        out_frags: list[bytes] = []
         for spec in batch.to_pylist():
             seg_dir = spec["seg_dir"]
             t = pq.read_table(
@@ -320,39 +462,214 @@ def _make_exploder(heavy_ref, rank_of_base: dict[int, int], n_salts: int, n_buck
             with open(os.path.join(seg_dir, "meta.json")) as f:
                 doc_base = json.load(f)["doc_base"]
             rank = rank_of_base[doc_base]
-            terms = t.column("term").to_pylist()
             salt_val = rank // chunk
-            salts = np.fromiter(
-                ((salt_val if tt in heavy else -1) for tt in terms),
-                dtype=np.int32,
-                count=len(terms),
-            )
-            buckets = _bucket_of_terms(terms, salts, n_buckets)
+            n = t.num_rows
+            term_col = t.column("term").combine_chunks()
+            if len(heavy):
+                is_heavy = pc.is_in(term_col, value_set=heavy_arr).to_numpy(
+                    zero_copy_only=False
+                )
+            else:
+                is_heavy = np.zeros(n, dtype=bool)
+            h = fnv1a_vec(term_col)
+            h_salted = fnv1a_extend_vec(h, f"\x00{salt_val}".encode())
+            buckets = np.where(
+                is_heavy, h_salted % np.uint64(n_buckets), h % np.uint64(n_buckets)
+            ).astype(np.int64)
+            salts = np.where(is_heavy, salt_val, -1).astype(np.int32)
             t = t.append_column("salt", pa.array(salts, type=pa.int32()))
-            t = t.append_column("bucket", pa.array(buckets, type=pa.int64()))
             t = t.append_column(
-                "doc_base", pa.array(np.full(len(terms), doc_base), type=pa.int64())
+                "doc_base", pa.array(np.full(n, doc_base), type=pa.int64())
             )
-            outs.append(t)
-        return pa.concat_tables(outs)
+            order = np.argsort(buckets, kind="stable")
+            t = t.take(pa.array(order))
+            b_sorted = buckets[order]
+            brk = np.flatnonzero(np.diff(b_sorted)) + 1
+            starts = np.concatenate([[0], brk]).astype(np.int64)
+            ends = np.concatenate([brk, [n]]).astype(np.int64)
+            for s_, e_ in zip(starts.tolist(), ends.tolist()):
+                frag = t.slice(s_, e_ - s_)
+                sink = pa.BufferOutputStream()
+                with pa.ipc.new_stream(sink, frag.schema) as w:
+                    w.write_table(frag)
+                out_buckets.append(int(b_sorted[s_]))
+                out_frags.append(sink.getvalue().to_pybytes())
+        return pa.table(
+            {
+                "bucket": pa.array(out_buckets, type=pa.int64()),
+                "frag": pa.array(out_frags, type=pa.binary()),
+            }
+        )
 
     return _explode
 
 
-def _concat_group_arrays(rows: list[dict], norms_global: np.ndarray):
+def _concat_group_arrays(rows: list[dict], norm_store: "_NormStore"):
     """Decode + concatenate doc-disjoint shuffle rows of one (term, salt)
-    group; per-posting norms come from the broadcast norms array."""
-    from .codec import decode_term_postings
+    group; per-posting norms come from the doc-range norm-shard store.
+    Rows that carry their skip-offset arrays (run files keep the full
+    TERMS_SCHEMA) decode through the width-grouped batched unpack."""
+    from .codec import decode_term_postings, decode_term_postings_indexed
 
     decoded = []
     for r in rows:
         if r["df"] == 1:
             d = np.array([r["singleton_doc"]], dtype=np.int64)
             f = np.array([r["ttf"]], dtype=np.int64)
+        elif r.get("offsets"):
+            d, f = decode_term_postings_indexed(
+                r["blob"], r["df"], np.asarray(r["offsets"], dtype=np.int64)
+            )
         else:
             d, f = decode_term_postings(r["blob"], r["df"])
-        decoded.append((d, f, norms_global[d], r.get("pos_blob") or b""))
+        decoded.append((d, f, norm_store.norms_for(d), r.get("pos_blob") or b""))
     return _concat_decoded(decoded)
+
+
+def _binary_views(arr: pa.Array) -> tuple[np.ndarray, memoryview]:
+    """Zero-copy (offsets, data) views over a non-chunked binary array:
+    row i's bytes are data[offs[i]:offs[i+1]] — no per-row Python bytes
+    materialization (the .to_pylist() replacement for blob columns)."""
+    o = arr.offset
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[o : o + len(arr) + 1]
+    buf = arr.buffers()[2]
+    return offs, memoryview(buf) if buf is not None else memoryview(b"")
+
+
+def _merge_sorted_batch(batch: pa.Table, norm_store: "_NormStore", emit) -> None:
+    """Decode + merge a (term, salt, doc_base)-sorted single-chunk batch of
+    shuffle rows, calling ``emit(term, salt, docs, freqs, norms, pos_blob)``
+    once per (term, salt) group in sorted order.
+
+    Vectorized three-class decode (the batched-VInt lesson from the
+    inverter — per-row Python loops cost ~90us/row, this path ~2us):
+
+    - singletons (df==1): doc/freq straight from columns, no blob;
+    - VInt rows (1 < df < 128): every row's blob gathered into ONE byte
+      stream and decoded in ONE read_vints pass; the combined/freq-rest
+      sub-streams are split per row with cumsum arithmetic;
+    - block rows (df>=128, the stop band): per-row decode.
+
+    Per-row segments land in one flat postings buffer at cumsum(df)
+    offsets, so each group's merged postings are a CONTIGUOUS slice — no
+    per-group concatenation. Rows are doc-ordered within a group (sorted
+    by doc_base, partitions doc-disjoint); a violated group falls back to
+    an argsort repair."""
+    from .codec import BLOCK_SIZE, decode_term_postings, read_vints
+
+    n = batch.num_rows
+    if n == 0:
+        return
+    terms_a = batch.column("term").chunk(0)
+    salt = batch.column("salt").to_numpy()
+    df = batch.column("df").to_numpy()
+    ttf = batch.column("ttf").to_numpy()
+    singleton = batch.column("singleton_doc").to_numpy()
+    b_off, b_data = _binary_views(batch.column("blob").chunk(0))
+    p_off, p_data = _binary_views(batch.column("pos_blob").chunk(0))
+    raw = (
+        np.frombuffer(b_data, dtype=np.uint8)
+        if len(b_data)
+        else np.empty(0, np.uint8)
+    )
+
+    out_end = np.cumsum(df)
+    out_start = out_end - df
+    total = int(out_end[-1])
+    flat_docs = np.empty(total, dtype=np.int64)
+    flat_freqs = np.empty(total, dtype=np.int64)
+
+    s_rows = np.flatnonzero(df == 1)
+    if len(s_rows):
+        flat_docs[out_start[s_rows]] = singleton[s_rows]
+        flat_freqs[out_start[s_rows]] = ttf[s_rows]
+
+    l_rows = np.flatnonzero((df > 1) & (df < BLOCK_SIZE))
+    if len(l_rows):
+        starts_b = b_off[l_rows].astype(np.int64)
+        lens_b = (b_off[l_rows + 1] - b_off[l_rows]).astype(np.int64)
+        total_b = int(lens_b.sum())
+        out_off_b = np.cumsum(lens_b) - lens_b
+        gidx = np.arange(total_b, dtype=np.int64) + np.repeat(
+            starts_b - out_off_b, lens_b
+        )
+        cat = raw[gidx]
+        is_term_b = (cat & 0x80) == 0
+        n_vints = int(is_term_b.sum())
+        vals, _ = read_vints(cat, n_vints)
+        cum_term = np.concatenate(([0], np.cumsum(is_term_b)))
+        vints_per_row = cum_term[np.cumsum(lens_b)] - cum_term[out_off_b]
+        ldf = df[l_rows]
+        val_starts = np.cumsum(vints_per_row) - vints_per_row
+        pos_in_row = np.arange(n_vints, dtype=np.int64) - np.repeat(
+            val_starts, vints_per_row
+        )
+        row_of_val = np.repeat(np.arange(len(l_rows)), vints_per_row)
+        is_comb = pos_in_row < ldf[row_of_val]
+        comb = vals[is_comb]
+        rest = vals[~is_comb].astype(np.int64)
+        d = (comb >> np.uint64(1)).astype(np.int64)
+        flags = (comb & np.uint64(1)).astype(bool)
+        seg_cs = np.cumsum(d)
+        comb_starts = np.cumsum(ldf) - ldf
+        base = np.repeat(seg_cs[comb_starts] - d[comb_starts], ldf)
+        docs_l = seg_cs - base - 1
+        freqs_l = np.ones(len(d), dtype=np.int64)
+        freqs_l[~flags] = rest
+        tgt = (
+            np.arange(len(d), dtype=np.int64)
+            - np.repeat(comb_starts, ldf)
+            + np.repeat(out_start[l_rows], ldf)
+        )
+        flat_docs[tgt] = docs_l
+        flat_freqs[tgt] = freqs_l
+
+    for r in np.flatnonzero(df >= BLOCK_SIZE).tolist():
+        dd, ff = decode_term_postings(b_data[b_off[r] : b_off[r + 1]], int(df[r]))
+        flat_docs[out_start[r] : out_end[r]] = dd
+        flat_freqs[out_start[r] : out_end[r]] = ff
+
+    flat_norms = norm_store.norms_for(flat_docs)
+
+    if n > 1:
+        neq = pa.compute.not_equal(
+            terms_a.slice(1), terms_a.slice(0, n - 1)
+        ).to_numpy(zero_copy_only=False)
+        brk = np.flatnonzero(neq | (salt[1:] != salt[:-1])) + 1
+    else:
+        brk = np.empty(0, dtype=np.int64)
+    g_starts = np.concatenate([[0], brk]).astype(np.int64)
+    g_ends = np.concatenate([brk, [n]]).astype(np.int64)
+    any_pos = len(p_data) > 0
+
+    for rs, re_ in zip(g_starts.tolist(), g_ends.tolist()):
+        lo_p, hi_p = int(out_start[rs]), int(out_end[re_ - 1])
+        docs = flat_docs[lo_p:hi_p]
+        freqs = flat_freqs[lo_p:hi_p]
+        norms = flat_norms[lo_p:hi_p]
+        has_pos = any_pos and bool(
+            (p_off[rs + 1 : re_ + 1] > p_off[rs:re_]).all()
+        )
+        if len(docs) > 1 and not bool((np.diff(docs) > 0).all()):
+            # out-of-order runs (shouldn't happen with doc-disjoint
+            # partitions): repair through the per-run slow path
+            decoded = [
+                (
+                    flat_docs[out_start[r] : out_end[r]],
+                    flat_freqs[out_start[r] : out_end[r]],
+                    flat_norms[out_start[r] : out_end[r]],
+                    p_data[p_off[r] : p_off[r + 1]] if has_pos else b"",
+                )
+                for r in range(rs, re_)
+            ]
+            docs, freqs, norms, pos_blob = _concat_decoded(decoded)
+        elif has_pos:
+            pos_blob = b"".join(
+                p_data[p_off[r] : p_off[r + 1]] for r in range(rs, re_)
+            )
+        else:
+            pos_blob = b""
+        emit(terms_a[rs].as_py(), int(salt[rs]), docs, freqs, norms, pos_blob)
 
 
 def merge_by_term(
@@ -371,10 +688,11 @@ def merge_by_term(
     per-salt sub-groups that stay doc-ordered because salts are contiguous
     partition-rank ranges) → light terms are final after the single
     shuffle; the stop-word-sized set of salted runs finishes through one
-    task per heavy term. Norms are broadcast once (1 byte/doc) instead of
-    shipping a norm byte per posting through the shuffle; at 10^12 docs the
-    broadcast becomes doc-range-sharded fetches. Output: term-range-sharded
-    merged index under <index_dir>/merged/ + one consolidated norms file.
+    task per heavy term. Norms are doc-range-sharded by Ray tasks (1
+    byte/doc total) and mergers fetch only the shards their rows touch,
+    cached per worker — nothing whole-corpus is ever held on the driver or
+    broadcast dense. Output under <index_dir>/merged/: term-range-sharded
+    term files + norm shards + a sorted dictionary level (dict files).
     Salt threshold defaults to 2% of doc_count (stop-word band, SURVEY §4)."""
     import ray
     import ray.data
@@ -394,33 +712,34 @@ def merge_by_term(
     seg_dirs = [r["seg_dir"] for r in parts]
     rank_of_base = {int(r["doc_base"]): i for i, r in enumerate(parts)}
 
+    # doc-range-sharded norms, written by raw Ray tasks that OVERLAP the
+    # heavy-term pre-pass — no whole-corpus driver allocation, no dense
+    # broadcast; mergers fetch only the shards their rows touch (cached
+    # per worker process)
     t_s = time.perf_counter()
+    os.makedirs(os.path.join(index_dir, "merged"), exist_ok=True)
+    norm_shards, norm_refs = write_norm_shards_async(
+        parts, os.path.join(index_dir, "merged")
+    )
+
     heavy = compute_heavy_terms(seg_dirs, salt_threshold)
     stage_t["heavy_prepass"] = round(time.perf_counter() - t_s, 3)
     heavy_ref = ray.put(heavy)  # broadcast once
 
-    # consolidate + broadcast norms (read by merge tasks from local plasma)
     t_s = time.perf_counter()
-    os.makedirs(os.path.join(index_dir, "merged"), exist_ok=True)
-    norms_path = os.path.join(index_dir, "merged", "norms.parquet")
-    if not os.path.exists(norms_path):
-        norm_tbl = pa.concat_tables(
-            pq.read_table(os.path.join(d, "norms.parquet")) for d in seg_dirs
-        )
-        pq.write_table(norm_tbl, norms_path + ".tmp")
-        os.replace(norms_path + ".tmp", norms_path)
-    norm_tbl = pq.read_table(norms_path)
-    nd = norm_tbl.column("doc_id").to_numpy()
-    doc_base_global = int(nd.min()) if len(nd) else 0
-    norms_global = np.zeros((int(nd.max()) + 1 - doc_base_global) if len(nd) else 0, dtype=np.uint8)
-    norms_global[nd - doc_base_global] = norm_tbl.column("norm").to_numpy()
-    assert doc_base_global == 0, "global docIDs start at 0 by construction"
-    norms_ref = ray.put(norms_global)
-    stage_t["norms_consolidate"] = round(time.perf_counter() - t_s, 3)
+    ray.get(norm_refs)  # norm shards must exist before merge tasks read them
+    stage_t["norm_shards"] = round(time.perf_counter() - t_s, 3)
 
+    # Block sizing: the groupby all-to-all's overhead scales with the
+    # number of INPUT blocks (measured 8s at 160 blocks vs 1.6s at 16 for
+    # the same bytes), so the explode packs several partitions per task —
+    # ~cpus/2 blocks keeps the exchange cheap while the explode itself
+    # still saturates the pool.
+    n_cpus = int(ray.cluster_resources().get("CPU", 8))
+    explode_batch = max(1, -(-len(seg_dirs) // max(8, n_cpus // 2)))
     exploded = ray.data.from_items([{"seg_dir": d} for d in seg_dirs]).map_batches(
         _make_exploder(heavy_ref, rank_of_base, n_salts, n_buckets),
-        batch_size=1,
+        batch_size=explode_batch,
         batch_format="pyarrow",
         **_rargs(),
     )
@@ -432,33 +751,38 @@ def merge_by_term(
 
     def _merge_bucket(batch: pa.Table) -> pa.Table:
         """One shuffle bucket: merge every (term, salt) group in it, write
-        one final shard (+ one heavy-run file), return result rows."""
+        one final shard (+ one heavy-run file), return result rows.
+
+        Arrow-native hot path (see _merge_sorted_batch): unpack the IPC
+        fragments, one sort, batched decode, contiguous group slices —
+        the whole-bucket .to_pylist() (every postings blob to Python
+        dicts) was the single biggest line of the round-1 bench."""
         import uuid as _uuid
 
-        norms_g = ray.get(norms_ref)
+        if batch.num_rows == 0:
+            return pa.Table.from_pylist([], schema=_RESULT_SCHEMA)
+        norm_store = _norm_store_for(index_dir, norm_shards)
+        bucket_id = int(batch.column("bucket")[0].as_py())
+        batch = pa.concat_tables(
+            pa.ipc.open_stream(f.as_py()).read_all()
+            for f in batch.column("frag").combine_chunks()
+        )
         idx = pa.compute.sort_indices(
             batch, sort_keys=[("term", "ascending"), ("salt", "ascending"), ("doc_base", "ascending")]
         )
-        batch = batch.take(idx)
-        rows = batch.to_pylist()
-        bucket_id = int(rows[0]["bucket"]) if rows else -1
+        batch = batch.take(idx).combine_chunks()
         final_cols: dict[str, list] = {f.name: [] for f in TERMS_SCHEMA}
         run_cols: dict[str, list] = {f.name: [] for f in TERMS_SCHEMA}
         run_salts: list[int] = []
-        i, n = 0, len(rows)
-        while i < n:
-            j = i
-            key = (rows[i]["term"], rows[i]["salt"])
-            while j < n and (rows[j]["term"], rows[j]["salt"]) == key:
-                j += 1
-            group = rows[i:j]
-            docs, freqs, norms, pos_blob = _concat_group_arrays(group, norms_g)
-            if key[1] < 0:  # light term: final after this single shuffle
-                _emit_from_arrays(final_cols, key[0], docs, freqs, norms, pos_blob)
+
+        def _emit(term, salt_v, docs, freqs, norms, pos_blob):
+            if salt_v < 0:  # light term: final after this single shuffle
+                _emit_from_arrays(final_cols, term, docs, freqs, norms, pos_blob)
             else:  # salted run of a heavy term
-                _emit_from_arrays(run_cols, key[0], docs, freqs, norms, pos_blob)
-                run_salts.append(int(key[1]))
-            i = j
+                _emit_from_arrays(run_cols, term, docs, freqs, norms, pos_blob)
+                run_salts.append(salt_v)
+
+        _merge_sorted_batch(batch, norm_store, _emit)
         out_rows: list[dict] = []
         if run_cols["term"]:
             run_tbl = pa.table(run_cols, schema=TERMS_SCHEMA).append_column(
@@ -510,10 +834,13 @@ def merge_by_term(
     heavy_run_files = [r["path"] for r in results if r.get("kind") == "heavy_runs"]
 
     if heavy_run_files:
-        # final pass over the salted runs. A term's salted rows live in
-        # exactly the buckets hash(term, salt) % B for salt in 0..n_salts-1,
-        # and stage 2 wrote one run file per bucket — so each per-term task
-        # reads at most n_salts run files, not all of them.
+        # Final pass over the salted runs. A term's salted rows live in
+        # exactly the buckets hash(term, salt) % B for salt in
+        # 0..n_salts-1, and stage 2 wrote one run file per bucket — so each
+        # per-term-batch task reads at most n_salts run files, not all of
+        # them. (A Dataset groupby(term) over the runs was measured 2x
+        # slower here: the all-to-all's fixed per-block overhead dwarfs the
+        # stop-word-sized run mass.)
         bucket_to_run = {
             int(r["bucket"]): r["path"] for r in results if r.get("kind") == "heavy_runs"
         }
@@ -524,7 +851,7 @@ def merge_by_term(
 
             from .textops import fnv1a
 
-            norms_g = ray.get(norms_ref)
+            norm_store = _norm_store_for(index_dir, norm_shards)
             run_map = ray.get(run_map_ref)
             terms = sorted(batch.column("term").to_pylist())
             term_set = set(terms)
@@ -546,7 +873,7 @@ def merge_by_term(
             cols: dict[str, list] = {f.name: [] for f in TERMS_SCHEMA}
             for term in terms:
                 docs, freqs, norms, pos_blob = _concat_group_arrays(
-                    rows_by_term[term], norms_g
+                    rows_by_term[term], norm_store
                 )
                 _emit_from_arrays(cols, term, docs, freqs, norms, pos_blob)
             tbl = pa.table(cols, schema=TERMS_SCHEMA)
@@ -580,6 +907,50 @@ def merge_by_term(
             for r in heavy_shards
         )
 
+    # sorted dictionary level (the BlockTree .tim/.tip role): a distributed
+    # sort of ONLY the term column into disjoint-range dict files, so
+    # prefix/range/fuzzy expansion reads O(matching files) instead of
+    # scanning every hash-bucketed shard
+    dict_rows: list[dict] = []
+    if shards:
+        t_s = time.perf_counter()
+        dict_dir = os.path.join(index_dir, "merged", "dict")
+        os.makedirs(dict_dir, exist_ok=True)
+
+        def _write_dict(batch: pa.Table) -> pa.Table:
+            import uuid as _uuid
+
+            if batch.num_rows == 0:
+                return pa.Table.from_pylist([])
+            path = os.path.join(dict_dir, f"dict-{_uuid.uuid4().hex[:12]}.parquet")
+            pq.write_table(batch.select(["term"]), path + ".tmp")
+            os.replace(path + ".tmp", path)
+            return pa.Table.from_pylist(
+                [
+                    {
+                        "term_min": batch.column("term")[0].as_py(),
+                        "term_max": batch.column("term")[-1].as_py(),
+                        "path": path,
+                        "n_terms": batch.num_rows,
+                    }
+                ]
+            )
+
+        dict_rows = (
+            ray.data.read_parquet(
+                [s["path"] for s in shards],
+                columns=["term"],
+                override_num_blocks=min(len(shards), 16),
+            )
+            .sort("term")
+            .map_batches(
+                _write_dict, batch_size=65536, batch_format="pyarrow", **_rargs()
+            )
+            .take_all()
+        )
+        dict_rows = sorted(dict_rows, key=lambda r: r["term_min"])
+        stage_t["dict_level"] = round(time.perf_counter() - t_s, 3)
+
     out = {
         "version": 1,
         "kind": "merge-by-term",
@@ -590,7 +961,9 @@ def merge_by_term(
         "n_heavy_terms": len(heavy),
         "heavy_terms": sorted(heavy),
         "shards": sorted(shards, key=lambda s: s["term_min"]),
-        "norm_files": [norms_path],
+        "norm_files": [s["path"] for s in norm_shards],
+        "norm_shards": norm_shards,
+        "dict_files": dict_rows,
         "doc_count": manifest["doc_count"],
         "sum_ttf": manifest["sum_ttf"],
         "wall_ms": round((time.perf_counter() - t0) * 1000, 3),
@@ -685,9 +1058,14 @@ class MergedIndex:
         from bisect import bisect_left
 
         path = self._shard_path_of(term)
-        candidates = [path] if path else [p for _, _, p in self._heavy_ranges] + list(
-            self._light_by_bucket.values()
-        )
+        candidates = [path] if path else []
+        if not candidates or term in self._heavy_set:
+            # heavy ranges should be disjoint (bisect hits directly), but a
+            # targeted miss falls back to the full candidate scan so an
+            # overlapping range can never lose a term
+            candidates += [
+                p for _, _, p in self._heavy_ranges if p != path
+            ] + [p for p in self._light_by_bucket.values() if p != path]
         for p in candidates:
             if p is None:
                 continue

@@ -32,6 +32,50 @@ def fnv1a(s: str) -> int:
         h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
     return h
 
+def fnv1a_vec(arr, seed: int = 0xCBF29CE484222325):
+    """Vectorized 64-bit FNV-1a over an Arrow string array — elementwise
+    identical to fnv1a(). Column-at-a-time over the (offsets, data) buffers
+    (terms are short, so max-length iterations, each a numpy op over all
+    rows); uint64 wraparound multiply supplies the 2^64 mask."""
+    import numpy as np
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    out = np.full(n, np.uint64(seed), dtype=np.uint64)
+    if n == 0:
+        return out
+    o = arr.offset
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[o : o + n + 1].astype(
+        np.int64
+    )
+    buf = arr.buffers()[2]
+    data = np.frombuffer(buf, dtype=np.uint8) if buf is not None else np.empty(0, np.uint8)
+    lengths = np.diff(offs)
+    prime = np.uint64(0x100000001B3)
+    pos = offs[:-1]
+    for j in range(int(lengths.max())):
+        live = lengths > j
+        if not live.any():
+            break
+        b = data[pos[live] + j].astype(np.uint64)
+        out[live] = (out[live] ^ b) * prime
+    return out
+
+
+def fnv1a_extend_vec(h, suffix: bytes):
+    """Continue FNV-1a chains with a constant byte suffix (vectorized):
+    fnv1a(s + x) == fnv1a_extend(fnv1a_vec([s]), x.encode())."""
+    import numpy as np
+
+    prime = np.uint64(0x100000001B3)
+    h = h.copy()
+    for b in suffix:
+        h = (h ^ np.uint64(b)) * prime
+    return h
+
+
 STOPWORDS_EN = frozenset(
     "the a an and or of to in is are was were be been it this that for on with as by".split()
 )

@@ -177,3 +177,73 @@ def test_concat_decoded_reorders_positions():
     assert norms.tolist() == [3, 7, 3]
     out = decode_positions(blob, freqs)
     assert [o.tolist() for o in out] == [[1, 4], [2, 5, 9], [0]]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sorted_dictionary_level(built, tmp_path_factory):
+    """The merged index's dict level (BlockTreeTermsWriter.java:200-217
+    role): disjoint sorted term-range files; prefix/range/fuzzy expansion
+    reads ONLY overlapping dict files, and the cap keeps the
+    lexicographically-first terms deterministically."""
+    m = built["manifest"]
+    root = str(tmp_path_factory.mktemp("dictlvl"))
+    mm = merge_by_term(m, root, salt_threshold=400, n_salts=4)
+    assert mm["dict_files"], "dict level missing from manifest"
+    # disjoint + sorted ranges covering every term exactly once
+    ranges = [(r["term_min"], r["term_max"]) for r in mm["dict_files"]]
+    assert ranges == sorted(ranges)
+    for (_, hi_a), (lo_b, _) in zip(ranges, ranges[1:]):
+        assert hi_a <= lo_b
+    assert sum(r["n_terms"] for r in mm["dict_files"]) == sum(
+        s["n_terms"] for s in mm["shards"]
+    )
+    mi = MergedIndex(root)
+    segs = [Segment(r["seg_dir"]) for r in m["partitions"]]
+    all_terms = sorted({t for s in segs for t in s._terms})
+
+    # expansion correctness + deterministic lexicographic cap
+    exp = [t for t in all_terms if t.startswith("the0")]
+    assert mi.expand_prefix("the0", 1024) == exp
+    assert mi.expand_prefix("the0", 3) == exp[:3]
+    lo, hi = "t00100", "t00200"
+    exp_r = [t for t in all_terms if lo <= t <= hi]
+    assert mi.expand_range(lo, hi, 1024) == exp_r
+    assert mi.expand_range(lo, hi, 5) == exp_r[:5]
+
+    # pruned I/O: only dict files overlapping the prefix interval are read
+    import engine.merge as merge_mod
+
+    reads = []
+    orig = merge_mod.pq.read_table
+
+    def counting_read(path, *a, **kw):
+        reads.append(str(path))
+        return orig(path, *a, **kw)
+
+    merge_mod.pq.read_table = counting_read
+    try:
+        mi2 = MergedIndex(root)
+        reads.clear()
+        mi2.expand_prefix("the0", 1024)
+    finally:
+        merge_mod.pq.read_table = orig
+    overlapping = [
+        r["path"]
+        for r in mm["dict_files"]
+        if not (r["term_max"] < "the0" or r["term_min"] > "the0" + chr(0x10FFFF))
+    ]
+    assert set(reads) <= set(overlapping)
+    assert len(reads) < len(mm["dict_files"]) or len(mm["dict_files"]) == 1
+
+    # fuzzy expansion enumerates via pruned dict reads and matches a scan
+    from engine.search import _fuzzy_expand
+
+    got = _fuzzy_expand(mi, "the00", 1, 50)
+    exp_f = [t for t in all_terms if _ed_le(t, "the00", 1)][:50]
+    assert sorted(got) == sorted(exp_f)
+
+
+def _ed_le(a, b, k):
+    from engine.search import _edit_distance_le
+
+    return _edit_distance_le(a, b, k)
