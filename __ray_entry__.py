@@ -134,6 +134,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- inverted index / fulltext core (built end-to-end) ------------
         "term_df_ttf": pipelines.term_df_ttf,
+        "title_term_df": pipelines.title_term_df,
+        "bm25_title_topk": pipelines.bm25_title_topk,
+        "phrase_slop_match_docs": pipelines.phrase_slop_match_docs,
         "top100_terms": pipelines.top100_terms,
         "token_counts_extracted": pipelines.token_counts,
         "collection_stats": pipelines.collection_stats,
@@ -182,7 +185,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, unnest({_TOK}) AS t FROM documents
         ) GROUP BY doc_id, t
     """
+    # fixture titles are 'doc {doc_id} rep 0' (engine/fixtures.py
+    # pages_from_documents), so the title field's stats recompute from
+    # doc_id alone
+    title_tok = (
+        "regexp_extract_all(lower('doc ' || CAST(doc_id AS VARCHAR) || ' rep 0'),"
+        " '[a-z0-9]+')"
+    )
+    # SmallFloat byte4 quantization (util/SmallFloat.java:147-156) as a
+    # 256-entry VALUES lookup: norm byte b covers lengths in
+    # [LENGTH_TABLE[b], LENGTH_TABLE[b+1]) — embed the decode table so the
+    # norms path gets an exact end-to-end SQL check
+    from engine.smallfloat import LENGTH_TABLE
+
+    lt_values = ", ".join(f"({b}, {int(lo)})" for b, lo in enumerate(LENGTH_TABLE))
     return {
+        "title_term_df": f"""
+            SELECT term, count(*) AS df, CAST(sum(cnt) AS BIGINT) AS ttf FROM (
+                SELECT doc_id, t AS term, count(*) AS cnt FROM (
+                    SELECT doc_id, unnest({title_tok}) AS t FROM documents
+                ) GROUP BY doc_id, t
+            ) GROUP BY term
+        """,
+        "phrase_slop_match_docs": f"""
+            WITH tok AS (
+                SELECT doc_id, unnest({_TOK}) AS t,
+                       unnest(range(len({_TOK}))) AS p
+                FROM documents
+            )
+            SELECT DISTINCT a.doc_id FROM tok a JOIN tok b USING (doc_id)
+            WHERE a.t = 'data' AND b.t = 'join' AND abs((b.p - 1) - a.p) <= 2
+        """,
+        "doc_norms": f"""
+            WITH lt(b, lo) AS (VALUES {lt_values}),
+            tok AS (SELECT doc_id, len({_TOK}) AS n FROM documents)
+            SELECT doc_id,
+                   CAST((SELECT max(b) FROM lt WHERE lo <= n) AS BIGINT) AS norm
+            FROM tok
+        """,
         "term_df_ttf": f"""
             SELECT term, count(*) AS df, CAST(sum(cnt) AS BIGINT) AS ttf
             FROM ({tok_pairs}) GROUP BY term

@@ -51,6 +51,7 @@ def invert_to_segment(
     analyzer: Analyzer = DEFAULT_ANALYZER,
     lineage: dict | None = None,
     index_positions: bool = True,
+    field: str = "body",
 ) -> dict:
     """Invert one partition worth of documents into a segment directory.
 
@@ -206,7 +207,7 @@ def invert_to_segment(
 
     meta = {
         "kind": "partition",
-        "field": "body",
+        "field": field,
         "index_options": "docs_freqs_positions" if index_positions else "docs_freqs",
         "doc_base": int(doc_ids.min()) if n_docs else 0,
         "n_docs": n_docs,
@@ -220,50 +221,71 @@ def invert_to_segment(
 
 
 def make_inverter(
-    index_dir: str, analyzer: Analyzer = DEFAULT_ANALYZER, from_html: bool = False
+    index_dir: str,
+    analyzer: Analyzer = DEFAULT_ANALYZER,
+    from_html: bool = False,
+    fields: tuple[str, ...] = ("body",),
 ):
     """Batch fn for ``ds.map_batches(...)``: one Arrow batch → one partition
-    segment on disk → one manifest row out (tiny — the heavy data never
-    leaves the task)."""
+    segment on disk PER FIELD → one manifest row out (tiny — the heavy data
+    never leaves the task).
+
+    Multi-field indexing (benchmark/.../feeds/DocMaker.java:197-198,289-291
+    indexes doctitle and body as separate fields; index/FieldInfos.java):
+    each extra field gets its own parallel segment tree under
+    <index_dir>/fields/<field>/partitions with its own postings, norms and
+    stats — docIDs are shared across fields, so cross-field boolean
+    queries intersect on global docIDs."""
+
+    def _field_dir(fld: str, base: int) -> str:
+        if fld == "body":
+            return os.path.join(index_dir, PARTITIONS_SUBDIR, f"p{base:012d}")
+        return os.path.join(
+            index_dir, "fields", fld, PARTITIONS_SUBDIR, f"p{base:012d}"
+        )
 
     def _invert(batch: pa.Table) -> pa.Table:
         import json
 
         doc_ids = batch.column("doc_id").to_numpy()
         base = int(doc_ids.min()) if len(doc_ids) else 0
-        out_dir = os.path.join(index_dir, PARTITIONS_SUBDIR, f"p{base:012d}")
-        meta_path = os.path.join(out_dir, "meta.json")
-        if os.path.exists(meta_path):
-            # resume: partition already built (atomic rename completed) —
-            # skip extraction + inversion entirely
-            with open(meta_path) as f:
-                meta = json.load(f)
-            return pa.table(
-                {
-                    "seg_dir": [out_dir],
-                    "doc_base": [meta["doc_base"]],
-                    "n_docs": [meta["n_docs"]],
-                    "sum_ttf": [meta["sum_ttf"]],
-                    "n_terms": [meta["n_terms"]],
-                    "wall_ms": [meta["wall_ms"]],
-                }
-            )
-        if from_html:
-            batch = extract_batch(batch)
-        texts = batch.column("text").to_pylist()
-        lineage = {
-            "row_range": [int(doc_ids.min()), int(doc_ids.max())] if len(doc_ids) else [],
-            "n_rows": len(doc_ids),
-        }
-        meta = invert_to_segment(doc_ids, texts, out_dir, analyzer, lineage)
+        dirs = {fld: _field_dir(fld, base) for fld in fields}
+        metas: dict[str, dict] = {}
+        if all(os.path.exists(os.path.join(d, "meta.json")) for d in dirs.values()):
+            # resume: every field segment already built (atomic rename
+            # completed) — skip extraction + inversion entirely
+            for fld, d in dirs.items():
+                with open(os.path.join(d, "meta.json")) as f:
+                    metas[fld] = json.load(f)
+        else:
+            if from_html:
+                batch = extract_batch(batch)
+            lineage = {
+                "row_range": [int(doc_ids.min()), int(doc_ids.max())]
+                if len(doc_ids)
+                else [],
+                "n_rows": len(doc_ids),
+            }
+            col_of = {"body": "text", "title": "title"}
+            for fld in fields:
+                texts = batch.column(col_of.get(fld, fld)).to_pylist()
+                metas[fld] = invert_to_segment(
+                    doc_ids, texts, dirs[fld], analyzer, lineage, field=fld
+                )
         row = {
-            "seg_dir": out_dir,
-            "doc_base": meta["doc_base"],
-            "n_docs": meta["n_docs"],
-            "sum_ttf": meta["sum_ttf"],
-            "n_terms": meta["n_terms"],
-            "wall_ms": meta["wall_ms"],
+            "seg_dir": dirs["body"],
+            "doc_base": metas["body"]["doc_base"],
+            "n_docs": metas["body"]["n_docs"],
+            "sum_ttf": metas["body"]["sum_ttf"],
+            "n_terms": metas["body"]["n_terms"],
+            "wall_ms": metas["body"]["wall_ms"],
         }
+        for fld in fields:
+            if fld == "body":
+                continue
+            row[f"{fld}__seg_dir"] = dirs[fld]
+            row[f"{fld}__sum_ttf"] = metas[fld]["sum_ttf"]
+            row[f"{fld}__n_terms"] = metas[fld]["n_terms"]
         return pa.table({k: [v] for k, v in row.items()})
 
     return _invert
@@ -275,6 +297,7 @@ def build_index(
     partition_docs: int = 4096,
     analyzer: Analyzer = DEFAULT_ANALYZER,
     from_html: bool = True,
+    fields: tuple[str, ...] = ("body",),
 ) -> dict:
     """Driver for the build pipeline (Ray must already be initialised).
 
@@ -305,7 +328,9 @@ def build_index(
     else:
         files = sorted(input_paths)
     columns = ["doc_id", "html"] if from_html else ["doc_id", "text"]
-    inverter = make_inverter(index_dir, analyzer, from_html=from_html)
+    if not from_html and "title" in fields:
+        columns.append("title")  # title must come from the source table
+    inverter = make_inverter(index_dir, analyzer, from_html=from_html, fields=fields)
 
     def _invert_file(batch: pa.Table) -> pa.Table:
         import pyarrow.parquet as pq

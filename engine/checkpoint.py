@@ -50,13 +50,39 @@ def finalize_build_manifest(index_dir: str, rows: list[dict]) -> dict:
                 f"overlapping partition doc ranges at doc_base={r['doc_base']}"
             )
         prev_end = r["doc_base"] + r["n_docs"] - 1
+    # extra indexed fields ride along as <field>__seg_dir/__sum_ttf/__n_terms
+    # columns on each row (index/FieldInfos.java role: per-field stats)
+    extra_fields = sorted(
+        {k.split("__", 1)[0] for k in (rows[0] if rows else {}) if "__" in k}
+    )
+    body_rows = [
+        {k: v for k, v in r.items() if "__" not in k} for r in rows
+    ]
     manifest = {
         "version": 1,
         "kind": "build",
-        "partitions": rows,
+        "partitions": body_rows,
         "doc_count": int(sum(r["n_docs"] for r in rows)),
         "sum_ttf": int(sum(r["sum_ttf"] for r in rows)),
     }
+    if extra_fields:
+        manifest["fields"] = {}
+        for fld in extra_fields:
+            frows = [
+                {
+                    "seg_dir": r[f"{fld}__seg_dir"],
+                    "doc_base": r["doc_base"],
+                    "n_docs": r["n_docs"],
+                    "sum_ttf": r[f"{fld}__sum_ttf"],
+                    "n_terms": r[f"{fld}__n_terms"],
+                }
+                for r in rows
+            ]
+            manifest["fields"][fld] = {
+                "partitions": frows,
+                "doc_count": manifest["doc_count"],
+                "sum_ttf": int(sum(r["sum_ttf"] for r in frows)),
+            }
     atomic_write_json(os.path.join(index_dir, MANIFEST_NAME), manifest)
     return manifest
 

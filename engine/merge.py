@@ -951,9 +951,31 @@ def merge_by_term(
         dict_rows = sorted(dict_rows, key=lambda r: r["term_min"])
         stage_t["dict_level"] = round(time.perf_counter() - t_s, 3)
 
+    # extra indexed fields (title, ...) merge through the SAME salted
+    # groupby-term path into their own sub-index; the resulting manifests
+    # are inlined so a searcher opens every field from one manifest
+    field_manifests: dict[str, dict] = {}
+    for fld, fm in (manifest.get("fields") or {}).items():
+        t_s = time.perf_counter()
+        sub_dir = os.path.join(index_dir, "fields", fld)
+        os.makedirs(sub_dir, exist_ok=True)
+        field_manifests[fld] = merge_by_term(
+            {
+                "partitions": fm["partitions"],
+                "doc_count": fm["doc_count"],
+                "sum_ttf": fm["sum_ttf"],
+            },
+            sub_dir,
+            salt_threshold=salt_threshold,
+            n_salts=n_salts,
+            n_buckets=n_buckets,
+        )
+        stage_t[f"field_{fld}"] = round(time.perf_counter() - t_s, 3)
+
     out = {
         "version": 1,
         "kind": "merge-by-term",
+        "fields": field_manifests,
         "stage_sec": stage_t,
         "salt_threshold": salt_threshold,
         "n_salts": n_salts,

@@ -45,7 +45,7 @@ REFERENCE_QUERIES: list[tuple[int, str, int]] = [
 
 def _cache_dir(sf_dir: str, n_rows: int) -> str:
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    return os.path.join(CACHE_ROOT, f"{tag}-{n_rows}")
+    return os.path.join(CACHE_ROOT, f"{tag}-{n_rows}-mf")  # -mf: multi-field layout
 
 
 def get_index(sf_dir: str, partition_docs: int = 2048) -> dict:
@@ -67,7 +67,11 @@ def get_index(sf_dir: str, partition_docs: int = 2048) -> dict:
         if not os.path.exists(os.path.join(pages_dir, "pages-00000.parquet")):
             write_pages(pages_from_documents(sf_dir), pages_dir, n_files=4)
         build_manifest = build_index(
-            pages_dir, index_dir, partition_docs=partition_docs, from_html=True
+            pages_dir,
+            index_dir,
+            partition_docs=partition_docs,
+            from_html=True,
+            fields=("body", "title"),  # DocMaker.java:197-198 title+body
         )
     merge_manifest = load_merge_manifest(index_dir)
     if merge_manifest is None:
@@ -93,6 +97,54 @@ def term_df_ttf(sf_dir: str) -> pa.Table:
         for s in idx["merge_manifest"]["shards"]
     ]
     return pa.concat_tables(tables)
+
+
+def title_term_df(sf_dir: str) -> pa.Table:
+    """(term, df, ttf) from the TITLE field's merged dictionary — the
+    end-to-end check of the multi-field build (title extracted from
+    <title>, analyzed and inverted separately from body). Oracle: the
+    fixture titles are 'doc {doc_id} rep 0', so DuckDB recomputes the same
+    stats from doc_id alone."""
+    idx = get_index(sf_dir)
+    tm = idx["merge_manifest"]["fields"]["title"]
+    tables = [
+        pq.read_table(s["path"], columns=["term", "df", "ttf"])
+        for s in tm["shards"]
+    ]
+    return pa.concat_tables(tables)
+
+
+def bm25_title_topk(sf_dir: str) -> pa.Table:
+    """Field-qualified BM25 search (title: clauses routed to the title
+    field's postings/norms/stats; mixed clauses intersect on global
+    docIDs): (query_id, rank, doc_id, score)."""
+    from .checkpoint import load_merge_manifest
+    from .search import IndexSearcher
+
+    idx = get_index(sf_dir)
+    searcher = IndexSearcher(load_merge_manifest(idx["index_dir"]))
+    title_queries = [
+        (0, "title:doc", 10),        # every title
+        (1, "title:7", 10),          # one title's number token
+        (2, "+data title:5", 10),    # body MUST + title SHOULD
+        (3, "+title:rep +data", 10), # cross-field conjunction
+        (4, "data -title:3", 10),    # title exclusion
+    ]
+    out = {"query_id": [], "rank": [], "doc_id": [], "score": []}
+    for qid, qs, k in title_queries:
+        docs, scores = searcher.search(qs, k)
+        out["query_id"].extend([qid] * len(docs))
+        out["rank"].extend(range(len(docs)))
+        out["doc_id"].extend(docs.tolist())
+        out["score"].extend(scores.tolist())
+    return pa.table(
+        {
+            "query_id": pa.array(out["query_id"], type=pa.int64()),
+            "rank": pa.array(out["rank"], type=pa.int32()),
+            "doc_id": pa.array(out["doc_id"], type=pa.int64()),
+            "score": pa.array(out["score"], type=pa.float32()),
+        }
+    )
 
 
 def top100_terms(sf_dir: str) -> pa.Table:
@@ -184,6 +236,27 @@ def phrase_match_docs(sf_dir: str, phrase: str = "data join") -> pa.Table:
     return pa.table({"doc_id": pa.array(out, type=pa.int64())})
 
 
+def phrase_slop_match_docs(
+    sf_dir: str, phrase: str = "data join", slop: int = 2
+) -> pa.Table:
+    """(doc_id) of documents matching the phrase within ``slop`` position
+    moves — SloppyPhraseMatcher semantics (search/PhraseQuery.java:92,147):
+    a doc matches iff some occurrence pair has offset-adjusted span
+    <= slop. Oracle: a positions self-join in DuckDB."""
+    from .checkpoint import load_merge_manifest
+    from .search import IndexSearcher, _phrase_postings
+
+    idx = get_index(sf_dir)
+    searcher = IndexSearcher(load_merge_manifest(idx["index_dir"]))
+    terms = tuple(phrase.split())
+    docs_all = []
+    for seg in searcher.segments:
+        docs, _freqs = _phrase_postings(seg, terms, slop)
+        docs_all.append(docs)
+    out = np.sort(np.concatenate(docs_all)) if docs_all else np.empty(0, dtype=np.int64)
+    return pa.table({"doc_id": pa.array(out, type=pa.int64())})
+
+
 def phrase_topk(sf_dir: str, phrase: str = "data join", k: int = 10) -> pa.Table:
     """BM25-scored phrase top-k (summed-idf weight x phrase frequency)."""
     from .checkpoint import load_merge_manifest
@@ -244,12 +317,9 @@ def bm25_topk_sharded(sf_dir: str, n_shards: int = 3) -> pa.Table:
     from .search import search_dataset_sharded
 
     idx = get_index(sf_dir)
-    plain = [
-        (q, s, k)
-        for q, s, k in REFERENCE_QUERIES
-        if "*" not in s  # prefix/match-all rewrites live in the full searcher
-    ]
+    # the fan-out rewrites prefix/match-all against the full dictionary, so
+    # the ENTIRE reference set (incl. '*' queries) goes through the shards
     queries = ray.data.from_items(
-        [{"query_id": q, "query": s, "k": k} for q, s, k in plain]
+        [{"query_id": q, "query": s, "k": k} for q, s, k in REFERENCE_QUERIES]
     )
     return search_dataset_sharded(queries, idx["build_manifest"], n_shards=n_shards)

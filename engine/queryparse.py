@@ -9,7 +9,11 @@ scope). Supported syntax, mirroring the classic parser's boolean handling
     +term              -> MUST
     -term              -> MUST_NOT
     a AND b            -> both MUST (classic-parser conjunction)
-    field:term         -> term (single indexed field; prefix dropped)
+    title:term         -> field-qualified term (KNOWN_FIELDS; routed to
+                          that field's postings/norms/stats at search time
+                          — DocMaker.java:197-198 title+body fields)
+    other:term         -> term (unknown field prefix dropped, classic
+                          parser default-field behavior)
 
 Each term text runs through the same analyzer as indexing; terms that
 analyze to nothing are dropped (e.g. pure punctuation).
@@ -20,6 +24,11 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 from .analyze import DEFAULT_ANALYZER, Analyzer, tokenize
+
+# fields the engine can index besides the default body field; a known
+# field prefix on a plain term is kept (routed at search time), any other
+# prefix is stripped like the classic parser's default-field fallback
+KNOWN_FIELDS = ("title", "body")
 
 
 @dataclass(frozen=True)
@@ -112,7 +121,15 @@ def parse_query(q: str, analyzer: Analyzer = DEFAULT_ANALYZER) -> BoolQuery:
         elif and_mode:
             bucket = must
         if ":" in tok:
-            tok = tok.split(":", 1)[1]
+            fld, rest = tok.split(":", 1)
+            if fld in KNOWN_FIELDS and fld != "body":
+                # field-qualified plain term: analyze the bare term, keep
+                # the field prefix in the IR (multi-term syntax — wildcards,
+                # fuzzy, boosts — stays default-field only)
+                for t in tokenize(rest, analyzer):
+                    bucket.append(f"{fld}:{t}")
+                continue
+            tok = rest
         if tok == "*":
             match_all = True  # MatchAllDocsQuery
             continue

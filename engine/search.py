@@ -58,32 +58,67 @@ WAND_POSTINGS_CUTOVER = 8_000_000
 
 class IndexSearcher:
     def __init__(self, manifest: dict, algorithm: str = "auto", similarity: str = "bm25"):
-        if manifest.get("kind") == "merge-by-term":
-            from .merge import MergedIndex
+        def _open(m: dict) -> list:
+            if m.get("kind") == "merge-by-term":
+                from .merge import MergedIndex
 
-            self.segments: list = [MergedIndex(None, manifest=manifest)]
-        else:
-            seg_rows = manifest.get("segments") or manifest["partitions"]
-            seg_dirs = [
-                r["seg_dir"] for r in sorted(seg_rows, key=lambda r: r["doc_base"])
+                return [MergedIndex(None, manifest=m)]
+            seg_rows = m.get("segments") or m["partitions"]
+            return [
+                Segment(r["seg_dir"])
+                for r in sorted(seg_rows, key=lambda r: r["doc_base"])
             ]
-            self.segments = [Segment(d) for d in seg_dirs]
+
+        self.segments: list = _open(manifest)
         self.doc_count = int(manifest["doc_count"])
         self.sum_ttf = int(manifest["sum_ttf"])
+        # extra indexed fields (title, ...): parallel per-field segment
+        # lists ALIGNED with the body list by doc range (same partition
+        # boundaries by construction), each with its own norms + sum_ttf —
+        # the FieldInfos / per-field FieldInvertState semantics
+        self.fields: dict[str, tuple[list, int, int]] = {
+            "body": (self.segments, self.doc_count, self.sum_ttf)
+        }
+        for fld, fm in (manifest.get("fields") or {}).items():
+            self.fields[fld] = (_open(fm), int(fm["doc_count"]), int(fm["sum_ttf"]))
         self.algorithm = algorithm
         self.stats_override: dict | None = None
         from .bm25 import SIMILARITIES
 
         self.make_scorer = SIMILARITIES[similarity]  # Similarity plug point
 
+    def _split_field(self, term: str) -> tuple[str, str]:
+        """Route a possibly field-qualified term ('title:foo' from the
+        query parser) to (field, bare_term); default field is body."""
+        if ":" in term:
+            fld, bare = term.split(":", 1)
+            if fld in self.fields:
+                return fld, bare
+        return "body", term
+
+    def _field_seg(self, field: str, gi: int):
+        """The field's segment covering the same doc range as body segment
+        index ``gi`` (parallel lists are aligned by construction)."""
+        return self.fields[field][0][gi]
+
     @classmethod
-    def from_segments(cls, segments: list, doc_count: int, sum_ttf: int, algorithm: str = "auto"):
+    def from_segments(
+        cls,
+        segments: list,
+        doc_count: int,
+        sum_ttf: int,
+        algorithm: str = "auto",
+        fields: dict | None = None,
+    ):
         obj = cls.__new__(cls)
         obj.segments = segments
         obj.doc_count = doc_count
         obj.sum_ttf = sum_ttf
         obj.algorithm = algorithm
         obj.stats_override = None
+        obj.fields = {"body": (segments, doc_count, sum_ttf)}
+        if fields:
+            obj.fields.update(fields)
         from .bm25 import SIMILARITIES
 
         obj.make_scorer = SIMILARITIES["bm25"]
@@ -102,15 +137,17 @@ class IndexSearcher:
         return sorted(out)[:max_terms]
 
     def global_term_stats(self, term: str) -> tuple[int, int]:
-        """Whole-index (df, ttf) for a term — the TermStates.build stats
-        pass. ``stats_override`` lets a shard-subset searcher score with
-        true global stats injected by the fan-out (sharded search)."""
+        """Whole-index (df, ttf) for a (possibly field-qualified) term —
+        the TermStates.build stats pass. ``stats_override`` lets a
+        shard-subset searcher score with true global stats injected by the
+        fan-out (sharded search)."""
         ov = getattr(self, "stats_override", None)
         if ov is not None and term in ov:
             return ov[term]
+        fld, bare = self._split_field(term)
         df = ttf = 0
-        for seg in self.segments:
-            d, t = seg.term_stats(term)
+        for seg in self.fields[fld][0]:
+            d, t = seg.term_stats(bare)
             df += d
             ttf += t
         return df, ttf
@@ -119,8 +156,12 @@ class IndexSearcher:
         out: dict[str, TermScorerParams | None] = {}
         for t in terms:
             df, _ = self.global_term_stats(t)
+            fld, _bare = self._split_field(t)
+            _segs, f_doc_count, f_sum_ttf = self.fields[fld]
+            # per-field collection stats: avgdl comes from THIS field's
+            # sumTotalTermFreq (BM25Similarity.java:80-82 per-field)
             out[t] = (
-                self.make_scorer(df, self.doc_count, self.sum_ttf) if df > 0 else None
+                self.make_scorer(df, f_doc_count, f_sum_ttf) if df > 0 else None
             )
         return out
 
@@ -139,17 +180,19 @@ class IndexSearcher:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
         tie = np.float32(tie_breaker)
         all_docs, all_scores = [], []
-        for seg in self.segments:
+        for gi, seg in enumerate(self.segments):
             span = len(seg._norms)
             lo = seg.doc_base
             mx = np.zeros(span, dtype=np.float32)
             sm = np.zeros(span, dtype=np.float64)
             matched = np.zeros(span, dtype=bool)
             for t in live:
-                docs, freqs = seg.postings(t)
+                fld, bare = self._split_field(t)
+                fseg = seg if fld == "body" else self._field_seg(fld, gi)
+                docs, freqs = fseg.postings(bare)
                 if not len(docs):
                     continue
-                s = params[t].score(freqs, seg.norm_of(docs))
+                s = params[t].score(freqs, fseg.norm_of(docs))
                 loc = docs - lo
                 np.maximum.at(mx, loc, s)
                 sm[loc] += s.astype(np.float64)
@@ -298,7 +341,7 @@ class IndexSearcher:
         all_docs: list[np.ndarray] = []
         all_scores: list[np.ndarray] = []
         n_must = len(q.must)
-        for seg in self.segments:
+        for gi, seg in enumerate(self.segments):
             lo = seg.doc_base
             span = len(seg._norms)
             acc = np.zeros(span, dtype=np.float64)
@@ -315,12 +358,13 @@ class IndexSearcher:
                 df, _ = self.global_term_stats(t)
                 if df == 0:
                     continue
-                params_b = make_term_scorer(
-                    df, self.doc_count, self.sum_ttf, boost=np.float32(bf)
-                )
-                docs, freqs = seg.postings(t)
+                fld_b, bare_b = self._split_field(t)
+                _fsegs, f_dc, f_st = self.fields[fld_b]
+                params_b = make_term_scorer(df, f_dc, f_st, boost=np.float32(bf))
+                bseg = seg if fld_b == "body" else self._field_seg(fld_b, gi)
+                docs, freqs = bseg.postings(bare_b)
                 if len(docs):
-                    sb = params_b.score(freqs, seg.norm_of(docs))
+                    sb = params_b.score(freqs, bseg.norm_of(docs))
                     acc[docs - lo] += sb.astype(np.float64)
                     matched[docs - lo] = True
                     if should_cnt is not None:
@@ -382,14 +426,16 @@ class IndexSearcher:
             # must_cnt exactly once — otherwise must_cnt==n_must never holds.
             for i, t in enumerate(tuple(q.must) + live_should):
                 is_must = i < n_must
-                docs, freqs = seg.postings(t)
+                fld_t, bare_t = self._split_field(t)
+                tseg = seg if fld_t == "body" else self._field_seg(fld_t, gi)
+                docs, freqs = tseg.postings(bare_t)
                 if len(docs) == 0:
                     if is_must:
                         must_cnt = None
                         break
                     continue
                 local = docs - lo
-                s = params[t].score(freqs, seg.norm_of(docs))
+                s = params[t].score(freqs, tseg.norm_of(docs))
                 acc[local] += s.astype(np.float64)
                 matched[local] = True
                 if is_must:
@@ -408,7 +454,9 @@ class IndexSearcher:
                 # synonym/phrase/boost groups count as SHOULD clauses too
                 sel = sel & (should_cnt >= q.min_should_match)
             for t in q.must_not:
-                docs, _ = seg.postings(t)
+                fld_n, bare_n = self._split_field(t)
+                nseg = seg if fld_n == "body" else self._field_seg(fld_n, gi)
+                docs, _ = nseg.postings(bare_n)
                 if len(docs):
                     sel[docs - lo] = False
             local_sel = np.flatnonzero(sel)
@@ -430,13 +478,15 @@ class IndexSearcher:
         threshold: int,
     ) -> tuple[np.ndarray, np.ndarray]:
         collector = TopKCollector(k, threshold)
-        for seg in self.segments:  # docID order => shared bottom stays sound
+        for gi, seg in enumerate(self.segments):  # docID order => shared bottom stays sound
             def iters(terms: tuple[str, ...]) -> list[TermIterator]:
                 out = []
                 for t in terms:
-                    ti = seg.term_info(t)
+                    fld, bare = self._split_field(t)
+                    fseg = seg if fld == "body" else self._field_seg(fld, gi)
+                    ti = fseg.term_info(bare)
                     if ti is not None:
-                        out.append(TermIterator(seg, ti, params[t]))
+                        out.append(TermIterator(fseg, ti, params[t]))
                 return out
 
             must_iters = iters(q.must)
@@ -535,9 +585,9 @@ def explain(searcher: IndexSearcher, query: str, doc_id: int) -> dict:
     from .bm25 import idf as _idf
 
     q = parse_query(query)
-    seg = next(
-        s
-        for s in searcher.segments
+    gi, seg = next(
+        (i, s)
+        for i, s in enumerate(searcher.segments)
         if s.doc_base <= doc_id < s.doc_base + len(s._norms)
     )
     norm = int(seg.norm_of(np.array([doc_id]))[0])
@@ -547,20 +597,26 @@ def explain(searcher: IndexSearcher, query: str, doc_id: int) -> dict:
         df, _ = searcher.global_term_stats(t)
         if df == 0:
             continue
-        docs, freqs = seg.postings(t)
+        fld, bare = searcher._split_field(t)
+        fseg = seg if fld == "body" else searcher._field_seg(fld, gi)
+        docs, freqs = fseg.postings(bare)
         i = int(np.searchsorted(docs, doc_id))
         if i >= len(docs) or docs[i] != doc_id:
             continue
-        params = make_term_scorer(df, searcher.doc_count, searcher.sum_ttf)
-        s = float(params.score(freqs[i : i + 1], np.array([norm], dtype=np.uint8))[0])
+        _fsegs, f_dc, f_st = searcher.fields[fld]
+        f_norm = int(fseg.norm_of(np.array([doc_id]))[0])
+        params = make_term_scorer(df, f_dc, f_st)
+        s = float(
+            params.score(freqs[i : i + 1], np.array([f_norm], dtype=np.uint8))[0]
+        )
         clauses.append(
             {
                 "type": "term",
                 "term": t,
                 "freq": int(freqs[i]),
-                "norm": norm,
+                "norm": f_norm,
                 "doc_freq": df,
-                "idf": float(_idf(df, searcher.doc_count)),
+                "idf": float(_idf(df, f_dc)),
                 "score": s,
             }
         )
@@ -949,10 +1005,22 @@ def _shard_searcher(manifest_ref, shard_id: int, n_shards: int) -> IndexSearcher
     if s is None:
         manifest = ray.get(manifest_ref)
         rows = sorted(manifest["partitions"], key=lambda r: r["doc_base"])
-        mine = [r for i, r in enumerate(rows) if i % n_shards == shard_id]
-        segs = [Segment(r["seg_dir"]) for r in mine]
+        segs = [
+            Segment(r["seg_dir"])
+            for i, r in enumerate(rows)
+            if i % n_shards == shard_id
+        ]
+        fields = {}
+        for fld, fm in (manifest.get("fields") or {}).items():
+            frows = sorted(fm["partitions"], key=lambda r: r["doc_base"])
+            fsegs = [
+                Segment(r["seg_dir"])
+                for i, r in enumerate(frows)
+                if i % n_shards == shard_id
+            ]
+            fields[fld] = (fsegs, int(fm["doc_count"]), int(fm["sum_ttf"]))
         s = IndexSearcher.from_segments(
-            segs, int(manifest["doc_count"]), int(manifest["sum_ttf"])
+            segs, int(manifest["doc_count"]), int(manifest["sum_ttf"]), fields=fields
         )
         _PROCESS_SHARDS[key] = s
     return s
