@@ -87,7 +87,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return dedup.exact_dedup(_docs(sf_dir))
 
     def q_minhash(sf_dir):
-        return dedup.minhash_lsh_dedup(_docs(sf_dir), threshold=0.7)
+        # source_path => the verify stage re-reads candidate texts by
+        # doc_id pushdown instead of broadcasting the whole text column
+        return dedup.minhash_lsh_dedup(
+            _docs(sf_dir),
+            threshold=0.7,
+            source_path=os.path.join(sf_dir, "documents.parquet"),
+        )
 
     def q_simhash(sf_dir):
         return _docs(sf_dir).map_batches(dedup.simhash_batch, batch_format="pyarrow", **_rargs())
@@ -101,8 +107,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return res.select_columns(["query_id", "rank", "neighbor_id"])
 
     def q_ann_ivf(sf_dir):
+        # persisted IVF artifact (centroids + bucket-partitioned parquet);
+        # queries read only their probed buckets' files
         qv, qids = _query_vectors(sf_dir)
-        return ann.ivf_topk_ds(_emb(sf_dir), qv, qids, k=10)
+        tag = os.path.basename(os.path.normpath(sf_dir))
+        man = ann.build_ivf_index(
+            _emb(sf_dir), os.path.join("/tmp/rayfts-cache", f"ivf-{tag}")
+        )
+        return ann.ivf_topk_from_index(man, qv, qids, k=10)
 
     def q_emb_neardup(sf_dir):
         return ann.embedding_near_dups(_emb(sf_dir), threshold=0.95)

@@ -94,6 +94,157 @@ def kmeans_lite(sample: np.ndarray, n_clusters: int, iters: int = 8, seed: int =
     return cent
 
 
+def _sample_vectors(ds, sample_limit: int, seed: int = 13) -> np.ndarray:
+    """Seeded RANDOM sample for centroid training (a first-N limit() is
+    biased when the table is ordered/clustered). Only ~sample_limit rows
+    ever reach the driver."""
+    n = ds.count()
+    frac = min(1.0, (sample_limit * 1.25) / max(1, n))
+    tbl = ds.random_sample(frac, seed=seed).limit(sample_limit).to_pandas()
+    if len(tbl) == 0:  # tiny dataset: fall back to everything
+        tbl = ds.to_pandas()
+    return np.stack(tbl["embedding"].to_numpy())
+
+
+def build_ivf_index(
+    ds,
+    out_dir: str,
+    n_clusters: int = 16,
+    sample_limit: int = 2048,
+) -> dict:
+    """Persist an IVF index artifact (the vector-segment analogue of the
+    text index): <out_dir>/centroids.npy + <out_dir>/buckets/bucket=N/
+    parquet shards, written by Ray tasks partitioned by coarse centroid.
+    Queries then touch only their probed buckets' files; rebuilds are a
+    no-op when the artifact exists (manifest check)."""
+    import json
+    import os
+
+    import ray
+
+    man_path = os.path.join(out_dir, "ivf_manifest.json")
+    if os.path.exists(man_path):
+        with open(man_path) as f:
+            return json.load(f)
+    os.makedirs(out_dir, exist_ok=True)
+    cent = kmeans_lite(_sample_vectors(ds, sample_limit), n_clusters)
+    np.save(os.path.join(out_dir, "centroids.npy"), cent)
+    cent_ref = ray.put(cent)
+    bucket_root = os.path.join(out_dir, "buckets")
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        m = _normalize(_batch_matrix(batch))
+        assign = np.argmax(m @ c.T, axis=1).astype(np.int32)
+        return batch.append_column("bucket", pa.array(assign))
+
+    os.makedirs(bucket_root, exist_ok=True)
+
+    def write_bucket(g) -> pa.Table:
+        import uuid
+
+        import pyarrow.parquet as pq
+
+        b = int(g.column("bucket")[0].as_py())
+        path = os.path.join(bucket_root, f"b{b:05d}-{uuid.uuid4().hex[:8]}.parquet")
+        pq.write_table(g, path + ".tmp")
+        os.replace(path + ".tmp", path)
+        return pa.table(
+            {
+                "bucket": pa.array([b], type=pa.int32()),
+                "path": pa.array([path], type=pa.string()),
+                "n": pa.array([g.num_rows], type=pa.int64()),
+            }
+        )
+
+    rows = (
+        ds.map_batches(bucketize, batch_format="pyarrow", **_rargs())
+        .groupby("bucket")
+        .map_groups(write_bucket, batch_format="pyarrow", **_rargs())
+        .take_all()
+    )  # metadata only: one row per bucket file
+    manifest = {
+        "kind": "ivf",
+        "n_clusters": int(len(cent)),
+        "dim": int(cent.shape[1]),
+        "centroids": os.path.join(out_dir, "centroids.npy"),
+        "bucket_root": bucket_root,
+        "bucket_files": {str(r["bucket"]): r["path"] for r in rows},
+    }
+    from .checkpoint import atomic_write_json
+
+    atomic_write_json(man_path, manifest)
+    return manifest
+
+
+def ivf_topk_from_index(
+    ivf_manifest: dict,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 10,
+    n_probe: int = 4,
+):
+    """ANN over the PERSISTED IVF artifact: load the (tiny) centroids,
+    pick each query's n_probe buckets, and scan ONLY those buckets'
+    parquet partitions with Ray tasks. Returns (query_id, rank,
+    neighbor_id, cosine) ties on neighbor_id asc."""
+    import pandas as pd
+    import ray
+    import ray.data
+
+    cent = np.load(ivf_manifest["centroids"])
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    probes = np.argsort(-(qn @ cent.T), axis=1)[:, :n_probe]
+    needed = sorted({int(b) for row in probes for b in row})
+    probe_of_query = {int(q): set(map(int, probes[i])) for i, q in enumerate(query_ids)}
+    q_ref = ray.put((qn, [int(q) for q in query_ids], probe_of_query))
+
+    def scan(batch: pa.Table) -> pa.Table:
+        qn_, qids_, probe_of = ray.get(q_ref)
+        # each parquet file is one bucket partition; the partition value
+        # rides along as the 'bucket' column
+        bucket = int(batch.column("bucket")[0].as_py())
+        m = _normalize(_batch_matrix(batch))
+        ids = batch.column("vec_id").to_numpy()
+        sims = qn_ @ m.T
+        kk = min(k, sims.shape[1])
+        rows = {"query_id": [], "neighbor_id": [], "cosine": []}
+        for qi, qid in enumerate(qids_):
+            if bucket not in probe_of[qid]:
+                continue
+            s = sims[qi]
+            top = np.lexsort((ids, -s))[:kk]
+            rows["query_id"].extend([qid] * kk)
+            rows["neighbor_id"].extend(ids[top].tolist())
+            rows["cosine"].extend(s[top].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(rows["query_id"], type=pa.int64()),
+                "neighbor_id": pa.array(rows["neighbor_id"], type=pa.int64()),
+                "cosine": pa.array(rows["cosine"], type=pa.float64()),
+            }
+        )
+
+    def reduce_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cosine", "neighbor_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(len(g), dtype=np.int64)
+        return g[["query_id", "rank", "neighbor_id", "cosine"]]
+
+    # only the probed buckets' files are read (the manifest routes them)
+    files = [
+        ivf_manifest["bucket_files"][str(b)]
+        for b in needed
+        if str(b) in ivf_manifest["bucket_files"]
+    ]
+    return (
+        ray.data.read_parquet(files)
+        .map_batches(scan, batch_format="pyarrow", **_rargs())
+        .groupby("query_id")
+        .map_groups(reduce_topk, batch_format="pandas", **_rargs())
+    )
+
+
 def ivf_topk_ds(
     ds,
     queries: np.ndarray,
@@ -103,14 +254,12 @@ def ivf_topk_ds(
     n_probe: int = 4,
     sample_limit: int = 2048,
 ):
-    """IVF-style ANN: coarse centroids from a driver-side sample, vectors
+    """IVF-style ANN: coarse centroids from a seeded random sample, vectors
     bucketed by nearest centroid, queries scan only n_probe buckets."""
     import pandas as pd
     import ray
 
-    sample_tbl = ds.limit(sample_limit).to_pandas()
-    sample = np.stack(sample_tbl["embedding"].to_numpy())
-    cent = kmeans_lite(sample, n_clusters)
+    cent = kmeans_lite(_sample_vectors(ds, sample_limit), n_clusters)
     cent_ref = ray.put(cent)
     qn = _normalize(np.asarray(queries, dtype=np.float64))
     probes = np.argsort(-(qn @ cent.T), axis=1)[:, :n_probe]  # (nq, n_probe)
@@ -156,26 +305,87 @@ def ivf_topk_ds(
     )
 
 
-def embedding_near_dups(ds, threshold: float = 0.95, k: int = 5):
-    """Embedding-cosine near-duplicate pairs: each vector queries the rest
-    (self-join via brute-force top-k against the full set, self-match
-    dropped), keep pairs above the cosine threshold."""
+def embedding_near_dups(
+    ds,
+    threshold: float = 0.95,
+    n_clusters: int = 16,
+    sample_limit: int = 2048,
+    max_bucket: int = 4096,
+):
+    """Embedding-cosine near-duplicate pairs (doc_a < doc_b, cosine >=
+    threshold) through IVF buckets — never materializes the embedding
+    matrix on the driver and never does all-pairs over the corpus:
+
+    1. coarse centroids from a seeded random sample;
+    2. every vector is assigned to its TOP-2 nearest centroids (multi-probe
+       indexing), so a near-dup pair split across a centroid boundary
+       still shares a bucket with high probability;
+    3. per bucket, one vectorized gram matrix (capped at max_bucket rows —
+       a hot bucket beyond the cap compares members to the cap set only);
+    4. pair dedupe by (doc_a, doc_b).
+
+    Approximate by construction (like every LSH/IVF near-dup pass): a pair
+    whose two vectors share no top-2 bucket is missed; n_clusters scales
+    ~sqrt(N) to keep buckets bounded."""
     import pandas as pd
+    import ray
 
-    tbl = ds.to_pandas()
-    ids = tbl["vec_id"].to_numpy()
-    mat = np.stack(tbl["embedding"].to_numpy())
-    res = brute_force_topk_ds(ds, mat, ids, k=k)
+    cent = kmeans_lite(_sample_vectors(ds, sample_limit), n_clusters)
+    cent_ref = ray.put(cent)
 
-    def to_pairs(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        df = df[(df["query_id"] != df["neighbor_id"]) & (df["cosine"] >= threshold)]
-        a = np.minimum(df["query_id"], df["neighbor_id"])
-        b = np.maximum(df["query_id"], df["neighbor_id"])
-        out = pd.DataFrame({"doc_a": a, "doc_b": b, "cosine": df["cosine"]})
-        return pa.Table.from_pandas(out, preserve_index=False)
+    def bucketize2(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        m = _normalize(_batch_matrix(batch))
+        top2 = np.argsort(-(m @ c.T), axis=1)[:, :2].astype(np.int32)
+        n = batch.num_rows
+        out = pa.table(
+            {
+                "vec_id": pa.concat_arrays(
+                    [batch.column("vec_id").combine_chunks()] * 2
+                ),
+                "embedding": pa.concat_arrays(
+                    [batch.column("embedding").combine_chunks()] * 2
+                ),
+                "bucket": pa.array(
+                    np.concatenate([top2[:, 0], top2[:, 1]]), type=pa.int32()
+                ),
+            }
+        )
+        return out
 
-    pairs = res.map_batches(to_pairs, batch_format="pyarrow", **_rargs())
+    bucketed = ds.map_batches(bucketize2, batch_format="pyarrow", **_rargs())
+
+    def _empty_pairs() -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_a": pd.Series([], dtype="int64"),
+                "doc_b": pd.Series([], dtype="int64"),
+                "cosine": pd.Series([], dtype="float64"),
+            }
+        )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("vec_id").sort_values("vec_id")
+        if len(g) < 2:
+            return _empty_pairs()
+        if len(g) > max_bucket:
+            g = g.head(max_bucket)
+        ids = g["vec_id"].to_numpy()
+        m = _normalize(np.stack(g["embedding"].to_numpy()))
+        sims = m @ m.T
+        ai, bi = np.triu_indices(len(ids), k=1)
+        keep = sims[ai, bi] >= threshold
+        return pd.DataFrame(
+            {
+                "doc_a": ids[ai[keep]],
+                "doc_b": ids[bi[keep]],
+                "cosine": sims[ai[keep], bi[keep]],
+            }
+        )
+
+    pairs = bucketed.groupby("bucket").map_groups(
+        bucket_pairs, batch_format="pandas", **_rargs()
+    )
 
     def dedupe(g: pd.DataFrame) -> pd.DataFrame:
         return g.head(1)

@@ -133,32 +133,51 @@ def ngram_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
     return inter / (len(sa) + len(sb) - inter)
 
 
-def minhash_lsh_dedup(ds, threshold: float = 0.7, k: int = 3):
+# all-pairs cap per LSH band group: a degenerate band (e.g. near-empty
+# docs all hashing together) would otherwise explode O(n^2); beyond the
+# cap each member pairs with the group's smallest doc_id only (star
+# linking — transitive near-dup clusters still connect through the
+# representative)
+MAX_BAND_GROUP = 256
+
+
+def _group_pairs(ids: list[int]) -> list[tuple[int, int]]:
+    import itertools
+
+    ids = sorted(set(ids))
+    if len(ids) < 2:
+        return []
+    if len(ids) <= MAX_BAND_GROUP:
+        return list(itertools.combinations(ids, 2))
+    rep = ids[0]
+    return [(rep, b) for b in ids[1:]]
+
+
+def minhash_lsh_dedup(ds, threshold: float = 0.7, k: int = 3, source_path: str | None = None):
     """Dataset (doc_id, text) → verified near-dup pairs
     (doc_a, doc_b, jaccard) with doc_a < doc_b.
 
-    shingle→minhash→band (map_batches) → groupby(band) → candidate pairs →
-    exact-Jaccard verify on broadcast texts. The text broadcast (ray.put
-    once) is the small-side-lookup pattern; at 100 TB the verify step would
-    instead re-read the pair's rows from the source parquet by doc_id."""
-    import itertools
-
+    shingle→minhash→band (map_batches) → groupby(band) → candidate pairs
+    (size-capped per band group) → exact-Jaccard verify. The verify stage
+    RE-READS only the candidate docs' texts from ``source_path`` with a
+    doc_id pushdown filter per batch — nothing whole-corpus is ever
+    collected or broadcast (the scale path). When the dataset has no
+    backing file (``source_path=None``), the texts are broadcast via
+    ray.put as a small-corpus fallback."""
     import pandas as pd
     import ray
 
-    texts_tbl = ds.select_columns(["doc_id", "text"]).to_pandas()
-    text_of = dict(zip(texts_tbl["doc_id"], texts_tbl["text"]))
-    text_ref = ray.put(text_of)
+    text_ref = None
+    if source_path is None:
+        texts_tbl = ds.select_columns(["doc_id", "text"]).to_pandas()
+        text_ref = ray.put(dict(zip(texts_tbl["doc_id"], texts_tbl["text"])))
 
     bands = ds.map_batches(
         lambda b: minhash_bands_batch(b, k), batch_format="pyarrow", **_rargs()
     )
 
     def candidates(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(g["doc_id"].tolist()))
-        if len(ids) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": []})
-        pairs = list(itertools.combinations(ids, 2))
+        pairs = _group_pairs(g["doc_id"].tolist())
         return pd.DataFrame(
             {"doc_a": [p[0] for p in pairs], "doc_b": [p[1] for p in pairs]}
         )
@@ -167,16 +186,33 @@ def minhash_lsh_dedup(ds, threshold: float = 0.7, k: int = 3):
         candidates, batch_format="pandas", **_rargs()
     )
 
+    # distinct the (doc_a, doc_b) candidates BEFORE the text fetch so a
+    # pair surfaced by several bands is verified once
+    def first_row(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    cand = cand.groupby(["doc_a", "doc_b"]).map_groups(
+        first_row, batch_format="pandas", **_rargs()
+    )
+
     def verify(batch: pa.Table) -> pa.Table:
-        texts = ray.get(text_ref)
-        seen = set()
+        a_ids = batch.column("doc_a").to_pylist()
+        b_ids = batch.column("doc_b").to_pylist()
+        if source_path is not None:
+            import pyarrow.dataset as pads
+
+            need = sorted({*a_ids, *b_ids})
+            tbl = pads.dataset(source_path).to_table(
+                columns=["doc_id", "text"],
+                filter=pads.field("doc_id").isin(need),
+            )
+            texts = dict(
+                zip(tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist())
+            )
+        else:
+            texts = ray.get(text_ref)
         rows = {"doc_a": [], "doc_b": [], "jaccard": []}
-        for a, b in zip(
-            batch.column("doc_a").to_pylist(), batch.column("doc_b").to_pylist()
-        ):
-            if (a, b) in seen:
-                continue
-            seen.add((a, b))
+        for a, b in zip(a_ids, b_ids):
             j = ngram_jaccard(texts[a], texts[b], k)
             if j >= threshold:
                 rows["doc_a"].append(int(a))
@@ -190,16 +226,7 @@ def minhash_lsh_dedup(ds, threshold: float = 0.7, k: int = 3):
             }
         )
 
-    verified = cand.map_batches(verify, batch_format="pyarrow", **_rargs())
-    # a pair found by several bands appears several times: distinct it
-    import pandas as pd
-
-    def dedupe_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
-
-    return verified.groupby(["doc_a", "doc_b"]).map_groups(
-        dedupe_pairs, batch_format="pandas", **_rargs()
-    )
+    return cand.map_batches(verify, batch_format="pyarrow", batch_size=1024, **_rargs())
 
 
 # ---------------------------------------------------------------------------
@@ -236,11 +263,23 @@ def simhash_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-def simhash_near_dups(ds, max_hamming: int = 3):
-    """SimHash near-dup pairs via 16-bit banding (4 chunks: any pair with
-    hamming ≤ 3 shares at least one exact chunk — pigeonhole)."""
-    import itertools
+# 64-bit SimHash banding for hamming <= 3: split into 6 chunks
+# (11,11,11,11,10,10 bits); a pair within distance 3 has at most 3 dirty
+# chunks, hence >= 3 intact — so it collides on at least one of the
+# C(6,3)=20 chunk-TRIPLE keys. Triple keys are ~32 bits, so bucket
+# populations stay tiny even at 10^10 docs (the round-1 4x16-bit scheme
+# put ~N/65k docs in every bucket — quadratic blowup at scale).
+_SH_CHUNK_BITS = (11, 11, 11, 11, 10, 10)
+_SH_CHUNK_OFF = tuple(int(x) for x in np.concatenate(([0], np.cumsum(_SH_CHUNK_BITS)[:-1])))
+from itertools import combinations as _combos
 
+_SH_TRIPLES = tuple(_combos(range(6), 3))
+
+
+def simhash_near_dups(ds, max_hamming: int = 3):
+    """SimHash near-dup pairs (doc_a, doc_b, hamming), hamming <= 3,
+    via chunk-triple banding with per-bucket pair caps; candidates verify
+    exactly on the shipped 64-bit signatures (no text access)."""
     import pandas as pd
 
     sh = ds.map_batches(simhash_batch, batch_format="pyarrow", **_rargs())
@@ -248,35 +287,39 @@ def simhash_near_dups(ds, max_hamming: int = 3):
     def explode(batch: pa.Table) -> pa.Table:
         doc = batch.column("doc_id").to_numpy()
         h = batch.column("simhash").to_numpy().astype(np.uint64)
-        rows = {"chunk_id": [], "chunk_val": [], "doc_id": [], "simhash": []}
-        for ci in range(4):
-            rows["chunk_id"].extend([ci] * len(doc))
-            rows["chunk_val"].extend(((h >> np.uint64(16 * ci)) & np.uint64(0xFFFF)).tolist())
-            rows["doc_id"].extend(doc.tolist())
-            rows["simhash"].extend(h.astype(np.int64).tolist())
+        n = len(doc)
+        chunks = [
+            (h >> np.uint64(off)) & np.uint64((1 << bits) - 1)
+            for off, bits in zip(_SH_CHUNK_OFF, _SH_CHUNK_BITS)
+        ]
+        keys = []
+        for ti, (a, b, c) in enumerate(_SH_TRIPLES):
+            v = chunks[a] | (chunks[b] << np.uint64(11)) | (chunks[c] << np.uint64(22))
+            keys.append((v | (np.uint64(ti) << np.uint64(33))).astype(np.int64))
         return pa.table(
             {
-                "chunk_id": pa.array(rows["chunk_id"], type=pa.int32()),
-                "chunk_val": pa.array(rows["chunk_val"], type=pa.int64()),
-                "doc_id": pa.array(rows["doc_id"], type=pa.int64()),
-                "simhash": pa.array(rows["simhash"], type=pa.int64()),
+                "band_key": pa.array(np.concatenate(keys)),
+                "doc_id": pa.array(np.tile(doc, len(_SH_TRIPLES)), type=pa.int64()),
+                "simhash": pa.array(
+                    np.tile(h.astype(np.int64), len(_SH_TRIPLES)), type=pa.int64()
+                ),
             }
         )
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         out = {"doc_a": [], "doc_b": [], "hamming": []}
-        rows = sorted(zip(g["doc_id"], g["simhash"]))
-        for (da, ha), (db, hb) in itertools.combinations(rows, 2):
-            d = int(bin(int(ha) ^ int(hb)).count("1"))
-            if d <= max_hamming and da != db:
-                out["doc_a"].append(int(da))
-                out["doc_b"].append(int(db))
+        sig_of = dict(zip(g["doc_id"].astype(int), g["simhash"].astype(int)))
+        for a, b in _group_pairs(list(sig_of)):
+            d = int(bin(sig_of[a] ^ sig_of[b]).count("1"))
+            if d <= max_hamming:
+                out["doc_a"].append(a)
+                out["doc_b"].append(b)
                 out["hamming"].append(d)
         return pd.DataFrame(out)
 
     cand = (
         sh.map_batches(explode, batch_format="pyarrow", **_rargs())
-        .groupby(["chunk_id", "chunk_val"])
+        .groupby("band_key")
         .map_groups(pairs, batch_format="pandas", **_rargs())
     )
 

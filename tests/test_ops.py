@@ -206,3 +206,91 @@ def test_snippets_for_hits(tmp_path):
     hits = ray.data.from_items([{"doc_id": 0, "score": 1.5}, {"doc_id": 2, "score": 1.1}])
     out = snippets_for_hits(hits, p, ["fox"]).to_pandas().sort_values("doc_id")
     assert all("**fox**" in s for s in out["snippet"])
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestScaleSafePaths:
+    def test_minhash_source_path_reread_matches_broadcast(self, tmp_path):
+        """The scale path (candidate texts re-read by doc_id pushdown)
+        must produce the same verified pairs as the broadcast fallback."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray.data
+
+        texts = [
+            "alpha beta gamma delta epsilon zeta eta theta",
+            "alpha beta gamma delta epsilon zeta eta theta",
+            "alpha beta gamma delta epsilon zeta eta iota",
+            "totally different words about search engines here",
+        ]
+        src = str(tmp_path / "docs.parquet")
+        pq.write_table(
+            pa.table({"doc_id": list(range(4)), "text": texts}), src
+        )
+        ds = ray.data.read_parquet(src)
+        via_reread = (
+            minhash_lsh_dedup(ds, threshold=0.5, source_path=src)
+            .to_pandas()
+            .sort_values(["doc_a", "doc_b"])
+            .reset_index(drop=True)
+        )
+        via_bcast = (
+            minhash_lsh_dedup(ds, threshold=0.5)
+            .to_pandas()
+            .sort_values(["doc_a", "doc_b"])
+            .reset_index(drop=True)
+        )
+        assert via_reread[["doc_a", "doc_b"]].values.tolist() == (
+            via_bcast[["doc_a", "doc_b"]].values.tolist()
+        )
+        assert len(via_reread) >= 2
+
+    def _emb_ds(self, n=64, dim=16, seed=3):
+        import numpy as np
+        import ray.data
+
+        rng = np.random.default_rng(seed)
+        vecs = rng.normal(size=(n, dim))
+        vecs[1] = vecs[0] + rng.normal(scale=0.01, size=dim)  # near dup of 0
+        vecs[7] = vecs[6]  # exact dup
+        return (
+            ray.data.from_items(
+                [
+                    {"vec_id": i, "embedding": vecs[i].astype("float32").tolist()}
+                    for i in range(n)
+                ]
+            ),
+            vecs,
+        )
+
+    def test_embedding_near_dups_bucketed(self):
+        ds, _ = self._emb_ds()
+        pairs = embedding_near_dups_fn(ds, threshold=0.95, n_clusters=4).to_pandas()
+        got = set(zip(pairs["doc_a"].astype(int), pairs["doc_b"].astype(int)))
+        assert (0, 1) in got and (6, 7) in got
+        assert all(a < b for a, b in got)
+
+    def test_ivf_artifact_roundtrip(self, tmp_path):
+        """build_ivf_index persists centroids + bucket files; querying the
+        artifact touches only probed buckets and agrees with brute force on
+        the top-1 neighbor (exact dup must be found)."""
+        import numpy as np
+
+        from engine.ann import brute_force_topk_ds, build_ivf_index, ivf_topk_from_index
+
+        ds, vecs = self._emb_ds()
+        out = str(tmp_path / "ivf")
+        man = build_ivf_index(ds, out, n_clusters=4)
+        assert man["bucket_files"] and man["n_clusters"] >= 2
+        # resume: second call loads the manifest, no rebuild
+        assert build_ivf_index(ds, out, n_clusters=4) == man
+        q = vecs[[6]]
+        res = (
+            ivf_topk_from_index(man, q, np.array([6]), k=3, n_probe=2)
+            .to_pandas()
+            .sort_values("rank")
+        )
+        assert res["neighbor_id"].tolist()[:2] in ([6, 7], [7, 6])
+
+
+from engine.ann import embedding_near_dups as embedding_near_dups_fn  # noqa: E402
