@@ -131,6 +131,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return dedup_pages_by_url(ds)
 
+    def q_customers_without_orders(sf_dir):
+        import pandas as pd
+
+        df = relational.customers_without_orders(sf_dir).to_pandas()
+        if df.empty:
+            # Ray drops the schema of an all-empty dataset; restore the
+            # typed empty frame so the driver's column check holds
+            df = pd.DataFrame({"custkey": pd.Series([], dtype="int64")})
+        return df
+
     def q_image_meta(sf_dir):
         import ray.data
 
@@ -184,6 +194,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unique_event_types": relational.unique_event_types,
         "events_timeseries": relational.events_timeseries,
         "orders_semi_join": relational.orders_semi_join,
+        "customer_orders_left_outer": relational.customer_orders_left_outer,
+        "custkeys_intersect": relational.custkeys_intersect,
+        "customers_without_orders": q_customers_without_orders,
+        "doc_tokens_unnest": relational.doc_tokens_unnest,
         "top_orders_per_priority": relational.top_orders_per_priority,
         "lang_facet": relational.lang_facet,
         "lineitem_revenue_expr": relational.lineitem_revenue_expr,
@@ -320,6 +334,24 @@ def oracle_sql() -> dict[str, str]:
               SELECT c_custkey FROM customer c
               JOIN nation n ON c.c_nationkey = n.n_nationkey
               WHERE n.n_name = 'NATION_7')
+        """,
+        "customer_orders_left_outer": """
+            SELECT c.c_custkey, CAST(count(o.o_custkey) AS BIGINT) AS n_orders
+            FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_custkey
+        """,
+        "custkeys_intersect": """
+            SELECT DISTINCT o_custkey AS custkey FROM orders
+            INTERSECT
+            SELECT DISTINCT c_custkey FROM customer WHERE c_nationkey < 3
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey AS custkey FROM customer
+            EXCEPT
+            SELECT DISTINCT o_custkey FROM orders
+        """,
+        "doc_tokens_unnest": f"""
+            SELECT doc_id, unnest({_TOK}) AS token FROM documents
         """,
         "top_orders_per_priority": """
             SELECT o_orderpriority, CAST(rn - 1 AS BIGINT) AS grp_rank,

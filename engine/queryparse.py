@@ -51,6 +51,13 @@ class BoolQuery:
     # match at least this many optional (SHOULD/synonym/phrase/boost)
     # clauses. Set programmatically (no classic-parser syntax for it).
     min_should_match: int = 0
+    # /pattern/ regular-expression terms (search/RegexpQuery.java):
+    # rewritten against the dictionary into a capped SHOULD disjunction
+    regexps: tuple[str, ...] = ()
+    # TermInSetQuery (search/TermInSetQuery.java): each set is a FILTER —
+    # a hit must contain at least one term of every set; filters never
+    # contribute score (constant-score filter context). Programmatic.
+    term_sets: tuple[tuple[str, ...], ...] = ()
 
     @property
     def empty(self) -> bool:
@@ -59,6 +66,7 @@ class BoolQuery:
             or self.should
             or self.prefixes
             or self.match_all
+            or self.regexps
             or self.phrases
             or self.sloppy
             or self.synonyms
@@ -66,6 +74,7 @@ class BoolQuery:
             or self.wildcards
             or self.boosts
             or self.fuzzies
+            or self.term_sets
         )
 
 
@@ -81,6 +90,7 @@ def parse_query(q: str, analyzer: Analyzer = DEFAULT_ANALYZER) -> BoolQuery:
     wildcards: list[str] = []
     boosts: list[tuple[str, float]] = []
     fuzzies: list[tuple[str, int]] = []
+    regexps: list[str] = []
     match_all = False
     # "quoted phrases" are extracted first (PhraseQuery, slop 0)
     import re as _re
@@ -108,6 +118,15 @@ def parse_query(q: str, analyzer: Analyzer = DEFAULT_ANALYZER) -> BoolQuery:
         return " "
 
     q = _re.sub(r"\[\s*(\S+)\s+TO\s+(\S+)\s*\]", _grab_range, q)
+
+    # /pattern/ regexp terms (classic-parser regexp syntax, RegexpQuery)
+    def _grab_regexp(m: "_re.Match[str]") -> str:
+        pat = m.group(1)
+        if pat:
+            regexps.append(pat.lower())
+        return " "
+
+    q = _re.sub(r"/([^/\s][^/]*)/", _grab_regexp, q)
     raw = q.split()
     and_mode = "AND" in raw
     for tok in raw:
@@ -196,4 +215,5 @@ def parse_query(q: str, analyzer: Analyzer = DEFAULT_ANALYZER) -> BoolQuery:
         wildcards=tuple(wildcards),
         boosts=tuple(boosts),
         fuzzies=tuple(fuzzies),
+        regexps=tuple(regexps),
     )

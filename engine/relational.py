@@ -220,6 +220,148 @@ def lineitem_revenue_expr(sf_dir: str):
     return ds.map_batches(expr, batch_format="pyarrow", **_rargs())
 
 
+def customer_orders_left_outer(sf_dir: str):
+    """LeftOuterJoinStream analogue (solr/solrj/.../io/stream/
+    LeftOuterJoinStream.java:35): every customer with their order count,
+    customers without orders kept at 0. Distributed shape: the big side
+    pre-aggregates per key inside map_batches, then a tag-union groupby
+    merges both sides — no broadcast of either table, one shuffle keyed by
+    custkey."""
+    from ray.data.aggregate import Max, Sum
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+
+    def cust_side(batch: pa.Table) -> pa.Table:
+        k = batch.column("c_custkey")
+        n = batch.num_rows
+        return pa.table(
+            {
+                "c_custkey": k,
+                "n_orders": pa.array(np.zeros(n, dtype=np.int64)),
+                "is_left": pa.array(np.ones(n, dtype=np.int64)),
+            }
+        )
+
+    def order_side(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby("o_custkey", as_index=False).size()
+        return pa.table(
+            {
+                "c_custkey": pa.array(g["o_custkey"].to_numpy()),
+                "n_orders": pa.array(g["size"].to_numpy().astype(np.int64)),
+                "is_left": pa.array(np.zeros(len(g), dtype=np.int64)),
+            }
+        )
+
+    tagged = cust.map_batches(cust_side, batch_format="pyarrow", **_rargs()).union(
+        orders.map_batches(order_side, batch_format="pyarrow", **_rargs())
+    )
+    agg = tagged.groupby("c_custkey").aggregate(
+        Sum("n_orders", alias_name="n_orders"), Max("is_left", alias_name="is_left")
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        # LEFT semantics: keep only keys present on the left side (an
+        # order with a dangling custkey would otherwise leak through)
+        t = batch.filter(pc.equal(batch.column("is_left"), 1))
+        return pa.table(
+            {
+                "c_custkey": t.column("c_custkey"),
+                "n_orders": pc.cast(t.column("n_orders"), pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", **_rargs())
+
+
+def _tag_union_keys(sf_dir: str, spec_a, spec_b):
+    """Shared tag-union shape for Intersect/ComplementStream: distinct keys
+    of two streams tagged by side, one groupby(key) with per-batch
+    pre-distinct so only unique (key, side) pairs shuffle."""
+    from ray.data.aggregate import Max
+
+    def tagger(col: str, side: int):
+        def _tag(batch: pa.Table) -> pa.Table:
+            keys = pc.unique(batch.column(col))
+            n = len(keys)
+            return pa.table(
+                {
+                    "key": pc.cast(keys, pa.int64()),
+                    "a": pa.array(np.full(n, 1 if side == 0 else 0, dtype=np.int64)),
+                    "b": pa.array(np.full(n, 1 if side == 1 else 0, dtype=np.int64)),
+                }
+            )
+
+        return _tag
+
+    ds_a, col_a = spec_a
+    ds_b, col_b = spec_b
+    tagged = ds_a.map_batches(tagger(col_a, 0), batch_format="pyarrow", **_rargs()).union(
+        ds_b.map_batches(tagger(col_b, 1), batch_format="pyarrow", **_rargs())
+    )
+    return tagged.groupby("key").aggregate(
+        Max("a", alias_name="in_a"), Max("b", alias_name="in_b")
+    )
+
+
+def custkeys_intersect(sf_dir: str):
+    """IntersectStream analogue: distinct custkeys that BOTH placed an
+    order AND belong to nations 0-2."""
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).filter(
+        lambda r: r["c_nationkey"] < 3
+    )
+    both = _tag_union_keys(sf_dir, (orders, "o_custkey"), (cust, "c_custkey"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.equal(batch.column("in_a"), 1), pc.equal(batch.column("in_b"), 1)
+        )
+        return pa.table({"custkey": batch.filter(m).column("key")})
+
+    return both.map_batches(finish, batch_format="pyarrow", **_rargs())
+
+
+def customers_without_orders(sf_dir: str):
+    """ComplementStream analogue: custkeys present in customer but absent
+    from orders (EXCEPT)."""
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+    both = _tag_union_keys(sf_dir, (cust, "c_custkey"), (orders, "o_custkey"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.equal(batch.column("in_a"), 1), pc.equal(batch.column("in_b"), 0)
+        )
+        return pa.table({"custkey": batch.filter(m).column("key")})
+
+    return both.map_batches(finish, batch_format="pyarrow", **_rargs())
+
+
+def doc_tokens_unnest(sf_dir: str):
+    """CartesianProductStream analogue (multivalued-field un-nesting,
+    solr/solrj/.../io/stream/CartesianProductStream.java): one row per
+    (doc_id, token position) — vectorized repeat/flatten, no Python
+    per-row loop."""
+    from .analyze import analyze_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def unnest(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        doc_ids = batch.column("doc_id").to_numpy()
+        flat, lengths = analyze_batch(texts)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.repeat(doc_ids, lengths), type=pa.int64()),
+                "token": pa.array(flat, type=pa.string()),
+            }
+        )
+
+    return ds.map_batches(unnest, batch_format="pyarrow", **_rargs())
+
+
 def orders_sample(sf_dir: str, fraction: float = 0.1, seed: int = 7):
     """RandomStream / sampling analogue: seeded bernoulli sample."""
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])

@@ -242,6 +242,38 @@ class IndexSearcher:
                             seen_f.add(t)
                             extra_f.append(t)
             q = replace(q, should=tuple(extra_f), fuzzies=())
+        if q.regexps:
+            # RegexpQuery rewrite (search/RegexpQuery.java): scan the
+            # dictionary for full-match terms, pruned by the pattern's
+            # literal prefix (the BlockTree automaton-intersect role at
+            # dictionary granularity), capped like maxClauseCount
+            import re as _re
+
+            extra_r = list(q.should)
+            seen_r = set(extra_r)
+            for pat in q.regexps:
+                try:
+                    rx = _re.compile(pat)
+                except _re.error:
+                    continue
+                lit = _re.match(r"[a-z0-9]*", pat).group(0)
+                for seg in self.segments:
+                    cand = (
+                        seg.expand_prefix(lit, 65536)
+                        if lit
+                        else (
+                            seg._terms
+                            if hasattr(seg, "_terms")
+                            else seg.iter_terms()
+                        )
+                    )
+                    for t in cand:
+                        if rx.fullmatch(t) and t not in seen_r:
+                            seen_r.add(t)
+                            extra_r.append(t)
+                            if len(extra_r) >= 1024:
+                                break
+            q = replace(q, should=tuple(extra_r), regexps=())
         if q.ranges or q.wildcards:
             # MultiTermQuery scoring rewrite: expand against the dictionary
             import fnmatch
@@ -299,9 +331,10 @@ class IndexSearcher:
             or q.synonyms
             or q.boosts
             or q.min_should_match
+            or q.term_sets
         ):
-            # constant-score / positional / blended / boosted / msm clauses:
-            # vectorized exhaustive plan only
+            # constant-score / positional / blended / boosted / msm /
+            # filter clauses: vectorized exhaustive plan only
             algorithm = "taat"
         # must_not params are never used for scoring, only to build iterators
         params = self._params_for(tuple(q.must) + tuple(q.should) + tuple(q.must_not))
@@ -316,6 +349,7 @@ class IndexSearcher:
             and not q.sloppy
             and not q.synonyms
             and not q.boosts
+            and not q.term_sets
         ):
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
 
@@ -446,8 +480,30 @@ class IndexSearcher:
                 continue
             if n_must:
                 sel = must_cnt == n_must
+            elif q.term_sets and not (
+                live_should
+                or q.match_all
+                or q.phrases
+                or q.sloppy
+                or q.synonyms
+                or q.boosts
+            ):
+                # filter-only query: every doc is a candidate at score 0
+                # (ConstantScore filter context, TermInSetQuery.java)
+                sel = np.ones(span, dtype=bool)
             else:
                 sel = matched
+            for ts in q.term_sets:
+                # TermInSetQuery FILTER: require >= 1 term of the set,
+                # contribute no score
+                hit_any = np.zeros(span, dtype=bool)
+                for t in ts:
+                    fld_s, bare_s = self._split_field(t)
+                    sseg = seg if fld_s == "body" else self._field_seg(fld_s, gi)
+                    docs, _ = sseg.postings(bare_s)
+                    if len(docs):
+                        hit_any[docs - lo] = True
+                sel = sel & hit_any
             if should_cnt is not None:
                 # minimumNumberShouldMatch (search/BooleanQuery.java:78,102):
                 # optional clauses that match count toward the minimum;

@@ -579,3 +579,51 @@ def test_sloppy_phrase_repeated_term(corpus):
     multi = set(docs[freqs >= 2].tolist())
     assert set(sloppy.tolist()) <= multi
     assert set(exact.tolist()) <= set(sloppy.tolist())
+
+
+def test_regexp_query(corpus):
+    """/pattern/ RegexpQuery (search/RegexpQuery.java): dictionary scan
+    rewrite; results equal the explicit OR over matching terms."""
+    import re
+
+    s = IndexSearcher(corpus["manifest"], algorithm="taat")
+    op = corpus["oracle_postings"]
+    for pat in ["t0000[0-3]", "the0.", "s0003.0"]:
+        rx = re.compile(pat)
+        expect_terms = sorted(t for t in op if rx.fullmatch(t))
+        assert expect_terms, pat
+        rd, rs = s.search(f"/{pat}/", 50)
+        ed, es = s.search(" ".join(expect_terms), 50)
+        np.testing.assert_array_equal(rd, ed, err_msg=pat)
+        np.testing.assert_array_equal(rs, es, err_msg=pat)
+    # regexp mixed with a plain term
+    rd, _ = s.search("/t0000[01]/ the00", 30)
+    assert len(rd) > 0
+    # no-match regexp
+    rd, _ = s.search("/zzz[0-9]+nomatch/", 10)
+    assert len(rd) == 0
+
+
+def test_term_in_set_filter(corpus):
+    """TermInSetQuery (search/TermInSetQuery.java): a FILTER clause — must
+    contain >= 1 term of every set, contributes no score."""
+    from dataclasses import replace
+
+    from engine.queryparse import parse_query
+
+    s = IndexSearcher(corpus["manifest"], algorithm="taat")
+    op = corpus["oracle_postings"]
+    base = parse_query("the00")
+    bd, bs = s.search(base, corpus["doc_count"])
+    by_doc = dict(zip(bd.tolist(), bs.tolist()))
+    q = replace(base, term_sets=((("t00000", "t00001"),)))
+    fd, fs = s.search(q, corpus["doc_count"])
+    allowed = set(op["t00000"][0].tolist()) | set(op["t00001"][0].tolist())
+    assert set(fd.tolist()) == set(bd.tolist()) & allowed
+    for d, sc in zip(fd.tolist(), fs.tolist()):
+        assert sc == by_doc[d]  # filter never rescores
+    # filter-only query: matches at score 0
+    q2 = replace(parse_query(""), term_sets=(("t00000",),))
+    d2, s2 = s.search(q2, corpus["doc_count"])
+    assert set(d2.tolist()) == set(op["t00000"][0].tolist())
+    assert set(s2.tolist()) == {0.0}
