@@ -54,6 +54,33 @@ class Analyzer:
 
 DEFAULT_ANALYZER = Analyzer()
 
+# ---------------------------------------------------------------------------
+# Unicode analyzer — the UAX#29 word-break subset StandardTokenizer
+# implements for non-Latin web text (StandardTokenizerImpl.java token
+# types; StandardTokenizer.java:48):
+#   - Han ideographs (+ ext-A, compat) and Hiragana emit ONE TOKEN PER
+#     CHARACTER (IDEOGRAPHIC / HIRAGANA types);
+#   - Katakana and Hangul form maximal runs (KATAKANA / HANGUL types);
+#   - every other letter/digit forms maximal alnum runs (ALPHANUM),
+#     lowercased (LowerCaseFilter) — accents/Greek/Cyrillic included.
+# Python re has no \p classes, so the CJK blocks are explicit ranges and
+# the alnum run branch excludes them with a lookahead. This is the
+# documented CJK extension of the default ASCII subset: a lang=zh/ja/ko
+# Common-Crawl page indexes real per-ideograph tokens instead of garbage.
+# ---------------------------------------------------------------------------
+
+_HAN_HIRA = "぀-ゟ㐀-䶿一-鿿豈-﫿"
+_KATAKANA = "゠-ヿㇰ-ㇿ"
+_HANGUL = "ᄀ-ᇿ가-힯"
+UNICODE_TOKEN_PATTERN = (
+    f"[{_HAN_HIRA}]"
+    f"|[{_KATAKANA}]+"
+    f"|[{_HANGUL}]+"
+    f"|(?:(?![{_HAN_HIRA}{_KATAKANA}{_HANGUL}])[^\\W_])+"
+)
+
+UNICODE_ANALYZER = Analyzer(token_pattern=UNICODE_TOKEN_PATTERN)
+
 
 def tokenize(text: str, analyzer: Analyzer = DEFAULT_ANALYZER) -> list[str]:
     """Tokens for one document (lowercased, stopped, long tokens skipped)."""
