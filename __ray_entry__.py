@@ -202,10 +202,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_facet": relational.lang_facet,
         "lineitem_revenue_expr": relational.lineitem_revenue_expr,
         "orders_sample": relational.orders_sample,
+        "orders_sample_hash": relational.orders_sample_hash,
     }
 
 
 def oracle_sql() -> dict[str, str]:
+    from engine.relational import fnv1a_u64_sql as _fnv_sql
+
     tok_pairs = f"""
         SELECT doc_id, t AS term, count(*) AS cnt FROM (
             SELECT doc_id, unnest({_TOK}) AS t FROM documents
@@ -375,5 +378,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_orderkey, l_linenumber,
                    l_extendedprice * (1 - l_discount) AS revenue
             FROM lineitem
+        """,
+        "orders_sample_hash": f"""
+            SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+            WHERE ({_fnv_sql("o_orderkey")}) % 100 < 10
         """,
     }

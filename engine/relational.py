@@ -366,3 +366,36 @@ def orders_sample(sf_dir: str, fraction: float = 0.1, seed: int = 7):
     """RandomStream / sampling analogue: seeded bernoulli sample."""
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
     return ds.random_sample(fraction, seed=seed)
+
+
+def orders_sample_hash(sf_dir: str, pct: int = 10):
+    """Deterministic hash sampling: keep rows where FNV-1a over the key's
+    8 little-endian bytes lands in the sampled residue band. Unlike a
+    seeded RNG sample this is reproducible across engines, retries and
+    partitionings (the property that makes sampled pipelines resumable),
+    so DuckDB recomputes the EXACT same sample — fully oracle-checked."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def filt(batch: pa.Table) -> pa.Table:
+        k = batch.column("o_orderkey").to_numpy().astype(np.uint64)
+        h = np.full(len(k), np.uint64(0xCBF29CE484222325), dtype=np.uint64)
+        prime = np.uint64(0x100000001B3)
+        for i in range(8):
+            b = (k >> np.uint64(8 * i)) & np.uint64(0xFF)
+            h = (h ^ b) * prime  # uint64 wraparound == mod 2^64
+        return batch.filter(pa.array((h % np.uint64(100)) < pct))
+
+    return ds.map_batches(filt, batch_format="pyarrow", **_rargs())
+
+
+def fnv1a_u64_sql(col: str) -> str:
+    """The same FNV-1a-over-8-LE-bytes chain as orders_sample_hash, as a
+    DuckDB expression (HUGEINT multiply with explicit mod 2^64)."""
+    expr = "CAST(14695981039346656037 AS UBIGINT)"
+    for i in range(8):
+        b = f"CAST((({col} >> {8 * i}) & 255) AS UBIGINT)"
+        expr = (
+            f"CAST(((CAST(xor({expr}, {b}) AS HUGEINT) * 1099511628211)"
+            f" % 18446744073709551616) AS UBIGINT)"
+        )
+    return expr
