@@ -246,6 +246,8 @@ def run_scaling(sf_dir: str, lo: int | None = None, hi: int | None = None) -> di
         f"queries_per_sec_{hi}": r_hi["queries_per_sec"],
         "stages_lo": r_lo["queries"],
         "stages_hi": r_hi["queries"],
+        "merge_stages_lo": r_lo.get("merge_stage_sec"),
+        "merge_stages_hi": r_hi.get("merge_stage_sec"),
         "scaling_efficiency": round(eff, 3),
     }
 

@@ -730,13 +730,16 @@ def merge_by_term(
     ray.get(norm_refs)  # norm shards must exist before merge tasks read them
     stage_t["norm_shards"] = round(time.perf_counter() - t_s, 3)
 
-    # Block sizing: the groupby all-to-all's overhead scales with the
-    # number of INPUT blocks (measured 8s at 160 blocks vs 1.6s at 16 for
-    # the same bytes), so the explode packs several partitions per task —
-    # ~cpus/2 blocks keeps the exchange cheap while the explode itself
-    # still saturates the pool.
+    # Block sizing: the groupby all-to-all's overhead grows superlinearly
+    # with INPUT block count (measured explode stage: 16 blocks -> 4s,
+    # 64 blocks -> 34s, 160 blocks -> 15s+ at 32 cpus) while reduce-side
+    # balance wants at least ~2 tasks per cpu up to that cliff. 16 blocks
+    # measured best at every cpu level on this exchange size; on a real
+    # multi-node cluster this knob scales with aggregate exchange volume,
+    # not cpu count.
     n_cpus = int(ray.cluster_resources().get("CPU", 8))
-    explode_batch = max(1, -(-len(seg_dirs) // max(8, n_cpus // 2)))
+    n_blocks = min(len(seg_dirs), max(8, min(n_cpus * 2, 16)))
+    explode_batch = max(1, -(-len(seg_dirs) // n_blocks))
     exploded = ray.data.from_items([{"seg_dir": d} for d in seg_dirs]).map_batches(
         _make_exploder(heavy_ref, rank_of_base, n_salts, n_buckets),
         batch_size=explode_batch,
@@ -833,6 +836,69 @@ def merge_by_term(
     ]
     heavy_run_files = [r["path"] for r in results if r.get("kind") == "heavy_runs"]
 
+    # Sorted dictionary level (the BlockTree .tim/.tip role), OVERLAPPED
+    # with the heavy pass: its input is the light shards' term columns plus
+    # the heavy-term set — which the prepass already knows exactly (every
+    # salted term lands in a heavy shard) — so the distributed term sort
+    # runs in a background thread while the heavy runs finalize, hiding its
+    # ~flat latency entirely (it was the worst-scaling merge stage).
+    import threading
+
+    dict_state: dict = {"rows": [], "sec": 0.0}
+    light_shard_paths = [s["path"] for s in shards]  # snapshot: the main
+    # thread extends `shards` with heavy shards after the pass below
+
+    def _run_dict_level():
+        t_d = time.perf_counter()
+        dict_dir = os.path.join(index_dir, "merged", "dict")
+        os.makedirs(dict_dir, exist_ok=True)
+
+        def _write_dict(batch: pa.Table) -> pa.Table:
+            import uuid as _uuid
+
+            if batch.num_rows == 0:
+                return pa.Table.from_pylist([])
+            path = os.path.join(dict_dir, f"dict-{_uuid.uuid4().hex[:12]}.parquet")
+            pq.write_table(batch.select(["term"]), path + ".tmp")
+            os.replace(path + ".tmp", path)
+            return pa.Table.from_pylist(
+                [
+                    {
+                        "term_min": batch.column("term")[0].as_py(),
+                        "term_max": batch.column("term")[-1].as_py(),
+                        "path": path,
+                        "n_terms": batch.num_rows,
+                    }
+                ]
+            )
+
+        ds = None
+        if light_shard_paths:
+            ds = ray.data.read_parquet(
+                light_shard_paths,
+                columns=["term"],
+                override_num_blocks=min(len(light_shard_paths), 16),
+            )
+        if heavy:
+            hd = ray.data.from_items(
+                [{"term": t} for t in sorted(heavy)], override_num_blocks=1
+            )
+            ds = hd if ds is None else ds.union(hd)
+        if ds is None:
+            return
+        rows = (
+            ds.sort("term")
+            .map_batches(
+                _write_dict, batch_size=65536, batch_format="pyarrow", **_rargs()
+            )
+            .take_all()
+        )
+        dict_state["rows"] = sorted(rows, key=lambda r: r["term_min"])
+        dict_state["sec"] = round(time.perf_counter() - t_d, 3)
+
+    dict_thread = threading.Thread(target=_run_dict_level, daemon=True)
+    dict_thread.start()
+
     if heavy_run_files:
         # Final pass over the salted runs. A term's salted rows live in
         # exactly the buckets hash(term, salt) % B for salt in
@@ -907,49 +973,9 @@ def merge_by_term(
             for r in heavy_shards
         )
 
-    # sorted dictionary level (the BlockTree .tim/.tip role): a distributed
-    # sort of ONLY the term column into disjoint-range dict files, so
-    # prefix/range/fuzzy expansion reads O(matching files) instead of
-    # scanning every hash-bucketed shard
-    dict_rows: list[dict] = []
-    if shards:
-        t_s = time.perf_counter()
-        dict_dir = os.path.join(index_dir, "merged", "dict")
-        os.makedirs(dict_dir, exist_ok=True)
-
-        def _write_dict(batch: pa.Table) -> pa.Table:
-            import uuid as _uuid
-
-            if batch.num_rows == 0:
-                return pa.Table.from_pylist([])
-            path = os.path.join(dict_dir, f"dict-{_uuid.uuid4().hex[:12]}.parquet")
-            pq.write_table(batch.select(["term"]), path + ".tmp")
-            os.replace(path + ".tmp", path)
-            return pa.Table.from_pylist(
-                [
-                    {
-                        "term_min": batch.column("term")[0].as_py(),
-                        "term_max": batch.column("term")[-1].as_py(),
-                        "path": path,
-                        "n_terms": batch.num_rows,
-                    }
-                ]
-            )
-
-        dict_rows = (
-            ray.data.read_parquet(
-                [s["path"] for s in shards],
-                columns=["term"],
-                override_num_blocks=min(len(shards), 16),
-            )
-            .sort("term")
-            .map_batches(
-                _write_dict, batch_size=65536, batch_format="pyarrow", **_rargs()
-            )
-            .take_all()
-        )
-        dict_rows = sorted(dict_rows, key=lambda r: r["term_min"])
-        stage_t["dict_level"] = round(time.perf_counter() - t_s, 3)
+    dict_thread.join()
+    dict_rows = dict_state["rows"]
+    stage_t["dict_level_overlapped"] = dict_state["sec"]
 
     # extra indexed fields (title, ...) merge through the SAME salted
     # groupby-term path into their own sub-index; the resulting manifests
