@@ -68,14 +68,18 @@ def write_vints(values: np.ndarray) -> bytes:
                 x >>= 7
             out.append(x)
         return bytes(out)
-    shifts = np.arange(_MAX_VBYTES, dtype=np.uint64) * np.uint64(7)
-    groups = (v[:, None] >> shifts[None, :]) & np.uint64(0x7F)
-    # number of 7-bit groups needed per value (at least 1)
+    # byte-position scatter: one vectorized pass per byte position (2-4 in
+    # practice) instead of a dense (n, 10) matrix + boolean compaction —
+    # the matrix astype was the single hottest line of the inverter
     nbytes = np.maximum((64 - np.clip(_clz64(v), 0, 63) + 6) // 7, 1)
-    valid = np.arange(_MAX_VBYTES)[None, :] < nbytes[:, None]
-    cont = np.arange(_MAX_VBYTES)[None, :] < (nbytes - 1)[:, None]
-    out = (groups | (cont.astype(np.uint64) << np.uint64(7))).astype(np.uint8)
-    return out[valid].tobytes()
+    off = np.cumsum(nbytes) - nbytes
+    out = np.empty(int(off[-1] + nbytes[-1]), dtype=np.uint8)
+    for j in range(int(nbytes.max())):
+        m = nbytes > j
+        vals = (v[m] >> np.uint64(7 * j)) & np.uint64(0x7F)
+        cont = ((nbytes[m] - 1) > j).astype(np.uint64)
+        out[off[m] + j] = vals | (cont << np.uint64(7))
+    return out.tobytes()
 
 
 def vint_byte_counts(values: np.ndarray) -> np.ndarray:
