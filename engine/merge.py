@@ -237,11 +237,30 @@ def merge_tree(manifest: dict, index_dir: str, fan_in: int = 8, target_segments:
             .take_all()
         )
         rows = sorted(rows, key=lambda r: r["doc_base"])
+
+    # extra indexed fields merge through the same tree into their own
+    # sub-index (SegmentMerger merges each field's postings+norms)
+    field_manifests: dict[str, dict] = {}
+    for fld, fm in (manifest.get("fields") or {}).items():
+        sub_dir = os.path.join(index_dir, "fields", fld)
+        os.makedirs(sub_dir, exist_ok=True)
+        field_manifests[fld] = merge_tree(
+            {
+                "partitions": fm["partitions"],
+                "doc_count": fm["doc_count"],
+                "sum_ttf": fm["sum_ttf"],
+            },
+            sub_dir,
+            fan_in=fan_in,
+            target_segments=target_segments,
+        )
+
     out = {
         "version": 1,
         "kind": "merge-tree",
         "fan_in": fan_in,
         "segments": rows,
+        "fields": field_manifests,
         "doc_count": manifest["doc_count"],
         "sum_ttf": manifest["sum_ttf"],
     }

@@ -247,3 +247,13 @@ def _ed_le(a, b, k):
     from engine.search import _edit_distance_le
 
     return _edit_distance_le(a, b, k)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_checkindex_validates_dict_level(built, tmp_path_factory):
+    from engine.checkindex import check_merged_index
+
+    root = str(tmp_path_factory.mktemp("cidict"))
+    mm = merge_by_term(built["manifest"], root, salt_threshold=400, n_salts=4)
+    out = check_merged_index(MergedIndex(root))
+    assert out["ok"] and out["n_terms"] == sum(s["n_terms"] for s in mm["shards"])
