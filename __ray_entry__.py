@@ -198,6 +198,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "custkeys_intersect": relational.custkeys_intersect,
         "customers_without_orders": q_customers_without_orders,
         "doc_tokens_unnest": relational.doc_tokens_unnest,
+        "significant_terms": relational.significant_terms,
         "top_orders_per_priority": relational.top_orders_per_priority,
         "lang_facet": relational.lang_facet,
         "lineitem_revenue_expr": relational.lineitem_revenue_expr,
@@ -355,6 +356,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_tokens_unnest": f"""
             SELECT doc_id, unnest({_TOK}) AS token FROM documents
+        """,
+        "significant_terms": f"""
+            WITH dt AS (
+                SELECT doc_id, unnest(list_distinct({_TOK})) AS t FROM documents
+            ),
+            fg AS (SELECT doc_id FROM documents WHERE list_contains({_TOK}, 'data'))
+            SELECT t AS term,
+                   CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM fg)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS fg_df,
+                   count(*) AS df
+            FROM dt GROUP BY t
+            HAVING CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM fg)
+                        THEN 1 ELSE 0 END) AS BIGINT) >= 5
         """,
         "top_orders_per_priority": """
             SELECT o_orderpriority, CAST(rn - 1 AS BIGINT) AS grp_rank,

@@ -339,6 +339,64 @@ def customers_without_orders(sf_dir: str):
     return both.map_batches(finish, batch_format="pyarrow", **_rargs())
 
 
+def significant_terms(sf_dir: str, fg_term: str = "data", min_fg_df: int = 5):
+    """SignificantTermsStream analogue (solr/solrj/.../io/stream/
+    SignificantTermsStream.java): per-term document frequency inside the
+    FOREGROUND set (docs containing ``fg_term``) next to the corpus df —
+    the inputs of the significance score (lift stays a client-side float
+    so the driver compare is integer-exact).
+
+    Distributed shape: one tokenize pass emits per-batch PARTIAL
+    (term, fg_df, df) rows — only one row per distinct term per batch
+    shuffles — then a groupby-sum and an fg_df threshold."""
+    from ray.data.aggregate import Sum
+
+    from .analyze import analyze_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        rows: dict[str, list[int]] = {}
+        for t in texts:
+            toks, _ = analyze_batch([t])
+            uniq = set(toks)
+            is_fg = fg_term in uniq
+            for w in uniq:
+                e = rows.get(w)
+                if e is None:
+                    rows[w] = [1 if is_fg else 0, 1]
+                else:
+                    e[0] += 1 if is_fg else 0
+                    e[1] += 1
+        terms = sorted(rows)
+        return pa.table(
+            {
+                "term": pa.array(terms, type=pa.string()),
+                "fg_df": pa.array([rows[t][0] for t in terms], type=pa.int64()),
+                "df": pa.array([rows[t][1] for t in terms], type=pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", **_rargs())
+        .groupby("term")
+        .aggregate(Sum("fg_df", alias_name="fg_df"), Sum("df", alias_name="df"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.greater_equal(batch.column("fg_df"), min_fg_df))
+        return pa.table(
+            {
+                "term": t.column("term"),
+                "fg_df": pc.cast(t.column("fg_df"), pa.int64()),
+                "df": pc.cast(t.column("df"), pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", **_rargs())
+
+
 def doc_tokens_unnest(sf_dir: str):
     """CartesianProductStream analogue (multivalued-field un-nesting,
     solr/solrj/.../io/stream/CartesianProductStream.java): one row per
