@@ -168,6 +168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_topk": pipelines.phrase_topk,
         "term_filter_sort_by_field": pipelines.term_filter_sort_by_field,
         "bm25_topk_sharded": pipelines.bm25_topk_sharded,
+        "bm25_snippets": pipelines.bm25_snippets,
         # --- text analysis ------------------------------------------------
         "token_counts_docs": q_token_count_docs,
         "quality_features": q_quality_features,

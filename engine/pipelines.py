@@ -274,6 +274,32 @@ def phrase_topk(sf_dir: str, phrase: str = "data join", k: int = 10) -> pa.Table
     )
 
 
+def bm25_snippets(sf_dir: str, query: str = "data join", k: int = 10) -> pa.Table:
+    """Two-phase search + highlight (the QueryComponent ids-then-fields
+    shape + highlighter module): BM25 top-k over the merged index, then a
+    doc_id-pushdown fetch of the source rows and best-window snippets."""
+    import ray.data
+
+    from .checkpoint import load_merge_manifest
+    from .search import IndexSearcher
+    from .textops import snippets_for_hits
+
+    idx = get_index(sf_dir)
+    searcher = IndexSearcher(load_merge_manifest(idx["index_dir"]))
+    docs, scores = searcher.search(query, k)
+    hits = ray.data.from_items(
+        [
+            {"doc_id": int(d), "rank": i, "score": float(s)}
+            for i, (d, s) in enumerate(zip(docs.tolist(), scores.tolist()))
+        ]
+    )
+    pages_dir = os.path.dirname(idx["index_dir"]) + "/pages"
+    terms = [t for t in query.lower().split() if t.isalnum()]
+    out = snippets_for_hits(hits, pages_dir, terms).to_pandas()
+    out = out.sort_values("rank").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def term_filter_sort_by_field(
     sf_dir: str, term: str = "data", k: int = 20
 ) -> pa.Table:
