@@ -982,7 +982,10 @@ def merge_by_term(
         t_s = time.perf_counter()
         heavy_batch = max(1, len(heavy) // 128)
         heavy_shards = (
-            ray.data.from_items([{"term": t} for t in sorted(heavy)])
+            ray.data.from_items(
+                [{"term": t} for t in sorted(heavy)],
+                override_num_blocks=min(len(heavy), 128),
+            )
             .map_batches(_final_heavy_term, batch_size=heavy_batch, batch_format="pyarrow", **_rargs())
             .take_all()
         )
