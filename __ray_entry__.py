@@ -68,6 +68,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_token_count_docs(sf_dir):
         return _docs(sf_dir).map_batches(textops.token_count_batch, batch_format="pyarrow", **_rargs())
 
+    def q_token_count_bpe(sf_dir):
+        return _docs(sf_dir).map_batches(
+            textops.bpe_token_count_batch, batch_format="pyarrow", **_rargs()
+        )
+
     def q_quality_scores(sf_dir):
         return _docs(sf_dir).map_batches(
             textops.QualityScorer, batch_format="pyarrow", concurrency=2, **_rargs()
@@ -171,6 +176,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_snippets": pipelines.bm25_snippets,
         # --- text analysis ------------------------------------------------
         "token_counts_docs": q_token_count_docs,
+        "token_counts_bpe": q_token_count_bpe,
         "quality_features": q_quality_features,
         "quality_scores": q_quality_scores,
         "langid": q_langid,
@@ -271,6 +277,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_counts_docs": f"""
             SELECT doc_id, len({_TOK}) AS n_tokens FROM documents
+        """,
+        "token_counts_bpe": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(lower(text),
+                       '''(?:[sdmt]|ll|ve|re)| ?[a-z]+| ?[0-9]+| ?[^\sa-z0-9]+'))
+                     AS n_bpe_tokens
+            FROM documents
         """,
         "collection_stats": f"""
             SELECT

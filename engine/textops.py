@@ -94,6 +94,32 @@ def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     )
 
 
+# GPT-2-style pre-tokenizer (BPE pre-split), restricted to constructs RE2
+# also supports (no lookahead) so the DuckDB oracle applies the IDENTICAL
+# pattern: contraction suffixes, space-prefixed letter runs, digit runs,
+# punctuation runs. Applied to lowercased text.
+BPE_PRETOKEN_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?[a-z]+| ?[0-9]+| ?[^\sa-z0-9]+"
+_BPE_RE = re.compile(BPE_PRETOKEN_PATTERN)
+
+
+def bpe_token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """(doc_id, n_bpe_tokens) — BPE-ish pre-tokenizer counting (the
+    training-data token budget estimate; a real BPE merges within these
+    pre-tokens, so this upper-bounds words and lower-bounds BPE pieces)."""
+    texts = batch.column(text_col).to_pylist()
+    counts = np.fromiter(
+        (len(_BPE_RE.findall(t.lower())) if t else 0 for t in texts),
+        dtype=np.int64,
+        count=len(texts),
+    )
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_bpe_tokens": pa.array(counts, type=pa.int64()),
+        }
+    )
+
+
 def quality_features_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Integer quality features (SQL-oracle-safe): n_chars, n_tokens,
     n_uniq_tokens."""
