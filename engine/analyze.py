@@ -125,6 +125,50 @@ def analyze_batch(
     return flat, lengths
 
 
+def analyze_batch_with_positions(
+    texts: list[str], analyzer: Analyzer = DEFAULT_ANALYZER
+) -> tuple[list[str], np.ndarray, np.ndarray]:
+    """``analyze_batch`` plus per-token POSITIONS with position-increment
+    gaps: a removed stopword (StopFilter.java:28 — posIncr accumulates
+    across removed tokens) or a skipped over-long token
+    (StandardTokenizer.java:152-175 — skipped but still increments
+    position) advances the position counter, so phrases across a removed
+    token do NOT match adjacently. Each kept token's position is its index
+    in the PRE-filter token stream. With the default analyzer (no
+    stopwords, no over-long tokens present) positions equal the emitted
+    index and the whole path stays vectorized."""
+    pat = analyzer.compiled()
+    mx = analyzer.max_token_length
+    stop = analyzer.stopwords
+    flat: list[str] = []
+    positions: list[int] = []
+    lengths = np.empty(len(texts), dtype=np.int64)
+    default = pat.pattern == DEFAULT_ANALYZER.token_pattern and mx == MAX_TOKEN_LENGTH
+    gaps_possible = bool(stop)
+    for i, text in enumerate(texts):
+        low = text.lower() if text else ""
+        toks = pat.findall(low) if low else []
+        has_long = bool(toks) and (
+            (_LONG_RE.search(low) is not None)
+            if default
+            else any(len(t) > mx for t in toks)
+        )
+        if gaps_possible or has_long:
+            kept = [
+                (j, t)
+                for j, t in enumerate(toks)
+                if len(t) <= mx and t not in stop
+            ]
+            lengths[i] = len(kept)
+            flat.extend(t for _, t in kept)
+            positions.extend(j for j, _ in kept)
+        else:
+            lengths[i] = len(toks)
+            flat.extend(toks)
+            positions.extend(range(len(toks)))
+    return flat, lengths, np.asarray(positions, dtype=np.int64)
+
+
 def compute_norms(doc_lengths: np.ndarray) -> np.ndarray:
     """Per-doc norm bytes: SmallFloat.intToByte4(numTerms)
     (BM25Similarity.java:115-126, discountOverlaps default — no overlap

@@ -36,7 +36,7 @@ import pyarrow as pa
 from .rayenv import remote_args as _rargs
 import pyarrow.compute as pc
 
-from .analyze import DEFAULT_ANALYZER, Analyzer, analyze_batch, compute_norms
+from .analyze import DEFAULT_ANALYZER, Analyzer, compute_norms
 from .codec import encode_term_postings
 from .extract import extract_batch
 from .segment import TERMS_SCHEMA, write_segment
@@ -63,7 +63,12 @@ def invert_to_segment(
     if not np.array_equal(order, np.arange(n_docs)):
         doc_ids = doc_ids[order]
         texts = [texts[i] for i in order]
-    flat, lengths = analyze_batch(texts, analyzer)
+    from .analyze import analyze_batch_with_positions
+
+    # positions carry StopFilter / over-long-token increment GAPS
+    # (StopFilter.java:28, StandardTokenizer.java:152-175): a phrase
+    # across a removed token must not match adjacently
+    flat, lengths, tok_positions = analyze_batch_with_positions(texts, analyzer)
     norms = compute_norms(lengths)
 
     # --- vectorized inversion (TermsHash + FreqProx analogue) -------------
@@ -92,8 +97,7 @@ def invert_to_segment(
         rank_of = np.empty(n_terms, dtype=np.int64)
         rank_of[np.argsort(dictionary, kind="stable")] = np.arange(n_terms)
         tok_doc = np.repeat(np.arange(n_docs, dtype=np.int64), lengths)
-        doc_starts = np.concatenate(([0], np.cumsum(lengths)[:-1]))
-        tok_pos = np.arange(len(flat), dtype=np.int64) - np.repeat(doc_starts, lengths)
+        tok_pos = tok_positions
         key = rank_of[term_idx] * n_docs + tok_doc
         # stable sort groups tokens by (term, doc) keeping position order
         order = np.argsort(key, kind="stable")

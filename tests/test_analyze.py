@@ -39,3 +39,57 @@ def test_norms_quantized():
     norms = compute_norms(np.array([0, 5, 39, 40, 41, 10_000]))
     assert norms.dtype == np.uint8
     assert norms.tolist()[:5] == [0, 5, 39, 40, 40]
+
+
+def test_position_increment_gaps():
+    """StopFilter (StopFilter.java:28) and over-long tokens
+    (StandardTokenizer.java:152-175) leave POSITION GAPS: removed tokens
+    advance the counter, so a phrase spanning one never matches
+    adjacently."""
+    import numpy as np
+
+    from engine.analyze import Analyzer, analyze_batch_with_positions
+
+    stop_an = Analyzer(stopwords=frozenset({"the", "of"}))
+    flat, lengths, pos = analyze_batch_with_positions(
+        ["queen of the hill", "no stops here"], stop_an
+    )
+    assert flat == ["queen", "hill", "no", "stops", "here"]
+    assert lengths.tolist() == [2, 3]
+    # 'hill' keeps position 3 (gap over 'of the'), second doc dense
+    assert pos.tolist() == [0, 3, 0, 1, 2]
+    # long-token skip gaps too
+    long_tok = "x" * 300
+    flat2, lengths2, pos2 = analyze_batch_with_positions([f"a {long_tok} b"])
+    assert flat2 == ["a", "b"]
+    assert lengths2.tolist() == [2]
+    assert pos2.tolist() == [0, 2]
+
+
+def test_phrase_does_not_match_across_removed_stopword(tmp_path):
+    """End to end: with a stopword analyzer, '"queen hill"' must NOT match
+    'queen of the hill' at slop 0 but MUST within slop 2."""
+    import numpy as np
+
+    from engine.analyze import Analyzer
+    from engine.build import invert_to_segment
+    from engine.checkpoint import finalize_build_manifest
+    from engine.queryparse import parse_query
+    from engine.search import IndexSearcher
+
+    stop_an = Analyzer(stopwords=frozenset({"the", "of"}))
+    texts = ["queen of the hill", "queen hill stands", "other words"]
+    seg_dir = str(tmp_path / "partitions/p000000000000")
+    meta = invert_to_segment(
+        np.arange(3, dtype=np.int64), texts, seg_dir, analyzer=stop_an
+    )
+    rows = [
+        {k: meta[k] for k in ("doc_base", "n_docs", "sum_ttf", "n_terms", "wall_ms")}
+        | {"seg_dir": seg_dir}
+    ]
+    m = finalize_build_manifest(str(tmp_path), rows)
+    s = IndexSearcher(m, algorithm="taat")
+    exact, _ = s.search(parse_query('"queen hill"', stop_an), 10)
+    assert exact.tolist() == [1]  # gap in doc 0 blocks the adjacent match
+    sloppy, _ = s.search(parse_query('"queen hill"~3', stop_an), 10)
+    assert set(sloppy.tolist()) == {0, 1}
