@@ -23,7 +23,7 @@ def check_segment(seg: Segment | str) -> dict:
     assert terms == sorted(terms), f"{seg.dir}: terms not sorted"
     assert len(set(terms)) == len(terms), f"{seg.dir}: duplicate terms"
     doc_lo = seg.doc_base
-    doc_hi = seg.doc_base + len(seg._norms)
+    doc_hi = seg.doc_base + seg.norm_span
     sum_ttf_check = 0
     rows = tbl.to_pylist()
     for row in rows:
@@ -102,7 +102,7 @@ def check_merged_index(mi) -> dict:
     norms coverage, global stat sums."""
     n_terms = 0
     sum_ttf = 0
-    doc_lo, doc_hi = mi.doc_base, mi.doc_base + len(mi._norms)
+    doc_lo, doc_hi = mi.doc_base, mi.doc_base + mi.norm_span
     seen: set[str] = set()
     for row in mi.iter_term_rows():
         t = row["term"]

@@ -697,6 +697,7 @@ def merge_by_term(
     salt_threshold: int | None = None,
     n_salts: int = 8,
     n_buckets: int = 128,
+    parts_per_shard: int = 8,
 ) -> dict:
     """North-rule merge: groupby-term shuffle with explicit salting.
 
@@ -738,7 +739,7 @@ def merge_by_term(
     t_s = time.perf_counter()
     os.makedirs(os.path.join(index_dir, "merged"), exist_ok=True)
     norm_shards, norm_refs = write_norm_shards_async(
-        parts, os.path.join(index_dir, "merged")
+        parts, os.path.join(index_dir, "merged"), parts_per_shard=parts_per_shard
     )
 
     heavy = compute_heavy_terms(seg_dirs, salt_threshold)
@@ -1076,12 +1077,30 @@ class MergedIndex:
         self._heavy_set = set(m.get("heavy_terms", []))
         self._tables: OrderedDict[str, tuple[pa.Table, list[str]]] = OrderedDict()
 
-        norm_tbl = pa.concat_tables(pq.read_table(p) for p in m["norm_files"])
-        doc_ids = norm_tbl.column("doc_id").to_numpy()
-        self.doc_base = int(doc_ids.min()) if len(doc_ids) else 0
-        self.max_doc = int(doc_ids.max()) + 1 if len(doc_ids) else 0
-        self._norms = np.zeros(self.max_doc - self.doc_base, dtype=np.uint8)
-        self._norms[doc_ids - self.doc_base] = norm_tbl.column("norm").to_numpy()
+        # Norms are NEVER loaded dense at open: a searcher worker touches
+        # only the doc-range shards its postings hit, lazily through the
+        # same LRU _NormStore the merge tasks use (the per-leaf mmap'd
+        # norms role — codecs/lucene80/Lucene80NormsFormat.java:30-78).
+        # 1 byte/doc dense would be 10-100 GB per worker at 10^10-10^11
+        # docs. Doc bounds come from the shard METADATA, so __init__ does
+        # zero norm-file I/O. Dense fallback only for pre-norm_shards
+        # manifests.
+        shard_rows = m.get("norm_shards")
+        if shard_rows:
+            self._norm_store: _NormStore | None = _NormStore(shard_rows)
+            self.doc_base = int(min(r["doc_lo"] for r in shard_rows))
+            self.max_doc = int(max(r["doc_hi"] for r in shard_rows))
+            self._norms_dense: np.ndarray | None = None
+        else:
+            self._norm_store = None
+            norm_tbl = pa.concat_tables(pq.read_table(p) for p in m["norm_files"])
+            doc_ids = norm_tbl.column("doc_id").to_numpy()
+            self.doc_base = int(doc_ids.min()) if len(doc_ids) else 0
+            self.max_doc = int(doc_ids.max()) + 1 if len(doc_ids) else 0
+            self._norms_dense = np.zeros(self.max_doc - self.doc_base, dtype=np.uint8)
+            self._norms_dense[doc_ids - self.doc_base] = norm_tbl.column(
+                "norm"
+            ).to_numpy()
         self.n_docs = int(m["doc_count"])
         from collections import OrderedDict as _OD
 
@@ -1093,8 +1112,16 @@ class MergedIndex:
     def sum_ttf(self) -> int:
         return int(self.manifest["sum_ttf"])
 
+    @property
+    def norm_span(self) -> int:
+        """Width of the doc-id range this reader covers (accumulator size)."""
+        return self.max_doc - self.doc_base
+
     def norm_of(self, doc_ids: np.ndarray) -> np.ndarray:
-        return self._norms[np.asarray(doc_ids, dtype=np.int64) - self.doc_base]
+        docs = np.asarray(doc_ids, dtype=np.int64)
+        if self._norm_store is not None:
+            return self._norm_store.norms_for(docs)
+        return self._norms_dense[docs - self.doc_base]
 
     def _load(self, path: str) -> tuple[pa.Table, list[str]]:
         hit = self._tables.get(path)

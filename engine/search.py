@@ -181,7 +181,7 @@ class IndexSearcher:
         tie = np.float32(tie_breaker)
         all_docs, all_scores = [], []
         for gi, seg in enumerate(self.segments):
-            span = len(seg._norms)
+            span = seg.norm_span
             lo = seg.doc_base
             mx = np.zeros(span, dtype=np.float32)
             sm = np.zeros(span, dtype=np.float64)
@@ -406,7 +406,7 @@ class IndexSearcher:
             )
         for gi, seg in enumerate(self.segments):
             lo = seg.doc_base
-            span = len(seg._norms)
+            span = seg.norm_span
             acc = np.zeros(span, dtype=np.float64)
             must_cnt = np.zeros(span, dtype=np.int16) if n_must else None
             matched = np.zeros(span, dtype=bool)
@@ -673,7 +673,7 @@ def explain(searcher: IndexSearcher, query: str, doc_id: int) -> dict:
     gi, seg = next(
         (i, s)
         for i, s in enumerate(searcher.segments)
-        if s.doc_base <= doc_id < s.doc_base + len(s._norms)
+        if s.doc_base <= doc_id < s.doc_base + s.norm_span
     )
     norm = int(seg.norm_of(np.array([doc_id]))[0])
     clauses = []
@@ -1078,6 +1078,45 @@ def merge_topk(
 # ---------------------------------------------------------------------------
 
 _PROCESS_SHARDS: dict = {}
+_PROCESS_STATS: dict = {}
+
+
+def _stats_searcher(manifest_ref) -> IndexSearcher:
+    """Per-process DICTIONARY-ONLY searcher for the fan-out's rewrite +
+    stats pass: one lazy pruned-column DictStatsReader per partition
+    (term/df/ttf, never postings blobs), so neither the driver nor the
+    fan-out closure ever holds an open index — the closure carries only
+    the manifest ObjectRef. Norms and postings are untouched; execute()
+    on this searcher would find no postings and must never be called."""
+    import ray
+
+    from .segment import DictStatsReader
+
+    key = manifest_ref.hex()
+    s = _PROCESS_STATS.get(key)
+    if s is None:
+        import os
+
+        manifest = ray.get(manifest_ref)
+
+        def _readers(rows):
+            return [
+                DictStatsReader(os.path.join(r["seg_dir"], "terms.parquet"))
+                for r in sorted(rows, key=lambda r: r["doc_base"])
+            ]
+
+        fields = {
+            fld: (_readers(fm["partitions"]), int(fm["doc_count"]), int(fm["sum_ttf"]))
+            for fld, fm in (manifest.get("fields") or {}).items()
+        }
+        s = IndexSearcher.from_segments(
+            _readers(manifest["partitions"]),
+            int(manifest["doc_count"]),
+            int(manifest["sum_ttf"]),
+            fields=fields,
+        )
+        _PROCESS_STATS[key] = s
+    return s
 
 
 def _shard_searcher(manifest_ref, shard_id: int, n_shards: int) -> IndexSearcher:
@@ -1129,11 +1168,13 @@ def search_dataset_sharded(
     import ray
 
     manifest_ref = ray.put(manifest)
-    full = IndexSearcher(manifest)
 
     def fanout(batch: pa.Table) -> pa.Table:
         from dataclasses import asdict
 
+        # dictionary-only stats searcher, built once per worker process
+        # from the manifest ref — the closure ships NO index state
+        full = _stats_searcher(manifest_ref)
         rows = []
         for r in batch.to_pylist():
             q = full.rewrite(parse_query(r["query"]))

@@ -150,6 +150,11 @@ class Segment:
     def sum_ttf(self) -> int:
         return int(self.meta["sum_ttf"])
 
+    @property
+    def norm_span(self) -> int:
+        """Width of the doc-id range this segment covers (accumulator size)."""
+        return self.max_doc - self.doc_base
+
     def norm_of(self, doc_ids: np.ndarray) -> np.ndarray:
         return self._norms[np.asarray(doc_ids, dtype=np.int64) - self.doc_base]
 
@@ -254,6 +259,65 @@ class Segment:
         if len(self._postings_cache) > self._POSTINGS_CACHE_MAX:
             self._postings_cache.popitem(last=False)
         return out
+
+
+class DictStatsReader:
+    """Dictionary-only view of ONE partition's term file: the stats pass
+    (TermStates.build — search/TermQuery.java:194-206) and the multi-term
+    rewrites need (term, df, ttf) and sorted-dictionary scans, never
+    postings. Loads those three columns LAZILY with a pruned parquet read
+    on first use — construction is free, so a fan-out closure can carry a
+    list of these (really just paths) without shipping an index. Exposes
+    the same dictionary surface as Segment (term_stats / expand_prefix /
+    expand_range / _terms) so IndexSearcher.rewrite works unchanged."""
+
+    def __init__(self, terms_path: str):
+        self.path = terms_path
+        self._loaded: tuple[list[str], np.ndarray, np.ndarray] | None = None
+
+    def _load(self) -> tuple[list[str], np.ndarray, np.ndarray]:
+        if self._loaded is None:
+            tbl = pq.read_table(self.path, columns=["term", "df", "ttf"])
+            self._loaded = (
+                tbl.column("term").to_pylist(),
+                tbl.column("df").to_numpy(),
+                tbl.column("ttf").to_numpy(),
+            )
+        return self._loaded
+
+    @property
+    def _terms(self) -> list[str]:
+        return self._load()[0]
+
+    def iter_terms(self):
+        yield from self._terms
+
+    def term_stats(self, term: str) -> tuple[int, int]:
+        terms, df, ttf = self._load()
+        i = bisect_left(terms, term)
+        if i < len(terms) and terms[i] == term:
+            return int(df[i]), int(ttf[i])
+        return 0, 0
+
+    def expand_prefix(self, prefix: str, max_terms: int = 1024) -> list[str]:
+        terms = self._terms
+        i = bisect_left(terms, prefix)
+        out: list[str] = []
+        while i < len(terms) and len(out) < max_terms:
+            t = terms[i]
+            if not t.startswith(prefix):
+                break
+            out.append(t)
+            i += 1
+        return out
+
+    def expand_range(self, lo: str, hi: str, max_terms: int = 1024) -> list[str]:
+        from bisect import bisect_right
+
+        terms = self._terms
+        i = bisect_left(terms, lo)
+        j = bisect_right(terms, hi)
+        return terms[i : min(j, i + max_terms)]
 
 
 def make_terms_table(rows: dict[str, list]) -> pa.Table:

@@ -257,3 +257,57 @@ def test_checkindex_validates_dict_level(built, tmp_path_factory):
     mm = merge_by_term(built["manifest"], root, salt_threshold=400, n_salts=4)
     out = check_merged_index(MergedIndex(root))
     assert out["ok"] and out["n_terms"] == sum(s["n_terms"] for s in mm["shards"])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_merged_index_norms_lazy(built, tmp_path_factory):
+    """Opening a MergedIndex must read NO norm shard (doc bounds come from
+    manifest metadata); shards load lazily per doc-range on first query —
+    the per-leaf-mmap norms role (Lucene80NormsFormat.java:30-78). At
+    10^10 docs a dense whole-corpus load is 10+ GB per searcher worker."""
+    m = built["manifest"]
+    root = str(tmp_path_factory.mktemp("lazynorms"))
+    mm = merge_by_term(m, root, salt_threshold=400, n_salts=4, parts_per_shard=2)
+    assert len(mm["norm_shards"]) >= 3, "fixture must produce multiple norm shards"
+
+    import engine.merge as merge_mod
+
+    reads = []
+    orig = merge_mod.pq.read_table
+
+    def counting_read(path, *a, **kw):
+        reads.append(str(path))
+        return orig(path, *a, **kw)
+
+    norm_paths = set(mm["norm_files"])
+    merge_mod.pq.read_table = counting_read
+    try:
+        mi = MergedIndex(root)
+        assert not (set(reads) & norm_paths), "open read a norm shard"
+        span = mi.norm_span  # metadata-only
+        assert not (set(reads) & norm_paths)
+        # a single-shard doc range touches exactly one shard file
+        reads.clear()
+        lo = mm["norm_shards"][0]["doc_lo"]
+        one = mi.norm_of(np.array([lo, lo + 1]))
+        touched = set(reads) & norm_paths
+        assert touched == {mm["norm_shards"][0]["path"]}
+    finally:
+        merge_mod.pq.read_table = orig
+
+    # values identical to the source segments across every shard boundary
+    segs = [Segment(r["seg_dir"]) for r in m["partitions"]]
+    all_docs = np.arange(m["doc_count"], dtype=np.int64)
+    rng = np.random.default_rng(3)
+    probe = rng.permutation(all_docs)[:500]  # unsorted, spans shards
+    exp = np.concatenate([s._norms for s in segs])[probe]
+    np.testing.assert_array_equal(mi.norm_of(probe), exp)
+    assert span == m["doc_count"]
+    # search results bit-identical to the segment searcher
+    base = IndexSearcher(m, algorithm="taat")
+    merged = IndexSearcher(mm, algorithm="taat")
+    for q in QUERIES:
+        bd, bs = base.search(q, 20)
+        md, ms = merged.search(q, 20)
+        np.testing.assert_array_equal(md, bd, err_msg=q)
+        np.testing.assert_array_equal(ms, bs, err_msg=q)

@@ -117,3 +117,65 @@ def test_sharded_rich_clauses_match_single(tmp_path_factory):
         np.testing.assert_array_equal(
             sub["score"].to_numpy().astype(np.float32), bs, err_msg=q["query"]
         )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_fanout_builds_no_driver_index(tmp_path_factory):
+    """The scatter/gather fan-out must not open the index on the driver or
+    ship one in its closure: constructing the sharded Dataset may not
+    instantiate a single Segment or IndexSearcher(manifest) in this
+    process (the stats pass runs in workers over pruned dictionary-only
+    column reads — DictStatsReader)."""
+    import ray.data
+
+    import engine.search as search_mod
+    import engine.segment as segment_mod
+    from engine.build import invert_to_segment
+    from engine.checkpoint import finalize_build_manifest
+    from engine.fixtures import make_pages
+    from engine.search import IndexSearcher, search_dataset_sharded
+
+    root = tmp_path_factory.mktemp("shardednodriver")
+    pages = make_pages(300, seed=17)
+    texts = pages.column("text").to_pylist()
+    rows = []
+    for s in range(3):
+        lo, hi = s * 100, (s + 1) * 100
+        seg_dir = str(root / f"partitions/p{lo:012d}")
+        meta = invert_to_segment(np.arange(lo, hi, dtype=np.int64), texts[lo:hi], seg_dir)
+        rows.append(
+            {k: meta[k] for k in ("doc_base", "n_docs", "sum_ttf", "n_terms", "wall_ms")}
+            | {"seg_dir": seg_dir}
+        )
+    manifest = finalize_build_manifest(str(root), rows)
+
+    opened = []
+    orig_init = segment_mod.Segment.__init__
+
+    def counting_init(self, seg_dir):
+        opened.append(seg_dir)
+        orig_init(self, seg_dir)
+
+    segment_mod.Segment.__init__ = counting_init
+    try:
+        queries = [
+            {"query_id": 0, "query": "the00 t0000*", "k": 10},
+            {"query_id": 1, "query": "t00000~1", "k": 10},
+        ]
+        ds = search_dataset_sharded(
+            ray.data.from_items(queries), manifest, n_shards=2
+        )
+        assert opened == [], "driver opened Segments while building the fan-out"
+        res = ds.to_pandas().sort_values(["query_id", "rank"])
+        assert opened == [], "driver opened Segments during sharded execution"
+    finally:
+        segment_mod.Segment.__init__ = orig_init
+
+    base = IndexSearcher(manifest, algorithm="taat")
+    for q in queries:
+        bd, bs = base.search(q["query"], q["k"])
+        sub = res[res["query_id"] == q["query_id"]]
+        np.testing.assert_array_equal(sub["doc_id"].to_numpy(), bd, err_msg=q["query"])
+        np.testing.assert_array_equal(
+            sub["score"].to_numpy().astype(np.float32), bs, err_msg=q["query"]
+        )
