@@ -172,6 +172,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_norms": pipelines.doc_norms,
         "bm25_topk": pipelines.bm25_search_results,
         "phrase_match_docs": pipelines.phrase_match_docs,
+        "bm25_bool_nested": pipelines.bool_nested_match_docs,
         "phrase_topk": pipelines.phrase_topk,
         "term_filter_sort_by_field": pipelines.term_filter_sort_by_field,
         "bm25_topk_sharded": pipelines.bm25_topk_sharded,
@@ -276,6 +277,13 @@ def oracle_sql() -> dict[str, str]:
         "phrase_match_docs": f"""
             SELECT doc_id FROM documents
             WHERE ' ' || array_to_string({_TOK}, ' ') || ' ' LIKE '% data join %'
+        """,
+        "bm25_bool_nested": f"""
+            SELECT doc_id FROM documents
+            WHERE (list_contains({_TOK}, 'data') OR list_contains({_TOK}, 'join'))
+              AND (list_contains({_TOK}, 'hash') OR list_contains({_TOK}, 'merge'))
+              AND NOT list_contains({_TOK}, 'dup')
+            ORDER BY doc_id
         """,
         "token_counts_docs": f"""
             SELECT doc_id, len({_TOK}) AS n_tokens FROM documents

@@ -257,6 +257,24 @@ def phrase_slop_match_docs(
     return pa.table({"doc_id": pa.array(out, type=pa.int64())})
 
 
+def bool_nested_match_docs(
+    sf_dir: str, query: str = "+(data join) +(hash merge) -dup"
+) -> pa.Table:
+    """(doc_id) of documents matching a NESTED boolean query — parenthesized
+    sub-queries from the classic parser's grouping grammar
+    (classic/QueryParser.java:81) executed as a clause tree
+    (search/BooleanQuery.java nested clause semantics). The default query is
+    (data OR join) AND (hash OR merge) AND NOT dup; oracle: the same set
+    algebra over token containment in DuckDB."""
+    from .checkpoint import load_merge_manifest
+    from .search import IndexSearcher
+
+    idx = get_index(sf_dir)
+    searcher = IndexSearcher(load_merge_manifest(idx["index_dir"]))
+    docs, _scores = searcher.search(query, k=searcher.doc_count)
+    return pa.table({"doc_id": pa.array(np.sort(docs), type=pa.int64())})
+
+
 def phrase_topk(sf_dir: str, phrase: str = "data join", k: int = 10) -> pa.Table:
     """BM25-scored phrase top-k (summed-idf weight x phrase frequency)."""
     from .checkpoint import load_merge_manifest

@@ -58,6 +58,14 @@ class BoolQuery:
     # a hit must contain at least one term of every set; filters never
     # contribute score (constant-score filter context). Programmatic.
     term_sets: tuple[tuple[str, ...], ...] = ()
+    # nested boolean sub-queries — parenthesized groups from the classic
+    # parser's grammar (classic/QueryParser.java:81): each sub-query is a
+    # full BoolQuery evaluated as ONE clause of this query. A SHOULD sub
+    # contributes its score when it matches; a MUST sub must match; a
+    # MUST_NOT sub excludes its matches (BooleanQuery clause semantics).
+    sub_must: tuple["BoolQuery", ...] = ()
+    sub_should: tuple["BoolQuery", ...] = ()
+    sub_must_not: tuple["BoolQuery", ...] = ()
 
     @property
     def empty(self) -> bool:
@@ -75,7 +83,95 @@ class BoolQuery:
             or self.boosts
             or self.fuzzies
             or self.term_sets
+            or self.sub_must
+            or self.sub_should
+            or self.sub_must_not
         )
+
+    @property
+    def nested(self) -> bool:
+        return bool(self.sub_must or self.sub_should or self.sub_must_not)
+
+
+def boolquery_from_dict(d: dict) -> BoolQuery:
+    """Rebuild a BoolQuery (including nested sub-queries) from the plain
+    dict produced by dataclasses.asdict — the shard fan-out ships plans as
+    repr'd dicts and rebuilds them here."""
+    d = dict(d)
+    for k in ("sub_must", "sub_should", "sub_must_not"):
+        d[k] = tuple(boolquery_from_dict(s) for s in d.get(k) or ())
+    for k in ("phrases", "synonyms", "term_sets"):
+        d[k] = tuple(tuple(x) for x in d.get(k) or ())
+    d["sloppy"] = tuple((tuple(ph), int(sl)) for ph, sl in d.get("sloppy") or ())
+    d["ranges"] = tuple((lo, hi) for lo, hi in d.get("ranges") or ())
+    d["boosts"] = tuple((t, float(b)) for t, b in d.get("boosts") or ())
+    d["fuzzies"] = tuple((t, int(n)) for t, n in d.get("fuzzies") or ())
+    for k in ("must", "should", "must_not", "prefixes", "wildcards", "regexps"):
+        d[k] = tuple(d.get(k) or ())
+    return BoolQuery(**d)
+
+
+def query_terms(q: BoolQuery) -> set[str]:
+    """Every concrete term a (rewritten) query touches, recursively over
+    nested sub-queries — the term set the sharded fan-out gathers global
+    (df, ttf) for (TermStates.build over the whole tree)."""
+    terms = set(q.must) | set(q.should) | set(q.must_not)
+    for grp in q.synonyms:
+        terms.update(grp)
+    for ph in q.phrases:
+        terms.update(ph)
+    for ph, _slop in q.sloppy:
+        terms.update(ph)
+    for t, _bf in q.boosts:
+        terms.add(t)
+    for ts in q.term_sets:
+        terms.update(ts)
+    for sub in q.sub_must + q.sub_should + q.sub_must_not:
+        terms |= query_terms(sub)
+    return terms
+
+
+def _split_groups(q: str) -> tuple[str, list[tuple[str, str]]]:
+    """Extract top-level parenthesized groups, respecting quotes. Returns
+    the remainder text with each group replaced by a placeholder token
+    ``[+|-]\\x00G<i>\\x00`` and the list of (prefix, inner_text) groups."""
+    out: list[str] = []
+    groups: list[tuple[str, str]] = []
+    i, n = 0, len(q)
+    while i < n:
+        c = q[i]
+        if c == '"':  # quoted phrase: opaque to grouping
+            j = q.find('"', i + 1)
+            j = n - 1 if j < 0 else j
+            out.append(q[i : j + 1])
+            i = j + 1
+            continue
+        prefix = ""
+        if c in "+-" and i + 1 < n and q[i + 1] == "(":
+            prefix = c
+            i += 1
+            c = q[i]
+        if c == "(":
+            depth, j = 0, i
+            while j < n:
+                cj = q[j]
+                if cj == '"':
+                    k = q.find('"', j + 1)
+                    j = k if k >= 0 else n - 1
+                elif cj == "(":
+                    depth += 1
+                elif cj == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j += 1
+            groups.append((prefix, q[i + 1 : j]))
+            out.append(f" {prefix}\x00G{len(groups) - 1}\x00 ")
+            i = j + 1
+            continue
+        out.append(prefix + c)
+        i += 1
+    return "".join(out), groups
 
 
 def parse_query(q: str, analyzer: Analyzer = DEFAULT_ANALYZER) -> BoolQuery:
@@ -91,9 +187,18 @@ def parse_query(q: str, analyzer: Analyzer = DEFAULT_ANALYZER) -> BoolQuery:
     boosts: list[tuple[str, float]] = []
     fuzzies: list[tuple[str, int]] = []
     regexps: list[str] = []
+    sub_must: list[BoolQuery] = []
+    sub_should: list[BoolQuery] = []
+    sub_must_not: list[BoolQuery] = []
     match_all = False
-    # "quoted phrases" are extracted first (PhraseQuery, slop 0)
     import re as _re
+
+    # parenthesized groups are extracted FIRST (before phrase/range/regexp
+    # passes) so their contents parse recursively with their own operators
+    # — nested sub-queries, classic/QueryParser.java:81 grouping grammar
+    groups: list[tuple[str, str]] = []
+    if "(" in q:
+        q, groups = _split_groups(q)
 
     def _grab_phrase(m: "_re.Match[str]") -> str:
         toks = tuple(tokenize(m.group(1), analyzer))
@@ -139,6 +244,16 @@ def parse_query(q: str, analyzer: Analyzer = DEFAULT_ANALYZER) -> BoolQuery:
             bucket, tok = must_not, tok[1:]
         elif and_mode:
             bucket = must
+        m_g = _re.fullmatch("\x00G(\\d+)\x00", tok)
+        if m_g:
+            sub = parse_query(groups[int(m_g.group(1))][1], analyzer)
+            if not sub.empty:
+                (
+                    sub_must
+                    if bucket is must
+                    else sub_must_not if bucket is must_not else sub_should
+                ).append(sub)
+            continue
         if ":" in tok:
             fld, rest = tok.split(":", 1)
             if fld in KNOWN_FIELDS and fld != "body":
@@ -216,4 +331,7 @@ def parse_query(q: str, analyzer: Analyzer = DEFAULT_ANALYZER) -> BoolQuery:
         boosts=tuple(boosts),
         fuzzies=tuple(fuzzies),
         regexps=tuple(regexps),
+        sub_must=tuple(sub_must),
+        sub_should=tuple(sub_should),
+        sub_must_not=tuple(sub_must_not),
     )

@@ -56,6 +56,114 @@ from .wand import (
 WAND_POSTINGS_CUTOVER = 8_000_000
 
 
+def _flatten_bool(q: BoolQuery) -> BoolQuery:
+    """BooleanQuery.rewrite simplifications over an already-rewritten
+    clause tree (search/BooleanQuery.java rewrite):
+
+    - a SHOULD sub-query that is a pure disjunction (no required/negated/
+      filter clauses, msm <= 1) is spliced into the parent's optional
+      clauses, when the parent's msm <= 1 (flattening changes per-clause
+      match counts, so msm >= 2 on either side blocks it);
+    - a MUST sub-query with exactly one term clause collapses to a parent
+      MUST term (single-clause BooleanQuery == its clause);
+    - a MUST_NOT sub-query that is a pure TERM disjunction expands by
+      De Morgan into parent MUST_NOT terms (negation never scores).
+
+    Anything not inlinable stays a nested node for the clause-tree plan.
+    Flattening happens BEFORE scoring, so the flattened form defines the
+    float32 op order, exactly as the reference rewrites then scores."""
+    from dataclasses import replace
+
+    def _pure_disjunction(s: BoolQuery) -> bool:
+        return not (
+            s.must
+            or s.must_not
+            or s.term_sets
+            or s.match_all
+            or s.min_should_match > 1
+            or s.sub_must
+            or s.sub_must_not
+        )
+
+    def _n_optional(s: BoolQuery) -> int:
+        return (
+            len(s.should)
+            + len(s.phrases)
+            + len(s.sloppy)
+            + len(s.synonyms)
+            + len(s.boosts)
+            + len(s.sub_should)
+        )
+
+    should = list(q.should)
+    phrases = list(q.phrases)
+    sloppy = list(q.sloppy)
+    synonyms = list(q.synonyms)
+    boosts = list(q.boosts)
+    must = list(q.must)
+    must_not = list(q.must_not)
+    keep_should: list[BoolQuery] = []
+    for sub in q.sub_should:
+        if _pure_disjunction(sub) and (
+            q.min_should_match <= 1 or _n_optional(sub) == 1
+        ):
+            should.extend(sub.should)
+            phrases.extend(sub.phrases)
+            sloppy.extend(sub.sloppy)
+            synonyms.extend(sub.synonyms)
+            boosts.extend(sub.boosts)
+            keep_should.extend(sub.sub_should)
+        else:
+            keep_should.append(sub)
+    keep_must: list[BoolQuery] = []
+    for sub in q.sub_must:
+        only_terms = tuple(sub.must) + tuple(sub.should)
+        if (
+            len(only_terms) == 1
+            and _n_optional(sub) <= 1
+            and not (
+                sub.must_not
+                or sub.term_sets
+                or sub.match_all
+                or sub.phrases
+                or sub.sloppy
+                or sub.synonyms
+                or sub.boosts
+                or sub.sub_must
+                or sub.sub_should
+                or sub.sub_must_not
+            )
+        ):
+            must.append(only_terms[0])
+        else:
+            keep_must.append(sub)
+    keep_not: list[BoolQuery] = []
+    for sub in q.sub_must_not:
+        if _pure_disjunction(sub) and not (
+            sub.phrases or sub.sloppy or sub.synonyms or sub.boosts or sub.sub_should
+        ):
+            must_not.extend(sub.should)
+        else:
+            keep_not.append(sub)
+    seen: set[str] = set()
+    should_d = [t for t in should if not (t in seen or seen.add(t))]
+    seen = set()
+    must_d = [t for t in must if not (t in seen or seen.add(t))]
+    return replace(
+        q,
+        must=tuple(must_d),
+        should=tuple(should_d),
+        must_not=tuple(sorted(set(must_not))),
+        phrases=tuple(phrases),
+        sloppy=tuple(sloppy),
+        synonyms=tuple(synonyms),
+        boosts=tuple(boosts),
+        sub_must=tuple(keep_must),
+        sub_should=tuple(keep_should),
+        sub_must_not=tuple(keep_not),
+    )
+
+
 class IndexSearcher:
     def __init__(self, manifest: dict, algorithm: str = "auto", similarity: str = "bm25"):
         def _open(m: dict) -> list:
@@ -224,11 +332,22 @@ class IndexSearcher:
 
     def rewrite(self, q: BoolQuery) -> BoolQuery:
         """Multi-term scoring rewrites against this searcher's dictionary
-        (fuzzy/range/wildcard/prefix → capped SHOULD disjunctions) — the
-        Query.rewrite pass; the result is a *flat* BoolQuery that any
-        searcher (incl. shard-subset searchers) can execute."""
+        (fuzzy/range/wildcard/prefix → capped SHOULD disjunctions), applied
+        recursively to nested sub-queries, then the BooleanQuery.rewrite
+        simplifications (single-clause inlining, nested-disjunction
+        flattening — search/BooleanQuery.java rewrite). The result is a
+        clause tree whose every node is dictionary-free, executable by any
+        searcher (incl. shard-subset searchers)."""
         from dataclasses import replace
 
+        if q.nested:
+            q = replace(
+                q,
+                sub_must=tuple(self.rewrite(s) for s in q.sub_must),
+                sub_should=tuple(self.rewrite(s) for s in q.sub_should),
+                sub_must_not=tuple(self.rewrite(s) for s in q.sub_must_not),
+            )
+            q = _flatten_bool(q)
         if q.fuzzies:
             # FuzzyQuery scoring rewrite: scan dictionary terms within edit
             # distance (banded Levenshtein; the Lucene automaton intersect
@@ -319,10 +438,14 @@ class IndexSearcher:
         threshold: int = TOTAL_HITS_THRESHOLD,
         algorithm: str | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
-        """Run an already-rewritten (flat) BoolQuery — the Weight.scorer +
+        """Run an already-rewritten BoolQuery — the Weight.scorer +
         collect phase. Plan choice mirrors Boolean2ScorerSupplier."""
         if q.empty or k <= 0:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
+        if q.nested:
+            # clause-tree plan: recursive per-segment dense evaluation
+            # (nested scorers are exhaustive; WAND pruning stays flat-only)
+            return self._search_nested(q, k)
         algorithm = algorithm or self.algorithm
         if (
             q.match_all
@@ -551,6 +674,170 @@ class IndexSearcher:
         if not all_docs:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
         return topk_sort(np.concatenate(all_docs), np.concatenate(all_scores), k)
+
+    # -- nested clause-tree plan -------------------------------------------
+
+    def _search_nested(self, q: BoolQuery, k: int) -> tuple[np.ndarray, np.ndarray]:
+        """Clause-tree execution for queries with parenthesized sub-queries
+        (after the flattening rewrite removed every inlinable group):
+        evaluate each node recursively per segment into a dense match mask
+        + float64 score accumulator, combining child masks with BooleanQuery
+        clause semantics (search/BooleanQuery.java; Boolean2ScorerSupplier
+        nested-scorer composition)."""
+        all_docs: list[np.ndarray] = []
+        all_scores: list[np.ndarray] = []
+        for gi, seg in enumerate(self.segments):
+            sel, acc = self._eval_node(q, gi, seg)
+            local = np.flatnonzero(sel)
+            if len(local):
+                all_docs.append(local + seg.doc_base)
+                all_scores.append(acc[local].astype(np.float32))
+        if not all_docs:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
+        return topk_sort(np.concatenate(all_docs), np.concatenate(all_scores), k)
+
+    def _eval_node(self, q: BoolQuery, gi, seg) -> tuple[np.ndarray, np.ndarray]:
+        """One BooleanQuery node on one segment → (matched bool[span],
+        score float64[span]). A sub-query is ONE clause of its parent: its
+        node score is finished to float32 before being added to the parent
+        accumulator (each Scorer.score() returns a float; the parent's
+        double accumulator sums those floats — BooleanScorer semantics)."""
+        lo = seg.doc_base
+        span = seg.norm_span
+        acc = np.zeros(span, dtype=np.float64)
+        opt = np.zeros(span, dtype=bool)  # any optional clause matched
+        must_ok: np.ndarray | None = None  # AND over required clauses
+        should_cnt = np.zeros(span, dtype=np.int16) if q.min_should_match else None
+
+        params = self._params_for(tuple(q.must) + tuple(q.should))
+        if any(params[t] is None for t in q.must):
+            return np.zeros(span, dtype=bool), acc  # a required term is absent
+
+        def _require(mask: np.ndarray) -> None:
+            nonlocal must_ok
+            must_ok = mask if must_ok is None else (must_ok & mask)
+
+        def _optional(local: np.ndarray) -> None:
+            opt[local] = True
+            if should_cnt is not None:
+                should_cnt[local] += 1
+
+        if q.match_all:
+            acc += 1.0
+            opt[:] = True
+        for t, bf in q.boosts:
+            df, _ = self.global_term_stats(t)
+            if df == 0:
+                continue
+            fld_b, bare_b = self._split_field(t)
+            _fsegs, f_dc, f_st = self.fields[fld_b]
+            params_b = make_term_scorer(df, f_dc, f_st, boost=np.float32(bf))
+            bseg = seg if fld_b == "body" else self._field_seg(fld_b, gi)
+            docs, freqs = bseg.postings(bare_b)
+            if len(docs):
+                local = docs - lo
+                acc[local] += params_b.score(freqs, bseg.norm_of(docs)).astype(
+                    np.float64
+                )
+                _optional(local)
+        for group in q.synonyms:
+            dfs = [self.global_term_stats(t)[0] for t in group]
+            if max(dfs, default=0) == 0:
+                continue
+            params_s = make_term_scorer(max(dfs), self.doc_count, self.sum_ttf)
+            freq_sum = np.zeros(span, dtype=np.int64)
+            any_hit = np.zeros(span, dtype=bool)
+            for t in group:
+                docs, freqs = seg.postings(t)
+                if len(docs):
+                    freq_sum[docs - lo] += freqs
+                    any_hit[docs - lo] = True
+            hit_local = np.flatnonzero(any_hit)
+            if len(hit_local):
+                acc[hit_local] += params_s.score(
+                    freq_sum[hit_local], seg.norm_of(hit_local + lo)
+                ).astype(np.float64)
+                _optional(hit_local)
+        for phrase_t, slop in tuple((p, 0) for p in q.phrases) + tuple(q.sloppy):
+            docs_p, freqs_p = _phrase_postings(seg, phrase_t, slop)
+            if len(docs_p) == 0:
+                continue
+            params_p = make_phrase_scorer(
+                [self.global_term_stats(t)[0] for t in phrase_t],
+                self.doc_count,
+                self.sum_ttf,
+            )
+            local = docs_p - lo
+            acc[local] += params_p.score(freqs_p, seg.norm_of(docs_p)).astype(
+                np.float64
+            )
+            _optional(local)
+        for t in q.must:
+            fld_t, bare_t = self._split_field(t)
+            tseg = seg if fld_t == "body" else self._field_seg(fld_t, gi)
+            docs, freqs = tseg.postings(bare_t)
+            m = np.zeros(span, dtype=bool)
+            if len(docs):
+                local = docs - lo
+                acc[local] += params[t].score(freqs, tseg.norm_of(docs)).astype(
+                    np.float64
+                )
+                m[local] = True
+            _require(m)
+        live_should = tuple(t for t in q.should if params[t] is not None)
+        for t in live_should:
+            fld_t, bare_t = self._split_field(t)
+            tseg = seg if fld_t == "body" else self._field_seg(fld_t, gi)
+            docs, freqs = tseg.postings(bare_t)
+            if len(docs):
+                local = docs - lo
+                acc[local] += params[t].score(freqs, tseg.norm_of(docs)).astype(
+                    np.float64
+                )
+                _optional(local)
+        for sub in q.sub_must:
+            s_sel, s_acc = self._eval_node(sub, gi, seg)
+            acc[s_sel] += s_acc[s_sel].astype(np.float32).astype(np.float64)
+            _require(s_sel)
+        for sub in q.sub_should:
+            s_sel, s_acc = self._eval_node(sub, gi, seg)
+            acc[s_sel] += s_acc[s_sel].astype(np.float32).astype(np.float64)
+            _optional(np.flatnonzero(s_sel))
+        if must_ok is not None:
+            sel = must_ok
+        elif q.term_sets and not (
+            live_should
+            or q.match_all
+            or q.phrases
+            or q.sloppy
+            or q.synonyms
+            or q.boosts
+            or q.sub_should
+        ):
+            sel = np.ones(span, dtype=bool)  # filter-only: constant-score
+        else:
+            sel = opt.copy()
+        for ts in q.term_sets:
+            hit_any = np.zeros(span, dtype=bool)
+            for t in ts:
+                fld_s, bare_s = self._split_field(t)
+                sseg = seg if fld_s == "body" else self._field_seg(fld_s, gi)
+                docs, _ = sseg.postings(bare_s)
+                if len(docs):
+                    hit_any[docs - lo] = True
+            sel = sel & hit_any
+        if should_cnt is not None:
+            sel = sel & (should_cnt >= q.min_should_match)
+        for t in q.must_not:
+            fld_n, bare_n = self._split_field(t)
+            nseg = seg if fld_n == "body" else self._field_seg(fld_n, gi)
+            docs, _ = nseg.postings(bare_n)
+            if len(docs):
+                sel[docs - lo] = False
+        for sub in q.sub_must_not:
+            s_sel, _ = self._eval_node(sub, gi, seg)
+            sel = sel & ~s_sel
+        return sel, acc
 
     # -- block-max WAND plan -----------------------------------------------
 
@@ -1177,17 +1464,10 @@ def search_dataset_sharded(
         full = _stats_searcher(manifest_ref)
         rows = []
         for r in batch.to_pylist():
+            from .queryparse import query_terms
+
             q = full.rewrite(parse_query(r["query"]))
-            terms = set(q.must) | set(q.should) | set(q.must_not)
-            for grp in q.synonyms:
-                terms.update(grp)
-            for ph in q.phrases:
-                terms.update(ph)
-            for ph, _slop in q.sloppy:
-                terms.update(ph)
-            for t, _bf in q.boosts:
-                terms.add(t)
-            stats = {t: full.global_term_stats(t) for t in sorted(terms)}
+            stats = {t: full.global_term_stats(t) for t in sorted(query_terms(q))}
             plan = repr((asdict(q), stats))
             for sid in range(n_shards):
                 rows.append(
@@ -1207,7 +1487,9 @@ def search_dataset_sharded(
         for r in batch.to_pylist():
             s = _shard_searcher(manifest_ref, int(r["shard_id"]), n_shards)
             qd, stats = ast.literal_eval(r["plan"])
-            q = BoolQuery(**qd)
+            from .queryparse import boolquery_from_dict
+
+            q = boolquery_from_dict(qd)
             s.stats_override = stats
             try:
                 docs, scores = s.execute(q, int(r["k"]), algorithm=algorithm)

@@ -627,3 +627,153 @@ def test_term_in_set_filter(corpus):
     d2, s2 = s.search(q2, corpus["doc_count"])
     assert set(d2.tolist()) == set(op["t00000"][0].tolist())
     assert set(s2.tolist()) == {0.0}
+
+
+def _ref_eval(corpus, q):
+    """Independent reference evaluator for nested BooleanQuery semantics
+    over the test oracle postings: returns (matched bool[n], score
+    float64[n]) with the same per-node float32 finishing as the engine
+    (each sub-query is one clause; its score is a float when the parent
+    accumulates it)."""
+    op = corpus["oracle_postings"]
+    n = corpus["doc_count"]
+    acc = np.zeros(n, dtype=np.float64)
+    opt = np.zeros(n, dtype=bool)
+    must_ok = None
+
+    def scorer(t):
+        docs, freqs = op.get(t, (np.empty(0, np.int64), np.empty(0, np.int64)))
+        p = make_term_scorer(len(docs), n, corpus["sum_ttf"])
+        return docs, (p.score(freqs, corpus["norms"][docs]) if len(docs) else np.empty(0, np.float32))
+
+    if any(t not in op for t in q.must):
+        return np.zeros(n, dtype=bool), acc
+    for t in q.must:
+        docs, s = scorer(t)
+        m = np.zeros(n, dtype=bool)
+        m[docs] = True
+        acc[docs] += s.astype(np.float64)
+        must_ok = m if must_ok is None else (must_ok & m)
+    for t in q.should:
+        docs, s = scorer(t)
+        if len(docs) == 0:
+            continue
+        acc[docs] += s.astype(np.float64)
+        opt[docs] = True
+    for sub in q.sub_must:
+        m, a = _ref_eval(corpus, sub)
+        acc[m] += a[m].astype(np.float32).astype(np.float64)
+        must_ok = m if must_ok is None else (must_ok & m)
+    for sub in q.sub_should:
+        m, a = _ref_eval(corpus, sub)
+        acc[m] += a[m].astype(np.float32).astype(np.float64)
+        opt |= m
+    sel = must_ok if must_ok is not None else opt
+    for t in q.must_not:
+        docs, _ = scorer(t)
+        sel = sel.copy()
+        sel[docs] = False
+    for sub in q.sub_must_not:
+        m, _ = _ref_eval(corpus, sub)
+        sel = sel & ~m
+    return sel, acc
+
+
+NESTED_QUERIES = [
+    "(t00000 OR t00001) AND the00",        # OR-group under AND
+    "+(t00000 t00001) +(t00002 t00003)",   # two required disjunctions
+    "((t00000 OR t00001) AND (t00002 OR the01)) the05",  # two-level nesting
+    "+(t00000 t00001) -(the00 the01)",     # De Morgan'd negated group
+    "(+t00000 +t00001) t00002",            # conjunction group as SHOULD
+    "(t00000 OR zzznomatch) AND the00",    # dead branch in the group
+    "(zzznomatch OR zzzother) AND the00",  # group matches nothing
+]
+
+
+@pytest.mark.parametrize("qstr", NESTED_QUERIES)
+def test_nested_boolean_matches_reference(corpus, qstr):
+    """Clause-tree execution == an independent nested evaluator over the
+    raw-text oracle postings: same hit SET and bit-identical float32
+    scores (BooleanQuery nested clause semantics after the flattening
+    rewrite — search/BooleanQuery.java)."""
+    from engine.queryparse import parse_query
+
+    searcher = IndexSearcher(corpus["manifest"], algorithm="taat")
+    q = searcher.rewrite(parse_query(qstr))
+    sel, acc = _ref_eval(corpus, q)
+    exp_docs = np.flatnonzero(sel)
+    exp_scores = acc[exp_docs].astype(np.float32)
+    k = corpus["doc_count"]
+    got_docs, got_scores = searcher.search(qstr, k)
+    order = np.lexsort((exp_docs,))
+    # engine returns (score desc, doc asc); compare as sets with scores
+    got = dict(zip(got_docs.tolist(), got_scores.tolist()))
+    exp = dict(zip(exp_docs.tolist(), exp_scores.tolist()))
+    assert got.keys() == exp.keys(), qstr
+    for d in exp:
+        assert np.float32(got[d]) == np.float32(exp[d]), (qstr, d)
+
+
+def test_nested_flatten_rewrites(corpus):
+    """BooleanQuery.rewrite simplifications: a SHOULD disjunction group
+    splices into the parent, a single-clause MUST group collapses to a
+    MUST term, a negated term-disjunction group expands by De Morgan —
+    each rewritten query must equal its hand-flattened form exactly."""
+    from engine.queryparse import parse_query
+
+    searcher = IndexSearcher(corpus["manifest"], algorithm="taat")
+    r = lambda s: searcher.rewrite(parse_query(s))
+    # spliced group clauses append after flat ones — same clause SET
+    # (clause order inside SHOULD does not affect match semantics)
+    a, b = r("(t00000 OR t00001) t00002"), r("t00000 t00001 t00002")
+    assert set(a.should) == set(b.should) and not a.nested
+    assert r("(t00000 OR t00001) t00002") == r("t00002 t00000 t00001")
+    assert r("(t00000) AND t00002") == r("+t00002 +t00000")
+    assert r("-(t00000 t00001) the00") == r("the00 -t00000 -t00001")
+    # non-flattenable shapes stay nested
+    assert r("+(t00000 t00001) +the00").sub_must
+    assert r("(+t00000 +t00001) t00002").sub_should
+
+
+def test_nested_group_same_as_flat_when_equivalent(corpus):
+    """A flattenable grouped query must return bit-identical results to
+    its flat spelling (the rewrite makes them the same query)."""
+    for grouped, flat in [
+        ("(t00000 OR t00001) t00002", "t00000 t00001 t00002"),
+        ("(t00000) AND t00002", "+t00000 +t00002"),
+        ("-(the00 the01) t00000", "t00000 -the00 -the01"),
+    ]:
+        s = IndexSearcher(corpus["manifest"], algorithm="taat")
+        gd, gs = s.search(grouped, 50)
+        fd, fs = s.search(flat, 50)
+        np.testing.assert_array_equal(gd, fd, err_msg=grouped)
+        np.testing.assert_array_equal(gs, fs, err_msg=grouped)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_nested_boolean_sharded_matches_single(corpus):
+    """Nested clause trees must survive the shard fan-out: plans ship as
+    nested dicts, shards rebuild the tree and score with injected global
+    stats."""
+    import ray.data
+
+    from engine.search import search_dataset_sharded
+
+    queries = [
+        {"query_id": i, "query": qs, "k": 20} for i, qs in enumerate(NESTED_QUERIES)
+    ]
+    res = (
+        search_dataset_sharded(
+            ray.data.from_items(queries), corpus["manifest"], n_shards=3
+        )
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+    )
+    base = IndexSearcher(corpus["manifest"], algorithm="taat")
+    for q in queries:
+        bd, bs = base.search(q["query"], q["k"])
+        sub = res[res["query_id"] == q["query_id"]]
+        np.testing.assert_array_equal(sub["doc_id"].to_numpy(), bd, err_msg=q["query"])
+        np.testing.assert_array_equal(
+            sub["score"].to_numpy().astype(np.float32), bs, err_msg=q["query"]
+        )
