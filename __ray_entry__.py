@@ -18,6 +18,8 @@ from __future__ import annotations
 
 import os
 
+import pyarrow as pa
+
 from engine.rayenv import remote_args as _rargs
 from collections.abc import Callable
 from typing import Any
@@ -127,16 +129,51 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return ann.embedding_near_dups(_emb(sf_dir), threshold=0.95)
 
     def q_dedup_by_url(sf_dir):
+        """Keep-latest dedup over a deterministic recrawl: the pages table
+        unioned with a copy shifted by (doc_id + n, warc_ts + 1000 s) at
+        the SAME urls — every url has exactly two rows and the newer one
+        must win. Output is SQL-derivable from documents (url and warc_ts
+        are doc_id-determined, engine/fixtures.py:81-82), so this entry is
+        exactly oracle-checked; warc_ts emits as BIGINT epoch seconds for
+        dtype-stable comparison."""
+        import pyarrow.compute as pc
         import ray.data
 
         from engine.pipelines import get_index
 
         idx = get_index(sf_dir)
+        n = int(idx["build_manifest"]["doc_count"])
         pages_dir = os.path.dirname(idx["index_dir"]) + "/pages"
         ds = ray.data.read_parquet(pages_dir, columns=["doc_id", "url", "warc_ts"])
+
+        def recrawl(b):
+            return pa.table(
+                {
+                    "doc_id": pc.add(b.column("doc_id"), n),
+                    "url": b.column("url"),
+                    "warc_ts": pc.add(
+                        b.column("warc_ts").cast(pa.int64()), 1_000_000
+                    ).cast(pa.timestamp("ms")),
+                }
+            )
+
+        both = ds.union(ds.map_batches(recrawl, batch_format="pyarrow", **_rargs()))
         from engine.dedup import dedup_pages_by_url
 
-        return dedup_pages_by_url(ds)
+        out = dedup_pages_by_url(both)
+
+        def finish(b):
+            return pa.table(
+                {
+                    "doc_id": b.column("doc_id"),
+                    "url": b.column("url"),
+                    "warc_ts_s": pc.divide(
+                        b.column("warc_ts").cast(pa.int64()), 1000
+                    ),
+                }
+            )
+
+        return out.map_batches(finish, batch_format="pyarrow", **_rargs())
 
     def q_customers_without_orders(sf_dir):
         import pandas as pd
@@ -284,6 +321,16 @@ def oracle_sql() -> dict[str, str]:
               AND (list_contains({_TOK}, 'hash') OR list_contains({_TOK}, 'merge'))
               AND NOT list_contains({_TOK}, 'dup')
             ORDER BY doc_id
+        """,
+        # keep-latest by url over the deterministic recrawl union: the
+        # newer copy (doc_id + n, warc_ts + 1000 s) wins for every url;
+        # url and warc_ts are doc_id-derived (engine/fixtures.py:81-82)
+        "dedup_pages_by_url": """
+            SELECT doc_id + (SELECT count(*) FROM documents) AS doc_id,
+                   'https://site' || CAST(doc_id % 50 AS VARCHAR)
+                     || '.example/p/' || CAST(doc_id AS VARCHAR) AS url,
+                   CAST(1577836800 + 37 * doc_id + 1000 AS BIGINT) AS warc_ts_s
+            FROM documents
         """,
         "token_counts_docs": f"""
             SELECT doc_id, len({_TOK}) AS n_tokens FROM documents

@@ -369,6 +369,18 @@ def embedding_near_dups(
         if len(g) < 2:
             return _empty_pairs()
         if len(g) > max_bucket:
+            # no-silent-caps: a truncated bucket means beyond-cap members
+            # only compare against the cap set — say so in the worker log
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "embedding_near_dups: bucket %s holds %d members, capping "
+                "gram matrix at %d (%d members compare to the cap set only)",
+                int(g["bucket"].iloc[0]) if "bucket" in g else -1,
+                len(g),
+                max_bucket,
+                len(g) - max_bucket,
+            )
             g = g.head(max_bucket)
         ids = g["vec_id"].to_numpy()
         m = _normalize(np.stack(g["embedding"].to_numpy()))

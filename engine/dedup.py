@@ -41,19 +41,29 @@ def content_hash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 def exact_dedup(ds, text_col: str = "text"):
     """Dataset (doc_id, text, ...) → (kept_doc_id, dup_count) per distinct
-    content. groupby on the hash; per-group keep the smallest doc_id."""
-    import pandas as pd
-
+    content. groupby on the hash with NATIVE aggregates (Min + Count) —
+    no per-key Python function, no per-group pandas frame: at 10^10
+    distinct keys the per-group work is an Arrow min/count, not a
+    DataFrame construction."""
     hashed = ds.map_batches(
         lambda b: content_hash_batch(b, text_col), batch_format="pyarrow", **_rargs()
     )
+    from ray.data.aggregate import Count, Min
 
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"kept_doc_id": [int(g["doc_id"].min())], "dup_count": [len(g)]}
+    agg = hashed.groupby("content_hash").aggregate(
+        Min("doc_id", alias_name="kept_doc_id"),
+        Count(alias_name="dup_count"),
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "kept_doc_id": b.column("kept_doc_id").cast(pa.int64()),
+                "dup_count": b.column("dup_count").cast(pa.int64()),
+            }
         )
 
-    return hashed.groupby("content_hash").map_groups(keep_first, batch_format="pandas", **_rargs())
+    return agg.map_batches(finish, batch_format="pyarrow", **_rargs())
 
 
 # ---------------------------------------------------------------------------
@@ -169,6 +179,17 @@ def minhash_lsh_dedup(ds, threshold: float = 0.7, k: int = 3, source_path: str |
 
     text_ref = None
     if source_path is None:
+        # small-corpus fallback ONLY: collecting the text column to the
+        # driver is a whole-corpus materialization — refuse beyond a hard
+        # bound instead of silently broadcasting gigabytes (the scale path
+        # is source_path + per-batch doc_id pushdown reads)
+        n_rows = ds.count()
+        if n_rows > 1_000_000:
+            raise ValueError(
+                f"minhash_lsh_dedup: {n_rows} rows with source_path=None "
+                "would broadcast the whole text column; pass source_path "
+                "so the verify stage re-reads candidates by doc_id pushdown"
+            )
         texts_tbl = ds.select_columns(["doc_id", "text"]).to_pandas()
         text_ref = ray.put(dict(zip(texts_tbl["doc_id"], texts_tbl["text"])))
 
@@ -187,12 +208,14 @@ def minhash_lsh_dedup(ds, threshold: float = 0.7, k: int = 3, source_path: str |
     )
 
     # distinct the (doc_a, doc_b) candidates BEFORE the text fetch so a
-    # pair surfaced by several bands is verified once
-    def first_row(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
+    # pair surfaced by several bands is verified once — native Count
+    # aggregate (no per-pair pandas frame), count column then dropped
+    from ray.data.aggregate import Count as _Count
 
-    cand = cand.groupby(["doc_a", "doc_b"]).map_groups(
-        first_row, batch_format="pandas", **_rargs()
+    cand = (
+        cand.groupby(["doc_a", "doc_b"])
+        .aggregate(_Count(alias_name="_nbands"))
+        .select_columns(["doc_a", "doc_b"])
     )
 
     def verify(batch: pa.Table) -> pa.Table:
@@ -323,10 +346,13 @@ def simhash_near_dups(ds, max_hamming: int = 3):
         .map_groups(pairs, batch_format="pandas", **_rargs())
     )
 
-    def dedupe_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
+    # a pair surfaces once per colliding band with the SAME hamming —
+    # native Min aggregate dedups without a per-pair pandas frame
+    from ray.data.aggregate import Min as _Min
 
-    return cand.groupby(["doc_a", "doc_b"]).map_groups(dedupe_pairs, batch_format="pandas", **_rargs())
+    return cand.groupby(["doc_a", "doc_b"]).aggregate(
+        _Min("hamming", alias_name="hamming")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -334,15 +360,74 @@ def simhash_near_dups(ds, max_hamming: int = 3):
 # ---------------------------------------------------------------------------
 
 
+class _ArgLatest:
+    """Vectorized keep-latest accumulator for dedup_pages_by_url: per
+    group slice, pick (max warc_ts, tie min doc_id) with one lexsort —
+    accumulator is a 2-int tuple, never a pandas frame. Built lazily as an
+    AggregateFnV2 subclass (ray.data.aggregate) so the groupby runs native
+    per-group Arrow kernels instead of a per-key Python map_groups."""
+
+    _ZERO = (-(1 << 62), (1 << 62))
+
+    @staticmethod
+    def make(out_col: str):
+        from ray.data.aggregate import AggregateFnV2
+        from ray.data.block import BlockAccessor
+
+        zero = _ArgLatest._ZERO
+
+        class _Agg(AggregateFnV2):
+            def __init__(self):
+                super().__init__(
+                    out_col, zero_factory=lambda: zero, on=None, ignore_nulls=True
+                )
+
+            def aggregate_block(self, block):
+                tbl = BlockAccessor.for_block(block).to_arrow()
+                ts = (
+                    tbl.column("warc_ts")
+                    .to_numpy(zero_copy_only=False)
+                    .astype("datetime64[ms]")
+                    .astype(np.int64)
+                )
+                did = tbl.column("doc_id").to_numpy()
+                if len(did) == 0:
+                    return zero
+                i = int(np.lexsort((did, -ts))[0])
+                return (int(ts[i]), int(did[i]))
+
+            def combine(self, cur, new):
+                a = zero if cur is None else cur
+                b = zero if new is None else new
+                return min(a, b, key=lambda t: (-t[0], t[1]))
+
+            def finalize(self, acc):
+                acc = zero if acc is None else acc
+                return int(acc[0]) if out_col == "_latest_ts_ms" else int(acc[1])
+
+        return _Agg()
+
+
 def dedup_pages_by_url(ds):
     """Exact dedup by url keeping the newest warc_ts (the reference's
     updateDocument(term, doc) delete-then-add semantics,
     index/IndexWriter.java:1771): groupby(url) → keep max warc_ts, tie →
-    smallest doc_id. A hash shuffle on url (SURVEY §7.4)."""
-    import pandas as pd
+    smallest doc_id. One hash shuffle on url (SURVEY §7.4); the per-group
+    reduce is the vectorized _ArgLatest aggregate (no per-key pandas).
+    Returns (doc_id, url, warc_ts) with warc_ts as timestamp[ms]."""
+    agg = ds.groupby("url").aggregate(
+        _ArgLatest.make("_latest_ts_ms"), _ArgLatest.make("doc_id")
+    )
 
-    def keep_latest(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["warc_ts", "doc_id"], ascending=[False, True])
-        return g.head(1)
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id").cast(pa.int64()),
+                "url": b.column("url"),
+                "warc_ts": b.column("_latest_ts_ms").cast(pa.int64()).cast(
+                    pa.timestamp("ms")
+                ),
+            }
+        )
 
-    return ds.groupby("url").map_groups(keep_latest, batch_format="pandas", **_rargs())
+    return agg.map_batches(finish, batch_format="pyarrow", **_rargs())
