@@ -438,6 +438,28 @@ class _NormStore:
 
 
 _NORM_STORES: dict = {}
+_RUN_TABLES: dict = {}
+_RUN_TABLES_MAX = 32
+
+
+def _run_table_cached(path: str) -> pa.Table:
+    """Per-worker-process LRU of heavy-run tables: final-heavy tasks over
+    overlapping term batches hit the same bucket files; each worker reads
+    a file once instead of once per task."""
+    from collections import OrderedDict
+
+    global _RUN_TABLES
+    if not isinstance(_RUN_TABLES, OrderedDict):
+        _RUN_TABLES = OrderedDict(_RUN_TABLES)
+    hit = _RUN_TABLES.get(path)
+    if hit is not None:
+        _RUN_TABLES.move_to_end(path)
+        return hit
+    tbl = pq.read_table(path)
+    _RUN_TABLES[path] = tbl
+    if len(_RUN_TABLES) > _RUN_TABLES_MAX:
+        _RUN_TABLES.popitem(last=False)
+    return tbl
 
 
 def _norm_store_for(key: str, shards: list[dict]) -> _NormStore:
@@ -476,7 +498,18 @@ def _make_exploder(heavy_ref, rank_of_base: dict[int, int], n_salts: int, n_buck
             seg_dir = spec["seg_dir"]
             t = pq.read_table(
                 os.path.join(seg_dir, "terms.parquet"),
-                columns=["term", "df", "ttf", "singleton_doc", "blob", "pos_blob"],
+                # offsets ride along (tiny: one int per 128 postings) so the
+                # bucket merger's block rows decode via the batched
+                # width-grouped unpack instead of a per-block Python loop
+                columns=[
+                    "term",
+                    "df",
+                    "ttf",
+                    "singleton_doc",
+                    "blob",
+                    "pos_blob",
+                    "offsets",
+                ],
             )
             with open(os.path.join(seg_dir, "meta.json")) as f:
                 doc_base = json.load(f)["doc_base"]
@@ -555,10 +588,14 @@ def _binary_views(arr: pa.Array) -> tuple[np.ndarray, memoryview]:
     return offs, memoryview(buf) if buf is not None else memoryview(b"")
 
 
-def _merge_sorted_batch(batch: pa.Table, norm_store: "_NormStore", emit) -> None:
+def _merge_sorted_batch(
+    batch: pa.Table, norm_store: "_NormStore", emit, group_salt: bool = True
+) -> None:
     """Decode + merge a (term, salt, doc_base)-sorted single-chunk batch of
     shuffle rows, calling ``emit(term, salt, docs, freqs, norms, pos_blob)``
-    once per (term, salt) group in sorted order.
+    once per (term, salt) group in sorted order. ``group_salt=False``
+    groups by term ONLY (rows still salt-sorted within a term) — the final
+    heavy pass merges a term's salted runs into one group this way.
 
     Vectorized three-class decode (the batched-VInt lesson from the
     inverter — per-row Python loops cost ~90us/row, this path ~2us):
@@ -574,7 +611,12 @@ def _merge_sorted_batch(batch: pa.Table, norm_store: "_NormStore", emit) -> None
     per-group concatenation. Rows are doc-ordered within a group (sorted
     by doc_base, partitions doc-disjoint); a violated group falls back to
     an argsort repair."""
-    from .codec import BLOCK_SIZE, decode_term_postings, read_vints
+    from .codec import (
+        BLOCK_SIZE,
+        decode_term_postings,
+        decode_term_postings_indexed,
+        read_vints,
+    )
 
     n = batch.num_rows
     if n == 0:
@@ -643,10 +685,30 @@ def _merge_sorted_batch(batch: pa.Table, norm_store: "_NormStore", emit) -> None
         flat_docs[tgt] = docs_l
         flat_freqs[tgt] = freqs_l
 
-    for r in np.flatnonzero(df >= BLOCK_SIZE).tolist():
-        dd, ff = decode_term_postings(b_data[b_off[r] : b_off[r + 1]], int(df[r]))
-        flat_docs[out_start[r] : out_end[r]] = dd
-        flat_freqs[out_start[r] : out_end[r]] = ff
+    blk_rows = np.flatnonzero(df >= BLOCK_SIZE)
+    if len(blk_rows):
+        # block rows: use the width-grouped batched unpack when the rows
+        # carry their skip-offset arrays (run files and offset-shipping
+        # explode rows do) — decode_term_postings' per-block Python loop
+        # was the dominant line of the final-heavy pass (~10s of 18s over
+        # the sf0.1 heavy mass single-threaded)
+        off_starts = off_flat = None
+        if "offsets" in batch.column_names:
+            la = batch.column("offsets").chunk(0)
+            off_flat = la.flatten().to_numpy()
+            lens = pa.compute.list_value_length(la).to_numpy(zero_copy_only=False)
+            lens = np.nan_to_num(lens.astype(np.float64)).astype(np.int64)
+            off_starts = np.concatenate(([0], np.cumsum(lens)))
+        for r in blk_rows.tolist():
+            blob_r = b_data[b_off[r] : b_off[r + 1]]
+            if off_starts is not None and off_starts[r + 1] > off_starts[r]:
+                dd, ff = decode_term_postings_indexed(
+                    blob_r, int(df[r]), off_flat[off_starts[r] : off_starts[r + 1]]
+                )
+            else:
+                dd, ff = decode_term_postings(blob_r, int(df[r]))
+            flat_docs[out_start[r] : out_end[r]] = dd
+            flat_freqs[out_start[r] : out_end[r]] = ff
 
     flat_norms = norm_store.norms_for(flat_docs)
 
@@ -654,7 +716,9 @@ def _merge_sorted_batch(batch: pa.Table, norm_store: "_NormStore", emit) -> None
         neq = pa.compute.not_equal(
             terms_a.slice(1), terms_a.slice(0, n - 1)
         ).to_numpy(zero_copy_only=False)
-        brk = np.flatnonzero(neq | (salt[1:] != salt[:-1])) + 1
+        if group_salt:
+            neq = neq | (salt[1:] != salt[:-1])
+        brk = np.flatnonzero(neq) + 1
     else:
         brk = np.empty(0, dtype=np.int64)
     g_starts = np.concatenate([[0], brk]).astype(np.int64)
@@ -932,15 +996,23 @@ def merge_by_term(
         }
         run_map_ref = ray.put(bucket_to_run)
 
-        def _final_heavy_term(batch: pa.Table) -> pa.Table:
+        def _final_heavy_term(term_list: list[str]) -> list[dict]:
+            """Finalize one batch of heavy terms: gather their salted runs
+            (each term's runs live in exactly the n_salts bucket files
+            hash(term, salt) % B), then ONE sorted-batch merge over the
+            concatenated run rows — the same batched three-class decode as
+            the bucket merger (_merge_sorted_batch, term-only groups, runs
+            salt-ordered = doc-ordered), replacing the per-row to_pylist +
+            per-term Python concat of round 2. Run tables cache per worker
+            process (LRU) so overlapping tasks re-read a file at most once
+            per worker."""
             import uuid as _uuid
 
             from .textops import fnv1a
 
             norm_store = _norm_store_for(index_dir, norm_shards)
             run_map = ray.get(run_map_ref)
-            terms = sorted(batch.column("term").to_pylist())
-            term_set = set(terms)
+            terms = sorted(term_list)
             files = sorted(
                 {
                     run_map[b]
@@ -949,47 +1021,72 @@ def merge_by_term(
                     if (b := fnv1a(f"{t}\x00{s}") % n_buckets) in run_map
                 }
             )
-            rows_by_term: dict[str, list[dict]] = {t: [] for t in terms}
+            term_arr = pa.array(terms, type=pa.string())
+            parts = []
             for fp in files:
-                t = pq.read_table(fp)
-                t = t.filter(pa.compute.is_in(t.column("term"), pa.array(terms)))
-                for r in t.to_pylist():
-                    if r["term"] in term_set:
-                        rows_by_term[r["term"]].append(r)
+                t = _run_table_cached(fp)
+                t = t.filter(pa.compute.is_in(t.column("term"), term_arr))
+                if t.num_rows:
+                    parts.append(t)
             cols: dict[str, list] = {f.name: [] for f in TERMS_SCHEMA}
-            for term in terms:
-                docs, freqs, norms, pos_blob = _concat_group_arrays(
-                    rows_by_term[term], norm_store
+            if parts:
+                cat = pa.concat_tables(parts)
+                idx = pa.compute.sort_indices(
+                    cat,
+                    sort_keys=[("term", "ascending"), ("salt", "ascending")],
                 )
-                _emit_from_arrays(cols, term, docs, freqs, norms, pos_blob)
+                cat = cat.take(idx).combine_chunks()
+
+                def _emit(term, _salt_v, docs, freqs, norms, pos_blob):
+                    _emit_from_arrays(cols, term, docs, freqs, norms, pos_blob)
+
+                _merge_sorted_batch(cat, norm_store, _emit, group_salt=False)
+            terms = cols["term"]  # terms actually present in the runs
+            if not terms:
+                return []
             tbl = pa.table(cols, schema=TERMS_SCHEMA)
             path = os.path.join(shard_dir, f"shard-heavy-{_uuid.uuid4().hex[:12]}.parquet")
             pq.write_table(tbl, path + ".tmp")
             os.replace(path + ".tmp", path)
-            return pa.Table.from_pylist(
-                [
-                    {
-                        "kind": "shard",
-                        "path": path,
-                        "term_min": terms[0],
-                        "term_max": terms[-1],
-                        "n_terms": len(terms),
-                        "bucket": -1,
-                    }
-                ],
-                schema=_RESULT_SCHEMA,
-            )
+            return [
+                {
+                    "kind": "shard",
+                    "path": path,
+                    "term_min": terms[0],
+                    "term_max": terms[-1],
+                    "n_terms": len(terms),
+                    "bucket": -1,
+                }
+            ]
 
         t_s = time.perf_counter()
-        heavy_batch = max(1, len(heavy) // 128)
-        heavy_shards = (
-            ray.data.from_items(
-                [{"term": t} for t in sorted(heavy)],
-                override_num_blocks=min(len(heavy), 128),
-            )
-            .map_batches(_final_heavy_term, batch_size=heavy_batch, batch_format="pyarrow", **_rargs())
-            .take_all()
+        # df-WEIGHTED contiguous chunks over the sorted heavy terms, one
+        # raw Ray task each (a Dataset pass at 128 single-term blocks paid
+        # ~2-3s of fixed per-block overhead): cost is ~linear in df, and
+        # the stop band clusters lexicographically, so equal-COUNT chunks
+        # put the whole stop band in one task (measured 4s stage tail).
+        # Contiguous chunks keep heavy shard term ranges disjoint for the
+        # searcher's range bisect.
+        n_cpus_h = int(ray.cluster_resources().get("CPU", 8))
+        n_heavy_tasks = min(len(heavy), max(8, n_cpus_h * 2))
+        order = sorted(heavy)
+        w = np.array([max(1, int(heavy[t])) for t in order], dtype=np.float64)
+        cw = np.cumsum(w)
+        bounds = np.searchsorted(
+            cw, np.linspace(0, cw[-1], n_heavy_tasks + 1)[1:-1], side="left"
         )
+        chunks = [
+            [order[i] for i in ch]
+            for ch in np.split(np.arange(len(order)), np.unique(bounds))
+            if len(ch)
+        ]
+
+        _final_remote = ray.remote(**_rargs())(_final_heavy_term)
+        heavy_shards = [
+            row
+            for rows in ray.get([_final_remote.remote(c) for c in chunks])
+            for row in rows
+        ]
         stage_t["final_heavy"] = round(time.perf_counter() - t_s, 3)
         shards.extend(
             {k: r[k] for k in ("path", "term_min", "term_max", "n_terms", "bucket")}
