@@ -214,6 +214,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_filter_sort_by_field": pipelines.term_filter_sort_by_field,
         "bm25_topk_sharded": pipelines.bm25_topk_sharded,
         "bm25_snippets": pipelines.bm25_snippets,
+        "bm25_snippets_offsets": pipelines.bm25_snippets_offsets,
         # --- text analysis ------------------------------------------------
         "token_counts_docs": q_token_count_docs,
         "token_counts_bpe": q_token_count_bpe,

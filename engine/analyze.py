@@ -169,6 +169,49 @@ def analyze_batch_with_positions(
     return flat, lengths, np.asarray(positions, dtype=np.int64)
 
 
+def analyze_batch_with_offsets(
+    texts: list[str], analyzer: Analyzer = DEFAULT_ANALYZER
+) -> tuple[list[str], np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """``analyze_batch_with_positions`` plus per-token CHARACTER offsets
+    (start, end) from the tokenizer spans — the
+    DOCS_AND_FREQS_AND_POSITIONS_AND_OFFSETS analysis contract
+    (OffsetAttribute from StandardTokenizer's zzStartRead spans;
+    index/IndexOptions.java:28). Offsets refer to the LOWERCASED text;
+    for this engine's token patterns lowercasing is length-preserving on
+    every character that can start or continue a token, so they are valid
+    spans of the original text as stored.
+
+    Returns (flat_tokens, doc_lengths, positions, starts, ends)."""
+    pat = analyzer.compiled()
+    mx = analyzer.max_token_length
+    stop = analyzer.stopwords
+    flat: list[str] = []
+    positions: list[int] = []
+    starts: list[int] = []
+    ends: list[int] = []
+    lengths = np.empty(len(texts), dtype=np.int64)
+    for i, text in enumerate(texts):
+        low = text.lower() if text else ""
+        n_kept = 0
+        for j, m in enumerate(pat.finditer(low)):
+            t = m.group(0)
+            if len(t) > mx or (stop and t in stop):
+                continue  # skipped tokens still advance the position
+            flat.append(t)
+            positions.append(j)
+            starts.append(m.start())
+            ends.append(m.end())
+            n_kept += 1
+        lengths[i] = n_kept
+    return (
+        flat,
+        lengths,
+        np.asarray(positions, dtype=np.int64),
+        np.asarray(starts, dtype=np.int64),
+        np.asarray(ends, dtype=np.int64),
+    )
+
+
 def compute_norms(doc_lengths: np.ndarray) -> np.ndarray:
     """Per-doc norm bytes: SmallFloat.intToByte4(numTerms)
     (BM25Similarity.java:115-126, discountOverlaps default — no overlap

@@ -51,6 +51,7 @@ def invert_to_segment(
     analyzer: Analyzer = DEFAULT_ANALYZER,
     lineage: dict | None = None,
     index_positions: bool = True,
+    index_offsets: bool = False,
     field: str = "body",
 ) -> dict:
     """Invert one partition worth of documents into a segment directory.
@@ -63,12 +64,20 @@ def invert_to_segment(
     if not np.array_equal(order, np.arange(n_docs)):
         doc_ids = doc_ids[order]
         texts = [texts[i] for i in order]
-    from .analyze import analyze_batch_with_positions
+    from .analyze import analyze_batch_with_offsets, analyze_batch_with_positions
 
     # positions carry StopFilter / over-long-token increment GAPS
     # (StopFilter.java:28, StandardTokenizer.java:152-175): a phrase
     # across a removed token must not match adjacently
-    flat, lengths, tok_positions = analyze_batch_with_positions(texts, analyzer)
+    tok_starts = tok_ends = None
+    if index_offsets:
+        # offsets imply positions (IndexOptions.java:28 ..._AND_OFFSETS)
+        index_positions = True
+        flat, lengths, tok_positions, tok_starts, tok_ends = (
+            analyze_batch_with_offsets(texts, analyzer)
+        )
+    else:
+        flat, lengths, tok_positions = analyze_batch_with_positions(texts, analyzer)
     norms = compute_norms(lengths)
 
     # --- vectorized inversion (TermsHash + FreqProx analogue) -------------
@@ -168,6 +177,36 @@ def invert_to_segment(
             def pos_slice(r: int) -> bytes:
                 return b""
 
+        if index_offsets and len(spos):
+            # offsets stream mirrors the prox stream build: interleaved
+            # (start delta, length) VInt pairs over the SAME (term, doc)
+            # sorted token order, one batched write_vints pass, per-term
+            # blobs sliced at token boundaries (the .pay offset role)
+            so = tok_starts[order]
+            eo = tok_ends[order]
+            o_deltas = np.empty(len(so), dtype=np.uint64)
+            o_deltas[1:] = (so[1:] - so[:-1]).astype(np.uint64)
+            o_deltas[pair_tok_starts] = (so[pair_tok_starts] + 1).astype(np.uint64)
+            o_lens = (eo - so).astype(np.uint64)
+            inter = np.empty(2 * len(so), dtype=np.uint64)
+            inter[0::2] = o_deltas
+            inter[1::2] = o_lens
+            o_stream = write_vints(inter)
+            o_nbytes = vint_byte_counts(o_deltas) + vint_byte_counts(o_lens)
+            o_boff = np.concatenate(([0], np.cumsum(o_nbytes)))
+            o_tok_starts = np.concatenate(([0], np.cumsum(ttf)))
+            o_mv = memoryview(o_stream)
+
+            def off_slice(r: int) -> bytes:
+                return bytes(
+                    o_mv[o_boff[o_tok_starts[r]] : o_boff[o_tok_starts[r + 1]]]
+                )
+
+        else:
+
+            def off_slice(r: int) -> bytes:
+                return b""
+
         for r in range(n_terms):
             term = str(sorted_terms[r])
             df = int(counts[r])
@@ -175,6 +214,7 @@ def invert_to_segment(
             cols["df"].append(df)
             cols["ttf"].append(int(ttf[r]))
             cols["pos_blob"].append(pos_slice(r))
+            cols["off_blob"].append(off_slice(r))
             if single[r]:
                 cols["singleton_doc"].append(int(first_doc[r]))
                 cols["blob"].append(b"")
@@ -212,7 +252,11 @@ def invert_to_segment(
     meta = {
         "kind": "partition",
         "field": field,
-        "index_options": "docs_freqs_positions" if index_positions else "docs_freqs",
+        "index_options": (
+            "docs_freqs_positions_offsets"
+            if index_offsets
+            else "docs_freqs_positions" if index_positions else "docs_freqs"
+        ),
         "doc_base": int(doc_ids.min()) if n_docs else 0,
         "n_docs": n_docs,
         "sum_ttf": int(lengths.sum()),
@@ -229,6 +273,7 @@ def make_inverter(
     analyzer: Analyzer = DEFAULT_ANALYZER,
     from_html: bool = False,
     fields: tuple[str, ...] = ("body",),
+    index_offsets: bool = False,
 ):
     """Batch fn for ``ds.map_batches(...)``: one Arrow batch → one partition
     segment on disk PER FIELD → one manifest row out (tiny — the heavy data
@@ -274,7 +319,13 @@ def make_inverter(
             for fld in fields:
                 texts = batch.column(col_of.get(fld, fld)).to_pylist()
                 metas[fld] = invert_to_segment(
-                    doc_ids, texts, dirs[fld], analyzer, lineage, field=fld
+                    doc_ids,
+                    texts,
+                    dirs[fld],
+                    analyzer,
+                    lineage,
+                    index_offsets=index_offsets,
+                    field=fld,
                 )
         row = {
             "seg_dir": dirs["body"],
@@ -302,6 +353,7 @@ def build_index(
     analyzer: Analyzer = DEFAULT_ANALYZER,
     from_html: bool = True,
     fields: tuple[str, ...] = ("body",),
+    index_offsets: bool = False,
 ) -> dict:
     """Driver for the build pipeline (Ray must already be initialised).
 
@@ -334,7 +386,13 @@ def build_index(
     columns = ["doc_id", "html"] if from_html else ["doc_id", "text"]
     if not from_html and "title" in fields:
         columns.append("title")  # title must come from the source table
-    inverter = make_inverter(index_dir, analyzer, from_html=from_html, fields=fields)
+    inverter = make_inverter(
+        index_dir,
+        analyzer,
+        from_html=from_html,
+        fields=fields,
+        index_offsets=index_offsets,
+    )
 
     def _invert_file(batch: pa.Table) -> pa.Table:
         import pyarrow.parquet as pq

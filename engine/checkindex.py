@@ -76,6 +76,20 @@ def check_segment(seg: Segment | str) -> dict:
                 assert (pl >= 0).all() and (np.diff(pl) > 0).all() if len(pl) > 1 else (pl >= 0).all(), (
                     f"{t}: positions not ascending"
                 )
+        # offset stream (if indexed): per-posting counts, ascending starts,
+        # end > start (IndexOptions ..._AND_OFFSETS invariants; the .pay
+        # stream consistency CheckIndex enforces via checkPostings)
+        if row.get("off_blob"):
+            from .codec import decode_offsets
+
+            s_lists, e_lists = decode_offsets(row["off_blob"], freqs)
+            assert len(s_lists) == df, f"{t}: offsets posting count"
+            for sl, el, f_i in zip(s_lists, e_lists, freqs):
+                assert len(sl) == f_i, f"{t}: offsets != freq"
+                assert (sl >= 0).all(), f"{t}: negative start offset"
+                assert (el > sl).all(), f"{t}: empty/inverted offset span"
+                if len(sl) > 1:
+                    assert (np.diff(sl) > 0).all(), f"{t}: starts not ascending"
         sum_ttf_check += ttf
     assert sum_ttf_check == seg.sum_ttf, (
         f"{seg.dir}: sum_ttf {seg.sum_ttf} != postings total {sum_ttf_check}"
@@ -118,6 +132,13 @@ def check_merged_index(mi) -> dict:
         assert int(freqs.sum()) == ttf, f"{t}: ttf mismatch"
         assert (np.diff(docs) > 0).all(), f"{t}: docs out of order"
         assert docs[0] >= doc_lo and docs[-1] < doc_hi, f"{t}: doc out of range"
+        if row.get("off_blob"):
+            from .codec import decode_offsets
+
+            s_lists, e_lists = decode_offsets(row["off_blob"], freqs)
+            assert len(s_lists) == df, f"{t}: offsets posting count"
+            for sl, el, f_i in zip(s_lists, e_lists, freqs):
+                assert len(sl) == f_i and (el > sl).all(), f"{t}: offset span"
         n_terms += 1
         sum_ttf += ttf
     assert sum_ttf == mi.sum_ttf, f"sum_ttf {mi.sum_ttf} != postings total {sum_ttf}"

@@ -482,3 +482,52 @@ def decode_positions(pos_blob: bytes, freqs: np.ndarray) -> list[np.ndarray]:
     flat = flat - base - 1
     ends = np.cumsum(freqs)
     return [flat[s:e] for s, e in zip(starts, ends)]
+
+
+# ---------------------------------------------------------------------------
+# Character offsets — DOCS_AND_FREQS_AND_POSITIONS_AND_OFFSETS support
+# (index/IndexOptions.java:28; the Lucene84 .pay file's offset stream,
+# Lucene84PostingsFormat.java:39-104: per occurrence, VInt startOffset
+# delta then VInt length).
+# ---------------------------------------------------------------------------
+
+
+def encode_offsets(starts: np.ndarray, ends: np.ndarray, freqs: np.ndarray) -> bytes:
+    """Encode per-occurrence character offsets as one interleaved VInt
+    stream: for each occurrence, (start delta, length). Start deltas reset
+    at each doc with first = start + 1 (every delta >= 1, like the prox
+    stream), so doc-disjoint runs byte-concatenate during merges."""
+    starts = np.asarray(starts, dtype=np.int64)
+    ends = np.asarray(ends, dtype=np.int64)
+    if starts.size == 0:
+        return b""
+    freqs = np.asarray(freqs, dtype=np.int64)
+    group_starts = np.concatenate(([0], np.cumsum(freqs)[:-1]))
+    deltas = np.empty(len(starts), dtype=np.uint64)
+    deltas[1:] = (starts[1:] - starts[:-1]).astype(np.uint64)
+    deltas[group_starts] = (starts[group_starts] + 1).astype(np.uint64)
+    lengths = (ends - starts).astype(np.uint64)
+    inter = np.empty(2 * len(starts), dtype=np.uint64)
+    inter[0::2] = deltas
+    inter[1::2] = lengths
+    return write_vints(inter)
+
+
+def decode_offsets(
+    off_blob: bytes, freqs: np.ndarray
+) -> tuple[list[np.ndarray], list[np.ndarray]]:
+    """Decode the offsets stream back to (starts, ends) arrays per posting."""
+    freqs = np.asarray(freqs, dtype=np.int64)
+    total = int(freqs.sum())
+    vals, _ = read_vints(off_blob, 2 * total)
+    deltas = vals[0::2].astype(np.int64)
+    lengths = vals[1::2].astype(np.int64)
+    g_starts = np.concatenate(([0], np.cumsum(freqs)[:-1]))
+    flat = np.cumsum(deltas)
+    base = np.repeat(flat[g_starts] - deltas[g_starts], freqs)
+    flat = flat - base - 1
+    ends_i = np.cumsum(freqs)
+    return (
+        [flat[s:e] for s, e in zip(g_starts, ends_i)],
+        [(flat + lengths)[s:e] for s, e in zip(g_starts, ends_i)],
+    )

@@ -67,8 +67,8 @@ def merge_segments(seg_dirs: list[str], out_dir: str) -> dict:
     cols: dict[str, list] = {f.name: [] for f in TERMS_SCHEMA}
     for term, group in _group_sorted(heapq.merge(*streams)):
         decoded = [_decode_row(segs[si], row) for _, si, row in group]
-        docs, freqs, nrm, pos_blob = _concat_decoded(decoded)
-        _emit_from_arrays(cols, term, docs, freqs, nrm, pos_blob)
+        docs, freqs, nrm, pos_blob, off_blob = _concat_decoded(decoded)
+        _emit_from_arrays(cols, term, docs, freqs, nrm, pos_blob, off_blob)
     meta = {
         "kind": "merged",
         "field": "body",
@@ -108,19 +108,20 @@ def _decode_row(seg, row: dict):
     else:
         docs, freqs = decode_term_postings(row["blob"], row["df"])
         norms = seg.norm_of(docs)
-    return docs, freqs, norms, row.get("pos_blob") or b""
+    return docs, freqs, norms, row.get("pos_blob") or b"", row.get("off_blob") or b""
 
 
 def _concat_decoded(decoded):
-    """Concatenate doc-disjoint (docs, freqs, norms, pos_blob) runs; restore
-    doc order. Position streams byte-concatenate without re-encoding when
-    runs are already doc-ordered (deltas reset per doc); a rare reorder
-    decodes and re-encodes them."""
+    """Concatenate doc-disjoint (docs, freqs, norms, pos_blob[, off_blob])
+    runs; restore doc order. Position/offset streams byte-concatenate
+    without re-encoding when runs are already doc-ordered (deltas reset per
+    doc); a rare reorder decodes and re-encodes them."""
     decoded = sorted(decoded, key=lambda t: int(t[0][0]))
     docs = np.concatenate([d[0] for d in decoded])
     freqs = np.concatenate([d[1] for d in decoded])
     norms = np.concatenate([d[2] for d in decoded])
     has_pos = len(decoded) > 0 and all(len(d) > 3 and d[3] for d in decoded)
+    has_off = len(decoded) > 0 and all(len(d) > 4 and d[4] for d in decoded)
     if len(docs) > 1 and not bool((np.diff(docs) > 0).all()):
         order = np.argsort(docs, kind="stable")
         if has_pos:
@@ -133,13 +134,36 @@ def _concat_decoded(decoded):
             pos_blob = encode_positions(np.concatenate(reordered), freqs[order])
         else:
             pos_blob = b""
-        return docs[order], freqs[order], norms[order], pos_blob
+        if has_off:
+            from .codec import decode_offsets, encode_offsets
+
+            per_s: list[np.ndarray] = []
+            per_e: list[np.ndarray] = []
+            for d in decoded:
+                s_l, e_l = decode_offsets(d[4], d[1])
+                per_s.extend(s_l)
+                per_e.extend(e_l)
+            off_blob = encode_offsets(
+                np.concatenate([per_s[i] for i in order]),
+                np.concatenate([per_e[i] for i in order]),
+                freqs[order],
+            )
+        else:
+            off_blob = b""
+        return docs[order], freqs[order], norms[order], pos_blob, off_blob
     pos_blob = b"".join(d[3] for d in decoded) if has_pos else b""
-    return docs, freqs, norms, pos_blob
+    off_blob = b"".join(d[4] for d in decoded) if has_off else b""
+    return docs, freqs, norms, pos_blob, off_blob
 
 
 def _emit_from_arrays(
-    cols: dict[str, list], term: str, docs, freqs, norms, pos_blob: bytes = b""
+    cols: dict[str, list],
+    term: str,
+    docs,
+    freqs,
+    norms,
+    pos_blob: bytes = b"",
+    off_blob: bytes = b"",
 ) -> None:
     """Append one TERMS_SCHEMA row built from raw postings arrays."""
     df = len(docs)
@@ -147,6 +171,7 @@ def _emit_from_arrays(
     cols["df"].append(df)
     cols["ttf"].append(int(freqs.sum()))
     cols["pos_blob"].append(pos_blob)
+    cols["off_blob"].append(off_blob)
     if df == 1:
         cols["singleton_doc"].append(int(docs[0]))
         cols["blob"].append(b"")
@@ -508,6 +533,7 @@ def _make_exploder(heavy_ref, rank_of_base: dict[int, int], n_salts: int, n_buck
                     "singleton_doc",
                     "blob",
                     "pos_blob",
+                    "off_blob",
                     "offsets",
                 ],
             )
@@ -554,28 +580,6 @@ def _make_exploder(heavy_ref, rank_of_base: dict[int, int], n_salts: int, n_buck
         )
 
     return _explode
-
-
-def _concat_group_arrays(rows: list[dict], norm_store: "_NormStore"):
-    """Decode + concatenate doc-disjoint shuffle rows of one (term, salt)
-    group; per-posting norms come from the doc-range norm-shard store.
-    Rows that carry their skip-offset arrays (run files keep the full
-    TERMS_SCHEMA) decode through the width-grouped batched unpack."""
-    from .codec import decode_term_postings, decode_term_postings_indexed
-
-    decoded = []
-    for r in rows:
-        if r["df"] == 1:
-            d = np.array([r["singleton_doc"]], dtype=np.int64)
-            f = np.array([r["ttf"]], dtype=np.int64)
-        elif r.get("offsets"):
-            d, f = decode_term_postings_indexed(
-                r["blob"], r["df"], np.asarray(r["offsets"], dtype=np.int64)
-            )
-        else:
-            d, f = decode_term_postings(r["blob"], r["df"])
-        decoded.append((d, f, norm_store.norms_for(d), r.get("pos_blob") or b""))
-    return _concat_decoded(decoded)
 
 
 def _binary_views(arr: pa.Array) -> tuple[np.ndarray, memoryview]:
@@ -628,6 +632,10 @@ def _merge_sorted_batch(
     singleton = batch.column("singleton_doc").to_numpy()
     b_off, b_data = _binary_views(batch.column("blob").chunk(0))
     p_off, p_data = _binary_views(batch.column("pos_blob").chunk(0))
+    if "off_blob" in batch.column_names:
+        o_off, o_data = _binary_views(batch.column("off_blob").chunk(0))
+    else:  # rows shipped without the offsets stream (offsets not indexed)
+        o_off, o_data = np.zeros(n + 1, dtype=np.int32), memoryview(b"")
     raw = (
         np.frombuffer(b_data, dtype=np.uint8)
         if len(b_data)
@@ -724,6 +732,7 @@ def _merge_sorted_batch(
     g_starts = np.concatenate([[0], brk]).astype(np.int64)
     g_ends = np.concatenate([brk, [n]]).astype(np.int64)
     any_pos = len(p_data) > 0
+    any_off = len(o_data) > 0
 
     for rs, re_ in zip(g_starts.tolist(), g_ends.tolist()):
         lo_p, hi_p = int(out_start[rs]), int(out_end[re_ - 1])
@@ -732,6 +741,9 @@ def _merge_sorted_batch(
         norms = flat_norms[lo_p:hi_p]
         has_pos = any_pos and bool(
             (p_off[rs + 1 : re_ + 1] > p_off[rs:re_]).all()
+        )
+        has_off = any_off and bool(
+            (o_off[rs + 1 : re_ + 1] > o_off[rs:re_]).all()
         )
         if len(docs) > 1 and not bool((np.diff(docs) > 0).all()):
             # out-of-order runs (shouldn't happen with doc-disjoint
@@ -742,17 +754,25 @@ def _merge_sorted_batch(
                     flat_freqs[out_start[r] : out_end[r]],
                     flat_norms[out_start[r] : out_end[r]],
                     p_data[p_off[r] : p_off[r + 1]] if has_pos else b"",
+                    o_data[o_off[r] : o_off[r + 1]] if has_off else b"",
                 )
                 for r in range(rs, re_)
             ]
-            docs, freqs, norms, pos_blob = _concat_decoded(decoded)
-        elif has_pos:
-            pos_blob = b"".join(
-                p_data[p_off[r] : p_off[r + 1]] for r in range(rs, re_)
-            )
+            docs, freqs, norms, pos_blob, off_blob = _concat_decoded(decoded)
         else:
-            pos_blob = b""
-        emit(terms_a[rs].as_py(), int(salt[rs]), docs, freqs, norms, pos_blob)
+            pos_blob = (
+                b"".join(p_data[p_off[r] : p_off[r + 1]] for r in range(rs, re_))
+                if has_pos
+                else b""
+            )
+            off_blob = (
+                b"".join(o_data[o_off[r] : o_off[r + 1]] for r in range(rs, re_))
+                if has_off
+                else b""
+            )
+        emit(
+            terms_a[rs].as_py(), int(salt[rs]), docs, freqs, norms, pos_blob, off_blob
+        )
 
 
 def merge_by_term(
@@ -862,11 +882,13 @@ def merge_by_term(
         run_cols: dict[str, list] = {f.name: [] for f in TERMS_SCHEMA}
         run_salts: list[int] = []
 
-        def _emit(term, salt_v, docs, freqs, norms, pos_blob):
+        def _emit(term, salt_v, docs, freqs, norms, pos_blob, off_blob):
             if salt_v < 0:  # light term: final after this single shuffle
-                _emit_from_arrays(final_cols, term, docs, freqs, norms, pos_blob)
+                _emit_from_arrays(
+                    final_cols, term, docs, freqs, norms, pos_blob, off_blob
+                )
             else:  # salted run of a heavy term
-                _emit_from_arrays(run_cols, term, docs, freqs, norms, pos_blob)
+                _emit_from_arrays(run_cols, term, docs, freqs, norms, pos_blob, off_blob)
                 run_salts.append(salt_v)
 
         _merge_sorted_batch(batch, norm_store, _emit)
@@ -1037,8 +1059,8 @@ def merge_by_term(
                 )
                 cat = cat.take(idx).combine_chunks()
 
-                def _emit(term, _salt_v, docs, freqs, norms, pos_blob):
-                    _emit_from_arrays(cols, term, docs, freqs, norms, pos_blob)
+                def _emit(term, _salt_v, docs, freqs, norms, pos_blob, off_blob):
+                    _emit_from_arrays(cols, term, docs, freqs, norms, pos_blob, off_blob)
 
                 _merge_sorted_batch(cat, norm_store, _emit, group_salt=False)
             terms = cols["term"]  # terms actually present in the runs
@@ -1366,7 +1388,18 @@ class MergedIndex:
             imp_norm=np.array(row["imp_norm"], dtype=np.int64),
             imp_start=np.array(row["imp_start"], dtype=np.int64),
             pos_blob=row.get("pos_blob") or b"",
+            off_blob=row.get("off_blob") or b"",
         )
+
+    def offsets(self, term: str):
+        """Per-posting (starts, ends) offset arrays (None if not indexed)."""
+        from .codec import decode_offsets
+
+        ti = self.term_info(term)
+        if ti is None or not ti.off_blob:
+            return None
+        _, freqs = self.postings(term)
+        return decode_offsets(ti.off_blob, freqs)
 
     def positions(self, term: str):
         """Per-posting position arrays (None if positions not indexed)."""

@@ -43,22 +43,29 @@ REFERENCE_QUERIES: list[tuple[int, str, int]] = [
 ]
 
 
-def _cache_dir(sf_dir: str, n_rows: int) -> str:
+def _cache_dir(sf_dir: str, n_rows: int, variant: str = "") -> str:
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    return os.path.join(CACHE_ROOT, f"{tag}-{n_rows}-mf")  # -mf: multi-field layout
+    # -mf2: multi-field + off_blob column layout
+    return os.path.join(CACHE_ROOT, f"{tag}-{n_rows}-mf2{variant}")
 
 
-def get_index(sf_dir: str, partition_docs: int = 2048) -> dict:
+def get_index(
+    sf_dir: str, partition_docs: int = 2048, index_offsets: bool = False
+) -> dict:
     """Build (or reuse) the full index for a corpus dir. Returns
-    {"index_dir", "build_manifest", "merge_manifest"}."""
+    {"index_dir", "build_manifest", "merge_manifest"}. ``index_offsets``
+    builds a separate variant with the offsets stream in the postings
+    (IndexOptions ..._AND_OFFSETS) for the offsets highlighter."""
     from .build import build_index
     from .checkpoint import load_manifest, load_merge_manifest
     from .fixtures import pages_from_documents, write_pages
     from .merge import merge_by_term
 
     n_rows = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
-    root = _cache_dir(sf_dir, n_rows)
-    pages_dir = os.path.join(root, "pages")
+    root = _cache_dir(sf_dir, n_rows, "-off" if index_offsets else "")
+    pages_dir = os.path.join(
+        _cache_dir(sf_dir, n_rows), "pages"
+    )  # pages are layout-independent: share across variants
     index_dir = os.path.join(root, "index")
     os.makedirs(root, exist_ok=True)
 
@@ -72,6 +79,7 @@ def get_index(sf_dir: str, partition_docs: int = 2048) -> dict:
             partition_docs=partition_docs,
             from_html=True,
             fields=("body", "title"),  # DocMaker.java:197-198 title+body
+            index_offsets=index_offsets,
         )
     merge_manifest = load_merge_manifest(index_dir)
     if merge_manifest is None:
@@ -316,6 +324,56 @@ def bm25_snippets(sf_dir: str, query: str = "data join", k: int = 10) -> pa.Tabl
     out = snippets_for_hits(hits, pages_dir, terms).to_pandas()
     out = out.sort_values("rank").reset_index(drop=True)
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def bm25_snippets_offsets(
+    sf_dir: str, query: str = "data join", k: int = 10
+) -> pa.Table:
+    """Two-phase search + highlight where match spans come from the INDEX'S
+    offset stream (IndexOptions ..._AND_OFFSETS; Lucene84 .pay offsets +
+    the UnifiedHighlighter offsets strategy) instead of re-tokenizing the
+    fetched text: top-k over an offsets-enabled index, doc_id-pushdown
+    fetch of the source text, fragments rendered around the stored
+    (start, end) spans."""
+    import pyarrow.dataset as pads
+
+    from .checkpoint import load_merge_manifest
+    from .search import IndexSearcher
+    from .textops import make_snippet_offsets, offset_spans_for_doc
+
+    idx = get_index(sf_dir, index_offsets=True)
+    searcher = IndexSearcher(load_merge_manifest(idx["index_dir"]))
+    docs, scores = searcher.search(query, k)
+    terms = [t for t in query.lower().split() if t.isalnum()]
+    n_rows = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+    pages_dir = os.path.join(_cache_dir(sf_dir, n_rows), "pages")
+    hit_ids = sorted(int(d) for d in docs)
+    tbl = pads.dataset(pages_dir).to_table(
+        columns=["doc_id", "text"], filter=pads.field("doc_id").isin(hit_ids)
+    )
+    text_of = dict(
+        zip(tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist())
+    )
+    seg = searcher.segments[0]  # merged index: one logical segment
+    snips = []
+    for rank, (d, s) in enumerate(zip(docs.tolist(), scores.tolist())):
+        spans = offset_spans_for_doc(seg, terms, int(d))
+        snips.append(
+            {
+                "rank": rank,
+                "doc_id": int(d),
+                "score": float(s),
+                "snippet": make_snippet_offsets(text_of.get(int(d), ""), spans),
+            }
+        )
+    return pa.table(
+        {
+            "rank": pa.array([r["rank"] for r in snips], type=pa.int64()),
+            "doc_id": pa.array([r["doc_id"] for r in snips], type=pa.int64()),
+            "score": pa.array([r["score"] for r in snips], type=pa.float32()),
+            "snippet": pa.array([r["snippet"] for r in snips], type=pa.string()),
+        }
+    )
 
 
 def term_filter_sort_by_field(

@@ -59,6 +59,10 @@ TERMS_SCHEMA = pa.schema(
         # FreqProxTermsWriter stream-1 analogue (.pos file role). Empty when
         # positions are not indexed.
         ("pos_blob", pa.binary()),
+        # character offsets (..._AND_OFFSETS, index/IndexOptions.java:28):
+        # interleaved VInt (start delta, length) per occurrence — the
+        # Lucene84 .pay offset stream role. Empty unless offsets indexed.
+        ("off_blob", pa.binary()),
     ]
 )
 
@@ -76,6 +80,7 @@ class TermInfo:
     imp_norm: np.ndarray
     imp_start: np.ndarray
     pos_blob: bytes = b""
+    off_blob: bytes = b""
 
 
 def write_segment(
@@ -211,6 +216,7 @@ class Segment:
             imp_norm=np.array(row["imp_norm"], dtype=np.int64),
             imp_start=np.array(row["imp_start"], dtype=np.int64),
             pos_blob=row.get("pos_blob") or b"",
+            off_blob=row.get("off_blob") or b"",
         )
 
     def positions(self, term: str) -> list[np.ndarray] | None:
@@ -226,6 +232,21 @@ class Segment:
             else self.postings(term)
         )
         return decode_positions(ti.pos_blob, freqs)
+
+    def offsets(self, term: str) -> tuple[list[np.ndarray], list[np.ndarray]] | None:
+        """Per-posting (starts, ends) character-offset arrays — None when
+        offsets were not indexed (IndexOptions without _AND_OFFSETS)."""
+        from .codec import decode_offsets
+
+        ti = self.term_info(term)
+        if ti is None or not ti.off_blob:
+            return None
+        _, freqs = (
+            (np.array([ti.singleton_doc]), np.array([ti.ttf]))
+            if ti.df == 1
+            else self.postings(term)
+        )
+        return decode_offsets(ti.off_blob, freqs)
 
     def iter_term_rows(self):
         """Stream (term, row-dict) in sorted term order (merge input)."""

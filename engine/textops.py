@@ -306,6 +306,70 @@ def make_snippet(text: str, terms: list[str], window: int = 8, max_fragments: in
     return " ... ".join(frags)
 
 
+def make_snippet_offsets(
+    text: str,
+    spans: list[tuple[int, int]],
+    pad: int = 40,
+    max_fragments: int = 2,
+) -> str:
+    """Offset-based snippet: fragments are ORIGINAL-text character windows
+    around match spans that came from the INDEX'S offset stream — no
+    re-analysis of the fetched text (the postings-offsets highlight
+    strategy: lucene/highlighter/.../uhighlight/FieldOffsetStrategy.java
+    reading IndexOptions ..._AND_OFFSETS postings instead of re-running
+    the analyzer). Correct even for analyzers whose tokens don't
+    round-trip from the stored text, and O(matches), not O(|doc|)
+    tokenization work per hit."""
+    if not spans:
+        return (text or "")[: 2 * pad]
+    spans = sorted((int(a), int(b)) for a, b in spans)
+    frags: list[str] = []
+    used_upto = -1
+    for s, e in spans:
+        if s <= used_upto:
+            continue
+        lo, hi = max(0, s - pad), min(len(text), e + pad)
+        while lo > 0 and not text[lo - 1].isspace():  # snap to word bounds
+            lo -= 1
+        while hi < len(text) and not text[hi].isspace():
+            hi += 1
+        inside = [(a, b) for a, b in spans if a >= lo and b <= hi]
+        out: list[str] = []
+        prev = lo
+        for a, b in inside:
+            if a < prev:
+                continue
+            out.append(text[prev:a])
+            out.append(f"**{text[a:b]}**")
+            prev = b
+        out.append(text[prev:hi])
+        frags.append("".join(out).strip())
+        used_upto = hi
+        if len(frags) >= max_fragments:
+            break
+    return " ... ".join(frags)
+
+
+def offset_spans_for_doc(seg, terms: list[str], doc_id: int) -> list[tuple[int, int]]:
+    """Match spans for one doc from the index's offset stream: for each
+    term, locate the doc's posting (searchsorted over the postings docs)
+    and take its (start, end) offset arrays. Returns [] when the segment
+    was built without offsets."""
+    import numpy as np
+
+    spans: list[tuple[int, int]] = []
+    for t in terms:
+        off = seg.offsets(t)
+        if off is None:
+            continue
+        docs, _ = seg.postings(t)
+        i = int(np.searchsorted(docs, doc_id))
+        if i < len(docs) and docs[i] == doc_id:
+            s_arr, e_arr = off[0][i], off[1][i]
+            spans.extend(zip(s_arr.tolist(), e_arr.tolist()))
+    return spans
+
+
 def snippets_for_hits(hits_ds, pages_path: str, query_terms: list[str], window: int = 8):
     """Phase-2 fetch + highlight: join hit doc_ids back to the source
     parquet row store (the QueryComponent two-phase distributed-search

@@ -118,3 +118,53 @@ def test_wide_rows_multi_mb_html(tmp_path):
     seg = Segment(seg_dir)
     assert seg.term_stats("lorem") == (1, 40000)
     check_segment(seg)
+
+
+def test_offsets_indexed_end_to_end(tmp_path):
+    """index_offsets=True: spans round-trip through invert -> segment ->
+    checkindex; every (start, end) span of a term slices exactly that
+    term's text in the source doc (OffsetAttribute contract)."""
+    import numpy as np
+
+    from engine.build import invert_to_segment
+    from engine.checkindex import check_segment
+    from engine.segment import Segment
+
+    texts = [
+        "Quick brown fox jumps over the lazy dog",
+        "the quick    QUICK brown-fox",
+        "",
+        "punctuation, everywhere! quick... dog?",
+    ]
+    seg_dir = str(tmp_path / "offseg")
+    invert_to_segment(
+        np.arange(len(texts), dtype=np.int64), texts, seg_dir, index_offsets=True
+    )
+    seg = Segment(seg_dir)
+    check_segment(seg)  # includes the offsets invariants
+    for term in ["quick", "brown", "fox", "dog", "the"]:
+        off = seg.offsets(term)
+        assert off is not None, term
+        docs, freqs = seg.postings(term)
+        s_lists, e_lists = off
+        assert len(s_lists) == len(docs)
+        for d, f, sl, el in zip(docs, freqs, s_lists, e_lists):
+            assert len(sl) == f
+            low = texts[int(d)].lower()
+            for a, b in zip(sl.tolist(), el.tolist()):
+                assert low[a:b] == term, (term, d, a, b, low[a:b])
+
+
+def test_offsets_default_off(tmp_path):
+    import numpy as np
+
+    from engine.build import invert_to_segment
+    from engine.segment import Segment
+
+    seg_dir = str(tmp_path / "nooffseg")
+    invert_to_segment(
+        np.arange(2, dtype=np.int64), ["alpha beta", "beta gamma"], seg_dir
+    )
+    seg = Segment(seg_dir)
+    assert seg.offsets("beta") is None
+    assert seg.meta["index_options"] == "docs_freqs_positions"

@@ -217,3 +217,45 @@ def test_indexed_decode_matches_plain():
     d2, f2 = decode_term_postings_indexed(tp.blob, df, tp.block_offset)
     np.testing.assert_array_equal(d2, docs)
     np.testing.assert_array_equal(f2, freqs)
+
+
+def test_offsets_roundtrip():
+    """Offsets stream (IndexOptions ..._AND_OFFSETS, the .pay offset role):
+    interleaved (start delta, length) VInts reset per doc must round-trip
+    for arbitrary ascending spans."""
+    import numpy as np
+
+    from engine.codec import decode_offsets, encode_offsets
+
+    rng = np.random.default_rng(5)
+    freqs = rng.integers(1, 6, size=40).astype(np.int64)
+    starts_l, ends_l = [], []
+    for f in freqs:
+        s = np.cumsum(rng.integers(1, 50, size=int(f))) - 1
+        e = s + rng.integers(1, 20, size=int(f))
+        starts_l.append(s)
+        ends_l.append(e)
+    starts = np.concatenate(starts_l)
+    ends = np.concatenate(ends_l)
+    blob = encode_offsets(starts, ends, freqs)
+    got_s, got_e = decode_offsets(blob, freqs)
+    assert len(got_s) == len(freqs)
+    for i in range(len(freqs)):
+        np.testing.assert_array_equal(got_s[i], starts_l[i])
+        np.testing.assert_array_equal(got_e[i], ends_l[i])
+
+
+def test_offsets_concat_is_valid_stream():
+    """Doc-disjoint runs byte-concatenate into one valid offsets stream
+    (deltas reset per doc) — the merge concat invariant."""
+    import numpy as np
+
+    from engine.codec import decode_offsets, encode_offsets
+
+    f1 = np.array([2, 1], dtype=np.int64)
+    b1 = encode_offsets(np.array([3, 10, 0]), np.array([7, 14, 4]), f1)
+    f2 = np.array([3], dtype=np.int64)
+    b2 = encode_offsets(np.array([5, 9, 20]), np.array([8, 12, 26]), f2)
+    got_s, got_e = decode_offsets(b1 + b2, np.concatenate([f1, f2]))
+    assert [s.tolist() for s in got_s] == [[3, 10], [0], [5, 9, 20]]
+    assert [e.tolist() for e in got_e] == [[7, 14], [4], [8, 12, 26]]

@@ -171,7 +171,8 @@ def test_concat_decoded_reorders_positions():
         np.array([7], dtype=np.uint8),
         encode_positions(np.array([2, 5, 9]), np.array([3])),
     )
-    docs, freqs, norms, blob = _concat_decoded([run1, run2])
+    docs, freqs, norms, blob, off_blob = _concat_decoded([run1, run2])
+    assert off_blob == b""  # no offsets shipped in these runs
     assert docs.tolist() == [5, 10, 20]
     assert freqs.tolist() == [2, 3, 1]
     assert norms.tolist() == [3, 7, 3]
@@ -311,3 +312,96 @@ def test_merged_index_norms_lazy(built, tmp_path_factory):
         md, ms = merged.search(q, 20)
         np.testing.assert_array_equal(md, bd, err_msg=q)
         np.testing.assert_array_equal(ms, bs, err_msg=q)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_offsets_survive_both_merge_paths(tmp_path_factory):
+    """Offsets streams (..._AND_OFFSETS) must byte-concatenate correctly
+    through the k-way merge tree AND the salted groupby-term shuffle:
+    every merged (start, end) span still slices its term from the source
+    doc."""
+    import numpy as np
+
+    from engine.checkindex import check_merged_index, check_segment
+
+    root = tmp_path_factory.mktemp("offmerge")
+    pages = make_pages(400, seed=23)
+    texts = pages.column("text").to_pylist()
+    rows = []
+    for s in range(4):
+        lo, hi = s * 100, (s + 1) * 100
+        seg_dir = str(root / f"partitions/p{lo:012d}")
+        meta = invert_to_segment(
+            np.arange(lo, hi, dtype=np.int64),
+            texts[lo:hi],
+            seg_dir,
+            index_offsets=True,
+        )
+        rows.append(
+            {k: meta[k] for k in ("doc_base", "n_docs", "sum_ttf", "n_terms", "wall_ms")}
+            | {"seg_dir": seg_dir}
+        )
+    manifest = finalize_build_manifest(str(root), rows)
+
+    def check_spans(reader, terms):
+        for term in terms:
+            off = reader.offsets(term)
+            assert off is not None, term
+            docs, freqs = reader.postings(term)
+            s_lists, e_lists = off
+            assert len(s_lists) == len(docs)
+            for d, f, sl, el in zip(docs, freqs, s_lists, e_lists):
+                assert len(sl) == f, term
+                low = texts[int(d)].lower()
+                for a, b in zip(sl.tolist(), el.tolist()):
+                    assert low[a:b] == term, (term, int(d))
+
+    probe = ["the00", "the19", "t00000", "tiekey"]
+    # Path A: k-way merge tree
+    out_a = str(root / "treeseg")
+    merge_segments([r["seg_dir"] for r in rows], out_a)
+    seg_a = Segment(out_a)
+    check_segment(seg_a)
+    check_spans(seg_a, probe)
+    # Path B: salted shuffle (the00 band genuinely salted)
+    root_b = str(tmp_path_factory.mktemp("offmergeb"))
+    merge_by_term(manifest, root_b, salt_threshold=150, n_salts=4)
+    mi = MergedIndex(root_b)
+    check_merged_index(mi)
+    check_spans(mi, probe)
+
+
+def test_offsets_highlighter_fragments():
+    """make_snippet_offsets renders original-text fragments around index
+    spans — punctuation preserved, all in-window matches marked."""
+    from engine.textops import make_snippet_offsets
+
+    text = "Alpha, beta! GAMMA delta; alpha again (beta)."
+    # spans of 'alpha' and 'beta' occurrences in lowercased text
+    spans = [(0, 5), (7, 11), (26, 31), (39, 43)]
+    snip = make_snippet_offsets(text, spans, pad=12, max_fragments=2)
+    assert "**Alpha**" in snip and "**beta**" in snip
+    assert "GAMMA" in snip  # original casing/punctuation preserved
+    # no-span fallback: leading text
+    assert make_snippet_offsets(text, [], pad=5) == text[:10]
+
+
+def test_analyze_offsets_consistent_with_positions():
+    from engine.analyze import (
+        Analyzer,
+        analyze_batch_with_offsets,
+        analyze_batch_with_positions,
+    )
+
+    texts = ["The quick? brown fox", "", "a " + "x" * 300 + " b"]
+    an = Analyzer(stopwords=frozenset({"the"}))
+    f1, l1, p1 = analyze_batch_with_positions(texts, an)
+    f2, l2, p2, s2, e2 = analyze_batch_with_offsets(texts, an)
+    assert f1 == f2 and l1.tolist() == l2.tolist() and p1.tolist() == p2.tolist()
+    # spans slice the tokens out of the lowered text
+    i = 0
+    for t, ln in zip(texts, l2):
+        low = t.lower()
+        for _ in range(int(ln)):
+            assert low[s2[i] : e2[i]] == f2[i]
+            i += 1
