@@ -137,6 +137,14 @@ def bm25_title_topk(sf_dir: str) -> pa.Table:
         (2, "+data title:5", 10),    # body MUST + title SHOULD
         (3, "+title:rep +data", 10), # cross-field conjunction
         (4, "data -title:3", 10),    # title exclusion
+        # field-qualified multi-term grammar (classic field productions)
+        (5, "title:re*", 10),          # field prefix
+        (6, "title:re?", 10),          # field wildcard
+        (7, "title:rep~1", 10),        # field fuzzy
+        (8, "title:doc^2.5 data", 10), # field boost mixed with body term
+        (9, 'title:"doc 7"', 10),      # field phrase
+        (10, "title:[6 TO 8]", 10),    # field term range
+        (11, "title:/d.c/", 10),       # field regexp
     ]
     out = {"query_id": [], "rank": [], "doc_id": [], "score": []}
     for qid, qs, k in title_queries:

@@ -12,8 +12,15 @@ scope). Supported syntax, mirroring the classic parser's boolean handling
     title:term         -> field-qualified term (KNOWN_FIELDS; routed to
                           that field's postings/norms/stats at search time
                           — DocMaker.java:197-198 title+body fields)
+    title:quer*        -> field-qualified prefix; likewise title:pa?t
+                          (wildcard), title:x~1 (fuzzy), title:y^2 (boost),
+                          title:"a b"[~N] (phrase/sloppy), title:[a TO b]
+                          (range), title:/regex/ — the classic parser's
+                          field grammar covers every clause type
+                          (classic/QueryParser.java field productions)
     other:term         -> term (unknown field prefix dropped, classic
                           parser default-field behavior)
+    (a OR b) AND c     -> parenthesized sub-queries (nested BooleanQuery)
 
 Each term text runs through the same analyzer as indexing; terms that
 analyze to nothing are dropped (e.g. pure punctuation).
@@ -201,8 +208,14 @@ def parse_query(q: str, analyzer: Analyzer = DEFAULT_ANALYZER) -> BoolQuery:
         q, groups = _split_groups(q)
 
     def _grab_phrase(m: "_re.Match[str]") -> str:
-        toks = tuple(tokenize(m.group(1), analyzer))
-        slop = int(m.group(2)) if m.group(2) else 0
+        fld = m.group(1)
+        qual = (
+            (lambda t: f"{fld}:{t}")
+            if fld in KNOWN_FIELDS and fld != "body"
+            else (lambda t: t)
+        )
+        toks = tuple(qual(t) for t in tokenize(m.group(2), analyzer))
+        slop = int(m.group(3)) if m.group(3) else 0
         if len(toks) >= 2:
             (sloppy if slop > 0 else phrases).append(
                 (toks, slop) if slop > 0 else toks
@@ -211,27 +224,36 @@ def parse_query(q: str, analyzer: Analyzer = DEFAULT_ANALYZER) -> BoolQuery:
             should.append(toks[0])  # single-term phrase degrades to a term
         return " "
 
-    # "quoted"~N = sloppy phrase, slop N (classic-parser phrase-slop syntax)
-    q = _re.sub(r'"([^"]*)"(?:~(\d+))?', _grab_phrase, q)
+    # [field:]"quoted"~N — phrase / sloppy phrase, optionally field-scoped
+    # (classic/QueryParser.java field grammar applies to phrases too)
+    q = _re.sub(r'(?:(\w+):)?"([^"]*)"(?:~(\d+))?', _grab_phrase, q)
 
-    # [lo TO hi] inclusive term ranges (TermRangeQuery, classic parser syntax)
+    # [field:][lo TO hi] inclusive term ranges (TermRangeQuery syntax)
     def _grab_range(m: "_re.Match[str]") -> str:
-        lo = tokenize(m.group(1), analyzer)
-        hi = tokenize(m.group(2), analyzer)
+        fld = m.group(1)
+        lo = tokenize(m.group(2), analyzer)
+        hi = tokenize(m.group(3), analyzer)
         if lo and hi:
-            ranges.append((lo[0], hi[0]))
+            if fld in KNOWN_FIELDS and fld != "body":
+                ranges.append((f"{fld}:{lo[0]}", f"{fld}:{hi[0]}"))
+            else:
+                ranges.append((lo[0], hi[0]))
         return " "
 
-    q = _re.sub(r"\[\s*(\S+)\s+TO\s+(\S+)\s*\]", _grab_range, q)
+    q = _re.sub(r"(?:(\w+):)?\[\s*(\S+)\s+TO\s+(\S+)\s*\]", _grab_range, q)
 
-    # /pattern/ regexp terms (classic-parser regexp syntax, RegexpQuery)
+    # [field:]/pattern/ regexp terms (classic-parser syntax, RegexpQuery)
     def _grab_regexp(m: "_re.Match[str]") -> str:
-        pat = m.group(1)
+        fld = m.group(1)
+        pat = m.group(2)
         if pat:
-            regexps.append(pat.lower())
+            if fld in KNOWN_FIELDS and fld != "body":
+                regexps.append(f"{fld}:{pat.lower()}")
+            else:
+                regexps.append(pat.lower())
         return " "
 
-    q = _re.sub(r"/([^/\s][^/]*)/", _grab_regexp, q)
+    q = _re.sub(r"(?:(\w+):)?/([^/\s][^/]*)/", _grab_regexp, q)
     raw = q.split()
     and_mode = "AND" in raw
     for tok in raw:
@@ -257,9 +279,39 @@ def parse_query(q: str, analyzer: Analyzer = DEFAULT_ANALYZER) -> BoolQuery:
         if ":" in tok:
             fld, rest = tok.split(":", 1)
             if fld in KNOWN_FIELDS and fld != "body":
-                # field-qualified plain term: analyze the bare term, keep
-                # the field prefix in the IR (multi-term syntax — wildcards,
-                # fuzzy, boosts — stays default-field only)
+                # field-qualified clause: the field grammar covers every
+                # SHOULD-context query type — prefix, wildcard, fuzzy,
+                # boost — by carrying the fld: prefix through the IR and
+                # routing at rewrite/execute time; plain terms qualify in
+                # any bucket (classic/QueryParser.java field productions)
+                if bucket is should and rest.endswith("*") and len(rest) > 1 and not ("*" in rest[:-1] or "?" in rest):
+                    stem = tokenize(rest[:-1], analyzer)
+                    if stem:
+                        prefixes.append(f"{fld}:{stem[0]}")
+                    continue
+                if bucket is should and ("*" in rest[:-1] or "?" in rest):
+                    wildcards.append(f"{fld}:{rest.lower()}")
+                    continue
+                if "~" in rest and bucket is should:
+                    base, _, ed = rest.partition("~")
+                    toks_f = tokenize(base, analyzer)
+                    try:
+                        n = int(ed) if ed else 2
+                    except ValueError:
+                        n = 2
+                    if toks_f:
+                        fuzzies.append((f"{fld}:{toks_f[0]}", max(0, min(n, 2))))
+                    continue
+                if "^" in rest and bucket is should:
+                    base, _, bv = rest.partition("^")
+                    toks_b = tokenize(base, analyzer)
+                    try:
+                        bf = float(bv)
+                    except ValueError:
+                        bf = 1.0
+                    if toks_b:
+                        boosts.append((f"{fld}:{toks_b[0]}", bf))
+                    continue
                 for t in tokenize(rest, analyzer):
                     bucket.append(f"{fld}:{t}")
                 continue

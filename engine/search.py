@@ -209,6 +209,17 @@ class IndexSearcher:
         index ``gi`` (parallel lists are aligned by construction)."""
         return self.fields[field][0][gi]
 
+    def _phrase_ctx(self, gi: int, seg, phrase: tuple[str, ...]):
+        """Route a possibly field-qualified phrase (the parser qualifies
+        EVERY term of a `title:"a b"` phrase with the field prefix): the
+        field's aligned segment, bare terms, and the field's collection
+        stats (per-field avgdl — BM25Similarity.java:80-82)."""
+        fld, _ = self._split_field(phrase[0])
+        bare = tuple(self._split_field(t)[1] for t in phrase)
+        fseg = seg if fld == "body" else self._field_seg(fld, gi)
+        _segs, f_dc, f_st = self.fields[fld]
+        return fseg, bare, f_dc, f_st
+
     @classmethod
     def from_segments(
         cls,
@@ -348,6 +359,17 @@ class IndexSearcher:
                 sub_must_not=tuple(self.rewrite(s) for s in q.sub_must_not),
             )
             q = _flatten_bool(q)
+        def _route(pat: str):
+            """(field, bare pattern, field's segments, requalifier) for a
+            possibly field-qualified multi-term clause — the field grammar
+            of the classic parser applies to every query type
+            (classic/QueryParser.java field-scoped clause productions)."""
+            fld, bare = self._split_field(pat)
+            segs = self.fields[fld][0]
+            if fld == "body":
+                return bare, segs, lambda t: t
+            return bare, segs, lambda t: f"{fld}:{t}"
+
         if q.fuzzies:
             # FuzzyQuery scoring rewrite: scan dictionary terms within edit
             # distance (banded Levenshtein; the Lucene automaton intersect
@@ -355,8 +377,10 @@ class IndexSearcher:
             extra_f = list(q.should)
             seen_f = set(extra_f)
             for base, max_ed in q.fuzzies:
-                for seg in self.segments:
-                    for t in _fuzzy_expand(seg, base, max_ed, 50):
+                bare_b, segs_b, qual = _route(base)
+                for seg in segs_b:
+                    for t in _fuzzy_expand(seg, bare_b, max_ed, 50):
+                        t = qual(t)
                         if t not in seen_f:
                             seen_f.add(t)
                             extra_f.append(t)
@@ -371,12 +395,13 @@ class IndexSearcher:
             extra_r = list(q.should)
             seen_r = set(extra_r)
             for pat in q.regexps:
+                bare_p, segs_p, qual = _route(pat)
                 try:
-                    rx = _re.compile(pat)
+                    rx = _re.compile(bare_p)
                 except _re.error:
                     continue
-                lit = _re.match(r"[a-z0-9]*", pat).group(0)
-                for seg in self.segments:
+                lit = _re.match(r"[a-z0-9]*", bare_p).group(0)
+                for seg in segs_p:
                     cand = (
                         seg.expand_prefix(lit, 65536)
                         if lit
@@ -387,9 +412,9 @@ class IndexSearcher:
                         )
                     )
                     for t in cand:
-                        if rx.fullmatch(t) and t not in seen_r:
-                            seen_r.add(t)
-                            extra_r.append(t)
+                        if rx.fullmatch(t) and qual(t) not in seen_r:
+                            seen_r.add(qual(t))
+                            extra_r.append(qual(t))
                             if len(extra_r) >= 1024:
                                 break
             q = replace(q, should=tuple(extra_r), regexps=())
@@ -400,20 +425,24 @@ class IndexSearcher:
             extra = list(q.should)
             seen = set(extra)
             for lo_t, hi_t in q.ranges:
-                for seg in self.segments:
-                    for t in seg.expand_range(lo_t, hi_t, 1024):
+                bare_lo, segs_r, qual = _route(lo_t)
+                bare_hi = self._split_field(hi_t)[1]
+                for seg in segs_r:
+                    for t in seg.expand_range(bare_lo, bare_hi, 1024):
+                        t = qual(t)
                         if t not in seen:
                             seen.add(t)
                             extra.append(t)
             for pat in q.wildcards:
                 # scan from the fixed prefix of the pattern (BlockTree
                 # intersect role); bounded like maxClauseCount
-                fixed = pat.split("*", 1)[0].split("?", 1)[0]
-                for seg in self.segments:
+                bare_w, segs_w, qual = _route(pat)
+                fixed = bare_w.split("*", 1)[0].split("?", 1)[0]
+                for seg in segs_w:
                     for t in seg.expand_prefix(fixed, 65536):
-                        if fnmatch.fnmatchcase(t, pat) and t not in seen:
-                            seen.add(t)
-                            extra.append(t)
+                        if fnmatch.fnmatchcase(t, bare_w) and qual(t) not in seen:
+                            seen.add(qual(t))
+                            extra.append(qual(t))
                             if len(extra) >= 1024:
                                 break
             q = replace(q, should=tuple(extra), ranges=(), wildcards=())
@@ -424,7 +453,12 @@ class IndexSearcher:
             expanded = list(q.should)
             seen = set(expanded)
             for p in q.prefixes:
-                for t in self.expand_prefix(p, max_terms=1024):
+                bare_pf, segs_pf, qual = _route(p)
+                hits: set[str] = set()
+                for seg in segs_pf:
+                    hits.update(seg.expand_prefix(bare_pf, 1024))
+                for t in sorted(hits)[:1024]:
+                    t = qual(t)
                     if t not in seen:
                         seen.add(t)
                         expanded.append(t)
@@ -578,30 +612,15 @@ class IndexSearcher:
                     matched[hit_local] = True
                     if should_cnt is not None:
                         should_cnt[hit_local] += 1
-            for phrase in q.phrases:
-                docs_p, freqs_p = _phrase_postings(seg, phrase)
+            for phrase_t, slop in tuple((p, 0) for p in q.phrases) + tuple(q.sloppy):
+                pseg, bare_p, p_dc, p_st = self._phrase_ctx(gi, seg, phrase_t)
+                docs_p, freqs_p = _phrase_postings(pseg, bare_p, slop)
                 if len(docs_p) == 0:
                     continue
                 params_p = make_phrase_scorer(
-                    [self.global_term_stats(t)[0] for t in phrase],
-                    self.doc_count,
-                    self.sum_ttf,
+                    [self.global_term_stats(t)[0] for t in phrase_t], p_dc, p_st
                 )
-                sp = params_p.score(freqs_p, seg.norm_of(docs_p))
-                acc[docs_p - lo] += sp.astype(np.float64)
-                matched[docs_p - lo] = True
-                if should_cnt is not None:
-                    should_cnt[docs_p - lo] += 1
-            for phrase_s, slop in q.sloppy:
-                docs_p, freqs_p = _phrase_postings(seg, phrase_s, slop)
-                if len(docs_p) == 0:
-                    continue
-                params_p = make_phrase_scorer(
-                    [self.global_term_stats(t)[0] for t in phrase_s],
-                    self.doc_count,
-                    self.sum_ttf,
-                )
-                sp = params_p.score(freqs_p, seg.norm_of(docs_p))
+                sp = params_p.score(freqs_p, pseg.norm_of(docs_p))
                 acc[docs_p - lo] += sp.astype(np.float64)
                 matched[docs_p - lo] = True
                 if should_cnt is not None:
@@ -759,16 +778,15 @@ class IndexSearcher:
                 ).astype(np.float64)
                 _optional(hit_local)
         for phrase_t, slop in tuple((p, 0) for p in q.phrases) + tuple(q.sloppy):
-            docs_p, freqs_p = _phrase_postings(seg, phrase_t, slop)
+            pseg, bare_p, p_dc, p_st = self._phrase_ctx(gi, seg, phrase_t)
+            docs_p, freqs_p = _phrase_postings(pseg, bare_p, slop)
             if len(docs_p) == 0:
                 continue
             params_p = make_phrase_scorer(
-                [self.global_term_stats(t)[0] for t in phrase_t],
-                self.doc_count,
-                self.sum_ttf,
+                [self.global_term_stats(t)[0] for t in phrase_t], p_dc, p_st
             )
             local = docs_p - lo
-            acc[local] += params_p.score(freqs_p, seg.norm_of(docs_p)).astype(
+            acc[local] += params_p.score(freqs_p, pseg.norm_of(docs_p)).astype(
                 np.float64
             )
             _optional(local)
@@ -994,16 +1012,16 @@ def explain(searcher: IndexSearcher, query: str, doc_id: int) -> dict:
         )
         acc += s
     for phrase in q.phrases:
-        docs_p, freqs_p = _phrase_postings(seg, phrase)
+        pseg, bare_p, p_dc, p_st = searcher._phrase_ctx(gi, seg, phrase)
+        docs_p, freqs_p = _phrase_postings(pseg, bare_p)
         i = int(np.searchsorted(docs_p, doc_id))
         if i < len(docs_p) and docs_p[i] == doc_id:
             params = make_phrase_scorer(
-                [searcher.global_term_stats(t)[0] for t in phrase],
-                searcher.doc_count,
-                searcher.sum_ttf,
+                [searcher.global_term_stats(t)[0] for t in phrase], p_dc, p_st
             )
+            p_norm = int(pseg.norm_of(np.array([doc_id]))[0])
             s = float(
-                params.score(freqs_p[i : i + 1], np.array([norm], dtype=np.uint8))[0]
+                params.score(freqs_p[i : i + 1], np.array([p_norm], dtype=np.uint8))[0]
             )
             clauses.append(
                 {

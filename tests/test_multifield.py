@@ -172,3 +172,70 @@ def test_multifield_merge_tree(mf_corpus, tmp_path_factory):
         md, ms = merged.search(q, 20)
         np.testing.assert_array_equal(md, bd, err_msg=q)
         np.testing.assert_array_equal(ms, bs, err_msg=q)
+
+
+def test_field_qualified_multiterm_grammar(mf_corpus):
+    """title:quer* / title:pa?t / title:x~1 / title:y^2 / title:"a b" /
+    title:[a TO b] / title:/re/ — every multi-term clause type carries its
+    field through rewrite/execute: results must equal the manually
+    field-routed equivalent (classic/QueryParser.java field productions)."""
+    s = IndexSearcher(mf_corpus["manifest"], algorithm="taat")
+
+    def same(a: str, b: str):
+        da, sa = s.search(a, 20)
+        db, sb = s.search(b, 20)
+        np.testing.assert_array_equal(da, db, err_msg=f"{a} vs {b}")
+        np.testing.assert_array_equal(sa, sb, err_msg=f"{a} vs {b}")
+        assert len(da) > 0, f"fixture should hit: {a}"
+
+    # prefix expands against the TITLE dictionary only
+    same("title:alph*", "title:alpha")
+    same("title:num1*", "title:num1")
+    # wildcard
+    same("title:al?ha", "title:alpha")
+    # fuzzy: alpha~1 over title matches alpha (and nothing within 1 edit)
+    same("title:alpha~1", "title:alpha")
+    # boost routes to title stats
+    qb = s.rewrite(__import__("engine.queryparse", fromlist=["parse_query"]).parse_query("title:alpha^2.0"))
+    assert qb.boosts == (("title:alpha", 2.0),)
+    db, sb = s.execute(qb, 20)
+    assert len(db) > 0
+    # phrase over the title field: 'alpha num0' appears as adjacent tokens
+    dp, _ = s.search('title:"alpha num0"', 400)
+    exp = [
+        i
+        for i, t in enumerate(mf_corpus["titles"])
+        if "alpha num0" in " ".join(t.split())
+    ]
+    assert sorted(dp.tolist()) == exp
+    # term range over title dictionary
+    qr = s.rewrite(__import__("engine.queryparse", fromlist=["parse_query"]).parse_query("title:[num0 TO num2]"))
+    assert set(qr.should) == {"title:num0", "title:num1", "title:num2"}
+    # regexp over title dictionary
+    qx = s.rewrite(__import__("engine.queryparse", fromlist=["parse_query"]).parse_query("title:/num[0-1]/"))
+    assert set(qx.should) == {"title:num0", "title:num1"}
+    # a BODY prefix must NOT expand against title terms
+    qbody = s.rewrite(__import__("engine.queryparse", fromlist=["parse_query"]).parse_query("alph*"))
+    assert qbody.should == ()  # 'alpha' exists only in titles
+
+
+def test_field_phrase_uses_field_norms(mf_corpus):
+    """A title phrase must score with TITLE norms/stats, not body ones:
+    hand-compute the expected float32 score for one hit."""
+    from engine.bm25 import make_phrase_scorer
+
+    s = IndexSearcher(mf_corpus["manifest"], algorithm="taat")
+    docs, scores = s.search('title:"alpha num0"', 5)
+    assert len(docs) > 0
+    d = int(docs[0])
+    t_dc = s.fields["title"][1]
+    t_st = s.fields["title"][2]
+    df_a = s.global_term_stats("title:alpha")[0]
+    df_n = s.global_term_stats("title:num0")[0]
+    params = make_phrase_scorer([df_a, df_n], t_dc, t_st)
+    title_len = len(mf_corpus["titles"][d].split())
+    exp = params.score(
+        np.array([1], dtype=np.int64),
+        np.array([int_to_byte4(title_len)], dtype=np.uint8),
+    )[0]
+    assert scores[0] == np.float32(exp)
