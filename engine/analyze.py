@@ -57,26 +57,61 @@ DEFAULT_ANALYZER = Analyzer()
 # ---------------------------------------------------------------------------
 # Unicode analyzer — the UAX#29 word-break subset StandardTokenizer
 # implements for non-Latin web text (StandardTokenizerImpl.java token
-# types; StandardTokenizer.java:48):
-#   - Han ideographs (+ ext-A, compat) and Hiragana emit ONE TOKEN PER
-#     CHARACTER (IDEOGRAPHIC / HIRAGANA types);
-#   - Katakana and Hangul form maximal runs (KATAKANA / HANGUL types);
-#   - every other letter/digit forms maximal alnum runs (ALPHANUM),
-#     lowercased (LowerCaseFilter) — accents/Greek/Cyrillic included.
-# Python re has no \p classes, so the CJK blocks are explicit ranges and
-# the alnum run branch excludes them with a lookahead. This is the
-# documented CJK extension of the default ASCII subset: a lang=zh/ja/ko
-# Common-Crawl page indexes real per-ideograph tokens instead of garbage.
+# types; StandardTokenizer.java:48). Class coverage table:
+#
+#   reference type   | this pattern                       | notes
+#   -----------------|------------------------------------|------------------
+#   IDEOGRAPHIC      | one token PER Han char             | + ext-A, compat
+#   HIRAGANA         | one token per char                 |
+#   KATAKANA         | maximal runs                       | + phonetic ext
+#   HANGUL           | maximal runs                       | jamo + syllables
+#   EMOJI            | UTS#51 subset: flag RI pairs,      | ZWJ sequences,
+#                    | keycaps, ZWJ joins, FE0F/skin tone | modifiers kept
+#   NUM (compounds)  | digits continue through MidNum     | 3.14 / 1,000 one
+#                    | [.,] BETWEEN digits (WB11/WB12)    | token; a.b splits
+#   ExtendNumLet     | '_' joins alnum runs (WB13a/13b)   | foo_bar one token
+#   ALPHANUM         | maximal alnum runs, lowercased     | accents/Greek/
+#                    |                                    | Cyrillic included
+#
+# Python re has no \p classes, so the blocks are explicit ranges and the
+# alnum run branch excludes CJK with a lookahead. Remaining undocumented
+# gap vs StandardTokenizerImpl.java (991 LoC generated from the full UAX
+# grammar): SOUTHEAST_ASIAN syllable classes (Thai/Lao/Khmer segmentation)
+# — those need dictionary break data Python re cannot express.
 # ---------------------------------------------------------------------------
 
-_HAN_HIRA = "぀-ゟ㐀-䶿一-鿿豈-﫿"
-_KATAKANA = "゠-ヿㇰ-ㇿ"
-_HANGUL = "ᄀ-ᇿ가-힯"
+_HAN_HIRA = "\u3040-\u309f\u3400-\u4dbf\u4e00-\u9fff\uf900-\ufaff"
+_KATAKANA = "\u30a0-\u30ff\u31f0-\u31ff"
+_HANGUL = "\u1100-\u11ff\uac00-\ud7af"
+# UTS#51 emoji subset: core pictographic blocks + legacy symbol blocks
+_EMOJI_CORE = (
+    "\U0001f000-\U0001f0ff"  # mahjong/dominoes/cards
+    "\U0001f300-\U0001f5ff"  # misc symbols & pictographs
+    "\U0001f600-\U0001f64f"  # emoticons
+    "\U0001f680-\U0001f6ff"  # transport & map
+    "\U0001f900-\U0001f9ff"  # supplemental symbols
+    "\U0001fa00-\U0001faff"  # extended-A
+    "\u2600-\u27bf"  # misc symbols + dingbats
+    "\u2b00-\u2bff"  # arrows/stars (⭐ etc.)
+)
+_EMOJI_MOD = "\U0001f3fb-\U0001f3ff"  # skin-tone modifiers
+_REGIONAL = "\U0001f1e6-\U0001f1ff"  # regional indicators (flags)
+_E1 = f"[{_EMOJI_CORE}](?:\ufe0f|[{_EMOJI_MOD}])?"
+EMOJI_PATTERN = (
+    f"[{_REGIONAL}]{{2}}"  # flag = RI pair (UTS#51 ED-14)
+    f"|[0-9#*]\ufe0f?\u20e3"  # keycap sequence (1️⃣)
+    f"|{_E1}(?:\u200d{_E1})*"  # ZWJ sequence (family/profession emoji)
+)
+# one non-CJK word char (letters/digits; '_' excluded — it JOINS below)
+_W = f"(?:(?![{_HAN_HIRA}{_KATAKANA}{_HANGUL}])[^\W_])"
 UNICODE_TOKEN_PATTERN = (
-    f"[{_HAN_HIRA}]"
+    f"{EMOJI_PATTERN}"
+    f"|[{_HAN_HIRA}]"
     f"|[{_KATAKANA}]+"
     f"|[{_HANGUL}]+"
-    f"|(?:(?![{_HAN_HIRA}{_KATAKANA}{_HANGUL}])[^\\W_])+"
+    # alnum runs; MidNum [.,] continues digit×digit (WB11/12), '_' joins
+    # any alnum runs (ExtendNumLet, WB13a/13b)
+    f"|{_W}+(?:(?:(?<=\d)[.,](?=\d)|_){_W}+)*"
 )
 
 UNICODE_ANALYZER = Analyzer(token_pattern=UNICODE_TOKEN_PATTERN)
