@@ -212,6 +212,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_bool_nested": pipelines.bool_nested_match_docs,
         "phrase_topk": pipelines.phrase_topk,
         "term_filter_sort_by_field": pipelines.term_filter_sort_by_field,
+        "lang_facet_dv": pipelines.lang_facet_dv,
         "bm25_topk_sharded": pipelines.bm25_topk_sharded,
         "bm25_snippets": pipelines.bm25_snippets,
         "bm25_snippets_offsets": pipelines.bm25_snippets_offsets,
@@ -453,6 +454,8 @@ def oracle_sql() -> dict[str, str]:
             WHERE rn <= 2
         """,
         "lang_facet": "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang",
+        # facet over the index's DV sidecar must agree with the raw table
+        "lang_facet_dv": "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang",
         "term_filter_sort_by_field": f"""
             SELECT (row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) - 1) AS rank,
                    doc_id, n_chars

@@ -53,6 +53,7 @@ def invert_to_segment(
     index_positions: bool = True,
     index_offsets: bool = False,
     field: str = "body",
+    doc_values: pa.Table | None = None,
 ) -> dict:
     """Invert one partition worth of documents into a segment directory.
 
@@ -265,7 +266,17 @@ def invert_to_segment(
         "wall_ms": None,  # filled below
     }
     meta["wall_ms"] = round((time.perf_counter() - t0) * 1000.0, 3)
-    return write_segment(out_dir, pa.table(cols, schema=TERMS_SCHEMA), doc_ids, norms, meta)
+    meta["doc_values"] = sorted(
+        n for n in (doc_values.schema.names if doc_values is not None else []) if n != "doc_id"
+    )
+    return write_segment(
+        out_dir,
+        pa.table(cols, schema=TERMS_SCHEMA),
+        doc_ids,
+        norms,
+        meta,
+        doc_values=doc_values,
+    )
 
 
 def make_inverter(
@@ -274,6 +285,7 @@ def make_inverter(
     from_html: bool = False,
     fields: tuple[str, ...] = ("body",),
     index_offsets: bool = False,
+    dv_columns: tuple[str, ...] = (),
 ):
     """Batch fn for ``ds.map_batches(...)``: one Arrow batch → one partition
     segment on disk PER FIELD → one manifest row out (tiny — the heavy data
@@ -316,6 +328,25 @@ def make_inverter(
                 "n_rows": len(doc_ids),
             }
             col_of = {"body": "text", "title": "title"}
+            dv_tbl = None
+            if dv_columns:
+                # DocValues sidecar columns: 'n_chars' computes from the
+                # extracted text, anything else passes through from the
+                # source batch (the per-field doc-values add of
+                # index/DocValuesType.java at document-ingest time)
+                import pyarrow.compute as _pc
+
+                dv_cols: dict = {"doc_id": pa.array(doc_ids, type=pa.int64())}
+                for c in dv_columns:
+                    if c in batch.column_names:  # ingested document field
+                        dv_cols[c] = batch.column(c)
+                    elif c == "n_chars":  # derivable fallback
+                        dv_cols[c] = _pc.cast(
+                            _pc.utf8_length(batch.column("text")), pa.int64()
+                        )
+                    else:
+                        raise KeyError(f"doc-values column {c!r} not in batch")
+                dv_tbl = pa.table(dv_cols)
             for fld in fields:
                 texts = batch.column(col_of.get(fld, fld)).to_pylist()
                 metas[fld] = invert_to_segment(
@@ -326,6 +357,7 @@ def make_inverter(
                     lineage,
                     index_offsets=index_offsets,
                     field=fld,
+                    doc_values=dv_tbl if fld == "body" else None,
                 )
         row = {
             "seg_dir": dirs["body"],
@@ -354,6 +386,7 @@ def build_index(
     from_html: bool = True,
     fields: tuple[str, ...] = ("body",),
     index_offsets: bool = False,
+    dv_columns: tuple[str, ...] = (),
 ) -> dict:
     """Driver for the build pipeline (Ray must already be initialised).
 
@@ -386,12 +419,20 @@ def build_index(
     columns = ["doc_id", "html"] if from_html else ["doc_id", "text"]
     if not from_html and "title" in fields:
         columns.append("title")  # title must come from the source table
+    if files and dv_columns:
+        import pyarrow.parquet as _pq
+
+        have = set(_pq.read_schema(files[0]).names)
+        for c in dv_columns:  # passthrough DV columns present in the source
+            if c in have and c not in columns:
+                columns.append(c)
     inverter = make_inverter(
         index_dir,
         analyzer,
         from_html=from_html,
         fields=fields,
         index_offsets=index_offsets,
+        dv_columns=dv_columns,
     )
 
     def _invert_file(batch: pa.Table) -> pa.Table:

@@ -1,0 +1,144 @@
+"""Per-segment doc-values column store (sort/facet without the row store).
+
+Re-expression of Lucene's DocValues (index/DocValuesType.java:28 NUMERIC /
+SORTED; codecs/lucene80/Lucene80DocValuesFormat.java .dvd/.dvm role): at
+index time each partition segment stores the configured per-document
+columns as a sidecar ``docvalues.parquet`` (doc_id + one column per DV
+field) inside the segment directory — written under the SAME atomic
+segment rename, so a segment either has its full DV sidecar or does not
+exist. Sort-by-field and facets then read ONLY these narrow columns,
+never the source row store:
+
+- ``DocValuesReader.values_for(docs, col)``: point lookups for a
+  candidate doc set (the Sort/TopFieldCollector fetch) — doc-range
+  routed, per-range LRU, same shape as the lazy norm store (a worker
+  touches only the ranges its candidates hit).
+- ``read_doc_values_dataset(manifest, col)``: a Ray Dataset over every
+  partition's sidecar for full-column scans (facet counting — the
+  SortedSetDocValues facet role), streaming, never driver-collected.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+DOC_VALUES_FILE = "docvalues.parquet"
+
+
+def doc_values_path(seg_dir: str) -> str:
+    return os.path.join(seg_dir, DOC_VALUES_FILE)
+
+
+class DocValuesReader:
+    """Doc-range-routed lazy reader over the partitions' DV sidecars.
+
+    ``ranges`` rows need (doc_base, n_docs, seg_dir) — the build manifest's
+    partition rows. Each touched (range, col) loads once per reader with a
+    pruned single-column read and stays cached (LRU)."""
+
+    _CACHE_MAX = 64
+
+    def __init__(self, partitions: list[dict]):
+        rows = sorted(partitions, key=lambda r: int(r["doc_base"]))
+        self._lo = np.array([int(r["doc_base"]) for r in rows], dtype=np.int64)
+        self._hi = np.array(
+            [int(r["doc_base"]) + int(r["n_docs"]) for r in rows], dtype=np.int64
+        )
+        self._dirs = [r["seg_dir"] for r in rows]
+        from collections import OrderedDict
+
+        self._cache: "OrderedDict[tuple[int, str], tuple[np.ndarray, np.ndarray]]" = (
+            OrderedDict()
+        )
+
+    def columns(self) -> list[str]:
+        schema = pq.read_schema(doc_values_path(self._dirs[0]))
+        return [n for n in schema.names if n != "doc_id"]
+
+    def _range_vals(self, i: int, col: str) -> tuple[np.ndarray, np.ndarray]:
+        key = (i, col)
+        hit = self._cache.get(key)
+        if hit is not None:
+            self._cache.move_to_end(key)
+            return hit
+        tbl = pq.read_table(doc_values_path(self._dirs[i]), columns=["doc_id", col])
+        docs = tbl.column("doc_id").to_numpy()
+        vals = tbl.column(col).to_numpy(zero_copy_only=False)
+        out = (docs, vals)
+        self._cache[key] = out
+        if len(self._cache) > self._CACHE_MAX:
+            self._cache.popitem(last=False)
+        return out
+
+    def values_for(self, doc_ids: np.ndarray, col: str) -> np.ndarray:
+        """Column values aligned with an arbitrary doc_id array (docs with
+        no stored value get the dtype's zero/None)."""
+        docs = np.asarray(doc_ids, dtype=np.int64)
+        if len(docs) == 0:
+            return np.empty(0)
+        idx = np.searchsorted(self._lo, docs, side="right") - 1
+        out = None
+        for j in np.unique(idx):
+            r_docs, r_vals = self._range_vals(int(j), col)
+            if out is None:
+                out = np.zeros(len(docs), dtype=r_vals.dtype)
+            m = idx == j
+            pos = np.searchsorted(r_docs, docs[m])
+            pos = np.clip(pos, 0, len(r_docs) - 1)
+            hit = r_docs[pos] == docs[m]
+            sel = np.flatnonzero(m)
+            out[sel[hit]] = r_vals[pos[hit]]
+        return out if out is not None else np.empty(0)
+
+
+def read_doc_values_dataset(manifest: dict, columns: list[str]):
+    """Ray Dataset over every partition's DV sidecar (pruned columns) —
+    the streaming full-column scan facets/aggregations run on."""
+    import ray.data
+
+    from .rayenv import remote_args as _rargs  # noqa: F401 (documented contract)
+
+    files = [
+        doc_values_path(r["seg_dir"])
+        for r in sorted(manifest["partitions"], key=lambda r: int(r["doc_base"]))
+    ]
+    return ray.data.read_parquet(
+        files,
+        columns=["doc_id"] + list(columns),
+        override_num_blocks=min(len(files), 32),
+    )
+
+
+def facet_counts(manifest: dict, col: str) -> pa.Table:
+    """Flat facet over one DV column: (value, count) sorted by count desc,
+    value asc — counts computed with a map-side combiner (per-block Arrow
+    group-count) then one tiny groupby-sum, the SortedSetDocValues facet
+    role (lucene/facet SSDVFacetCounts) without touching the row store."""
+    import pyarrow.compute as pc
+
+    from .rayenv import remote_args as _rargs
+
+    ds = read_doc_values_dataset(manifest, [col])
+
+    def _partial(b: pa.Table) -> pa.Table:
+        agg = b.group_by(col).aggregate([([], "count_all")])
+        return agg.rename_columns([col, "cnt"])
+
+    parts = ds.map_batches(_partial, batch_format="pyarrow", **_rargs()).take_all()
+    tbl = pa.Table.from_pylist(parts)
+    agg = tbl.group_by(col).aggregate([("cnt", "sum")])
+    order = pc.sort_indices(
+        agg,
+        sort_keys=[("cnt_sum", "descending"), (col, "ascending")],
+    )
+    agg = agg.take(order)
+    return pa.table(
+        {
+            col: agg.column(col),
+            "cnt": agg.column("cnt_sum").cast(pa.int64()),
+        }
+    )

@@ -70,7 +70,11 @@ def render_html(doc_id: int, title: str, body_text: str) -> bytes:
 
 
 def _pages_table(
-    doc_ids: np.ndarray, titles: list[str], bodies: list[str], langs: list[str]
+    doc_ids: np.ndarray,
+    titles: list[str],
+    bodies: list[str],
+    langs: list[str],
+    n_chars: list[int] | None = None,
 ) -> pa.Table:
     htmls: list[bytes] = []
     texts: list[str] = []
@@ -80,6 +84,9 @@ def _pages_table(
         texts.append(extract(h).body)  # the byte-identity contract column
     urls = [f"https://site{d % N_HOSTS}.example/p/{d}" for d in doc_ids.tolist()]
     ts = pa.array(WARC_EPOCH + 37 * doc_ids, type=pa.timestamp("s"))
+    if n_chars is None:
+        # standalone corpora: doc-value length of the SOURCE body text
+        n_chars = [len(b) for b in bodies]
     return pa.table(
         {
             "doc_id": pa.array(doc_ids, type=pa.int64()),
@@ -89,6 +96,9 @@ def _pages_table(
             "text": pa.array(texts, type=pa.string()),
             "lang": pa.array(langs, type=pa.string()),
             "title": pa.array(titles, type=pa.string()),
+            # per-document metadata column carried into the index's
+            # DocValues sidecar (NumericDocValuesField ingest analogue)
+            "n_chars": pa.array(n_chars, type=pa.int64()),
         }
     )
 
@@ -102,12 +112,13 @@ def pages_from_documents(sf_dir: str, repeat: int = 1) -> pa.Table:
     base_ids = docs.column("doc_id").to_numpy()
     texts = docs.column("text").to_pylist()
     langs = docs.column("lang").to_pylist()
+    n_chars = [int(x) for x in docs.column("n_chars").to_pylist()]
     n = len(base_ids)
     tables = []
     for r in range(repeat):
         ids = np.arange(r * n, r * n + n, dtype=np.int64)
         titles = [f"doc {int(i)} rep {r}" for i in ids]
-        tables.append(_pages_table(ids, titles, texts, langs))
+        tables.append(_pages_table(ids, titles, texts, langs, n_chars=n_chars))
     return pa.concat_tables(tables)
 
 

@@ -45,8 +45,8 @@ REFERENCE_QUERIES: list[tuple[int, str, int]] = [
 
 def _cache_dir(sf_dir: str, n_rows: int, variant: str = "") -> str:
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    # -mf2: multi-field + off_blob column layout
-    return os.path.join(CACHE_ROOT, f"{tag}-{n_rows}-mf2{variant}")
+    # -mf4: multi-field + off_blob + docvalues sidecar + pages n_chars
+    return os.path.join(CACHE_ROOT, f"{tag}-{n_rows}-mf4{variant}")
 
 
 def get_index(
@@ -80,6 +80,9 @@ def get_index(
             from_html=True,
             fields=("body", "title"),  # DocMaker.java:197-198 title+body
             index_offsets=index_offsets,
+            # DocValues sidecar: numeric n_chars (sort-by-field) + sorted
+            # lang (facets) — index/DocValuesType.java NUMERIC/SORTED
+            dv_columns=("n_chars", "lang"),
         )
     merge_manifest = load_merge_manifest(index_dir)
     if merge_manifest is None:
@@ -408,14 +411,36 @@ def term_filter_sort_by_field(
                 "n_chars": pa.array([], type=pa.int64()),
             }
         )
-    tbl = pads.dataset(os.path.join(sf_dir, "documents.parquet")).to_table(
-        columns=["doc_id", "n_chars"],
-        filter=pads.field("doc_id").isin([int(d) for d in docs]),
+    # doc-values fetch: candidate doc_ids -> n_chars straight from the
+    # per-segment DV sidecars (index/DocValuesType.java NUMERIC; the
+    # Sort/TopFieldCollector field fetch) — repeated sorts cost O(touched
+    # DV ranges), the source row store is never read
+    from .docvalues import DocValuesReader
+
+    dv = DocValuesReader(idx["build_manifest"]["partitions"])
+    docs = np.sort(docs)
+    n_chars = dv.values_for(docs, "n_chars").astype(np.int64)
+    order = np.lexsort((docs, -n_chars))[:k]
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(len(order)), type=pa.int64()),
+            "doc_id": pa.array(docs[order], type=pa.int64()),
+            "n_chars": pa.array(n_chars[order], type=pa.int64()),
+        }
     )
-    df = tbl.to_pandas().sort_values(["n_chars", "doc_id"], ascending=[False, True]).head(k)
-    df = df.reset_index(drop=True)
-    df["rank"] = np.arange(len(df), dtype=np.int64)
-    return pa.Table.from_pandas(df[["rank", "doc_id", "n_chars"]], preserve_index=False)
+
+
+def lang_facet_dv(sf_dir: str) -> pa.Table:
+    """Flat facet over the INDEX'S lang doc-values column (the
+    SortedSetDocValues facet role, lucene/facet SSDVFacetCounts): per-block
+    Arrow group-count combiner over the DV sidecars, one tiny final sum —
+    the source row store is never read. Same oracle as the relational
+    facet (counts must agree with documents.lang exactly)."""
+    from .docvalues import facet_counts
+
+    idx = get_index(sf_dir)
+    t = facet_counts(idx["build_manifest"], "lang")
+    return pa.table({"lang": t.column("lang"), "n_docs": t.column("cnt")})
 
 
 def bm25_topk_sharded(sf_dir: str, n_shards: int = 3) -> pa.Table:

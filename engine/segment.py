@@ -89,6 +89,7 @@ def write_segment(
     norm_doc_ids: np.ndarray,
     norms: np.ndarray,
     meta: dict,
+    doc_values: pa.Table | None = None,
 ) -> dict:
     """Atomically write a segment directory (tmp + rename, the two-phase
     commit analogue of SegmentInfos.java:781-834). Returns the meta dict.
@@ -112,6 +113,10 @@ def write_segment(
             ),
             os.path.join(tmp, "norms.parquet"),
         )
+        if doc_values is not None:
+            # DocValues sidecar (index/DocValuesType.java:28; the .dvd/.dvm
+            # per-segment column store role) — same atomic rename
+            pq.write_table(doc_values, os.path.join(tmp, "docvalues.parquet"))
         with open(os.path.join(tmp, "meta.json"), "w") as f:
             json.dump(meta, f, sort_keys=True)
         try:
