@@ -249,6 +249,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_tokens_unnest": relational.doc_tokens_unnest,
         "significant_terms": relational.significant_terms,
         "top_orders_per_priority": relational.top_orders_per_priority,
+        "taxonomy_facet_customers": relational.taxonomy_facet_customers,
+        "top_k_groups_orders": relational.top_k_groups_orders,
         "lang_facet": relational.lang_facet,
         "lineitem_revenue_expr": relational.lineitem_revenue_expr,
         "orders_sample": relational.orders_sample,
@@ -456,6 +458,42 @@ def oracle_sql() -> dict[str, str]:
         "lang_facet": "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang",
         # facet over the index's DV sidecar must agree with the raw table
         "lang_facet_dv": "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang",
+        # taxonomy roll-up: every customer counts into each prefix of its
+        # region/nation path (lucene/facet TaxonomyFacetCounts)
+        "taxonomy_facet_customers": """
+            WITH cn AS (
+                SELECT r.r_name, n.n_name FROM customer c
+                JOIN nation n ON c.c_nationkey = n.n_nationkey
+                JOIN region r ON n.n_regionkey = r.r_regionkey
+            )
+            SELECT r_name AS path, CAST(1 AS BIGINT) AS level,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM cn GROUP BY r_name
+            UNION ALL
+            SELECT r_name || '/' || n_name, CAST(2 AS BIGINT),
+                   CAST(count(*) AS BIGINT)
+            FROM cn GROUP BY r_name, n_name
+        """,
+        # two-pass grouped top-k: top-10 customers by max totalprice (tie
+        # smaller custkey), then top-2 orders within each selected group
+        "top_k_groups_orders": """
+            WITH sel AS (
+                SELECT o_custkey FROM orders GROUP BY o_custkey
+                ORDER BY max(o_totalprice) DESC, o_custkey ASC LIMIT 10
+            )
+            SELECT o_custkey,
+                   CAST(rn - 1 AS BIGINT) AS rank_in_group,
+                   o_orderkey, o_totalprice
+            FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       row_number() OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey ASC
+                       ) AS rn
+                FROM orders
+                WHERE o_custkey IN (SELECT o_custkey FROM sel)
+            ) WHERE rn <= 2
+        """,
         "term_filter_sort_by_field": f"""
             SELECT (row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) - 1) AS rank,
                    doc_id, n_chars

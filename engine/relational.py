@@ -457,3 +457,103 @@ def fnv1a_u64_sql(col: str) -> str:
             f" % 18446744073709551616) AS UBIGINT)"
         )
     return expr
+
+
+def taxonomy_facet_customers(sf_dir: str):
+    """Taxonomy facet counts (lucene/facet taxonomy dimensions —
+    facet/taxonomy/TaxonomyFacetCounts roll-up): each customer contributes
+    to every prefix of its region/nation path, so one pass yields counts
+    at BOTH levels (path, level, cnt). Dimension side (region ⋈ nation,
+    ~50 rows) broadcasts once; the fact table streams with a per-batch
+    partial count and only (path, cnt) partials shuffle."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    region = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    r_of = region.set_index("r_regionkey")["r_name"]
+    path_of_nation = {
+        int(row.n_nationkey): (
+            str(r_of[row.n_regionkey]),
+            f"{r_of[row.n_regionkey]}/{row.n_name}",
+        )
+        for row in nation.itertuples()
+    }
+    lookup_ref = ray.put(path_of_nation)
+
+    cust = _read(sf_dir, "customer", ["c_nationkey"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(lookup_ref)
+        keys = batch.column("c_nationkey").to_numpy()
+        rows: dict[tuple[str, int], int] = {}
+        for k in keys:
+            lvl1, lvl2 = lookup[int(k)]
+            rows[(lvl1, 1)] = rows.get((lvl1, 1), 0) + 1
+            rows[(lvl2, 2)] = rows.get((lvl2, 2), 0) + 1
+        return pa.table(
+            {
+                "path": pa.array([p for p, _ in rows], type=pa.string()),
+                "level": pa.array([l for _, l in rows], type=pa.int64()),
+                "cnt": pa.array(list(rows.values()), type=pa.int64()),
+            }
+        )
+
+    agg = (
+        cust.map_batches(partial, batch_format="pyarrow", **_rargs())
+        .groupby(["path", "level"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "path": batch.column("path"),
+                "level": batch.column("level").cast(pa.int64()),
+                "cnt": batch.column("cnt").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", **_rargs())
+
+
+def top_k_groups_orders(sf_dir: str, k_groups: int = 10, n_per_group: int = 2):
+    """Two-pass grouped top-k (lucene/grouping FirstPassGroupingCollector +
+    SecondPassGroupingCollector): pass 1 selects the top ``k_groups``
+    group HEADS (customers by max order totalprice, tie smaller custkey)
+    with a native Max aggregate + distributed sort + limit; pass 2
+    collects the top ``n_per_group`` docs inside ONLY the selected groups
+    (filter pushdown on the broadcast key set, then a per-group rank).
+    Returns (o_custkey, rank_in_group, o_orderkey, o_totalprice)."""
+    from ray.data.aggregate import Max
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    heads = (
+        orders.groupby("o_custkey")
+        .aggregate(Max("o_totalprice", alias_name="_gmax"))
+        .sort(["_gmax", "o_custkey"], descending=[True, False])
+        .limit(k_groups)
+        .to_pandas()
+    )
+    selected = set(int(k) for k in heads["o_custkey"])
+
+    def in_selected(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(
+            batch.column("o_custkey"), pa.array(sorted(selected), type=pa.int64())
+        )
+        return batch.filter(mask)
+
+    def rank_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["o_totalprice", "o_orderkey"], ascending=[False, True]
+        ).head(n_per_group)
+        g = g.reset_index(drop=True)
+        g["rank_in_group"] = np.arange(len(g), dtype=np.int64)
+        return g[["o_custkey", "rank_in_group", "o_orderkey", "o_totalprice"]]
+
+    return (
+        orders.map_batches(in_selected, batch_format="pyarrow", **_rargs())
+        .groupby("o_custkey")
+        .map_groups(rank_group, batch_format="pandas", **_rargs())
+    )

@@ -294,3 +294,32 @@ class TestScaleSafePaths:
 
 
 from engine.ann import embedding_near_dups as embedding_near_dups_fn  # noqa: E402
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_taxonomy_facet_rollup():
+    """Taxonomy facet: level-2 counts must sum to their level-1 parent
+    (the TaxonomyFacetCounts roll-up invariant) and level-1 totals to the
+    table size."""
+    from engine.relational import taxonomy_facet_customers
+
+    t = taxonomy_facet_customers("/root/testdata/sf0.001").to_pandas()
+    l1 = t[t["level"] == 1].set_index("path")["cnt"]
+    l2 = t[t["level"] == 2]
+    assert l1.sum() == 150  # sf0.001 customer count
+    for region, grp in l2.groupby(l2["path"].str.split("/").str[0]):
+        assert grp["cnt"].sum() == l1[region], region
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_top_k_groups_two_pass():
+    """Two-pass grouped top-k: exactly k selected groups, <= n rows per
+    group, ranked by (totalprice desc, orderkey asc) inside each."""
+    from engine.relational import top_k_groups_orders
+
+    t = top_k_groups_orders("/root/testdata/sf0.001", k_groups=5, n_per_group=3).to_pandas()
+    assert t["o_custkey"].nunique() == 5
+    for _, g in t.groupby("o_custkey"):
+        assert len(g) <= 3
+        g = g.sort_values("rank_in_group")
+        assert g["o_totalprice"].is_monotonic_decreasing or len(g) == 1
