@@ -1261,11 +1261,31 @@ class MergedIndex:
         """Width of the doc-id range this reader covers (accumulator size)."""
         return self.max_doc - self.doc_base
 
+    # span bound for on-demand densification: 256 MB of norm bytes per
+    # searcher process. Below it, the first MULTI-shard lookup (a heavy
+    # term's whole-corpus TAAT scan) materializes one dense array — the
+    # doc-range store costs ~20x per lookup on such scans (measured 8.8ms
+    # vs 0.4ms on a df=190k term). Above it (10^9+ docs), lookups stay on
+    # the range-LRU so a worker never holds whole-corpus norms.
+    DENSE_NORMS_MAX_SPAN = 1 << 28
+
     def norm_of(self, doc_ids: np.ndarray) -> np.ndarray:
         docs = np.asarray(doc_ids, dtype=np.int64)
-        if self._norm_store is not None:
-            return self._norm_store.norms_for(docs)
-        return self._norms_dense[docs - self.doc_base]
+        if self._norms_dense is not None:
+            return self._norms_dense[docs - self.doc_base]
+        store = self._norm_store
+        if len(docs) and self.norm_span <= self.DENSE_NORMS_MAX_SPAN:
+            lo_d, hi_d = int(docs.min()), int(docs.max())
+            i = int(np.searchsorted(store._lo, lo_d, side="right")) - 1
+            if not (0 <= i < len(store.shards) and hi_d < int(store.shards[i]["doc_hi"])):
+                # multi-shard request: densify once, serve direct gathers
+                dense = np.zeros(self.norm_span, dtype=np.uint8)
+                for j, s in enumerate(store.shards):
+                    dense[int(s["doc_lo"]) - self.doc_base : int(s["doc_hi"]) - self.doc_base] = store._dense(j)
+                self._norms_dense = dense
+                self._norm_store = None  # shards now redundant in this reader
+                return dense[docs - self.doc_base]
+        return store.norms_for(docs)
 
     def _load(self, path: str) -> tuple[pa.Table, list[str]]:
         hit = self._tables.get(path)
