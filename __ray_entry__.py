@@ -3,12 +3,13 @@
 ``entry()`` runs the flagship pipeline (pages fixture → extract → SPIMI
 invert → salted groupby-term merge → BM25 actor-pool search) at sf0.001.
 ``queries()`` exposes one entry per implemented operator family from
-SURVEY.md §2 (+ the training-data extras) — 46 entries as of round 2;
+SURVEY.md §2 (+ the training-data extras) — 51 entries as of round 3;
 ``oracle_sql()`` gives DuckDB equivalents where SQL can express the
-semantics (30 exact oracles) — index-derived entries (term stats, title
+semantics (35 exact oracles) — index-derived entries (term stats, title
 field stats, norms via the embedded SmallFloat byte4 table, token
-counts, phrase/sloppy matching via position self-joins) are thereby
-checked *end-to-end* against a raw recomputation from documents.text.
+counts, phrase/sloppy matching via position self-joins, nested boolean
+set algebra, DV facets/sort, keep-latest dedup) are thereby checked
+*end-to-end* against a raw recomputation from documents.text.
 
 Ray is initialised by the driver BEFORE this module is imported; nothing
 here (or in engine/) calls ray.init()/ray.shutdown().
