@@ -113,11 +113,16 @@ def read_doc_values_dataset(manifest: dict, columns: list[str]):
     )
 
 
-def facet_counts(manifest: dict, col: str) -> pa.Table:
+def facet_counts(
+    manifest: dict, col: str, max_driver_rows: int = 2_000_000
+) -> pa.Table:
     """Flat facet over one DV column: (value, count) sorted by count desc,
     value asc — counts computed with a map-side combiner (per-block Arrow
-    group-count) then one tiny groupby-sum, the SortedSetDocValues facet
-    role (lucene/facet SSDVFacetCounts) without touching the row store."""
+    group-count), the SortedSetDocValues facet role (lucene/facet
+    SSDVFacetCounts) without touching the row store. The final sum runs
+    on the driver only while the partials fit ``max_driver_rows``; a
+    high-cardinality column (blocks x uniques can explode) finishes as a
+    distributed Dataset groupby instead."""
     import pyarrow.compute as pc
 
     from .rayenv import remote_args as _rargs
@@ -128,17 +133,26 @@ def facet_counts(manifest: dict, col: str) -> pa.Table:
         agg = b.group_by(col).aggregate([([], "count_all")])
         return agg.rename_columns([col, "cnt"])
 
-    parts = ds.map_batches(_partial, batch_format="pyarrow", **_rargs()).take_all()
-    tbl = pa.Table.from_pylist(parts)
-    agg = tbl.group_by(col).aggregate([("cnt", "sum")])
+    partials = ds.map_batches(_partial, batch_format="pyarrow", **_rargs()).materialize()
+    if partials.count() > max_driver_rows:
+        from ray.data.aggregate import Sum
+
+        agg_tbl = pa.Table.from_pylist(
+            partials.groupby(col).aggregate(Sum("cnt", alias_name="cnt_sum")).take_all()
+        )
+    else:
+        import ray as _ray
+
+        tbls = [t for t in _ray.get(partials.to_arrow_refs()) if t.num_rows]
+        agg_tbl = pa.concat_tables(tbls).group_by(col).aggregate([("cnt", "sum")])
     order = pc.sort_indices(
-        agg,
+        agg_tbl,
         sort_keys=[("cnt_sum", "descending"), (col, "ascending")],
     )
-    agg = agg.take(order)
+    agg_tbl = agg_tbl.take(order)
     return pa.table(
         {
-            col: agg.column(col),
-            "cnt": agg.column("cnt_sum").cast(pa.int64()),
+            col: agg_tbl.column(col),
+            "cnt": agg_tbl.column("cnt_sum").cast(pa.int64()),
         }
     )

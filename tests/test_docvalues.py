@@ -91,3 +91,12 @@ def test_sort_by_field_uses_dv_not_source(tmp_path_factory):
     """).fetchdf()
     assert out["doc_id"].tolist() == exp["doc_id"].tolist()
     assert out["n_chars"].tolist() == exp["n_chars"].tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dv_facet_distributed_tail(dv_corpus):
+    """Above max_driver_rows the facet sum finishes as a Dataset groupby;
+    result identical to the driver-side path."""
+    a = facet_counts(dv_corpus["manifest"], "lang")
+    b = facet_counts(dv_corpus["manifest"], "lang", max_driver_rows=1)
+    assert a.to_pylist() == b.to_pylist()
