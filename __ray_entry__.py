@@ -3,9 +3,9 @@
 ``entry()`` runs the flagship pipeline (pages fixture → extract → SPIMI
 invert → salted groupby-term merge → BM25 actor-pool search) at sf0.001.
 ``queries()`` exposes one entry per implemented operator family from
-SURVEY.md §2 (+ the training-data extras) — 51 entries as of round 3;
+SURVEY.md §2 (+ the training-data extras) — 54 entries as of round 3;
 ``oracle_sql()`` gives DuckDB equivalents where SQL can express the
-semantics (35 exact oracles) — index-derived entries (term stats, title
+semantics (39 exact oracles) — index-derived entries (term stats, title
 field stats, norms via the embedded SmallFloat byte4 table, token
 counts, phrase/sloppy matching via position self-joins, nested boolean
 set algebra, DV facets/sort, keep-latest dedup) are thereby checked
@@ -176,6 +176,47 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return out.map_batches(finish, batch_format="pyarrow", **_rargs())
 
+    def q_ngram_jaccard(sf_dir):
+        """Exact n-gram Jaccard self-join (AllPairs prefix filtering,
+        Bayardo WWW'07) over a deterministic near-dup corpus: documents
+        unioned with a copy at (doc_id + n) whose text gains three
+        appended tokens — every >=3-token doc pairs with its copy at
+        J = n_sh/(n_sh+3) >= 1/2. The union is materialized once under
+        /tmp so the verify stage re-reads candidate texts by doc_id
+        pushdown (no text broadcast); output (doc_a, doc_b, n_inter,
+        n_union) is integer-exact against a DuckDB shingle self-join."""
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        import ray.data
+
+        src = os.path.join(sf_dir, "documents.parquet")
+        n = pq.read_metadata(src).num_rows
+        tag = os.path.basename(os.path.normpath(sf_dir))
+        out_dir = os.path.join("/tmp/rayfts-cache", f"ngramdocs-{tag}-{n}")
+        done = os.path.join(out_dir, "_DONE")
+        if not os.path.exists(done):
+            import shutil
+
+            shutil.rmtree(out_dir, ignore_errors=True)
+            ds = ray.data.read_parquet(src, columns=["doc_id", "text"])
+
+            def recopy(b):
+                return pa.table(
+                    {
+                        "doc_id": pc.add(b.column("doc_id"), n),
+                        "text": pc.binary_join_element_wise(
+                            b.column("text"), " qq0 qq1 qq2", ""
+                        ),
+                    }
+                )
+
+            both = ds.union(ds.map_batches(recopy, batch_format="pyarrow", **_rargs()))
+            both.write_parquet(out_dir)
+            with open(done, "w") as f:
+                f.write("ok")
+        full = ray.data.read_parquet(out_dir, columns=["doc_id", "text"])
+        return dedup.ngram_jaccard_join(full, threshold=0.5, k=3, source_path=out_dir)
+
     def q_customers_without_orders(sf_dir):
         import pandas as pd
 
@@ -215,6 +256,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_filter_sort_by_field": pipelines.term_filter_sort_by_field,
         "lang_facet_dv": pipelines.lang_facet_dv,
         "bm25_topk_sharded": pipelines.bm25_topk_sharded,
+        "range_facet_nchars": pipelines.range_facet_nchars,
+        "spell_suggest": pipelines.spell_suggest_body,
         "bm25_snippets": pipelines.bm25_snippets,
         "bm25_snippets_offsets": pipelines.bm25_snippets_offsets,
         # --- text analysis ------------------------------------------------
@@ -230,6 +273,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_lsh_pairs": q_minhash,
         "simhash64": q_simhash,
         "simhash_near_dup_pairs": q_simhash_pairs,
+        "ngram_jaccard_pairs": q_ngram_jaccard,
         # --- multimodal plumbing (decode stubbed, see engine/multimodal) --
         "image_meta": q_image_meta,
         "dedup_pages_by_url": q_dedup_by_url,
@@ -260,6 +304,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from engine.relational import fnv1a_str_sql as _fnv_str_sql
     from engine.relational import fnv1a_u64_sql as _fnv_sql
 
     tok_pairs = f"""
@@ -337,6 +382,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1577836800 + 37 * doc_id + 1000 AS BIGINT) AS warc_ts_s
             FROM documents
         """,
+        # 64-bit SimHash recomputed from scratch in SQL: per-(doc, term)
+        # counts, the FNV-1a fold over token characters (exact HUGEINT
+        # mod-2^64 chain), signed bit-count accumulation, bit 63 masked —
+        # the sketch column is thereby checked end-to-end, not rows-only
+        "simhash64": f"""
+            WITH tc AS (
+                SELECT doc_id, t AS w, count(*) AS c FROM (
+                    SELECT doc_id, unnest({_TOK}) AS t FROM documents
+                ) GROUP BY doc_id, t
+            ),
+            th AS (SELECT doc_id, c, {_fnv_str_sql("w")} AS h FROM tc),
+            bits AS (
+                SELECT doc_id, i,
+                       sum(CASE WHEN ((h >> CAST(i AS UBIGINT)) & 1) = 1
+                           THEN c ELSE -c END) AS acc
+                FROM th, (SELECT unnest(range(63)) AS i)
+                GROUP BY doc_id, i
+            ),
+            sh AS (
+                SELECT doc_id,
+                       CAST(sum(CASE WHEN acc > 0
+                                THEN (CAST(1 AS BIGINT) << i)
+                                ELSE 0 END) AS BIGINT) AS simhash
+                FROM bits GROUP BY doc_id
+            )
+            SELECT d.doc_id, coalesce(s.simhash, 0) AS simhash
+            FROM documents d LEFT JOIN sh s ON d.doc_id = s.doc_id
+        """,
         "token_counts_docs": f"""
             SELECT doc_id, len({_TOK}) AS n_tokens FROM documents
         """,
@@ -370,6 +443,40 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": """
             SELECT min(doc_id) AS kept_doc_id, count(*) AS dup_count
             FROM documents GROUP BY text
+        """,
+        # exact set-similarity self-join over the recrawl-style union
+        # (originals + 3-token-appended copies): distinct 3-token shingles
+        # (<3 tokens collapse to one joined shingle), Jaccard >= 1/2 as
+        # the integer inequality 2*|inter| >= |union| — identical to the
+        # engine's Fraction-exact compare, no float division either side
+        "ngram_jaccard_pairs": f"""
+            WITH docs2 AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + (SELECT count(*) FROM documents) AS doc_id,
+                       text || ' qq0 qq1 qq2' AS text
+                FROM documents
+            ),
+            tok AS (SELECT doc_id, {_TOK} AS ts FROM docs2),
+            sh AS (
+                SELECT DISTINCT doc_id, array_to_string(ts[i + 1 : i + 3], ' ') AS s
+                FROM (SELECT doc_id, ts,
+                             unnest(range(CASE WHEN len(ts) >= 3
+                                          THEN len(ts) - 2 ELSE 1 END)) AS i
+                      FROM tok WHERE len(ts) > 0)
+            ),
+            sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b, CAST(ni AS BIGINT) AS n_inter,
+                   CAST(sa.n + sb.n - ni AS BIGINT) AS n_union
+            FROM inter
+            JOIN sz sa ON sa.doc_id = inter.doc_a
+            JOIN sz sb ON sb.doc_id = inter.doc_b
+            WHERE 2 * ni >= sa.n + sb.n - ni
         """,
         "ann_cosine_top10": """
             SELECT query_id, rank, neighbor_id FROM (
@@ -494,6 +601,43 @@ def oracle_sql() -> dict[str, str]:
                 FROM orders
                 WHERE o_custkey IN (SELECT o_custkey FROM sel)
             ) WHERE rn <= 2
+        """,
+        # numeric range facet over the DV sidecar vs raw documents.n_chars;
+        # the 100-400 range overlaps on purpose (LongRange semantics: a doc
+        # counts into every containing range)
+        "range_facet_nchars": """
+            SELECT label, CAST(lo AS BIGINT) AS lo, CAST(hi AS BIGINT) AS hi,
+                   CAST((SELECT count(*) FROM documents
+                         WHERE n_chars >= lo AND n_chars < hi) AS BIGINT) AS cnt
+            FROM (VALUES ('0-150', 0, 150), ('150-300', 150, 300),
+                         ('300-450', 300, 450), ('450+', 450, 1099511627776),
+                         ('mid-100-400', 100, 400)) AS r(label, lo, hi)
+        """,
+        # DirectSpellChecker contract: dictionary terms within 2 edits of
+        # each query word, ranked (distance asc, df desc, term asc), top 5;
+        # distance = classic Levenshtein (= DuckDB's), the documented
+        # deviation from LuceneLevenshteinDistance (engine/suggest.py)
+        "spell_suggest": f"""
+            WITH td AS (
+                SELECT term, count(*) AS df FROM ({tok_pairs}) GROUP BY term
+            ),
+            w AS (SELECT unnest(['dta','jion','hsh','qurey','streem',
+                                 'windo','tabel','kei']) AS word),
+            cand AS (
+                SELECT w.word, td.term, td.df,
+                       levenshtein(w.word, td.term) AS dist
+                FROM w CROSS JOIN td
+                WHERE levenshtein(w.word, td.term) <= 2 AND td.term <> w.word
+            )
+            SELECT word, CAST(rn - 1 AS BIGINT) AS rank, term AS suggestion,
+                   CAST(dist AS BIGINT) AS dist, df
+            FROM (
+                SELECT word, term, df, dist,
+                       row_number() OVER (
+                           PARTITION BY word
+                           ORDER BY dist ASC, df DESC, term ASC) AS rn
+                FROM cand
+            ) WHERE rn <= 5
         """,
         "term_filter_sort_by_field": f"""
             SELECT (row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) - 1) AS rank,

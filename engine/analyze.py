@@ -103,7 +103,7 @@ EMOJI_PATTERN = (
     f"|{_E1}(?:\u200d{_E1})*"  # ZWJ sequence (family/profession emoji)
 )
 # one non-CJK word char (letters/digits; '_' excluded — it JOINS below)
-_W = f"(?:(?![{_HAN_HIRA}{_KATAKANA}{_HANGUL}])[^\W_])"
+_W = rf"(?:(?![{_HAN_HIRA}{_KATAKANA}{_HANGUL}])[^\W_])"
 UNICODE_TOKEN_PATTERN = (
     f"{EMOJI_PATTERN}"
     f"|[{_HAN_HIRA}]"
@@ -111,7 +111,7 @@ UNICODE_TOKEN_PATTERN = (
     f"|[{_HANGUL}]+"
     # alnum runs; MidNum [.,] continues digit×digit (WB11/12), '_' joins
     # any alnum runs (ExtendNumLet, WB13a/13b)
-    f"|{_W}+(?:(?:(?<=\d)[.,](?=\d)|_){_W}+)*"
+    rf"|{_W}+(?:(?:(?<=\d)[.,](?=\d)|_){_W}+)*"
 )
 
 UNICODE_ANALYZER = Analyzer(token_pattern=UNICODE_TOKEN_PATTERN)

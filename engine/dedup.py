@@ -253,6 +253,271 @@ def minhash_lsh_dedup(ds, threshold: float = 0.7, k: int = 3, source_path: str |
 
 
 # ---------------------------------------------------------------------------
+# exact n-gram Jaccard set-similarity join (AllPairs prefix filtering)
+# ---------------------------------------------------------------------------
+
+# log (never silently cap) prefix-posting groups beyond this size — with
+# frequency ordering these only appear when a genuinely hot shingle falls
+# outside the broadcast top-F table
+_JOIN_GROUP_WARN = 10_000
+
+
+def _prefix_lens(n: np.ndarray, threshold: float) -> np.ndarray:
+    """Exact prefix length n - ceil(t*n) + 1 per set size, with t taken as
+    the exact binary value of the float threshold (integer ceil — a float
+    ceil that rounds t*n up across an integer would shrink the prefix and
+    silently drop true pairs)."""
+    from fractions import Fraction
+
+    t = Fraction(threshold)
+    num, den = t.numerator, t.denominator
+    ceil_tn = -((-num * n.astype(object)) // den)  # exact ceil(num*n/den)
+    return (n - ceil_tn.astype(np.int64) + 1).astype(np.int64)
+
+
+def _doc_shingles(text: str, k: int) -> list[str]:
+    """Distinct k-token shingles as STRINGS (the oracle-exact semantic:
+    tokens are TOKEN_RE over lowered text; <k tokens collapse to one
+    joined shingle; zero tokens → empty set)."""
+    toks = TOKEN_RE.findall((text or "").lower())
+    if not toks:
+        return []
+    if len(toks) < k:
+        return [" ".join(toks)]
+    return list({" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)})
+
+
+def ngram_jaccard_join(
+    ds,
+    threshold: float = 0.6,
+    k: int = 3,
+    source_path: str | None = None,
+    freq_top: int = 4096,
+):
+    """EXACT set-similarity self-join: all pairs (doc_a < doc_b) whose
+    k-token-shingle sets have Jaccard >= threshold, as
+    (doc_a, doc_b, n_inter, n_union) — integer columns only, so a DuckDB
+    shingle self-join oracle hash-matches bit-for-bit.
+
+    AllPairs prefix filtering (Bayardo et al., WWW'07; the exact
+    counterpart of the MinHash LSH sketch above): each doc emits only its
+    first |s| - ceil(t*|s|) + 1 shingles under a GLOBAL shingle order —
+    any pair with J >= t provably shares a prefix shingle, so a
+    groupby(shingle) over prefix postings surfaces every true pair.
+
+    Global order = rarest-first: one distributed df pass finds the top-F
+    most frequent shingles (broadcast via ray.put), which sort LAST —
+    boilerplate shingles stay out of prefixes, so posting groups stay
+    small without any correctness-breaking cap (oversized groups are
+    logged, never truncated). Ties and hash collisions are broken by the
+    shingle string itself, keeping the order a total order over shingles.
+
+    Verify re-reads only candidate texts via doc_id-pushdown from
+    ``source_path`` (the minhash_lsh_dedup scale path) and intersects
+    STRING shingle sets, so fnv1a collisions can only add candidates,
+    never wrong results. Docs with zero tokens have empty shingle sets
+    and never pair (matches the SQL oracle, where they unnest to no rows).
+    """
+    import logging
+
+    import pandas as pd
+    import ray
+
+    text_ref = None
+    if source_path is None:
+        n_rows = ds.count()
+        if n_rows > 1_000_000:
+            raise ValueError(
+                f"ngram_jaccard_join: {n_rows} rows with source_path=None "
+                "would broadcast the whole text column; pass source_path "
+                "so the verify stage re-reads candidates by doc_id pushdown"
+            )
+        texts_tbl = ds.select_columns(["doc_id", "text"]).to_pandas()
+        text_ref = ray.put(dict(zip(texts_tbl["doc_id"], texts_tbl["text"])))
+
+    # ---- pass 1: doc-frequency of every shingle (map-side combined), top-F
+    def _df_partial(batch: pa.Table) -> pa.Table:
+        hs = []
+        for t in batch.column("text").to_pylist():
+            sh = _doc_shingles(t, k)
+            if sh:
+                hs.append(np.fromiter((fnv1a(s) for s in sh), dtype=np.uint64, count=len(sh)))
+        if not hs:
+            return pa.table(
+                {"sh": pa.array([], type=pa.int64()), "df": pa.array([], type=pa.int64())}
+            )
+        u, c = np.unique(np.concatenate(hs), return_counts=True)
+        return pa.table(
+            {"sh": pa.array(u.astype(np.int64)), "df": pa.array(c.astype(np.int64))}
+        )
+
+    from ray.data.aggregate import Sum as _Sum
+
+    top = (
+        ds.map_batches(_df_partial, batch_format="pyarrow", **_rargs())
+        .groupby("sh")
+        .aggregate(_Sum("df", alias_name="df"))
+        .sort("df", descending=True)
+        .limit(freq_top)
+        .take_all()
+    )
+    # most frequent gets the LARGEST order key (sorts last, out of prefixes)
+    freq_rank = {int(r["sh"]): len(top) - i for i, r in enumerate(top)}
+    rank_ref = ray.put(freq_rank)
+
+    from fractions import Fraction as _Fr0
+
+    _tf0 = _Fr0(threshold)
+    p_num, p_den = _tf0.numerator, _tf0.denominator
+
+    # ---- pass 2: prefix postings (shingle, doc_id, n_shingles)
+    def _prefix_postings(batch: pa.Table) -> pa.Table:
+        ranks = ray.get(rank_ref)
+        hi = 1 << 63
+        lo_mask = hi - 1
+        out_sh, out_doc, out_n = [], [], []
+        docs = batch.column("doc_id").to_pylist()
+        for did, t in zip(docs, batch.column("text").to_pylist()):
+            sh = _doc_shingles(t, k)
+            n = len(sh)
+            if n == 0:
+                continue
+            keyed = []
+            for s in sh:
+                h = fnv1a(s)
+                h64 = h - (1 << 64) if h >= hi else h  # int64 wrap, = df pass
+                r = ranks.get(h64)
+                key = (hi | r) if r is not None else (h & lo_mask)
+                keyed.append((key, s, h64))
+            keyed.sort()
+            # exact prefix len n - ceil(t*n) + 1 (integer ceil of the exact
+            # binary threshold — float ceil could shrink it and drop pairs)
+            p = n - (-((-p_num * n) // p_den)) + 1
+            for _, _, h64 in keyed[: max(p, 0)]:
+                out_sh.append(h64)
+                out_doc.append(int(did))
+                out_n.append(n)
+        return pa.table(
+            {
+                "sh": pa.array(out_sh, type=pa.int64()),
+                "doc_id": pa.array(out_doc, type=pa.int64()),
+                "n_sh": pa.array(out_n, type=pa.int64()),
+            }
+        )
+
+    postings = ds.map_batches(_prefix_postings, batch_format="pyarrow", **_rargs())
+
+    t_num, t_den = p_num, p_den
+
+    # Candidate generation: NOT groupby(sh).map_groups — a per-shingle
+    # Python/pandas call over ~n_docs*prefix_len mostly-singleton groups
+    # costs ms each (the per-key-group anti-pattern). Route postings into
+    # a fixed number of hash buckets instead, then slice contiguous
+    # shingle groups vectorized inside each bucket (one Python call per
+    # bucket, numpy boundary detection — the _merge_sorted_batch trick).
+    n_buckets = 64
+
+    def _bucketize(b: pa.Table) -> pa.Table:
+        sh = b.column("sh").to_numpy(zero_copy_only=False).astype(np.uint64)
+        bk = (sh * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(64 - 6)
+        return b.append_column("bucket", pa.array(bk.astype(np.int32)))
+
+    def _cands(g: pd.DataFrame) -> pd.DataFrame:
+        sh = g["sh"].to_numpy()
+        doc = g["doc_id"].to_numpy()
+        nsh = g["n_sh"].to_numpy()
+        order = np.lexsort((nsh, doc, sh))  # shingle groups, doc-sorted inside
+        sh, doc, nsh = sh[order], doc[order], nsh[order]
+        bounds = np.flatnonzero(np.r_[True, sh[1:] != sh[:-1], True])
+        out_a, out_b = [], []
+        for s0, s1 in zip(bounds[:-1], bounds[1:]):
+            m = int(s1 - s0)
+            if m < 2:  # singleton prefix groups (the common case) pair nothing
+                continue
+            if m > _JOIN_GROUP_WARN:
+                logging.getLogger(__name__).warning(
+                    "ngram_jaccard_join: prefix group of %d docs on one "
+                    "shingle (outside the top-%d frequency table?) — "
+                    "generating all pairs, consider raising freq_top",
+                    m,
+                    freq_top,
+                )
+            for i in range(s0, s1):
+                da, na = int(doc[i]), int(nsh[i])
+                for j in range(i + 1, s1):
+                    db, nb = int(doc[j]), int(nsh[j])
+                    if da == db:
+                        continue
+                    lo, hi_n = (na, nb) if na <= nb else (nb, na)
+                    # J >= t needs |small| >= t*|large| — exact int compare
+                    if lo * t_den >= hi_n * t_num:
+                        out_a.append(da)
+                        out_b.append(db)
+        return pd.DataFrame(
+            {
+                "doc_a": pd.Series(out_a, dtype="int64"),
+                "doc_b": pd.Series(out_b, dtype="int64"),
+            }
+        )
+
+    cand = (
+        postings.map_batches(_bucketize, batch_format="pyarrow", **_rargs())
+        .groupby("bucket")
+        .map_groups(_cands, batch_format="pandas", **_rargs())
+    )
+
+    from ray.data.aggregate import Count as _Count
+
+    cand = (
+        cand.groupby(["doc_a", "doc_b"])
+        .aggregate(_Count(alias_name="_n"))
+        .select_columns(["doc_a", "doc_b"])
+    )
+
+    # ---- verify: exact string-shingle intersection on candidate pairs
+    def _verify(batch: pa.Table) -> pa.Table:
+        a_ids = batch.column("doc_a").to_pylist()
+        b_ids = batch.column("doc_b").to_pylist()
+        if source_path is not None:
+            import pyarrow.dataset as pads
+
+            need = sorted({*a_ids, *b_ids})
+            tbl = pads.dataset(source_path).to_table(
+                columns=["doc_id", "text"],
+                filter=pads.field("doc_id").isin(need),
+            )
+            texts = dict(
+                zip(tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist())
+            )
+        else:
+            texts = ray.get(text_ref)
+        out = {"doc_a": [], "doc_b": [], "n_inter": [], "n_union": []}
+        for a, b in zip(a_ids, b_ids):
+            sa = set(_doc_shingles(texts[a], k))
+            sb = set(_doc_shingles(texts[b], k))
+            inter = len(sa & sb)
+            union = len(sa) + len(sb) - inter
+            # exact integer compare against the threshold's binary value —
+            # identical to the SQL oracle's integer inequality, no float
+            # division anywhere on the accept/reject boundary
+            if union > 0 and inter * p_den >= union * p_num:
+                out["doc_a"].append(int(a))
+                out["doc_b"].append(int(b))
+                out["n_inter"].append(inter)
+                out["n_union"].append(union)
+        return pa.table(
+            {
+                "doc_a": pa.array(out["doc_a"], type=pa.int64()),
+                "doc_b": pa.array(out["doc_b"], type=pa.int64()),
+                "n_inter": pa.array(out["n_inter"], type=pa.int64()),
+                "n_union": pa.array(out["n_union"], type=pa.int64()),
+            }
+        )
+
+    return cand.map_batches(_verify, batch_format="pyarrow", batch_size=1024, **_rargs())
+
+
+# ---------------------------------------------------------------------------
 # simhash
 # ---------------------------------------------------------------------------
 

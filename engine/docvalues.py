@@ -156,3 +156,47 @@ def facet_counts(
             "cnt": agg_tbl.column("cnt_sum").cast(pa.int64()),
         }
     )
+
+
+def range_facet_counts(
+    manifest: dict, col: str, ranges: list[tuple[str, int, int]]
+) -> pa.Table:
+    """Numeric range facet over one DV NUMERIC column — the
+    LongRangeFacetCounts role (facet/range/LongRangeFacetCounts.java:40-75):
+    each doc counts into EVERY range whose half-open [lo, hi) contains its
+    value (ranges may overlap, matching LongRange semantics). Per-block
+    vectorized mask-counts (a length-n_ranges int vector per block, never
+    per-doc rows) summed on the driver — the reduce side is n_ranges
+    numbers regardless of corpus size; the row store is never read."""
+    import numpy as np
+
+    from .rayenv import remote_args as _rargs
+
+    ds = read_doc_values_dataset(manifest, [col])
+    n_r = len(ranges)
+
+    def _partial(b: pa.Table) -> pa.Table:
+        v = b.column(col).to_numpy()
+        cnts = np.fromiter(
+            (int(((v >= lo) & (v < hi)).sum()) for _, lo, hi in ranges),
+            dtype=np.int64,
+            count=n_r,
+        )
+        return pa.table(
+            {
+                "idx": pa.array(np.arange(n_r), type=pa.int64()),
+                "cnt": pa.array(cnts, type=pa.int64()),
+            }
+        )
+
+    total = np.zeros(n_r, dtype=np.int64)
+    for row in ds.map_batches(_partial, batch_format="pyarrow", **_rargs()).take_all():
+        total[int(row["idx"])] += int(row["cnt"])
+    return pa.table(
+        {
+            "label": pa.array([r[0] for r in ranges], type=pa.string()),
+            "lo": pa.array([r[1] for r in ranges], type=pa.int64()),
+            "hi": pa.array([r[2] for r in ranges], type=pa.int64()),
+            "cnt": pa.array(total, type=pa.int64()),
+        }
+    )

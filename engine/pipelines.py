@@ -443,6 +443,36 @@ def lang_facet_dv(sf_dir: str) -> pa.Table:
     return pa.table({"lang": t.column("lang"), "n_docs": t.column("cnt")})
 
 
+def range_facet_nchars(sf_dir: str) -> pa.Table:
+    """Numeric range facet over the index's n_chars doc-values column
+    (LongRangeFacetCounts role; ranges overlap on purpose — a doc counts
+    into every containing range, LongRange semantics). Oracle: the same
+    filtered counts over documents.n_chars."""
+    from .docvalues import range_facet_counts
+
+    idx = get_index(sf_dir)
+    ranges = [
+        ("0-150", 0, 150),
+        ("150-300", 150, 300),
+        ("300-450", 300, 450),
+        ("450+", 450, 1 << 40),
+        ("mid-100-400", 100, 400),  # overlapping: LongRange allows it
+    ]
+    return range_facet_counts(idx["build_manifest"], "n_chars", ranges)
+
+
+def spell_suggest_body(sf_dir: str) -> pa.Table:
+    """DirectSpellChecker suggestions against the merged BODY dictionary:
+    for each misspelled word the top-5 terms within 2 edits, ranked by
+    (distance asc, df desc, term asc). Oracle recomputes the dictionary
+    + DuckDB levenshtein over documents.text."""
+    from .suggest import spell_suggest
+
+    idx = get_index(sf_dir)
+    words = ["dta", "jion", "hsh", "qurey", "streem", "windo", "tabel", "kei"]
+    return spell_suggest(idx["merge_manifest"], words, max_edits=2, top_n=5)
+
+
 def bm25_topk_sharded(sf_dir: str, n_shards: int = 3) -> pa.Table:
     """The doc-sharded scatter/gather search path (SURVEY §3.2) over the
     partition index: must produce the same hits as the single-searcher

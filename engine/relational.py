@@ -446,6 +446,21 @@ def orders_sample_hash(sf_dir: str, pct: int = 10):
     return ds.map_batches(filt, batch_format="pyarrow", **_rargs())
 
 
+def fnv1a_str_sql(col: str) -> str:
+    """textops.fnv1a over an ASCII string column as a DuckDB expression:
+    list_reduce fold over character codes with the same HUGEINT
+    multiply-mod-2^64 chain as fnv1a_u64_sql. Exact for the engine's
+    [a-z0-9]+ tokens (single-byte UTF-8, so unicode(ch) == the byte)."""
+    return f"""
+        list_reduce(
+          list_prepend(CAST(14695981039346656037 AS UBIGINT),
+            list_transform(range(1, length({col}) + 1),
+                           i -> CAST(unicode({col}[i]) AS UBIGINT))),
+          (h, b) -> CAST(((CAST(xor(h, b) AS HUGEINT) * 1099511628211)
+                          % 18446744073709551616) AS UBIGINT))
+    """
+
+
 def fnv1a_u64_sql(col: str) -> str:
     """The same FNV-1a-over-8-LE-bytes chain as orders_sample_hash, as a
     DuckDB expression (HUGEINT multiply with explicit mod 2^64)."""

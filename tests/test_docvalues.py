@@ -100,3 +100,20 @@ def test_dv_facet_distributed_tail(dv_corpus):
     a = facet_counts(dv_corpus["manifest"], "lang")
     b = facet_counts(dv_corpus["manifest"], "lang", max_driver_rows=1)
     assert a.to_pylist() == b.to_pylist()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dv_range_facet_counts(dv_corpus):
+    """Range facet (LongRangeFacetCounts): overlapping ranges each count
+    every containing doc; totals recomputed from the raw values."""
+    from engine.docvalues import range_facet_counts
+
+    vals = np.array([len(t) for t in dv_corpus["texts"]])
+    ranges = [("lo", 0, 25), ("hi", 25, 1000), ("overlap", 10, 30), ("empty", 900, 901)]
+    out = range_facet_counts(dv_corpus["manifest"], "n_chars", ranges).to_pandas()
+    assert out["label"].tolist() == ["lo", "hi", "overlap", "empty"]
+    for _, r in out.iterrows():
+        assert r["cnt"] == int(((vals >= r["lo"]) & (vals < r["hi"])).sum()), r["label"]
+    assert out[out["label"] == "empty"]["cnt"].iloc[0] == 0
+    # overlap proves a doc can be counted twice across ranges
+    assert out["cnt"].iloc[:2].sum() == len(vals)

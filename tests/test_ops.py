@@ -297,6 +297,103 @@ from engine.ann import embedding_near_dups as embedding_near_dups_fn  # noqa: E4
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestNgramJaccardJoin:
+    """Exact AllPairs prefix-filter set-similarity join vs O(n^2) brute
+    force — the filter must lose NO true pair and the (n_inter, n_union)
+    integers must be exact."""
+
+    def _corpus(self):
+        vocab = [f"w{j:02d}" for j in range(40)]
+        texts = []
+        for i in range(24):  # sliding windows: neighbors share 9 of 12 tokens
+            start = (i * 3) % 40
+            toks = [vocab[(start + j) % 40] for j in range(12)]
+            texts.append(" ".join(toks))
+        texts.append(texts[0])  # exact dup
+        texts.append(texts[0] + " zz9")  # near dup
+        texts.append("")  # empty: no shingles, never pairs
+        texts.append("aa bb")  # <k tokens: single collapsed shingle
+        texts.append("aa bb")  # its exact dup via the collapsed shingle
+        return texts
+
+    def _brute(self, texts, threshold, k=3):
+        import itertools
+        from fractions import Fraction
+
+        from engine.dedup import _doc_shingles
+
+        t = Fraction(threshold)
+        sets = {i: set(_doc_shingles(x, k)) for i, x in enumerate(texts)}
+        out = {}
+        for a, b in itertools.combinations(range(len(texts)), 2):
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a]) + len(sets[b]) - inter
+            if union > 0 and inter * t.denominator >= union * t.numerator:
+                out[(a, b)] = (inter, union)
+        return out
+
+    def _run(self, texts, threshold, **kw):
+        import ray.data
+
+        from engine.dedup import ngram_jaccard_join
+
+        ds = ray.data.from_items(
+            [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+        )
+        df = ngram_jaccard_join(ds, threshold=threshold, **kw).to_pandas()
+        return {
+            (int(r.doc_a), int(r.doc_b)): (int(r.n_inter), int(r.n_union))
+            for r in df.itertuples()
+        }
+
+    def test_matches_brute_force(self):
+        texts = self._corpus()
+        want = self._brute(texts, 0.5)
+        assert want, "fixture must contain true pairs"
+        assert self._run(texts, 0.5) == want
+
+    def test_freq_table_path_same_result(self):
+        # tiny freq_top forces most shingles OUT of the broadcast table —
+        # the rarest-first reorder must not change the answer
+        texts = self._corpus()
+        assert self._run(texts, 0.5, freq_top=5) == self._brute(texts, 0.5)
+
+    def test_source_path_reread_matches_broadcast(self, tmp_path):
+        import pyarrow.parquet as pq
+
+        texts = self._corpus()
+        src = str(tmp_path / "docs.parquet")
+        pq.write_table(
+            pa.table({"doc_id": list(range(len(texts))), "text": texts}), src
+        )
+        import ray.data
+
+        from engine.dedup import ngram_jaccard_join
+
+        df = ngram_jaccard_join(
+            ray.data.read_parquet(src), threshold=0.5, source_path=src
+        ).to_pandas()
+        got = {
+            (int(r.doc_a), int(r.doc_b)): (int(r.n_inter), int(r.n_union))
+            for r in df.itertuples()
+        }
+        assert got == self._brute(texts, 0.5)
+
+    def test_prefix_len_formula(self):
+        from engine.dedup import _prefix_lens
+
+        n = np.arange(1, 200)
+        p = _prefix_lens(n, 0.5)
+        # t=1/2 exactly: prefix = n - ceil(n/2) + 1 = floor(n/2) + 1
+        np.testing.assert_array_equal(p, n // 2 + 1)
+        # float thresholds use the exact binary value of the float
+        # (Fraction(0.6) is slightly below 3/5) with an integer ceil —
+        # the prefix can only be >= the decimal-threshold prefix
+        assert _prefix_lens(np.array([5]), 0.6)[0] == 3
+        assert (_prefix_lens(n, 0.6) >= n - (3 * n + 4) // 5 + 1).all()
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_taxonomy_facet_rollup():
     """Taxonomy facet: level-2 counts must sum to their level-1 parent
     (the TaxonomyFacetCounts roll-up invariant) and level-1 totals to the
