@@ -3,9 +3,9 @@
 ``entry()`` runs the flagship pipeline (pages fixture → extract → SPIMI
 invert → salted groupby-term merge → BM25 actor-pool search) at sf0.001.
 ``queries()`` exposes one entry per implemented operator family from
-SURVEY.md §2 (+ the training-data extras) — 54 entries as of round 3;
+SURVEY.md §2 (+ the training-data extras) — 56 entries as of round 3;
 ``oracle_sql()`` gives DuckDB equivalents where SQL can express the
-semantics (39 exact oracles) — index-derived entries (term stats, title
+semantics (40 exact oracles) — index-derived entries (term stats, title
 field stats, norms via the embedded SmallFloat byte4 table, token
 counts, phrase/sloppy matching via position self-joins, nested boolean
 set algebra, DV facets/sort, keep-latest dedup) are thereby checked
@@ -258,6 +258,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_sharded": pipelines.bm25_topk_sharded,
         "range_facet_nchars": pipelines.range_facet_nchars,
         "spell_suggest": pipelines.spell_suggest_body,
+        "more_like_this_terms": pipelines.more_like_this_terms,
+        "more_like_this_topk": pipelines.more_like_this_topk,
         "bm25_snippets": pipelines.bm25_snippets,
         "bm25_snippets_offsets": pipelines.bm25_snippets_offsets,
         # --- text analysis ------------------------------------------------
@@ -638,6 +640,31 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY dist ASC, df DESC, term ASC) AS rn
                 FROM cand
             ) WHERE rn <= 5
+        """,
+        # MoreLikeThis createQueue: tf from the example doc (gate tf>=2),
+        # df from the corpus (gate df>=5), score = tf * ClassicSimilarity
+        # idf = ln((N+1)/(df+1)) + 1; the float score only ORDERS (ties:
+        # equal (tf,df) => bit-equal scores both sides => term asc) and is
+        # never emitted, so the row hash stays integer-exact
+        "more_like_this_terms": f"""
+            WITH tdoc AS (
+                SELECT t AS term, count(*) AS tf FROM (
+                    SELECT unnest({_TOK}) AS t FROM documents WHERE doc_id = 7
+                ) GROUP BY t HAVING count(*) >= 2
+            ),
+            tdf AS (SELECT term, count(*) AS df FROM ({tok_pairs}) GROUP BY term),
+            scored AS (
+                SELECT tdoc.term, tdoc.tf, tdf.df,
+                       tdoc.tf * (ln(((SELECT count(*) FROM documents) + 1)
+                                     / (tdf.df + 1.0)) + 1) AS score
+                FROM tdoc JOIN tdf USING (term)
+                WHERE tdf.df >= 5
+            )
+            SELECT CAST(7 AS BIGINT) AS doc_id, CAST(rn - 1 AS BIGINT) AS rank,
+                   term, CAST(tf AS BIGINT) AS tf, df
+            FROM (SELECT *, row_number() OVER (ORDER BY score DESC, term ASC) AS rn
+                  FROM scored)
+            WHERE rn <= 10
         """,
         "term_filter_sort_by_field": f"""
             SELECT (row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) - 1) AS rank,

@@ -473,6 +473,69 @@ def spell_suggest_body(sf_dir: str) -> pa.Table:
     return spell_suggest(idx["merge_manifest"], words, max_edits=2, top_n=5)
 
 
+def more_like_this_terms(sf_dir: str, doc_id: int = 7) -> pa.Table:
+    """MoreLikeThis term selection for one example doc (MoreLikeThis.java
+    createQueue): tf from the analyzed doc text (doc_id-pushdown row-store
+    read), df from a term-pushdown pruned dictionary read, ClassicSimilarity
+    idf, top terms by (tf*idf desc, term asc). Integer-exact output."""
+    import pyarrow.dataset as pads
+
+    from .mlt import mlt_terms_table
+
+    idx = get_index(sf_dir)
+    src = os.path.join(sf_dir, "documents.parquet")
+    t = pads.dataset(src).to_table(
+        columns=["text"], filter=pads.field("doc_id") == doc_id
+    )
+    text = t.column("text")[0].as_py() if t.num_rows else ""
+    return mlt_terms_table(
+        idx["merge_manifest"],
+        text,
+        doc_id,
+        max_query_terms=10,
+        min_term_freq=2,
+        min_doc_freq=5,
+    )
+
+
+def more_like_this_topk(sf_dir: str, doc_id: int = 7, k: int = 10) -> pa.Table:
+    """Full MLT: selected terms searched as a SHOULD query through the
+    normal BM25 path (MoreLikeThis.like -> createQuery -> search);
+    (rank, doc_id, score) — the example doc naturally ranks first."""
+    from .checkpoint import load_merge_manifest
+    from .mlt import select_like_terms
+    from .search import IndexSearcher
+
+    import pyarrow.dataset as pads
+
+    idx = get_index(sf_dir)
+    src = os.path.join(sf_dir, "documents.parquet")
+    t = pads.dataset(src).to_table(
+        columns=["text"], filter=pads.field("doc_id") == doc_id
+    )
+    text = t.column("text")[0].as_py() if t.num_rows else ""
+    sel = select_like_terms(
+        idx["merge_manifest"], text, max_query_terms=10, min_term_freq=2, min_doc_freq=5
+    )
+    if not sel:
+        return pa.table(
+            {
+                "rank": pa.array([], type=pa.int64()),
+                "doc_id": pa.array([], type=pa.int64()),
+                "score": pa.array([], type=pa.float32()),
+            }
+        )
+    searcher = IndexSearcher(load_merge_manifest(idx["index_dir"]))
+    docs, scores = searcher.search(" ".join(term for term, _, _, _ in sel), k)
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(len(docs)), type=pa.int64()),
+            "doc_id": pa.array(docs, type=pa.int64()),
+            "score": pa.array(scores, type=pa.float32()),
+        }
+    )
+
+
 def bm25_topk_sharded(sf_dir: str, n_shards: int = 3) -> pa.Table:
     """The doc-sharded scatter/gather search path (SURVEY §3.2) over the
     partition index: must produce the same hits as the single-searcher
