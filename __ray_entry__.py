@@ -260,6 +260,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spell_suggest": pipelines.spell_suggest_body,
         "more_like_this_terms": pipelines.more_like_this_terms,
         "more_like_this_topk": pipelines.more_like_this_topk,
+        "prefix_complete": pipelines.prefix_complete_body,
+        "word_breaks": pipelines.word_breaks_body,
+        "block_join_orders": relational.block_join_top_orders,
         "bm25_snippets": pipelines.bm25_snippets,
         "bm25_snippets_offsets": pipelines.bm25_snippets_offsets,
         # --- text analysis ------------------------------------------------
@@ -640,6 +643,63 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY dist ASC, df DESC, term ASC) AS rn
                 FROM cand
             ) WHERE rn <= 5
+        """,
+        # prefix completion ranked by weight (df), ties term asc
+        "prefix_complete": f"""
+            SELECT CAST(rn - 1 AS BIGINT) AS rank, term AS suggestion, df
+            FROM (
+                SELECT term, df,
+                       row_number() OVER (ORDER BY df DESC, term ASC) AS rn
+                FROM (SELECT term, count(*) AS df FROM ({tok_pairs})
+                      GROUP BY term)
+                WHERE term LIKE 's%'
+            ) WHERE rn <= 10
+        """,
+        # WordBreakSpellChecker single break: both halves must be
+        # dictionary terms; NUM_CHANGES_THEN_MAX_FREQUENCY order (all
+        # candidates have one change => max(df) desc, split position asc)
+        "word_breaks": f"""
+            WITH td AS (
+                SELECT term, count(*) AS df FROM ({tok_pairs}) GROUP BY term
+            ),
+            w AS (SELECT unnest(['datajoin','hashmerge','sortkey',
+                                 'fastrow','nosplit']) AS word),
+            splits AS (
+                SELECT w.word, i,
+                       substr(w.word, 1, CAST(i AS INT)) AS left_part,
+                       substr(w.word, CAST(i + 1 AS INT)) AS right_part
+                FROM w, (SELECT unnest(range(1, 20)) AS i)
+                WHERE i < length(w.word)
+            ),
+            cand AS (
+                SELECT s.word, s.i, s.left_part, s.right_part,
+                       tl.df AS df_left, tr.df AS df_right
+                FROM splits s
+                JOIN td tl ON tl.term = s.left_part
+                JOIN td tr ON tr.term = s.right_part
+            )
+            SELECT word, CAST(rn - 1 AS BIGINT) AS rank,
+                   left_part, right_part, df_left, df_right
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY word
+                      ORDER BY greatest(df_left, df_right) DESC, i ASC) AS rn
+                  FROM cand)
+            WHERE rn <= 5
+        """,
+        # ToParentBlockJoin ScoreMode.Max: children (lineitems with
+        # discount > 0.05) score their parent order with the MAX child
+        # revenue; the double is a bit-identical selection, never a sum
+        "block_join_orders": """
+            SELECT CAST(rn - 1 AS BIGINT) AS rank, o_orderkey, score
+            FROM (
+                SELECT l_orderkey AS o_orderkey,
+                       max(l_extendedprice * (1 - l_discount)) AS score,
+                       row_number() OVER (
+                           ORDER BY max(l_extendedprice * (1 - l_discount)) DESC,
+                                    l_orderkey ASC) AS rn
+                FROM lineitem WHERE l_discount > 0.05
+                GROUP BY l_orderkey
+            ) WHERE rn <= 10
         """,
         # MoreLikeThis createQueue: tf from the example doc (gate tf>=2),
         # df from the corpus (gate df>=5), score = tf * ClassicSimilarity

@@ -473,6 +473,27 @@ def spell_suggest_body(sf_dir: str) -> pa.Table:
     return spell_suggest(idx["merge_manifest"], words, max_edits=2, top_n=5)
 
 
+def prefix_complete_body(sf_dir: str, prefix: str = "s") -> pa.Table:
+    """Prefix completion over the merged body dictionary ranked by df
+    (FSTCompletion / AnalyzingInfixSuggester role); exact oracle from the
+    recomputed term dictionary."""
+    from .suggest import complete_prefix
+
+    idx = get_index(sf_dir)
+    return complete_prefix(idx["merge_manifest"], prefix, top_n=10)
+
+
+def word_breaks_body(sf_dir: str) -> pa.Table:
+    """WordBreakSpellChecker single-break suggestions over the merged
+    body dictionary; exact oracle via substr splits + the recomputed
+    term dictionary."""
+    from .suggest import word_breaks
+
+    idx = get_index(sf_dir)
+    words = ["datajoin", "hashmerge", "sortkey", "fastrow", "nosplit"]
+    return word_breaks(idx["merge_manifest"], words, top_n=5)
+
+
 def more_like_this_terms(sf_dir: str, doc_id: int = 7) -> pa.Table:
     """MoreLikeThis term selection for one example doc (MoreLikeThis.java
     createQueue): tf from the analyzed doc text (doc_id-pushdown row-store

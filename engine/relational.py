@@ -572,3 +572,64 @@ def top_k_groups_orders(sf_dir: str, k_groups: int = 10, n_per_group: int = 2):
         .groupby("o_custkey")
         .map_groups(rank_group, batch_format="pandas", **_rargs())
     )
+
+
+def block_join_top_orders(sf_dir: str, k: int = 10, min_discount: float = 0.05):
+    """ToParentBlockJoinQuery analogue (lucene/join/src/java/org/apache/
+    lucene/search/join/ToParentBlockJoinQuery.java:47-89 with ScoreMode.Max,
+    join/ScoreMode.java): children (lineitems) matching a filter score
+    their parent (order) with the MAX child score; top-k parents by
+    (score desc, orderkey asc). Child score = the revenue expression, so
+    the emitted double is a bit-identical SELECTION (max), never a sum —
+    safe to hash against DuckDB. Shape: child filter + revenue inside
+    map_batches (per-batch partial max per parent), groupby(parent) Max,
+    per-batch top-k prefilter, small global sort."""
+    from ray.data.aggregate import Max
+
+    ds = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]
+    )
+
+    def child_scores(batch: pa.Table) -> pa.Table:
+        disc = batch.column("l_discount")
+        mask = pc.greater(disc, pa.scalar(min_discount))
+        b = batch.filter(mask)
+        rev = pc.multiply(
+            b.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), b.column("l_discount")),
+        )
+        # per-batch partial: one (parent, max) row per parent per batch
+        t = pa.table({"l_orderkey": b.column("l_orderkey"), "rev": rev})
+        return (
+            t.group_by("l_orderkey")
+            .aggregate([("rev", "max")])
+            .rename_columns(["l_orderkey", "score"])
+        )
+
+    agg = (
+        ds.map_batches(child_scores, batch_format="pyarrow", **_rargs())
+        .groupby("l_orderkey")
+        .aggregate(Max("score", alias_name="score"))
+    )
+
+    def prefilter(batch: pa.Table) -> pa.Table:  # per-batch top-k before the sort
+        if batch.num_rows <= k:
+            return batch
+        order = pc.sort_indices(
+            batch, sort_keys=[("score", "descending"), ("l_orderkey", "ascending")]
+        )
+        return batch.take(order[:k])
+
+    top = (
+        agg.map_batches(prefilter, batch_format="pyarrow", **_rargs())
+        .sort(["score", "l_orderkey"], descending=[True, False])
+        .limit(k)
+        .to_pandas()
+    )
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(len(top)), type=pa.int64()),
+            "o_orderkey": pa.array(top["l_orderkey"].to_numpy(), type=pa.int64()),
+            "score": pa.array(top["score"].to_numpy(), type=pa.float64()),
+        }
+    )

@@ -1426,10 +1426,16 @@ def _stats_searcher(manifest_ref) -> IndexSearcher:
 
 def _shard_searcher(manifest_ref, shard_id: int, n_shards: int) -> IndexSearcher:
     """Per-process cache of shard-local searchers: each shard = a subset of
-    partition segments, opened once per worker (stats still global)."""
+    partition segments, opened once per worker (stats still global).
+
+    Keyed by the ObjectRef HEX (+ the shard split), never id(): id() is a
+    reusable memory address, so a later ray.put ref can collide with a
+    freed earlier one and silently serve a stale searcher for a different
+    index (observed as an order-dependent sharded-vs-single mismatch in
+    long sessions)."""
     import ray
 
-    key = (id(manifest_ref), shard_id)
+    key = (manifest_ref.hex(), shard_id, n_shards)
     s = _PROCESS_SHARDS.get(key)
     if s is None:
         manifest = ray.get(manifest_ref)

@@ -146,3 +146,91 @@ def spell_suggest(
             "df": pa.array(out["df"], type=pa.int64()),
         }
     )
+
+
+def complete_prefix(merge_manifest: dict, prefix: str, top_n: int = 10) -> pa.Table:
+    """Prefix completion ranked by weight — the FSTCompletion /
+    AnalyzingInfixSuggester role (suggest/fst/FSTCompletion.java:34-60,
+    weight-bucketed completions; suggest/analyzing/AnalyzingInfixSuggester
+    lookup-by-prefix): dictionary terms starting with ``prefix`` ranked
+    by (df desc, term asc), top n. Served by a pruned (term, df) read
+    with a term-range filter pushdown — parquet row-group term stats play
+    the FST-arc role, so only shards whose term range overlaps the prefix
+    are touched."""
+    import pyarrow.dataset as pads
+
+    prefix = prefix.lower()
+    shard_paths = [s["path"] for s in merge_manifest["shards"]]
+    tbl = pads.dataset(shard_paths).to_table(
+        columns=["term", "df"],
+        filter=(pads.field("term") >= prefix)
+        & (pads.field("term") <= prefix + "\U0010ffff"),
+    )
+    terms = tbl.column("term").to_pylist()
+    dfs = tbl.column("df").to_pylist()
+    scored = sorted(
+        ((-int(df), t) for t, df in zip(terms, dfs) if t.startswith(prefix))
+    )[:top_n]
+    return pa.table(
+        {
+            "rank": pa.array(range(len(scored)), type=pa.int64()),
+            "suggestion": pa.array([t for _, t in scored], type=pa.string()),
+            "df": pa.array([-ndf for ndf, _ in scored], type=pa.int64()),
+        }
+    )
+
+
+def word_breaks(
+    merge_manifest: dict, words: list[str], top_n: int = 5
+) -> pa.Table:
+    """Compound-word break suggestions — the WordBreakSpellChecker role
+    (suggest/spell/WordBreakSpellChecker.java:90-121 suggestWordBreaks,
+    single break = maxChanges 1): every split position whose left AND
+    right halves are dictionary terms, ranked per word by the default
+    NUM_CHANGES_THEN_MAX_FREQUENCY comparator (:100, :450 — all
+    candidates here have one change, so max(df_left, df_right) desc;
+    tie-break = split position asc, documented). df for the candidate
+    substrings comes from ONE term-pushdown pruned dictionary read (the
+    needed term set is tiny: sum of word lengths), nothing scans."""
+    import pyarrow.dataset as pads
+
+    words_l = [w.lower() for w in words]
+    need = sorted(
+        {w[:i] for w in words_l for i in range(1, len(w))}
+        | {w[i:] for w in words_l for i in range(1, len(w))}
+    )
+    if not need:
+        need = [""]
+    shard_paths = [s["path"] for s in merge_manifest["shards"]]
+    tbl = pads.dataset(shard_paths).to_table(
+        columns=["term", "df"], filter=pads.field("term").isin(need)
+    )
+    df_of = dict(
+        zip(tbl.column("term").to_pylist(), (int(x) for x in tbl.column("df").to_pylist()))
+    )
+    out = {"word": [], "rank": [], "left_part": [], "right_part": [],
+           "df_left": [], "df_right": []}
+    for w in words_l:
+        cands = []
+        for i in range(1, len(w)):
+            dl, dr = df_of.get(w[:i]), df_of.get(w[i:])
+            if dl and dr:
+                cands.append((-max(dl, dr), i, w[:i], w[i:], dl, dr))
+        cands.sort()
+        for rank, (_, i, lp, rp, dl, dr) in enumerate(cands[:top_n]):
+            out["word"].append(w)
+            out["rank"].append(rank)
+            out["left_part"].append(lp)
+            out["right_part"].append(rp)
+            out["df_left"].append(dl)
+            out["df_right"].append(dr)
+    return pa.table(
+        {
+            "word": pa.array(out["word"], type=pa.string()),
+            "rank": pa.array(out["rank"], type=pa.int64()),
+            "left_part": pa.array(out["left_part"], type=pa.string()),
+            "right_part": pa.array(out["right_part"], type=pa.string()),
+            "df_left": pa.array(out["df_left"], type=pa.int64()),
+            "df_right": pa.array(out["df_right"], type=pa.int64()),
+        }
+    )

@@ -420,3 +420,25 @@ def test_top_k_groups_two_pass():
         assert len(g) <= 3
         g = g.sort_values("rank_in_group")
         assert g["o_totalprice"].is_monotonic_decreasing or len(g) == 1
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_block_join_score_mode_max():
+    """ToParentBlockJoin ScoreMode.Max: parent score == max child revenue
+    among filter-passing children; rank order (score desc, orderkey asc)."""
+    import duckdb
+
+    from engine.relational import block_join_top_orders
+
+    out = block_join_top_orders("/root/testdata/sf0.001", k=10).to_pandas()
+    exp = duckdb.sql("""
+        SELECT l_orderkey AS o_orderkey,
+               max(l_extendedprice * (1 - l_discount)) AS score
+        FROM read_parquet('/root/testdata/sf0.001/lineitem.parquet')
+        WHERE l_discount > 0.05
+        GROUP BY l_orderkey
+        ORDER BY score DESC, l_orderkey ASC LIMIT 10
+    """).fetchdf()
+    assert out["o_orderkey"].tolist() == exp["o_orderkey"].tolist()
+    assert out["score"].tolist() == exp["score"].tolist()  # exact doubles
+    assert out["rank"].tolist() == list(range(len(out)))

@@ -113,3 +113,45 @@ def test_spell_suggest_matches_brute_force(tmp_path_factory):
     # ranks are dense from 0 per word
     for w, g in out.groupby("word"):
         assert g["rank"].tolist() == list(range(len(g)))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_complete_prefix_weight_order():
+    from engine.pipelines import get_index
+    from engine.suggest import complete_prefix
+
+    idx = get_index("/root/testdata/sf0.001")
+    mm = idx["merge_manifest"]
+    out = complete_prefix(mm, "s", top_n=10).to_pandas()
+    assert len(out) > 0
+    assert all(s.startswith("s") for s in out["suggestion"])
+    # weight-descending, term-asc on ties, dense ranks
+    dfs = out["df"].tolist()
+    assert dfs == sorted(dfs, reverse=True)
+    for i in range(1, len(out)):
+        if dfs[i] == dfs[i - 1]:
+            assert out["suggestion"].iloc[i - 1] < out["suggestion"].iloc[i]
+    assert out["rank"].tolist() == list(range(len(out)))
+    # no-match prefix => typed empty table
+    empty = complete_prefix(mm, "zzzzzz")
+    assert empty.num_rows == 0 and empty.column_names == ["rank", "suggestion", "df"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_word_breaks_single_split():
+    from engine.pipelines import get_index
+    from engine.suggest import word_breaks
+
+    idx = get_index("/root/testdata/sf0.001")
+    mm = idx["merge_manifest"]
+    out = word_breaks(mm, ["datajoin", "zzqqzz"], top_n=5).to_pandas()
+    dj = out[out["word"] == "datajoin"]
+    assert ("data", "join") in set(zip(dj["left_part"], dj["right_part"]))
+    # every suggestion reassembles the word and both halves carry df > 0
+    for r in out.itertuples():
+        assert r.left_part + r.right_part == r.word
+        assert r.df_left > 0 and r.df_right > 0
+    assert out[out["word"] == "zzqqzz"].empty
+    # NUM_CHANGES_THEN_MAX_FREQUENCY: max(df) non-increasing down the ranks
+    m = dj[["df_left", "df_right"]].max(axis=1).tolist()
+    assert m == sorted(m, reverse=True)
