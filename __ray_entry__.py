@@ -245,6 +245,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "title_term_df": pipelines.title_term_df,
         "bm25_title_topk": pipelines.bm25_title_topk,
         "phrase_slop_match_docs": pipelines.phrase_slop_match_docs,
+        "span_near_match_docs": pipelines.span_near_match_docs,
+        "span_unordered_match_docs": pipelines.span_unordered_match_docs,
+        "span_first_match_docs": pipelines.span_first_match_docs,
+        "span_not_match_docs": pipelines.span_not_match_docs,
+        "span_near_topk": pipelines.span_near_topk,
         "top100_terms": pipelines.top100_terms,
         "token_counts_extracted": pipelines.token_counts,
         "collection_stats": pipelines.collection_stats,
@@ -347,6 +352,71 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT DISTINCT a.doc_id FROM tok a JOIN tok b USING (doc_id)
             WHERE a.t = 'data' AND b.t = 'join' AND abs((b.p - 1) - a.p) <= 2
+        """,
+        # ordered SpanNear(data, join, slop=3): one candidate per 'data'
+        # position p1, greedily stretched to the first 'join' start >= p1+1
+        # (NearSpansOrdered.java:60-121); the greedy minimum satisfies the
+        # slop bound iff ANY p2 in (p1, p1+1+slop] does, so matches =
+        # count of such p1
+        "span_near_match_docs": f"""
+            WITH tok AS (
+                SELECT doc_id, unnest({_TOK}) AS t,
+                       unnest(range(len({_TOK}))) AS p
+                FROM documents
+            ),
+            a AS (SELECT doc_id, p FROM tok WHERE t = 'data'),
+            b AS (SELECT doc_id, p FROM tok WHERE t = 'join')
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS matches FROM (
+                SELECT DISTINCT a.doc_id, a.p FROM a JOIN b USING (doc_id)
+                WHERE b.p > a.p AND b.p <= a.p + 4
+            ) GROUP BY doc_id
+        """,
+        # unordered SpanNear(hash, merge, slop=2): two unit-width term
+        # spans window-match iff maxEnd - minStart - 2 <= slop, i.e.
+        # |a - b| - 1 <= slop (NearSpansUnordered.java:94)
+        "span_unordered_match_docs": f"""
+            WITH tok AS (
+                SELECT doc_id, unnest({_TOK}) AS t,
+                       unnest(range(len({_TOK}))) AS p
+                FROM documents
+            )
+            SELECT DISTINCT a.doc_id FROM tok a JOIN tok b USING (doc_id)
+            WHERE a.t = 'hash' AND b.t = 'merge' AND abs(a.p - b.p) <= 3
+        """,
+        # SpanFirst(data, end=5): unit spans with end position <= 5
+        "span_first_match_docs": f"""
+            WITH tok AS (
+                SELECT doc_id, unnest({_TOK}) AS t,
+                       unnest(range(len({_TOK}))) AS p
+                FROM documents
+            )
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS matches
+            FROM tok WHERE t = 'data' AND p + 1 <= 5 GROUP BY doc_id
+        """,
+        # SpanNot(near(data, join, slop=2), dup): the greedy include span
+        # for p1 is (p1, mp+1) with mp = min join pos > p1; it survives iff
+        # no 'dup' position lies in [p1, mp] (SpanNotQuery.java:149-190,
+        # pre = post = 0)
+        "span_not_match_docs": f"""
+            WITH tok AS (
+                SELECT doc_id, unnest({_TOK}) AS t,
+                       unnest(range(len({_TOK}))) AS p
+                FROM documents
+            ),
+            a AS (SELECT doc_id, p FROM tok WHERE t = 'data'),
+            b AS (SELECT doc_id, p FROM tok WHERE t = 'join'),
+            e AS (SELECT doc_id, p FROM tok WHERE t = 'dup'),
+            inc AS (
+                SELECT a.doc_id, a.p AS st, min(b.p) AS mp
+                FROM a JOIN b USING (doc_id) WHERE b.p > a.p
+                GROUP BY a.doc_id, a.p
+                HAVING min(b.p) - a.p - 1 <= 2
+            )
+            SELECT DISTINCT inc.doc_id FROM inc
+            WHERE NOT EXISTS (
+                SELECT 1 FROM e
+                WHERE e.doc_id = inc.doc_id AND e.p BETWEEN inc.st AND inc.mp
+            )
         """,
         "doc_norms": f"""
             WITH lt(b, lo) AS (VALUES {lt_values}),

@@ -276,6 +276,137 @@ def phrase_slop_match_docs(
     return pa.table({"doc_id": pa.array(out, type=pa.int64())})
 
 
+def _span_searcher(sf_dir: str):
+    from .checkpoint import load_merge_manifest
+    from .search import IndexSearcher
+
+    idx = get_index(sf_dir)
+    return IndexSearcher(load_merge_manifest(idx["index_dir"]))
+
+
+def _span_match_table(searcher, q) -> pa.Table:
+    """(doc_id, matches) across segments for one span tree — numMatches
+    per doc (SpanScorer.java:104 numMatches++)."""
+    from .spans import eval_spans
+
+    docs_all, n_all = [], []
+    for seg in searcher.segments:
+        m = eval_spans(seg, q)
+        docs_all.extend(sorted(m))
+        n_all.extend(len(m[d]) for d in sorted(m))
+    order = np.argsort(np.array(docs_all, dtype=np.int64), kind="stable")
+    return pa.table(
+        {
+            "doc_id": pa.array(np.array(docs_all, dtype=np.int64)[order]),
+            "matches": pa.array(np.array(n_all, dtype=np.int64)[order]),
+        }
+    )
+
+
+def span_near_match_docs(
+    sf_dir: str, t1: str = "data", t2: str = "join", slop: int = 3
+) -> pa.Table:
+    """(doc_id, matches) for an ORDERED SpanNearQuery of two terms —
+    NearSpansOrdered.java:60-121: one candidate per position of the first
+    clause, stretched to the first t2 start >= its end, matching iff the
+    gap <= slop. Oracle: a positions self-join (a match for p1 iff some
+    p2 in (p1, p1+1+slop] exists — the greedy minimum qualifies iff any
+    does). Evaluation is per segment (the LeafReader shape); the driver
+    loop here is over the merged index's handful of shard readers."""
+    from .spans import SpanNear, SpanTerm
+
+    q = SpanNear((SpanTerm(t1), SpanTerm(t2)), slop=slop, in_order=True)
+    return _span_match_table(_span_searcher(sf_dir), q)
+
+
+def span_unordered_match_docs(
+    sf_dir: str, t1: str = "hash", t2: str = "merge", slop: int = 2
+) -> pa.Table:
+    """(doc_id) matching an UNORDERED SpanNearQuery of two terms —
+    NearSpansUnordered.java:94 window predicate; for two unit-width term
+    spans the doc-level condition is exists (a, b) with |a - b| - 1 <=
+    slop, which is the DuckDB oracle."""
+    from .spans import SpanNear, SpanTerm
+
+    q = SpanNear((SpanTerm(t1), SpanTerm(t2)), slop=slop, in_order=False)
+    t = _span_match_table(_span_searcher(sf_dir), q)
+    return t.select(["doc_id"])
+
+
+def span_first_match_docs(
+    sf_dir: str, term: str = "data", end: int = 5
+) -> pa.Table:
+    """(doc_id, matches) for SpanFirstQuery(term, end) —
+    SpanFirstQuery.java:38-46: occurrences with span end <= ``end`` (for
+    a unit term span, position <= end - 1)."""
+    from .spans import SpanTerm, span_first
+
+    q = span_first(SpanTerm(term), end)
+    return _span_match_table(_span_searcher(sf_dir), q)
+
+
+def span_not_match_docs(
+    sf_dir: str,
+    t1: str = "data",
+    t2: str = "join",
+    slop: int = 2,
+    exclude: str = "dup",
+) -> pa.Table:
+    """(doc_id) where an ordered near(t1, t2, slop) span survives
+    SpanNotQuery exclusion by ``exclude`` (pre=post=0) —
+    SpanNotQuery.java:149-190: an include span dies iff an exclude
+    position falls inside [start, end). Oracle: the greedy include span
+    for p1 is (p1, min p2 > p1), kept iff no exclude position lies in
+    [p1, p2]."""
+    from .spans import SpanNear, SpanNot, SpanTerm
+
+    q = SpanNot(
+        SpanNear((SpanTerm(t1), SpanTerm(t2)), slop=slop, in_order=True),
+        SpanTerm(exclude),
+    )
+    t = _span_match_table(_span_searcher(sf_dir), q)
+    return t.select(["doc_id"])
+
+
+def span_near_topk(
+    sf_dir: str, t1: str = "data", t2: str = "join", slop: int = 2, k: int = 10
+) -> pa.Table:
+    """BM25-scored ordered SpanNear top-k — SpanWeight.buildSimWeight
+    (one summed-idf weight over every term in the tree, the
+    make_phrase_scorer shape) with SpanScorer's float32 sloppy freq
+    (sum of 1/(1+width), SpanScorer.java:109)."""
+    from .bm25 import make_phrase_scorer, topk_sort
+    from .spans import SpanNear, SpanTerm, span_freqs, span_terms
+
+    searcher = _span_searcher(sf_dir)
+    q = SpanNear((SpanTerm(t1), SpanTerm(t2)), slop=slop, in_order=True)
+    params = make_phrase_scorer(
+        [searcher.global_term_stats(t)[0] for t in span_terms(q)],
+        searcher.doc_count,
+        searcher.sum_ttf,
+    )
+    docs_all, scores_all = [], []
+    for seg in searcher.segments:
+        docs, freqs, _ = span_freqs(seg, q)
+        if len(docs):
+            docs_all.append(docs)
+            scores_all.append(params.score(freqs, seg.norm_of(docs)))
+    if docs_all:
+        docs = np.concatenate(docs_all)
+        scores = np.concatenate(scores_all)
+    else:
+        docs = np.empty(0, dtype=np.int64)
+        scores = np.empty(0, dtype=np.float32)
+    docs, scores = topk_sort(docs, scores, k)
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(len(docs)), type=pa.int64()),
+            "doc_id": pa.array(docs, type=pa.int64()),
+            "score": pa.array(scores, type=pa.float32()),
+        }
+    )
+
+
 def bool_nested_match_docs(
     sf_dir: str, query: str = "+(data join) +(hash merge) -dup"
 ) -> pa.Table:
