@@ -250,6 +250,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_first_match_docs": pipelines.span_first_match_docs,
         "span_not_match_docs": pipelines.span_not_match_docs,
         "span_near_topk": pipelines.span_near_topk,
+        "percolate_matches": pipelines.percolate_matches,
         "top100_terms": pipelines.top100_terms,
         "token_counts_extracted": pipelines.token_counts,
         "collection_stats": pipelines.collection_stats,
@@ -417,6 +418,48 @@ def oracle_sql() -> dict[str, str]:
                 SELECT 1 FROM e
                 WHERE e.doc_id = inc.doc_id AND e.p BETWEEN inc.st AND inc.mp
             )
+        """,
+        # percolator (lucene/monitor): registered query set vs the doc
+        # stream; one containment predicate per registered query
+        "percolate_matches": f"""
+            WITH tok AS (
+                SELECT doc_id, {_TOK} AS ts,
+                       ' ' || array_to_string({_TOK}, ' ') || ' ' AS s
+                FROM documents
+            ),
+            pos AS (
+                SELECT doc_id, unnest({_TOK}) AS t,
+                       unnest(range(len({_TOK}))) AS p
+                FROM documents
+            ),
+            m AS (
+                SELECT doc_id, 'q_data' AS query_id FROM tok
+                WHERE list_contains(ts, 'data')
+                UNION ALL
+                SELECT doc_id, 'q_conj' FROM tok
+                WHERE list_contains(ts, 'data') AND list_contains(ts, 'join')
+                UNION ALL
+                SELECT doc_id, 'q_phrase' FROM tok WHERE s LIKE '% data join %'
+                UNION ALL
+                SELECT doc_id, 'q_disj' FROM tok
+                WHERE list_contains(ts, 'hash') OR list_contains(ts, 'merge')
+                UNION ALL
+                SELECT doc_id, 'q_not' FROM tok
+                WHERE list_contains(ts, 'hash') AND NOT list_contains(ts, 'dup')
+                UNION ALL
+                SELECT DISTINCT a.doc_id, 'q_sloppy'
+                FROM pos a JOIN pos b USING (doc_id)
+                WHERE a.t = 'data' AND b.t = 'join'
+                  AND abs((b.p - 1) - a.p) <= 2
+                UNION ALL
+                SELECT doc_id, 'q_prefix' FROM tok
+                WHERE len(list_filter(ts, x -> x LIKE 'jo%')) > 0
+                UNION ALL
+                SELECT doc_id, 'q_nested' FROM tok
+                WHERE (list_contains(ts, 'data') OR list_contains(ts, 'join'))
+                  AND (list_contains(ts, 'hash') OR list_contains(ts, 'merge'))
+            )
+            SELECT doc_id, query_id FROM m
         """,
         "doc_norms": f"""
             WITH lt(b, lo) AS (VALUES {lt_values}),

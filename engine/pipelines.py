@@ -407,6 +407,36 @@ def span_near_topk(
     )
 
 
+PERCOLATE_QUERIES = [
+    ("q_conj", "+data +join"),
+    ("q_data", "data"),
+    ("q_disj", "hash merge"),
+    ("q_nested", "+(data join) +(hash merge)"),
+    ("q_not", "+hash -dup"),
+    ("q_phrase", '"data join"'),
+    ("q_prefix", "jo*"),
+    ("q_sloppy", '"data join"~2'),
+]
+
+
+def percolate_matches(sf_dir: str):
+    """Monitor/percolator driver pipeline (lucene/monitor Monitor.match):
+    the registered query set PERCOLATE_QUERIES streams against the
+    documents table; emits (doc_id, query_id) match pairs. The q_prefix
+    query is deliberately unanchorable and exercises the __ANYTOKEN__
+    bucket. Oracle: a UNION ALL of per-query containment SQL."""
+    import os
+
+    import ray.data
+
+    from .monitor import percolate
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return percolate(ds, PERCOLATE_QUERIES)
+
+
 def bool_nested_match_docs(
     sf_dir: str, query: str = "+(data join) +(hash merge) -dup"
 ) -> pa.Table:
