@@ -251,6 +251,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_not_match_docs": pipelines.span_not_match_docs,
         "span_near_topk": pipelines.span_near_topk,
         "percolate_matches": pipelines.percolate_matches,
+        "nb_train_stats": pipelines.nb_train_stats,
+        "nb_classify": pipelines.nb_classify,
+        "knn_classify": pipelines.knn_classify,
         "top100_terms": pipelines.top100_terms,
         "token_counts_extracted": pipelines.token_counts,
         "collection_stats": pipelines.collection_stats,
@@ -460,6 +463,14 @@ def oracle_sql() -> dict[str, str]:
                   AND (list_contains(ts, 'hash') OR list_contains(ts, 'merge'))
             )
             SELECT doc_id, query_id FROM m
+        """,
+        # NB training sufficient statistics: docs of class containing term
+        "nb_train_stats": f"""
+            SELECT lang AS class, t AS term, CAST(count(*) AS BIGINT) AS hits
+            FROM (
+                SELECT DISTINCT doc_id, lang, unnest({_TOK}) AS t
+                FROM documents
+            ) GROUP BY lang, t
         """,
         "doc_norms": f"""
             WITH lt(b, lo) AS (VALUES {lt_values}),

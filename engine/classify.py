@@ -1,0 +1,314 @@
+"""Classification — the lucene/classification module re-expressed on
+Ray Data.
+
+- SimpleNaiveBayesClassifier (classification/SimpleNaiveBayesClassifier
+  .java:142-268): class scores are
+  ``ln(docFreq(c)) - ln(N_classed)`` (calculateLogPrior :266-268) plus,
+  per TOKEN OCCURRENCE of the input text (:203-206 loops the tokenized
+  array, repeats included),
+  ``ln((hits(w, c) + 1) / (avgUniqueTermsPerDoc * docFreq(c) + N_classed))``
+  where hits(w, c) is the number of docs of class c containing w
+  (getWordFreqForClass :250-264 — a DOC count, not a term frequency) and
+  avgUniqueTermsPerDoc = sumDocFreq / docCount of the text field
+  (getTextTermFreqForClass :231-240). The assigned class is the first
+  strict maximum over classes in term (sorted) order.
+- KNearestNeighborClassifier (KNearestNeighborClassifier.java:124-225):
+  an MLT query retrieves the top-k neighbors; per class,
+  score = (sum of score_i / maxScore) / k, scaled by k / sumdoc when
+  fewer than k neighbors returned (buildListFromTopDocs "correction").
+  The reference iterates a HashMap (unspecified order) for the argmax;
+  we iterate classes sorted (documented deterministic deviation — only
+  observable on exact score ties).
+
+Ray shape: TRAINING is a streamed pass over the labeled table —
+tokenize-to-unique inside ``map_batches`` (each doc contributes its
+distinct terms, so a per-batch Arrow group-count is already a distinct
+doc count) followed by a small ``groupby(class, term).sum`` — the model
+(vocab x classes) is the only thing collected. CLASSIFICATION is
+actor-pool batch inference: the model ships once as constructor args,
+documents stream through zero-copy Arrow batches.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+
+from .analyze import DEFAULT_ANALYZER, Analyzer, tokenize
+
+__all__ = [
+    "nb_train",
+    "nb_score_doc",
+    "NBClassifierStage",
+    "nb_classify_dataset",
+    "knn_vote",
+]
+
+
+def _rargs():
+    from .rayenv import remote_args
+
+    return remote_args()
+
+
+def _hits_partial(class_col: str, analyzer: Analyzer):
+    def fn(batch: pa.Table) -> pa.Table:
+        classes = batch.column(class_col).to_pylist()
+        texts = batch.column("text").to_pylist()
+        out_c, out_t = [], []
+        for cls, text in zip(classes, texts):
+            for t in set(tokenize(text or "", analyzer)):
+                out_c.append(cls)
+                out_t.append(t)
+        t = pa.table(
+            {
+                "class": pa.array(out_c, type=pa.string()),
+                "term": pa.array(out_t, type=pa.string()),
+            }
+        )
+        # per-batch partial: docs contribute DISTINCT terms, so this
+        # count is a doc count; the downstream groupby sums partials
+        g = t.group_by(["class", "term"]).aggregate([([], "count_all")])
+        return g.rename_columns(["class", "term", "hits"])
+
+    return fn
+
+
+def _class_stats_partial(class_col: str, analyzer: Analyzer):
+    def fn(batch: pa.Table) -> pa.Table:
+        classes = batch.column(class_col).to_pylist()
+        texts = batch.column("text").to_pylist()
+        agg: dict[str, list[int]] = {}
+        for cls, text in zip(classes, texts):
+            n_uniq = len(set(tokenize(text or "", analyzer)))
+            a = agg.setdefault(cls, [0, 0])
+            a[0] += 1
+            a[1] += n_uniq
+        return pa.table(
+            {
+                "class": pa.array(sorted(agg), type=pa.string()),
+                "docs": pa.array(
+                    [agg[c][0] for c in sorted(agg)], type=pa.int64()
+                ),
+                "uniq_pairs": pa.array(
+                    [agg[c][1] for c in sorted(agg)], type=pa.int64()
+                ),
+            }
+        )
+
+    return fn
+
+
+def nb_train(
+    sf_dir: str,
+    class_col: str = "lang",
+    analyzer: Analyzer = DEFAULT_ANALYZER,
+) -> dict:
+    """Train the NB model from the labeled documents table in two
+    streamed passes (hits per (class, term); per-class doc counts +
+    unique-pair totals). Returns the model dict."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    ds = ray.data.read_parquet(path, columns=["text", class_col])
+
+    hits_tbl = (
+        ds.map_batches(
+            _hits_partial(class_col, analyzer),
+            batch_format="pyarrow",
+            **_rargs(),
+        )
+        .groupby(["class", "term"])
+        .aggregate(Sum("hits", alias_name="hits"))
+        .to_pandas()
+    )
+    stats = (
+        ds.map_batches(
+            _class_stats_partial(class_col, analyzer),
+            batch_format="pyarrow",
+            **_rargs(),
+        )
+        .groupby("class")
+        .aggregate(Sum("docs", alias_name="docs"), Sum("uniq_pairs", alias_name="uniq_pairs"))
+        .to_pandas()
+    )
+    classes = dict(zip(stats["class"], (int(x) for x in stats["docs"])))
+    n_classed = sum(classes.values())
+    total_uniq = int(stats["uniq_pairs"].sum())
+    # sumDocFreq / docCount of the text field (every doc has text)
+    avg_uniq = total_uniq / n_classed
+    hits = {
+        (t, c): int(h)
+        for c, t, h in zip(hits_tbl["class"], hits_tbl["term"], hits_tbl["hits"])
+    }
+    return {
+        "classes": classes,
+        "hits": hits,
+        "avg_uniq": avg_uniq,
+        "n_classed": n_classed,
+    }
+
+
+def nb_score_doc(model: dict, tokens: list[str]) -> tuple[str, float]:
+    """(assigned_class, log score) for one tokenized doc — first strict
+    max over sorted classes (SimpleNaiveBayesClassifier.java:142-151)."""
+    hits = model["hits"]
+    n_classed = model["n_classed"]
+    best_c, best_s = None, -math.inf
+    for c in sorted(model["classes"]):
+        df_c = model["classes"][c]
+        prior = math.log(df_c) - math.log(n_classed)
+        den = model["avg_uniq"] * df_c + n_classed
+        s = prior
+        for w in tokens:  # every occurrence, in doc order (:203-206)
+            s += math.log((hits.get((w, c), 0) + 1) / den)
+        if s > best_s:
+            best_c, best_s = c, s
+    return best_c, best_s
+
+
+class NBClassifierStage:
+    """Actor-pool inference stage: model ships once as constructor args,
+    document batches stream through."""
+
+    def __init__(self, model: dict, analyzer: Analyzer = DEFAULT_ANALYZER):
+        self.model = model
+        self.analyzer = analyzer
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        preds = [
+            nb_score_doc(self.model, tokenize(t or "", self.analyzer))[0]
+            for t in texts
+        ]
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, type=pa.int64()),
+                "assigned_class": pa.array(preds, type=pa.string()),
+            }
+        )
+
+
+def nb_classify_dataset(
+    sf_dir: str,
+    class_col: str = "lang",
+    analyzer: Analyzer = DEFAULT_ANALYZER,
+    concurrency: tuple[int, int] = (1, 4),
+):
+    """Train on the labeled table, then classify the same document
+    stream (self-classification) — Dataset of (doc_id, assigned_class)."""
+    import ray.data
+
+    model = nb_train(sf_dir, class_col, analyzer)
+    path = os.path.join(sf_dir, "documents.parquet")
+    ds = ray.data.read_parquet(path, columns=["doc_id", "text"])
+    return ds.map_batches(
+        NBClassifierStage,
+        fn_constructor_args=(model, analyzer),
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=concurrency,
+        **_rargs(),
+    )
+
+
+def knn_vote(
+    scores: list[float], classes: list[str], k: int
+) -> tuple[str | None, float]:
+    """(assigned_class, score) from top-k neighbor (score, class) pairs —
+    KNearestNeighborClassifier.buildListFromTopDocs: per class,
+    sum(score_i / maxScore) / k, scaled by k / sumdoc when sumdoc < k;
+    argmax over sorted classes (deterministic HashMap-order stand-in)."""
+    if not scores:
+        return None, 0.0
+    max_score = scores[0]
+    counts: Counter = Counter()
+    boosts: dict[str, float] = {}
+    for s, c in zip(scores, classes):
+        counts[c] += 1
+        boosts[c] = boosts.get(c, 0.0) + s / max_score
+    sumdoc = sum(counts.values())
+    best_c, best_s = None, -math.inf
+    for c in sorted(counts):
+        score = (counts[c] * (boosts[c] / counts[c])) / k
+        if sumdoc < k:
+            score = score * k / sumdoc
+        if score > best_s:
+            best_c, best_s = c, score
+    return best_c, best_s
+
+
+def knn_classify_docs(
+    sf_dir: str,
+    doc_ids: list[int],
+    index_dir: str,
+    k: int = 10,
+    max_query_terms: int = 10,
+) -> pa.Table:
+    """kNN classification of example docs: MLT term selection -> BM25
+    top-k neighbor search -> class vote. Example texts and neighbor
+    labels are fetched with doc_id-pushdown pruned reads (never a full
+    table scan)."""
+    import pyarrow.dataset as pads
+
+    from .checkpoint import load_merge_manifest
+    from .mlt import select_like_terms
+    from .search import IndexSearcher
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    ex = (
+        pads.dataset(src)
+        .to_table(
+            columns=["doc_id", "text"],
+            filter=pads.field("doc_id").isin(doc_ids),
+        )
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    merge_manifest = load_merge_manifest(index_dir)
+    searcher = IndexSearcher(merge_manifest)
+    neighbor_sets: dict[int, tuple[list[int], list[float]]] = {}
+    need_ids: set[int] = set()
+    for did in doc_ids:
+        text = ex.loc[did, "text"] if did in ex.index else ""
+        sel = select_like_terms(
+            merge_manifest, text, max_query_terms=max_query_terms,
+            min_term_freq=2, min_doc_freq=5,
+        )
+        if not sel:
+            neighbor_sets[did] = ([], [])
+            continue
+        q = " ".join(t for t, _tf, _df, _s in sel)
+        docs, scores = searcher.search(q, k)
+        neighbor_sets[did] = (docs.tolist(), scores.tolist())
+        need_ids.update(docs.tolist())
+    labels = (
+        pads.dataset(src)
+        .to_table(
+            columns=["doc_id", "lang"],
+            filter=pads.field("doc_id").isin(sorted(need_ids)),
+        )
+        .to_pandas()
+        .set_index("doc_id")["lang"]
+        .to_dict()
+        if need_ids
+        else {}
+    )
+    out_doc, out_cls = [], []
+    for did in doc_ids:
+        docs, scores = neighbor_sets[did]
+        cls, _ = knn_vote(scores, [labels[d] for d in docs], k)
+        out_doc.append(did)
+        out_cls.append(cls if cls is not None else "")
+    return pa.table(
+        {
+            "doc_id": pa.array(out_doc, type=pa.int64()),
+            "assigned_class": pa.array(out_cls, type=pa.string()),
+        }
+    )

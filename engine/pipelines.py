@@ -437,6 +437,57 @@ def percolate_matches(sf_dir: str):
     return percolate(ds, PERCOLATE_QUERIES)
 
 
+def nb_train_stats(sf_dir: str) -> pa.Table:
+    """NB training sufficient statistics — per (class, term) the number
+    of docs of that class containing the term (the getWordFreqForClass
+    corpus quantity, SimpleNaiveBayesClassifier.java:250-264), computed
+    as a streamed per-batch distinct-term partial + groupby sum. Exact
+    SQL oracle (a DISTINCT unnest + GROUP BY)."""
+    from ray.data.aggregate import Sum
+
+    import ray.data
+
+    from .analyze import DEFAULT_ANALYZER
+    from .classify import _hits_partial
+    from .rayenv import remote_args as _rargs
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text", "lang"]
+    )
+    out = (
+        ds.map_batches(
+            _hits_partial("lang", DEFAULT_ANALYZER),
+            batch_format="pyarrow",
+            **_rargs(),
+        )
+        .groupby(["class", "term"])
+        .aggregate(Sum("hits", alias_name="hits"))
+    )
+    return out
+
+
+def nb_classify(sf_dir: str):
+    """SimpleNaiveBayesClassifier self-classification of the documents
+    table (train + actor-pool batch inference); (doc_id,
+    assigned_class). Rows-only (the ln-sum argmax is not bit-stable
+    across SQL engines); tests check label agreement vs a DuckDB
+    recomputation at sf0.001."""
+    from .classify import nb_classify_dataset
+
+    return nb_classify_dataset(sf_dir)
+
+
+def knn_classify(sf_dir: str, n_examples: int = 10, k: int = 10) -> pa.Table:
+    """KNearestNeighborClassifier: MLT neighbor search + normalized
+    class vote for the first ``n_examples`` docs."""
+    from .classify import knn_classify_docs
+
+    idx = get_index(sf_dir)
+    return knn_classify_docs(
+        sf_dir, list(range(n_examples)), idx["index_dir"], k=k
+    )
+
+
 def bool_nested_match_docs(
     sf_dir: str, query: str = "+(data join) +(hash merge) -dup"
 ) -> pa.Table:
