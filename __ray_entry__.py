@@ -254,6 +254,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nb_train_stats": pipelines.nb_train_stats,
         "nb_classify": pipelines.nb_classify,
         "knn_classify": pipelines.knn_classify,
+        "drill_sideways": relational.drill_sideways_docs,
+        "function_score_topk": pipelines.function_score_topk,
         "top100_terms": pipelines.top100_terms,
         "token_counts_extracted": pipelines.token_counts,
         "collection_stats": pipelines.collection_stats,
@@ -463,6 +465,27 @@ def oracle_sql() -> dict[str, str]:
                   AND (list_contains(ts, 'hash') OR list_contains(ts, 'merge'))
             )
             SELECT doc_id, query_id FROM m
+        """,
+        # DrillSideways: per dimension, facet counts over base + the
+        # OTHER dimension's filter; plus the fully-drilled hit count
+        "drill_sideways": f"""
+            WITH d AS (
+                SELECT lang, source,
+                       list_contains({_TOK}, 'data') AS base
+                FROM documents
+            ),
+            m AS (
+                SELECT 'lang' AS dim, lang AS value,
+                       CAST(count(*) AS BIGINT) AS cnt
+                FROM d WHERE base AND source = 'src3' GROUP BY lang
+                UNION ALL
+                SELECT 'source', source, CAST(count(*) AS BIGINT)
+                FROM d WHERE base AND lang = 'en' GROUP BY source
+                UNION ALL
+                SELECT 'drilldown', '', CAST(count(*) AS BIGINT)
+                FROM d WHERE base AND lang = 'en' AND source = 'src3'
+            )
+            SELECT dim, value, cnt FROM m WHERE cnt > 0
         """,
         # NB training sufficient statistics: docs of class containing term
         "nb_train_stats": f"""

@@ -488,6 +488,41 @@ def knn_classify(sf_dir: str, n_examples: int = 10, k: int = 10) -> pa.Table:
     )
 
 
+def function_score_topk(
+    sf_dir: str, query: str = "data join", k: int = 10
+) -> pa.Table:
+    """FunctionScoreQuery.boostByValue (queries/function/
+    FunctionScoreQuery.java:86-88, :224-236): every match's BM25 score is
+    multiplied by a per-doc DoubleValuesSource — here the stored
+    ``n_chars`` DocValues column — with the reference's exact op order
+    ``(float)(double(field) * double(inner_f32_score))``; negative or
+    missing factors score 0. The factor rides the DV sidecar
+    (doc-range-routed pruned reads), never the row store. Residual noted
+    for 100x: multiplying belongs inside the per-segment collector;
+    here the full match set is rescored then top-k'd (one extra
+    partition-topk pass, no extra I/O)."""
+    from .bm25 import topk_sort
+    from .checkpoint import load_merge_manifest
+    from .docvalues import DocValuesReader
+    from .search import IndexSearcher
+
+    idx = get_index(sf_dir)
+    searcher = IndexSearcher(load_merge_manifest(idx["index_dir"]))
+    docs, scores = searcher.search(query, k=searcher.doc_count)
+    dv = DocValuesReader(idx["build_manifest"]["partitions"])
+    vals = dv.values_for(docs, "n_chars").astype(np.float64)
+    boosted = (vals * scores.astype(np.float64)).astype(np.float32)
+    boosted[vals < 0] = np.float32(0.0)
+    docs, boosted = topk_sort(docs, boosted, k)
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(len(docs)), type=pa.int64()),
+            "doc_id": pa.array(docs, type=pa.int64()),
+            "score": pa.array(boosted, type=pa.float32()),
+        }
+    )
+
+
 def bool_nested_match_docs(
     sf_dir: str, query: str = "+(data join) +(hash merge) -dup"
 ) -> pa.Table:

@@ -633,3 +633,62 @@ def block_join_top_orders(sf_dir: str, k: int = 10, min_discount: float = 0.05):
             "score": pa.array(top["score"].to_numpy(), type=pa.float64()),
         }
     )
+
+
+def drill_sideways_docs(
+    sf_dir: str,
+    base_term: str = "data",
+    lang: str = "en",
+    source: str = "src3",
+):
+    """DrillSideways analogue (facet/DrillSideways.java:176-218 — ONE
+    query execution fills the drill-down collector AND one sideways
+    collector per dimension): for a base query (docs containing
+    ``base_term``) drilled down on lang=... and source=..., emit
+
+    - dim='lang' rows: lang facet counts over base AND source filter
+      (the lang dimension's own filter dropped — "sideways"),
+    - dim='source' rows: source facet counts over base AND lang filter,
+    - dim='drilldown': the fully-filtered hit count.
+
+    Shape: one streamed map_batches pass computes per-batch partials for
+    every collector at once (the DrillSidewaysQuery role — the doc is
+    scored once, each collector sees the subset it needs), then a small
+    groupby(dim, value) sum."""
+    from ray.data.aggregate import Sum
+
+    from .analyze import tokenize
+
+    ds = _read(sf_dir, "documents", ["text", "lang", "source"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        langs = batch.column("lang").to_pylist()
+        sources = batch.column("source").to_pylist()
+        texts = batch.column("text").to_pylist()
+        counts: dict[tuple[str, str], int] = {}
+        for lg, src, text in zip(langs, sources, texts):
+            if base_term not in tokenize(text or ""):
+                continue
+            if src == source:  # sideways for the lang dimension
+                k = ("lang", lg)
+                counts[k] = counts.get(k, 0) + 1
+            if lg == lang:  # sideways for the source dimension
+                k = ("source", src)
+                counts[k] = counts.get(k, 0) + 1
+            if lg == lang and src == source:
+                k = ("drilldown", "")
+                counts[k] = counts.get(k, 0) + 1
+        keys = sorted(counts)
+        return pa.table(
+            {
+                "dim": pa.array([k[0] for k in keys], type=pa.string()),
+                "value": pa.array([k[1] for k in keys], type=pa.string()),
+                "cnt": pa.array([counts[k] for k in keys], type=pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partials, batch_format="pyarrow", **_rargs())
+        .groupby(["dim", "value"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )

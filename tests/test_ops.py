@@ -442,3 +442,67 @@ def test_block_join_score_mode_max():
     assert out["o_orderkey"].tolist() == exp["o_orderkey"].tolist()
     assert out["score"].tolist() == exp["score"].tolist()  # exact doubles
     assert out["rank"].tolist() == list(range(len(out)))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_drill_sideways_one_pass_counts():
+    """Sideways counts == per-dimension recomputation excluding the
+    dimension's own filter (DrillSideways contract)."""
+    import duckdb
+
+    from engine.relational import drill_sideways_docs
+
+    got = (
+        drill_sideways_docs("/root/testdata/sf0.001")
+        .to_pandas()
+        .sort_values(["dim", "value"])
+        .reset_index(drop=True)
+    )
+    tok = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+    exp = duckdb.sql(f"""
+        WITH d AS (SELECT lang, source, list_contains({tok}, 'data') AS base
+                   FROM read_parquet('/root/testdata/sf0.001/documents.parquet')),
+        m AS (
+            SELECT 'lang' AS dim, lang AS value, count(*) AS cnt
+            FROM d WHERE base AND source = 'src3' GROUP BY lang
+            UNION ALL
+            SELECT 'source', source, count(*) FROM d WHERE base AND lang = 'en'
+            GROUP BY source
+            UNION ALL
+            SELECT 'drilldown', '', count(*) FROM d
+            WHERE base AND lang = 'en' AND source = 'src3'
+        ) SELECT dim, value, cnt FROM m WHERE cnt > 0 ORDER BY dim, value
+    """).fetchdf().reset_index(drop=True)
+    assert got["dim"].tolist() == exp["dim"].tolist()
+    assert got["value"].tolist() == exp["value"].tolist()
+    assert got["cnt"].tolist() == exp["cnt"].astype(int).tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_function_score_boost_by_value():
+    """FunctionScoreQuery.boostByValue: boosted score is bit-exactly
+    (float)(n_chars * double(bm25_f32)) and reorders accordingly."""
+    import pyarrow.dataset as pads
+
+    from engine.checkpoint import load_merge_manifest
+    from engine.pipelines import function_score_topk, get_index
+    from engine.search import IndexSearcher
+
+    out = function_score_topk("/root/testdata/sf0.001", k=10).to_pandas()
+    assert len(out) == 10
+    s = out["score"].to_numpy()
+    assert s.dtype == np.float32 and (np.diff(s) <= 0).all()
+
+    idx = get_index("/root/testdata/sf0.001")
+    searcher = IndexSearcher(load_merge_manifest(idx["index_dir"]))
+    docs, scores = searcher.search("data join", k=searcher.doc_count)
+    base = dict(zip(docs.tolist(), scores.tolist()))
+    nchars = (
+        pads.dataset("/root/testdata/sf0.001/documents.parquet")
+        .to_table(columns=["doc_id", "n_chars"],
+                  filter=pads.field("doc_id").isin(out["doc_id"].tolist()))
+        .to_pandas().set_index("doc_id")["n_chars"].to_dict()
+    )
+    for r in out.itertuples():
+        exp = np.float32(np.float64(nchars[r.doc_id]) * np.float64(np.float32(base[r.doc_id])))
+        assert np.float32(r.score) == exp, r
