@@ -256,6 +256,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_classify": pipelines.knn_classify,
         "drill_sideways": relational.drill_sideways_docs,
         "function_score_topk": pipelines.function_score_topk,
+        "free_text_suggest": pipelines.free_text_suggest_body,
         "top100_terms": pipelines.top100_terms,
         "token_counts_extracted": pipelines.token_counts,
         "collection_stats": pipelines.collection_stats,
@@ -486,6 +487,84 @@ def oracle_sql() -> dict[str, str]:
                 FROM d WHERE base AND lang = 'en' AND source = 'src3'
             )
             SELECT dim, value, cnt FROM m WHERE cnt > 0
+        """,
+        # FreeTextSuggester (stupid-backoff bigram LM): per-model top-10
+        # by (count desc, gram asc), score = (long)(((2^63 * backoff) *
+        # count) / contextCount), unigram model backs off by 0.4 and
+        # skips last-tokens the bigram model already predicted
+        "free_text_suggest": f"""
+            WITH pos AS (
+                SELECT doc_id, unnest({_TOK}) AS t,
+                       unnest(range(len({_TOK}))) AS p
+                FROM documents
+            ),
+            uni AS (SELECT t, count(*) AS c FROM pos GROUP BY t),
+            tot AS (SELECT CAST(sum(c) AS DOUBLE) AS s FROM uni),
+            big AS (
+                SELECT a.t AS t1, b.t AS t2, count(*) AS c
+                FROM pos a JOIN pos b
+                  ON a.doc_id = b.doc_id AND b.p = a.p + 1
+                GROUP BY a.t, b.t
+            ),
+            lmax AS (SELECT CAST(9223372036854775807 AS DOUBLE) AS v),
+            k1 AS (
+                SELECT 'data ' AS key, t1 || ' ' || t2 AS suggestion,
+                       CAST(trunc((((SELECT v FROM lmax) * 1.0)
+                            * CAST(c AS DOUBLE))
+                            / CAST((SELECT c FROM uni WHERE t = 'data')
+                                   AS DOUBLE)) AS BIGINT) AS score
+                FROM (SELECT *, row_number() OVER (
+                          ORDER BY c DESC, t2 ASC) AS rn
+                      FROM big WHERE t1 = 'data')
+                WHERE rn <= 10
+            ),
+            k2 AS (
+                SELECT 'so' AS key, t AS suggestion,
+                       CAST(trunc((((SELECT v FROM lmax) * 1.0)
+                            * CAST(c AS DOUBLE))
+                            / (SELECT s FROM tot)) AS BIGINT) AS score
+                FROM (SELECT *, row_number() OVER (
+                          ORDER BY c DESC, t ASC) AS rn
+                      FROM uni WHERE t LIKE 'so%')
+                WHERE rn <= 10
+            ),
+            k3b AS (
+                SELECT t2, t1 || ' ' || t2 AS suggestion,
+                       CAST(trunc((((SELECT v FROM lmax) * 1.0)
+                            * CAST(c AS DOUBLE))
+                            / CAST((SELECT c FROM uni WHERE t = 'data')
+                                   AS DOUBLE)) AS BIGINT) AS score
+                FROM (SELECT *, row_number() OVER (
+                          ORDER BY c DESC, t2 ASC) AS rn
+                      FROM big WHERE t1 = 'data' AND t2 LIKE 'jo%')
+                WHERE rn <= 10
+            ),
+            k3u AS (
+                SELECT t AS suggestion,
+                       CAST(trunc((((SELECT v FROM lmax) * 0.4)
+                            * CAST(c AS DOUBLE))
+                            / (SELECT s FROM tot)) AS BIGINT) AS score
+                FROM (SELECT *, row_number() OVER (
+                          ORDER BY c DESC, t ASC) AS rn
+                      FROM uni WHERE t LIKE 'jo%'
+                        AND t NOT IN (SELECT t2 FROM k3b))
+                WHERE rn <= 10
+            ),
+            k3 AS (
+                SELECT 'data jo' AS key, suggestion, score FROM k3b
+                UNION ALL
+                SELECT 'data jo', suggestion, score FROM k3u
+            ),
+            allk AS (
+                SELECT * FROM k1 UNION ALL SELECT * FROM k2
+                UNION ALL SELECT * FROM k3
+            )
+            SELECT key, CAST(rn - 1 AS BIGINT) AS rank, suggestion, score
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY key
+                      ORDER BY score DESC, suggestion ASC) AS rn
+                  FROM allk)
+            WHERE rn <= 10
         """,
         # NB training sufficient statistics: docs of class containing term
         "nb_train_stats": f"""

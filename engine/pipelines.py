@@ -741,6 +741,16 @@ def word_breaks_body(sf_dir: str) -> pa.Table:
     return word_breaks(idx["merge_manifest"], words, top_n=5)
 
 
+def free_text_suggest_body(sf_dir: str) -> pa.Table:
+    """FreeTextSuggester (suggest/analyzing/FreeTextSuggester.java):
+    stupid-backoff bigram LM built distributed over the documents table;
+    three key shapes — completed context ('data '), bare prefix ('so'),
+    context+prefix with backoff + seen-skip ('data jo')."""
+    from .suggest import free_text_suggest
+
+    return free_text_suggest(sf_dir, ["data ", "so", "data jo"], num=10)
+
+
 def more_like_this_terms(sf_dir: str, doc_id: int = 7) -> pa.Table:
     """MoreLikeThis term selection for one example doc (MoreLikeThis.java
     createQueue): tf from the analyzed doc text (doc_id-pushdown row-store

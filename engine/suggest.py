@@ -234,3 +234,155 @@ def word_breaks(
             "df_right": pa.array(out["df_right"], type=pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# FreeTextSuggester — n-gram stupid-backoff language model
+# ---------------------------------------------------------------------------
+
+FREETEXT_ALPHA = 0.4  # FreeTextSuggester.java:133
+_LMAX = float(2**63)  # (double) Long.MAX_VALUE — exactly 2^63
+
+
+def freetext_train(sf_dir: str, analyzer=None) -> dict:
+    """Distributed n-gram model build (FreeTextSuggester.build role,
+    grams=2): one map_batches pass emits per-batch (gram, count)
+    partials for unigrams and in-doc adjacent bigrams (the ShingleFilter
+    adjacency over the analyzer stream), a small groupby(kind, t1, t2)
+    sum finishes. Returns {"uni": {t: c}, "big": {(t1, t2): c},
+    "tot": total token count} — the model is the only collected object
+    (vocab-bounded, the FST role)."""
+    import os
+
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from .analyze import DEFAULT_ANALYZER, tokenize
+    from .rayenv import remote_args
+
+    analyzer = analyzer or DEFAULT_ANALYZER
+
+    def partials(batch: pa.Table) -> pa.Table:
+        counts: dict[tuple[str, str, str], int] = {}
+        for text in batch.column("text").to_pylist():
+            toks = tokenize(text or "", analyzer)
+            for t in toks:
+                k = ("u", t, "")
+                counts[k] = counts.get(k, 0) + 1
+            for a, b in zip(toks, toks[1:]):
+                k = ("b", a, b)
+                counts[k] = counts.get(k, 0) + 1
+        keys = sorted(counts)
+        return pa.table(
+            {
+                "kind": pa.array([k[0] for k in keys], type=pa.string()),
+                "t1": pa.array([k[1] for k in keys], type=pa.string()),
+                "t2": pa.array([k[2] for k in keys], type=pa.string()),
+                "cnt": pa.array([counts[k] for k in keys], type=pa.int64()),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    )
+    tbl = (
+        ds.map_batches(partials, batch_format="pyarrow", **remote_args())
+        .groupby(["kind", "t1", "t2"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    uni, big = {}, {}
+    for kind, t1, t2, c in zip(tbl["kind"], tbl["t1"], tbl["t2"], tbl["cnt"]):
+        if kind == "u":
+            uni[t1] = int(c)
+        else:
+            big[(t1, t2)] = int(c)
+    return {"uni": uni, "big": big, "tot": sum(uni.values())}
+
+
+def _freetext_topn(cands: list[tuple[int, str, str]], num: int):
+    """Per-model top-num by (count desc, full-gram bytes asc) — the FST
+    TopNSearcher order within one model."""
+    return sorted(cands, key=lambda x: (-x[0], x[1]))[:num]
+
+
+def freetext_lookup(model: dict, key: str, num: int = 10, analyzer=None) -> list[tuple[str, int]]:
+    """[(full gram string, long score)] for one input key —
+    FreeTextSuggester.lookup (FreeTextSuggester.java:440-680, grams=2):
+    try the bigram model on the last (context, prefix), back off by
+    ALPHA to the unigram model, skip last-tokens the higher model
+    already predicted, score = (long)(((2^63 * backoff) * count) /
+    contextCount), final order (score desc, full string asc)."""
+    from .analyze import DEFAULT_ANALYZER, tokenize
+
+    analyzer = analyzer or DEFAULT_ANALYZER
+    toks = tokenize(key, analyzer)
+    # the user "ended" the last token iff appending a token char would
+    # start a NEW token (the endOffset/posInc test of the reference)
+    probe = tokenize(key + "x", analyzer)
+    last_ended = bool(toks) and (len(probe) == len(toks) + 1)
+    uni, big, tot = model["uni"], model["big"], model["tot"]
+
+    if not toks:
+        if key:
+            return []
+        context, prefix = None, ""
+    elif last_ended:
+        context, prefix = toks[-1], ""
+    else:
+        context = toks[-2] if len(toks) >= 2 else None
+        prefix = toks[-1]
+
+    results: list[tuple[str, int]] = []
+    seen: set[str] = set()
+    backoff = 1.0
+
+    if context is not None:
+        cands = [
+            (c, f"{t1} {t2}", t2)
+            for (t1, t2), c in big.items()
+            if t1 == context and t2.startswith(prefix)
+        ]
+        if cands:
+            ctx_count = uni[context]
+            for c, full, last in _freetext_topn(cands, num):
+                score = int(((_LMAX * backoff) * float(c)) / float(ctx_count))
+                results.append((full, score))
+                seen.add(last)
+        backoff *= FREETEXT_ALPHA  # null prefixOutput backs off too
+
+    if prefix or key == "":  # no unigram predictions from empty string
+        cands = [
+            (c, t, t)
+            for t, c in uni.items()
+            if t.startswith(prefix) and t not in seen
+        ]
+        for c, full, _last in _freetext_topn(cands, num):
+            score = int(((_LMAX * backoff) * float(c)) / float(tot))
+            results.append((full, score))
+
+    results.sort(key=lambda x: (-x[1], x[0]))
+    return results[:num]
+
+
+def free_text_suggest(
+    sf_dir: str, keys: list[str], num: int = 10, model: dict | None = None
+) -> pa.Table:
+    """Driver pipeline: train the n-gram model (distributed), look up
+    each key; (key, rank, suggestion, score)."""
+    model = model or freetext_train(sf_dir)
+    out = {"key": [], "rank": [], "suggestion": [], "score": []}
+    for key in keys:
+        for rank, (full, score) in enumerate(freetext_lookup(model, key, num)):
+            out["key"].append(key)
+            out["rank"].append(rank)
+            out["suggestion"].append(full)
+            out["score"].append(score)
+    return pa.table(
+        {
+            "key": pa.array(out["key"], type=pa.string()),
+            "rank": pa.array(out["rank"], type=pa.int64()),
+            "suggestion": pa.array(out["suggestion"], type=pa.string()),
+            "score": pa.array(out["score"], type=pa.int64()),
+        }
+    )

@@ -155,3 +155,65 @@ def test_word_breaks_single_split():
     # NUM_CHANGES_THEN_MAX_FREQUENCY: max(df) non-increasing down the ranks
     m = dj[["df_left", "df_right"]].max(axis=1).tolist()
     assert m == sorted(m, reverse=True)
+
+
+def test_freetext_lookup_backoff_math():
+    """Hand-built model: FreeTextSuggester.java lookup semantics —
+    per-model scores, 0.4 backoff, seen-skip, trailing-space upgrade."""
+    from engine.suggest import freetext_lookup
+
+    model = {
+        "uni": {"data": 10, "join": 4, "jolt": 6, "x": 1},
+        "big": {("data", "join"): 3, ("data", "jolt"): 1, ("join", "x"): 1},
+        "tot": 21,
+    }
+    L = float(2**63)
+    # completed context: bigram continuations only
+    r = freetext_lookup(model, "data ", num=10)
+    assert [s for s, _ in r] == ["data join", "data jolt"]
+    assert r[0][1] == int(((L * 1.0) * 3.0) / 10.0)
+    assert r[1][1] == int(((L * 1.0) * 1.0) / 10.0)
+    # bare prefix: unigram model, backoff 1.0 (no context attempted)
+    r2 = freetext_lookup(model, "jo", num=10)
+    assert [s for s, _ in r2] == ["jolt", "join"]  # 6 > 4
+    assert r2[0][1] == int(((L * 1.0) * 6.0) / 21.0)
+    # context + prefix: bigram first, unigram backed off 0.4, seen-skip
+    r3 = freetext_lookup(model, "data jo", num=10)
+    sugg = [s for s, _ in r3]
+    assert "data join" in sugg and "data jolt" in sugg
+    assert "jolt" not in sugg and "join" not in sugg  # seen-skip
+    # unigram-only term absent from (data, *) bigrams would appear:
+    model["uni"]["jox"] = 9
+    r4 = freetext_lookup(model, "data jo", num=10)
+    d = dict(r4)
+    assert d["jox"] == int(((L * 0.4) * 9.0) / 21.0)
+    # bigram score for 'data join' (3/10) outranks backed-off jox
+    assert [s for s, _ in r4][0] == "data join"
+    # empty key: top unigrams; unknown context: no results
+    assert freetext_lookup(model, "", num=2)[0][0] == "data"
+    assert freetext_lookup(model, "zzz ", num=5) == []
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_freetext_train_counts():
+    from engine.suggest import freetext_train
+
+    import duckdb
+
+    m = freetext_train("/root/testdata/sf0.001")
+    tok = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+    exp_uni = dict(duckdb.sql(f"""
+        SELECT t, count(*) FROM (SELECT unnest({tok}) t FROM
+        read_parquet('/root/testdata/sf0.001/documents.parquet')) GROUP BY t
+    """).fetchall())
+    assert m["uni"] == {k: int(v) for k, v in exp_uni.items()}
+    assert m["tot"] == sum(m["uni"].values())
+    exp_big = duckdb.sql(f"""
+        SELECT a.t, b.t, count(*) FROM
+        (SELECT doc_id, unnest({tok}) t, unnest(range(len({tok}))) p FROM
+         read_parquet('/root/testdata/sf0.001/documents.parquet')) a
+        JOIN (SELECT doc_id, unnest({tok}) t, unnest(range(len({tok}))) p FROM
+         read_parquet('/root/testdata/sf0.001/documents.parquet')) b
+        ON a.doc_id=b.doc_id AND b.p=a.p+1 GROUP BY a.t, b.t
+    """).fetchall()
+    assert m["big"] == {(a, b): int(c) for a, b, c in exp_big}
