@@ -257,6 +257,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "drill_sideways": relational.drill_sideways_docs,
         "function_score_topk": pipelines.function_score_topk,
         "free_text_suggest": pipelines.free_text_suggest_body,
+        "replica_bm25_topk": pipelines.replica_bm25_topk,
         "top100_terms": pipelines.top100_terms,
         "token_counts_extracted": pipelines.token_counts,
         "collection_stats": pipelines.collection_stats,

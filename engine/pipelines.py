@@ -751,6 +751,28 @@ def free_text_suggest_body(sf_dir: str) -> pa.Table:
     return free_text_suggest(sf_dir, ["data ", "so", "data jo"], num=10)
 
 
+def replica_bm25_topk(sf_dir: str, query: str = "data join", k: int = 10) -> pa.Table:
+    """Replicate the index (lucene/replicator revision-sync role) into a
+    replica directory, then serve BM25 top-k FROM THE REPLICA — results
+    are bit-identical to the primary's (tested)."""
+    from .checkpoint import load_merge_manifest
+    from .replicate import replicate_index
+    from .search import IndexSearcher
+
+    idx = get_index(sf_dir)
+    replica = idx["index_dir"].rstrip("/") + "-replica"
+    replicate_index(idx["index_dir"], replica)
+    searcher = IndexSearcher(load_merge_manifest(replica))
+    docs, scores = searcher.search(query, k)
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(len(docs)), type=pa.int64()),
+            "doc_id": pa.array(docs, type=pa.int64()),
+            "score": pa.array(scores, type=pa.float32()),
+        }
+    )
+
+
 def more_like_this_terms(sf_dir: str, doc_id: int = 7) -> pa.Table:
     """MoreLikeThis term selection for one example doc (MoreLikeThis.java
     createQueue): tf from the analyzed doc text (doc_id-pushdown row-store
