@@ -258,6 +258,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "function_score_topk": pipelines.function_score_topk,
         "free_text_suggest": pipelines.free_text_suggest_body,
         "replica_bm25_topk": pipelines.replica_bm25_topk,
+        "sorted_index_topk": pipelines.sorted_index_topk,
         "top100_terms": pipelines.top100_terms,
         "token_counts_extracted": pipelines.token_counts,
         "collection_stats": pipelines.collection_stats,
@@ -488,6 +489,15 @@ def oracle_sql() -> dict[str, str]:
                 FROM d WHERE base AND lang = 'en' AND source = 'src3'
             )
             SELECT dim, value, cnt FROM m WHERE cnt > 0
+        """,
+        # index-sorted early-terminating top-k with a term filter
+        "sorted_index_topk": f"""
+            SELECT CAST(rn - 1 AS BIGINT) AS rank, doc_id, n_chars
+            FROM (
+                SELECT doc_id, n_chars, row_number() OVER (
+                    ORDER BY n_chars DESC, doc_id ASC) AS rn
+                FROM documents WHERE list_contains({_TOK}, 'data')
+            ) WHERE rn <= 20
         """,
         # FreeTextSuggester (stupid-backoff bigram LM): per-model top-10
         # by (count desc, gram asc), score = (long)(((2^63 * backoff) *

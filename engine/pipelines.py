@@ -773,6 +773,37 @@ def replica_bm25_topk(sf_dir: str, query: str = "data join", k: int = 10) -> pa.
     )
 
 
+def sorted_index_topk(
+    sf_dir: str, term: str = "data", k: int = 20, descending: bool = True
+) -> pa.Table:
+    """Index-sorted top-k (IndexWriterConfig.setIndexSort +
+    TopFieldCollector early termination): documents range-partitioned by
+    n_chars (the sorted layout), a term filter's postings pushed into
+    the part reads, scan stops when the next part's bound cannot beat
+    the k-th hit. (rank, doc_id, n_chars)."""
+    from .checkpoint import load_merge_manifest
+    from .search import IndexSearcher
+    from .sortindex import build_sorted_layout, sorted_topk
+
+    idx = get_index(sf_dir)
+    layout = build_sorted_layout(sf_dir, col="n_chars", n_parts=8)
+    searcher = IndexSearcher(load_merge_manifest(idx["index_dir"]))
+    docs_all = [seg.postings(term)[0] for seg in searcher.segments]
+    filt = np.sort(np.concatenate(docs_all)) if docs_all else np.empty(0, np.int64)
+    out, _scanned = sorted_topk(layout, k, descending=descending, filter_docs=filt)
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(out.num_rows), type=pa.int64()),
+            "doc_id": pa.array(
+                out.column("doc_id").to_numpy(), type=pa.int64()
+            ),
+            "n_chars": pa.array(
+                out.column("n_chars").to_numpy(), type=pa.int64()
+            ),
+        }
+    )
+
+
 def more_like_this_terms(sf_dir: str, doc_id: int = 7) -> pa.Table:
     """MoreLikeThis term selection for one example doc (MoreLikeThis.java
     createQueue): tf from the analyzed doc text (doc_id-pushdown row-store
