@@ -259,6 +259,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "free_text_suggest": pipelines.free_text_suggest_body,
         "replica_bm25_topk": pipelines.replica_bm25_topk,
         "sorted_index_topk": pipelines.sorted_index_topk,
+        "intervals_ordered_docs": pipelines.intervals_ordered_docs,
+        "intervals_unordered_docs": pipelines.intervals_unordered_docs,
         "top100_terms": pipelines.top100_terms,
         "token_counts_extracted": pipelines.token_counts,
         "collection_stats": pipelines.collection_stats,
@@ -489,6 +491,51 @@ def oracle_sql() -> dict[str, str]:
                 FROM d WHERE base AND lang = 'en' AND source = 'src3'
             )
             SELECT dim, value, cnt FROM m WHERE cnt > 0
+        """,
+        # minimal ordered intervals (Clarke-Cormack): pairs (a, b) with
+        # b = first 'join' after a, a = last 'data' before b, gap filter
+        "intervals_ordered_docs": f"""
+            WITH pos AS (
+                SELECT doc_id, unnest({_TOK}) AS t,
+                       unnest(range(len({_TOK}))) AS p
+                FROM documents
+            ),
+            a AS (SELECT doc_id, p FROM pos WHERE t = 'data'),
+            b AS (SELECT doc_id, p FROM pos WHERE t = 'join'),
+            pairs AS (
+                SELECT a.doc_id, a.p AS ap,
+                       (SELECT min(b.p) FROM b
+                        WHERE b.doc_id = a.doc_id AND b.p > a.p) AS bp
+                FROM a
+            ),
+            minimal AS (
+                SELECT doc_id, ap, bp FROM pairs
+                WHERE bp IS NOT NULL
+                  AND ap = (SELECT max(a2.p) FROM a a2
+                            WHERE a2.doc_id = pairs.doc_id AND a2.p < bp)
+                  AND bp - ap - 1 <= 2
+            )
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS matches
+            FROM minimal GROUP BY doc_id
+        """,
+        # minimal unordered intervals of two unit terms = adjacent
+        # hetero-type pairs in the merged position sequence; maxwidth 4
+        "intervals_unordered_docs": f"""
+            WITH pos AS (
+                SELECT doc_id, unnest({_TOK}) AS t,
+                       unnest(range(len({_TOK}))) AS p
+                FROM documents
+            ),
+            seq AS (
+                SELECT doc_id, p, t,
+                       lead(p) OVER (PARTITION BY doc_id ORDER BY p) AS np,
+                       lead(t) OVER (PARTITION BY doc_id ORDER BY p) AS nt
+                FROM pos WHERE t IN ('hash', 'merge')
+            )
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS matches
+            FROM seq
+            WHERE nt IS NOT NULL AND nt <> t AND np - p + 1 <= 4
+            GROUP BY doc_id
         """,
         # index-sorted early-terminating top-k with a term filter
         "sorted_index_topk": f"""

@@ -804,6 +804,53 @@ def sorted_index_topk(
     )
 
 
+def _interval_match_table(
+    sf_dir: str, terms: tuple[str, ...], ordered: bool, **kw
+) -> pa.Table:
+    from .intervals import doc_interval_counts
+
+    searcher = _span_searcher(sf_dir)
+    docs_all, n_all = [], []
+    for seg in searcher.segments:
+        docs, counts = doc_interval_counts(seg, terms, ordered=ordered, **kw)
+        docs_all.append(docs)
+        n_all.append(counts)
+    docs = np.concatenate(docs_all) if docs_all else np.empty(0, np.int64)
+    counts = np.concatenate(n_all) if n_all else np.empty(0, np.int64)
+    order = np.argsort(docs, kind="stable")
+    return pa.table(
+        {
+            "doc_id": pa.array(docs[order], type=pa.int64()),
+            "matches": pa.array(counts[order], type=pa.int64()),
+        }
+    )
+
+
+def intervals_ordered_docs(
+    sf_dir: str, t1: str = "data", t2: str = "join", max_gaps: int = 2
+) -> pa.Table:
+    """Intervals.maxgaps(Intervals.ordered(t1, t2)) match counts —
+    minimal ordered intervals (OrderedIntervalsSource.java:133-166: the
+    last head before each distinct chain end) filtered by gaps. Oracle:
+    the (a, b) pairs with b = first t2 after a and a = last t1 before b
+    and b - a - 1 <= max_gaps."""
+    return _interval_match_table(
+        sf_dir, (t1, t2), ordered=True, max_gaps=max_gaps
+    )
+
+
+def intervals_unordered_docs(
+    sf_dir: str, t1: str = "hash", t2: str = "merge", max_width: int = 4
+) -> pa.Table:
+    """Intervals.maxwidth(Intervals.unordered(t1, t2)) match counts —
+    minimal unordered windows; for two unit terms these are exactly the
+    adjacent hetero-type pairs of the merged position sequence (the
+    DuckDB lead() oracle)."""
+    return _interval_match_table(
+        sf_dir, (t1, t2), ordered=False, max_width=max_width
+    )
+
+
 def more_like_this_terms(sf_dir: str, doc_id: int = 7) -> pa.Table:
     """MoreLikeThis term selection for one example doc (MoreLikeThis.java
     createQueue): tf from the analyzed doc text (doc_id-pushdown row-store
