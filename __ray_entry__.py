@@ -261,6 +261,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sorted_index_topk": pipelines.sorted_index_topk,
         "intervals_ordered_docs": pipelines.intervals_ordered_docs,
         "intervals_unordered_docs": pipelines.intervals_unordered_docs,
+        "common_terms_match_docs": pipelines.common_terms_match_docs,
+        "common_terms_topk": pipelines.common_terms_topk,
+        "index_stats": pipelines.index_stats,
         "top100_terms": pipelines.top100_terms,
         "token_counts_extracted": pipelines.token_counts,
         "collection_stats": pipelines.collection_stats,
@@ -491,6 +494,33 @@ def oracle_sql() -> dict[str, str]:
                 FROM d WHERE base AND lang = 'en' AND source = 'src3'
             )
             SELECT dim, value, cnt FROM m WHERE cnt > 0
+        """,
+        # CommonTermsQuery: hit set = docs containing every LOW-freq
+        # query term (df <= ceil(0.25 * N)); high-freq terms only score
+        "common_terms_match_docs": f"""
+            WITH tdf AS (
+                SELECT term, count(*) AS df FROM ({tok_pairs}) GROUP BY term
+            ),
+            n AS (SELECT count(*) AS c FROM documents),
+            qt AS (SELECT unnest(['dup', 'data', 'join']) AS term),
+            low AS (
+                SELECT qt.term FROM qt LEFT JOIN tdf USING (term)
+                WHERE coalesce(tdf.df, 0) <= ceil(0.25 * (SELECT c FROM n))
+            )
+            SELECT doc_id FROM documents
+            WHERE CASE WHEN (SELECT count(*) FROM low) > 0
+                THEN NOT EXISTS (SELECT 1 FROM low
+                                 WHERE NOT list_contains({_TOK}, low.term))
+                ELSE NOT EXISTS (SELECT 1 FROM qt
+                                 WHERE NOT list_contains({_TOK}, qt.term))
+            END
+        """,
+        # Luke-role index overview: recompute every stat from source
+        "index_stats": f"""
+            SELECT 'body' AS field,
+                   (SELECT count(*) FROM documents) AS doc_count,
+                   (SELECT count(DISTINCT term) FROM ({tok_pairs})) AS n_terms,
+                   (SELECT CAST(sum(cnt) AS BIGINT) FROM ({tok_pairs})) AS sum_ttf
         """,
         # minimal ordered intervals (Clarke-Cormack): pairs (a, b) with
         # b = first 'join' after a, a = last 'data' before b, gap filter

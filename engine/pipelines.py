@@ -851,6 +851,76 @@ def intervals_unordered_docs(
     )
 
 
+COMMON_TERMS = ("dup", "data", "join")  # 'dup' is the only low-freq term
+
+
+def common_terms_query_ir(searcher, terms, max_term_frequency: float = 0.25):
+    """CommonTermsQuery.buildQuery (queries/CommonTermsQuery.java:158-219):
+    split terms at docFreq > ceil(f * maxDoc) (f = 0.25 is binary-exact,
+    so float32 and float64 agree); low-freq group = nested MUST bool,
+    high-freq group = nested SHOULD bool; all-high degrades to a
+    conjunction (the slow-query guard)."""
+    import math
+
+    from .queryparse import BoolQuery
+
+    cutoff = int(math.ceil(max_term_frequency * searcher.doc_count))
+    low = tuple(
+        t for t in terms if searcher.global_term_stats(t)[0] <= cutoff
+    )
+    high = tuple(t for t in terms if t not in low)
+    if not low:
+        return BoolQuery(must=high)
+    sub_should = (BoolQuery(should=high),) if high else ()
+    return BoolQuery(sub_must=(BoolQuery(must=low),), sub_should=sub_should)
+
+
+def common_terms_match_docs(sf_dir: str) -> pa.Table:
+    """(doc_id) matching the CommonTermsQuery over COMMON_TERMS — with a
+    non-empty low-freq group the hit set is exactly the docs containing
+    ALL low-freq terms (the MUST sub-bool); high-freq terms only score.
+    Oracle recomputes the df split in SQL."""
+    searcher = _span_searcher(sf_dir)
+    ir = common_terms_query_ir(searcher, COMMON_TERMS)
+    docs, _scores = searcher.search(ir, k=searcher.doc_count)
+    return pa.table({"doc_id": pa.array(np.sort(docs), type=pa.int64())})
+
+
+def common_terms_topk(sf_dir: str, k: int = 10) -> pa.Table:
+    """BM25-scored CommonTermsQuery top-k (rows; ranking exercised by the
+    nested-bool scorer equivalence tests)."""
+    searcher = _span_searcher(sf_dir)
+    ir = common_terms_query_ir(searcher, COMMON_TERMS)
+    docs, scores = searcher.search(ir, k)
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(len(docs)), type=pa.int64()),
+            "doc_id": pa.array(docs, type=pa.int64()),
+            "score": pa.array(scores, type=pa.float32()),
+        }
+    )
+
+
+def index_stats(sf_dir: str) -> pa.Table:
+    """Luke-role index diagnostics (the reference's Luke overview panel /
+    HighFreqTerms tooling): per indexed field — doc count, distinct term
+    count (merged dict shards are term-disjoint, so their n_terms sum),
+    total token count. Exact oracle recomputes all three from source."""
+    from .checkpoint import load_merge_manifest
+
+    idx = get_index(sf_dir)
+    mm = load_merge_manifest(idx["index_dir"])
+    n_terms = sum(int(s["n_terms"]) for s in mm["shards"])
+    return pa.table(
+        {
+            "field": pa.array(["body"], type=pa.string()),
+            "doc_count": pa.array([int(mm["doc_count"])], type=pa.int64()),
+            "n_terms": pa.array([n_terms], type=pa.int64()),
+            "sum_ttf": pa.array([int(mm["sum_ttf"])], type=pa.int64()),
+        }
+    )
+
+
 def more_like_this_terms(sf_dir: str, doc_id: int = 7) -> pa.Table:
     """MoreLikeThis term selection for one example doc (MoreLikeThis.java
     createQueue): tf from the analyzed doc text (doc_id-pushdown row-store

@@ -506,3 +506,36 @@ def test_function_score_boost_by_value():
     for r in out.itertuples():
         exp = np.float32(np.float64(nchars[r.doc_id]) * np.float64(np.float32(base[r.doc_id])))
         assert np.float32(r.score) == exp, r
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_common_terms_query_split_and_equivalence():
+    """CommonTermsQuery.buildQuery: the low/high split at
+    ceil(0.25 * maxDoc), hit set = all-low-terms docs, scoring equals
+    the manually-built nested bool; all-high degrades to a conjunction."""
+    from engine.pipelines import (
+        _span_searcher,
+        common_terms_query_ir,
+        common_terms_topk,
+    )
+    from engine.queryparse import BoolQuery
+
+    searcher = _span_searcher("/root/testdata/sf0.001")
+    ir = common_terms_query_ir(searcher, ("dup", "data", "join"))
+    assert ir.sub_must[0].must == ("dup",)
+    assert set(ir.sub_should[0].should) == {"data", "join"}
+    # equivalence vs the manual nested bool
+    d1, s1 = searcher.search(ir, 10)
+    manual = BoolQuery(
+        sub_must=(BoolQuery(must=("dup",)),),
+        sub_should=(BoolQuery(should=("data", "join")),),
+    )
+    d2, s2 = searcher.search(manual, 10)
+    assert d1.tolist() == d2.tolist() and np.array_equal(s1, s2)
+    # all-high degrades to MUST conjunction
+    ir2 = common_terms_query_ir(searcher, ("data", "join"))
+    assert ir2.must == ("data", "join") and not ir2.sub_must
+    # the driver entry ranks with float32 scores, dense ranks
+    out = common_terms_topk("/root/testdata/sf0.001").to_pandas()
+    assert (np.diff(out["score"].to_numpy()) <= 0).all()
+    assert out["rank"].tolist() == list(range(len(out)))
