@@ -264,6 +264,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "common_terms_match_docs": pipelines.common_terms_match_docs,
         "common_terms_topk": pipelines.common_terms_topk,
         "index_stats": pipelines.index_stats,
+        "live_term_match_docs": pipelines.live_term_match_docs,
         "top100_terms": pipelines.top100_terms,
         "token_counts_extracted": pipelines.token_counts,
         "collection_stats": pipelines.collection_stats,
@@ -514,6 +515,12 @@ def oracle_sql() -> dict[str, str]:
                 ELSE NOT EXISTS (SELECT 1 FROM qt
                                  WHERE NOT list_contains({_TOK}, qt.term))
             END
+        """,
+        # liveDocs: match set of 'data' after deleteDocuments('dup')
+        "live_term_match_docs": f"""
+            SELECT doc_id FROM documents
+            WHERE list_contains({_TOK}, 'data')
+              AND NOT list_contains({_TOK}, 'dup')
         """,
         # Luke-role index overview: recompute every stat from source
         "index_stats": f"""

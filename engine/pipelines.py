@@ -921,6 +921,26 @@ def index_stats(sf_dir: str) -> pa.Table:
     )
 
 
+def live_term_match_docs(sf_dir: str) -> pa.Table:
+    """deleteDocuments + liveDocs search masking: replicate the index,
+    delete every doc containing 'dup' (deleteDocuments(Term)), then the
+    match set of 'data' on the replica excludes them — while stats keep
+    pre-merge counts (Lucene's exact contract). Oracle: data docs
+    without dup."""
+    from .checkpoint import load_merge_manifest
+    from .deletes import delete_by_term
+    from .replicate import replicate_index
+    from .search import IndexSearcher
+
+    idx = get_index(sf_dir)
+    replica = idx["index_dir"].rstrip("/") + "-replica-del"
+    replicate_index(idx["index_dir"], replica)
+    delete_by_term(replica, "dup")
+    searcher = IndexSearcher(load_merge_manifest(replica))
+    docs, _scores = searcher.search("data", k=searcher.doc_count)
+    return pa.table({"doc_id": pa.array(np.sort(docs), type=pa.int64())})
+
+
 def more_like_this_terms(sf_dir: str, doc_id: int = 7) -> pa.Table:
     """MoreLikeThis term selection for one example doc (MoreLikeThis.java
     createQueue): tf from the analyzed doc text (doc_id-pushdown row-store

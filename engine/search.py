@@ -194,6 +194,35 @@ class IndexSearcher:
         from .bm25 import SIMILARITIES
 
         self.make_scorer = SIMILARITIES[similarity]  # Similarity plug point
+        # liveDocs (IndexWriter.deleteDocuments + LeafReader.getLiveDocs):
+        # a sorted global doc_id array of deletions, masked out of every
+        # hit stream BEFORE top-k selection. Stats (df/ttf/norms) keep
+        # counting deleted docs until a rewrite — exactly Lucene's
+        # pre-merge semantics.
+        self._deleted: np.ndarray | None = None
+        dpath = manifest.get("deletes")
+        if dpath:
+            import pyarrow.parquet as _pq
+
+            self._deleted = np.sort(
+                _pq.read_table(dpath, columns=["doc_id"])
+                .column("doc_id")
+                .to_numpy()
+                .astype(np.int64)
+            )
+
+    def _live(
+        self, docs: np.ndarray, scores: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Drop deleted docs from a (docs, scores) hit stream (liveDocs
+        mask). No-op when the index has no deletions."""
+        if self._deleted is None or len(docs) == 0:
+            return docs, scores
+        pos = np.clip(
+            np.searchsorted(self._deleted, docs), 0, len(self._deleted) - 1
+        )
+        dead = self._deleted[pos] == docs
+        return docs[~dead], scores[~dead]
 
     def _split_field(self, term: str) -> tuple[str, str]:
         """Route a possibly field-qualified term ('title:foo' from the
@@ -241,6 +270,7 @@ class IndexSearcher:
         from .bm25 import SIMILARITIES
 
         obj.make_scorer = SIMILARITIES["bm25"]
+        obj._deleted = None  # shard-subset searchers carry no liveDocs
         return obj
 
     # -- stats pass (createWeight analogue) --------------------------------
@@ -326,7 +356,7 @@ class IndexSearcher:
                 all_scores.append(total.astype(np.float32))
         if not all_docs:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
-        return topk_sort(np.concatenate(all_docs), np.concatenate(all_scores), k)
+        return topk_sort(*self._live(np.concatenate(all_docs), np.concatenate(all_scores)), k)
 
     def search(
         self,
@@ -489,9 +519,13 @@ class IndexSearcher:
             or q.boosts
             or q.min_should_match
             or q.term_sets
+            or self._deleted is not None
         ):
             # constant-score / positional / blended / boosted / msm /
-            # filter clauses: vectorized exhaustive plan only
+            # filter clauses: vectorized exhaustive plan only. Deletions
+            # also force TAAT: the WAND collector's bottom-score
+            # threshold must never be raised by a deleted doc, and the
+            # liveDocs mask is applied before top-k on the TAAT funnel.
             algorithm = "taat"
         # must_not params are never used for scoring, only to build iterators
         params = self._params_for(tuple(q.must) + tuple(q.should) + tuple(q.must_not))
@@ -559,7 +593,7 @@ class IndexSearcher:
             if not all_docs:
                 return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
             return topk_sort(
-                np.concatenate(all_docs), np.concatenate(all_scores), k
+                *self._live(np.concatenate(all_docs), np.concatenate(all_scores)), k
             )
         for gi, seg in enumerate(self.segments):
             lo = seg.doc_base
@@ -692,7 +726,7 @@ class IndexSearcher:
                 all_scores.append(acc[local_sel].astype(np.float32))
         if not all_docs:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
-        return topk_sort(np.concatenate(all_docs), np.concatenate(all_scores), k)
+        return topk_sort(*self._live(np.concatenate(all_docs), np.concatenate(all_scores)), k)
 
     # -- nested clause-tree plan -------------------------------------------
 
@@ -713,7 +747,7 @@ class IndexSearcher:
                 all_scores.append(acc[local].astype(np.float32))
         if not all_docs:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
-        return topk_sort(np.concatenate(all_docs), np.concatenate(all_scores), k)
+        return topk_sort(*self._live(np.concatenate(all_docs), np.concatenate(all_scores)), k)
 
     def _eval_node(self, q: BoolQuery, gi, seg) -> tuple[np.ndarray, np.ndarray]:
         """One BooleanQuery node on one segment → (matched bool[span],
