@@ -265,6 +265,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "common_terms_topk": pipelines.common_terms_topk,
         "index_stats": pipelines.index_stats,
         "live_term_match_docs": pipelines.live_term_match_docs,
+        "nrt_match_docs": pipelines.nrt_match_docs,
         "top100_terms": pipelines.top100_terms,
         "token_counts_extracted": pipelines.token_counts,
         "collection_stats": pipelines.collection_stats,
@@ -515,6 +516,15 @@ def oracle_sql() -> dict[str, str]:
                 ELSE NOT EXISTS (SELECT 1 FROM qt
                                  WHERE NOT list_contains({_TOK}, qt.term))
             END
+        """,
+        # NRT reopen: the 'data' doc set plus the recrawl batch's shifted
+        # ids (first 50 docs re-added as doc_id + N)
+        "nrt_match_docs": f"""
+            SELECT doc_id FROM documents WHERE list_contains({_TOK}, 'data')
+            UNION ALL
+            SELECT doc_id + (SELECT count(*) FROM documents) AS doc_id
+            FROM documents
+            WHERE doc_id < 50 AND list_contains({_TOK}, 'data')
         """,
         # liveDocs: match set of 'data' after deleteDocuments('dup')
         "live_term_match_docs": f"""

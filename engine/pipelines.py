@@ -941,6 +941,37 @@ def live_term_match_docs(sf_dir: str) -> pa.Table:
     return pa.table({"doc_id": pa.array(np.sort(docs), type=pa.int64())})
 
 
+def nrt_match_docs(sf_dir: str, term: str = "data") -> pa.Table:
+    """addDocuments + NRT reopen: replicate the index, flush a recrawl
+    batch (the first 50 docs re-added with ids N+i — the
+    dedup_pages_by_url recrawl pattern) as an NRT segment, reopen, and
+    match ``term`` — new docs are visible without a merge. Oracle: the
+    term's doc set UNION the shifted recrawl ids."""
+    import pyarrow.dataset as pads
+
+    from .nrt import nrt_add_documents, nrt_reader
+    from .replicate import replicate_index
+
+    idx = get_index(sf_dir)
+    replica = idx["index_dir"].rstrip("/") + "-replica-nrt"
+    replicate_index(idx["index_dir"], replica)
+    src = os.path.join(sf_dir, "documents.parquet")
+    n_docs = pq.read_metadata(src).num_rows
+    t = pads.dataset(src).to_table(
+        columns=["doc_id", "text"], filter=pads.field("doc_id") < 50
+    )
+    new_ids = t.column("doc_id").to_numpy().astype(np.int64) + n_docs
+    order = np.argsort(new_ids)
+    nrt_add_documents(
+        replica,
+        new_ids[order],
+        [t.column("text").to_pylist()[i] for i in order.tolist()],
+    )
+    searcher = nrt_reader(replica)
+    docs, _scores = searcher.search(term, k=searcher.doc_count)
+    return pa.table({"doc_id": pa.array(np.sort(docs), type=pa.int64())})
+
+
 def more_like_this_terms(sf_dir: str, doc_id: int = 7) -> pa.Table:
     """MoreLikeThis term selection for one example doc (MoreLikeThis.java
     createQueue): tf from the analyzed doc text (doc_id-pushdown row-store
