@@ -266,6 +266,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_stats": pipelines.index_stats,
         "live_term_match_docs": pipelines.live_term_match_docs,
         "nrt_match_docs": pipelines.nrt_match_docs,
+        "synonym_phrase_match_docs": pipelines.synonym_phrase_match_docs,
         "top100_terms": pipelines.top100_terms,
         "token_counts_extracted": pipelines.token_counts,
         "collection_stats": pipelines.collection_stats,
@@ -525,6 +526,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id + (SELECT count(*) FROM documents) AS doc_id
             FROM documents
             WHERE doc_id < 50 AND list_contains({_TOK}, 'data')
+        """,
+        # index-time synonym graph: '"quick row"' phrase == 'fast row'
+        # adjacency ('quick' stacked at each 'fast' position)
+        "synonym_phrase_match_docs": f"""
+            WITH pos AS (
+                SELECT doc_id, unnest({_TOK}) AS t,
+                       unnest(range(len({_TOK}))) AS p
+                FROM documents
+            )
+            SELECT DISTINCT a.doc_id
+            FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+            WHERE a.t = 'fast' AND b.t = 'row'
         """,
         # liveDocs: match set of 'data' after deleteDocuments('dup')
         "live_term_match_docs": f"""

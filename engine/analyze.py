@@ -47,6 +47,13 @@ class Analyzer:
     token_pattern: str = r"[a-z0-9]+"
     stopwords: frozenset[str] = field(default_factory=frozenset)
     max_token_length: int = MAX_TOKEN_LENGTH
+    # index-time synonym graph (analysis/synonym/SynonymGraphFilter.java
+    # role): each (token, (synonyms...)) injects the synonyms at the SAME
+    # position as the source token (position increment 0 — stacked).
+    # Applied on the INDEXING path only (analyze_batch_indexing); query
+    # analyzers keep the raw stream (search-time expansion is the
+    # SynonymQuery clause).
+    synonyms: tuple[tuple[str, tuple[str, ...]], ...] = ()
 
     def compiled(self) -> re.Pattern[str]:
         return re.compile(self.token_pattern)
@@ -254,3 +261,49 @@ def compute_norms(doc_lengths: np.ndarray) -> np.ndarray:
     from .smallfloat import int_to_byte4_array
 
     return int_to_byte4_array(doc_lengths)
+
+
+def analyze_batch_indexing(
+    texts: list[str], analyzer: Analyzer = DEFAULT_ANALYZER
+) -> tuple[list[str], np.ndarray, np.ndarray, np.ndarray]:
+    """``analyze_batch_with_positions`` plus index-time synonym-graph
+    injection (SynonymGraphFilter): synonyms are stacked at the SAME
+    position as their source token (posIncr 0).
+
+    Returns ``(flat, emit_lengths, norm_lengths, positions)``:
+    ``emit_lengths`` counts every emitted token (drives doc mapping and
+    sum_ttf — Lucene's sumTotalTermFreq counts stacked tokens too, the
+    avgdl quirk), while ``norm_lengths`` counts only posIncr>=1 tokens —
+    BM25Similarity's default discountOverlaps=true norm semantics
+    (BM25Similarity.java setDiscountOverlaps). With no synonyms the two
+    are identical and the vectorized path is untouched. Per-doc tokens
+    stay position-sorted after injection (stable: source token before
+    its stacked synonyms), so per-term position streams remain monotone
+    for the delta codec; duplicate (term, position) pairs are dropped
+    (a synonym identical to a co-positioned token)."""
+    flat, lengths, positions = analyze_batch_with_positions(texts, analyzer)
+    if not analyzer.synonyms:
+        return flat, lengths, lengths, positions
+    syn = {k: tuple(v) for k, v in analyzer.synonyms}
+    out_flat: list[str] = []
+    out_pos: list[int] = []
+    emit = np.empty(len(texts), dtype=np.int64)
+    start = 0
+    for i, n in enumerate(lengths.tolist()):
+        toks = flat[start : start + n]
+        pos = positions[start : start + n].tolist()
+        start += n
+        seen = set(zip(toks, pos))
+        stacked: list[tuple[int, int, str]] = [
+            (p, 0, t) for t, p in zip(toks, pos)
+        ]
+        for t, p in zip(toks, pos):
+            for s in syn.get(t, ()):
+                if (s, p) not in seen:
+                    seen.add((s, p))
+                    stacked.append((p, 1, s))
+        stacked.sort(key=lambda x: (x[0], x[1]))
+        emit[i] = len(stacked)
+        out_flat.extend(t for _p, _o, t in stacked)
+        out_pos.extend(p for p, _o, _t in stacked)
+    return out_flat, emit, lengths, np.asarray(out_pos, dtype=np.int64)

@@ -65,21 +65,32 @@ def invert_to_segment(
     if not np.array_equal(order, np.arange(n_docs)):
         doc_ids = doc_ids[order]
         texts = [texts[i] for i in order]
-    from .analyze import analyze_batch_with_offsets, analyze_batch_with_positions
+    from .analyze import analyze_batch_indexing, analyze_batch_with_offsets
 
     # positions carry StopFilter / over-long-token increment GAPS
     # (StopFilter.java:28, StandardTokenizer.java:152-175): a phrase
     # across a removed token must not match adjacently
     tok_starts = tok_ends = None
     if index_offsets:
+        if analyzer.synonyms:
+            raise NotImplementedError(
+                "offsets + index-time synonym graph not supported (stacked "
+                "tokens carry no distinct character offsets)"
+            )
         # offsets imply positions (IndexOptions.java:28 ..._AND_OFFSETS)
         index_positions = True
         flat, lengths, tok_positions, tok_starts, tok_ends = (
             analyze_batch_with_offsets(texts, analyzer)
         )
+        norm_lengths = lengths
     else:
-        flat, lengths, tok_positions = analyze_batch_with_positions(texts, analyzer)
-    norms = compute_norms(lengths)
+        # synonym-aware indexing path: emitted counts drive doc mapping
+        # and sum_ttf; norms discount posIncr==0 stacked tokens
+        # (BM25Similarity discountOverlaps=true default)
+        flat, lengths, norm_lengths, tok_positions = analyze_batch_indexing(
+            texts, analyzer
+        )
+    norms = compute_norms(norm_lengths)
 
     # --- vectorized inversion (TermsHash + FreqProx analogue) -------------
     # Arrow dictionary_encode interns term bytes; np.unique over a

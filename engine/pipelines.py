@@ -941,6 +941,62 @@ def live_term_match_docs(sf_dir: str) -> pa.Table:
     return pa.table({"doc_id": pa.array(np.sort(docs), type=pa.int64())})
 
 
+def get_synonym_index(sf_dir: str, partition_docs: int = 2048) -> dict:
+    """Index variant built with an index-time synonym graph
+    (SynonymGraphFilter role): 'quick' stacked at every 'fast' position.
+    Separate cache variant; shares the pages dir."""
+    from .analyze import Analyzer
+    from .build import build_index
+    from .checkpoint import load_manifest, load_merge_manifest
+    from .fixtures import pages_from_documents, write_pages
+    from .merge import merge_by_term
+
+    n_rows = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+    root = _cache_dir(sf_dir, n_rows, "-syn")
+    pages_dir = os.path.join(_cache_dir(sf_dir, n_rows), "pages")
+    index_dir = os.path.join(root, "index")
+    os.makedirs(root, exist_ok=True)
+    build_manifest = load_manifest(index_dir)
+    if build_manifest is None:
+        if not os.path.exists(os.path.join(pages_dir, "pages-00000.parquet")):
+            write_pages(pages_from_documents(sf_dir), pages_dir, n_files=4)
+        build_manifest = build_index(
+            pages_dir,
+            index_dir,
+            partition_docs=partition_docs,
+            from_html=True,
+            analyzer=Analyzer(synonyms=(("fast", ("quick",)),)),
+        )
+    merge_manifest = load_merge_manifest(index_dir)
+    if merge_manifest is None:
+        merge_manifest = merge_by_term(build_manifest, index_dir)
+    return {
+        "index_dir": index_dir,
+        "build_manifest": build_manifest,
+        "merge_manifest": merge_manifest,
+    }
+
+
+def synonym_phrase_match_docs(sf_dir: str) -> pa.Table:
+    """Phrase '"quick row"' over the synonym-graph index: 'quick' is
+    stacked at every 'fast' position (posIncr 0), so the phrase matches
+    docs with a 'fast row' adjacency — the SynonymGraphFilter contract
+    that stacked tokens participate in phrases. Oracle: the b.p = a.p+1
+    positions self-join ('quick' does not occur natively in the fixture
+    vocabulary)."""
+    from .checkpoint import load_merge_manifest
+    from .search import IndexSearcher, _phrase_postings
+
+    idx = get_synonym_index(sf_dir)
+    searcher = IndexSearcher(load_merge_manifest(idx["index_dir"]))
+    docs_all = []
+    for seg in searcher.segments:
+        docs, _f = _phrase_postings(seg, ("quick", "row"))
+        docs_all.append(docs)
+    out = np.sort(np.concatenate(docs_all)) if docs_all else np.empty(0, np.int64)
+    return pa.table({"doc_id": pa.array(out, type=pa.int64())})
+
+
 def nrt_match_docs(sf_dir: str, term: str = "data") -> pa.Table:
     """addDocuments + NRT reopen: replicate the index, flush a recrawl
     batch (the first 50 docs re-added with ids N+i — the

@@ -93,3 +93,58 @@ def test_phrase_does_not_match_across_removed_stopword(tmp_path):
     assert exact.tolist() == [1]  # gap in doc 0 blocks the adjacent match
     sloppy, _ = s.search(parse_query('"queen hill"~3', stop_an), 10)
     assert set(sloppy.tolist()) == {0, 1}
+
+
+import pytest
+
+
+def test_analyze_batch_indexing_synonym_stacking():
+    """SynonymGraphFilter semantics: stacked tokens at posIncr 0, norms
+    discount overlaps (BM25Similarity discountOverlaps default), emitted
+    counts include them, positions stay sorted, (term, pos) deduped."""
+    import numpy as np
+
+    from engine.analyze import Analyzer, analyze_batch_indexing
+
+    an = Analyzer(synonyms=(("fast", ("quick", "rapid")), ("row", ("row",))))
+    flat, emit, norm_len, pos = analyze_batch_indexing(
+        ["fast row scan", "no syn here"], an
+    )
+    # doc 0: fast(0)+quick(0)+rapid(0), row(1) (self-synonym deduped), scan(2)
+    assert emit.tolist() == [5, 3]
+    assert norm_len.tolist() == [3, 3]  # discountOverlaps
+    d0 = list(zip(flat[:5], pos[:5].tolist()))
+    assert d0 == [
+        ("fast", 0), ("quick", 0), ("rapid", 0), ("row", 1), ("scan", 2)
+    ]
+    # positions monotone per doc
+    assert (np.diff(pos[:5]) >= 0).all()
+    # no synonyms -> identical to the positions path
+    an2 = Analyzer()
+    f2, e2, n2, p2 = analyze_batch_indexing(["fast row"], an2)
+    assert e2.tolist() == n2.tolist() == [2] and f2 == ["fast", "row"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_synonym_index_end_to_end():
+    """Index-time graph: single-term 'quick' == 'fast' doc set; stacked
+    token participates in phrases; norms unchanged (discounted)."""
+    import numpy as np
+
+    from engine.checkpoint import load_merge_manifest
+    from engine.pipelines import get_index, get_synonym_index
+    from engine.search import IndexSearcher
+
+    syn = IndexSearcher(
+        load_merge_manifest(get_synonym_index("/root/testdata/sf0.001")["index_dir"])
+    )
+    plain = IndexSearcher(
+        load_merge_manifest(get_index("/root/testdata/sf0.001")["index_dir"])
+    )
+    dq, _ = syn.search("quick", syn.doc_count)
+    df_fast = plain.global_term_stats("fast")[0]
+    assert len(dq) == df_fast  # every fast doc matches quick
+    # norms discounted: byte-norm of any doc equals the plain index's
+    seg_s, seg_p = syn.segments[0], plain.segments[0]
+    ids = np.array(sorted(dq[:20]), dtype=np.int64)
+    assert np.array_equal(seg_s.norm_of(ids), seg_p.norm_of(ids))
