@@ -267,6 +267,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "live_term_match_docs": pipelines.live_term_match_docs,
         "nrt_match_docs": pipelines.nrt_match_docs,
         "synonym_phrase_match_docs": pipelines.synonym_phrase_match_docs,
+        "term_vector_doc": pipelines.term_vector_doc,
+        "stats_component_nchars": pipelines.stats_component_nchars,
+        "pivot_facet_docs": relational.pivot_facet_docs,
         "top100_terms": pipelines.top100_terms,
         "token_counts_extracted": pipelines.token_counts,
         "collection_stats": pipelines.collection_stats,
@@ -526,6 +529,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id + (SELECT count(*) FROM documents) AS doc_id
             FROM documents
             WHERE doc_id < 50 AND list_contains({_TOK}, 'data')
+        """,
+        # stored term vector of one doc: (term, position) rows
+        "term_vector_doc": f"""
+            SELECT t AS term, p AS pos FROM (
+                SELECT doc_id, unnest({_TOK}) AS t,
+                       unnest(range(len({_TOK}))) AS p
+                FROM documents
+            ) WHERE doc_id = 7
+        """,
+        # StatsComponent: n_chars stats over the 'data' result set
+        "stats_component_nchars": f"""
+            SELECT CAST(count(*) AS BIGINT) AS count,
+                   CAST(min(n_chars) AS BIGINT) AS min,
+                   CAST(max(n_chars) AS BIGINT) AS max,
+                   CAST(sum(n_chars) AS BIGINT) AS sum
+            FROM documents WHERE list_contains({_TOK}, 'data')
+        """,
+        # pivot facets: top-3 langs, top-2 sources within each
+        "pivot_facet_docs": """
+            WITH pairs AS (
+                SELECT lang, source, count(*) AS cnt FROM documents
+                GROUP BY lang, source
+            ),
+            outer_l AS (
+                SELECT lang, CAST(sum(cnt) AS BIGINT) AS lang_count,
+                       row_number() OVER (
+                           ORDER BY sum(cnt) DESC, lang ASC) AS rl
+                FROM pairs GROUP BY lang
+            )
+            SELECT lang, lang_count, source,
+                   CAST(cnt AS BIGINT) AS source_count
+            FROM (
+                SELECT o.lang, o.lang_count, p.source, p.cnt,
+                       row_number() OVER (
+                           PARTITION BY o.lang
+                           ORDER BY p.cnt DESC, p.source ASC) AS rs
+                FROM outer_l o JOIN pairs p USING (lang)
+                WHERE o.rl <= 3
+            ) WHERE rs <= 2
         """,
         # index-time synonym graph: '"quick row"' phrase == 'fast row'
         # adjacency ('quick' stacked at each 'fast' position)

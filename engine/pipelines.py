@@ -997,6 +997,57 @@ def synonym_phrase_match_docs(sf_dir: str) -> pa.Table:
     return pa.table({"doc_id": pa.array(out, type=pa.int64())})
 
 
+def term_vector_doc(sf_dir: str, doc_id: int = 7) -> pa.Table:
+    """Per-document term vector — IndexReader.getTermVector(doc, field)
+    (the stored .tvd term-vectors role, codecs/compressing/
+    CompressingTermVectorsFormat): (term, pos) rows for one doc, served
+    by a doc_id-pushdown row-store fetch + the analyzer (the engine
+    stores the forward text, so the vector recomputes instead of
+    duplicating a per-doc postings copy — same information, same API)."""
+    import pyarrow.dataset as pads
+
+    from .analyze import analyze_batch_with_positions
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    t = pads.dataset(src).to_table(
+        columns=["text"], filter=pads.field("doc_id") == doc_id
+    )
+    text = t.column("text")[0].as_py() if t.num_rows else ""
+    flat, _lengths, positions = analyze_batch_with_positions([text or ""])
+    order = np.argsort(positions, kind="stable")
+    return pa.table(
+        {
+            "term": pa.array([flat[i] for i in order.tolist()], type=pa.string()),
+            "pos": pa.array(positions[order], type=pa.int64()),
+        }
+    )
+
+
+def stats_component_nchars(sf_dir: str, term: str = "data") -> pa.Table:
+    """Solr StatsComponent over a query's result set (solr StatsComponent
+    min/max/sum/count): n_chars stats of the docs matching ``term``,
+    served from the index postings + the DocValues sidecar (no row-store
+    scan). Integer stats — exact oracle."""
+    from .checkpoint import load_merge_manifest
+    from .docvalues import DocValuesReader
+    from .search import IndexSearcher
+
+    idx = get_index(sf_dir)
+    searcher = IndexSearcher(load_merge_manifest(idx["index_dir"]))
+    docs_all = [seg.postings(term)[0] for seg in searcher.segments]
+    docs = np.sort(np.concatenate(docs_all)) if docs_all else np.empty(0, np.int64)
+    dv = DocValuesReader(idx["build_manifest"]["partitions"])
+    vals = dv.values_for(docs, "n_chars").astype(np.int64)
+    return pa.table(
+        {
+            "count": pa.array([len(vals)], type=pa.int64()),
+            "min": pa.array([int(vals.min()) if len(vals) else 0], type=pa.int64()),
+            "max": pa.array([int(vals.max()) if len(vals) else 0], type=pa.int64()),
+            "sum": pa.array([int(vals.sum()) if len(vals) else 0], type=pa.int64()),
+        }
+    )
+
+
 def nrt_match_docs(sf_dir: str, term: str = "data") -> pa.Table:
     """addDocuments + NRT reopen: replicate the index, flush a recrawl
     batch (the first 50 docs re-added with ids N+i — the

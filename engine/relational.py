@@ -692,3 +692,57 @@ def drill_sideways_docs(
         .groupby(["dim", "value"])
         .aggregate(Sum("cnt", alias_name="cnt"))
     )
+
+
+def pivot_facet_docs(
+    sf_dir: str, limit_outer: int = 3, limit_inner: int = 2
+):
+    """Solr pivot facets (facet.pivot=lang,source with per-level limits:
+    solr/handler/component/PivotFacetProcessor): top ``limit_outer``
+    langs by doc count, and within each, the top ``limit_inner`` sources
+    (count desc, value asc at both levels). One streamed pre-aggregation
+    (per-batch (lang, source) partial counts -> small groupby sum), then
+    the two-level selection on the model-sized result."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["lang", "source"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = (
+            batch.group_by(["lang", "source"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["lang", "source", "cnt"])
+        )
+        return g
+
+    pairs = (
+        ds.map_batches(partial, batch_format="pyarrow", **_rargs())
+        .groupby(["lang", "source"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    outer = (
+        pairs.groupby("lang", as_index=False)["cnt"].sum()
+        .sort_values(["cnt", "lang"], ascending=[False, True])
+        .head(limit_outer)
+    )
+    out = {"lang": [], "lang_count": [], "source": [], "source_count": []}
+    for lang, lcnt in zip(outer["lang"], outer["cnt"]):
+        sub = (
+            pairs[pairs["lang"] == lang]
+            .sort_values(["cnt", "source"], ascending=[False, True])
+            .head(limit_inner)
+        )
+        for src, scnt in zip(sub["source"], sub["cnt"]):
+            out["lang"].append(lang)
+            out["lang_count"].append(int(lcnt))
+            out["source"].append(src)
+            out["source_count"].append(int(scnt))
+    return pa.table(
+        {
+            "lang": pa.array(out["lang"], type=pa.string()),
+            "lang_count": pa.array(out["lang_count"], type=pa.int64()),
+            "source": pa.array(out["source"], type=pa.string()),
+            "source_count": pa.array(out["source_count"], type=pa.int64()),
+        }
+    )

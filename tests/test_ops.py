@@ -539,3 +539,30 @@ def test_common_terms_query_split_and_equivalence():
     out = common_terms_topk("/root/testdata/sf0.001").to_pandas()
     assert (np.diff(out["score"].to_numpy()) <= 0).all()
     assert out["rank"].tolist() == list(range(len(out)))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pivot_stats_termvector_entries():
+    import duckdb
+
+    import __ray_entry__ as e
+
+    qs, sql = e.queries(), e.oracle_sql()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    for name in ("pivot_facet_docs", "stats_component_nchars", "term_vector_doc"):
+        got = qs[name]("/root/testdata/sf0.001")
+        got = got.to_pandas() if not hasattr(got, "count") or hasattr(got, "num_rows") else got.to_pandas()
+        exp = con.execute(sql[name]).fetchdf()
+        cols = sorted(got.columns)
+        g = got[cols].sort_values(cols).reset_index(drop=True)
+        x = exp[cols].sort_values(cols).reset_index(drop=True)
+        assert len(g) == len(x) and len(g) > 0, name
+        assert g.equals(x.astype(g.dtypes.to_dict())), name
+    # pivot shape: per lang at most 2 sources, per-lang counts constant
+    pv = qs["pivot_facet_docs"]("/root/testdata/sf0.001").to_pandas()
+    assert pv.groupby("lang")["source"].count().le(2).all()
+    assert (pv.groupby("lang")["lang_count"].nunique() == 1).all()
