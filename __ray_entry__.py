@@ -227,6 +227,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
             df = pd.DataFrame({"custkey": pd.Series([], dtype="int64")})
         return df
 
+    def q_audio_frames(sf_dir):
+        import ray.data
+
+        from engine.multimodal import AudioFrameSampler, synth_media_payloads
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+        )
+        return synth_media_payloads(ds).map_batches(
+            AudioFrameSampler,
+            batch_format="pyarrow",
+            batch_size=64,
+            concurrency=(1, 2),
+            **_rargs(),
+        )
+
+    def q_video_frames(sf_dir):
+        import ray.data
+
+        from engine.multimodal import VideoFrameSampler, synth_media_payloads
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+        )
+        return synth_media_payloads(ds).map_batches(
+            VideoFrameSampler,
+            batch_format="pyarrow",
+            batch_size=64,
+            concurrency=(1, 2),
+            **_rargs(),
+        )
+
     def q_image_meta(sf_dir):
         import ray.data
 
@@ -306,6 +338,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": q_ngram_jaccard,
         # --- multimodal plumbing (decode stubbed, see engine/multimodal) --
         "image_meta": q_image_meta,
+        "audio_frame_energy": q_audio_frames,
+        "video_frame_sample": q_video_frames,
         "dedup_pages_by_url": q_dedup_by_url,
         # --- similarity search --------------------------------------------
         "ann_cosine_top10": q_ann_brute,

@@ -188,3 +188,70 @@ def synth_image_payloads(ds, seed: int = 42):
         )
 
     return ds.map_batches(_mk, batch_format="pyarrow", **_rargs())
+
+
+class VideoFrameSampler:
+    """Actor-pool frame-sample stage (STUB wiring): video binary →
+    every ``stride``-th fixed-size frame block with a per-frame stat.
+    A real deployment passes ``extract_fn`` (e.g. pyav keyframe
+    iteration) loaded once per actor; the deterministic fake treats the
+    payload as raw 64-byte luma frames so the SAMPLING math (stride
+    selection, frame indexing, per-frame reduction) is real and tested.
+    Large binary payloads want a small ``batch_size`` on the
+    map_batches call — frames explode row counts."""
+
+    FRAME_BYTES = 64
+
+    def __init__(self, stride: int = 4, extract_fn=None, fake: bool = True):
+        if extract_fn is None and not fake:
+            raise NotImplementedError("video codecs unavailable; use fake=True")
+        self.stride = stride
+        self.extract_fn = extract_fn
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_doc, out_idx, out_luma = [], [], []
+        for did, p in zip(
+            batch.column("doc_id").to_pylist(),
+            batch.column("payload").to_pylist(),
+        ):
+            if self.extract_fn is not None:
+                frames = self.extract_fn(p)
+            else:
+                raw = np.frombuffer(p or b"", dtype=np.uint8)
+                n_frames = len(raw) // self.FRAME_BYTES
+                frames = [
+                    raw[i * self.FRAME_BYTES : (i + 1) * self.FRAME_BYTES]
+                    for i in range(n_frames)
+                ]
+            for fi in range(0, len(frames), self.stride):
+                out_doc.append(did)
+                out_idx.append(fi)
+                out_luma.append(float(np.mean(frames[fi].astype(np.float64))))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_doc, type=pa.int64()),
+                "frame_idx": pa.array(out_idx, type=pa.int32()),
+                "mean_luma": pa.array(out_luma, type=pa.float64()),
+            }
+        )
+
+
+def synth_media_payloads(ds, seed: int = 7, max_blocks: int = 40):
+    """Deterministic fake audio/video binary column (hash-derived bytes,
+    length varies by doc_id) for exercising the sampler plumbing."""
+    import hashlib
+
+    def _mk(batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        payloads = []
+        for did in doc_ids:
+            h = hashlib.sha256(f"media:{seed}:{did}".encode()).digest()
+            payloads.append(h * ((did % max_blocks) + 8))
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "payload": pa.array(payloads, type=pa.binary()),
+            }
+        )
+
+    return ds.map_batches(_mk, batch_format="pyarrow", **_rargs())

@@ -566,3 +566,56 @@ def test_pivot_stats_termvector_entries():
     pv = qs["pivot_facet_docs"]("/root/testdata/sf0.001").to_pandas()
     assert pv.groupby("lang")["source"].count().le(2).all()
     assert (pv.groupby("lang")["lang_count"].nunique() == 1).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_media_frame_samplers():
+    """Audio/video frame-sample plumbing: deterministic fakes, recomputed
+    per-frame stats, stride selection, empty-payload safety."""
+    import hashlib
+
+    import pyarrow as pa
+    import ray.data
+
+    from engine.multimodal import (
+        AudioFrameSampler,
+        VideoFrameSampler,
+        synth_media_payloads,
+    )
+
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([0, 3, 17], type=pa.int64())})
+    )
+    audio = (
+        synth_media_payloads(ds)
+        .map_batches(AudioFrameSampler, batch_format="pyarrow", concurrency=(1, 2))
+        .to_pandas()
+    )
+    video = (
+        synth_media_payloads(ds)
+        .map_batches(VideoFrameSampler, batch_format="pyarrow", concurrency=(1, 2))
+        .to_pandas()
+    )
+    # recompute doc 3's first audio frame RMS and video frame stats
+    payload = hashlib.sha256(b"media:7:3").digest() * ((3 % 40) + 8)
+    pcm = np.frombuffer(payload, dtype=np.int8).astype(np.float64)
+    exp_rms = float(np.sqrt(np.mean(pcm[:256] * pcm[:256])))
+    got = audio[(audio.doc_id == 3) & (audio.frame == 0)]["rms_energy"].iloc[0]
+    assert got == exp_rms
+    raw = np.frombuffer(payload, dtype=np.uint8)
+    exp_luma = float(np.mean(raw[:64].astype(np.float64)))
+    gv = video[(video.doc_id == 3) & (video.frame_idx == 0)]["mean_luma"].iloc[0]
+    assert gv == exp_luma
+    # stride: only every 4th frame sampled
+    fidx = video[video.doc_id == 3]["frame_idx"].tolist()
+    assert fidx == list(range(0, max(fidx) + 1, 4))
+    # empty payload row -> no frames, no crash
+    ds2 = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([9], type=pa.int64()),
+                "payload": pa.array([b""], type=pa.binary()),
+            }
+        )
+    )
+    assert ds2.map_batches(VideoFrameSampler, batch_format="pyarrow", concurrency=(1, 2)).count() == 0
