@@ -314,6 +314,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_facet_dv": pipelines.lang_facet_dv,
         "bm25_topk_sharded": pipelines.bm25_topk_sharded,
         "range_facet_nchars": pipelines.range_facet_nchars,
+        "points_range_docs": pipelines.points_range_match_docs,
+        "term_points_filter_docs": pipelines.term_points_filter_docs,
         "spell_suggest": pipelines.spell_suggest_body,
         "more_like_this_terms": pipelines.more_like_this_terms,
         "more_like_this_topk": pipelines.more_like_this_topk,
@@ -1037,6 +1039,20 @@ def oracle_sql() -> dict[str, str]:
             FROM (VALUES ('0-150', 0, 150), ('150-300', 150, 300),
                          ('300-450', 300, 450), ('450+', 450, 1099511627776),
                          ('mid-100-400', 100, 400)) AS r(label, lo, hi)
+        """,
+        # LongPoint.newRangeQuery over the n_chars points index — bounds
+        # INCLUSIVE (document/LongPoint.java:120-143)
+        "points_range_docs": """
+            SELECT doc_id FROM documents
+            WHERE n_chars >= 150 AND n_chars <= 400 ORDER BY doc_id
+        """,
+        # BooleanQuery{MUST term, FILTER point range}: text match AND
+        # numeric filter; the FILTER clause never scores
+        "term_points_filter_docs": f"""
+            SELECT doc_id FROM documents
+            WHERE list_contains({_TOK}, 'data')
+              AND n_chars >= 150 AND n_chars <= 400
+            ORDER BY doc_id
         """,
         # DirectSpellChecker contract: dictionary terms within 2 edits of
         # each query word, ranked (distance asc, df desc, term asc), top 5;

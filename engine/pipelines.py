@@ -1157,3 +1157,45 @@ def bm25_topk_sharded(sf_dir: str, n_shards: int = 3) -> pa.Table:
         [{"query_id": q, "query": s, "k": k} for q, s, k in REFERENCE_QUERIES]
     )
     return search_dataset_sharded(queries, idx["build_manifest"], n_shards=n_shards)
+
+
+def get_points(sf_dir: str, field: str = "n_chars") -> tuple[dict, dict]:
+    """Points index over one numeric DV column of the cached corpus index
+    (built once per corpus, write-once resume). Returns (index, points
+    manifest)."""
+    from .points import build_points
+
+    idx = get_index(sf_dir)
+    pts = build_points(idx["build_manifest"], idx["index_dir"], field)
+    return idx, pts
+
+
+def points_range_match_docs(sf_dir: str, lo: int = 150, hi: int = 400) -> pa.Table:
+    """LongPoint.newRangeQuery(field, lo, hi) over the n_chars points
+    index (document/LongPoint.java:120-143 — bounds INCLUSIVE; BKD leaf
+    prune per engine/points.py). Oracle: n_chars BETWEEN lo AND hi."""
+    from .points import range_docs
+
+    _idx, pts = get_points(sf_dir)
+    return range_docs(pts, lo, hi)
+
+
+def term_points_filter_docs(
+    sf_dir: str, term: str = "data", lo: int = 150, hi: int = 400
+) -> pa.Table:
+    """BooleanQuery{ MUST TermQuery, FILTER LongPoint.newRangeQuery } —
+    the reference's standard "text match + numeric filter" plan
+    (BooleanClause.Occur.FILTER, search/BooleanClause.java:31-38: the
+    range clause restricts matches but contributes no score). The term
+    funnel comes from the inverted index, the range set from the points
+    leaves; intersection is the filter conjunction."""
+    from .checkpoint import load_merge_manifest
+    from .points import range_docs
+    from .search import IndexSearcher
+
+    idx, pts = get_points(sf_dir)
+    searcher = IndexSearcher(load_merge_manifest(idx["index_dir"]))
+    docs, _scores = searcher.search(term, k=searcher.doc_count)
+    range_set = range_docs(pts, lo, hi).column("doc_id").to_numpy()
+    both = np.intersect1d(np.asarray(docs, dtype=np.int64), range_set)
+    return pa.table({"doc_id": pa.array(both, type=pa.int64())})
