@@ -316,6 +316,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_facet_nchars": pipelines.range_facet_nchars,
         "points_range_docs": pipelines.points_range_match_docs,
         "term_points_filter_docs": pipelines.term_points_filter_docs,
+        "geo_box_docs": pipelines.geo_box_match_docs,
+        "geo_distance_docs": pipelines.geo_distance_match_docs,
+        "geo_nearest_k": pipelines.geo_nearest_k,
         "spell_suggest": pipelines.spell_suggest_body,
         "more_like_this_terms": pipelines.more_like_this_terms,
         "more_like_this_topk": pipelines.more_like_this_topk,
@@ -1052,6 +1055,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM documents
             WHERE list_contains({_TOK}, 'data')
               AND n_chars >= 150 AND n_chars <= 400
+            ORDER BY doc_id
+        """,
+        # LatLonPoint.newBoxQuery over the doc_id-derived coordinate
+        # fixture (engine/geo.py synth_latlon — pure integer arithmetic,
+        # bit-exact in SQL); bounds inclusive, milli-degrees
+        "geo_box_docs": """
+            SELECT doc_id FROM documents
+            WHERE ((doc_id * 2654435761) % 180000) - 90000
+                      BETWEEN -30000 AND 30000
+              AND ((doc_id * 40503 + 12345) % 360000) - 180000
+                      BETWEEN -60000 AND 90000
             ORDER BY doc_id
         """,
         # DirectSpellChecker contract: dictionary terms within 2 edits of

@@ -1,0 +1,351 @@
+"""Geo point index — the LatLonPoint role (2-D BKD) over the corpus.
+
+Re-expression of Lucene's geo queries (`document/LatLonPoint.java:60-118`
+`newBoxQuery` / `newDistanceQuery`; quantized integer encoding
+`geo/GeoEncodingUtils.java:39-74` — Lucene stores lat/lon as scaled
+int32, so box comparisons are integer-exact; distance math
+`util/SloppyMath.java:70-92` haversin on the mean earth radius
+`geo/GeoUtils.java:36` 6371008.7714 m; the distance query's bounding-box
+prefilter `geo/Rectangle.java:91-130` `fromPointDistance`):
+
+- Coordinates are integer MILLI-degrees (the encoding role): the test
+  tables carry no geo columns, so each doc's (lat, lon) is a documented
+  deterministic fixture derived from doc_id with pure integer
+  arithmetic — reproducible bit-exactly in SQL for the oracle.
+- **Layout**: per build partition, (lat_mdeg, lon_mdeg, doc_id) sorted
+  by lat (the leading BKD split dim); parquet row groups are the leaf
+  blocks, footer min/max on BOTH dims are the inner-node ranges. A box
+  query prunes row groups on lat stats and lon stats, then masks the
+  boundary leaves; distance queries prefilter with the circle's
+  bounding rectangle before the exact haversine mask.
+- Box bounds are INCLUSIVE; a box with min_lon > max_lon crosses the
+  dateline (LatLonPoint semantics) and matches lon >= min OR lon <= max.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .rayenv import remote_args as _rargs
+
+EARTH_MEAN_RADIUS_M = 6371008.7714  # GeoUtils.EARTH_MEAN_RADIUS_METERS
+GEO_LEAF_ROWS = 1024
+
+
+def synth_latlon(doc_ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic per-doc coordinates in integer milli-degrees (the
+    fixture: testdata has no geo columns). Pure integer arithmetic so
+    the SQL oracle reproduces it exactly:
+        lat = (doc_id * 2654435761) % 180000 - 90000
+        lon = (doc_id * 40503 + 12345) % 360000 - 180000
+    """
+    ids = np.asarray(doc_ids, dtype=np.int64)
+    lat = (ids * 2654435761) % 180000 - 90000
+    lon = (ids * 40503 + 12345) % 360000 - 180000
+    return lat, lon
+
+
+def _geo_dir(index_dir: str) -> str:
+    return os.path.join(index_dir, "geo_points")
+
+
+def build_geo(
+    build_manifest: dict, index_dir: str, rows_per_leaf: int = GEO_LEAF_ROWS
+) -> dict:
+    """Build (or reuse) the per-partition geo points files. One Ray task
+    per partition; write-once (tmp + atomic rename), resume-idempotent.
+    Manifest rows carry per-file lat/lon bounds for file-level pruning."""
+    import ray
+    import ray.data
+
+    out_dir = _geo_dir(index_dir)
+    man_path = os.path.join(out_dir, "geo_manifest.json")
+    if os.path.exists(man_path):
+        with open(man_path) as f:
+            return json.load(f)
+    os.makedirs(out_dir, exist_ok=True)
+
+    parts = sorted(build_manifest["partitions"], key=lambda r: int(r["doc_base"]))
+    specs = [
+        {
+            "doc_base": int(r["doc_base"]),
+            "n_docs": int(r["n_docs"]),
+            "out_path": os.path.join(out_dir, f"geo-{i:05d}.parquet"),
+        }
+        for i, r in enumerate(parts)
+    ]
+
+    def _build_one(batch: pa.Table) -> pa.Table:
+        rows = []
+        for spec in batch.to_pylist():
+            out_path = spec["out_path"]
+            if not os.path.exists(out_path):
+                ids = np.arange(
+                    spec["doc_base"], spec["doc_base"] + spec["n_docs"], dtype=np.int64
+                )
+                lat, lon = synth_latlon(ids)
+                order = np.argsort(lat, kind="stable")  # leading split dim
+                tbl = pa.table(
+                    {
+                        "lat": pa.array(lat[order], type=pa.int64()),
+                        "lon": pa.array(lon[order], type=pa.int64()),
+                        "doc_id": pa.array(ids[order], type=pa.int64()),
+                    }
+                )
+                tmp = out_path + ".tmp"
+                pq.write_table(tbl, tmp, row_group_size=rows_per_leaf)
+                os.replace(tmp, out_path)
+            md = pq.read_metadata(out_path)
+            la = [md.row_group(g).column(0).statistics for g in range(md.num_row_groups)]
+            lo = [md.row_group(g).column(1).statistics for g in range(md.num_row_groups)]
+            rows.append(
+                {
+                    "path": out_path,
+                    "min_lat": min(int(s.min) for s in la),
+                    "max_lat": max(int(s.max) for s in la),
+                    "min_lon": min(int(s.min) for s in lo),
+                    "max_lon": max(int(s.max) for s in lo),
+                    "n_rows": int(md.num_rows),
+                }
+            )
+        return pa.Table.from_pylist(rows)
+
+    files = (
+        ray.data.from_items(specs)
+        .map_batches(_build_one, batch_size=1, batch_format="pyarrow", **_rargs())
+        .take_all()
+    )
+    manifest = {
+        "rows_per_leaf": rows_per_leaf,
+        "files": sorted(files, key=lambda r: r["path"]),
+    }
+    tmp = man_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, man_path)
+    return manifest
+
+
+def _lon_mask(lon: np.ndarray, min_lon: int, max_lon: int) -> np.ndarray:
+    if min_lon <= max_lon:
+        return (lon >= min_lon) & (lon <= max_lon)
+    # dateline crossing: LatLonPoint.newBoxQuery splits into two boxes
+    return (lon >= min_lon) | (lon <= max_lon)
+
+
+def box_docs_file(
+    path: str, min_lat: int, max_lat: int, min_lon: int, max_lon: int
+) -> tuple[np.ndarray, int, int]:
+    """Matching doc_ids from ONE geo file for an inclusive box. Returns
+    (doc_ids, n_groups_read, n_groups_total). Row groups are pruned on
+    the lat stats (the sort dim) AND, for non-dateline boxes, the lon
+    stats."""
+    pf = pq.ParquetFile(path)
+    md = pf.metadata
+    out: list[np.ndarray] = []
+    n_read = 0
+    for g in range(md.num_row_groups):
+        sla = md.row_group(g).column(0).statistics
+        if int(sla.max) < min_lat or int(sla.min) > max_lat:
+            continue
+        if min_lon <= max_lon:  # lon prune only valid for a plain interval
+            slo = md.row_group(g).column(1).statistics
+            if int(slo.max) < min_lon or int(slo.min) > max_lon:
+                continue
+        n_read += 1
+        tbl = pf.read_row_group(g)
+        lat = tbl.column("lat").to_numpy()
+        lon = tbl.column("lon").to_numpy()
+        m = (lat >= min_lat) & (lat <= max_lat) & _lon_mask(lon, min_lon, max_lon)
+        out.append(tbl.column("doc_id").to_numpy()[m])
+    docs = np.concatenate(out) if out else np.empty(0, dtype=np.int64)
+    return docs, n_read, md.num_row_groups
+
+
+def box_docs(
+    geo_manifest: dict, min_lat: int, max_lat: int, min_lon: int, max_lon: int
+) -> pa.Table:
+    """LatLonPoint.newBoxQuery (inclusive, milli-degrees): streamed
+    one-task-per-file scan over files whose bounds overlap the box."""
+    import ray.data
+
+    def _overlap(f: dict) -> bool:
+        if f["max_lat"] < min_lat or f["min_lat"] > max_lat:
+            return False
+        if min_lon <= max_lon and (f["max_lon"] < min_lon or f["min_lon"] > max_lon):
+            return False
+        return True
+
+    hit = [f["path"] for f in geo_manifest["files"] if _overlap(f)]
+    if not hit:
+        return pa.table({"doc_id": pa.array([], type=pa.int64())})
+
+    def _scan(batch: pa.Table) -> pa.Table:
+        parts = [
+            box_docs_file(p, min_lat, max_lat, min_lon, max_lon)[0]
+            for p in batch.column("path").to_pylist()
+        ]
+        docs = np.concatenate(parts) if parts else np.empty(0, dtype=np.int64)
+        return pa.table({"doc_id": pa.array(docs, type=pa.int64())})
+
+    rows = (
+        ray.data.from_items([{"path": p} for p in hit])
+        .map_batches(_scan, batch_size=1, batch_format="pyarrow", **_rargs())
+        .take_all()
+    )
+    docs = np.sort(
+        np.fromiter((r["doc_id"] for r in rows), dtype=np.int64, count=len(rows))
+    )
+    return pa.table({"doc_id": pa.array(docs, type=pa.int64())})
+
+
+def haversin_meters(
+    lat1_deg: np.ndarray, lon1_deg: np.ndarray, lat2_deg: float, lon2_deg: float
+) -> np.ndarray:
+    """SloppyMath.haversinMeters role (exact libm, not the sloppy table):
+    2R·asin(√(sin²(Δφ/2) + cosφ1·cosφ2·sin²(Δλ/2)))."""
+    p1 = np.radians(np.asarray(lat1_deg, dtype=np.float64))
+    l1 = np.radians(np.asarray(lon1_deg, dtype=np.float64))
+    p2 = np.radians(float(lat2_deg))
+    l2 = np.radians(float(lon2_deg))
+    h = (
+        np.sin((p2 - p1) / 2.0) ** 2
+        + np.cos(p1) * np.cos(p2) * np.sin((l2 - l1) / 2.0) ** 2
+    )
+    return 2.0 * EARTH_MEAN_RADIUS_M * np.arcsin(np.minimum(1.0, np.sqrt(h)))
+
+
+def _distance_box(lat_deg: float, lon_deg: float, radius_m: float):
+    """Rectangle.fromPointDistance role: the circle's bounding box in
+    milli-degrees (conservative — expanded outward), handling pole and
+    dateline overflow by clamping / wrapping to the full lon span."""
+    dlat = np.degrees(radius_m / EARTH_MEAN_RADIUS_M)
+    min_lat = max(-90.0, lat_deg - dlat)
+    max_lat = min(90.0, lat_deg + dlat)
+    cos_min = min(
+        np.cos(np.radians(min_lat)), np.cos(np.radians(max_lat))
+    )
+    if cos_min <= 1e-9 or dlat >= 90.0:
+        min_lon, max_lon = -180.0, 180.0  # circle spans a pole
+    else:
+        dlon = np.degrees(radius_m / EARTH_MEAN_RADIUS_M) / cos_min
+        if dlon >= 180.0:
+            min_lon, max_lon = -180.0, 180.0
+        else:
+            min_lon = lon_deg - dlon
+            max_lon = lon_deg + dlon
+            if min_lon < -180.0:
+                min_lon += 360.0  # dateline wrap => min > max box
+            if max_lon > 180.0:
+                max_lon -= 360.0
+    return (
+        int(np.floor(min_lat * 1000.0)),
+        int(np.ceil(max_lat * 1000.0)),
+        int(np.floor(min_lon * 1000.0)),
+        int(np.ceil(max_lon * 1000.0)),
+    )
+
+
+def distance_docs(
+    geo_manifest: dict, lat_deg: float, lon_deg: float, radius_m: float
+) -> pa.Table:
+    """LatLonPoint.newDistanceQuery: docs within radius_m meters of the
+    point (haversine, mean earth radius). Bounding-box prefilter over the
+    leaf stats, exact vectorized haversine on the candidates only."""
+    import ray.data
+
+    b = _distance_box(lat_deg, lon_deg, radius_m)
+
+    def _overlap(f: dict) -> bool:
+        if f["max_lat"] < b[0] or f["min_lat"] > b[1]:
+            return False
+        if b[2] <= b[3] and (f["max_lon"] < b[2] or f["min_lon"] > b[3]):
+            return False
+        return True
+
+    hit = [f["path"] for f in geo_manifest["files"] if _overlap(f)]
+    if not hit:
+        return pa.table({"doc_id": pa.array([], type=pa.int64())})
+
+    def _scan(batch: pa.Table) -> pa.Table:
+        out = []
+        for p in batch.column("path").to_pylist():
+            pf = pq.ParquetFile(p)
+            md = pf.metadata
+            for g in range(md.num_row_groups):
+                sla = md.row_group(g).column(0).statistics
+                if int(sla.max) < b[0] or int(sla.min) > b[1]:
+                    continue
+                tbl = pf.read_row_group(g)
+                lat = tbl.column("lat").to_numpy()
+                lon = tbl.column("lon").to_numpy()
+                m = (lat >= b[0]) & (lat <= b[1]) & _lon_mask(lon, b[2], b[3])
+                if not m.any():
+                    continue
+                d = haversin_meters(lat[m] / 1000.0, lon[m] / 1000.0, lat_deg, lon_deg)
+                out.append(tbl.column("doc_id").to_numpy()[m][d <= radius_m])
+        docs = np.concatenate(out) if out else np.empty(0, dtype=np.int64)
+        return pa.table({"doc_id": pa.array(docs, type=pa.int64())})
+
+    rows = (
+        ray.data.from_items([{"path": p} for p in hit])
+        .map_batches(_scan, batch_size=1, batch_format="pyarrow", **_rargs())
+        .take_all()
+    )
+    docs = np.sort(
+        np.fromiter((r["doc_id"] for r in rows), dtype=np.int64, count=len(rows))
+    )
+    return pa.table({"doc_id": pa.array(docs, type=pa.int64())})
+
+
+def nearest_k(
+    geo_manifest: dict, lat_deg: float, lon_deg: float, k: int
+) -> pa.Table:
+    """LatLonDocValuesField.newDistanceSort role (+ LatLonPoint
+    nearest-neighbor `document/LatLonPointPrototypeQueries.java:52`):
+    the k docs closest to the point, (distance asc, doc_id asc)
+    tie-break. Per-file partial top-k inside each task (a k-row
+    combiner), tiny merge on the driver."""
+    import ray.data
+
+    def _scan(batch: pa.Table) -> pa.Table:
+        out = []
+        for p in batch.column("path").to_pylist():
+            tbl = pq.read_table(p)
+            lat = tbl.column("lat").to_numpy()
+            lon = tbl.column("lon").to_numpy()
+            d = haversin_meters(lat / 1000.0, lon / 1000.0, lat_deg, lon_deg)
+            docs = tbl.column("doc_id").to_numpy()
+            if len(d) > k:
+                part = np.argpartition(d, k - 1)[:k]
+                d, docs = d[part], docs[part]
+            out.append(
+                pa.table(
+                    {
+                        "doc_id": pa.array(docs, type=pa.int64()),
+                        "dist_m": pa.array(d, type=pa.float64()),
+                    }
+                )
+            )
+        return pa.concat_tables(out)
+
+    rows = (
+        ray.data.from_items([{"path": f["path"]} for f in geo_manifest["files"]])
+        .map_batches(_scan, batch_size=1, batch_format="pyarrow", **_rargs())
+        .take_all()
+    )
+    docs = np.fromiter((r["doc_id"] for r in rows), dtype=np.int64, count=len(rows))
+    dist = np.fromiter((r["dist_m"] for r in rows), dtype=np.float64, count=len(rows))
+    order = np.lexsort((docs, dist))[:k]
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(len(order)), type=pa.int64()),
+            "doc_id": pa.array(docs[order], type=pa.int64()),
+            "dist_m": pa.array(dist[order], type=pa.float64()),
+        }
+    )

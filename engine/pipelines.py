@@ -1199,3 +1199,51 @@ def term_points_filter_docs(
     range_set = range_docs(pts, lo, hi).column("doc_id").to_numpy()
     both = np.intersect1d(np.asarray(docs, dtype=np.int64), range_set)
     return pa.table({"doc_id": pa.array(both, type=pa.int64())})
+
+
+def get_geo(sf_dir: str) -> dict:
+    """Geo points index (LatLonPoint role) over the cached corpus index —
+    coordinates are the documented doc_id-derived integer fixture
+    (engine/geo.py synth_latlon); built once, write-once resume."""
+    from .geo import build_geo
+
+    idx = get_index(sf_dir)
+    return build_geo(idx["build_manifest"], idx["index_dir"])
+
+
+def geo_box_match_docs(
+    sf_dir: str,
+    min_lat: int = -30_000,
+    max_lat: int = 30_000,
+    min_lon: int = -60_000,
+    max_lon: int = 90_000,
+) -> pa.Table:
+    """LatLonPoint.newBoxQuery (inclusive integer milli-degrees) — the
+    2-D leaf scan with lat/lon row-group pruning. Exact integer oracle
+    recomputes the coordinate fixture in SQL."""
+    from .geo import box_docs
+
+    return box_docs(get_geo(sf_dir), min_lat, max_lat, min_lon, max_lon)
+
+
+def geo_distance_match_docs(
+    sf_dir: str, lat: float = 10.0, lon: float = 20.0, radius_m: float = 2_000_000.0
+) -> pa.Table:
+    """LatLonPoint.newDistanceQuery: bounding-rectangle prefilter
+    (Rectangle.fromPointDistance role) then the exact haversine mask on
+    candidates only. Rows-only driver check (libm trig is not bit-stable
+    across engines); the brute-force identity is a pytest property."""
+    from .geo import distance_docs
+
+    return distance_docs(get_geo(sf_dir), lat, lon, radius_m)
+
+
+def geo_nearest_k(
+    sf_dir: str, lat: float = 10.0, lon: float = 20.0, k: int = 10
+) -> pa.Table:
+    """Distance sort (LatLonDocValuesField.newDistanceSort /
+    nearest-neighbor prototype): k closest docs, (distance, doc_id)
+    tie-break; per-file partial top-k combiner, k-row driver merge."""
+    from .geo import nearest_k
+
+    return nearest_k(get_geo(sf_dir), lat, lon, k)

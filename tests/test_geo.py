@@ -1,0 +1,107 @@
+"""Geo point index — LatLonPoint role (document/LatLonPoint.java
+newBoxQuery/newDistanceQuery; geo/Rectangle.java fromPointDistance;
+util/SloppyMath.java haversin on GeoUtils.EARTH_MEAN_RADIUS_METERS):
+2-D leaves sorted by lat, box/distance/nearest-k all checked against
+brute force over the deterministic coordinate fixture."""
+
+import numpy as np
+import pytest
+
+from engine.geo import (
+    box_docs,
+    box_docs_file,
+    build_geo,
+    distance_docs,
+    haversin_meters,
+    nearest_k,
+    synth_latlon,
+)
+
+N_DOCS = 1200
+
+
+@pytest.fixture(scope="module")
+def geo_manifest(tmp_path_factory, ray_session):
+    root = str(tmp_path_factory.mktemp("geoidx"))
+    manifest = {
+        "partitions": [
+            {"doc_base": s * 400, "n_docs": 400, "seg_dir": "unused"}
+            for s in range(3)
+        ]
+    }
+    return build_geo(manifest, root, rows_per_leaf=64)
+
+
+@pytest.fixture(scope="module")
+def coords():
+    lat, lon = synth_latlon(np.arange(N_DOCS, dtype=np.int64))
+    return lat, lon
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_box_query_exact(geo_manifest, coords):
+    lat, lon = coords
+    for b in [(-30000, 30000, -60000, 90000), (-90000, 89999, -180000, 179999),
+              (0, 0, -180000, 179999), (50000, 40000, 0, 1000)]:
+        got = box_docs(geo_manifest, *b).column("doc_id").to_numpy()
+        exp = np.flatnonzero(
+            (lat >= b[0]) & (lat <= b[1]) & (lon >= b[2]) & (lon <= b[3])
+        )
+        np.testing.assert_array_equal(got, exp)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_box_query_dateline_crossing(geo_manifest, coords):
+    """min_lon > max_lon crosses the dateline: lon >= min OR lon <= max."""
+    lat, lon = coords
+    got = box_docs(geo_manifest, -90000, 90000, 150000, -150000)
+    exp = np.flatnonzero((lon >= 150000) | (lon <= -150000))
+    np.testing.assert_array_equal(got.column("doc_id").to_numpy(), exp)
+
+
+def test_box_leaf_prune(geo_manifest):
+    """A narrow lat band reads only overlapping leaf groups (files are
+    lat-sorted, so most groups are outside)."""
+    f = geo_manifest["files"][0]
+    _docs, n_read, n_total = box_docs_file(f["path"], 0, 5000, -180000, 179999)
+    assert n_total >= 5
+    assert 0 < n_read < n_total
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_distance_query_vs_brute_force(geo_manifest, coords):
+    lat, lon = coords
+    for (qlat, qlon, r) in [(10.0, 20.0, 2_000_000.0), (89.0, 0.0, 500_000.0),
+                            (0.0, 179.9, 3_000_000.0)]:
+        got = distance_docs(geo_manifest, qlat, qlon, r).column("doc_id").to_numpy()
+        d = haversin_meters(lat / 1000.0, lon / 1000.0, qlat, qlon)
+        exp = np.flatnonzero(d <= r)
+        np.testing.assert_array_equal(got, exp)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_nearest_k_vs_brute_force(geo_manifest, coords):
+    lat, lon = coords
+    d = haversin_meters(lat / 1000.0, lon / 1000.0, 10.0, 20.0)
+    exp = np.lexsort((np.arange(N_DOCS), d))[:10]
+    got = nearest_k(geo_manifest, 10.0, 20.0, 10)
+    np.testing.assert_array_equal(got.column("doc_id").to_numpy(), exp)
+    np.testing.assert_allclose(got.column("dist_m").to_numpy(), d[exp], rtol=0)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_geo_build_idempotent(geo_manifest, tmp_path_factory):
+    root = geo_manifest["files"][0]["path"].rsplit("/geo_points/", 1)[0]
+    manifest = {
+        "partitions": [
+            {"doc_base": s * 400, "n_docs": 400, "seg_dir": "unused"}
+            for s in range(3)
+        ]
+    }
+    assert build_geo(manifest, root, rows_per_leaf=64) == geo_manifest
+
+
+def test_haversin_known_value():
+    """Paris→London ≈ 343-344 km on the mean-radius sphere."""
+    d = haversin_meters(np.array([48.8566]), np.array([2.3522]), 51.5074, -0.1278)
+    assert 340_000 < d[0] < 348_000
