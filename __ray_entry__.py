@@ -319,6 +319,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_box_docs": pipelines.geo_box_match_docs,
         "geo_distance_docs": pipelines.geo_distance_match_docs,
         "geo_nearest_k": pipelines.geo_nearest_k,
+        "collapse_top_docs": relational.collapse_top_docs,
+        "diversified_topk": relational.diversified_topk_docs,
         "spell_suggest": pipelines.spell_suggest_body,
         "more_like_this_terms": pipelines.more_like_this_terms,
         "more_like_this_topk": pipelines.more_like_this_topk,
@@ -1067,6 +1069,32 @@ def oracle_sql() -> dict[str, str]:
               AND ((doc_id * 40503 + 12345) % 360000) - 180000
                       BETWEEN -60000 AND 90000
             ORDER BY doc_id
+        """,
+        # CollapsingQParser: one head per collapse key (max n_chars, tie
+        # min doc_id), then rank the heads
+        "collapse_top_docs": """
+            SELECT * FROM (
+              SELECT CAST(row_number() OVER (
+                         ORDER BY n_chars DESC, doc_id ASC) - 1 AS BIGINT) AS rank,
+                     source, doc_id, CAST(n_chars AS BIGINT) AS n_chars
+              FROM (SELECT source, doc_id, n_chars,
+                           row_number() OVER (PARTITION BY source
+                               ORDER BY n_chars DESC, doc_id ASC) AS rg
+                    FROM documents) WHERE rg = 1
+            ) WHERE rank < 10 ORDER BY rank
+        """,
+        # DiversifiedTopDocsCollector: global top-k with <= 2 hits per key
+        # == per-key rank <= 2 then global top-k
+        "diversified_topk": """
+            SELECT * FROM (
+              SELECT CAST(row_number() OVER (
+                         ORDER BY n_chars DESC, doc_id ASC) - 1 AS BIGINT) AS rank,
+                     source, doc_id, CAST(n_chars AS BIGINT) AS n_chars
+              FROM (SELECT source, doc_id, n_chars,
+                           row_number() OVER (PARTITION BY source
+                               ORDER BY n_chars DESC, doc_id ASC) AS rg
+                    FROM documents) WHERE rg <= 2
+            ) WHERE rank < 10 ORDER BY rank
         """,
         # DirectSpellChecker contract: dictionary terms within 2 edits of
         # each query word, ranked (distance asc, df desc, term asc), top 5;

@@ -746,3 +746,119 @@ def pivot_facet_docs(
             "source_count": pa.array(out["source_count"], type=pa.int64()),
         }
     )
+
+
+def _argmax_agg(out_col: str, val_col: str, id_col: str):
+    """Vectorized arg-max AggregateFnV2: per group, (max val_col, tie min
+    id_col). finalize returns the value or the arg depending on out_col
+    suffix — same two-instance idiom as dedup._ArgLatest."""
+    from ray.data.aggregate import AggregateFnV2
+    from ray.data.block import BlockAccessor
+
+    zero = (-(1 << 62), (1 << 62))
+
+    class _Agg(AggregateFnV2):
+        def __init__(self):
+            super().__init__(
+                out_col, zero_factory=lambda: zero, on=None, ignore_nulls=True
+            )
+
+        def aggregate_block(self, block):
+            tbl = BlockAccessor.for_block(block).to_arrow()
+            v = tbl.column(val_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            i_ = tbl.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            if len(v) == 0:
+                return zero
+            j = int(np.lexsort((i_, -v))[0])
+            return (int(v[j]), int(i_[j]))
+
+        def combine(self, cur, new):
+            a = zero if cur is None else cur
+            b = zero if new is None else new
+            return min(a, b, key=lambda t: (-t[0], t[1]))
+
+        def finalize(self, acc):
+            acc = zero if acc is None else acc
+            return int(acc[0]) if out_col.endswith("_val") else int(acc[1])
+
+    return _Agg()
+
+
+def collapse_top_docs(sf_dir: str, k: int = 10) -> pa.Table:
+    """Solr CollapsingQParserPlugin role (solr/core/.../search/
+    CollapsingQParserPlugin.java:120-168: collapse the result set to ONE
+    head doc per collapse key — highest sort value, tie smallest docID —
+    then rank the collapsed heads): collapse documents on ``source``
+    keeping the doc with max n_chars (tie min doc_id), return the top-k
+    heads by (n_chars desc, doc_id asc). One hash shuffle on the collapse
+    key; the per-group reduce is a vectorized arg-max aggregate (never
+    per-key pandas); the final sort is over #distinct-keys rows only."""
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+    agg = ds.groupby("source").aggregate(
+        _argmax_agg("_head_val", "n_chars", "doc_id"),
+        _argmax_agg("_head_id", "n_chars", "doc_id"),
+    )
+    heads = agg.to_pandas()  # one row per collapse key — small by contract
+    heads = heads.sort_values(
+        ["_head_val", "_head_id"], ascending=[False, True]
+    ).head(k)
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(len(heads)), type=pa.int64()),
+            "source": pa.array(heads["source"].tolist(), type=pa.string()),
+            "doc_id": pa.array(heads["_head_id"].to_numpy(), type=pa.int64()),
+            "n_chars": pa.array(heads["_head_val"].to_numpy(), type=pa.int64()),
+        }
+    )
+
+
+def _per_key_top_m(tbl: pa.Table, key: str, val: str, id_col: str, m: int) -> pa.Table:
+    """Keep the top-m rows per key by (val desc, id asc) — one sort +
+    run-length boundary scan, no per-key Python."""
+    order = pc.sort_indices(
+        tbl,
+        sort_keys=[(key, "ascending"), (val, "descending"), (id_col, "ascending")],
+    )
+    t = tbl.take(order)
+    ks = t.column(key).to_numpy(zero_copy_only=False)
+    n = len(ks)
+    if n == 0:
+        return t
+    starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+    lens = np.diff(np.r_[starts, n])
+    within = np.arange(n) - np.repeat(starts, lens)
+    return t.filter(pa.array(within < m))
+
+
+def diversified_topk_docs(sf_dir: str, k: int = 10, max_per_key: int = 2) -> pa.Table:
+    """DiversifiedTopDocsCollector (lucene/misc/.../search/
+    DiversifiedTopDocsCollector.java:38-66): global top-k by score with at
+    most ``max_per_key`` hits per key — a doc is admitted iff fewer than
+    max_per_key higher-scored docs share its key, which equals filtering
+    per-key rank <= max_per_key then taking the global top-k. Key =
+    source, score = n_chars (tie smaller doc_id). Distributed shape:
+    per-batch per-key top-m combiner (any doc in the true answer survives
+    its batch's local top-m), tiny driver resolve over blocks x keys x m
+    rows."""
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return _per_key_top_m(batch, "source", "n_chars", "doc_id", max_per_key)
+
+    cand = pa.Table.from_pandas(
+        ds.map_batches(partial, batch_format="pyarrow", **_rargs()).to_pandas(),
+        preserve_index=False,
+    )
+    cand = _per_key_top_m(cand, "source", "n_chars", "doc_id", max_per_key)
+    order = pc.sort_indices(
+        cand, sort_keys=[("n_chars", "descending"), ("doc_id", "ascending")]
+    )[:k]
+    top = cand.take(order)
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(top.num_rows), type=pa.int64()),
+            "source": top.column("source"),
+            "doc_id": pc.cast(top.column("doc_id"), pa.int64()),
+            "n_chars": pc.cast(top.column("n_chars"), pa.int64()),
+        }
+    )

@@ -619,3 +619,80 @@ def test_media_frame_samplers():
         )
     )
     assert ds2.map_batches(VideoFrameSampler, batch_format="pyarrow", concurrency=(1, 2)).count() == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_collapse_and_diversified_collectors():
+    """CollapsingQParser (one head per key) and DiversifiedTopDocsCollector
+    (<= m per key) vs a brute-force pandas reference at sf0.001; the
+    diversified per-batch combiner must survive tiny blocks."""
+    import duckdb
+
+    from engine.relational import collapse_top_docs, diversified_topk_docs
+
+    sf = "/root/testdata/sf0.001"
+    got_c = collapse_top_docs(sf).to_pandas()
+    exp_c = duckdb.sql(f"""
+        SELECT * FROM (
+          SELECT row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1 AS rank,
+                 source, doc_id, n_chars
+          FROM (SELECT source, doc_id, n_chars, row_number() OVER (
+                    PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rg
+                FROM read_parquet('{sf}/documents.parquet')) WHERE rg = 1
+        ) WHERE rank < 10 ORDER BY rank
+    """).fetchdf()
+    assert got_c["doc_id"].tolist() == exp_c["doc_id"].tolist()
+    assert got_c["source"].tolist() == exp_c["source"].tolist()
+
+    got_d = diversified_topk_docs(sf, k=10, max_per_key=2).to_pandas()
+    exp_d = duckdb.sql(f"""
+        SELECT * FROM (
+          SELECT row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1 AS rank,
+                 source, doc_id, n_chars
+          FROM (SELECT source, doc_id, n_chars, row_number() OVER (
+                    PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rg
+                FROM read_parquet('{sf}/documents.parquet')) WHERE rg <= 2
+        ) WHERE rank < 10 ORDER BY rank
+    """).fetchdf()
+    assert got_d["doc_id"].tolist() == exp_d["doc_id"].tolist()
+    # diversity invariant: no key exceeds max_per_key
+    assert got_d.groupby("source").size().max() <= 2
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_diversified_combiner_small_blocks():
+    """The per-batch top-m partial must not drop true answers even when
+    every block holds a handful of rows (forced via from_items)."""
+    import ray.data
+
+    from engine.relational import _per_key_top_m
+
+    rng = np.random.default_rng(3)
+    n = 400
+    keys = rng.integers(0, 7, n)
+    vals = rng.integers(0, 10_000, n)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n), type=pa.int64()),
+            "source": pa.array([f"s{k}" for k in keys], type=pa.string()),
+            "n_chars": pa.array(vals, type=pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(40)  # ~10 rows per block
+    partials = pa.Table.from_pandas(
+        ds.map_batches(
+            lambda b: _per_key_top_m(b, "source", "n_chars", "doc_id", 3),
+            batch_format="pyarrow",
+        ).to_pandas(),
+        preserve_index=False,
+    )
+    final = _per_key_top_m(partials, "source", "n_chars", "doc_id", 3)
+    # brute force
+    df = tbl.to_pandas()
+    df["rg"] = (
+        df.sort_values(["n_chars", "doc_id"], ascending=[False, True])
+        .groupby("source")
+        .cumcount()
+    )
+    exp = df[df["rg"] < 3]
+    assert set(final.column("doc_id").to_pylist()) == set(exp["doc_id"])
