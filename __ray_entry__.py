@@ -3,9 +3,9 @@
 ``entry()`` runs the flagship pipeline (pages fixture → extract → SPIMI
 invert → salted groupby-term merge → BM25 actor-pool search) at sf0.001.
 ``queries()`` exposes one entry per implemented operator family from
-SURVEY.md §2 (+ the training-data extras) — 56 entries as of round 3;
+SURVEY.md §2 (+ the training-data extras) — 95 entries as of round 3;
 ``oracle_sql()`` gives DuckDB equivalents where SQL can express the
-semantics (40 exact oracles) — index-derived entries (term stats, title
+semantics (68 exact oracles) — index-derived entries (term stats, title
 field stats, norms via the embedded SmallFloat byte4 table, token
 counts, phrase/sloppy matching via position self-joins, nested boolean
 set algebra, DV facets/sort, keep-latest dedup) are thereby checked
@@ -77,6 +77,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _docs(sf_dir).map_batches(
             textops.bpe_token_count_batch, batch_format="pyarrow", **_rargs()
         )
+
+    def q_shingle_top50(sf_dir):
+        return textops.shingle_top_counts(_docs(sf_dir), size=2, k=50)
+
+    def q_stemmed_top_terms(sf_dir):
+        return textops.stemmed_top_terms(_docs(sf_dir), k=100)
 
     def q_quality_scores(sf_dir):
         return _docs(sf_dir).map_batches(
@@ -332,6 +338,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- text analysis ------------------------------------------------
         "token_counts_docs": q_token_count_docs,
         "token_counts_bpe": q_token_count_bpe,
+        "shingle_top50": q_shingle_top50,
+        "stemmed_top_terms": q_stemmed_top_terms,
         "quality_features": q_quality_features,
         "quality_scores": q_quality_scores,
         "langid": q_langid,
@@ -844,6 +852,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_counts_docs": f"""
             SELECT doc_id, len({_TOK}) AS n_tokens FROM documents
+        """,
+        "shingle_top50": f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest({_TOK}) AS tok,
+                       generate_subscripts({_TOK}, 1) AS ord
+                FROM documents
+            ), sh AS (
+                SELECT a.tok || ' ' || b.tok AS shingle
+                FROM toks a JOIN toks b
+                  ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
+            )
+            SELECT shingle, count(*) AS cnt FROM sh
+            GROUP BY shingle ORDER BY cnt DESC, shingle ASC LIMIT 50
         """,
         "token_counts_bpe": r"""
             SELECT doc_id,

@@ -54,9 +54,21 @@ class Analyzer:
     # analyzers keep the raw stream (search-time expansion is the
     # SynonymQuery clause).
     synonyms: tuple[tuple[str, tuple[str, ...]], ...] = ()
+    # named 1:1 token filters applied AFTER stop removal, in order
+    # (engine/filters.py registry: "porter", "asciifold") — the
+    # EnglishAnalyzer.java:108-118 chain position for PorterStemFilter.
+    # 1:1 means positions/offsets/lengths are unchanged by the chain.
+    filters: tuple[str, ...] = ()
 
     def compiled(self) -> re.Pattern[str]:
         return re.compile(self.token_pattern)
+
+    def run_filters(self, tokens: list[str]) -> list[str]:
+        if not self.filters:
+            return tokens
+        from .filters import apply_filters
+
+        return apply_filters(tokens, self.filters)
 
 
 DEFAULT_ANALYZER = Analyzer()
@@ -130,8 +142,10 @@ def tokenize(text: str, analyzer: Analyzer = DEFAULT_ANALYZER) -> list[str]:
     mx = analyzer.max_token_length
     stop = analyzer.stopwords
     if stop:
-        return [t for t in toks if len(t) <= mx and t not in stop]
-    return [t for t in toks if len(t) <= mx]
+        toks = [t for t in toks if len(t) <= mx and t not in stop]
+    else:
+        toks = [t for t in toks if len(t) <= mx]
+    return analyzer.run_filters(toks)
 
 
 def analyze_batch(
@@ -164,7 +178,7 @@ def analyze_batch(
             toks = [t for t in toks if len(t) <= mx]
         lengths[i] = len(toks)
         append(toks)
-    return flat, lengths
+    return analyzer.run_filters(flat), lengths
 
 
 def analyze_batch_with_positions(
@@ -208,7 +222,7 @@ def analyze_batch_with_positions(
             lengths[i] = len(toks)
             flat.extend(toks)
             positions.extend(range(len(toks)))
-    return flat, lengths, np.asarray(positions, dtype=np.int64)
+    return analyzer.run_filters(flat), lengths, np.asarray(positions, dtype=np.int64)
 
 
 def analyze_batch_with_offsets(
@@ -246,7 +260,7 @@ def analyze_batch_with_offsets(
             n_kept += 1
         lengths[i] = n_kept
     return (
-        flat,
+        analyzer.run_filters(flat),
         lengths,
         np.asarray(positions, dtype=np.int64),
         np.asarray(starts, dtype=np.int64),

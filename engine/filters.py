@@ -1,0 +1,226 @@
+"""1:1 token filters for the analysis chain: Porter stemming + ASCII folding.
+
+Reference roles:
+- Porter stemmer: lucene/analysis/common .../en/PorterStemFilter.java:38-55
+  wrapping .../tartarus/PorterStemmer.java (Martin Porter's 1980 algorithm,
+  implemented here fresh from the published algorithm, not ported from the
+  Java). Applied AFTER LowerCase+Stop, matching EnglishAnalyzer.java:108-118
+  chain order (tokenize -> lowercase -> stop -> stem).
+- ASCII folding: .../miscellaneous/ASCIIFoldingFilter.java:38-117 — maps
+  Latin Unicode (accents, ligatures) to ASCII equivalents. The Java file is
+  a 3,000-case generated switch; here NFKD decomposition + combining-mark
+  strip covers the accent classes and an explicit table covers the
+  non-decomposing ligatures/specials the filter documents.
+
+"asciifold" is meaningful with the UNICODE analyzer (analyze.py
+UNICODE_ANALYZER): the default ASCII token pattern drops non-ASCII chars at
+tokenization, before any filter runs (the same reason Lucene puts
+ASCIIFoldingFilter after a Unicode-aware tokenizer).
+
+Both filters are token→token (1:1, never drop or split), so positions,
+offsets and norm lengths from the tokenizer are unchanged — they plug into
+every analyze_* path as a flat-list map. Per-process memo caches make the
+cost O(vocabulary), not O(tokens): web text re-uses a small vocab per batch.
+"""
+
+from __future__ import annotations
+
+import unicodedata
+
+_VOWELS = frozenset("aeiou")
+
+
+def _is_cons(w: str, i: int) -> bool:
+    c = w[i]
+    if c in _VOWELS:
+        return False
+    if c == "y":
+        return i == 0 or not _is_cons(w, i - 1)
+    return True
+
+
+def _measure(stem: str) -> int:
+    """m in [C](VC)^m[V] — the number of vowel→consonant transitions."""
+    m = 0
+    prev_vowel = False
+    for i in range(len(stem)):
+        if _is_cons(stem, i):
+            if prev_vowel:
+                m += 1
+            prev_vowel = False
+        else:
+            prev_vowel = True
+    return m
+
+
+def _has_vowel(stem: str) -> bool:
+    return any(not _is_cons(stem, i) for i in range(len(stem)))
+
+
+def _ends_double_cons(w: str) -> bool:
+    return (
+        len(w) >= 2
+        and w[-1] == w[-2]
+        and _is_cons(w, len(w) - 1)
+    )
+
+
+def _cvc(w: str) -> bool:
+    """*o: stem ends cvc where the final c is not w, x or y."""
+    if len(w) < 3:
+        return False
+    return (
+        _is_cons(w, len(w) - 3)
+        and not _is_cons(w, len(w) - 2)
+        and _is_cons(w, len(w) - 1)
+        and w[-1] not in "wxy"
+    )
+
+
+_STEP2 = (
+    ("ational", "ate"), ("tional", "tion"), ("enci", "ence"), ("anci", "ance"),
+    ("izer", "ize"), ("abli", "able"), ("alli", "al"), ("entli", "ent"),
+    ("eli", "e"), ("ousli", "ous"), ("ization", "ize"), ("ation", "ate"),
+    ("ator", "ate"), ("alism", "al"), ("iveness", "ive"), ("fulness", "ful"),
+    ("ousness", "ous"), ("aliti", "al"), ("iviti", "ive"), ("biliti", "ble"),
+)
+_STEP3 = (
+    ("icate", "ic"), ("ative", ""), ("alize", "al"), ("iciti", "ic"),
+    ("ical", "ic"), ("ful", ""), ("ness", ""),
+)
+_STEP4 = (
+    "al", "ance", "ence", "er", "ic", "able", "ible", "ant", "ement",
+    "ment", "ent", "ion", "ou", "ism", "ate", "iti", "ous", "ive", "ize",
+)
+
+
+def porter_stem(word: str) -> str:
+    """The 1980 Porter algorithm over one lowercase token. Tokens shorter
+    than 3 chars are returned unchanged (PorterStemmer.java k <= 1 guard)."""
+    w = word
+    if len(w) <= 2:
+        return w
+
+    # Step 1a
+    if w.endswith("sses") or w.endswith("ies"):
+        w = w[:-2]
+    elif w.endswith("s") and not w.endswith("ss"):
+        w = w[:-1]
+
+    # Step 1b
+    if w.endswith("eed"):
+        if _measure(w[:-3]) > 0:
+            w = w[:-1]
+    else:
+        fired = False
+        if w.endswith("ed") and _has_vowel(w[:-2]):
+            w = w[:-2]
+            fired = True
+        elif w.endswith("ing") and _has_vowel(w[:-3]):
+            w = w[:-3]
+            fired = True
+        if fired:
+            if w.endswith(("at", "bl", "iz")):
+                w += "e"
+            elif _ends_double_cons(w) and w[-1] not in "lsz":
+                w = w[:-1]
+            elif _measure(w) == 1 and _cvc(w):
+                w += "e"
+
+    # Step 1c
+    if w.endswith("y") and _has_vowel(w[:-1]):
+        w = w[:-1] + "i"
+
+    # Step 2
+    for suf, rep in _STEP2:
+        if w.endswith(suf):
+            stem = w[: -len(suf)]
+            if _measure(stem) > 0:
+                w = stem + rep
+            break
+
+    # Step 3
+    for suf, rep in _STEP3:
+        if w.endswith(suf):
+            stem = w[: -len(suf)]
+            if _measure(stem) > 0:
+                w = stem + rep
+            break
+
+    # Step 4
+    for suf in _STEP4:
+        if w.endswith(suf):
+            stem = w[: -len(suf)]
+            if _measure(stem) > 1:
+                if suf == "ion" and (not stem or stem[-1] not in "st"):
+                    break
+                w = stem
+            break
+
+    # Step 5a
+    if w.endswith("e"):
+        stem = w[:-1]
+        m = _measure(stem)
+        if m > 1 or (m == 1 and not _cvc(stem)):
+            w = stem
+
+    # Step 5b
+    if _measure(w) > 1 and _ends_double_cons(w) and w.endswith("l"):
+        w = w[:-1]
+
+    return w
+
+
+# non-decomposing chars ASCIIFoldingFilter maps explicitly (NFKD leaves
+# these intact); the common Latin-1 / Latin Extended-A set
+_FOLD_SPECIALS = {
+    "æ": "ae", "Æ": "AE", "œ": "oe", "Œ": "OE",
+    "ß": "ss", "ẞ": "SS",
+    "ø": "o", "Ø": "O", "đ": "d", "Đ": "D",
+    "ð": "d", "Ð": "D", "þ": "th", "Þ": "TH",
+    "ł": "l", "Ł": "L", "ħ": "h", "Ħ": "H",
+    "ı": "i", "ĸ": "q", "ŋ": "n", "Ŋ": "N",
+    "ŧ": "t", "Ŧ": "T", "ƒ": "f",
+}
+_FOLD_TABLE = str.maketrans(_FOLD_SPECIALS)
+
+
+def fold_ascii(token: str) -> str:
+    """Fold accented/ligature Latin characters to ASCII
+    (ASCIIFoldingFilter.java:38 contract: output contains only chars < 0x80
+    for the mapped classes; unmapped non-Latin chars pass through)."""
+    if token.isascii():
+        return token
+    folded = token.translate(_FOLD_TABLE)
+    decomposed = unicodedata.normalize("NFKD", folded)
+    return "".join(c for c in decomposed if not unicodedata.combining(c))
+
+
+# --- filter registry -------------------------------------------------------
+# Named 1:1 filters the Analyzer config can chain (Analyzer.filters).
+# Each is str -> str and must never return "" for a non-"" token.
+FILTERS = {
+    "porter": porter_stem,
+    "asciifold": fold_ascii,
+}
+
+
+def apply_filters(tokens: list[str], names: tuple[str, ...], _caches={}) -> list[str]:
+    """Apply the named filter chain to a flat token list through a
+    per-process memo (keyed by the chain) — O(distinct tokens) filter calls
+    per worker, vectorized dict-lookup for repeats."""
+    if not names:
+        return tokens
+    fns = [FILTERS[n] for n in names]
+    cache = _caches.setdefault(names, {})
+    out = []
+    get = cache.get
+    for t in tokens:
+        v = get(t)
+        if v is None:
+            v = t
+            for fn in fns:
+                v = fn(v)
+            cache[t] = v
+        out.append(v)
+    return out

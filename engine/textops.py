@@ -396,3 +396,84 @@ def snippets_for_hits(hits_ds, pages_path: str, query_terms: list[str], window: 
         return batch.append_column("snippet", pa.array(snips, type=pa.string()))
 
     return hits_ds.map_batches(_snip, batch_format="pyarrow", **_rargs())
+
+
+def shingle_count_batch(
+    batch: pa.Table, text_col: str = "text", size: int = 2, sep: str = " "
+) -> pa.Table:
+    """Per-batch partial counts of word shingles (ShingleFilter.java:33-104
+    role: default 2-gram, " " token separator) — the map-side combiner for
+    ``shingle_top_counts``. Returns (shingle, cnt) partials so the global
+    groupby shuffles one row per DISTINCT shingle per batch, not one per
+    occurrence."""
+    from collections import Counter
+
+    texts = batch.column(text_col).to_pylist()
+    c: Counter[str] = Counter()
+    for t in texts:
+        toks = TOKEN_RE.findall(t.lower()) if t else []
+        if len(toks) >= size:
+            c.update(map(sep.join, zip(*(toks[i:] for i in range(size)))))
+    keys = sorted(c)
+    return pa.table(
+        {
+            "shingle": pa.array(keys, type=pa.string()),
+            "cnt": pa.array([c[k] for k in keys], type=pa.int64()),
+        }
+    )
+
+
+def shingle_top_counts(ds, size: int = 2, k: int = 50):
+    """Top-k word shingles by corpus count (tie: shingle asc). Partial
+    per-batch Counter -> groupby sum -> distributed sort + limit; nothing
+    materializes on the driver."""
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(
+            lambda b: shingle_count_batch(b, size=size),
+            batch_format="pyarrow",
+            **_rargs(),
+        )
+        .groupby("shingle")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .sort(["cnt", "shingle"], descending=[True, False])
+        .limit(k)
+    )
+
+
+def stemmed_df_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-batch partial document frequencies of PORTER-STEMMED terms
+    (PorterStemFilter.java role over the analysis chain) — one row per
+    distinct (stemmed term) per batch with its partial df."""
+    from collections import Counter
+
+    from .filters import apply_filters
+
+    texts = batch.column(text_col).to_pylist()
+    c: Counter[str] = Counter()
+    for t in texts:
+        toks = TOKEN_RE.findall(t.lower()) if t else []
+        c.update(set(apply_filters(toks, ("porter",))))
+    keys = sorted(c)
+    return pa.table(
+        {
+            "term": pa.array(keys, type=pa.string()),
+            "df": pa.array([c[k] for k in keys], type=pa.int64()),
+        }
+    )
+
+
+def stemmed_top_terms(ds, k: int = 100):
+    """Top-k Porter-stemmed terms by df (tie: term asc) — no SQL oracle
+    (DuckDB's stem() needs the unavailable fts extension), covered by the
+    golden-pair tests in tests/test_filters.py instead."""
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(stemmed_df_batch, batch_format="pyarrow", **_rargs())
+        .groupby("term")
+        .aggregate(Sum("df", alias_name="df"))
+        .sort(["df", "term"], descending=[True, False])
+        .limit(k)
+    )

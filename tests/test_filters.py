@@ -1,0 +1,158 @@
+"""Analysis-chain token filters: Porter stemmer (PorterStemFilter.java role),
+ASCII folding (ASCIIFoldingFilter.java role), and the ShingleFilter-role
+shingle operator."""
+
+import numpy as np
+import pyarrow as pa
+
+from engine.analyze import Analyzer, analyze_batch_with_positions, tokenize
+from engine.filters import apply_filters, fold_ascii, porter_stem
+
+# sample pairs from the published algorithm (Porter 1980, "An algorithm for
+# suffix stripping" — the examples given per step) plus tartarus voc goldens
+PORTER_GOLDENS = {
+    # step 1a
+    "caresses": "caress", "ponies": "poni", "ties": "ti", "caress": "caress",
+    "cats": "cat",
+    # step 1b (+ cleanup rules)
+    "feed": "feed", "agreed": "agre", "plastered": "plaster", "bled": "bled",
+    "motoring": "motor", "sing": "sing", "conflated": "conflat",
+    "troubled": "troubl", "sized": "size", "hopping": "hop", "tanned": "tan",
+    "falling": "fall", "hissing": "hiss", "fizzed": "fizz", "failing": "fail",
+    "filing": "file",
+    # step 1c
+    "happy": "happi", "sky": "sky",
+    # step 2
+    "relational": "relat", "conditional": "condit", "rational": "ration",
+    "valenci": "valenc", "hesitanci": "hesit", "digitizer": "digit",
+    "conformabli": "conform", "radicalli": "radic", "differentli": "differ",
+    "vileli": "vile", "analogousli": "analog", "vietnamization": "vietnam",
+    "predication": "predic", "operator": "oper", "feudalism": "feudal",
+    "decisiveness": "decis", "hopefulness": "hope", "callousness": "callous",
+    "formaliti": "formal", "sensitiviti": "sensit", "sensibiliti": "sensibl",
+    # step 3
+    "triplicate": "triplic", "formative": "form", "formalize": "formal",
+    "electriciti": "electr", "electrical": "electr", "hopeful": "hope",
+    "goodness": "good",
+    # step 4
+    "revival": "reviv", "allowance": "allow", "inference": "infer",
+    "airliner": "airlin", "gyroscopic": "gyroscop", "adjustable": "adjust",
+    "defensible": "defens", "irritant": "irrit", "replacement": "replac",
+    "adjustment": "adjust", "dependent": "depend", "adoption": "adopt",
+    "homologou": "homolog", "communism": "commun", "activate": "activ",
+    "angulariti": "angular", "homologous": "homolog", "effective": "effect",
+    "bowdlerize": "bowdler",
+    # step 5
+    "probate": "probat", "rate": "rate", "cease": "ceas",
+    "controll": "control", "roll": "roll",
+    # multi-step compositions
+    "generalization": "gener", "oscillators": "oscil", "running": "run",
+}
+
+
+def test_porter_goldens():
+    for w, s in PORTER_GOLDENS.items():
+        assert porter_stem(w) == s, (w, porter_stem(w), s)
+
+
+def test_porter_short_tokens_unchanged():
+    for w in ("a", "is", "by", "42", "x9"):
+        assert porter_stem(w) == w
+
+
+def test_fold_ascii_goldens():
+    assert fold_ascii("mühléïsen") == "muhleisen"
+    assert fold_ascii("œuvre") == "oeuvre"
+    assert fold_ascii("straße") == "strasse"
+    assert fold_ascii("łódź") == "lodz"
+    assert fold_ascii("ñoño") == "nono"
+    assert fold_ascii("ÆON") == "AEON"
+    assert fold_ascii("þorn") == "thorn"
+    # ASCII fast path: identity (same object, no work)
+    s = "already-ascii"
+    assert fold_ascii(s) is s
+
+
+def test_filter_chain_order_and_memo():
+    # fold THEN stem: "générales" -> "generales" -> "gener"... (stemmed)
+    out = apply_filters(["générales", "générales", "running"],
+                        ("asciifold", "porter"))
+    assert out[0] == out[1]
+    assert out[2] == "run"
+
+
+def test_analyzer_filters_in_tokenize_and_batch():
+    an = Analyzer(filters=("porter",))
+    assert tokenize("running runs ran", an) == ["run", "run", "ran"]
+    flat, lengths, positions = analyze_batch_with_positions(
+        ["the running dogs", ""], an
+    )
+    # 1:1 filters: lengths and positions are the tokenizer's, text stemmed
+    assert flat == ["the", "run", "dog"]
+    assert lengths.tolist() == [3, 0]
+    assert positions.tolist() == [0, 1, 2]
+
+
+def test_stemmed_index_end_to_end(tmp_path):
+    """Index with a stemming analyzer: 'running' and 'runs' collapse to one
+    term, and a query analyzed the same way matches across inflections."""
+    from engine.build import invert_to_segment
+    from engine.checkpoint import finalize_build_manifest
+    from engine.queryparse import parse_query
+    from engine.search import IndexSearcher
+
+    an = Analyzer(filters=("porter",))
+    docs = [
+        "the dog was running fast",
+        "many dogs run in the park",
+        "a cat sat quietly",
+    ]
+    seg_dir = str(tmp_path / "partitions/p000000000000")
+    meta = invert_to_segment(
+        np.arange(3, dtype=np.int64), docs, seg_dir, analyzer=an
+    )
+    rows = [
+        {k: meta[k] for k in ("doc_base", "n_docs", "sum_ttf", "n_terms", "wall_ms")}
+        | {"seg_dir": seg_dir}
+    ]
+    manifest = finalize_build_manifest(str(tmp_path), rows)
+    s = IndexSearcher(manifest, algorithm="taat")
+    d, f = s.segments[0].postings("run")
+    assert d.tolist() == [0, 1]  # running + run collapse
+    docs_hit, _scores = s.search(parse_query("runs", analyzer=an), k=10)
+    assert set(docs_hit.tolist()) == {0, 1}
+
+
+def test_shingle_count_batch():
+    from engine.textops import shingle_count_batch
+
+    batch = pa.table({"text": ["a b c a b", "b c", "", None, "solo"]})
+    t = shingle_count_batch(batch)
+    got = dict(zip(t.column("shingle").to_pylist(), t.column("cnt").to_pylist()))
+    assert got == {"a b": 2, "b c": 2, "c a": 1}
+
+
+def test_shingle_top_counts_dataset(ray_session):
+    import ray.data
+
+    from engine.textops import shingle_top_counts
+
+    ds = ray.data.from_items(
+        [{"text": "x y z"}, {"text": "x y"}, {"text": "y z w"}]
+    )
+    out = shingle_top_counts(ds, size=2, k=2).to_pandas()
+    assert list(out["shingle"]) == ["x y", "y z"]
+    assert list(out["cnt"]) == [2, 2]
+
+
+def test_stemmed_top_terms_dataset(ray_session):
+    import ray.data
+
+    from engine.textops import stemmed_top_terms
+
+    ds = ray.data.from_items(
+        [{"text": "running dogs"}, {"text": "dog runs"}, {"text": "cats"}]
+    )
+    out = stemmed_top_terms(ds, k=10).to_pandas()
+    got = dict(zip(out["term"], out["df"]))
+    assert got == {"dog": 2, "run": 2, "cat": 1}
