@@ -3,9 +3,9 @@
 ``entry()`` runs the flagship pipeline (pages fixture → extract → SPIMI
 invert → salted groupby-term merge → BM25 actor-pool search) at sf0.001.
 ``queries()`` exposes one entry per implemented operator family from
-SURVEY.md §2 (+ the training-data extras) — 95 entries as of round 3;
+SURVEY.md §2 (+ the training-data extras) — 98 entries as of round 3;
 ``oracle_sql()`` gives DuckDB equivalents where SQL can express the
-semantics (68 exact oracles) — index-derived entries (term stats, title
+semantics (70 exact oracles) — index-derived entries (term stats, title
 field stats, norms via the embedded SmallFloat byte4 table, token
 counts, phrase/sloppy matching via position self-joins, nested boolean
 set algebra, DV facets/sort, keep-latest dedup) are thereby checked
@@ -83,6 +83,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def q_stemmed_top_terms(sf_dir):
         return textops.stemmed_top_terms(_docs(sf_dir), k=100)
+
+    def q_edge_ngram_top100(sf_dir):
+        return textops.gram_top_counts(
+            _docs(sf_dir), kind="edge", k=100, min_gram=2, max_gram=4
+        )
+
+    def q_ngram_top100(sf_dir):
+        return textops.gram_top_counts(
+            _docs(sf_dir), kind="all", k=100, min_gram=3, max_gram=3
+        )
+
+    def q_soundex_groups(sf_dir):
+        return textops.soundex_term_groups(_docs(sf_dir), k=50)
 
     def q_quality_scores(sf_dir):
         return _docs(sf_dir).map_batches(
@@ -340,6 +353,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts_bpe": q_token_count_bpe,
         "shingle_top50": q_shingle_top50,
         "stemmed_top_terms": q_stemmed_top_terms,
+        "edge_ngram_top100": q_edge_ngram_top100,
+        "ngram_top100": q_ngram_top100,
+        "soundex_groups": q_soundex_groups,
         "quality_features": q_quality_features,
         "quality_scores": q_quality_scores,
         "langid": q_langid,
@@ -866,6 +882,25 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT shingle, count(*) AS cnt FROM sh
             GROUP BY shingle ORDER BY cnt DESC, shingle ASC LIMIT 50
+        """,
+        "edge_ngram_top100": f"""
+            WITH toks AS (SELECT unnest({_TOK}) AS tok FROM documents),
+            g AS (
+                SELECT substr(tok, 1, CAST(n AS INT)) AS gram
+                FROM toks, range(2, 5) r(n) WHERE length(tok) >= n
+            )
+            SELECT gram, count(*) AS cnt FROM g
+            GROUP BY gram ORDER BY cnt DESC, gram ASC LIMIT 100
+        """,
+        "ngram_top100": f"""
+            WITH toks AS (SELECT unnest({_TOK}) AS tok FROM documents),
+            g AS (
+                SELECT substr(tok, CAST(p AS INT), 3) AS gram
+                FROM toks, range(1, 256) r(p)
+                WHERE p <= length(tok) - 2
+            )
+            SELECT gram, count(*) AS cnt FROM g
+            GROUP BY gram ORDER BY cnt DESC, gram ASC LIMIT 100
         """,
         "token_counts_bpe": r"""
             SELECT doc_id,

@@ -196,12 +196,52 @@ def fold_ascii(token: str) -> str:
     return "".join(c for c in decomposed if not unicodedata.combining(c))
 
 
+# --- phonetic --------------------------------------------------------------
+
+_SOUNDEX_CODE = {
+    **dict.fromkeys("bfpv", "1"),
+    **dict.fromkeys("cgjkqsxz", "2"),
+    **dict.fromkeys("dt", "3"),
+    "l": "4",
+    **dict.fromkeys("mn", "5"),
+    "r": "6",
+}
+
+
+def soundex(token: str) -> str:
+    """American Soundex (the algorithm Lucene's PhoneticFilter applies via
+    commons-codec Soundex — analysis/phonetic/PhoneticFilter.java:35-77
+    role; implemented fresh from the published algorithm): first letter +
+    3 consonant-class digits; adjacent same-class letters collapse, also
+    across 'h'/'w'; vowels reset the adjacency. Non-alphabetic tokens pass
+    through unchanged (the filter only encodes letter tokens)."""
+    if not token or not token.isalpha() or not token.isascii():
+        return token
+    t = token.lower()
+    out = [t[0].upper()]
+    prev = _SOUNDEX_CODE.get(t[0], "")
+    for ch in t[1:]:
+        code = _SOUNDEX_CODE.get(ch)
+        if code is None:
+            # 'h'/'w' are transparent (adjacency survives); vowels reset
+            if ch not in "hw":
+                prev = ""
+            continue
+        if code != prev:
+            out.append(code)
+            if len(out) == 4:
+                return "".join(out)
+        prev = code
+    return "".join(out) + "0" * (4 - len(out))
+
+
 # --- filter registry -------------------------------------------------------
 # Named 1:1 filters the Analyzer config can chain (Analyzer.filters).
 # Each is str -> str and must never return "" for a non-"" token.
 FILTERS = {
     "porter": porter_stem,
     "asciifold": fold_ascii,
+    "soundex": soundex,
 }
 
 

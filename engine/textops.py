@@ -477,3 +477,113 @@ def stemmed_top_terms(ds, k: int = 100):
         .sort(["df", "term"], descending=[True, False])
         .limit(k)
     )
+
+
+def edge_ngram_count_batch(
+    batch: pa.Table, text_col: str = "text", min_gram: int = 2, max_gram: int = 4
+) -> pa.Table:
+    """Per-batch partial counts of EDGE n-grams (EdgeNGramTokenFilter.java:
+    35-92 contract: prefixes of length min..max per token; tokens shorter
+    than min emit nothing, preserveOriginal=false) — the autocomplete-index
+    building block. Map-side combiner shape like shingle_count_batch."""
+    from collections import Counter
+
+    texts = batch.column(text_col).to_pylist()
+    c: Counter[str] = Counter()
+    for t in texts:
+        for tok in TOKEN_RE.findall(t.lower()) if t else ():
+            for n in range(min_gram, min(max_gram, len(tok)) + 1):
+                c[tok[:n]] += 1
+    keys = sorted(c)
+    return pa.table(
+        {
+            "gram": pa.array(keys, type=pa.string()),
+            "cnt": pa.array([c[k] for k in keys], type=pa.int64()),
+        }
+    )
+
+
+def ngram_count_batch(
+    batch: pa.Table, text_col: str = "text", min_gram: int = 3, max_gram: int = 3
+) -> pa.Table:
+    """Per-batch partial counts of ALL token substrings of length min..max
+    (NGramTokenFilter.java:39-116, preserveOriginal=false)."""
+    from collections import Counter
+
+    texts = batch.column(text_col).to_pylist()
+    c: Counter[str] = Counter()
+    for t in texts:
+        for tok in TOKEN_RE.findall(t.lower()) if t else ():
+            L = len(tok)
+            for n in range(min_gram, min(max_gram, L) + 1):
+                for p in range(L - n + 1):
+                    c[tok[p : p + n]] += 1
+    keys = sorted(c)
+    return pa.table(
+        {
+            "gram": pa.array(keys, type=pa.string()),
+            "cnt": pa.array([c[k] for k in keys], type=pa.int64()),
+        }
+    )
+
+
+def gram_top_counts(ds, kind: str = "edge", k: int = 100, **kw):
+    """Top-k grams by corpus count (tie: gram asc): partial per-batch
+    combiner -> groupby sum -> distributed sort + limit."""
+    from ray.data.aggregate import Sum
+
+    fn = edge_ngram_count_batch if kind == "edge" else ngram_count_batch
+
+    return (
+        ds.map_batches(
+            lambda b: fn(b, **kw), batch_format="pyarrow", **_rargs()
+        )
+        .groupby("gram")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .sort(["cnt", "gram"], descending=[True, False])
+        .limit(k)
+    )
+
+
+def soundex_term_groups(ds, k: int = 50):
+    """Top-k Soundex codes by number of DISTINCT terms mapping to them
+    (PhoneticFilter.java role over the corpus vocabulary): per-batch
+    distinct-term partials -> global distinct (groupby term) -> code
+    partials -> groupby code sum -> sort+limit. Rows-only entry (Soundex
+    is procedural, not SQL-expressible in stock DuckDB); the algorithm is
+    golden-tested in tests/test_filters.py."""
+    from collections import Counter
+
+    from ray.data.aggregate import Count, Sum
+
+    def terms_batch(b: pa.Table) -> pa.Table:
+        s: set[str] = set()
+        for t in b.column("text").to_pylist():
+            s.update(TOKEN_RE.findall(t.lower()) if t else ())
+        return pa.table({"term": pa.array(sorted(s), type=pa.string())})
+
+    def code_batch(b: pa.Table) -> pa.Table:
+        from .filters import soundex
+
+        c: Counter[str] = Counter(
+            soundex(t) for t in b.column("term").to_pylist()
+        )
+        keys = sorted(c)
+        return pa.table(
+            {
+                "code": pa.array(keys, type=pa.string()),
+                "n_terms": pa.array([c[x] for x in keys], type=pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(terms_batch, batch_format="pyarrow", **_rargs())
+        .groupby("term")
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["term"])
+        .map_batches(code_batch, batch_format="pyarrow", **_rargs())
+        .groupby("code")
+        .aggregate(Sum("n_terms", alias_name="n_terms"))
+        .sort(["n_terms", "code"], descending=[True, False])
+        .limit(k)
+    )

@@ -156,3 +156,73 @@ def test_stemmed_top_terms_dataset(ray_session):
     out = stemmed_top_terms(ds, k=10).to_pandas()
     got = dict(zip(out["term"], out["df"]))
     assert got == {"dog": 2, "run": 2, "cat": 1}
+
+
+def test_soundex_goldens():
+    from engine.filters import soundex
+
+    golden = {
+        "Robert": "R163", "Rupert": "R163", "Ashcraft": "A261",
+        "Ashcroft": "A261", "Tymczak": "T522", "Pfister": "P236",
+        "Honeyman": "H555", "Jackson": "J250", "Washington": "W252",
+        "Lee": "L000", "Gutierrez": "G362", "Gauss": "G200",
+        "Ghosh": "G200", "Hilbert": "H416", "Heilbronn": "H416",
+        "Knuth": "K530", "Kant": "K530", "Lloyd": "L300", "Ladd": "L300",
+        "Lukasiewicz": "L222", "Lissajous": "L222",
+    }
+    for w, code in golden.items():
+        assert soundex(w) == code, (w, soundex(w), code)
+    # non-letter tokens pass through (the filter only encodes words)
+    assert soundex("42") == "42"
+    assert soundex("") == ""
+
+
+def test_soundex_index_end_to_end(tmp_path):
+    """Phonetic index: 'smith' and 'smyth' collapse to one S530 term, so a
+    soundex-analyzed query matches across spellings."""
+    from engine.analyze import Analyzer
+    from engine.build import invert_to_segment
+    from engine.checkpoint import finalize_build_manifest
+    from engine.queryparse import parse_query
+    from engine.search import IndexSearcher
+
+    an = Analyzer(filters=("soundex",))
+    docs = ["mr smith went home", "ms smyth stayed out", "jones left early"]
+    seg_dir = str(tmp_path / "partitions/p000000000000")
+    meta = invert_to_segment(
+        np.arange(3, dtype=np.int64), docs, seg_dir, analyzer=an
+    )
+    rows = [
+        {k: meta[k] for k in ("doc_base", "n_docs", "sum_ttf", "n_terms", "wall_ms")}
+        | {"seg_dir": seg_dir}
+    ]
+    manifest = finalize_build_manifest(str(tmp_path), rows)
+    s = IndexSearcher(manifest, algorithm="taat")
+    hits, _ = s.search(parse_query("smith", analyzer=an), k=10)
+    assert set(hits.tolist()) == {0, 1}
+
+
+def test_edge_and_full_ngram_batches():
+    from engine.textops import edge_ngram_count_batch, ngram_count_batch
+
+    batch = pa.table({"text": ["hello help", None, "ab"]})
+    e = edge_ngram_count_batch(batch, min_gram=2, max_gram=4)
+    got = dict(zip(e.column("gram").to_pylist(), e.column("cnt").to_pylist()))
+    assert got == {"he": 2, "hel": 2, "hell": 1, "help": 1, "ab": 1}
+    n = ngram_count_batch(batch, min_gram=3, max_gram=3)
+    got = dict(zip(n.column("gram").to_pylist(), n.column("cnt").to_pylist()))
+    assert got == {"hel": 2, "ell": 1, "llo": 1, "elp": 1}
+
+
+def test_soundex_term_groups_dataset(ray_session):
+    import ray.data
+
+    from engine.textops import soundex_term_groups
+
+    ds = ray.data.from_items(
+        [{"text": "smith smyth"}, {"text": "smith jones"}]
+    )
+    out = soundex_term_groups(ds, k=10).to_pandas()
+    got = dict(zip(out["code"], out["n_terms"]))
+    # distinct terms: smith, smyth (both S530), jones (J520)
+    assert got == {"S530": 2, "J520": 1}
