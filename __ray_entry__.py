@@ -327,6 +327,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_norms": pipelines.doc_norms,
         "bm25_topk": pipelines.bm25_search_results,
         "phrase_match_docs": pipelines.phrase_match_docs,
+        "multi_phrase_match_docs": pipelines.multi_phrase_match_docs,
         "bm25_bool_nested": pipelines.bool_nested_match_docs,
         "phrase_topk": pipelines.phrase_topk,
         "term_filter_sort_by_field": pipelines.term_filter_sort_by_field,
@@ -820,6 +821,18 @@ def oracle_sql() -> dict[str, str]:
         "phrase_match_docs": f"""
             SELECT doc_id FROM documents
             WHERE ' ' || array_to_string({_TOK}, ' ') || ' ' LIKE '% data join %'
+        """,
+        # MultiPhraseQuery "data|hash jo*": slot 1 is an alternative set,
+        # slot 2 a dictionary-expanded wildcard — adjacent-position join
+        "multi_phrase_match_docs": f"""
+            WITH tok AS (
+                SELECT doc_id, unnest({_TOK}) AS t,
+                       unnest(range(len({_TOK}))) AS p
+                FROM documents
+            )
+            SELECT DISTINCT a.doc_id FROM tok a JOIN tok b USING (doc_id)
+            WHERE a.t IN ('data', 'hash') AND b.t LIKE 'jo%'
+              AND b.p = a.p + 1
         """,
         "bm25_bool_nested": f"""
             SELECT doc_id FROM documents

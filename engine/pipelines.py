@@ -276,6 +276,39 @@ def phrase_slop_match_docs(
     return pa.table({"doc_id": pa.array(out, type=pa.int64())})
 
 
+def multi_phrase_match_docs(
+    sf_dir: str, query: str = '"data|hash jo*"'
+) -> pa.Table:
+    """(doc_id) of documents matching a MultiPhraseQuery — per-slot
+    alternative sets with union postings (search/MultiPhraseQuery.java,
+    UnionPostingsEnum role) and dictionary-expanded wildcard slots
+    (queryparser/complexPhrase/ComplexPhraseQueryParser.java rewrite).
+    Oracle: adjacent-position join with IN-list / LIKE slot predicates."""
+    from .checkpoint import load_merge_manifest
+    from .queryparse import parse_query
+    from .search import IndexSearcher, _multi_phrase_postings, _phrase_postings
+
+    idx = get_index(sf_dir)
+    searcher = IndexSearcher(load_merge_manifest(idx["index_dir"]))
+    q = searcher.rewrite(parse_query(query))
+    docs_all = []
+    for seg in searcher.segments:
+        for slots, slop in q.multi_phrases:
+            bare = tuple(tuple(t.split(":", 1)[-1] for t in a) for a in slots)
+            d, _f = _multi_phrase_postings(seg, bare, slop)
+            docs_all.append(d)
+        # all-singleton slot lists degrade to a plain phrase in rewrite
+        for ph in q.phrases:
+            d, _f = _phrase_postings(seg, ph)
+            docs_all.append(d)
+    out = (
+        np.unique(np.concatenate(docs_all))
+        if docs_all
+        else np.empty(0, dtype=np.int64)
+    )
+    return pa.table({"doc_id": pa.array(out, type=pa.int64())})
+
+
 def _span_searcher(sf_dir: str):
     from .checkpoint import load_merge_manifest
     from .search import IndexSearcher

@@ -49,6 +49,15 @@ class BoolQuery:
     # "quoted"~N sloppy phrases: ((terms...), slop) pairs, slop >= 1
     # (search/PhraseQuery.java:92,147; SloppyPhraseMatcher)
     sloppy: tuple[tuple[tuple[str, ...], int], ...] = ()
+    # MultiPhraseQuery (search/MultiPhraseQuery.java): a phrase whose every
+    # slot is a SET of alternative terms — per position, a union postings
+    # view (UnionPostingsEnum role) feeds the same exact/sloppy matcher.
+    # Entries are ((slot_alternatives...,) ..., slop) pairs. Pre-rewrite an
+    # alternative may be a wildcard pattern ('jo*', 'pa?t') — the
+    # ComplexPhraseQueryParser role (queryparser/complexPhrase/
+    # ComplexPhraseQueryParser.java): rewrite() expands patterns against
+    # the dictionary into concrete alternatives, capped.
+    multi_phrases: tuple[tuple[tuple[tuple[str, ...], ...], int], ...] = ()
     synonyms: tuple[tuple[str, ...], ...] = ()  # a|b|c groups (SynonymQuery)
     ranges: tuple[tuple[str, str], ...] = ()  # [lo TO hi] term ranges, inclusive
     wildcards: tuple[str, ...] = ()  # patterns with mid-string * or ?
@@ -84,6 +93,7 @@ class BoolQuery:
             or self.regexps
             or self.phrases
             or self.sloppy
+            or self.multi_phrases
             or self.synonyms
             or self.ranges
             or self.wildcards
@@ -110,6 +120,10 @@ def boolquery_from_dict(d: dict) -> BoolQuery:
     for k in ("phrases", "synonyms", "term_sets"):
         d[k] = tuple(tuple(x) for x in d.get(k) or ())
     d["sloppy"] = tuple((tuple(ph), int(sl)) for ph, sl in d.get("sloppy") or ())
+    d["multi_phrases"] = tuple(
+        (tuple(tuple(alt) for alt in slots), int(sl))
+        for slots, sl in d.get("multi_phrases") or ()
+    )
     d["ranges"] = tuple((lo, hi) for lo, hi in d.get("ranges") or ())
     d["boosts"] = tuple((t, float(b)) for t, b in d.get("boosts") or ())
     d["fuzzies"] = tuple((t, int(n)) for t, n in d.get("fuzzies") or ())
@@ -129,6 +143,11 @@ def query_terms(q: BoolQuery) -> set[str]:
         terms.update(ph)
     for ph, _slop in q.sloppy:
         terms.update(ph)
+    for slots, _slop in q.multi_phrases:
+        for alt_set in slots:
+            # wildcard-pattern alternatives are dictionary-expanded by
+            # rewrite() before the stats pass, so only concrete terms count
+            terms.update(t for t in alt_set if "*" not in t and "?" not in t)
     for t, _bf in q.boosts:
         terms.add(t)
     for ts in q.term_sets:
@@ -188,6 +207,7 @@ def parse_query(q: str, analyzer: Analyzer = DEFAULT_ANALYZER) -> BoolQuery:
     prefixes: list[str] = []
     phrases: list[tuple[str, ...]] = []
     sloppy: list[tuple[tuple[str, ...], int]] = []
+    multi_phrases: list[tuple[tuple[tuple[str, ...], ...], int]] = []
     synonyms: list[tuple[str, ...]] = []
     ranges: list[tuple[str, str]] = []
     wildcards: list[str] = []
@@ -214,8 +234,43 @@ def parse_query(q: str, analyzer: Analyzer = DEFAULT_ANALYZER) -> BoolQuery:
             if fld in KNOWN_FIELDS and fld != "body"
             else (lambda t: t)
         )
-        toks = tuple(qual(t) for t in tokenize(m.group(2), analyzer))
+        body = m.group(2)
         slop = int(m.group(3)) if m.group(3) else 0
+        if "*" in body or "?" in body or "|" in body:
+            # ComplexPhraseQueryParser subset (queryparser/complexPhrase/
+            # ComplexPhraseQueryParser.java): a quoted phrase whose slots
+            # carry wildcard patterns ("jo* smith") and/or explicit
+            # alternations ("john|jon smith") parses to a MultiPhraseQuery
+            # slot list. Each whitespace word is one slot; `|` splits a
+            # slot into alternatives; a `*`/`?` alternative stays a
+            # lowercased pattern for rewrite() to expand against the
+            # dictionary. A stopword-only slot is DROPPED (documented
+            # subset: no position gap is kept, unlike the reference's
+            # analyzer position increments).
+            slots: list[tuple[str, ...]] = []
+            for word in body.split():
+                alts: list[str] = []
+                for alt in word.split("|"):
+                    if "*" in alt or "?" in alt:
+                        alts.append(qual(alt.lower()))
+                    else:
+                        alts.extend(qual(t) for t in tokenize(alt, analyzer))
+                if alts:
+                    slots.append(tuple(dict.fromkeys(alts)))
+            if len(slots) >= 2:
+                multi_phrases.append((tuple(slots), slop))
+            elif slots:
+                # single-slot degrades: patterns -> wildcards, concrete
+                # alternatives -> a blended synonym group / lone term
+                pats = [a for a in slots[0] if "*" in a or "?" in a]
+                terms_ = [a for a in slots[0] if a not in pats]
+                wildcards.extend(pats)
+                if len(terms_) > 1:
+                    synonyms.append(tuple(terms_))
+                elif terms_:
+                    should.append(terms_[0])
+            return " "
+        toks = tuple(qual(t) for t in tokenize(body, analyzer))
         if len(toks) >= 2:
             (sloppy if slop > 0 else phrases).append(
                 (toks, slop) if slop > 0 else toks
@@ -377,6 +432,7 @@ def parse_query(q: str, analyzer: Analyzer = DEFAULT_ANALYZER) -> BoolQuery:
         match_all=match_all,
         phrases=tuple(phrases),
         sloppy=tuple(sloppy),
+        multi_phrases=tuple(multi_phrases),
         synonyms=tuple(synonyms),
         ranges=tuple(ranges),
         wildcards=tuple(wildcards),

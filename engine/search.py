@@ -90,6 +90,7 @@ def _flatten_bool(q: BoolQuery) -> BoolQuery:
             len(s.should)
             + len(s.phrases)
             + len(s.sloppy)
+            + len(s.multi_phrases)
             + len(s.synonyms)
             + len(s.boosts)
             + len(s.sub_should)
@@ -98,6 +99,7 @@ def _flatten_bool(q: BoolQuery) -> BoolQuery:
     should = list(q.should)
     phrases = list(q.phrases)
     sloppy = list(q.sloppy)
+    multi_phrases = list(q.multi_phrases)
     synonyms = list(q.synonyms)
     boosts = list(q.boosts)
     must = list(q.must)
@@ -110,6 +112,7 @@ def _flatten_bool(q: BoolQuery) -> BoolQuery:
             should.extend(sub.should)
             phrases.extend(sub.phrases)
             sloppy.extend(sub.sloppy)
+            multi_phrases.extend(sub.multi_phrases)
             synonyms.extend(sub.synonyms)
             boosts.extend(sub.boosts)
             keep_should.extend(sub.sub_should)
@@ -127,6 +130,7 @@ def _flatten_bool(q: BoolQuery) -> BoolQuery:
                 or sub.match_all
                 or sub.phrases
                 or sub.sloppy
+                or sub.multi_phrases
                 or sub.synonyms
                 or sub.boosts
                 or sub.sub_must
@@ -140,7 +144,12 @@ def _flatten_bool(q: BoolQuery) -> BoolQuery:
     keep_not: list[BoolQuery] = []
     for sub in q.sub_must_not:
         if _pure_disjunction(sub) and not (
-            sub.phrases or sub.sloppy or sub.synonyms or sub.boosts or sub.sub_should
+            sub.phrases
+            or sub.sloppy
+            or sub.multi_phrases
+            or sub.synonyms
+            or sub.boosts
+            or sub.sub_should
         ):
             must_not.extend(sub.should)
         else:
@@ -156,6 +165,7 @@ def _flatten_bool(q: BoolQuery) -> BoolQuery:
         must_not=tuple(sorted(set(must_not))),
         phrases=tuple(phrases),
         sloppy=tuple(sloppy),
+        multi_phrases=tuple(multi_phrases),
         synonyms=tuple(synonyms),
         boosts=tuple(boosts),
         sub_must=tuple(keep_must),
@@ -245,6 +255,20 @@ class IndexSearcher:
         stats (per-field avgdl — BM25Similarity.java:80-82)."""
         fld, _ = self._split_field(phrase[0])
         bare = tuple(self._split_field(t)[1] for t in phrase)
+        fseg = seg if fld == "body" else self._field_seg(fld, gi)
+        _segs, f_dc, f_st = self.fields[fld]
+        return fseg, bare, f_dc, f_st
+
+    def _multi_phrase_ctx(
+        self, gi: int, seg, slots: tuple[tuple[str, ...], ...]
+    ):
+        """Field routing for a MultiPhraseQuery slot list (all alternatives
+        of all slots are qualified with one field by the parser): the
+        field's aligned segment, bare slot alternatives, field stats."""
+        fld, _ = self._split_field(slots[0][0])
+        bare = tuple(
+            tuple(self._split_field(t)[1] for t in alts) for alts in slots
+        )
         fseg = seg if fld == "body" else self._field_seg(fld, gi)
         _segs, f_dc, f_st = self.fields[fld]
         return fseg, bare, f_dc, f_st
@@ -400,6 +424,60 @@ class IndexSearcher:
                 return bare, segs, lambda t: t
             return bare, segs, lambda t: f"{fld}:{t}"
 
+        if q.multi_phrases:
+            # ComplexPhraseQueryParser.rewrite role: expand each slot's
+            # wildcard-pattern alternatives against the dictionary (capped
+            # per slot like maxClauseCount); a slot with zero surviving
+            # alternatives kills the whole phrase (MatchNoDocsQuery role).
+            # All-singleton slot lists then degrade to a plain Phrase /
+            # SloppyPhrase (MultiPhraseQuery.java rewrite: one term per
+            # position == PhraseQuery).
+            import fnmatch as _fn
+
+            new_mp: list[tuple[tuple[tuple[str, ...], ...], int]] = []
+            extra_ph = list(q.phrases)
+            extra_sl = list(q.sloppy)
+            for slots, slop in q.multi_phrases:
+                out_slots: list[tuple[str, ...]] = []
+                dead = False
+                for alts in slots:
+                    concrete: list[str] = []
+                    for alt in alts:
+                        if "*" not in alt and "?" not in alt:
+                            concrete.append(alt)
+                            continue
+                        bare_a, segs_a, qual = _route(alt)
+                        fixed = bare_a.split("*", 1)[0].split("?", 1)[0]
+                        for seg in segs_a:
+                            for t in seg.expand_prefix(fixed, 65536):
+                                if _fn.fnmatchcase(t, bare_a):
+                                    qt = qual(t)
+                                    if qt not in concrete:
+                                        concrete.append(qt)
+                                    if len(concrete) >= 128:
+                                        break
+                            if len(concrete) >= 128:
+                                break
+                    if not concrete:
+                        dead = True
+                        break
+                    out_slots.append(tuple(concrete))
+                if dead:
+                    continue
+                if all(len(a) == 1 for a in out_slots):
+                    flat = tuple(a[0] for a in out_slots)
+                    (extra_sl if slop > 0 else extra_ph).append(
+                        (flat, slop) if slop > 0 else flat
+                    )
+                else:
+                    new_mp.append((tuple(out_slots), slop))
+            q = replace(
+                q,
+                multi_phrases=tuple(new_mp),
+                phrases=tuple(extra_ph),
+                sloppy=tuple(extra_sl),
+            )
+
         if q.fuzzies:
             # FuzzyQuery scoring rewrite: scan dictionary terms within edit
             # distance (banded Levenshtein; the Lucene automaton intersect
@@ -515,6 +593,7 @@ class IndexSearcher:
             q.match_all
             or q.phrases
             or q.sloppy
+            or q.multi_phrases
             or q.synonyms
             or q.boosts
             or q.min_should_match
@@ -538,6 +617,7 @@ class IndexSearcher:
             and not q.match_all
             and not q.phrases
             and not q.sloppy
+            and not q.multi_phrases
             and not q.synonyms
             and not q.boosts
             and not q.term_sets
@@ -575,6 +655,7 @@ class IndexSearcher:
                 or q.synonyms
                 or q.phrases
                 or q.sloppy
+                or q.multi_phrases
                 or q.must_not
                 or q.term_sets
                 or q.min_should_match
@@ -659,6 +740,33 @@ class IndexSearcher:
                 matched[docs_p - lo] = True
                 if should_cnt is not None:
                     should_cnt[docs_p - lo] += 1
+            for slots, slop in q.multi_phrases:
+                # MultiPhraseQuery: per-slot union postings feed the same
+                # matcher; idf sums over ALL slot terms (the termStates[]
+                # array MultiPhraseQuery.java hands to the similarity)
+                mseg, bare_s, m_dc, m_st = self._multi_phrase_ctx(gi, seg, slots)
+                docs_m, freqs_m = _multi_phrase_postings(mseg, bare_s, slop)
+                if len(docs_m) == 0:
+                    continue
+                params_m = make_phrase_scorer(
+                    # df=0 alternatives are skipped, as the reference skips
+                    # zero-docFreq termStates when building the stats array
+                    [
+                        df
+                        for alts in slots
+                        for df in (
+                            self.global_term_stats(t)[0] for t in alts
+                        )
+                        if df > 0
+                    ],
+                    m_dc,
+                    m_st,
+                )
+                sm = params_m.score(freqs_m, mseg.norm_of(docs_m))
+                acc[docs_m - lo] += sm.astype(np.float64)
+                matched[docs_m - lo] = True
+                if should_cnt is not None:
+                    should_cnt[docs_m - lo] += 1
             # Iterate must then should by POSITION (not `t in q.must`): a term
             # present in both MUST and SHOULD (e.g. "+foo foo") scores twice
             # (both clauses contribute, as in the WAND plan) but bumps
@@ -690,6 +798,7 @@ class IndexSearcher:
                 or q.match_all
                 or q.phrases
                 or q.sloppy
+                or q.multi_phrases
                 or q.synonyms
                 or q.boosts
             ):
@@ -824,6 +933,26 @@ class IndexSearcher:
                 np.float64
             )
             _optional(local)
+        for slots, slop in q.multi_phrases:
+            mseg, bare_s, m_dc, m_st = self._multi_phrase_ctx(gi, seg, slots)
+            docs_m, freqs_m = _multi_phrase_postings(mseg, bare_s, slop)
+            if len(docs_m) == 0:
+                continue
+            params_m = make_phrase_scorer(
+                [
+                    df
+                    for alts in slots
+                    for df in (self.global_term_stats(t)[0] for t in alts)
+                    if df > 0
+                ],
+                m_dc,
+                m_st,
+            )
+            local = docs_m - lo
+            acc[local] += params_m.score(freqs_m, mseg.norm_of(docs_m)).astype(
+                np.float64
+            )
+            _optional(local)
         for t in q.must:
             fld_t, bare_t = self._split_field(t)
             tseg = seg if fld_t == "body" else self._field_seg(fld_t, gi)
@@ -862,6 +991,7 @@ class IndexSearcher:
             or q.match_all
             or q.phrases
             or q.sloppy
+            or q.multi_phrases
             or q.synonyms
             or q.boosts
             or q.sub_should
@@ -1097,6 +1227,81 @@ def _phrase_postings(
         docs, _ = seg.postings(t)
         term_docs.append(docs)
         term_pos.append(seg.positions(t))
+    return _match_slot_positions(term_docs, term_pos, tuple(phrase), slop)
+
+
+def _multi_phrase_postings(
+    seg, slots: tuple[tuple[str, ...], ...], slop: int = 0
+) -> tuple[np.ndarray, np.ndarray]:
+    """MultiPhraseQuery matching over one segment
+    (search/MultiPhraseQuery.java): each slot is a SET of alternative terms
+    whose postings are merged into one docs+positions view per slot (the
+    UnionPostingsEnum role, :370-470 in the reference file), then the same
+    exact/sloppy matcher as PhraseQuery runs over the merged slots. A slot
+    whose every alternative is absent from the segment kills the match.
+    Positions are merged sorted-unique (index-time synonym graphs can put
+    two alternatives at the SAME position)."""
+    slot_docs: list[np.ndarray] = []
+    slot_posting: list[list[tuple[np.ndarray, list[np.ndarray]]]] = []
+    for alts in slots:
+        present = []
+        for t in alts:
+            ti = seg.term_info(t)
+            if ti is None:
+                continue
+            if not ti.pos_blob:
+                raise ValueError(
+                    f"multi-phrase query needs positions but term {t!r} has "
+                    "no prox stream (index built with index_positions=False)"
+                )
+            docs, _ = seg.postings(t)
+            present.append((docs, seg.positions(t)))
+        if not present:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+        union = present[0][0]
+        for d, _p in present[1:]:
+            union = np.union1d(union, d)
+        slot_docs.append(union)
+        slot_posting.append(present)
+    cand = slot_docs[0]
+    for d in slot_docs[1:]:
+        cand = np.intersect1d(cand, d, assume_unique=True)
+    if len(cand) == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    # materialize merged positions only for candidate docs
+    term_pos: list[list[np.ndarray]] = []
+    for present in slot_posting:
+        idxs = [np.searchsorted(d, cand) for d, _p in present]
+        merged: list[np.ndarray] = []
+        for ci, doc in enumerate(cand.tolist()):
+            parts = []
+            for (d, p), ix in zip(present, idxs):
+                i = int(ix[ci])
+                if i < len(d) and d[i] == doc:
+                    parts.append(p[i])
+            merged.append(
+                parts[0] if len(parts) == 1 else np.unique(np.concatenate(parts))
+            )
+        term_pos.append(merged)
+    # repeat-group identity for the sloppy matcher: identical slots (same
+    # alternative set) must use distinct token occurrences, like repeated
+    # terms in a plain phrase
+    slot_keys = tuple("\x00".join(sorted(alts)) for alts in slots)
+    return _match_slot_positions([cand] * len(slots), term_pos, slot_keys, slop)
+
+
+def _match_slot_positions(
+    term_docs: list[np.ndarray],
+    term_pos: list[list[np.ndarray]],
+    slot_keys: tuple[str, ...],
+    slop: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Shared exact/sloppy position matcher over per-slot (docs, positions)
+    views — the ExactPhraseMatcher / SloppyPhraseMatcher split, fed by
+    either single-term slots (PhraseQuery) or union slots
+    (MultiPhraseQuery). ``slot_keys`` identify repeated slots for the
+    distinct-occurrence constraint."""
+    n = len(slot_keys)
     cand = term_docs[0]
     for d in term_docs[1:]:
         cand = np.intersect1d(cand, d, assume_unique=True)
@@ -1104,11 +1309,11 @@ def _phrase_postings(
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
     out_docs: list[int] = []
     out_freqs: list = []
-    idx_per_term = [np.searchsorted(term_docs[i], cand) for i in range(len(phrase))]
+    idx_per_term = [np.searchsorted(term_docs[i], cand) for i in range(n)]
     for ci, doc in enumerate(cand.tolist()):
         if slop == 0:
             match = term_pos[0][idx_per_term[0][ci]]
-            for off in range(1, len(phrase)):
+            for off in range(1, n):
                 nxt = term_pos[off][idx_per_term[off][ci]]
                 match = np.intersect1d(match, nxt - off, assume_unique=True)
                 if len(match) == 0:
@@ -1117,10 +1322,8 @@ def _phrase_postings(
                 out_docs.append(doc)
                 out_freqs.append(len(match))
         else:
-            adj = [
-                term_pos[i][idx_per_term[i][ci]] - i for i in range(len(phrase))
-            ]
-            f = _sloppy_freq(adj, slop, phrase)
+            adj = [term_pos[i][idx_per_term[i][ci]] - i for i in range(n)]
+            f = _sloppy_freq(adj, slop, slot_keys)
             if f > 0.0:
                 out_docs.append(doc)
                 out_freqs.append(f)

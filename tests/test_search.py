@@ -777,3 +777,102 @@ def test_nested_boolean_sharded_matches_single(corpus):
         np.testing.assert_array_equal(
             sub["score"].to_numpy().astype(np.float32), bs, err_msg=q["query"]
         )
+
+
+# ---------------------------------------------------------------------------
+# MultiPhraseQuery (search/MultiPhraseQuery.java; ComplexPhraseQueryParser)
+# ---------------------------------------------------------------------------
+
+
+def test_multi_phrase_parse():
+    """ComplexPhrase syntax: wildcard and |-alternation slots in a quoted
+    phrase parse to a multi_phrases entry; single-alternative slots stay."""
+    from engine.queryparse import parse_query
+
+    q = parse_query('"jo* smith"')
+    assert q.multi_phrases == ((( ("jo*",), ("smith",)), 0),)
+    q2 = parse_query('"the00|the01 the02"~3')
+    assert q2.multi_phrases == ((( ("the00", "the01"), ("the02",)), 3),)
+    # field-qualified complex phrase routes every alternative
+    q3 = parse_query('title:"jo* smith"')
+    assert q3.multi_phrases == ((( ("title:jo*",), ("title:smith",)), 0),)
+    # single-slot degrades: patterns -> wildcards, alternatives -> synonyms
+    q4 = parse_query('"jo*|jon"')
+    assert q4.multi_phrases == ()
+    assert "jo*" in q4.wildcards
+    assert q4.should == ("jon",)
+
+
+def test_multi_phrase_union_semantics(corpus):
+    """Doc set of "a|b c" == union of the exact phrases "a c" and "b c";
+    per-doc freq is the union-positions match count (UnionPostingsEnum)."""
+    s = IndexSearcher(corpus["manifest"], algorithm="taat")
+    n = corpus["doc_count"]
+    da, _ = s.search('"the00 the02"', n)
+    db, _ = s.search('"the01 the02"', n)
+    dm, sm = s.search('"the00|the01 the02"', n)
+    assert set(dm.tolist()) == set(da.tolist()) | set(db.tolist())
+    assert len(dm) and sm.dtype == np.float32
+
+
+def test_multi_phrase_singleton_degrades_to_phrase(corpus):
+    """All-singleton slot lists rewrite to a plain PhraseQuery
+    (MultiPhraseQuery.java rewrite) — scores bit-equal."""
+    s = IndexSearcher(corpus["manifest"], algorithm="taat")
+    n = corpus["doc_count"]
+    dp, sp = s.search('"the00 the02"', n)
+    # dedup inside a slot leaves one alternative -> degrade path
+    dm, sm = s.search('"the00|the00 the02"', n)
+    np.testing.assert_array_equal(dp, dm)
+    np.testing.assert_array_equal(sp, sm)
+
+
+def test_multi_phrase_wildcard_expansion(corpus):
+    """"the0* the19": the pattern slot expands against the dictionary
+    (ComplexPhraseQueryParser.rewrite role); doc set equals the union of
+    the expanded exact phrases."""
+    s = IndexSearcher(corpus["manifest"], algorithm="taat")
+    n = corpus["doc_count"]
+    expanded = [t for t in s.expand_prefix("the0", 1000)]
+    assert len(expanded) >= 5
+    expect = set()
+    for t in expanded:
+        d, _ = s.search(f'"{t} the19"', n)
+        expect |= set(d.tolist())
+    dm, _ = s.search('"the0* the19"', n)
+    assert set(dm.tolist()) == expect
+
+
+def test_multi_phrase_sloppy(corpus):
+    """Sloppy multi-phrase: match set == union of the per-alternative
+    sloppy phrase match sets (a selection through the union positions
+    always picks ONE alternative's occurrence per slot)."""
+    s = IndexSearcher(corpus["manifest"], algorithm="taat")
+    n = corpus["doc_count"]
+    for slop in (1, 3):
+        da, _ = s.search(f'"the00 the02"~{slop}', n)
+        db, _ = s.search(f'"the01 the02"~{slop}', n)
+        dm, _ = s.search(f'"the00|the01 the02"~{slop}', n)
+        assert set(dm.tolist()) == set(da.tolist()) | set(db.tolist()), slop
+
+
+def test_multi_phrase_missing_alternative(corpus):
+    """An absent alternative is skipped (zero-docFreq termStates are
+    dropped from the stats array); an all-absent slot kills the clause."""
+    s = IndexSearcher(corpus["manifest"], algorithm="taat")
+    n = corpus["doc_count"]
+    da, _ = s.search('"the00 the02"', n)
+    dm, _ = s.search('"the00|zzznomatch the02"', n)
+    assert set(dm.tolist()) == set(da.tolist())
+    dd, _ = s.search('"zzznomatch|qqqnomatch the02"', n)
+    assert len(dd) == 0
+
+
+def test_multi_phrase_in_nested_bool(corpus):
+    """Multi-phrase inside a parenthesized group evaluates in the
+    clause-tree plan and matches the flat equivalent."""
+    s = IndexSearcher(corpus["manifest"], algorithm="taat")
+    n = corpus["doc_count"]
+    flat_d, _ = s.search('"the00|the01 the02"', n)
+    nest_d, _ = s.search('("the00|the01 the02" zzznomatch)', n)
+    assert set(nest_d.tolist()) == set(flat_d.tolist())
