@@ -328,6 +328,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": pipelines.bm25_search_results,
         "phrase_match_docs": pipelines.phrase_match_docs,
         "multi_phrase_match_docs": pipelines.multi_phrase_match_docs,
+        "join_util_docs": pipelines.join_util_docs,
+        "join_util_topk": pipelines.join_util_topk,
         "bm25_bool_nested": pipelines.bool_nested_match_docs,
         "phrase_topk": pipelines.phrase_topk,
         "term_filter_sort_by_field": pipelines.term_filter_sort_by_field,
@@ -821,6 +823,14 @@ def oracle_sql() -> dict[str, str]:
         "phrase_match_docs": f"""
             SELECT doc_id FROM documents
             WHERE ' ' || array_to_string({_TOK}, ' ') || ' ' LIKE '% data join %'
+        """,
+        # query-time join (JoinUtil ScoreMode.NONE): docs whose lang value
+        # is shared with some doc matching the from-query
+        "join_util_docs": f"""
+            SELECT doc_id FROM documents WHERE n_chars IN (
+                SELECT DISTINCT n_chars FROM documents
+                WHERE list_contains({_TOK}, 'dup')
+            )
         """,
         # MultiPhraseQuery "data|hash jo*": slot 1 is an alternative set,
         # slot 2 a dictionary-expanded wildcard — adjacent-position join

@@ -556,6 +556,128 @@ def function_score_topk(
     )
 
 
+def join_util_docs(
+    sf_dir: str, from_query: str = "dup", join_field: str = "n_chars"
+) -> pa.Table:
+    """Query-time join, ScoreMode.NONE (lucene/join JoinUtil.createJoinQuery,
+    JoinUtil.java:86): phase 1 runs ``from_query`` and collects the DISTINCT
+    ``join_field`` doc-values of the matching docs (the TermsCollector
+    role); phase 2 matches every doc whose ``join_field`` equals one of the
+    collected values (the TermsQuery rewrite). Phase 2 is a streamed Ray
+    Dataset scan over the DV sidecars with the value set broadcast in the
+    closure — the row store is never read. Oracle: a semi-join IN-subquery
+    over documents."""
+    import pyarrow.compute as pc
+
+    from .checkpoint import load_merge_manifest
+    from .docvalues import DocValuesReader, read_doc_values_dataset
+    from .rayenv import remote_args as _rargs
+    from .search import IndexSearcher
+
+    idx = get_index(sf_dir)
+    searcher = IndexSearcher(load_merge_manifest(idx["index_dir"]))
+    from_docs, _ = searcher.search(from_query, k=searcher.doc_count)
+    dv = DocValuesReader(idx["build_manifest"]["partitions"])
+    values = sorted(set(dv.values_for(from_docs, join_field).tolist()))
+    if not values:
+        return pa.table({"doc_id": pa.array([], type=pa.int64())})
+    ds = read_doc_values_dataset(idx["build_manifest"], [join_field])
+
+    def _filter(b: pa.Table) -> pa.Table:
+        mask = pc.is_in(b.column(join_field), value_set=pa.array(values))
+        return b.filter(mask).select(["doc_id"])
+
+    out = ds.map_batches(_filter, batch_format="pyarrow", **_rargs())
+    ids = np.sort(
+        np.concatenate(
+            [b.column("doc_id").to_numpy() for b in out.iter_batches(batch_format="pyarrow")]
+            or [np.empty(0, dtype=np.int64)]
+        )
+    )
+    return pa.table({"doc_id": pa.array(ids, type=pa.int64())})
+
+
+def join_util_topk(
+    sf_dir: str,
+    from_query: str = "dup",
+    join_field: str = "n_chars",
+    score_mode: str = "max",
+    k: int = 10,
+) -> pa.Table:
+    """Query-time join with scores (JoinUtil ScoreMode.Max/Total/Avg —
+    TermsIncludingScoreQuery role): from-side BM25 scores aggregate per
+    join value (float32 accumulation like the reference's float arrays,
+    TermsIncludingScoreQuery.java svs/scores), then every to-side doc
+    scores its value's aggregate; top-k with the (score desc, doc_id asc)
+    collector tie-break. To-side = per-block partial top-k over the
+    streamed DV scan, then one small final merge."""
+    import pyarrow.compute as pc
+
+    from .bm25 import topk_sort
+    from .checkpoint import load_merge_manifest
+    from .docvalues import DocValuesReader, read_doc_values_dataset
+    from .rayenv import remote_args as _rargs
+    from .search import IndexSearcher
+
+    idx = get_index(sf_dir)
+    searcher = IndexSearcher(load_merge_manifest(idx["index_dir"]))
+    from_docs, from_scores = searcher.search(from_query, k=searcher.doc_count)
+    dv = DocValuesReader(idx["build_manifest"]["partitions"])
+    vals = dv.values_for(from_docs, join_field)
+    agg: dict = {}
+    if len(from_docs):
+        import pandas as pd
+
+        s = pd.Series(from_scores.astype(np.float32), index=vals)
+        if score_mode == "max":
+            agg = s.groupby(level=0).max().to_dict()
+        elif score_mode == "total":
+            agg = s.groupby(level=0).sum().to_dict()
+        elif score_mode == "avg":
+            agg = s.groupby(level=0).mean().to_dict()
+        else:
+            raise ValueError(f"unknown score_mode {score_mode!r}")
+    if not agg:
+        return pa.table(
+            {
+                "rank": pa.array([], type=pa.int64()),
+                "doc_id": pa.array([], type=pa.int64()),
+                "score": pa.array([], type=pa.float32()),
+            }
+        )
+    ds = read_doc_values_dataset(idx["build_manifest"], [join_field])
+    keyvals = sorted(agg)
+    keys = pa.array(keyvals)
+    key_scores = np.array([agg[v] for v in keyvals], dtype=np.float32)
+
+    def _partial(b: pa.Table) -> pa.Table:
+        mask = pc.is_in(b.column(join_field), value_set=keys)
+        hit = b.filter(mask)
+        docs = hit.column("doc_id").to_numpy()
+        ix = pc.index_in(hit.column(join_field), value_set=keys).to_numpy(
+            zero_copy_only=False
+        )
+        sc = key_scores[ix.astype(np.int64)]
+        d, s = topk_sort(docs, sc, k)
+        return pa.table({"doc_id": pa.array(d, type=pa.int64()), "score": pa.array(s, type=pa.float32())})
+
+    parts = ds.map_batches(_partial, batch_format="pyarrow", **_rargs()).take_all()
+    if parts:
+        docs = np.array([r["doc_id"] for r in parts], dtype=np.int64)
+        scores = np.array([r["score"] for r in parts], dtype=np.float32)
+    else:
+        docs = np.empty(0, dtype=np.int64)
+        scores = np.empty(0, dtype=np.float32)
+    docs, scores = topk_sort(docs, scores, k)
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(len(docs)), type=pa.int64()),
+            "doc_id": pa.array(docs, type=pa.int64()),
+            "score": pa.array(scores, type=pa.float32()),
+        }
+    )
+
+
 def bool_nested_match_docs(
     sf_dir: str, query: str = "+(data join) +(hash merge) -dup"
 ) -> pa.Table:

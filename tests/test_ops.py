@@ -696,3 +696,40 @@ def test_diversified_combiner_small_blocks():
     )
     exp = df[df["rg"] < 3]
     assert set(final.column("doc_id").to_pylist()) == set(exp["doc_id"])
+
+
+def test_join_util_none_and_scored():
+    """JoinUtil (lucene/join JoinUtil.java:86): ScoreMode.NONE doc set ==
+    SQL semi-join; scored modes give every to-doc its join value's
+    from-side aggregate with the collector tie-break."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from engine.pipelines import join_util_docs, join_util_topk
+
+    sf = "/root/testdata/sf0.001"
+    got = join_util_docs(sf, from_query="dup", join_field="n_chars").to_pandas()
+    docs_tbl = pq.read_table(sf + "/documents.parquet", columns=["doc_id", "text", "n_chars"])
+    from engine.analyze import analyze_batch
+
+    vals = set()
+    texts = docs_tbl.column("text").to_pylist()
+    val_col = docs_tbl.column("n_chars").to_pylist()
+    for txt, v in zip(texts, val_col):
+        toks, _ = analyze_batch([txt])
+        if "dup" in toks:
+            vals.add(v)
+    assert vals  # from-query matches something, join is selective
+    expect = sorted(
+        int(d)
+        for d, v in zip(docs_tbl.column("doc_id").to_pylist(), val_col)
+        if v in vals
+    )
+    assert got["doc_id"].tolist() == expect
+    assert len(expect) < docs_tbl.num_rows  # a strict subset joins
+
+    # scored: returned docs rank by their value's aggregate
+    for mode in ("max", "total", "avg"):
+        t = join_util_topk(sf, from_query="dup", join_field="n_chars", score_mode=mode, k=7).to_pandas()
+        assert len(t) <= 7 and t["score"].dtype == np.float32
+        assert (t["score"].to_numpy()[:-1] >= t["score"].to_numpy()[1:]).all()
