@@ -329,6 +329,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_match_docs": pipelines.phrase_match_docs,
         "multi_phrase_match_docs": pipelines.multi_phrase_match_docs,
         "join_util_docs": pipelines.join_util_docs,
+        "payload_term_stats": pipelines.payload_term_stats,
         "join_util_topk": pipelines.join_util_topk,
         "bm25_bool_nested": pipelines.bool_nested_match_docs,
         "phrase_topk": pipelines.phrase_topk,
@@ -823,6 +824,22 @@ def oracle_sql() -> dict[str, str]:
         "phrase_match_docs": f"""
             SELECT doc_id FROM documents
             WHERE ' ' || array_to_string({_TOK}, ' ') || ' ' LIKE '% data join %'
+        """,
+        # payload stream (DelimitedPayloadTokenFilter + PayloadScoreQuery
+        # functions): every occurrence's payload is its token position, so
+        # min/max/sum/count recompute from a positions self-join
+        "payload_term_stats": f"""
+            WITH tok AS (
+                SELECT doc_id, unnest({_TOK}) AS t,
+                       unnest(range(len({_TOK}))) AS p
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(min(p) AS BIGINT) AS pay_min,
+                   CAST(max(p) AS BIGINT) AS pay_max,
+                   CAST(sum(p) AS BIGINT) AS pay_sum,
+                   CAST(count(*) AS BIGINT) AS pay_cnt
+            FROM tok WHERE t = 'data' GROUP BY doc_id
         """,
         # query-time join (JoinUtil ScoreMode.NONE): docs whose lang value
         # is shared with some doc matching the from-query

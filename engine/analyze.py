@@ -268,6 +268,66 @@ def analyze_batch_with_offsets(
     )
 
 
+def analyze_batch_with_payloads(
+    texts: list[str],
+    analyzer: Analyzer = DEFAULT_ANALYZER,
+    delimiter: str = "|",
+    encoder: str = "int",
+) -> tuple[list[str], np.ndarray, np.ndarray, np.ndarray]:
+    """Whitespace + DelimitedPayloadTokenFilter chain
+    (analysis/payloads/DelimitedPayloadTokenFilter.java): each
+    whitespace-separated word may carry a trailing ``<delim><payload>``;
+    the payload attaches to every token the word's term part yields
+    through the analyzer chain (the reference's WhitespaceTokenizer emits
+    one token per word — this engine's standard rule may split further,
+    documented subset). ``encoder``: "int" (IntegerEncoder role, uint32)
+    or "float" (PayloadHelper.encodeFloat role, float32 bit pattern).
+    Positions are consecutive emitted positions (no stop-gap semantics in
+    this chain — there is no StopFilter after the payload filter in the
+    reference chain either).
+
+    Returns (flat_tokens, doc_lengths, positions, payload_words) where
+    payload_words[i] = 0 for no payload else uint32 value + 1."""
+    if encoder not in ("int", "float"):
+        raise ValueError(f"unknown payload encoder {encoder!r}")
+    flat: list[str] = []
+    positions: list[int] = []
+    payloads: list[int] = []
+    lengths = np.empty(len(texts), dtype=np.int64)
+    for i, text in enumerate(texts):
+        n_kept = 0
+        for word in (text or "").split():
+            pay_word = 0
+            term_part = word
+            if delimiter in word:
+                term_part, ptxt = word.rsplit(delimiter, 1)
+                try:
+                    if encoder == "int":
+                        v = int(ptxt)
+                        if not (0 <= v < 2**32):
+                            raise ValueError(ptxt)
+                        pay_word = v + 1
+                    else:
+                        pay_word = (
+                            int(np.float32(float(ptxt)).view(np.uint32)) + 1
+                        )
+                except ValueError:
+                    # not a parsable payload: the whole word is the term
+                    term_part, pay_word = word, 0
+            for t in tokenize(term_part, analyzer):
+                flat.append(t)
+                positions.append(n_kept)
+                payloads.append(pay_word)
+                n_kept += 1
+        lengths[i] = n_kept
+    return (
+        flat,
+        lengths,
+        np.asarray(positions, dtype=np.int64),
+        np.asarray(payloads, dtype=np.uint64),
+    )
+
+
 def compute_norms(doc_lengths: np.ndarray) -> np.ndarray:
     """Per-doc norm bytes: SmallFloat.intToByte4(numTerms)
     (BM25Similarity.java:115-126, discountOverlaps default — no overlap

@@ -52,6 +52,8 @@ def invert_to_segment(
     lineage: dict | None = None,
     index_positions: bool = True,
     index_offsets: bool = False,
+    payload_delimiter: str | None = None,
+    payload_encoder: str = "int",
     field: str = "body",
     doc_values: pa.Table | None = None,
 ) -> dict:
@@ -65,13 +67,31 @@ def invert_to_segment(
     if not np.array_equal(order, np.arange(n_docs)):
         doc_ids = doc_ids[order]
         texts = [texts[i] for i in order]
-    from .analyze import analyze_batch_indexing, analyze_batch_with_offsets
+    from .analyze import (
+        analyze_batch_indexing,
+        analyze_batch_with_offsets,
+        analyze_batch_with_payloads,
+    )
 
     # positions carry StopFilter / over-long-token increment GAPS
     # (StopFilter.java:28, StandardTokenizer.java:152-175): a phrase
     # across a removed token must not match adjacently
     tok_starts = tok_ends = None
-    if index_offsets:
+    tok_payloads = None
+    if payload_delimiter is not None:
+        if index_offsets or analyzer.synonyms:
+            raise NotImplementedError(
+                "payloads combine with neither offsets nor the index-time "
+                "synonym graph in this engine (pick one sidecar stream)"
+            )
+        # payloads imply positions (the .pay stream hangs off the prox
+        # stream, Lucene84PostingsFormat.java:39-104)
+        index_positions = True
+        flat, lengths, tok_positions, tok_payloads = analyze_batch_with_payloads(
+            texts, analyzer, delimiter=payload_delimiter, encoder=payload_encoder
+        )
+        norm_lengths = lengths
+    elif index_offsets:
         if analyzer.synonyms:
             raise NotImplementedError(
                 "offsets + index-time synonym graph not supported (stacked "
@@ -219,6 +239,32 @@ def invert_to_segment(
             def off_slice(r: int) -> bytes:
                 return b""
 
+        if tok_payloads is not None and len(spos):
+            # payload stream rides the SAME (term, doc, position) sorted
+            # order as the prox stream: one VInt word per occurrence
+            # (codec.encode_payloads layout), per-term blobs sliced at
+            # token boundaries — the .pay payload half
+            pw = tok_payloads[order]
+            pay_stream = write_vints(pw)
+            pay_nbytes = vint_byte_counts(pw)
+            pay_boff = np.concatenate(([0], np.cumsum(pay_nbytes)))
+            pay_tok_starts = np.concatenate(([0], np.cumsum(ttf)))
+            pay_mv = memoryview(pay_stream)
+
+            def pay_slice(r: int) -> bytes:
+                return bytes(
+                    pay_mv[
+                        pay_boff[pay_tok_starts[r]] : pay_boff[
+                            pay_tok_starts[r + 1]
+                        ]
+                    ]
+                )
+
+        else:
+
+            def pay_slice(r: int) -> bytes:
+                return b""
+
         for r in range(n_terms):
             term = str(sorted_terms[r])
             df = int(counts[r])
@@ -227,6 +273,7 @@ def invert_to_segment(
             cols["ttf"].append(int(ttf[r]))
             cols["pos_blob"].append(pos_slice(r))
             cols["off_blob"].append(off_slice(r))
+            cols["pay_blob"].append(pay_slice(r))
             if single[r]:
                 cols["singleton_doc"].append(int(first_doc[r]))
                 cols["blob"].append(b"")
@@ -265,7 +312,9 @@ def invert_to_segment(
         "kind": "partition",
         "field": field,
         "index_options": (
-            "docs_freqs_positions_offsets"
+            "docs_freqs_positions_payloads"
+            if payload_delimiter is not None
+            else "docs_freqs_positions_offsets"
             if index_offsets
             else "docs_freqs_positions" if index_positions else "docs_freqs"
         ),
@@ -296,6 +345,8 @@ def make_inverter(
     from_html: bool = False,
     fields: tuple[str, ...] = ("body",),
     index_offsets: bool = False,
+    payload_delimiter: str | None = None,
+    payload_encoder: str = "int",
     dv_columns: tuple[str, ...] = (),
 ):
     """Batch fn for ``ds.map_batches(...)``: one Arrow batch → one partition
@@ -367,6 +418,8 @@ def make_inverter(
                     analyzer,
                     lineage,
                     index_offsets=index_offsets,
+                    payload_delimiter=payload_delimiter,
+                    payload_encoder=payload_encoder,
                     field=fld,
                     doc_values=dv_tbl if fld == "body" else None,
                 )
@@ -397,6 +450,8 @@ def build_index(
     from_html: bool = True,
     fields: tuple[str, ...] = ("body",),
     index_offsets: bool = False,
+    payload_delimiter: str | None = None,
+    payload_encoder: str = "int",
     dv_columns: tuple[str, ...] = (),
 ) -> dict:
     """Driver for the build pipeline (Ray must already be initialised).
@@ -443,6 +498,8 @@ def build_index(
         from_html=from_html,
         fields=fields,
         index_offsets=index_offsets,
+        payload_delimiter=payload_delimiter,
+        payload_encoder=payload_encoder,
         dv_columns=dv_columns,
     )
 

@@ -139,6 +139,13 @@ def check_merged_index(mi) -> dict:
             assert len(s_lists) == df, f"{t}: offsets posting count"
             for sl, el, f_i in zip(s_lists, e_lists, freqs):
                 assert len(sl) == f_i and (el > sl).all(), f"{t}: offset span"
+        if row.get("pay_blob"):
+            from .codec import decode_payloads
+
+            pay_lists = decode_payloads(row["pay_blob"], freqs)
+            assert len(pay_lists) == df, f"{t}: payload posting count"
+            for yl, f_i in zip(pay_lists, freqs):
+                assert len(yl) == f_i, f"{t}: payload words != freq"
         n_terms += 1
         sum_ttf += ttf
     assert sum_ttf == mi.sum_ttf, f"sum_ttf {mi.sum_ttf} != postings total {sum_ttf}"

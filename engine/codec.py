@@ -531,3 +531,55 @@ def decode_offsets(
         [flat[s:e] for s, e in zip(g_starts, ends_i)],
         [(flat + lengths)[s:e] for s, e in zip(g_starts, ends_i)],
     )
+
+
+# ---------------------------------------------------------------------------
+# Payloads — per-occurrence payload stream (the Lucene84 .pay file's payload
+# half, Lucene84PostingsFormat.java:39-104; PayloadHelper.java encode roles).
+# Documented subset: payloads are 4-BYTE values (the shipped Float/Integer
+# payload encoders — analysis/payloads/PayloadHelper.java); arbitrary-length
+# byte payloads are not supported. Stream layout: ONE VInt per occurrence in
+# (doc, position) order — 0 = no payload, else uint32 value + 1. Each
+# occurrence is self-contained, so doc-disjoint runs byte-concatenate during
+# merges exactly like the prox stream.
+# ---------------------------------------------------------------------------
+
+
+def encode_payloads(values: np.ndarray) -> bytes:
+    """Encode per-occurrence payload words (uint64; 0 = missing, else
+    uint32 payload value + 1) as one VInt stream."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    return write_vints(v)
+
+
+def decode_payloads(pay_blob: bytes, freqs: np.ndarray) -> list[np.ndarray]:
+    """Decode the payload stream to per-posting uint64 arrays (0 = no
+    payload at that occurrence, else value + 1)."""
+    freqs = np.asarray(freqs, dtype=np.int64)
+    total = int(freqs.sum())
+    vals, _ = read_vints(pay_blob, total)
+    ends = np.cumsum(freqs)
+    starts = ends - freqs
+    return [vals[s:e] for s, e in zip(starts.tolist(), ends.tolist())]
+
+
+def payload_as_int(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(int values, present mask) from payload words — the IntegerEncoder
+    decode role; missing occurrences read as 0 with present=False."""
+    v = np.asarray(vals, dtype=np.uint64)
+    present = v != 0
+    out = (np.maximum(v, 1) - 1).astype(np.int64)
+    out[~present] = 0
+    return out, present
+
+
+def payload_as_float(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(float32 values, present mask) — the PayloadHelper.decodeFloat role
+    over stored float32 bit patterns."""
+    v = np.asarray(vals, dtype=np.uint64)
+    present = v != 0
+    out = (np.maximum(v, 1) - 1).astype(np.uint32).view(np.float32).copy()
+    out[~present] = np.float32(0.0)
+    return out, present

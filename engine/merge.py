@@ -67,8 +67,8 @@ def merge_segments(seg_dirs: list[str], out_dir: str) -> dict:
     cols: dict[str, list] = {f.name: [] for f in TERMS_SCHEMA}
     for term, group in _group_sorted(heapq.merge(*streams)):
         decoded = [_decode_row(segs[si], row) for _, si, row in group]
-        docs, freqs, nrm, pos_blob, off_blob = _concat_decoded(decoded)
-        _emit_from_arrays(cols, term, docs, freqs, nrm, pos_blob, off_blob)
+        docs, freqs, nrm, pos_blob, off_blob, pay_blob = _concat_decoded(decoded)
+        _emit_from_arrays(cols, term, docs, freqs, nrm, pos_blob, off_blob, pay_blob)
     meta = {
         "kind": "merged",
         "field": "body",
@@ -108,7 +108,14 @@ def _decode_row(seg, row: dict):
     else:
         docs, freqs = decode_term_postings(row["blob"], row["df"])
         norms = seg.norm_of(docs)
-    return docs, freqs, norms, row.get("pos_blob") or b"", row.get("off_blob") or b""
+    return (
+        docs,
+        freqs,
+        norms,
+        row.get("pos_blob") or b"",
+        row.get("off_blob") or b"",
+        row.get("pay_blob") or b"",
+    )
 
 
 def _concat_decoded(decoded):
@@ -122,6 +129,7 @@ def _concat_decoded(decoded):
     norms = np.concatenate([d[2] for d in decoded])
     has_pos = len(decoded) > 0 and all(len(d) > 3 and d[3] for d in decoded)
     has_off = len(decoded) > 0 and all(len(d) > 4 and d[4] for d in decoded)
+    has_pay = len(decoded) > 0 and all(len(d) > 5 and d[5] for d in decoded)
     if len(docs) > 1 and not bool((np.diff(docs) > 0).all()):
         order = np.argsort(docs, kind="stable")
         if has_pos:
@@ -150,10 +158,22 @@ def _concat_decoded(decoded):
             )
         else:
             off_blob = b""
-        return docs[order], freqs[order], norms[order], pos_blob, off_blob
+        if has_pay:
+            from .codec import decode_payloads, encode_payloads
+
+            per_p: list[np.ndarray] = []
+            for d in decoded:
+                per_p.extend(decode_payloads(d[5], d[1]))
+            pay_blob = encode_payloads(
+                np.concatenate([per_p[i] for i in order])
+            )
+        else:
+            pay_blob = b""
+        return docs[order], freqs[order], norms[order], pos_blob, off_blob, pay_blob
     pos_blob = b"".join(d[3] for d in decoded) if has_pos else b""
     off_blob = b"".join(d[4] for d in decoded) if has_off else b""
-    return docs, freqs, norms, pos_blob, off_blob
+    pay_blob = b"".join(d[5] for d in decoded) if has_pay else b""
+    return docs, freqs, norms, pos_blob, off_blob, pay_blob
 
 
 def _emit_from_arrays(
@@ -164,6 +184,7 @@ def _emit_from_arrays(
     norms,
     pos_blob: bytes = b"",
     off_blob: bytes = b"",
+    pay_blob: bytes = b"",
 ) -> None:
     """Append one TERMS_SCHEMA row built from raw postings arrays."""
     df = len(docs)
@@ -172,6 +193,7 @@ def _emit_from_arrays(
     cols["ttf"].append(int(freqs.sum()))
     cols["pos_blob"].append(pos_blob)
     cols["off_blob"].append(off_blob)
+    cols["pay_blob"].append(pay_blob)
     if df == 1:
         cols["singleton_doc"].append(int(docs[0]))
         cols["blob"].append(b"")
@@ -546,21 +568,26 @@ def _make_exploder(heavy_ref, rank_of_base: dict[int, int], n_salts: int, n_buck
         out_frags: list[bytes] = []
         for spec in batch.to_pylist():
             seg_dir = spec["seg_dir"]
+            terms_path = os.path.join(seg_dir, "terms.parquet")
+            want = [
+                "term",
+                "df",
+                "ttf",
+                "singleton_doc",
+                "blob",
+                "pos_blob",
+                "off_blob",
+                "pay_blob",
+                "offsets",
+            ]
+            have = set(pq.read_schema(terms_path).names)
             t = pq.read_table(
-                os.path.join(seg_dir, "terms.parquet"),
+                terms_path,
                 # offsets ride along (tiny: one int per 128 postings) so the
                 # bucket merger's block rows decode via the batched
-                # width-grouped unpack instead of a per-block Python loop
-                columns=[
-                    "term",
-                    "df",
-                    "ttf",
-                    "singleton_doc",
-                    "blob",
-                    "pos_blob",
-                    "off_blob",
-                    "offsets",
-                ],
+                # width-grouped unpack instead of a per-block Python loop;
+                # the intersection keeps pre-payload segment files readable
+                columns=[c for c in want if c in have],
             )
             with open(os.path.join(seg_dir, "meta.json")) as f:
                 doc_base = json.load(f)["doc_base"]
@@ -661,6 +688,10 @@ def _merge_sorted_batch(
         o_off, o_data = _binary_views(batch.column("off_blob").chunk(0))
     else:  # rows shipped without the offsets stream (offsets not indexed)
         o_off, o_data = np.zeros(n + 1, dtype=np.int32), memoryview(b"")
+    if "pay_blob" in batch.column_names:
+        y_off, y_data = _binary_views(batch.column("pay_blob").chunk(0))
+    else:  # rows shipped without the payload stream (payloads not indexed)
+        y_off, y_data = np.zeros(n + 1, dtype=np.int32), memoryview(b"")
     raw = (
         np.frombuffer(b_data, dtype=np.uint8)
         if len(b_data)
@@ -758,6 +789,7 @@ def _merge_sorted_batch(
     g_ends = np.concatenate([brk, [n]]).astype(np.int64)
     any_pos = len(p_data) > 0
     any_off = len(o_data) > 0
+    any_pay = len(y_data) > 0
 
     for rs, re_ in zip(g_starts.tolist(), g_ends.tolist()):
         lo_p, hi_p = int(out_start[rs]), int(out_end[re_ - 1])
@@ -770,6 +802,9 @@ def _merge_sorted_batch(
         has_off = any_off and bool(
             (o_off[rs + 1 : re_ + 1] > o_off[rs:re_]).all()
         )
+        has_pay = any_pay and bool(
+            (y_off[rs + 1 : re_ + 1] > y_off[rs:re_]).all()
+        )
         if len(docs) > 1 and not bool((np.diff(docs) > 0).all()):
             # out-of-order runs (shouldn't happen with doc-disjoint
             # partitions): repair through the per-run slow path
@@ -780,10 +815,13 @@ def _merge_sorted_batch(
                     flat_norms[out_start[r] : out_end[r]],
                     p_data[p_off[r] : p_off[r + 1]] if has_pos else b"",
                     o_data[o_off[r] : o_off[r + 1]] if has_off else b"",
+                    y_data[y_off[r] : y_off[r + 1]] if has_pay else b"",
                 )
                 for r in range(rs, re_)
             ]
-            docs, freqs, norms, pos_blob, off_blob = _concat_decoded(decoded)
+            docs, freqs, norms, pos_blob, off_blob, pay_blob = _concat_decoded(
+                decoded
+            )
         else:
             pos_blob = (
                 b"".join(p_data[p_off[r] : p_off[r + 1]] for r in range(rs, re_))
@@ -795,8 +833,20 @@ def _merge_sorted_batch(
                 if has_off
                 else b""
             )
+            pay_blob = (
+                b"".join(y_data[y_off[r] : y_off[r + 1]] for r in range(rs, re_))
+                if has_pay
+                else b""
+            )
         emit(
-            terms_a[rs].as_py(), int(salt[rs]), docs, freqs, norms, pos_blob, off_blob
+            terms_a[rs].as_py(),
+            int(salt[rs]),
+            docs,
+            freqs,
+            norms,
+            pos_blob,
+            off_blob,
+            pay_blob,
         )
 
 
@@ -907,13 +957,15 @@ def merge_by_term(
         run_cols: dict[str, list] = {f.name: [] for f in TERMS_SCHEMA}
         run_salts: list[int] = []
 
-        def _emit(term, salt_v, docs, freqs, norms, pos_blob, off_blob):
+        def _emit(term, salt_v, docs, freqs, norms, pos_blob, off_blob, pay_blob):
             if salt_v < 0:  # light term: final after this single shuffle
                 _emit_from_arrays(
-                    final_cols, term, docs, freqs, norms, pos_blob, off_blob
+                    final_cols, term, docs, freqs, norms, pos_blob, off_blob, pay_blob
                 )
             else:  # salted run of a heavy term
-                _emit_from_arrays(run_cols, term, docs, freqs, norms, pos_blob, off_blob)
+                _emit_from_arrays(
+                    run_cols, term, docs, freqs, norms, pos_blob, off_blob, pay_blob
+                )
                 run_salts.append(salt_v)
 
         _merge_sorted_batch(batch, norm_store, _emit)
@@ -1084,8 +1136,10 @@ def merge_by_term(
                 )
                 cat = cat.take(idx).combine_chunks()
 
-                def _emit(term, _salt_v, docs, freqs, norms, pos_blob, off_blob):
-                    _emit_from_arrays(cols, term, docs, freqs, norms, pos_blob, off_blob)
+                def _emit(term, _salt_v, docs, freqs, norms, pos_blob, off_blob, pay_blob):
+                    _emit_from_arrays(
+                        cols, term, docs, freqs, norms, pos_blob, off_blob, pay_blob
+                    )
 
                 _merge_sorted_batch(cat, norm_store, _emit, group_salt=False)
             terms = cols["term"]  # terms actually present in the runs
@@ -1434,7 +1488,18 @@ class MergedIndex:
             imp_start=np.array(row["imp_start"], dtype=np.int64),
             pos_blob=row.get("pos_blob") or b"",
             off_blob=row.get("off_blob") or b"",
+            pay_blob=row.get("pay_blob") or b"",
         )
+
+    def payloads(self, term: str):
+        """Per-posting payload words (0 = absent) — None if not indexed."""
+        from .codec import decode_payloads
+
+        ti = self.term_info(term)
+        if ti is None or not ti.pay_blob:
+            return None
+        _, freqs = self.postings(term)
+        return decode_payloads(ti.pay_blob, freqs)
 
     def offsets(self, term: str):
         """Per-posting (starts, ends) offset arrays (None if not indexed)."""

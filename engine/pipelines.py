@@ -45,8 +45,9 @@ REFERENCE_QUERIES: list[tuple[int, str, int]] = [
 
 def _cache_dir(sf_dir: str, n_rows: int, variant: str = "") -> str:
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    # -mf4: multi-field + off_blob + docvalues sidecar + pages n_chars
-    return os.path.join(CACHE_ROOT, f"{tag}-{n_rows}-mf4{variant}")
+    # -mf5: -mf4 (multi-field + off_blob + docvalues sidecar + pages
+    # n_chars) + the pay_blob terms column (payload stream support)
+    return os.path.join(CACHE_ROOT, f"{tag}-{n_rows}-mf5{variant}")
 
 
 def get_index(
@@ -554,6 +555,75 @@ def function_score_topk(
             "score": pa.array(boosted, type=pa.float32()),
         }
     )
+
+
+def get_payload_index(sf_dir: str) -> dict:
+    """Build (or reuse) the PAYLOAD index variant: each document's token
+    stream re-rendered as ``tok|position`` words (the
+    DelimitedPayloadTokenFilter input shape, IntegerEncoder role), then
+    the normal build with ``payload_delimiter="|"`` — positions become the
+    per-occurrence payloads, making every payload aggregate SQL-derivable
+    from a positions self-join. Cached like the main index."""
+    from .analyze import DEFAULT_ANALYZER, tokenize
+    from .build import build_index
+    from .checkpoint import load_manifest
+
+    n_rows = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+    root = _cache_dir(sf_dir, n_rows, "-pay")
+    corpus_dir = os.path.join(root, "corpus")
+    index_dir = os.path.join(root, "index")
+    os.makedirs(root, exist_ok=True)
+    if not os.path.exists(os.path.join(corpus_dir, "pages-00000.parquet")):
+        from .fixtures import write_pages
+
+        t = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        )
+        texts = t.column("text").to_pylist()
+        annotated = [
+            " ".join(
+                f"{tok}|{pos}"
+                for pos, tok in enumerate(tokenize(txt or "", DEFAULT_ANALYZER))
+            )
+            for txt in texts
+        ]
+        write_pages(
+            pa.table({"doc_id": t.column("doc_id"), "text": annotated}),
+            corpus_dir,
+            n_files=4,
+        )
+    manifest = load_manifest(index_dir)
+    if manifest is None:
+        manifest = build_index(
+            corpus_dir,
+            index_dir,
+            partition_docs=2048,
+            from_html=False,
+            fields=("body",),
+            payload_delimiter="|",
+        )
+    return {"index_dir": index_dir, "build_manifest": manifest}
+
+
+def payload_term_stats(sf_dir: str, term: str = "data") -> pa.Table:
+    """(doc_id, pay_min, pay_max, pay_sum, pay_cnt) for one term's
+    payload stream — the PayloadScoreQuery function family
+    (queries/payloads/{Min,Max,Sum,Avg}PayloadFunction.java) with exact
+    integer outputs. The indexed payload of every occurrence is its token
+    position, so the oracle recomputes all four aggregates from a DuckDB
+    positions self-join."""
+    from .segment import Segment
+
+    idx = get_payload_index(sf_dir)
+    segs = [
+        Segment(r["seg_dir"])
+        for r in sorted(
+            idx["build_manifest"]["partitions"], key=lambda r: int(r["doc_base"])
+        )
+    ]
+    from .payloads import payload_term_table
+
+    return payload_term_table(segs, term)
 
 
 def join_util_docs(

@@ -63,6 +63,10 @@ TERMS_SCHEMA = pa.schema(
         # interleaved VInt (start delta, length) per occurrence — the
         # Lucene84 .pay offset stream role. Empty unless offsets indexed.
         ("off_blob", pa.binary()),
+        # per-occurrence payload stream (.pay payload half; documented
+        # 4-byte-value subset — codec.encode_payloads). Empty unless
+        # payloads indexed.
+        ("pay_blob", pa.binary()),
     ]
 )
 
@@ -81,6 +85,7 @@ class TermInfo:
     imp_start: np.ndarray
     pos_blob: bytes = b""
     off_blob: bytes = b""
+    pay_blob: bytes = b""
 
 
 def write_segment(
@@ -222,6 +227,7 @@ class Segment:
             imp_start=np.array(row["imp_start"], dtype=np.int64),
             pos_blob=row.get("pos_blob") or b"",
             off_blob=row.get("off_blob") or b"",
+            pay_blob=row.get("pay_blob") or b"",
         )
 
     def positions(self, term: str) -> list[np.ndarray] | None:
@@ -252,6 +258,22 @@ class Segment:
             else self.postings(term)
         )
         return decode_offsets(ti.off_blob, freqs)
+
+    def payloads(self, term: str) -> list[np.ndarray] | None:
+        """Per-posting payload words (0 = absent, else uint32 value + 1) —
+        None when payloads were not indexed. Decode to typed values with
+        codec.payload_as_int / payload_as_float."""
+        from .codec import decode_payloads
+
+        ti = self.term_info(term)
+        if ti is None or not ti.pay_blob:
+            return None
+        _, freqs = (
+            (np.array([ti.singleton_doc]), np.array([ti.ttf]))
+            if ti.df == 1
+            else self.postings(term)
+        )
+        return decode_payloads(ti.pay_blob, freqs)
 
     def iter_term_rows(self):
         """Stream (term, row-dict) in sorted term order (merge input)."""

@@ -171,8 +171,9 @@ def test_concat_decoded_reorders_positions():
         np.array([7], dtype=np.uint8),
         encode_positions(np.array([2, 5, 9]), np.array([3])),
     )
-    docs, freqs, norms, blob, off_blob = _concat_decoded([run1, run2])
+    docs, freqs, norms, blob, off_blob, pay_blob = _concat_decoded([run1, run2])
     assert off_blob == b""  # no offsets shipped in these runs
+    assert pay_blob == b""  # no payloads shipped in these runs
     assert docs.tolist() == [5, 10, 20]
     assert freqs.tolist() == [2, 3, 1]
     assert norms.tolist() == [3, 7, 3]
