@@ -330,6 +330,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multi_phrase_match_docs": pipelines.multi_phrase_match_docs,
         "join_util_docs": pipelines.join_util_docs,
         "payload_term_stats": pipelines.payload_term_stats,
+        "terms_component": pipelines.terms_component,
+        "sort_by_fields": pipelines.sort_by_fields,
+        "group_heads_orders": relational.group_heads_orders,
         "join_util_topk": pipelines.join_util_topk,
         "bm25_bool_nested": pipelines.bool_nested_match_docs,
         "phrase_topk": pipelines.phrase_topk,
@@ -824,6 +827,34 @@ def oracle_sql() -> dict[str, str]:
         "phrase_match_docs": f"""
             SELECT doc_id FROM documents
             WHERE ' ' || array_to_string({_TOK}, ' ') || ' ' LIKE '% data join %'
+        """,
+        # Solr TermsComponent: dictionary slice [lower, upper) with df
+        "terms_component": f"""
+            SELECT term, df FROM (
+                SELECT t AS term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+                FROM (SELECT doc_id, unnest({_TOK}) AS t FROM documents)
+                GROUP BY t
+            ) WHERE term >= 'd' AND term < 'n'
+            ORDER BY term LIMIT 20
+        """,
+        # multi-key DocValues sort: matches of 'data' by the comparator
+        # cascade (n_chars desc, lang asc, doc_id asc) top 20
+        "sort_by_fields": f"""
+            SELECT doc_id, n_chars, lang FROM documents
+            WHERE list_contains({_TOK}, 'data')
+            ORDER BY n_chars DESC, lang ASC, doc_id ASC LIMIT 20
+        """,
+        # AllGroupHeads: per customer the (max totalprice, tie min orderkey)
+        # order; row count == AllGroups distinct-group count
+        "group_heads_orders": """
+            SELECT o_custkey, o_orderkey, o_totalprice FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       row_number() OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey ASC
+                       ) AS rn
+                FROM orders
+            ) WHERE rn = 1
         """,
         # payload stream (DelimitedPayloadTokenFilter + PayloadScoreQuery
         # functions): every occurrence's payload is its token position, so

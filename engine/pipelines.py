@@ -1472,3 +1472,79 @@ def geo_nearest_k(
     from .geo import nearest_k
 
     return nearest_k(get_geo(sf_dir), lat, lon, k)
+
+def terms_component(
+    sf_dir: str,
+    lower: str = "d",
+    upper: str = "n",
+    limit: int = 20,
+    sort: str = "index",
+) -> pa.Table:
+    """Solr TermsComponent role (solr/handler/component/TermsComponent.java:
+    terms.lower / terms.upper / terms.limit / terms.sort): dictionary terms
+    in [lower, upper) with df, sorted by term asc ("index") or df desc
+    ("count", tie term asc), capped at ``limit``. Served by a pruned
+    (term, df) range read over the merged dictionary shards — parquet
+    row-group term stats prune non-overlapping shards, nothing scans
+    postings. Oracle: the dictionary recomputed from documents.text."""
+    import pyarrow.dataset as pads
+
+    idx = get_index(sf_dir)
+    shard_paths = [s["path"] for s in idx["merge_manifest"]["shards"]]
+    tbl = pads.dataset(shard_paths).to_table(
+        columns=["term", "df"],
+        filter=(pads.field("term") >= lower) & (pads.field("term") < upper),
+    )
+    t = tbl.to_pandas()
+    if sort == "count":
+        t = t.sort_values(["df", "term"], ascending=[False, True])
+    else:
+        t = t.sort_values("term")
+    t = t.head(limit).reset_index(drop=True)
+    return pa.table(
+        {
+            "term": pa.array(t["term"], type=pa.string()),
+            "df": pa.array(t["df"].astype("int64"), type=pa.int64()),
+        }
+    )
+
+
+def sort_by_fields(sf_dir: str, term: str = "data", k: int = 20) -> pa.Table:
+    """Multi-key Sort over DocValues (search/Sort.java with SortField
+    chains; TopFieldCollector comparator cascade): docs matching ``term``
+    ordered by (n_chars DESC, lang ASC, doc_id ASC) top ``k`` — both sort
+    keys served from the DV sidecar (doc-range-routed pruned reads), the
+    row store is never touched. Oracle: same ORDER BY over documents."""
+    from .checkpoint import load_merge_manifest
+    from .docvalues import DocValuesReader
+    from .search import IndexSearcher
+
+    idx = get_index(sf_dir)
+    searcher = IndexSearcher(load_merge_manifest(idx["index_dir"]))
+    docs_all = []
+    for seg in searcher.segments:
+        docs, _ = seg.postings(term)
+        docs_all.append(docs)
+    docs = (
+        np.concatenate(docs_all) if docs_all else np.empty(0, dtype=np.int64)
+    )
+    if len(docs) == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "n_chars": pa.array([], type=pa.int64()),
+                "lang": pa.array([], type=pa.string()),
+            }
+        )
+    dv = DocValuesReader(idx["build_manifest"]["partitions"])
+    n_chars = dv.values_for(docs, "n_chars").astype(np.int64)
+    lang = dv.values_for(docs, "lang")
+    # comparator cascade: n_chars desc, lang asc, doc_id asc
+    order = np.lexsort((docs, lang, -n_chars))[:k]
+    return pa.table(
+        {
+            "doc_id": pa.array(docs[order], type=pa.int64()),
+            "n_chars": pa.array(n_chars[order], type=pa.int64()),
+            "lang": pa.array([str(x) for x in lang[order]], type=pa.string()),
+        }
+    )

@@ -862,3 +862,66 @@ def diversified_topk_docs(sf_dir: str, k: int = 10, max_per_key: int = 2) -> pa.
             "n_chars": pc.cast(top.column("n_chars"), pa.int64()),
         }
     )
+
+def _arg_head_agg(out_col: str, val_col: str, id_col: str, want: str):
+    """Float-valued arg-max AggregateFnV2: per group (max val_col, tie min
+    id_col); ``want`` = "val" | "arg". The grouping-module head-selection
+    kernel (vectorized per block, never per-key pandas)."""
+    from ray.data.aggregate import AggregateFnV2
+    from ray.data.block import BlockAccessor
+
+    zero = (float("-inf"), 1 << 62)
+
+    class _Agg(AggregateFnV2):
+        def __init__(self):
+            super().__init__(
+                out_col, zero_factory=lambda: zero, on=None, ignore_nulls=True
+            )
+
+        def aggregate_block(self, block):
+            tbl = BlockAccessor.for_block(block).to_arrow()
+            v = tbl.column(val_col).to_numpy(zero_copy_only=False).astype(np.float64)
+            i_ = tbl.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            if len(v) == 0:
+                return zero
+            j = int(np.lexsort((i_, -v))[0])
+            return (float(v[j]), int(i_[j]))
+
+        def combine(self, cur, new):
+            a = zero if cur is None else cur
+            b = zero if new is None else new
+            return min(a, b, key=lambda t: (-t[0], t[1]))
+
+        def finalize(self, acc):
+            acc = zero if acc is None else acc
+            return float(acc[0]) if want == "val" else int(acc[1])
+
+    return _Agg()
+
+
+def group_heads_orders(sf_dir: str):
+    """AllGroupHeadsCollector + AllGroupsCollector analogue
+    (lucene/grouping/AllGroupHeadsCollector.java:42-74 retained-head
+    comparator; AllGroupsCollector.java:33 distinct-group set): ONE pass
+    over orders selects, per o_custkey group, the head order under
+    (o_totalprice desc, o_orderkey asc); the emitted row count IS the
+    distinct-group count. Per-block vectorized arg-max partials combine
+    associatively in the groupby — no per-key pandas, no driver
+    materialization. The head price is a SELECTION (never a sum), so the
+    double hashes bit-identically against the SQL window-function oracle."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    agg = ds.groupby("o_custkey").aggregate(
+        _arg_head_agg("_head_price", "o_totalprice", "o_orderkey", "val"),
+        _arg_head_agg("_head_key", "o_totalprice", "o_orderkey", "arg"),
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": b.column("o_custkey"),
+                "o_orderkey": b.column("_head_key").cast(pa.int64()),
+                "o_totalprice": b.column("_head_price"),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", **_rargs())

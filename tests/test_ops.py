@@ -733,3 +733,78 @@ def test_join_util_none_and_scored():
         t = join_util_topk(sf, from_query="dup", join_field="n_chars", score_mode=mode, k=7).to_pandas()
         assert len(t) <= 7 and t["score"].dtype == np.float32
         assert (t["score"].to_numpy()[:-1] >= t["score"].to_numpy()[1:]).all()
+
+
+def test_terms_component_bounds_and_sort():
+    """TermsComponent: [lower, upper) bounds respected; count sort ranks
+    by df desc, tie term asc."""
+    from engine.pipelines import terms_component
+
+    sf = "/root/testdata/sf0.001"
+    t = terms_component(sf, lower="d", upper="n", limit=50).to_pandas()
+    assert (t["term"] >= "d").all() and (t["term"] < "n").all()
+    assert t["term"].is_monotonic_increasing
+    tc = terms_component(sf, lower="a", upper="{", limit=5, sort="count").to_pandas()
+    assert (tc["df"].to_numpy()[:-1] >= tc["df"].to_numpy()[1:]).all()
+
+
+def test_sort_by_fields_comparator_cascade():
+    """Multi-key DV sort: (n_chars desc, lang asc, doc_id asc) verified
+    against a raw recomputation from the documents table."""
+    import pyarrow.parquet as pq
+
+    from engine.analyze import analyze_batch
+    from engine.pipelines import sort_by_fields
+
+    sf = "/root/testdata/sf0.001"
+    got = sort_by_fields(sf, term="data", k=15).to_pandas()
+    src = pq.read_table(
+        sf + "/documents.parquet", columns=["doc_id", "text", "n_chars", "lang"]
+    ).to_pandas()
+    match = [
+        i for i, txt in enumerate(src["text"]) if "data" in analyze_batch([txt])[0]
+    ]
+    exp = (
+        src.iloc[match]
+        .sort_values(
+            ["n_chars", "lang", "doc_id"], ascending=[False, True, True]
+        )
+        .head(15)
+        .reset_index(drop=True)
+    )
+    assert got["doc_id"].tolist() == exp["doc_id"].tolist()
+    assert got["n_chars"].tolist() == exp["n_chars"].tolist()
+
+
+def test_group_heads_matches_window_oracle():
+    """AllGroupHeads: every group's head == SQL row_number()=1 pick; row
+    count == distinct group count (AllGroupsCollector)."""
+    import duckdb
+
+    from engine.relational import group_heads_orders
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        group_heads_orders(sf)
+        .to_pandas()
+        .sort_values("o_custkey")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM read_parquet('{sf}/orders.parquet')"
+    )
+    exp = con.execute(
+        """
+        SELECT o_custkey, o_orderkey, o_totalprice FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   row_number() OVER (PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+            FROM orders) WHERE rn = 1 ORDER BY o_custkey
+        """
+    ).df()
+    assert got["o_orderkey"].tolist() == exp["o_orderkey"].tolist()
+    assert got["o_totalprice"].tolist() == exp["o_totalprice"].tolist()
+    assert len(got) == con.execute(
+        "SELECT count(DISTINCT o_custkey) FROM orders"
+    ).fetchone()[0]
