@@ -3,9 +3,9 @@
 ``entry()`` runs the flagship pipeline (pages fixture → extract → SPIMI
 invert → salted groupby-term merge → BM25 actor-pool search) at sf0.001.
 ``queries()`` exposes one entry per implemented operator family from
-SURVEY.md §2 (+ the training-data extras) — 98 entries as of round 3;
+SURVEY.md §2 (+ the training-data extras) — 108 entries as of round 3;
 ``oracle_sql()`` gives DuckDB equivalents where SQL can express the
-semantics (70 exact oracles) — index-derived entries (term stats, title
+semantics (81 exact oracles) — index-derived entries (term stats, title
 field stats, norms via the embedded SmallFloat byte4 table, token
 counts, phrase/sloppy matching via position self-joins, nested boolean
 set algebra, DV facets/sort, keep-latest dedup) are thereby checked
@@ -114,6 +114,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def q_exact_dedup(sf_dir):
         return dedup.exact_dedup(_docs(sf_dir))
+
+    def q_gopher_repetition(sf_dir):
+        return _docs(sf_dir).map_batches(
+            textops.gopher_repetition_batch, batch_format="pyarrow", **_rargs()
+        )
+
+    def q_line_dedup(sf_dir):
+        return dedup.line_dedup_stats(_docs(sf_dir), chunk_tokens=3)
+
+    def q_host_stats(sf_dir):
+        """Per-host page stats over the pages fixture (url, text); hosts are
+        doc_id-derived (engine/fixtures.py:85), so the oracle recomputes
+        exactly from documents."""
+        import ray.data
+
+        from engine.pipelines import get_index
+
+        idx = get_index(sf_dir)
+        pages_dir = os.path.dirname(idx["index_dir"]) + "/pages"
+        ds = ray.data.read_parquet(pages_dir, columns=["url", "text"])
+        return textops.host_page_stats(ds)
 
     def q_minhash(sf_dir):
         # source_path => the verify stage re-reads candidate texts by
@@ -370,6 +391,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_rolling": q_rolling_fp,
         # --- dedup ---------------------------------------------------------
         "exact_dedup": q_exact_dedup,
+        "line_dedup_stats": q_line_dedup,
+        "gopher_repetition": q_gopher_repetition,
+        "host_doc_counts": q_host_stats,
         "minhash_lsh_pairs": q_minhash,
         "simhash64": q_simhash,
         "simhash_near_dup_pairs": q_simhash_pairs,
@@ -428,6 +452,37 @@ def oracle_sql() -> dict[str, str]:
     from engine.smallfloat import LENGTH_TABLE
 
     lt_values = ", ".join(f"({b}, {int(lo)})" for b, lo in enumerate(LENGTH_TABLE))
+    # shared SimHash recomputation CTE body (simhash64 + near-dup pairs)
+    _simhash_cte = f"""tc AS (
+                SELECT doc_id, t AS w, count(*) AS c FROM (
+                    SELECT doc_id, unnest({_TOK}) AS t FROM documents
+                ) GROUP BY doc_id, t
+            ),
+            th AS (SELECT doc_id, c, {_fnv_str_sql("w")} AS h FROM tc),
+            bits AS (
+                SELECT doc_id, i,
+                       sum(CASE WHEN ((h >> CAST(i AS UBIGINT)) & 1) = 1
+                           THEN c ELSE -c END) AS acc
+                FROM th, (SELECT unnest(range(63)) AS i)
+                GROUP BY doc_id, i
+            ),
+            sh AS (
+                SELECT doc_id,
+                       CAST(sum(CASE WHEN acc > 0
+                                THEN (CAST(1 AS BIGINT) << i)
+                                ELSE 0 END) AS BIGINT) AS simhash
+                FROM bits GROUP BY doc_id
+            ),
+            shfull AS (
+                SELECT d.doc_id, coalesce(s.simhash, 0) AS simhash
+                FROM documents d LEFT JOIN sh s ON d.doc_id = s.doc_id
+            )"""
+    # the QualityScorer stopword set, verbatim (engine/textops.py:79-81)
+    _stoplist = (
+        "['the', 'a', 'an', 'and', 'or', 'of', 'to', 'in', 'is', 'are', "
+        "'was', 'were', 'be', 'been', 'it', 'this', 'that', 'for', 'on', "
+        "'with', 'as', 'by']"
+    )
     return {
         "title_term_df": f"""
             SELECT term, count(*) AS df, CAST(sum(cnt) AS BIGINT) AS ttf FROM (
@@ -914,28 +969,21 @@ def oracle_sql() -> dict[str, str]:
         # mod-2^64 chain), signed bit-count accumulation, bit 63 masked —
         # the sketch column is thereby checked end-to-end, not rows-only
         "simhash64": f"""
-            WITH tc AS (
-                SELECT doc_id, t AS w, count(*) AS c FROM (
-                    SELECT doc_id, unnest({_TOK}) AS t FROM documents
-                ) GROUP BY doc_id, t
-            ),
-            th AS (SELECT doc_id, c, {_fnv_str_sql("w")} AS h FROM tc),
-            bits AS (
-                SELECT doc_id, i,
-                       sum(CASE WHEN ((h >> CAST(i AS UBIGINT)) & 1) = 1
-                           THEN c ELSE -c END) AS acc
-                FROM th, (SELECT unnest(range(63)) AS i)
-                GROUP BY doc_id, i
-            ),
-            sh AS (
-                SELECT doc_id,
-                       CAST(sum(CASE WHEN acc > 0
-                                THEN (CAST(1 AS BIGINT) << i)
-                                ELSE 0 END) AS BIGINT) AS simhash
-                FROM bits GROUP BY doc_id
-            )
-            SELECT d.doc_id, coalesce(s.simhash, 0) AS simhash
-            FROM documents d LEFT JOIN sh s ON d.doc_id = s.doc_id
+            WITH {_simhash_cte}
+            SELECT doc_id, simhash FROM shfull
+        """,
+        # SimHash near-dup pairs, exact: chunk-TRIPLE banding is
+        # EXHAUSTIVE at hamming <= 3 (<= 3 dirty chunks of 6 leaves one
+        # intact triple, engine/dedup.py:554-564), so the engine's pair
+        # set equals the brute-force self-join below (bit_count of the
+        # xor). Bucket pair caps never bind at gate scale.
+        "simhash_near_dup_pairs": f"""
+            WITH {_simhash_cte}
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT)
+                       AS hamming
+            FROM shfull a JOIN shfull b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
         """,
         "token_counts_docs": f"""
             SELECT doc_id, len({_TOK}) AS n_tokens FROM documents
@@ -993,6 +1041,110 @@ def oracle_sql() -> dict[str, str]:
                    len({_TOK}) AS n_tokens,
                    len(list_distinct({_TOK})) AS n_uniq_tokens
             FROM documents
+        """,
+        # QualityScorer recomputed with the IDENTICAL float64 op order
+        # (engine/textops.py:157-176): every term is double arithmetic
+        # with the same left-assoc sum, so the score is bit-identical.
+        # Python's \\w is Unicode, RE2's is ASCII — equal on this corpus
+        # (fixture text is [a-z0-9 ] only, verified) and documented.
+        "quality_scores": f"""
+            WITH t AS (SELECT doc_id, text, {_TOK} AS toks FROM documents)
+            SELECT doc_id,
+                   CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+                       0.4 * (least(len(toks), 500) / 500.0)
+                     + 0.2 * (1.0 - least(
+                           ((length(text) - length(regexp_replace(
+                                 text, '[^\\w\\s]', '', 'g')))
+                            / greatest(length(text), 1)) * 5, 1.0))
+                     + 0.2 * least(
+                           (len(list_filter(toks,
+                                x -> list_contains({_stoplist}, x)))
+                            / len(toks)) * 3, 1.0)
+                     + 0.2 * (len(list_distinct(toks)) / len(toks))
+                   END AS quality
+            FROM t
+        """,
+        # Gopher repetition signals (integer numerators/denominators):
+        # duplicate-token occurrences, most-frequent adjacent bigram and
+        # trigram counts — exact positions-self-join recomputation
+        "gopher_repetition": f"""
+            WITH pos AS (
+                SELECT doc_id, unnest({_TOK}) AS t,
+                       unnest(range(len({_TOK}))) AS p
+                FROM documents
+            ),
+            uni AS (SELECT doc_id, t, count(*) AS c FROM pos GROUP BY doc_id, t),
+            dup AS (
+                SELECT doc_id, CAST(sum(c) AS BIGINT) AS v
+                FROM uni WHERE c >= 2 GROUP BY doc_id
+            ),
+            bi AS (
+                SELECT a.doc_id, a.t || ' ' || b.t AS g, count(*) AS c
+                FROM pos a JOIN pos b
+                  ON a.doc_id = b.doc_id AND b.p = a.p + 1
+                GROUP BY 1, 2
+            ),
+            bitop AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS v FROM bi GROUP BY doc_id),
+            tri AS (
+                SELECT a.doc_id, a.t || ' ' || b.t || ' ' || c3.t AS g,
+                       count(*) AS c
+                FROM pos a
+                JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+                JOIN pos c3 ON a.doc_id = c3.doc_id AND c3.p = a.p + 2
+                GROUP BY 1, 2
+            ),
+            tritop AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS v FROM tri GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(len({_TOK}) AS BIGINT) AS n_tokens,
+                   coalesce(dup.v, 0) AS n_dup_tokens,
+                   CAST(greatest(len({_TOK}) - 1, 0) AS BIGINT) AS n_bigrams,
+                   coalesce(bitop.v, 0) AS top_bigram_cnt,
+                   coalesce(tritop.v, 0) AS top_trigram_cnt
+            FROM documents d
+            LEFT JOIN dup ON d.doc_id = dup.doc_id
+            LEFT JOIN bitop ON d.doc_id = bitop.doc_id
+            LEFT JOIN tritop ON d.doc_id = tritop.doc_id
+        """,
+        # C4-style line dedup over deterministic 3-token chunks: an
+        # occurrence is kept iff it is the (doc_id, pos)-lexicographic
+        # first of its content; SQL groups by CONTENT (the engine by
+        # 64-bit FNV of it — collision-free at any realistic scale)
+        "line_dedup_stats": f"""
+            WITH tok AS (SELECT doc_id, {_TOK} AS ts FROM documents),
+            ch AS (
+                SELECT doc_id, i AS pos,
+                       array_to_string(ts[3 * i + 1 : 3 * i + 3], ' ')
+                           AS content
+                FROM (SELECT doc_id, ts,
+                             unnest(range((len(ts) + 2) // 3)) AS i
+                      FROM tok)
+            ),
+            win AS (
+                SELECT content, min(doc_id * 1048576 + pos) AS packed
+                FROM ch GROUP BY content
+            ),
+            kept AS (
+                SELECT packed // 1048576 AS doc_id,
+                       CAST(count(*) AS BIGINT) AS n_kept
+                FROM win GROUP BY 1
+            ),
+            nl AS (
+                SELECT doc_id, CAST((len(ts) + 2) // 3 AS BIGINT) AS n_lines
+                FROM tok
+            )
+            SELECT nl.doc_id, nl.n_lines,
+                   coalesce(kept.n_kept, 0) AS n_kept,
+                   nl.n_lines - coalesce(kept.n_kept, 0) AS n_removed
+            FROM nl LEFT JOIN kept ON nl.doc_id = kept.doc_id
+        """,
+        # per-host aggregation: hosts are doc_id-derived in the pages
+        # fixture (engine/fixtures.py:85, 50 hosts round-robin); token
+        # counts (not chars) because pages.text is the extracted text
+        "host_doc_counts": f"""
+            SELECT 'site' || CAST(doc_id % 50 AS VARCHAR) || '.example' AS host,
+                   count(*) AS n_docs,
+                   CAST(sum(len({_TOK})) AS BIGINT) AS sum_tokens
+            FROM documents GROUP BY 1
         """,
         "fingerprint_md5": """
             SELECT doc_id,

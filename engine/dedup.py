@@ -696,3 +696,120 @@ def dedup_pages_by_url(ds):
         )
 
     return agg.map_batches(finish, batch_format="pyarrow", **_rargs())
+
+
+# ---------------------------------------------------------------------------
+# C4-style global line-level dedup
+# ---------------------------------------------------------------------------
+
+_LINE_POS_BITS = 20  # lines per doc < 2^20 (assert below); doc_id < 2^43
+
+
+def line_dedup_stats(ds, chunk_tokens: int = 3):
+    """C4-style global line-level dedup accounting (Raffel et al. 2020
+    §2.2 "three-sentence span" dedup): an occurrence of a line is KEPT iff
+    it is the corpus-wide first occurrence of that exact content, ordered
+    by (doc_id, position); every later occurrence — in other docs or the
+    same doc — is removed. The fixture corpus is single-line, so "lines"
+    are deterministic ``chunk_tokens``-token chunks of the token stream
+    (the C4 span analogue); the SQL oracle rebuilds identical chunks.
+
+    Returns one row per doc: (doc_id, n_lines, n_kept, n_removed), all
+    int64. Shape is two native groupbys and no joins:
+
+      occurrences (key, packed)            map_batches, fnv1a_vec-hashed
+        -> groupby(key).aggregate(Min(packed))   winners, one row/line
+        -> decode owner doc_id = packed >> 20    map_batches
+        -> tag-union with per-doc line counts -> groupby(doc_id).sum
+
+    The winner join-back is unnecessary because kept-counts only need the
+    winning occurrence's OWNER, which the packed min encodes. Grouping is
+    by 64-bit FNV-1a of the chunk text (standard hash-dedup practice;
+    content-collision odds are negligible at any corpus size this engine
+    targets, and the oracle groups by content)."""
+    from ray.data.aggregate import Min, Sum
+
+    from .textops import fnv1a_vec
+
+    def occurrences(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        docs = batch.column("doc_id").to_numpy()
+        chunk_strs: list[str] = []
+        owner: list[int] = []
+        packed: list[int] = []
+        for d, t in zip(docs.tolist(), texts):
+            toks = TOKEN_RE.findall(t.lower()) if t else []
+            n_lines = (len(toks) + chunk_tokens - 1) // chunk_tokens
+            assert n_lines < (1 << _LINE_POS_BITS), "doc exceeds line-pos budget"
+            for p in range(n_lines):
+                chunk_strs.append(
+                    " ".join(toks[p * chunk_tokens : (p + 1) * chunk_tokens])
+                )
+                owner.append(d)
+                packed.append((d << _LINE_POS_BITS) | p)
+        keys = fnv1a_vec(pa.array(chunk_strs, type=pa.string())).astype(np.int64)
+        return pa.table(
+            {
+                "key": pa.array(keys),
+                "packed": pa.array(packed, type=pa.int64()),
+            }
+        )
+
+    winners = (
+        ds.map_batches(occurrences, batch_format="pyarrow", **_rargs())
+        .groupby("key")
+        .aggregate(Min("packed", alias_name="packed"))
+    )
+
+    def kept_partial(batch: pa.Table) -> pa.Table:
+        own = (batch.column("packed").to_numpy() >> _LINE_POS_BITS).astype(np.int64)
+        uniq, cnt = np.unique(own, return_counts=True)
+        z = np.zeros(len(uniq), dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(uniq),
+                "n_lines": pa.array(z),
+                "n_kept": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def lines_partial(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        n_lines = np.fromiter(
+            (
+                (len(TOKEN_RE.findall(t.lower())) + chunk_tokens - 1) // chunk_tokens
+                if t
+                else 0
+                for t in texts
+            ),
+            dtype=np.int64,
+            count=len(texts),
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_lines": pa.array(n_lines),
+                "n_kept": pa.array(np.zeros(len(texts), dtype=np.int64)),
+            }
+        )
+
+    tagged = ds.map_batches(lines_partial, batch_format="pyarrow", **_rargs()).union(
+        winners.map_batches(kept_partial, batch_format="pyarrow", **_rargs())
+    )
+    summed = tagged.groupby("doc_id").aggregate(
+        Sum("n_lines", alias_name="n_lines"), Sum("n_kept", alias_name="n_kept")
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        nl = batch.column("n_lines").to_numpy().astype(np.int64)
+        nk = batch.column("n_kept").to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_lines": pa.array(nl),
+                "n_kept": pa.array(nk),
+                "n_removed": pa.array(nl - nk),
+            }
+        )
+
+    return summed.map_batches(finish, batch_format="pyarrow", **_rargs())

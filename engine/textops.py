@@ -587,3 +587,94 @@ def soundex_term_groups(ds, k: int = 50):
         .sort(["n_terms", "code"], descending=[True, False])
         .limit(k)
     )
+
+
+def gopher_repetition_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Gopher-style repetition signals per document (Rae et al. 2021 §A1.1
+    "repetition removal"; the filters a web-corpus pipeline thresholds on),
+    kept as INTEGER numerators/denominators so the SQL oracle is exact:
+
+      n_tokens            token count
+      n_dup_tokens        occurrences belonging to tokens seen >= 2 times
+                          (the duplicate-line fraction analogue at token
+                          granularity — fixture docs are single-line)
+      n_bigrams           max(n_tokens - 1, 0)
+      top_bigram_cnt      occurrences of the most frequent adjacent bigram
+      top_trigram_cnt     occurrences of the most frequent adjacent trigram
+
+    Ratios (top_bigram_cnt / n_bigrams etc.) are computed by the consumer;
+    emitting integers keeps the driver hash dtype-stable."""
+    from collections import Counter
+
+    texts = batch.column(text_col).to_pylist()
+    n = len(texts)
+    cols = {
+        k: np.zeros(n, dtype=np.int64)
+        for k in ("n_tokens", "n_dup_tokens", "n_bigrams", "top_bigram_cnt", "top_trigram_cnt")
+    }
+    for i, t in enumerate(texts):
+        toks = TOKEN_RE.findall(t.lower()) if t else []
+        m = len(toks)
+        cols["n_tokens"][i] = m
+        if m == 0:
+            continue
+        uni = Counter(toks)
+        cols["n_dup_tokens"][i] = sum(c for c in uni.values() if c >= 2)
+        cols["n_bigrams"][i] = max(m - 1, 0)
+        if m >= 2:
+            bi = Counter(zip(toks, toks[1:]))
+            cols["top_bigram_cnt"][i] = max(bi.values())
+        if m >= 3:
+            tri = Counter(zip(toks, toks[1:], toks[2:]))
+            cols["top_trigram_cnt"][i] = max(tri.values())
+    out = {"doc_id": batch.column("doc_id")}
+    out.update({k: pa.array(v, type=pa.int64()) for k, v in cols.items()})
+    return pa.table(out)
+
+
+def host_page_stats(ds):
+    """Per-host corpus stats over a pages Dataset (url, text): the
+    host-level aggregation every Common-Crawl pipeline runs before
+    per-domain sampling/filtering. Map-side combiner (np.unique over the
+    batch's hosts) -> groupby(host) sum, so the shuffle carries one row
+    per distinct host per batch, not one per page. Returns
+    (host, n_docs, sum_tokens) with BIGINT columns — token counts, not
+    chars, because pages.text is the EXTRACTED text (paragraph newlines,
+    alt text) whose token stream, but not char count, matches the source
+    body contract."""
+    from ray.data.aggregate import Sum
+
+    _host_re = re.compile(r"^[a-z]+://([^/]+)/")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        hosts = np.array(
+            [(_host_re.match(u).group(1) if _host_re.match(u) else "") for u in urls]
+        )
+        texts = batch.column("text").to_pylist()
+        toks = np.fromiter(
+            (len(TOKEN_RE.findall(t.lower())) if t else 0 for t in texts),
+            dtype=np.int64,
+            count=len(texts),
+        )
+        uniq, inv = np.unique(hosts, return_inverse=True)
+        n_docs = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        sum_tokens = np.bincount(inv, weights=toks, minlength=len(uniq)).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "host": pa.array(uniq, type=pa.string()),
+                "n_docs": pa.array(n_docs, type=pa.int64()),
+                "sum_tokens": pa.array(sum_tokens, type=pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", **_rargs())
+        .groupby("host")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("sum_tokens", alias_name="sum_tokens"),
+        )
+    )

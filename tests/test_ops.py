@@ -808,3 +808,87 @@ def test_group_heads_matches_window_oracle():
     assert len(got) == con.execute(
         "SELECT count(DISTINCT o_custkey) FROM orders"
     ).fetchone()[0]
+
+
+def test_gopher_repetition_golden():
+    from engine.textops import gopher_repetition_batch
+
+    b = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+            "text": [
+                "a b a b a",  # unigrams: a×3 b×2 all dup; bigrams: 'a b'×2,'b a'×2; trigrams 'a b a'×2
+                "x y z",  # no repetition
+                "",  # empty
+                "w w w w",  # maximal repetition
+            ],
+        }
+    )
+    out = gopher_repetition_batch(b).to_pydict()
+    assert out["n_tokens"] == [5, 3, 0, 4]
+    assert out["n_dup_tokens"] == [5, 0, 0, 4]
+    assert out["n_bigrams"] == [4, 2, 0, 3]
+    assert out["top_bigram_cnt"] == [2, 1, 0, 3]
+    assert out["top_trigram_cnt"] == [2, 1, 0, 2]
+
+
+def test_line_dedup_stats_matches_bruteforce(ray_session):
+    import ray.data
+
+    from engine.dedup import line_dedup_stats
+
+    rows = [
+        {"doc_id": 0, "text": "a b c d e f a b c"},  # lines: 'a b c','d e f','a b c'
+        {"doc_id": 1, "text": "a b c x"},  # 'a b c' dup of doc0, 'x' fresh
+        {"doc_id": 2, "text": ""},  # 0 lines
+        {"doc_id": 3, "text": "d e f"},  # dup of doc0's second line
+    ]
+    out = (
+        line_dedup_stats(ray.data.from_items(rows), chunk_tokens=3)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # brute force: first occurrence by (doc_id, pos) of each chunk content
+    from engine.analyze import TOKEN_RE
+
+    occ = []
+    for r in rows:
+        toks = TOKEN_RE.findall(r["text"].lower())
+        for p in range((len(toks) + 2) // 3):
+            occ.append((r["doc_id"], p, " ".join(toks[3 * p : 3 * p + 3])))
+    first = {}
+    for d, p, c in sorted(occ):
+        first.setdefault(c, (d, p))
+    kept = {d: 0 for d in range(4)}
+    for c, (d, p) in first.items():
+        kept[d] += 1
+    lines = {d: 0 for d in range(4)}
+    for d, p, c in occ:
+        lines[d] = max(lines[d], p + 1)
+    assert out["n_lines"].tolist() == [lines[d] for d in range(4)]
+    assert out["n_kept"].tolist() == [kept[d] for d in range(4)]
+    assert (out["n_removed"] == out["n_lines"] - out["n_kept"]).all()
+    # doc0's duplicate chunk removes within-doc; doc1/doc3 lose cross-doc dups
+    assert out["n_removed"].tolist() == [1, 1, 0, 1]
+
+
+def test_host_page_stats(ray_session):
+    import ray.data
+
+    from engine.textops import host_page_stats
+
+    rows = [
+        {"url": "https://a.example/p/1", "text": "one two"},
+        {"url": "https://a.example/p/2", "text": "three"},
+        {"url": "https://b.example/x", "text": "four five six"},
+    ]
+    out = (
+        host_page_stats(ray.data.from_items(rows))
+        .to_pandas()
+        .sort_values("host")
+        .reset_index(drop=True)
+    )
+    assert out["host"].tolist() == ["a.example", "b.example"]
+    assert out["n_docs"].tolist() == [2, 1]
+    assert out["sum_tokens"].tolist() == [3, 3]
