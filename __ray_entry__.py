@@ -3,9 +3,9 @@
 ``entry()`` runs the flagship pipeline (pages fixture → extract → SPIMI
 invert → salted groupby-term merge → BM25 actor-pool search) at sf0.001.
 ``queries()`` exposes one entry per implemented operator family from
-SURVEY.md §2 (+ the training-data extras) — 108 entries as of round 3;
+SURVEY.md §2 (+ the training-data extras) — 109 entries as of round 3;
 ``oracle_sql()`` gives DuckDB equivalents where SQL can express the
-semantics (81 exact oracles) — index-derived entries (term stats, title
+semantics (83 exact oracles) — index-derived entries (term stats, title
 field stats, norms via the embedded SmallFloat byte4 table, token
 counts, phrase/sloppy matching via position self-joins, nested boolean
 set algebra, DV facets/sort, keep-latest dedup) are thereby checked
@@ -108,12 +108,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
 
     def q_rolling_fp(sf_dir):
+        # exploded (doc_id, rank, fp) rows so the winnowing fingerprints
+        # compare exactly (list columns repr differently across engines)
         return _docs(sf_dir).map_batches(
-            textops.rolling_fingerprint_batch, batch_format="pyarrow", **_rargs()
+            textops.rolling_fingerprint_rows_batch, batch_format="pyarrow", **_rargs()
         )
 
     def q_exact_dedup(sf_dir):
         return dedup.exact_dedup(_docs(sf_dir))
+
+    def q_pii_scrub(sf_dir):
+        """PII redaction over a deterministic injection: doc_id-derived
+        synthetic email/IPv4/phone strings are appended (the fixture corpus
+        has none), then scrubbed; the oracle replays both steps with the
+        identical RE2 patterns in the identical order."""
+
+        def inject(b):
+            did = b.column("doc_id").to_numpy()
+            texts = b.column("text").to_pylist()
+            out = []
+            for d, t in zip(did.tolist(), texts):
+                s = t or ""
+                if d % 3 == 0:
+                    s += f" contact{d}@mail.example"
+                if d % 5 == 0:
+                    s += f" 10.{d % 256}.0.1"
+                if d % 7 == 0:
+                    s += f" 555-{d % 10000:04d}"
+                out.append(s)
+            return pa.table(
+                {"doc_id": b.column("doc_id"), "text": pa.array(out, type=pa.string())}
+            )
+
+        return (
+            _docs(sf_dir)
+            .map_batches(inject, batch_format="pyarrow", **_rargs())
+            .map_batches(textops.pii_scrub_batch, batch_format="pyarrow", **_rargs())
+        )
 
     def q_gopher_repetition(sf_dir):
         return _docs(sf_dir).map_batches(
@@ -391,6 +422,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_rolling": q_rolling_fp,
         # --- dedup ---------------------------------------------------------
         "exact_dedup": q_exact_dedup,
+        "pii_scrub": q_pii_scrub,
         "line_dedup_stats": q_line_dedup,
         "gopher_repetition": q_gopher_repetition,
         "host_doc_counts": q_host_stats,
@@ -477,6 +509,12 @@ def oracle_sql() -> dict[str, str]:
                 SELECT d.doc_id, coalesce(s.simhash, 0) AS simhash
                 FROM documents d LEFT JOIN sh s ON d.doc_id = s.doc_id
             )"""
+    # powers of the rolling-hash base B = 1099511628211 mod 2^64, inlined
+    # for the winnowing-fingerprint oracle (engine/textops.py
+    # rolling_fingerprint_batch: window 8, keep 4)
+    _fp_pows = ", ".join(
+        f"({j}, CAST({pow(1099511628211, j, 2**64)} AS HUGEINT))" for j in range(8)
+    )
     # the QualityScorer stopword set, verbatim (engine/textops.py:79-81)
     _stoplist = (
         "['the', 'a', 'an', 'and', 'or', 'of', 'to', 'in', 'is', 'are', "
@@ -1146,6 +1184,57 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(len({_TOK})) AS BIGINT) AS sum_tokens
             FROM documents GROUP BY 1
         """,
+        # winnowing fingerprints recomputed exactly: per-token FNV-1a
+        # (UBIGINT chain), windowed polynomial hash sum_j h[i+j]*B^j with
+        # every product multiplied mod 2^64 via 32-bit split (HUGEINT never
+        # overflows: (h%2^32)*f < 2^96), 4 smallest by UNMASKED value,
+        # 63-bit mask applied at emit (= % 2^63). Docs with < 8 tokens use
+        # each token hash as a window hash; 0-token docs emit fp=0 — the
+        # same ladder as the engine
+        "fingerprint_rolling": f"""
+            WITH tok AS (SELECT doc_id, {_TOK} AS ts FROM documents),
+            th AS (
+                SELECT doc_id, p,
+                       CAST({_fnv_str_sql("w")} AS HUGEINT) AS h, n
+                FROM (
+                    SELECT doc_id, unnest(ts) AS w,
+                           unnest(range(len(ts))) AS p, len(ts) AS n
+                    FROM tok)
+            ),
+            pw(j, f) AS (VALUES {_fp_pows}),
+            big AS (
+                SELECT doc_id, i,
+                       CAST(sum(
+                           ((h % 4294967296) * f
+                            + ((h // 4294967296) * f % 4294967296)
+                              * 4294967296)
+                           % 18446744073709551616
+                       ) % 18446744073709551616 AS HUGEINT) AS wh
+                FROM (
+                    SELECT th.doc_id, th.p - pw.j AS i, th.h, pw.f
+                    FROM th JOIN pw
+                      ON th.p - pw.j >= 0 AND th.p - pw.j <= th.n - 8
+                    WHERE th.n >= 8
+                )
+                GROUP BY doc_id, i
+            ),
+            small AS (SELECT doc_id, h AS wh FROM th WHERE n < 8),
+            zero AS (
+                SELECT doc_id, CAST(0 AS HUGEINT) AS wh
+                FROM tok WHERE len(ts) = 0
+            ),
+            allw AS (
+                SELECT doc_id, wh FROM big
+                UNION ALL SELECT doc_id, wh FROM small
+                UNION ALL SELECT doc_id, wh FROM zero
+            )
+            SELECT doc_id, CAST(rn - 1 AS BIGINT) AS rank,
+                   CAST(wh % 9223372036854775808 AS BIGINT) AS fp
+            FROM (SELECT doc_id, wh, row_number() OVER (
+                      PARTITION BY doc_id ORDER BY wh ASC) AS rn
+                  FROM allw)
+            WHERE rn <= 4
+        """,
         "fingerprint_md5": """
             SELECT doc_id,
                    md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
@@ -1155,6 +1244,52 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": """
             SELECT min(doc_id) AS kept_doc_id, count(*) AS dup_count
             FROM documents GROUP BY text
+        """,
+        # PII scrub (engine/textops.py PII_PATTERNS): replay the injection
+        # and the sequential email -> ipv4 -> phone subn chain; counts are
+        # taken from the SAME intermediate string each pass sees
+        "pii_scrub": r"""
+            WITH inj AS (
+                SELECT doc_id,
+                       text
+                       || CASE WHEN doc_id % 3 = 0
+                          THEN ' contact' || CAST(doc_id AS VARCHAR)
+                               || '@mail.example' ELSE '' END
+                       || CASE WHEN doc_id % 5 = 0
+                          THEN ' 10.' || CAST(doc_id % 256 AS VARCHAR)
+                               || '.0.1' ELSE '' END
+                       || CASE WHEN doc_id % 7 = 0
+                          THEN ' 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR),
+                                               4, '0') ELSE '' END
+                           AS t
+                FROM documents
+            ),
+            s1 AS (
+                SELECT doc_id,
+                       regexp_replace(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}',
+                                      '<EMAIL>', 'g') AS t1,
+                       len(regexp_extract_all(
+                           t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS n_email
+                FROM inj
+            ),
+            s2 AS (
+                SELECT doc_id, n_email,
+                       regexp_replace(
+                           t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                           '<IP>', 'g') AS t2,
+                       len(regexp_extract_all(
+                           t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+                           AS n_ipv4
+                FROM s1
+            )
+            SELECT doc_id,
+                   regexp_replace(t2, '\b555-\d{4}\b', '<PHONE>', 'g')
+                       AS text_clean,
+                   CAST(n_email AS BIGINT) AS n_email,
+                   CAST(n_ipv4 AS BIGINT) AS n_ipv4,
+                   CAST(len(regexp_extract_all(t2, '\b555-\d{4}\b')) AS BIGINT)
+                       AS n_phone
+            FROM s2
         """,
         # exact set-similarity self-join over the recrawl-style union
         # (originals + 3-token-appended copies): distinct 3-token shingles

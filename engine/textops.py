@@ -678,3 +678,68 @@ def host_page_stats(ds):
             Sum("sum_tokens", alias_name="sum_tokens"),
         )
     )
+
+
+# PII scrubbing: the standard pre-training redaction pass. Patterns are
+# RE2-compatible (no lookaround) and applied in a FIXED order (email ->
+# ipv4 -> phone) so the DuckDB oracle replays them identically; the corpus
+# is lowercase ASCII so Python-re vs RE2 \w/\d class differences are moot.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\b555-\d{4}\b", "<PHONE>"),
+)
+_PII_RES = tuple((name, re.compile(pat), repl) for name, pat, repl in PII_PATTERNS)
+
+
+def pii_scrub_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Redact emails / IPv4s / phone-shaped strings, returning the clean
+    text plus per-kind match counts (doc_id, text_clean, n_email, n_ipv4,
+    n_phone). Compiled patterns are module-level (one compile per
+    process); counts are integers so the oracle is dtype-exact."""
+    texts = batch.column(text_col).to_pylist()
+    n = len(texts)
+    clean: list[str] = []
+    counts = {name: np.zeros(n, dtype=np.int64) for name, _, _ in _PII_RES}
+    for i, t in enumerate(texts):
+        s = t or ""
+        for name, rx, repl in _PII_RES:
+            s, k = rx.subn(repl, s)
+            counts[name][i] = k
+        clean.append(s)
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "text_clean": pa.array(clean, type=pa.string()),
+            "n_email": pa.array(counts["email"]),
+            "n_ipv4": pa.array(counts["ipv4"]),
+            "n_phone": pa.array(counts["phone"]),
+        }
+    )
+
+
+def rolling_fingerprint_rows_batch(
+    batch: pa.Table, window: int = 8, keep: int = 4, text_col: str = "text"
+) -> pa.Table:
+    """rolling_fingerprint_batch exploded to (doc_id, rank, fp) rows —
+    scalar columns so the winnowing fingerprints get an exact SQL oracle
+    (list-typed columns repr differently across engines). rank follows the
+    UNMASKED uint64 ascending order the selection uses."""
+    t = rolling_fingerprint_batch(batch, window=window, keep=keep, text_col=text_col)
+    docs = t.column("doc_id").to_numpy()
+    lists = t.column("minhashes").to_pylist()
+    d_out: list[int] = []
+    r_out: list[int] = []
+    f_out: list[int] = []
+    for d, fps in zip(docs.tolist(), lists):
+        for r, fp in enumerate(fps):
+            d_out.append(d)
+            r_out.append(r)
+            f_out.append(fp)
+    return pa.table(
+        {
+            "doc_id": pa.array(d_out, type=pa.int64()),
+            "rank": pa.array(r_out, type=pa.int64()),
+            "fp": pa.array(f_out, type=pa.int64()),
+        }
+    )

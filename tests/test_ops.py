@@ -892,3 +892,26 @@ def test_host_page_stats(ray_session):
     assert out["host"].tolist() == ["a.example", "b.example"]
     assert out["n_docs"].tolist() == [2, 1]
     assert out["sum_tokens"].tolist() == [3, 3]
+
+
+def test_pii_scrub_batch_golden():
+    from engine.textops import pii_scrub_batch
+
+    b = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+            "text": [
+                "write to bob.smith+x@mail.example today",
+                "server at 10.3.0.1 and call 555-0042 now",
+                "",
+                "no pii here",
+            ],
+        }
+    )
+    out = pii_scrub_batch(b).to_pydict()
+    assert out["text_clean"][0] == "write to <EMAIL> today"
+    assert out["text_clean"][1] == "server at <IP> and call <PHONE> now"
+    assert out["text_clean"][2] == ""
+    assert out["n_email"] == [1, 0, 0, 0]
+    assert out["n_ipv4"] == [0, 1, 0, 0]
+    assert out["n_phone"] == [0, 1, 0, 0]
