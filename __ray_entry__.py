@@ -3,9 +3,9 @@
 ``entry()`` runs the flagship pipeline (pages fixture → extract → SPIMI
 invert → salted groupby-term merge → BM25 actor-pool search) at sf0.001.
 ``queries()`` exposes one entry per implemented operator family from
-SURVEY.md §2 (+ the training-data extras) — 109 entries as of round 3;
+SURVEY.md §2 (+ the training-data extras) — 110 entries as of round 3;
 ``oracle_sql()`` gives DuckDB equivalents where SQL can express the
-semantics (83 exact oracles) — index-derived entries (term stats, title
+semantics (84 exact oracles) — index-derived entries (term stats, title
 field stats, norms via the embedded SmallFloat byte4 table, token
 counts, phrase/sloppy matching via position self-joins, nested boolean
 set algebra, DV facets/sort, keep-latest dedup) are thereby checked
@@ -384,6 +384,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "payload_term_stats": pipelines.payload_term_stats,
         "terms_component": pipelines.terms_component,
         "sort_by_fields": pipelines.sort_by_fields,
+        "dv_update_sort": pipelines.dv_update_sort,
         "group_heads_orders": relational.group_heads_orders,
         "join_util_topk": pipelines.join_util_topk,
         "bm25_bool_nested": pipelines.bool_nested_match_docs,
@@ -929,6 +930,20 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY t
             ) WHERE term >= 'd' AND term < 'n'
             ORDER BY term LIMIT 20
+        """,
+        # updateNumericDocValue generation: 'dup' docs get n_chars = 9999,
+        # then the DV sort over 'data' matches reflects the update
+        "dv_update_sort": f"""
+            SELECT CAST(rn - 1 AS BIGINT) AS rank, doc_id, n_chars FROM (
+                SELECT doc_id,
+                       CAST(CASE WHEN list_contains({_TOK}, 'dup')
+                            THEN 9999 ELSE n_chars END AS BIGINT) AS n_chars,
+                       row_number() OVER (
+                           ORDER BY CASE WHEN list_contains({_TOK}, 'dup')
+                                    THEN 9999 ELSE n_chars END DESC,
+                                    doc_id ASC) AS rn
+                FROM documents WHERE list_contains({_TOK}, 'data')
+            ) WHERE rn <= 20
         """,
         # multi-key DocValues sort: matches of 'data' by the comparator
         # cascade (n_chars desc, lang asc, doc_id asc) top 20

@@ -42,13 +42,16 @@ class DocValuesReader:
 
     _CACHE_MAX = 64
 
-    def __init__(self, partitions: list[dict]):
+    def __init__(self, partitions: list[dict], updates: dict | None = None):
         rows = sorted(partitions, key=lambda r: int(r["doc_base"]))
         self._lo = np.array([int(r["doc_base"]) for r in rows], dtype=np.int64)
         self._hi = np.array(
             [int(r["doc_base"]) + int(r["n_docs"]) for r in rows], dtype=np.int64
         )
         self._dirs = [r["seg_dir"] for r in rows]
+        # col -> (sorted doc_ids, values) overlay from DV-update
+        # generations (dv_update_map); applied on top of every lookup
+        self._updates = updates or {}
         from collections import OrderedDict
 
         self._cache: "OrderedDict[tuple[int, str], tuple[np.ndarray, np.ndarray]]" = (
@@ -92,7 +95,17 @@ class DocValuesReader:
             hit = r_docs[pos] == docs[m]
             sel = np.flatnonzero(m)
             out[sel[hit]] = r_vals[pos[hit]]
-        return out if out is not None else np.empty(0)
+        if out is None:
+            return np.empty(0)
+        upd = self._updates.get(col)
+        if upd is not None and len(upd[0]):
+            uids, uvals = upd
+            pos = np.searchsorted(uids, docs)
+            pos = np.clip(pos, 0, len(uids) - 1)
+            hit = uids[pos] == docs
+            out = out.astype(np.asarray(uvals).dtype, copy=False)
+            out[hit] = np.asarray(uvals)[pos[hit]]
+        return out
 
 
 def read_doc_values_dataset(manifest: dict, columns: list[str]):
@@ -200,3 +213,92 @@ def range_facet_counts(
             "cnt": pa.array(total, type=pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# in-place numeric DocValues updates (IndexWriter.updateNumericDocValue,
+# core/index/IndexWriter.java:1715: one long value for every doc matching
+# a term, applied as a new DV generation without rewriting segments)
+# ---------------------------------------------------------------------------
+
+
+def _merged_manifest_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "merged", "manifest.json")
+
+
+def dv_update_map(index_dir: str) -> dict:
+    """Current DV-update overlay: {col: (sorted doc_ids, values)} from the
+    manifest's dv_updates generation files (empty if none)."""
+    import json
+
+    with open(_merged_manifest_path(index_dir)) as f:
+        m = json.load(f)
+    out = {}
+    for col, path in (m.get("dv_updates") or {}).items():
+        if os.path.exists(path):
+            t = pq.read_table(path)
+            out[col] = (
+                t.column("doc_id").to_numpy().astype(np.int64),
+                t.column("value").to_numpy(),
+            )
+    return out
+
+
+def update_numeric_docvalue(
+    index_dir: str, term: str, field: str, value: int, term_field: str = "body"
+) -> int:
+    """updateNumericDocValue(new Term(term_field, term), field, value):
+    set ``field``'s DV to ``value`` for every doc containing ``term``.
+    Mirrors the deletes module's generation contract — a content-addressed
+    sidecar parquet referenced from the merged manifest replaces the old
+    generation atomically; segments are never rewritten and later updates
+    win per doc. Like deletions, updates target a REPLICA or post-build
+    index, never the shared build cache. Returns the total number of
+    docs with an updated value after the operation."""
+    import hashlib
+    import json
+
+    from .checkpoint import load_merge_manifest
+    from .search import IndexSearcher
+
+    mpath = _merged_manifest_path(index_dir)
+    with open(mpath) as f:
+        manifest = json.load(f)
+    searcher = IndexSearcher(load_merge_manifest(index_dir))
+    segs = (
+        searcher.segments if term_field == "body" else searcher.fields[term_field][0]
+    )
+    hit = [seg.postings(term)[0] for seg in segs]
+    new_ids = np.concatenate(hit) if hit else np.empty(0, dtype=np.int64)
+    old = dv_update_map(index_dir).get(field)
+    if old is not None and len(old[0]):
+        # latest wins per doc: drop old rows overwritten by this update
+        keep = ~np.isin(old[0], new_ids)
+        ids = np.concatenate([old[0][keep], new_ids])
+        vals = np.concatenate(
+            [old[1][keep], np.full(len(new_ids), value, dtype=np.int64)]
+        )
+    else:
+        ids = new_ids
+        vals = np.full(len(new_ids), value, dtype=np.int64)
+    order = np.argsort(ids, kind="stable")
+    ids, vals = ids[order].astype(np.int64), vals[order]
+    gen = hashlib.md5(ids.tobytes() + vals.tobytes() + field.encode()).hexdigest()[:12]
+    gen_path = os.path.join(index_dir, "merged", f"dvup-{field}-{gen}.parquet")
+    tmp = gen_path + ".tmp"
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "value": pa.array(vals, type=pa.int64()),
+            }
+        ),
+        tmp,
+    )
+    os.replace(tmp, gen_path)
+    manifest.setdefault("dv_updates", {})[field] = gen_path
+    mtmp = mpath + ".tmp"
+    with open(mtmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(mtmp, mpath)
+    return int(len(ids))

@@ -1548,3 +1548,44 @@ def sort_by_fields(sf_dir: str, term: str = "data", k: int = 20) -> pa.Table:
             "lang": pa.array([str(x) for x in lang[order]], type=pa.string()),
         }
     )
+
+
+def dv_update_sort(sf_dir: str, k: int = 20) -> pa.Table:
+    """In-place numeric DocValues update + sort-by-field
+    (IndexWriter.updateNumericDocValue, IndexWriter.java:1715): replicate
+    the index, set n_chars = 9999 for every doc containing 'dup' (a new DV
+    generation — segments untouched), then the (n_chars DESC, doc_id ASC)
+    top-k of 'data' matches reflects the UPDATED values served through the
+    DocValuesReader overlay. Oracle: same CASE expression over documents."""
+    from .checkpoint import load_merge_manifest
+    from .docvalues import DocValuesReader, dv_update_map, update_numeric_docvalue
+    from .replicate import replicate_index
+    from .search import IndexSearcher
+
+    idx = get_index(sf_dir)
+    replica = idx["index_dir"].rstrip("/") + "-replica-dvu"
+    replicate_index(idx["index_dir"], replica)
+    update_numeric_docvalue(replica, "dup", field="n_chars", value=9999)
+    searcher = IndexSearcher(load_merge_manifest(replica))
+    docs_all = [seg.postings("data")[0] for seg in searcher.segments]
+    docs = np.concatenate(docs_all) if docs_all else np.empty(0, dtype=np.int64)
+    if len(docs) == 0:
+        return pa.table(
+            {
+                "rank": pa.array([], type=pa.int64()),
+                "doc_id": pa.array([], type=pa.int64()),
+                "n_chars": pa.array([], type=pa.int64()),
+            }
+        )
+    dv = DocValuesReader(
+        idx["build_manifest"]["partitions"], updates=dv_update_map(replica)
+    )
+    n_chars = dv.values_for(docs, "n_chars").astype(np.int64)
+    order = np.lexsort((docs, -n_chars))[:k]
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(len(order)), type=pa.int64()),
+            "doc_id": pa.array(docs[order], type=pa.int64()),
+            "n_chars": pa.array(n_chars[order], type=pa.int64()),
+        }
+    )

@@ -117,3 +117,78 @@ def test_dv_range_facet_counts(dv_corpus):
     assert out[out["label"] == "empty"]["cnt"].iloc[0] == 0
     # overlap proves a doc can be counted twice across ranges
     assert out["cnt"].iloc[:2].sum() == len(vals)
+
+
+def test_dv_reader_update_overlay(dv_corpus):
+    m = dv_corpus["manifest"]
+    base = DocValuesReader(m["partitions"])
+    docs = np.array([5, 105, 205, 299], dtype=np.int64)
+    orig = base.values_for(docs, "n_chars").astype(np.int64)
+    upd = {
+        "n_chars": (
+            np.array([105, 299], dtype=np.int64),
+            np.array([7777, 8888], dtype=np.int64),
+        )
+    }
+    over = DocValuesReader(m["partitions"], updates=upd)
+    got = over.values_for(docs, "n_chars").astype(np.int64)
+    assert got.tolist() == [int(orig[0]), 7777, int(orig[2]), 8888]
+    # untouched column unaffected
+    assert (over.values_for(docs, "lang") == base.values_for(docs, "lang")).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_update_numeric_docvalue_generations(tmp_path):
+    import duckdb
+
+    from engine.checkpoint import load_merge_manifest
+    from engine.docvalues import (
+        DocValuesReader,
+        dv_update_map,
+        update_numeric_docvalue,
+    )
+    from engine.pipelines import get_index
+    from engine.replicate import replicate_index
+    from engine.search import IndexSearcher
+
+    idx = get_index("/root/testdata/sf0.001")
+    replica = str(tmp_path / "replica")
+    replicate_index(idx["index_dir"], replica)
+
+    n = update_numeric_docvalue(replica, "dup", field="n_chars", value=9999)
+    assert n > 0
+    # idempotent re-apply
+    assert update_numeric_docvalue(replica, "dup", field="n_chars", value=9999) == n
+
+    dup_docs = duckdb.sql("""
+        SELECT doc_id FROM read_parquet(
+            '/root/testdata/sf0.001/documents.parquet')
+        WHERE list_contains(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                            'dup') ORDER BY doc_id
+    """).fetchdf()["doc_id"].to_numpy()
+    assert n == len(dup_docs)
+
+    dv = DocValuesReader(
+        idx["build_manifest"]["partitions"], updates=dv_update_map(replica)
+    )
+    got = dv.values_for(dup_docs, "n_chars").astype(np.int64)
+    assert (got == 9999).all()
+
+    # latest-wins: a second update over an OVERLAPPING set ('data' docs)
+    searcher = IndexSearcher(load_merge_manifest(replica))
+    update_numeric_docvalue(replica, "data", field="n_chars", value=1111)
+    data_docs = np.concatenate(
+        [seg.postings("data")[0] for seg in searcher.segments]
+    )
+    dv2 = DocValuesReader(
+        idx["build_manifest"]["partitions"], updates=dv_update_map(replica)
+    )
+    both = np.intersect1d(dup_docs, data_docs)
+    only_dup = np.setdiff1d(dup_docs, data_docs)
+    if len(both):
+        assert (dv2.values_for(both, "n_chars").astype(np.int64) == 1111).all()
+    if len(only_dup):
+        assert (dv2.values_for(only_dup, "n_chars").astype(np.int64) == 9999).all()
+    # the primary index's sidecars are untouched
+    base = DocValuesReader(idx["build_manifest"]["partitions"])
+    assert (base.values_for(dup_docs, "n_chars").astype(np.int64) != 9999).any()
