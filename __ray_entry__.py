@@ -3,9 +3,9 @@
 ``entry()`` runs the flagship pipeline (pages fixture → extract → SPIMI
 invert → salted groupby-term merge → BM25 actor-pool search) at sf0.001.
 ``queries()`` exposes one entry per implemented operator family from
-SURVEY.md §2 (+ the training-data extras) — 110 entries as of round 3;
+SURVEY.md §2 (+ the training-data extras) — 112 entries as of round 3;
 ``oracle_sql()`` gives DuckDB equivalents where SQL can express the
-semantics (84 exact oracles) — index-derived entries (term stats, title
+semantics (86 exact oracles) — index-derived entries (term stats, title
 field stats, norms via the embedded SmallFloat byte4 table, token
 counts, phrase/sloppy matching via position self-joins, nested boolean
 set algebra, DV facets/sort, keep-latest dedup) are thereby checked
@@ -116,6 +116,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def q_exact_dedup(sf_dir):
         return dedup.exact_dedup(_docs(sf_dir))
+
+    def q_url_canon(sf_dir):
+        """URL canonicalization over the pages fixture's urls with a
+        deterministic tracking-param/fragment soup appended; the oracle
+        rebuilds the injected url from doc_id and replays the transform."""
+        import ray.data
+
+        from engine.pipelines import get_index
+
+        idx = get_index(sf_dir)
+        pages_dir = os.path.dirname(idx["index_dir"]) + "/pages"
+        ds = ray.data.read_parquet(pages_dir, columns=["doc_id", "url"])
+
+        def inject(b):
+            did = b.column("doc_id").to_numpy()
+            urls = b.column("url").to_pylist()
+            out = [
+                f"{u}?utm_source=s{d % 7}&id={d}&gclid=g{d}#sec{d % 3}"
+                for d, u in zip(did.tolist(), urls)
+            ]
+            return pa.table(
+                {"doc_id": b.column("doc_id"), "url": pa.array(out, type=pa.string())}
+            )
+
+        return ds.map_batches(inject, batch_format="pyarrow", **_rargs()).map_batches(
+            textops.canonicalize_url_batch, batch_format="pyarrow", **_rargs()
+        )
 
     def q_pii_scrub(sf_dir):
         """PII redaction over a deterministic injection: doc_id-derived
@@ -404,6 +431,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "more_like_this_terms": pipelines.more_like_this_terms,
         "more_like_this_topk": pipelines.more_like_this_topk,
         "prefix_complete": pipelines.prefix_complete_body,
+        "fuzzy_complete": pipelines.fuzzy_complete_body,
         "word_breaks": pipelines.word_breaks_body,
         "block_join_orders": relational.block_join_top_orders,
         "bm25_snippets": pipelines.bm25_snippets,
@@ -424,6 +452,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- dedup ---------------------------------------------------------
         "exact_dedup": q_exact_dedup,
         "pii_scrub": q_pii_scrub,
+        "url_canonicalize": q_url_canon,
         "line_dedup_stats": q_line_dedup,
         "gopher_repetition": q_gopher_repetition,
         "host_doc_counts": q_host_stats,
@@ -1260,6 +1289,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(doc_id) AS kept_doc_id, count(*) AS dup_count
             FROM documents GROUP BY text
         """,
+        # URL canonicalization (engine/textops.py canonicalize_url_batch):
+        # rebuild the injected url from doc_id (fixtures.py:85 + the
+        # entry's param soup), then replay base-extract / param-filter
+        "url_canonicalize": """
+            WITH inj AS (
+                SELECT doc_id,
+                       'https://site' || CAST(doc_id % 50 AS VARCHAR)
+                       || '.example/p/' || CAST(doc_id AS VARCHAR)
+                       || '?utm_source=s' || CAST(doc_id % 7 AS VARCHAR)
+                       || '&id=' || CAST(doc_id AS VARCHAR)
+                       || '&gclid=g' || CAST(doc_id AS VARCHAR)
+                       || '#sec' || CAST(doc_id % 3 AS VARCHAR) AS u
+                FROM documents
+            ),
+            parsed AS (
+                SELECT doc_id,
+                       regexp_extract(u, '^[^?#]*') AS base,
+                       regexp_extract_all(u, '[?&]([^&#]+)', 1) AS params,
+                       list_filter(
+                           regexp_extract_all(u, '[?&]([^&#]+)', 1),
+                           p -> NOT regexp_matches(
+                               p, '^(utm_[a-z]+|fbclid|gclid)=')) AS keep
+                FROM inj
+            )
+            SELECT doc_id,
+                   base || CASE WHEN len(keep) > 0
+                       THEN '?' || array_to_string(keep, '&') ELSE '' END
+                       AS url_canon,
+                   CAST(len(params) - len(keep) AS BIGINT) AS n_dropped
+            FROM parsed
+        """,
         # PII scrub (engine/textops.py PII_PATTERNS): replay the injection
         # and the sequential email -> ipv4 -> phone subn chain; counts are
         # taken from the SAME intermediate string each pass sees
@@ -1551,6 +1611,31 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY dist ASC, df DESC, term ASC) AS rn
                 FROM cand
             ) WHERE rn <= 5
+        """,
+        # FuzzySuggester: completions whose len(key)-prefix is within 1
+        # classic-Levenshtein edit of the key (first char exact; keys < 3
+        # chars exact-prefix), ranked by (df desc, term asc)
+        "fuzzy_complete": f"""
+            WITH td AS (
+                SELECT term, count(*) AS df FROM ({tok_pairs}) GROUP BY term
+            ),
+            q AS (SELECT unnest(['dara', 'joyn', 'wixdow', 'cu', 'qxery']) AS key),
+            cand AS (
+                SELECT q.key, td.term, td.df
+                FROM q CROSS JOIN td
+                WHERE substr(td.term, 1, 1) = substr(q.key, 1, 1)
+                  AND CASE WHEN length(q.key) < 3
+                      THEN substr(td.term, 1, length(q.key)) = q.key
+                      ELSE levenshtein(
+                          q.key, substr(td.term, 1, length(q.key))) <= 1
+                      END
+            )
+            SELECT key, CAST(rn - 1 AS BIGINT) AS rank,
+                   term AS suggestion, df
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY key ORDER BY df DESC, term ASC) AS rn
+                  FROM cand)
+            WHERE rn <= 10
         """,
         # prefix completion ranked by weight (df), ties term asc
         "prefix_complete": f"""

@@ -1589,3 +1589,15 @@ def dv_update_sort(sf_dir: str, k: int = 20) -> pa.Table:
             "n_chars": pa.array(n_chars[order], type=pa.int64()),
         }
     )
+
+
+def fuzzy_complete_body(sf_dir: str) -> pa.Table:
+    """FuzzySuggester completions over the merged body dictionary: keys
+    with an embedded typo complete to high-df terms whose same-length
+    prefix is within 1 edit (first char exact; keys < 3 chars exact).
+    Exact oracle via substr + DuckDB levenshtein."""
+    from .suggest import fuzzy_complete
+
+    idx = get_index(sf_dir)
+    keys = ["dara", "joyn", "wixdow", "cu", "qxery"]
+    return fuzzy_complete(idx["merge_manifest"], keys, max_edits=1, top_n=10)

@@ -386,3 +386,87 @@ def free_text_suggest(
             "score": pa.array(out["score"], type=pa.int64()),
         }
     )
+
+
+def fuzzy_complete(
+    merge_manifest: dict,
+    keys: list[str],
+    max_edits: int = 1,
+    min_fuzzy_length: int = 3,
+    top_n: int = 10,
+):
+    """Typo-tolerant completion — the FuzzySuggester role
+    (suggest/analyzing/FuzzySuggester.java:60-103): a completion matches
+    when the first len(key) chars of the dictionary term are within
+    ``max_edits`` (default 1, the reference default) of the key, with the
+    reference's guards — the FIRST character must match exactly
+    (NON_FUZZY_PREFIX = 1, :88) and keys shorter than
+    ``min_fuzzy_length`` (DEFAULT_MIN_FUZZY_LENGTH = 3, :94) match their
+    prefix exactly. Ranked by (df desc, term asc) top_n per key.
+    Documented deviations: classic Levenshtein instead of the FST
+    automaton's transposition edits (same deviation as spell_suggest,
+    keeps the DuckDB oracle bit-exact), and no exactFirst promotion.
+
+    Same Ray shape as spell_suggest: one pruned (term, df) scan where
+    the dictionary lives, per-batch partial top-n, driver-small reduce."""
+    import ray
+    import ray.data
+
+    shard_paths = [s["path"] for s in merge_manifest["shards"]]
+    keys_l = [k.lower() for k in keys]
+    keys_ref = ray.put(keys_l)
+
+    def _cand(batch: pa.Table) -> pa.Table:
+        kl = ray.get(keys_ref)
+        terms = batch.column("term").to_pylist()
+        dfs = batch.column("df").to_numpy()
+        out = {"key": [], "suggestion": [], "df": []}
+        for k in kl:
+            n = len(k)
+            scored = []
+            for i, t in enumerate(terms):
+                if not t or t[0] != k[0]:
+                    continue
+                pref = t[:n]
+                if n < min_fuzzy_length:
+                    if pref != k:
+                        continue
+                elif levenshtein_banded(k, pref, max_edits) > max_edits:
+                    continue
+                scored.append((-int(dfs[i]), t))
+            scored.sort()
+            for ndf, t in scored[:top_n]:
+                out["key"].append(k)
+                out["suggestion"].append(t)
+                out["df"].append(-ndf)
+        return pa.table(
+            {
+                "key": pa.array(out["key"], type=pa.string()),
+                "suggestion": pa.array(out["suggestion"], type=pa.string()),
+                "df": pa.array(out["df"], type=pa.int64()),
+            }
+        )
+
+    partials = (
+        ray.data.read_parquet(shard_paths, columns=["term", "df"])
+        .map_batches(_cand, batch_format="pyarrow", **_rargs())
+        .take_all()
+    )
+    by_key: dict[str, list] = {k: [] for k in keys_l}
+    for r in partials:
+        by_key[r["key"]].append((-int(r["df"]), r["suggestion"]))
+    out = {"key": [], "rank": [], "suggestion": [], "df": []}
+    for k in keys_l:
+        for rank, (ndf, t) in enumerate(sorted(by_key[k])[:top_n]):
+            out["key"].append(k)
+            out["rank"].append(rank)
+            out["suggestion"].append(t)
+            out["df"].append(-ndf)
+    return pa.table(
+        {
+            "key": pa.array(out["key"], type=pa.string()),
+            "rank": pa.array(out["rank"], type=pa.int64()),
+            "suggestion": pa.array(out["suggestion"], type=pa.string()),
+            "df": pa.array(out["df"], type=pa.int64()),
+        }
+    )

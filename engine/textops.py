@@ -743,3 +743,35 @@ def rolling_fingerprint_rows_batch(
             "fp": pa.array(f_out, type=pa.int64()),
         }
     )
+
+
+# URL canonicalization: the crawl-pipeline normalization pass before
+# url-keyed dedup. Fragment dropped, tracking params removed, param order
+# preserved — each step is a regex/list transform the SQL oracle replays
+# verbatim (host lowercasing is out of scope: fixture hosts are lowercase).
+_URL_BASE_RE = re.compile(r"^[^?#]*")
+_URL_PARAM_RE = re.compile(r"[?&]([^&#]+)")
+_URL_TRACKING_RE = re.compile(r"^(utm_[a-z]+|fbclid|gclid)=")
+
+
+def canonicalize_url_batch(batch: pa.Table, url_col: str = "url") -> pa.Table:
+    """(doc_id, url_canon, n_dropped): strip the #fragment, drop
+    utm_*/fbclid/gclid query params (keeping the rest in order), count
+    what was removed."""
+    urls = batch.column(url_col).to_pylist()
+    canon: list[str] = []
+    dropped = np.zeros(len(urls), dtype=np.int64)
+    for i, u in enumerate(urls):
+        u = u or ""
+        base = _URL_BASE_RE.match(u).group(0)
+        params = _URL_PARAM_RE.findall(u)
+        keep = [p for p in params if not _URL_TRACKING_RE.match(p)]
+        dropped[i] = len(params) - len(keep)
+        canon.append(base + ("?" + "&".join(keep) if keep else ""))
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "url_canon": pa.array(canon, type=pa.string()),
+            "n_dropped": pa.array(dropped),
+        }
+    )

@@ -915,3 +915,28 @@ def test_pii_scrub_batch_golden():
     assert out["n_email"] == [1, 0, 0, 0]
     assert out["n_ipv4"] == [0, 1, 0, 0]
     assert out["n_phone"] == [0, 1, 0, 0]
+
+
+def test_canonicalize_url_batch_golden():
+    from engine.textops import canonicalize_url_batch
+
+    b = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+            "text": ["", "", "", ""],
+            "url": [
+                "https://a.example/p?utm_source=x&id=3&gclid=z#top",
+                "https://a.example/p?id=3",
+                "https://a.example/p#frag",
+                "https://a.example/p?utm_campaign=c",
+            ],
+        }
+    )
+    out = canonicalize_url_batch(b).to_pydict()
+    assert out["url_canon"] == [
+        "https://a.example/p?id=3",
+        "https://a.example/p?id=3",
+        "https://a.example/p",
+        "https://a.example/p",
+    ]
+    assert out["n_dropped"] == [2, 0, 0, 1]

@@ -217,3 +217,30 @@ def test_freetext_train_counts():
         ON a.doc_id=b.doc_id AND b.p=a.p+1 GROUP BY a.t, b.t
     """).fetchall()
     assert m["big"] == {(a, b): int(c) for a, b, c in exp_big}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_fuzzy_complete_guards_and_rank():
+    from engine.pipelines import get_index
+    from engine.suggest import fuzzy_complete
+
+    idx = get_index("/root/testdata/sf0.001")
+    out = fuzzy_complete(
+        idx["merge_manifest"], ["dara", "cu", "xata", "q"], max_edits=1, top_n=10
+    ).to_pandas()
+    by_key = dict(tuple(out.groupby("key")))
+    # 1-substitution prefix matches 'data' (and any other da?a-prefixed term)
+    assert "data" in by_key["dara"]["suggestion"].tolist()
+    # keys shorter than min_fuzzy_length match exact-prefix only
+    assert all(s.startswith("cu") for s in by_key["cu"]["suggestion"])
+    if "q" in by_key:
+        assert all(s.startswith("q") for s in by_key["q"]["suggestion"])
+    # first character must match exactly (NON_FUZZY_PREFIX = 1): 'xata'
+    # must NOT suggest 'data' even though it is 1 edit away
+    if "xata" in by_key:
+        assert "data" not in by_key["xata"]["suggestion"].tolist()
+    # rank follows (df desc, term asc) within each key
+    for k, g in by_key.items():
+        g = g.sort_values("rank")
+        pairs = list(zip(-g["df"].to_numpy(), g["suggestion"]))
+        assert pairs == sorted(pairs), k
