@@ -215,7 +215,36 @@ class ClassicScorerParams(TermScorerParams):
         return np.float32(self.score(np.asarray(imp_freq), np.asarray(imp_norm)).max())
 
 
+def make_sweetspot_scorer(
+    doc_freq: int,
+    doc_count: int,
+    sum_total_term_freq: int,  # unused (TF-IDF family); interface parity
+    boost: np.float32 = np.float32(1.0),
+    ln_min: int = 1,
+    ln_max: int = 1,
+    steepness: float = 0.5,
+) -> TermScorerParams:
+    """SweetSpotSimilarity (misc/.../SweetSpotSimilarity.java:47-120):
+    ClassicSimilarity with a plateau length norm —
+
+        lengthNorm(L) = 1 / sqrt(steepness * (|L - min| + |L - max|
+                                  - (max - min)) + 1)
+
+    so documents whose length sits inside [ln_min, ln_max] score as if
+    perfectly normal (norm 1) and the penalty ramps up outside the
+    plateau (computeLengthNorm, :103-110). tf/idf are inherited from the
+    classic model; the norm byte decodes through the same SmallFloat
+    length table, so the 256-entry cache just bakes the plateau curve."""
+    idf_c = np.float32(math.log((doc_count + 1) / (doc_freq + 1)) + 1.0)
+    w = np.multiply(boost, np.multiply(idf_c, idf_c, dtype=np.float32), dtype=np.float32)
+    L = LENGTH_TABLE.astype(np.float64)
+    hyp = steepness * (np.abs(L - ln_min) + np.abs(L - ln_max) - (ln_max - ln_min)) + 1.0
+    cache = np.divide(np.float32(1.0), np.sqrt(hyp).astype(np.float32), dtype=np.float32)
+    return ClassicScorerParams(weight=w, cache=cache)
+
+
 SIMILARITIES = {
     "bm25": make_term_scorer,
     "classic": make_classic_scorer,
+    "sweetspot": make_sweetspot_scorer,
 }

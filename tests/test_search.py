@@ -876,3 +876,25 @@ def test_multi_phrase_in_nested_bool(corpus):
     flat_d, _ = s.search('"the00|the01 the02"', n)
     nest_d, _ = s.search('("the00|the01 the02" zzznomatch)', n)
     assert set(nest_d.tolist()) == set(flat_d.tolist())
+
+
+def test_sweetspot_similarity_plateau(corpus):
+    from engine.bm25 import make_sweetspot_scorer, topk_sort
+    from engine.smallfloat import LENGTH_TABLE
+
+    # plateau: lengths inside [min, max] get lengthNorm exactly 1.0
+    p = make_sweetspot_scorer(10, 1000, 0, ln_min=3, ln_max=10, steepness=0.5)
+    L = LENGTH_TABLE.astype(np.int64)
+    inside = (L >= 3) & (L <= 10)
+    np.testing.assert_array_equal(p.cache[inside], np.float32(1.0))
+    # outside decays per computeLengthNorm: L=20 -> 1/sqrt(0.5*20 + 1)
+    i20 = int(np.flatnonzero(L == 20)[0])
+    assert p.cache[i20] == np.float32(1.0 / np.sqrt(np.float32(11.0)))
+    # pluggable end-to-end: searcher scores == manual sweetspot oracle
+    s = IndexSearcher(corpus["manifest"], algorithm="taat", similarity="sweetspot")
+    docs, scores = s.search("t00000", 10)
+    d, f = corpus["oracle_postings"]["t00000"]
+    params = make_sweetspot_scorer(len(d), corpus["doc_count"], corpus["sum_ttf"])
+    ed, es = topk_sort(d, params.score(f, corpus["norms"][d]), 10)
+    np.testing.assert_array_equal(docs, ed)
+    np.testing.assert_array_equal(scores, es)
