@@ -5,7 +5,7 @@ invert → salted groupby-term merge → BM25 actor-pool search) at sf0.001.
 ``queries()`` exposes one entry per implemented operator family from
 SURVEY.md §2 (+ the training-data extras) — 112 entries as of round 3;
 ``oracle_sql()`` gives DuckDB equivalents where SQL can express the
-semantics (86 exact oracles) — index-derived entries (term stats, title
+semantics (88 exact oracles) — index-derived entries (term stats, title
 field stats, norms via the embedded SmallFloat byte4 table, token
 counts, phrase/sloppy matching via position self-joins, nested boolean
 set algebra, DV facets/sort, keep-latest dedup) are thereby checked
@@ -545,6 +545,22 @@ def oracle_sql() -> dict[str, str]:
     _fp_pows = ", ".join(
         f"({j}, CAST({pow(1099511628211, j, 2**64)} AS HUGEINT))" for j in range(8)
     )
+    # LangId profiles embedded verbatim: the same _trigrams() fold over the
+    # same seeds, so the SQL argmax replays the engine's cosine exactly
+    # (integer dots cast to double, IEEE sqrt both sides; ties go to the
+    # first lang in sorted order = ORDER BY s DESC, lang ASC)
+    from engine.textops import LangId as _LangId
+
+    _prof_rows = []
+    _pnsq_rows = []
+    for _lang in sorted(_LangId.SEEDS):
+        _prof = _LangId._trigrams(_LangId.SEEDS[_lang])
+        _pnsq_rows.append(f"('{_lang}', {sum(v * v for v in _prof.values())})")
+        for _g, _c in sorted(_prof.items()):
+            _gq = _g.replace("'", "''")
+            _prof_rows.append(f"('{_lang}', '{_gq}', {_c})")
+    _prof_values = ", ".join(_prof_rows)
+    _pnsq_values = ", ".join(_pnsq_rows)
     # the QualityScorer stopword set, verbatim (engine/textops.py:79-81)
     _stoplist = (
         "['the', 'a', 'an', 'and', 'or', 'of', 'to', 'in', 'is', 'are', "
@@ -1070,6 +1086,44 @@ def oracle_sql() -> dict[str, str]:
         "token_counts_docs": f"""
             SELECT doc_id, len({_TOK}) AS n_tokens FROM documents
         """,
+        # LangId argmax replayed exactly: char trigrams of the padded
+        # lowercase text, integer dot products against the embedded seed
+        # profiles, cosine in doubles (sqrt both sides is correctly
+        # rounded, Python x**0.5 == sqrt), first-sorted-lang tie-break
+        "langid": f"""
+            WITH doc_s AS (
+                SELECT doc_id, '  ' || lower(text) || '  ' AS s FROM documents
+            ),
+            tg AS (
+                SELECT doc_id, substr(s, CAST(i AS INT), 3) AS g,
+                       count(*) AS c
+                FROM doc_s, range(1, 4096) r(i)
+                WHERE i <= length(s) - 2
+                GROUP BY doc_id, substr(s, CAST(i AS INT), 3)
+            ),
+            tnsq AS (SELECT doc_id, sum(c * c) AS v FROM tg GROUP BY doc_id),
+            prof(lang, g, c) AS (VALUES {_prof_values}),
+            pnsq(lang, v) AS (VALUES {_pnsq_values}),
+            dots AS (
+                SELECT tg.doc_id, prof.lang, sum(tg.c * prof.c) AS dot
+                FROM tg JOIN prof ON tg.g = prof.g
+                GROUP BY tg.doc_id, prof.lang
+            ),
+            scored AS (
+                SELECT t.doc_id, p.lang,
+                       CAST(coalesce(dots.dot, 0) AS DOUBLE)
+                       / (sqrt(CAST(t.v AS DOUBLE)) * sqrt(CAST(p.v AS DOUBLE)))
+                           AS s
+                FROM tnsq t CROSS JOIN pnsq p
+                LEFT JOIN dots
+                  ON dots.doc_id = t.doc_id AND dots.lang = p.lang
+            )
+            SELECT doc_id, lang AS lang_pred FROM (
+                SELECT doc_id, lang, row_number() OVER (
+                    PARTITION BY doc_id ORDER BY s DESC, lang ASC) AS rn
+                FROM scored
+            ) WHERE rn = 1
+        """,
         "shingle_top50": f"""
             WITH toks AS (
                 SELECT doc_id,
@@ -1558,6 +1612,23 @@ def oracle_sql() -> dict[str, str]:
                       BETWEEN -30000 AND 30000
               AND ((doc_id * 40503 + 12345) % 360000) - 180000
                       BETWEEN -60000 AND 90000
+            ORDER BY doc_id
+        """,
+        # LatLonPoint.newDistanceQuery: haversine <= radius over the
+        # doc_id-derived grid. Promoted from rows-only: libm trig differs
+        # across engines only at ulp scale (measured <= 1e-7 m on this
+        # host) while the closest doc to the 2,000 km boundary is 150 m
+        # away over the first 50k doc_ids — the match SET cannot flip
+        "geo_distance_docs": """
+            SELECT doc_id FROM (
+                SELECT doc_id,
+                       ((doc_id * 2654435761) % 180000 - 90000) / 1000.0 AS la,
+                       ((doc_id * 40503 + 12345) % 360000 - 180000) / 1000.0 AS lo
+                FROM documents)
+            WHERE 2.0 * 6371008.7714 * asin(least(1.0, sqrt(
+                      sin(radians(10.0 - la) / 2.0) ** 2
+                    + cos(radians(la)) * cos(radians(10.0))
+                      * sin(radians(20.0 - lo) / 2.0) ** 2))) <= 2000000.0
             ORDER BY doc_id
         """,
         # CollapsingQParser: one head per collapse key (max n_chars, tie
