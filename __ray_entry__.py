@@ -5,7 +5,7 @@ invert → salted groupby-term merge → BM25 actor-pool search) at sf0.001.
 ``queries()`` exposes one entry per implemented operator family from
 SURVEY.md §2 (+ the training-data extras) — 112 entries as of round 3;
 ``oracle_sql()`` gives DuckDB equivalents where SQL can express the
-semantics (88 exact oracles) — index-derived entries (term stats, title
+semantics (89 exact oracles) — index-derived entries (term stats, title
 field stats, norms via the embedded SmallFloat byte4 table, token
 counts, phrase/sloppy matching via position self-joins, nested boolean
 set algebra, DV facets/sort, keep-latest dedup) are thereby checked
@@ -561,6 +561,15 @@ def oracle_sql() -> dict[str, str]:
             _prof_rows.append(f"('{_lang}', '{_gq}', {_c})")
     _prof_values = ", ".join(_prof_rows)
     _pnsq_values = ", ".join(_pnsq_rows)
+    # MinHash permutation coefficients, verbatim (engine/dedup._coeffs
+    # seeded rng 424242): (j, a_j, b_j) rows for the 64 permutations
+    from engine.dedup import _coeffs as _mh_coeffs
+
+    _mh_a, _mh_b = _mh_coeffs()
+    _mh_values = ", ".join(
+        f"({j}, CAST({int(a)} AS HUGEINT), CAST({int(b)} AS HUGEINT))"
+        for j, (a, b) in enumerate(zip(_mh_a.tolist(), _mh_b.tolist()))
+    )
     # the QualityScorer stopword set, verbatim (engine/textops.py:79-81)
     _stoplist = (
         "['the', 'a', 'an', 'and', 'or', 'of', 'to', 'in', 'is', 'are', "
@@ -1419,6 +1428,70 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(t2, '\b555-\d{4}\b')) AS BIGINT)
                        AS n_phone
             FROM s2
+        """,
+        # MinHash+LSH near-dup pairs recomputed END-TO-END in SQL: distinct
+        # 3-token shingles, FNV-1a shingle hashes, the 64 seeded
+        # permutations ((h*a + b) wraps mod 2^64 THEN % (2^61-1), exactly
+        # the engine's uint64 chain via HUGEINT 32-bit-split mulmod),
+        # 16x4 banding by band-vector equality (the engine's md5 band key
+        # collides iff the vectors are equal), candidate pairs, exact
+        # hash-set Jaccard >= 0.7. Fixture-safe assumption documented in
+        # dedup.py: no zero-token docs (those would band-collide with each
+        # other and verify at jaccard 1.0; the corpus has none)
+        "minhash_lsh_pairs": f"""
+            WITH tok AS (SELECT doc_id, {_TOK} AS ts FROM documents),
+            sh AS (
+                SELECT DISTINCT doc_id,
+                       array_to_string(ts[i + 1 : i + 3], ' ') AS s
+                FROM (SELECT doc_id, ts,
+                             unnest(range(CASE WHEN len(ts) >= 3
+                                          THEN len(ts) - 2 ELSE 1 END)) AS i
+                      FROM tok WHERE len(ts) > 0)
+            ),
+            shh AS (
+                SELECT DISTINCT doc_id,
+                       CAST({_fnv_str_sql("s")} AS HUGEINT) AS h
+                FROM sh
+            ),
+            perm(j, a, b) AS (VALUES {_mh_values}),
+            sig AS (
+                SELECT doc_id, j,
+                       min((((h % 4294967296) * a
+                             + ((h // 4294967296) * a % 4294967296)
+                               * 4294967296 + b)
+                            % 18446744073709551616)
+                           % 2305843009213693951) AS v
+                FROM shh CROSS JOIN perm
+                GROUP BY doc_id, j
+            ),
+            bands AS (
+                SELECT doc_id, j // 4 AS band_id,
+                       list(v ORDER BY j) AS key
+                FROM sig GROUP BY doc_id, j // 4
+            ),
+            cand AS (
+                SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+                FROM bands x JOIN bands y
+                  ON x.band_id = y.band_id AND x.key = y.key
+                 AND x.doc_id < y.doc_id
+            ),
+            sz AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
+            inter AS (
+                SELECT c.doc_a, c.doc_b, count(*) AS ni
+                FROM cand c
+                JOIN shh p ON p.doc_id = c.doc_a
+                JOIN shh q ON q.doc_id = c.doc_b AND q.h = p.h
+                GROUP BY c.doc_a, c.doc_b
+            )
+            SELECT c.doc_a, c.doc_b,
+                   coalesce(i.ni, 0)
+                   / (sa.n + sb.n - coalesce(i.ni, 0)) AS jaccard
+            FROM cand c
+            JOIN sz sa ON sa.doc_id = c.doc_a
+            JOIN sz sb ON sb.doc_id = c.doc_b
+            LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+            WHERE coalesce(i.ni, 0)
+                  / (sa.n + sb.n - coalesce(i.ni, 0)) >= 0.7
         """,
         # exact set-similarity self-join over the recrawl-style union
         # (originals + 3-token-appended copies): distinct 3-token shingles
