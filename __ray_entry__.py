@@ -3,9 +3,9 @@
 ``entry()`` runs the flagship pipeline (pages fixture → extract → SPIMI
 invert → salted groupby-term merge → BM25 actor-pool search) at sf0.001.
 ``queries()`` exposes one entry per implemented operator family from
-SURVEY.md §2 (+ the training-data extras) — 112 entries as of round 3;
+SURVEY.md §2 (+ the training-data extras) — 114 entries as of round 3;
 ``oracle_sql()`` gives DuckDB equivalents where SQL can express the
-semantics (89 exact oracles) — index-derived entries (term stats, title
+semantics (91 exact oracles) — index-derived entries (term stats, title
 field stats, norms via the embedded SmallFloat byte4 table, token
 counts, phrase/sloppy matching via position self-joins, nested boolean
 set algebra, DV facets/sort, keep-latest dedup) are thereby checked
@@ -405,6 +405,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "collection_stats": pipelines.collection_stats,
         "doc_norms": pipelines.doc_norms,
         "bm25_topk": pipelines.bm25_search_results,
+        "bm25_scores_exact": pipelines.bm25_scores_exact,
+        "bm25_bool_scores_exact": pipelines.bm25_bool_scores_exact,
         "phrase_match_docs": pipelines.phrase_match_docs,
         "multi_phrase_match_docs": pipelines.multi_phrase_match_docs,
         "join_util_docs": pipelines.join_util_docs,
@@ -561,6 +563,56 @@ def oracle_sql() -> dict[str, str]:
             _prof_rows.append(f"('{_lang}', '{_gq}', {_c})")
     _prof_values = ", ".join(_prof_rows)
     _pnsq_values = ", ".join(_pnsq_rows)
+    # float32-op emulation helpers for the exact BM25 oracle: every
+    # reference float op becomes CAST(<double op on float32 operands> AS
+    # FLOAT) — bit-exact by Figueroa's double-rounding theorem
+    # (53 >= 2*24 + 2 covers +,-,*,/ on binary32)
+    def _f32(expr: str) -> str:
+        return f"CAST({expr} AS FLOAT)"
+
+    def _dd(expr: str) -> str:
+        return f"CAST({expr} AS DOUBLE)"
+
+    def _f32op(a: str, op: str, b: str) -> str:
+        return _f32(f"{_dd(a)} {op} {_dd(b)}")
+
+    # cache[b] = 1f/(k1*((1-b) + b*L/avgdl)) in the reference op order
+    # (BM25Similarity.java:188-191), L = LENGTH_TABLE[norm byte]
+    _bm25_cache_expr = _f32op(
+        "CAST(1.0 AS FLOAT)",
+        "/",
+        _f32op(
+            "CAST(1.2 AS FLOAT)",
+            "*",
+            _f32op(
+                "CAST(0.25 AS FLOAT)",
+                "+",
+                _f32op(
+                    _f32op("CAST(0.75 AS FLOAT)", "*", _f32("lt.lo")),
+                    "/",
+                    "c.avgdl",
+                ),
+            ),
+        ),
+    )
+    # score = w - w/(1f + freq*cache) (BM25Similarity.java:222-235)
+    def _bm25_score(w: str, freq: str, inv: str) -> str:
+        return _f32op(
+            w,
+            "-",
+            _f32op(
+                w,
+                "/",
+                _f32op("CAST(1.0 AS FLOAT)", "+", _f32op(_f32(freq), "*", inv)),
+            ),
+        )
+
+    _bm25_score_expr = _bm25_score("c.w", "tf.freq", "k.inv")
+    # idf -> weight for a given df subquery (boost 1)
+    def _bm25_w(df_sub: str) -> str:
+        return (
+            f"CAST(ln(1 + (n_docs - {df_sub} + 0.5) / ({df_sub} + 0.5)) AS FLOAT)"
+        )
     # MinHash permutation coefficients, verbatim (engine/dedup._coeffs
     # seeded rng 424242): (j, a_j, b_j) rows for the 64 permutations
     from engine.dedup import _coeffs as _mh_coeffs
@@ -960,6 +1012,96 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CAST((SELECT max(b) FROM lt WHERE lo <= n) AS BIGINT) AS norm
             FROM tok
+        """,
+        # exact float32 BM25 for a single TermQuery, recomputed end-to-end
+        # from documents.text: stats, byte4 norms, the float32 cache and
+        # score chain — rank (score desc, doc asc) matches the collector
+        "bm25_scores_exact": f"""
+            WITH lt(b, lo) AS (VALUES {lt_values}),
+            stats AS (
+                SELECT (SELECT count(*) FROM documents) AS n_docs,
+                       (SELECT CAST(sum(len({_TOK})) AS BIGINT)
+                        FROM documents) AS sttf
+            ),
+            tf AS (
+                SELECT doc_id, count(*) AS freq FROM (
+                    SELECT doc_id, unnest({_TOK}) AS t FROM documents
+                ) WHERE t = 'data' GROUP BY doc_id
+            ),
+            nb AS (
+                SELECT doc_id,
+                       (SELECT max(b) FROM lt WHERE lo <= n) AS b
+                FROM (SELECT doc_id, len({_TOK}) AS n FROM documents)
+            ),
+            c AS (
+                SELECT CAST(ln(1 + (n_docs - (SELECT count(*) FROM tf) + 0.5)
+                                 / ((SELECT count(*) FROM tf) + 0.5))
+                            AS FLOAT) AS w,
+                       CAST(sttf / CAST(n_docs AS DOUBLE) AS FLOAT) AS avgdl
+                FROM stats
+            ),
+            cache AS (
+                SELECT lt.b, {_bm25_cache_expr} AS inv FROM lt, c
+            ),
+            scored AS (
+                SELECT tf.doc_id, {_bm25_score_expr} AS score
+                FROM tf
+                JOIN nb ON nb.doc_id = tf.doc_id
+                JOIN cache k ON k.b = nb.b, c
+            )
+            SELECT CAST(row_number() OVER (
+                       ORDER BY score DESC, doc_id ASC) - 1 AS BIGINT) AS rank,
+                   doc_id, score
+            FROM scored
+        """,
+        # 2-term disjunction 'data merge' with exact float32 scores: per-
+        # term float32 scores summed in a float64 accumulator and cast
+        # (DisjunctionSumScorer contract) — exact for two addends because
+        # the double sum of two binary32 values is exact before the cast
+        "bm25_bool_scores_exact": f"""
+            WITH lt(b, lo) AS (VALUES {lt_values}),
+            stats AS (
+                SELECT (SELECT count(*) FROM documents) AS n_docs,
+                       (SELECT CAST(sum(len({_TOK})) AS BIGINT)
+                        FROM documents) AS sttf
+            ),
+            tok AS (SELECT doc_id, unnest({_TOK}) AS t FROM documents),
+            tfa AS (SELECT doc_id, count(*) AS freq FROM tok
+                    WHERE t = 'data' GROUP BY doc_id),
+            tfb AS (SELECT doc_id, count(*) AS freq FROM tok
+                    WHERE t = 'merge' GROUP BY doc_id),
+            nb AS (
+                SELECT doc_id, (SELECT max(b) FROM lt WHERE lo <= n) AS b
+                FROM (SELECT doc_id, len({_TOK}) AS n FROM documents)
+            ),
+            c AS (
+                SELECT {_bm25_w("(SELECT count(*) FROM tfa)")} AS wa,
+                       {_bm25_w("(SELECT count(*) FROM tfb)")} AS wb,
+                       CAST(sttf / CAST(n_docs AS DOUBLE) AS FLOAT) AS avgdl
+                FROM stats
+            ),
+            cache AS (SELECT lt.b, {_bm25_cache_expr} AS inv FROM lt, c),
+            pairs AS (
+                SELECT coalesce(tfa.doc_id, tfb.doc_id) AS doc_id,
+                       tfa.freq AS fa, tfb.freq AS fb
+                FROM tfa FULL OUTER JOIN tfb ON tfa.doc_id = tfb.doc_id
+            ),
+            scored AS (
+                SELECT p.doc_id,
+                       CAST(
+                         coalesce(CAST({_bm25_score("c.wa", "p.fa", "k.inv")}
+                                       AS DOUBLE), 0.0)
+                       + coalesce(CAST({_bm25_score("c.wb", "p.fb", "k.inv")}
+                                       AS DOUBLE), 0.0)
+                       AS FLOAT) AS score
+                FROM pairs p
+                JOIN nb ON nb.doc_id = p.doc_id
+                JOIN cache k ON k.b = nb.b, c
+            )
+            SELECT CAST(row_number() OVER (
+                       ORDER BY score DESC, doc_id ASC) - 1 AS BIGINT) AS rank,
+                   doc_id, score
+            FROM scored
         """,
         "term_df_ttf": f"""
             SELECT term, count(*) AS df, CAST(sum(cnt) AS BIGINT) AS ttf

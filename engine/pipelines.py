@@ -1601,3 +1601,46 @@ def fuzzy_complete_body(sf_dir: str) -> pa.Table:
     idx = get_index(sf_dir)
     keys = ["dara", "joyn", "wixdow", "cu", "qxery"]
     return fuzzy_complete(idx["merge_manifest"], keys, max_edits=1, top_n=10)
+
+
+def bm25_scores_exact(sf_dir: str, term: str = "data") -> pa.Table:
+    """Every match of a single TermQuery with its exact float32 BM25 score
+    (rank, doc_id, score) — the north rule's "rank-identical top-k docIDs
+    and scores" surfaced as a driver entry whose DuckDB oracle recomputes
+    the FULL scoring chain from documents.text: df/sum_ttf stats, SmallFloat
+    byte4 norms, and every float32 op of BM25Similarity.java:188-235
+    replayed as CAST(double-op AS FLOAT) (exact by Figueroa's double-
+    rounding theorem: 53 >= 2*24 + 2 for +,-,*,/)."""
+    from .checkpoint import load_merge_manifest
+    from .search import IndexSearcher
+
+    idx = get_index(sf_dir)
+    searcher = IndexSearcher(load_merge_manifest(idx["index_dir"]))
+    docs, scores = searcher.search(term, k=searcher.doc_count)
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(len(docs)), type=pa.int64()),
+            "doc_id": pa.array(docs, type=pa.int64()),
+            "score": pa.array(scores, type=pa.float32()),
+        }
+    )
+
+
+def bm25_bool_scores_exact(sf_dir: str, query: str = "data merge") -> pa.Table:
+    """2-term disjunction with exact float32 scores (rank, doc_id, score):
+    per-term float32 scores accumulate in a float64 then cast
+    (DisjunctionSumScorer contract) — exact for two addends, so the SQL
+    oracle replays the whole chain bit-for-bit."""
+    from .checkpoint import load_merge_manifest
+    from .search import IndexSearcher
+
+    idx = get_index(sf_dir)
+    searcher = IndexSearcher(load_merge_manifest(idx["index_dir"]))
+    docs, scores = searcher.search(query, k=searcher.doc_count)
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(len(docs)), type=pa.int64()),
+            "doc_id": pa.array(docs, type=pa.int64()),
+            "score": pa.array(scores, type=pa.float32()),
+        }
+    )
