@@ -3,9 +3,9 @@
 ``entry()`` runs the flagship pipeline (pages fixture → extract → SPIMI
 invert → salted groupby-term merge → BM25 actor-pool search) at sf0.001.
 ``queries()`` exposes one entry per implemented operator family from
-SURVEY.md §2 (+ the training-data extras) — 114 entries as of round 3;
+SURVEY.md §2 (+ the training-data extras) — 115 entries as of round 3;
 ``oracle_sql()`` gives DuckDB equivalents where SQL can express the
-semantics (91 exact oracles) — index-derived entries (term stats, title
+semantics (92 exact oracles) — index-derived entries (term stats, title
 field stats, norms via the embedded SmallFloat byte4 table, token
 counts, phrase/sloppy matching via position self-joins, nested boolean
 set algebra, DV facets/sort, keep-latest dedup) are thereby checked
@@ -407,6 +407,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": pipelines.bm25_search_results,
         "bm25_scores_exact": pipelines.bm25_scores_exact,
         "bm25_bool_scores_exact": pipelines.bm25_bool_scores_exact,
+        "bm25_phrase_scores_exact": pipelines.bm25_phrase_scores_exact,
         "phrase_match_docs": pipelines.phrase_match_docs,
         "multi_phrase_match_docs": pipelines.multi_phrase_match_docs,
         "join_util_docs": pipelines.join_util_docs,
@@ -1047,6 +1048,53 @@ def oracle_sql() -> dict[str, str]:
                 SELECT tf.doc_id, {_bm25_score_expr} AS score
                 FROM tf
                 JOIN nb ON nb.doc_id = tf.doc_id
+                JOIN cache k ON k.b = nb.b, c
+            )
+            SELECT CAST(row_number() OVER (
+                       ORDER BY score DESC, doc_id ASC) - 1 AS BIGINT) AS rank,
+                   doc_id, score
+            FROM scored
+        """,
+        # exact float32 PhraseQuery '"data join"' scores: summed-idf weight
+        # (two f32 idfs added in a double, cast), integer adjacency freq,
+        # the same float32 cache/score chain
+        "bm25_phrase_scores_exact": f"""
+            WITH lt(b, lo) AS (VALUES {lt_values}),
+            stats AS (
+                SELECT (SELECT count(*) FROM documents) AS n_docs,
+                       (SELECT CAST(sum(len({_TOK})) AS BIGINT)
+                        FROM documents) AS sttf
+            ),
+            pos AS (
+                SELECT doc_id, unnest({_TOK}) AS t,
+                       unnest(range(len({_TOK}))) AS p
+                FROM documents
+            ),
+            dfa AS (SELECT count(DISTINCT doc_id) AS v FROM pos WHERE t = 'data'),
+            dfb AS (SELECT count(DISTINCT doc_id) AS v FROM pos WHERE t = 'join'),
+            tf AS (
+                SELECT a.doc_id, count(*) AS freq
+                FROM pos a JOIN pos b
+                  ON a.doc_id = b.doc_id AND b.p = a.p + 1
+                WHERE a.t = 'data' AND b.t = 'join'
+                GROUP BY a.doc_id
+            ),
+            nb AS (
+                SELECT doc_id, (SELECT max(b) FROM lt WHERE lo <= n) AS b
+                FROM (SELECT doc_id, len({_TOK}) AS n FROM documents)
+            ),
+            c AS (
+                SELECT CAST(
+                         CAST({_bm25_w("(SELECT v FROM dfa)")} AS DOUBLE)
+                       + CAST({_bm25_w("(SELECT v FROM dfb)")} AS DOUBLE)
+                       AS FLOAT) AS w,
+                       CAST(sttf / CAST(n_docs AS DOUBLE) AS FLOAT) AS avgdl
+                FROM stats
+            ),
+            cache AS (SELECT lt.b, {_bm25_cache_expr} AS inv FROM lt, c),
+            scored AS (
+                SELECT tf.doc_id, {_bm25_score_expr} AS score
+                FROM tf JOIN nb ON nb.doc_id = tf.doc_id
                 JOIN cache k ON k.b = nb.b, c
             )
             SELECT CAST(row_number() OVER (

@@ -1644,3 +1644,24 @@ def bm25_bool_scores_exact(sf_dir: str, query: str = "data merge") -> pa.Table:
             "score": pa.array(scores, type=pa.float32()),
         }
     )
+
+
+def bm25_phrase_scores_exact(sf_dir: str, phrase: str = '"data join"') -> pa.Table:
+    """Exact float32 PhraseQuery scores (slop 0): idf = two per-term
+    float32 idfs summed in a double then cast (BM25Similarity.idfExplain),
+    freq = the integer adjacency count — every op SQL-replayable, so the
+    phrase SCORING chain (not just the match set) gets an independent
+    bit-exact oracle."""
+    from .checkpoint import load_merge_manifest
+    from .search import IndexSearcher
+
+    idx = get_index(sf_dir)
+    searcher = IndexSearcher(load_merge_manifest(idx["index_dir"]))
+    docs, scores = searcher.search(phrase, k=searcher.doc_count)
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(len(docs)), type=pa.int64()),
+            "doc_id": pa.array(docs, type=pa.int64()),
+            "score": pa.array(scores, type=pa.float32()),
+        }
+    )
