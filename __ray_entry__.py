@@ -5,7 +5,7 @@ invert → salted groupby-term merge → BM25 actor-pool search) at sf0.001.
 ``queries()`` exposes one entry per implemented operator family from
 SURVEY.md §2 (+ the training-data extras) — 115 entries as of round 3;
 ``oracle_sql()`` gives DuckDB equivalents where SQL can express the
-semantics (92 exact oracles) — index-derived entries (term stats, title
+semantics (94 exact oracles) — index-derived entries (term stats, title
 field stats, norms via the embedded SmallFloat byte4 table, token
 counts, phrase/sloppy matching via position self-joins, nested boolean
 set algebra, DV facets/sort, keep-latest dedup) are thereby checked
@@ -629,6 +629,50 @@ def oracle_sql() -> dict[str, str]:
         "'was', 'were', 'be', 'been', 'it', 'this', 'that', 'for', 'on', "
         "'with', 'as', 'by']"
     )
+    _phrase_scores_sql = f"""
+            WITH lt(b, lo) AS (VALUES {lt_values}),
+            stats AS (
+                SELECT (SELECT count(*) FROM documents) AS n_docs,
+                       (SELECT CAST(sum(len({_TOK})) AS BIGINT)
+                        FROM documents) AS sttf
+            ),
+            pos AS (
+                SELECT doc_id, unnest({_TOK}) AS t,
+                       unnest(range(len({_TOK}))) AS p
+                FROM documents
+            ),
+            dfa AS (SELECT count(DISTINCT doc_id) AS v FROM pos WHERE t = 'data'),
+            dfb AS (SELECT count(DISTINCT doc_id) AS v FROM pos WHERE t = 'join'),
+            tf AS (
+                SELECT a.doc_id, count(*) AS freq
+                FROM pos a JOIN pos b
+                  ON a.doc_id = b.doc_id AND b.p = a.p + 1
+                WHERE a.t = 'data' AND b.t = 'join'
+                GROUP BY a.doc_id
+            ),
+            nb AS (
+                SELECT doc_id, (SELECT max(b) FROM lt WHERE lo <= n) AS b
+                FROM (SELECT doc_id, len({_TOK}) AS n FROM documents)
+            ),
+            c AS (
+                SELECT CAST(
+                         CAST({_bm25_w("(SELECT v FROM dfa)")} AS DOUBLE)
+                       + CAST({_bm25_w("(SELECT v FROM dfb)")} AS DOUBLE)
+                       AS FLOAT) AS w,
+                       CAST(sttf / CAST(n_docs AS DOUBLE) AS FLOAT) AS avgdl
+                FROM stats
+            ),
+            cache AS (SELECT lt.b, {_bm25_cache_expr} AS inv FROM lt, c),
+            scored AS (
+                SELECT tf.doc_id, {_bm25_score_expr} AS score
+                FROM tf JOIN nb ON nb.doc_id = tf.doc_id
+                JOIN cache k ON k.b = nb.b, c
+            )
+            SELECT CAST(row_number() OVER (
+                       ORDER BY score DESC, doc_id ASC) - 1 AS BIGINT) AS rank,
+                   doc_id, score
+            FROM scored
+        """
     return {
         "title_term_df": f"""
             SELECT term, count(*) AS df, CAST(sum(cnt) AS BIGINT) AS ttf FROM (
@@ -1055,53 +1099,70 @@ def oracle_sql() -> dict[str, str]:
                    doc_id, score
             FROM scored
         """,
-        # exact float32 PhraseQuery '"data join"' scores: summed-idf weight
-        # (two f32 idfs added in a double, cast), integer adjacency freq,
-        # the same float32 cache/score chain
-        "bm25_phrase_scores_exact": f"""
+        # FunctionScoreQuery.boostByValue exact: inner 'data join'
+        # disjunction f32 scores (the bool chain) x n_chars, the product
+        # exact in a double (24-bit f32 mantissa x <=10-bit int), cast f32
+        "function_score_topk": f"""
             WITH lt(b, lo) AS (VALUES {lt_values}),
             stats AS (
                 SELECT (SELECT count(*) FROM documents) AS n_docs,
                        (SELECT CAST(sum(len({_TOK})) AS BIGINT)
                         FROM documents) AS sttf
             ),
-            pos AS (
-                SELECT doc_id, unnest({_TOK}) AS t,
-                       unnest(range(len({_TOK}))) AS p
-                FROM documents
-            ),
-            dfa AS (SELECT count(DISTINCT doc_id) AS v FROM pos WHERE t = 'data'),
-            dfb AS (SELECT count(DISTINCT doc_id) AS v FROM pos WHERE t = 'join'),
-            tf AS (
-                SELECT a.doc_id, count(*) AS freq
-                FROM pos a JOIN pos b
-                  ON a.doc_id = b.doc_id AND b.p = a.p + 1
-                WHERE a.t = 'data' AND b.t = 'join'
-                GROUP BY a.doc_id
-            ),
+            tok AS (SELECT doc_id, unnest({_TOK}) AS t FROM documents),
+            tfa AS (SELECT doc_id, count(*) AS freq FROM tok
+                    WHERE t = 'data' GROUP BY doc_id),
+            tfb AS (SELECT doc_id, count(*) AS freq FROM tok
+                    WHERE t = 'join' GROUP BY doc_id),
             nb AS (
                 SELECT doc_id, (SELECT max(b) FROM lt WHERE lo <= n) AS b
                 FROM (SELECT doc_id, len({_TOK}) AS n FROM documents)
             ),
             c AS (
-                SELECT CAST(
-                         CAST({_bm25_w("(SELECT v FROM dfa)")} AS DOUBLE)
-                       + CAST({_bm25_w("(SELECT v FROM dfb)")} AS DOUBLE)
-                       AS FLOAT) AS w,
+                SELECT {_bm25_w("(SELECT count(*) FROM tfa)")} AS wa,
+                       {_bm25_w("(SELECT count(*) FROM tfb)")} AS wb,
                        CAST(sttf / CAST(n_docs AS DOUBLE) AS FLOAT) AS avgdl
                 FROM stats
             ),
             cache AS (SELECT lt.b, {_bm25_cache_expr} AS inv FROM lt, c),
-            scored AS (
-                SELECT tf.doc_id, {_bm25_score_expr} AS score
-                FROM tf JOIN nb ON nb.doc_id = tf.doc_id
+            pairs AS (
+                SELECT coalesce(tfa.doc_id, tfb.doc_id) AS doc_id,
+                       tfa.freq AS fa, tfb.freq AS fb
+                FROM tfa FULL OUTER JOIN tfb ON tfa.doc_id = tfb.doc_id
+            ),
+            inner_s AS (
+                SELECT p.doc_id,
+                       CAST(
+                         coalesce(CAST({_bm25_score("c.wa", "p.fa", "k.inv")}
+                                       AS DOUBLE), 0.0)
+                       + coalesce(CAST({_bm25_score("c.wb", "p.fb", "k.inv")}
+                                       AS DOUBLE), 0.0)
+                       AS FLOAT) AS s
+                FROM pairs p
+                JOIN nb ON nb.doc_id = p.doc_id
                 JOIN cache k ON k.b = nb.b, c
+            ),
+            boosted AS (
+                SELECT i.doc_id,
+                       CASE WHEN d.n_chars < 0 THEN CAST(0.0 AS FLOAT)
+                            ELSE CAST(CAST(d.n_chars AS DOUBLE)
+                                      * CAST(i.s AS DOUBLE) AS FLOAT)
+                       END AS score
+                FROM inner_s i JOIN documents d ON d.doc_id = i.doc_id
             )
-            SELECT CAST(row_number() OVER (
-                       ORDER BY score DESC, doc_id ASC) - 1 AS BIGINT) AS rank,
-                   doc_id, score
-            FROM scored
+            SELECT rank, doc_id, score FROM (
+                SELECT CAST(row_number() OVER (
+                           ORDER BY score DESC, doc_id ASC) - 1 AS BIGINT)
+                           AS rank, doc_id, score
+                FROM boosted
+            ) WHERE rank < 10
         """,
+        # exact float32 PhraseQuery '"data join"' scores: summed-idf weight
+        # (two f32 idfs added in a double, cast), integer adjacency freq,
+        # the same float32 cache/score chain
+        "bm25_phrase_scores_exact": _phrase_scores_sql,
+        # phrase top-k = the same exact chain, first 10 ranks
+        "phrase_topk": "SELECT * FROM (" + _phrase_scores_sql + ") WHERE rank < 10",
         # 2-term disjunction 'data merge' with exact float32 scores: per-
         # term float32 scores summed in a float64 accumulator and cast
         # (DisjunctionSumScorer contract) — exact for two addends because
