@@ -3,9 +3,9 @@
 ``entry()`` runs the flagship pipeline (pages fixture → extract → SPIMI
 invert → salted groupby-term merge → BM25 actor-pool search) at sf0.001.
 ``queries()`` exposes one entry per implemented operator family from
-SURVEY.md §2 (+ the training-data extras) — 115 entries as of round 3;
+SURVEY.md §2 (+ the training-data extras) — 118 entries as of round 3;
 ``oracle_sql()`` gives DuckDB equivalents where SQL can express the
-semantics (94 exact oracles) — index-derived entries (term stats, title
+semantics (97 exact oracles) — index-derived entries (term stats, title
 field stats, norms via the embedded SmallFloat byte4 table, token
 counts, phrase/sloppy matching via position self-joins, nested boolean
 set algebra, DV facets/sort, keep-latest dedup) are thereby checked
@@ -421,6 +421,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_topk": pipelines.phrase_topk,
         "term_filter_sort_by_field": pipelines.term_filter_sort_by_field,
         "lang_facet_dv": pipelines.lang_facet_dv,
+        "lang_stats_facet": pipelines.lang_stats_facet,
+        "export_sorted_docs": pipelines.export_sorted_docs,
         "bm25_topk_sharded": pipelines.bm25_topk_sharded,
         "range_facet_nchars": pipelines.range_facet_nchars,
         "points_range_docs": pipelines.points_range_match_docs,
@@ -434,6 +436,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "more_like_this_terms": pipelines.more_like_this_terms,
         "more_like_this_topk": pipelines.more_like_this_topk,
         "prefix_complete": pipelines.prefix_complete_body,
+        "infix_complete": pipelines.infix_complete_body,
         "fuzzy_complete": pipelines.fuzzy_complete_body,
         "word_breaks": pipelines.word_breaks_body,
         "block_join_orders": relational.block_join_top_orders,
@@ -2031,6 +2034,31 @@ def oracle_sql() -> dict[str, str]:
                       PARTITION BY key ORDER BY df DESC, term ASC) AS rn
                   FROM cand)
             WHERE rn <= 10
+        """,
+        # AnalyzingInfixSuggester: contains-fragment completions by weight
+        "infix_complete": f"""
+            SELECT CAST(rn - 1 AS BIGINT) AS rank, term AS suggestion, df
+            FROM (
+                SELECT term, df,
+                       row_number() OVER (ORDER BY df DESC, term ASC) AS rn
+                FROM (SELECT term, count(*) AS df FROM ({tok_pairs})
+                      GROUP BY term)
+                WHERE term LIKE '%er%'
+            ) WHERE rn <= 10
+        """,
+        # json.facet sub-aggregation stats per lang bucket (DV sidecar)
+        "lang_stats_facet": """
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_nchars,
+                   CAST(min(n_chars) AS BIGINT) AS min_nchars,
+                   CAST(max(n_chars) AS BIGINT) AS max_nchars
+            FROM documents GROUP BY lang
+        """,
+        # /export handler: the FULL sorted match set (order-insensitive
+        # driver compare; the engine output is a distributed Dataset sort)
+        "export_sorted_docs": f"""
+            SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+            FROM documents WHERE list_contains({_TOK}, 'data')
         """,
         # prefix completion ranked by weight (df), ties term asc
         "prefix_complete": f"""

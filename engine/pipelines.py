@@ -1665,3 +1665,136 @@ def bm25_phrase_scores_exact(sf_dir: str, phrase: str = '"data join"') -> pa.Tab
             "score": pa.array(scores, type=pa.float32()),
         }
     )
+
+
+def lang_stats_facet(sf_dir: str) -> "pa.Table":
+    """JSON-facet-with-stats role (Solr json.facet sub-aggregations /
+    stats.facet): per lang bucket over the index's DV SIDECAR — doc count
+    plus sum/min/max of the n_chars numeric DV. One streamed pass with
+    per-block Arrow group-aggregates (the map-side combiner), then a
+    native groupby over (blocks x langs) partials; the row store is never
+    read. Exact SQL oracle over documents."""
+    import ray
+    from ray.data.aggregate import Max, Min, Sum
+
+    from .docvalues import read_doc_values_dataset
+    from .rayenv import remote_args as _rargs
+
+    idx = get_index(sf_dir)
+    ds = read_doc_values_dataset(idx["build_manifest"], ["lang", "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        agg = b.group_by("lang").aggregate(
+            [("n_chars", "count"), ("n_chars", "sum"), ("n_chars", "min"), ("n_chars", "max")]
+        )
+        return agg.rename_columns(["lang", "n_docs", "sum_nchars", "min_nchars", "max_nchars"])
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", **_rargs())
+        .groupby("lang")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("sum_nchars", alias_name="sum_nchars"),
+            Min("min_nchars", alias_name="min_nchars"),
+            Max("max_nchars", alias_name="max_nchars"),
+        )
+    )
+    import pyarrow as _pa
+
+    t = _pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return _pa.table(
+        {
+            "lang": t.column("lang"),
+            "n_docs": t.column("n_docs").cast(_pa.int64()),
+            "sum_nchars": t.column("sum_nchars").cast(_pa.int64()),
+            "min_nchars": t.column("min_nchars").cast(_pa.int64()),
+            "max_nchars": t.column("max_nchars").cast(_pa.int64()),
+        }
+    )
+
+
+def infix_complete_body(sf_dir: str, fragment: str = "er", top_n: int = 10) -> "pa.Table":
+    """AnalyzingInfixSuggester role (suggest/analyzing/
+    AnalyzingInfixSuggester.java:118-150 lookup): completions whose term
+    CONTAINS the fragment anywhere, ranked by weight (df desc, term asc).
+    Unlike the prefix suggester there is no term-range pushdown — the
+    dictionary scan is full (the reference pays the same: its infix index
+    is a separate search index over suggestion n-grams); per-batch partial
+    top-n keeps the reduce driver-small."""
+    import ray
+    import ray.data
+
+    from .rayenv import remote_args as _rargs
+
+    idx = get_index(sf_dir)
+    shard_paths = [s["path"] for s in idx["merge_manifest"]["shards"]]
+    frag = fragment.lower()
+
+    def _cand(batch: pa.Table) -> pa.Table:
+        terms = batch.column("term").to_pylist()
+        dfs = batch.column("df").to_numpy()
+        scored = sorted(
+            ((-int(dfs[i]), t) for i, t in enumerate(terms) if frag in t)
+        )[:top_n]
+        return pa.table(
+            {
+                "suggestion": pa.array([t for _, t in scored], type=pa.string()),
+                "df": pa.array([-ndf for ndf, _ in scored], type=pa.int64()),
+            }
+        )
+
+    partials = (
+        ray.data.read_parquet(shard_paths, columns=["term", "df"])
+        .map_batches(_cand, batch_format="pyarrow", **_rargs())
+        .take_all()
+    )
+    scored = sorted((-int(r["df"]), r["suggestion"]) for r in partials)[:top_n]
+    return pa.table(
+        {
+            "rank": pa.array(range(len(scored)), type=pa.int64()),
+            "suggestion": pa.array([t for _, t in scored], type=pa.string()),
+            "df": pa.array([-ndf for ndf, _ in scored], type=pa.int64()),
+        }
+    )
+
+
+def export_sorted_docs(sf_dir: str, term: str = "data") -> "ray.data.Dataset":
+    """Solr /export handler role (sorted full-result streaming export over
+    DocValues, no row store, no top-k cutoff): every match of ``term``
+    with its sort keys, ordered (n_chars desc, doc_id asc). The match set
+    routes a doc_id filter into a streamed scan of the DV sidecar
+    (broadcast as a sorted array in the task closure — the /export
+    contract is one query's matches, not a join), and the ordering is a
+    DISTRIBUTED Ray Dataset sort, not a driver sort."""
+    import ray
+    import ray.data
+
+    from .checkpoint import load_merge_manifest
+    from .docvalues import read_doc_values_dataset
+    from .rayenv import remote_args as _rargs
+    from .search import IndexSearcher
+
+    idx = get_index(sf_dir)
+    searcher = IndexSearcher(load_merge_manifest(idx["index_dir"]))
+    docs_all = [seg.postings(term)[0] for seg in searcher.segments]
+    match = np.sort(np.concatenate(docs_all)) if docs_all else np.empty(0, dtype=np.int64)
+
+    ds = read_doc_values_dataset(idx["build_manifest"], ["n_chars"])
+
+    def filt(b: pa.Table) -> pa.Table:
+        d = b.column("doc_id").to_numpy()
+        pos = np.searchsorted(match, d)
+        pos = np.clip(pos, 0, max(len(match) - 1, 0))
+        m = (match[pos] == d) if len(match) else np.zeros(len(d), dtype=bool)
+        return pa.table(
+            {
+                "doc_id": pa.array(d[m]),
+                "n_chars": pa.array(
+                    b.column("n_chars").to_numpy(zero_copy_only=False)[m].astype(np.int64)
+                ),
+            }
+        )
+
+    return ds.map_batches(filt, batch_format="pyarrow", **_rargs()).sort(
+        ["n_chars", "doc_id"], descending=[True, False]
+    )
