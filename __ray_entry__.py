@@ -5,7 +5,7 @@ invert → salted groupby-term merge → BM25 actor-pool search) at sf0.001.
 ``queries()`` exposes one entry per implemented operator family from
 SURVEY.md §2 (+ the training-data extras) — 118 entries as of round 3;
 ``oracle_sql()`` gives DuckDB equivalents where SQL can express the
-semantics (97 exact oracles) — index-derived entries (term stats, title
+semantics (98 exact oracles) — index-derived entries (term stats, title
 field stats, norms via the embedded SmallFloat byte4 table, token
 counts, phrase/sloppy matching via position self-joins, nested boolean
 set algebra, DV facets/sort, keep-latest dedup) are thereby checked
@@ -1158,6 +1158,62 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY score DESC, doc_id ASC) - 1 AS BIGINT)
                            AS rank, doc_id, score
                 FROM boosted
+            ) WHERE rank < 10
+        """,
+        # CommonTermsQuery top-k with exact float32 scores: at the gate
+        # corpus 'dup' is the only low-freq term (df <= ceil(0.25 N) — the
+        # split itself is oracle-checked by common_terms_match_docs), so
+        # hits = dup docs and score = s_dup + s_data + s_join summed left-
+        # to-right in a double (absent terms add exact 0.0) and cast f32
+        "common_terms_topk": f"""
+            WITH lt(b, lo) AS (VALUES {lt_values}),
+            stats AS (
+                SELECT (SELECT count(*) FROM documents) AS n_docs,
+                       (SELECT CAST(sum(len({_TOK})) AS BIGINT)
+                        FROM documents) AS sttf
+            ),
+            tok AS (SELECT doc_id, unnest({_TOK}) AS t FROM documents),
+            tfd AS (SELECT doc_id, count(*) AS freq FROM tok
+                    WHERE t = 'dup' GROUP BY doc_id),
+            tfa AS (SELECT doc_id, count(*) AS freq FROM tok
+                    WHERE t = 'data' GROUP BY doc_id),
+            tfb AS (SELECT doc_id, count(*) AS freq FROM tok
+                    WHERE t = 'join' GROUP BY doc_id),
+            nb AS (
+                SELECT doc_id, (SELECT max(b) FROM lt WHERE lo <= n) AS b
+                FROM (SELECT doc_id, len({_TOK}) AS n FROM documents)
+            ),
+            c AS (
+                SELECT {_bm25_w("(SELECT count(*) FROM tfd)")} AS wd,
+                       {_bm25_w("(SELECT count(*) FROM tfa)")} AS wa,
+                       {_bm25_w("(SELECT count(*) FROM tfb)")} AS wb,
+                       CAST(sttf / CAST(n_docs AS DOUBLE) AS FLOAT) AS avgdl
+                FROM stats
+            ),
+            cache AS (SELECT lt.b, {_bm25_cache_expr} AS inv FROM lt, c),
+            scored AS (
+                SELECT tfd.doc_id,
+                       CAST(
+                         (CAST({_bm25_score("c.wd", "tfd.freq", "k.inv")}
+                               AS DOUBLE)
+                          + coalesce(CAST(
+                                {_bm25_score("c.wa", "tfa.freq", "k.inv")}
+                                AS DOUBLE), 0.0))
+                       + coalesce(CAST(
+                             {_bm25_score("c.wb", "tfb.freq", "k.inv")}
+                             AS DOUBLE), 0.0)
+                       AS FLOAT) AS score
+                FROM tfd
+                LEFT JOIN tfa ON tfa.doc_id = tfd.doc_id
+                LEFT JOIN tfb ON tfb.doc_id = tfd.doc_id
+                JOIN nb ON nb.doc_id = tfd.doc_id
+                JOIN cache k ON k.b = nb.b, c
+            )
+            SELECT rank, doc_id, score FROM (
+                SELECT CAST(row_number() OVER (
+                           ORDER BY score DESC, doc_id ASC) - 1 AS BIGINT)
+                           AS rank, doc_id, score
+                FROM scored
             ) WHERE rank < 10
         """,
         # exact float32 PhraseQuery '"data join"' scores: summed-idf weight
