@@ -1610,7 +1610,9 @@ def bm25_scores_exact(sf_dir: str, term: str = "data") -> pa.Table:
     the FULL scoring chain from documents.text: df/sum_ttf stats, SmallFloat
     byte4 norms, and every float32 op of BM25Similarity.java:188-235
     replayed as CAST(double-op AS FLOAT) (exact by Figueroa's double-
-    rounding theorem: 53 >= 2*24 + 2 for +,-,*,/)."""
+    rounding theorem: 53 >= 2*24 + 2 for +,-,*,/). k = doc_count is the
+    GATE-scale full-set check by design; production search paths cap k
+    (top-k collectors) — this entry exists to pin score identity."""
     from .checkpoint import load_merge_manifest
     from .search import IndexSearcher
 
@@ -1778,6 +1780,15 @@ def export_sorted_docs(sf_dir: str, term: str = "data") -> "ray.data.Dataset":
     searcher = IndexSearcher(load_merge_manifest(idx["index_dir"]))
     docs_all = [seg.postings(term)[0] for seg in searcher.segments]
     match = np.sort(np.concatenate(docs_all)) if docs_all else np.empty(0, dtype=np.int64)
+    # the match set rides every task's closure — refuse rather than ship
+    # gigabytes for a stop-word-sized export (the scale path is a Dataset
+    # hash join of the match ids against the DV scan)
+    if len(match) > 10_000_000:
+        raise ValueError(
+            f"export_sorted_docs: {len(match)} matching docs would broadcast "
+            "the match set to every scan task; join the match ids as a "
+            "Dataset instead for exports this large"
+        )
 
     ds = read_doc_values_dataset(idx["build_manifest"], ["n_chars"])
 
