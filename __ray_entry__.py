@@ -3,9 +3,9 @@
 ``entry()`` runs the flagship pipeline (pages fixture → extract → SPIMI
 invert → salted groupby-term merge → BM25 actor-pool search) at sf0.001.
 ``queries()`` exposes one entry per implemented operator family from
-SURVEY.md §2 (+ the training-data extras) — 118 entries as of round 3;
+SURVEY.md §2 (+ the training-data extras) — 119 entries as of round 3;
 ``oracle_sql()`` gives DuckDB equivalents where SQL can express the
-semantics (98 exact oracles) — index-derived entries (term stats, title
+semantics (99 exact oracles) — index-derived entries (term stats, title
 field stats, norms via the embedded SmallFloat byte4 table, token
 counts, phrase/sloppy matching via position self-joins, nested boolean
 set algebra, DV facets/sort, keep-latest dedup) are thereby checked
@@ -357,6 +357,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
             **_rargs(),
         )
 
+    def q_image_embed_ann(sf_dir):
+        """Multimodal -> similarity integration: synth image payloads ->
+        ImageEmbedder actor pool (deterministic stub encoder, real
+        plumbing) -> brute-force cosine top-10 of the first 10 images
+        against the corpus. Rank-only output; the oracle reconstructs the
+        integer-derived vectors and ranks by DuckDB cosine."""
+        import numpy as np
+        import ray.data
+
+        from engine import ann
+        from engine.multimodal import ImageEmbedder, synth_image_payloads
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+        )
+        emb = synth_image_payloads(ds).map_batches(
+            ImageEmbedder,
+            batch_format="pyarrow",
+            batch_size=128,
+            concurrency=(1, 2),
+            **_rargs(),
+        )
+        qids = np.arange(10, dtype=np.int64)
+        qv = ImageEmbedder()._encode(qids).astype(np.float32)
+        res = ann.brute_force_topk_ds(emb, qv, qids, k=10)
+        return res.select_columns(["query_id", "rank", "neighbor_id"])
+
     def q_image_meta(sf_dir):
         import ray.data
 
@@ -468,6 +495,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": q_ngram_jaccard,
         # --- multimodal plumbing (decode stubbed, see engine/multimodal) --
         "image_meta": q_image_meta,
+        "image_embed_ann": q_image_embed_ann,
         "audio_frame_energy": q_audio_frames,
         "video_frame_sample": q_video_frames,
         "dedup_pages_by_url": q_dedup_by_url,
@@ -1836,6 +1864,28 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sa ON sa.doc_id = inter.doc_a
             JOIN sz sb ON sb.doc_id = inter.doc_b
             WHERE 2 * ni >= sa.n + sb.n - ni
+        """,
+        # multimodal->ANN integration: the stub encoder's integer-derived
+        # vectors (engine/multimodal.ImageEmbedder._encode), float32-
+        # rounded exactly as emitted, ranked by cosine (rank-only — the
+        # cosine double differs in last-ulp summation order, ranks don't)
+        "image_embed_ann": """
+            WITH v AS (
+                SELECT doc_id, list_transform(range(16), d ->
+                    CAST(((doc_id * 2654435761 + d * 40503) % 1000)
+                         / 1000.0 - 0.5 AS FLOAT)) AS emb
+                FROM documents
+            )
+            SELECT query_id, rank, neighbor_id FROM (
+                SELECT q.doc_id AS query_id,
+                       CAST(row_number() OVER (
+                           PARTITION BY q.doc_id
+                           ORDER BY list_cosine_similarity(q.emb, v.emb) DESC,
+                                    v.doc_id ASC) - 1 AS BIGINT) AS rank,
+                       v.doc_id AS neighbor_id
+                FROM v q CROSS JOIN v
+                WHERE q.doc_id < 10
+            ) WHERE rank < 10
         """,
         "ann_cosine_top10": """
             SELECT query_id, rank, neighbor_id FROM (

@@ -255,3 +255,42 @@ def synth_media_payloads(ds, seed: int = 7, max_blocks: int = 40):
         )
 
     return ds.map_batches(_mk, batch_format="pyarrow", **_rargs())
+
+
+class ImageEmbedder:
+    """Actor-pool stage: binary image payload -> embedding vector (the
+    CLIP-image-tower role in a multimodal training pipeline). The Ray
+    plumbing — actor pool so a real model loads ONCE per actor in
+    __init__, batched payload decode, list<float> output column feeding
+    the ANN operators — is real; the encoder itself is a DETERMINISTIC
+    STUB (no vision libs in this container): dim d of doc i is
+    ((i * 2654435761 + d * 40503) % 1000) / 1000.0 - 0.5, integer-derived
+    so the SQL oracle reconstructs the vectors exactly. A real deployment
+    swaps _encode for a model forward pass; nothing else changes."""
+
+    DIMS = 16
+
+    def __init__(self, dims: int = 16):
+        self.dims = dims  # a real impl loads the model here, once per actor
+
+    def _encode(self, doc_ids: np.ndarray) -> np.ndarray:
+        d = np.arange(self.dims, dtype=np.int64)
+        raw = (doc_ids[:, None] * 2654435761 + d[None, :] * 40503) % 1000
+        return raw.astype(np.float64) / 1000.0 - 0.5
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        # payload is sniffed (format must parse) then "decoded" by the stub
+        payloads = batch.column("payload").to_pylist()
+        for p in payloads:
+            assert sniff_format(p) in ("png", "gif", "jpeg"), "undecodable payload"
+        ids = batch.column("doc_id").to_numpy()
+        vecs = self._encode(ids)
+        return pa.table(
+            {
+                "vec_id": batch.column("doc_id"),
+                "embedding": pa.array(
+                    [row.astype(np.float32).tolist() for row in vecs],
+                    type=pa.list_(pa.float32()),
+                ),
+            }
+        )

@@ -940,3 +940,28 @@ def test_canonicalize_url_batch_golden():
         "https://a.example/p",
     ]
     assert out["n_dropped"] == [2, 0, 0, 1]
+
+
+def test_image_embedder_deterministic_and_plumbed(ray_session):
+    import ray.data
+
+    from engine.multimodal import ImageEmbedder, synth_image_payloads
+
+    emb = ImageEmbedder()
+    v1 = emb._encode(np.arange(5, dtype=np.int64))
+    v2 = ImageEmbedder()._encode(np.arange(5, dtype=np.int64))
+    assert v1.shape == (5, 16) and (v1 == v2).all()
+    assert (np.abs(v1) <= 0.5).all()
+    ds = ray.data.from_items([{"doc_id": i} for i in range(20)])
+    out = (
+        synth_image_payloads(ds)
+        .map_batches(ImageEmbedder, batch_format="pyarrow", concurrency=1)
+        .to_pandas()
+    )
+    assert len(out) == 20 and all(len(e) == 16 for e in out["embedding"])
+    # vec for doc 3 matches the direct encode (float32-rounded)
+    row = out[out["vec_id"] == 3]["embedding"].iloc[0]
+    np.testing.assert_array_equal(
+        np.asarray(row, dtype=np.float32),
+        emb._encode(np.array([3], dtype=np.int64))[0].astype(np.float32),
+    )
