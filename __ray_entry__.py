@@ -5,7 +5,7 @@ invert → salted groupby-term merge → BM25 actor-pool search) at sf0.001.
 ``queries()`` exposes one entry per implemented operator family from
 SURVEY.md §2 (+ the training-data extras) — 119 entries as of round 3;
 ``oracle_sql()`` gives DuckDB equivalents where SQL can express the
-semantics (99 exact oracles) — index-derived entries (term stats, title
+semantics (100 exact oracles) — index-derived entries (term stats, title
 field stats, norms via the embedded SmallFloat byte4 table, token
 counts, phrase/sloppy matching via position self-joins, nested boolean
 set algebra, DV facets/sort, keep-latest dedup) are thereby checked
@@ -1186,6 +1186,67 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY score DESC, doc_id ASC) - 1 AS BIGINT)
                            AS rank, doc_id, score
                 FROM boosted
+            ) WHERE rank < 10
+        """,
+        # ordered SpanNear(data, join, slop=2) top-k with exact float32
+        # scores: per doc the greedy matches' widths in start order, freq =
+        # the SpanScorer float32 fold over 1/(1+width) (each step double-
+        # add then narrowed — list_reduce replays the exact chain), weight
+        # = the summed-idf phrase shape
+        "span_near_topk": f"""
+            WITH lt(b, lo) AS (VALUES {lt_values}),
+            stats AS (
+                SELECT (SELECT count(*) FROM documents) AS n_docs,
+                       (SELECT CAST(sum(len({_TOK})) AS BIGINT)
+                        FROM documents) AS sttf
+            ),
+            pos AS (
+                SELECT doc_id, unnest({_TOK}) AS t,
+                       unnest(range(len({_TOK}))) AS p
+                FROM documents
+            ),
+            a AS (SELECT doc_id, p FROM pos WHERE t = 'data'),
+            bb AS (SELECT doc_id, p FROM pos WHERE t = 'join'),
+            dfa AS (SELECT count(DISTINCT doc_id) AS v FROM a),
+            dfb AS (SELECT count(DISTINCT doc_id) AS v FROM bb),
+            inc AS (
+                SELECT a.doc_id, a.p AS st, min(bb.p) AS mp
+                FROM a JOIN bb USING (doc_id) WHERE bb.p > a.p
+                GROUP BY a.doc_id, a.p
+                HAVING min(bb.p) - a.p - 1 <= 2
+            ),
+            tf AS (
+                SELECT doc_id,
+                       list_reduce(
+                           list_prepend(CAST(0.0 AS FLOAT),
+                               list(1.0 / (1.0 + (mp - st - 1)) ORDER BY st)),
+                           (acc, x) -> CAST(CAST(acc AS DOUBLE) + x AS FLOAT)
+                       ) AS freq
+                FROM inc GROUP BY doc_id
+            ),
+            nb AS (
+                SELECT doc_id, (SELECT max(b) FROM lt WHERE lo <= n) AS b
+                FROM (SELECT doc_id, len({_TOK}) AS n FROM documents)
+            ),
+            c AS (
+                SELECT CAST(
+                         CAST({_bm25_w("(SELECT v FROM dfa)")} AS DOUBLE)
+                       + CAST({_bm25_w("(SELECT v FROM dfb)")} AS DOUBLE)
+                       AS FLOAT) AS w,
+                       CAST(sttf / CAST(n_docs AS DOUBLE) AS FLOAT) AS avgdl
+                FROM stats
+            ),
+            cache AS (SELECT lt.b, {_bm25_cache_expr} AS inv FROM lt, c),
+            scored AS (
+                SELECT tf.doc_id, {_bm25_score_expr} AS score
+                FROM tf JOIN nb ON nb.doc_id = tf.doc_id
+                JOIN cache k ON k.b = nb.b, c
+            )
+            SELECT rank, doc_id, score FROM (
+                SELECT CAST(row_number() OVER (
+                           ORDER BY score DESC, doc_id ASC) - 1 AS BIGINT)
+                           AS rank, doc_id, score
+                FROM scored
             ) WHERE rank < 10
         """,
         # CommonTermsQuery top-k with exact float32 scores: at the gate
