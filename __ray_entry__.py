@@ -5,7 +5,7 @@ invert → salted groupby-term merge → BM25 actor-pool search) at sf0.001.
 ``queries()`` exposes one entry per implemented operator family from
 SURVEY.md §2 (+ the training-data extras) — 119 entries as of round 3;
 ``oracle_sql()`` gives DuckDB equivalents where SQL can express the
-semantics (100 exact oracles) — index-derived entries (term stats, title
+semantics (102 exact oracles) — index-derived entries (term stats, title
 field stats, norms via the embedded SmallFloat byte4 table, token
 counts, phrase/sloppy matching via position self-joins, nested boolean
 set algebra, DV facets/sort, keep-latest dedup) are thereby checked
@@ -1074,6 +1074,69 @@ def oracle_sql() -> dict[str, str]:
                   FROM allk)
             WHERE rn <= 10
         """,
+        # SimpleNaiveBayesClassifier self-classification replayed exactly:
+        # integer model stats (df_c, n_classed, hits, total_uniq), the
+        # reference op order for prior/den, and the per-occurrence ln-sum
+        # folded in DOC ORDER starting from the prior (list_reduce with
+        # the prior prepended — the engine's s = prior; s += ln(...) chain);
+        # first strict max over sorted classes = (s DESC, class ASC)
+        "nb_classify": f"""
+            WITH pos AS (
+                SELECT doc_id, unnest({_TOK}) AS w,
+                       unnest(range(len({_TOK}))) AS p
+                FROM documents
+            ),
+            cls AS (
+                SELECT lang AS c, count(*) AS df_c,
+                       CAST(sum(len(list_distinct({_TOK}))) AS BIGINT) AS uniq
+                FROM documents GROUP BY lang
+            ),
+            nn AS (
+                SELECT CAST(sum(df_c) AS BIGINT) AS n_classed,
+                       CAST(sum(uniq) AS BIGINT) AS total_uniq
+                FROM cls
+            ),
+            den AS (
+                SELECT c, df_c,
+                       ((SELECT total_uniq FROM nn)
+                        / (SELECT n_classed FROM nn)) * df_c
+                       + (SELECT n_classed FROM nn) AS den,
+                       ln(CAST(df_c AS DOUBLE))
+                       - ln(CAST((SELECT n_classed FROM nn) AS DOUBLE))
+                           AS prior
+                FROM cls
+            ),
+            hits AS (
+                SELECT lang AS c, t AS w, count(*) AS h FROM (
+                    SELECT DISTINCT doc_id, lang, unnest({_TOK}) AS t
+                    FROM documents
+                ) GROUP BY lang, t
+            ),
+            logv AS (
+                SELECT pos.doc_id, pos.p, den.c, den.prior,
+                       ln((coalesce(hits.h, 0) + 1) / den.den) AS v
+                FROM pos CROSS JOIN den
+                LEFT JOIN hits ON hits.c = den.c AND hits.w = pos.w
+            ),
+            folds AS (
+                SELECT doc_id, c,
+                       list_reduce(
+                           list_prepend(any_value(prior),
+                               list(v ORDER BY p)),
+                           (a, x) -> a + x) AS s
+                FROM logv GROUP BY doc_id, c
+            ),
+            scored AS (
+                SELECT d.doc_id, den.c, coalesce(f.s, den.prior) AS s
+                FROM documents d CROSS JOIN den
+                LEFT JOIN folds f ON f.doc_id = d.doc_id AND f.c = den.c
+            )
+            SELECT doc_id, c AS assigned_class FROM (
+                SELECT doc_id, c, row_number() OVER (
+                    PARTITION BY doc_id ORDER BY s DESC, c ASC) AS rn
+                FROM scored
+            ) WHERE rn = 1
+        """,
         # NB training sufficient statistics: docs of class containing term
         "nb_train_stats": f"""
             SELECT lang AS class, t AS term, CAST(count(*) AS BIGINT) AS hits
@@ -1186,6 +1249,79 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY score DESC, doc_id ASC) - 1 AS BIGINT)
                            AS rank, doc_id, score
                 FROM boosted
+            ) WHERE rank < 10
+        """,
+        # full MoreLikeThis search with exact float32 scores: the selected
+        # like-terms (the more_like_this_terms oracle's exact top-10, in
+        # rank order) searched as a SHOULD query — per-term f32 scores
+        # folded per doc in QUERY ORDER in a double accumulator (the TAAT
+        # clause order; WAND==TAAT score equality is test-enforced), cast
+        "more_like_this_topk": f"""
+            WITH lt(b, lo) AS (VALUES {lt_values}),
+            stats AS (
+                SELECT (SELECT count(*) FROM documents) AS n_docs,
+                       (SELECT CAST(sum(len({_TOK})) AS BIGINT)
+                        FROM documents) AS sttf
+            ),
+            tdoc AS (
+                SELECT t AS term, count(*) AS tf FROM (
+                    SELECT unnest({_TOK}) AS t FROM documents WHERE doc_id = 7
+                ) GROUP BY t HAVING count(*) >= 2
+            ),
+            tdf AS (
+                SELECT term, count(*) AS df FROM ({tok_pairs}) GROUP BY term
+            ),
+            mlt AS (
+                SELECT term, df, rn FROM (
+                    SELECT tdoc.term, tdf.df,
+                           row_number() OVER (ORDER BY
+                               tdoc.tf * (ln(((SELECT n_docs FROM stats) + 1)
+                                             / (tdf.df + 1.0)) + 1) DESC,
+                               tdoc.term ASC) AS rn
+                    FROM tdoc JOIN tdf USING (term)
+                    WHERE tdf.df >= 5
+                ) WHERE rn <= 10
+            ),
+            mltw AS (
+                SELECT term, rn,
+                       {_bm25_w("df")} AS w
+                FROM mlt, stats
+            ),
+            tf2 AS (
+                SELECT doc_id, t AS term, count(*) AS freq FROM (
+                    SELECT doc_id, unnest({_TOK}) AS t FROM documents
+                ) GROUP BY doc_id, t
+            ),
+            nb AS (
+                SELECT doc_id, (SELECT max(b) FROM lt WHERE lo <= n) AS b
+                FROM (SELECT doc_id, len({_TOK}) AS n FROM documents)
+            ),
+            c AS (
+                SELECT CAST(sttf / CAST(n_docs AS DOUBLE) AS FLOAT) AS avgdl
+                FROM stats
+            ),
+            cache AS (SELECT lt.b, {_bm25_cache_expr} AS inv FROM lt, c),
+            per_term AS (
+                SELECT tf2.doc_id, mltw.rn,
+                       {_bm25_score("mltw.w", "tf2.freq", "k.inv")} AS s
+                FROM tf2
+                JOIN mltw USING (term)
+                JOIN nb ON nb.doc_id = tf2.doc_id
+                JOIN cache k ON k.b = nb.b
+            ),
+            scored AS (
+                SELECT doc_id,
+                       CAST(list_reduce(
+                           list_prepend(CAST(0.0 AS DOUBLE),
+                               list(CAST(s AS DOUBLE) ORDER BY rn)),
+                           (a, x) -> a + x) AS FLOAT) AS score
+                FROM per_term GROUP BY doc_id
+            )
+            SELECT rank, doc_id, score FROM (
+                SELECT CAST(row_number() OVER (
+                           ORDER BY score DESC, doc_id ASC) - 1 AS BIGINT)
+                           AS rank, doc_id, score
+                FROM scored
             ) WHERE rank < 10
         """,
         # ordered SpanNear(data, join, slop=2) top-k with exact float32

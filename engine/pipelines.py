@@ -503,9 +503,10 @@ def nb_train_stats(sf_dir: str) -> pa.Table:
 def nb_classify(sf_dir: str):
     """SimpleNaiveBayesClassifier self-classification of the documents
     table (train + actor-pool batch inference); (doc_id,
-    assigned_class). Rows-only (the ln-sum argmax is not bit-stable
-    across SQL engines); tests check label agreement vs a DuckDB
-    recomputation at sf0.001."""
+    assigned_class). Exact oracle: the SQL replays the integer model
+    stats and folds the per-occurrence ln-sum in doc order from the
+    prior (list_reduce), matching the reference op chain bit-for-bit
+    on this host's libm."""
     from .classify import nb_classify_dataset
 
     return nb_classify_dataset(sf_dir)
