@@ -5,7 +5,7 @@ invert → salted groupby-term merge → BM25 actor-pool search) at sf0.001.
 ``queries()`` exposes one entry per implemented operator family from
 SURVEY.md §2 (+ the training-data extras) — 119 entries as of round 3;
 ``oracle_sql()`` gives DuckDB equivalents where SQL can express the
-semantics (102 exact oracles) — index-derived entries (term stats, title
+semantics (105 exact oracles) — index-derived entries (term stats, title
 field stats, norms via the embedded SmallFloat byte4 table, token
 counts, phrase/sloppy matching via position self-joins, nested boolean
 set algebra, DV facets/sort, keep-latest dedup) are thereby checked
@@ -645,6 +645,17 @@ def oracle_sql() -> dict[str, str]:
         return (
             f"CAST(ln(1 + (n_docs - {df_sub} + 0.5) / ({df_sub} + 0.5)) AS FLOAT)"
         )
+    # best-window snippet fragment around hit position h (textops.
+    # make_snippet: +/-8 tokens, ** marks, max 2 fragments) as SQL over
+    # the 1-based-inclusive duckdb list slice = Python toks[lo:hi]
+    def _snip_frag(h: str) -> str:
+        return (
+            "array_to_string(list_transform("
+            f"t.ts[greatest(0, {h} - 8) + 1 : least(len(t.ts), {h} + 9)], "
+            "x -> CASE WHEN x IN ('data', 'join') THEN '**' || x || '**' "
+            "ELSE x END), ' ')"
+        )
+
     # MinHash permutation coefficients, verbatim (engine/dedup._coeffs
     # seeded rng 424242): (j, a_j, b_j) rows for the 64 permutations
     from engine.dedup import _coeffs as _mh_coeffs
@@ -1251,6 +1262,111 @@ def oracle_sql() -> dict[str, str]:
                 FROM boosted
             ) WHERE rank < 10
         """,
+        # KNearestNeighborClassifier replayed exactly for the 10 example
+        # docs: per-example MLT term selection, neighbor scores as ordered
+        # f64 folds of per-term f32 scores (cast f32), top-10 neighbors,
+        # then the vote chain — boosts folded per class in NEIGHBOR RANK
+        # order, score = (cnt * (boost / cnt)) / k with the sumdoc < k
+        # rescale — and the first-strict-max over sorted classes
+        "knn_classify": f"""
+            WITH lt(b, lo) AS (VALUES {lt_values}),
+            stats AS (
+                SELECT (SELECT count(*) FROM documents) AS n_docs,
+                       (SELECT CAST(sum(len({_TOK})) AS BIGINT)
+                        FROM documents) AS sttf
+            ),
+            tdf AS (
+                SELECT term, count(*) AS df FROM ({tok_pairs}) GROUP BY term
+            ),
+            etf AS (
+                SELECT doc_id AS ex, t AS term, count(*) AS tf FROM (
+                    SELECT doc_id, unnest({_TOK}) AS t FROM documents
+                    WHERE doc_id < 10
+                ) GROUP BY doc_id, t HAVING count(*) >= 2
+            ),
+            mlt AS (
+                SELECT ex, term, df, rn FROM (
+                    SELECT etf.ex, etf.term, tdf.df,
+                           row_number() OVER (PARTITION BY etf.ex ORDER BY
+                               etf.tf * (ln(((SELECT n_docs FROM stats) + 1)
+                                            / (tdf.df + 1.0)) + 1) DESC,
+                               etf.term ASC) AS rn
+                    FROM etf JOIN tdf USING (term) WHERE tdf.df >= 5
+                ) WHERE rn <= 10
+            ),
+            mltw AS (SELECT ex, term, rn, {_bm25_w("df")} AS w FROM mlt, stats),
+            tf2 AS (
+                SELECT doc_id, t AS term, count(*) AS freq FROM (
+                    SELECT doc_id, unnest({_TOK}) AS t FROM documents
+                ) GROUP BY doc_id, t
+            ),
+            nb AS (
+                SELECT doc_id, (SELECT max(b) FROM lt WHERE lo <= n) AS b
+                FROM (SELECT doc_id, len({_TOK}) AS n FROM documents)
+            ),
+            c AS (
+                SELECT CAST(sttf / CAST(n_docs AS DOUBLE) AS FLOAT) AS avgdl
+                FROM stats
+            ),
+            cache AS (SELECT lt.b, {_bm25_cache_expr} AS inv FROM lt, c),
+            per_term AS (
+                SELECT mltw.ex, tf2.doc_id, mltw.rn,
+                       {_bm25_score("mltw.w", "tf2.freq", "k.inv")} AS s
+                FROM tf2
+                JOIN mltw USING (term)
+                JOIN nb ON nb.doc_id = tf2.doc_id
+                JOIN cache k ON k.b = nb.b
+            ),
+            nscore AS (
+                SELECT ex, doc_id,
+                       CAST(list_reduce(
+                           list_prepend(CAST(0.0 AS DOUBLE),
+                               list(CAST(s AS DOUBLE) ORDER BY rn)),
+                           (a, x) -> a + x) AS FLOAT) AS s
+                FROM per_term GROUP BY ex, doc_id
+            ),
+            nbr AS (
+                SELECT * FROM (
+                    SELECT ex, doc_id, s, row_number() OVER (
+                        PARTITION BY ex ORDER BY s DESC, doc_id ASC) AS nrank
+                    FROM nscore
+                ) WHERE nrank <= 10
+            ),
+            mx AS (SELECT ex, s AS mxs FROM nbr WHERE nrank = 1),
+            sumdoc AS (SELECT ex, CAST(count(*) AS BIGINT) AS n FROM nbr GROUP BY ex),
+            votes AS (
+                SELECT nbr.ex, d.lang AS cls, count(*) AS cnt,
+                       list_reduce(
+                           list_prepend(CAST(0.0 AS DOUBLE),
+                               list(CAST(nbr.s AS DOUBLE)
+                                    / CAST(mx.mxs AS DOUBLE)
+                                    ORDER BY nbr.nrank)),
+                           (a, x) -> a + x) AS boost
+                FROM nbr
+                JOIN documents d ON d.doc_id = nbr.doc_id
+                JOIN mx ON mx.ex = nbr.ex
+                GROUP BY nbr.ex, d.lang
+            ),
+            scored AS (
+                SELECT v.ex, v.cls,
+                       CASE WHEN sd.n < 10
+                            THEN (((v.cnt * (v.boost / v.cnt)) / 10) * 10)
+                                 / sd.n
+                            ELSE (v.cnt * (v.boost / v.cnt)) / 10
+                       END AS sc
+                FROM votes v JOIN sumdoc sd ON sd.ex = v.ex
+            ),
+            best AS (
+                SELECT ex, cls FROM (
+                    SELECT ex, cls, row_number() OVER (
+                        PARTITION BY ex ORDER BY sc DESC, cls ASC) AS rn
+                    FROM scored
+                ) WHERE rn = 1
+            )
+            SELECT e.doc_id, coalesce(best.cls, '') AS assigned_class
+            FROM (SELECT unnest(range(10)) AS doc_id) e
+            LEFT JOIN best ON best.ex = e.doc_id
+        """,
         # full MoreLikeThis search with exact float32 scores: the selected
         # like-terms (the more_like_this_terms oracle's exact top-10, in
         # rank order) searched as a SHOULD query — per-term f32 scores
@@ -1447,6 +1563,140 @@ def oracle_sql() -> dict[str, str]:
         "bm25_phrase_scores_exact": _phrase_scores_sql,
         # phrase top-k = the same exact chain, first 10 ranks
         "phrase_topk": "SELECT * FROM (" + _phrase_scores_sql + ") WHERE rank < 10",
+        # scored query-time join (JoinUtil ScoreMode.Max) exactly: the
+        # from-side 'dup' f32 scores, MAX per join value (a float32
+        # SELECTION — order-free), every to-doc takes its value's
+        # aggregate, top-10 with the collector tie-break
+        "join_util_topk": f"""
+            WITH lt(b, lo) AS (VALUES {lt_values}),
+            stats AS (
+                SELECT (SELECT count(*) FROM documents) AS n_docs,
+                       (SELECT CAST(sum(len({_TOK})) AS BIGINT)
+                        FROM documents) AS sttf
+            ),
+            tf AS (
+                SELECT doc_id, count(*) AS freq FROM (
+                    SELECT doc_id, unnest({_TOK}) AS t FROM documents
+                ) WHERE t = 'dup' GROUP BY doc_id
+            ),
+            nb AS (
+                SELECT doc_id, (SELECT max(b) FROM lt WHERE lo <= n) AS b
+                FROM (SELECT doc_id, len({_TOK}) AS n FROM documents)
+            ),
+            c AS (
+                SELECT {_bm25_w("(SELECT count(*) FROM tf)")} AS w,
+                       CAST(sttf / CAST(n_docs AS DOUBLE) AS FLOAT) AS avgdl
+                FROM stats
+            ),
+            cache AS (SELECT lt.b, {_bm25_cache_expr} AS inv FROM lt, c),
+            from_s AS (
+                SELECT tf.doc_id, {_bm25_score_expr} AS score
+                FROM tf JOIN nb ON nb.doc_id = tf.doc_id
+                JOIN cache k ON k.b = nb.b, c
+            ),
+            aggv AS (
+                SELECT d.n_chars AS v, max(f.score) AS s
+                FROM from_s f JOIN documents d ON d.doc_id = f.doc_id
+                GROUP BY d.n_chars
+            ),
+            to_s AS (
+                SELECT d.doc_id, aggv.s AS score
+                FROM documents d JOIN aggv ON aggv.v = d.n_chars
+            )
+            SELECT rank, doc_id, score FROM (
+                SELECT CAST(row_number() OVER (
+                           ORDER BY score DESC, doc_id ASC) - 1 AS BIGINT)
+                           AS rank, doc_id, score
+                FROM to_s
+            ) WHERE rank < 10
+        """,
+        # two-phase search + highlighter replayed exactly: top-10 of the
+        # 'data join' disjunction via the exact f32 chain (score widened to
+        # DOUBLE as the entry emits), snippets rebuilt from the token
+        # stream (pages text tokenizes identically to documents.text) with
+        # the greedy 2-fragment +/-8 window and ** marks
+        "bm25_snippets": f"""
+            WITH lt(b, lo) AS (VALUES {lt_values}),
+            stats AS (
+                SELECT (SELECT count(*) FROM documents) AS n_docs,
+                       (SELECT CAST(sum(len({_TOK})) AS BIGINT)
+                        FROM documents) AS sttf
+            ),
+            tok AS (SELECT doc_id, unnest({_TOK}) AS t FROM documents),
+            tfa AS (SELECT doc_id, count(*) AS freq FROM tok
+                    WHERE t = 'data' GROUP BY doc_id),
+            tfb AS (SELECT doc_id, count(*) AS freq FROM tok
+                    WHERE t = 'join' GROUP BY doc_id),
+            nb AS (
+                SELECT doc_id, (SELECT max(b) FROM lt WHERE lo <= n) AS b
+                FROM (SELECT doc_id, len({_TOK}) AS n FROM documents)
+            ),
+            c AS (
+                SELECT {_bm25_w("(SELECT count(*) FROM tfa)")} AS wa,
+                       {_bm25_w("(SELECT count(*) FROM tfb)")} AS wb,
+                       CAST(sttf / CAST(n_docs AS DOUBLE) AS FLOAT) AS avgdl
+                FROM stats
+            ),
+            cache AS (SELECT lt.b, {_bm25_cache_expr} AS inv FROM lt, c),
+            pairs AS (
+                SELECT coalesce(tfa.doc_id, tfb.doc_id) AS doc_id,
+                       tfa.freq AS fa, tfb.freq AS fb
+                FROM tfa FULL OUTER JOIN tfb ON tfa.doc_id = tfb.doc_id
+            ),
+            scored AS (
+                SELECT p.doc_id,
+                       CAST(
+                         coalesce(CAST({_bm25_score("c.wa", "p.fa", "k.inv")}
+                                       AS DOUBLE), 0.0)
+                       + coalesce(CAST({_bm25_score("c.wb", "p.fb", "k.inv")}
+                                       AS DOUBLE), 0.0)
+                       AS FLOAT) AS score
+                FROM pairs p
+                JOIN nb ON nb.doc_id = p.doc_id
+                JOIN cache k ON k.b = nb.b, c
+            ),
+            top10 AS (
+                SELECT rank, doc_id, score FROM (
+                    SELECT CAST(row_number() OVER (
+                               ORDER BY score DESC, doc_id ASC) - 1 AS BIGINT)
+                               AS rank, doc_id, score
+                    FROM scored
+                ) WHERE rank < 10
+            ),
+            pos AS (
+                SELECT doc_id, unnest({_TOK}) AS t,
+                       unnest(range(len({_TOK}))) AS p
+                FROM documents WHERE doc_id IN (SELECT doc_id FROM top10)
+            ),
+            hitp AS (SELECT doc_id, p FROM pos WHERE t IN ('data', 'join')),
+            h1 AS (SELECT doc_id, CAST(min(p) AS BIGINT) AS h
+                   FROM hitp GROUP BY doc_id),
+            tokl AS (
+                SELECT doc_id, {_TOK} AS ts FROM documents
+                WHERE doc_id IN (SELECT doc_id FROM top10)
+            ),
+            h2 AS (
+                SELECT hitp.doc_id, CAST(min(hitp.p) AS BIGINT) AS h
+                FROM hitp
+                JOIN h1 ON h1.doc_id = hitp.doc_id
+                JOIN tokl ON tokl.doc_id = hitp.doc_id
+                WHERE hitp.p > least(len(tokl.ts), h1.h + 9)
+                GROUP BY hitp.doc_id
+            ),
+            snip AS (
+                SELECT t.doc_id,
+                       {_snip_frag("h1.h")}
+                       || CASE WHEN h2.h IS NOT NULL
+                          THEN ' ... ' || {_snip_frag("h2.h")}
+                          ELSE '' END AS snippet
+                FROM tokl t
+                JOIN h1 ON h1.doc_id = t.doc_id
+                LEFT JOIN h2 ON h2.doc_id = t.doc_id
+            )
+            SELECT top10.doc_id, top10.rank,
+                   CAST(top10.score AS DOUBLE) AS score, snip.snippet
+            FROM top10 JOIN snip ON snip.doc_id = top10.doc_id
+        """,
         # 2-term disjunction 'data merge' with exact float32 scores: per-
         # term float32 scores summed in a float64 accumulator and cast
         # (DisjunctionSumScorer contract) — exact for two addends because
