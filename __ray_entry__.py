@@ -715,7 +715,264 @@ def oracle_sql() -> dict[str, str]:
                    doc_id, score
             FROM scored
         """
+    # ----- flagship reference-query-set oracle (bm25_topk family) ---------
+    # Per-(doc, term) float32 BM25 scores recomputed from documents.text,
+    # then each of the 12 reference query shapes replayed with the engine's
+    # accumulation semantics: per-term f32 scores summed LEFT-ASSOCIATIVELY
+    # in a float64 accumulator in clause order (must terms first, then
+    # should terms in query order; boosts before should — search.py
+    # _search_taat), cast to f32, collector tie-break (score desc, doc asc).
+    # Missing clauses pad with +0.0 (exact for finite doubles).
+    _scored_cte = f"""lt(b, lo) AS (VALUES {lt_values}),
+            stats AS (
+                SELECT (SELECT count(*) FROM documents) AS n_docs,
+                       (SELECT CAST(sum(len({_TOK})) AS BIGINT)
+                        FROM documents) AS sttf
+            ),
+            tok AS (SELECT doc_id, unnest({_TOK}) AS t FROM documents),
+            tf AS (SELECT doc_id, t, count(*) AS freq FROM tok
+                   GROUP BY doc_id, t),
+            dfs AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+            w AS (SELECT t, {_bm25_w("df")} AS w FROM dfs, stats),
+            nb AS (
+                SELECT doc_id, (SELECT max(b) FROM lt WHERE lo <= n) AS b
+                FROM (SELECT doc_id, len({_TOK}) AS n FROM documents)
+            ),
+            c AS (SELECT CAST(sttf / CAST(n_docs AS DOUBLE) AS FLOAT)
+                  AS avgdl FROM stats),
+            cache AS (SELECT lt.b, {_bm25_cache_expr} AS inv FROM lt, c),
+            sc AS (
+                SELECT tf.doc_id, tf.t,
+                       {_bm25_score("w.w", "tf.freq", "k.inv")} AS s
+                FROM tf JOIN w USING (t)
+                JOIN nb ON nb.doc_id = tf.doc_id
+                JOIN cache k ON k.b = nb.b
+            )"""
+
+    def _flat_q(qid: int, musts, shoulds, nots) -> str:
+        """One flat BooleanQuery block: INNER joins for MUST clauses,
+        LEFT joins for SHOULD, NOT IN for MUST_NOT; the sum expression is
+        left-assoc in (musts + shoulds) order = the TAAT accumulator."""
+        all_terms = list(musts) + list(shoulds)
+        inlist = ", ".join(f"'{t}'" for t in all_terms)
+        joins, parts = [], []
+        for i, t in enumerate(all_terms):
+            jk = "JOIN" if i < len(musts) else "LEFT JOIN"
+            joins.append(
+                f"{jk} (SELECT doc_id, s FROM sc WHERE t = '{t}') t{i}"
+                f" ON t{i}.doc_id = m.doc_id"
+            )
+            expr = f"CAST(t{i}.s AS DOUBLE)"
+            if i >= len(musts):
+                expr = f"coalesce({expr}, 0.0)"
+            parts.append(expr)
+        conds = " AND ".join(
+            f"m.doc_id NOT IN (SELECT doc_id FROM tf WHERE t = '{n}')"
+            for n in nots
+        )
+        where = f"WHERE {conds}" if conds else ""
+        return f"""
+            SELECT {qid} AS query_id, m.doc_id,
+                   CAST({' + '.join(parts)} AS FLOAT) AS score
+            FROM (SELECT DISTINCT doc_id FROM tf WHERE t IN ({inlist})) m
+            {' '.join(joins)}
+            {where}"""
+
+    _ref_specs = [
+        (0, (), ("data",), ()),
+        (1, (), ("the",), ()),
+        (2, (), ("join", "merge"), ()),
+        (3, (), ("spark", "stream", "window"), ()),
+        (4, ("query", "filter"), (), ()),
+        (5, ("sort",), ("batch",), ()),
+        (6, (), ("customer",), ()),
+        (7, (), ("data",), ("join",)),
+        (8, (), ("zzznomatch",), ()),
+        (9, (), ("table", "scan", "hash", "group", "row"), ()),
+    ]
+    # q10 'quer* filt*': PrefixQuery rewrite = per-prefix sorted dictionary
+    # expansion appended to SHOULD (search.py rewrite, cap 1024 — far above
+    # this vocabulary), so the accumulation order is (sorted quer* terms,
+    # then sorted filt* terms); replay with an ordered list fold.
+    _q10 = """
+            SELECT 10 AS query_id, doc_id,
+                   CAST(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                            list(CAST(s AS DOUBLE) ORDER BY grp, t)),
+                        (a, x) -> a + x) AS FLOAT) AS score
+            FROM (SELECT doc_id, t, s,
+                         CASE WHEN t LIKE 'quer%' THEN 0 ELSE 1 END AS grp
+                  FROM sc WHERE t LIKE 'quer%' OR t LIKE 'filt%')
+            GROUP BY doc_id"""
+    # q11 '* -data': MatchAllDocsQuery constant 1.0f minus the exclusion
+    _q11 = """
+            SELECT 11 AS query_id, doc_id, CAST(1.0 AS FLOAT) AS score
+            FROM documents
+            WHERE doc_id NOT IN (SELECT doc_id FROM tf WHERE t = 'data')"""
+    _refq_union = "\nUNION ALL\n".join(
+        [_flat_q(*s) for s in _ref_specs] + [_q10, _q11]
+    )
+    _refq_k = "CASE query_id WHEN 6 THEN 100 WHEN 9 THEN 25 WHEN 11 THEN 5 ELSE 10 END"
+    _refq_sql = f"""
+            WITH {_scored_cte},
+            allq AS ({_refq_union})
+            SELECT query_id, CAST(rn - 1 AS INTEGER) AS rank, doc_id, score
+            FROM (
+                SELECT query_id, doc_id, score, row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY score DESC, doc_id ASC) AS rn
+                FROM allq
+            ) WHERE rn <= {_refq_k}
+        """
+    _replica_sql = f"""
+            WITH {_scored_cte},
+            q AS ({_flat_q(0, (), ("data", "join"), ())})
+            SELECT CAST(rn - 1 AS BIGINT) AS rank, doc_id, score FROM (
+                SELECT doc_id, score, row_number() OVER (
+                    ORDER BY score DESC, doc_id ASC) AS rn
+                FROM q
+            ) WHERE rn <= 10
+        """
+    # ----- title-field query set (bm25_title_topk) ------------------------
+    # The title field's own postings/norms/collection stats recompute from
+    # the fixture title 'doc {doc_id} rep 0'; multi-term rewrites (prefix /
+    # wildcard / fuzzy / range / regexp) replay as predicates over the
+    # title dictionary. Every expansion clause is the query's ONLY scoring
+    # clause, so the ordered group fold starts from the 0.0 accumulator.
+    _title_cte = f"""{_scored_cte},
+            ttok AS (SELECT doc_id, unnest({title_tok}) AS t FROM documents),
+            ttf AS (SELECT doc_id, t, count(*) AS freq FROM ttok
+                    GROUP BY doc_id, t),
+            tstats AS (
+                SELECT (SELECT count(*) FROM documents) AS n_docs,
+                       (SELECT CAST(sum(len({title_tok})) AS BIGINT)
+                        FROM documents) AS sttf
+            ),
+            tdfs AS (SELECT t, count(*) AS df FROM ttf GROUP BY t),
+            tw AS (SELECT t, {_bm25_w("df")} AS w FROM tdfs, tstats AS stats),
+            tnb AS (
+                SELECT doc_id, (SELECT max(b) FROM lt WHERE lo <= n) AS b
+                FROM (SELECT doc_id, len({title_tok}) AS n FROM documents)
+            ),
+            tcache AS (
+                SELECT lt.b, {_bm25_cache_expr} AS inv
+                FROM lt, (SELECT CAST(sttf / CAST(n_docs AS DOUBLE) AS FLOAT)
+                          AS avgdl FROM tstats) c
+            ),
+            tsc AS (
+                SELECT ttf.doc_id, ttf.t,
+                       {_bm25_score("tw.w", "ttf.freq", "k.inv")} AS s
+                FROM ttf JOIN tw USING (t)
+                JOIN tnb ON tnb.doc_id = ttf.doc_id
+                JOIN tcache k ON k.b = tnb.b
+            ),
+            tpos AS (
+                SELECT doc_id, unnest({title_tok}) AS t,
+                       unnest(range(len({title_tok}))) AS p
+                FROM documents
+            ),
+            bw AS (
+                SELECT {_f32op("CAST(2.5 AS FLOAT)", "*", _bm25_w("df"))} AS w
+                FROM tdfs, tstats AS stats WHERE t = 'doc'
+            ),
+            bsc AS (
+                SELECT ttf.doc_id,
+                       {_bm25_score("bw.w", "ttf.freq", "k.inv")} AS s
+                FROM ttf
+                JOIN tnb ON tnb.doc_id = ttf.doc_id
+                JOIN tcache k ON k.b = tnb.b, bw
+                WHERE ttf.t = 'doc'
+            ),
+            p9 AS (
+                SELECT a.doc_id, count(*) AS freq
+                FROM tpos a JOIN tpos b
+                  ON a.doc_id = b.doc_id AND b.p = a.p + 1
+                WHERE a.t = 'doc' AND b.t = '7'
+                GROUP BY a.doc_id
+            ),
+            w9 AS (
+                SELECT CAST(
+                    CAST({_bm25_w("(SELECT df FROM tdfs WHERE t = 'doc')")}
+                         AS DOUBLE)
+                  + CAST({_bm25_w("(SELECT df FROM tdfs WHERE t = '7')")}
+                         AS DOUBLE)
+                  AS FLOAT) AS w
+                FROM tstats AS stats
+            )"""
+
+    def _tgroup(qid: int, pred: str) -> str:
+        """Expansion-only title query: ordered fold of the matching title
+        terms' f32 scores (dictionary order = the rewrite's SHOULD order)."""
+        return f"""
+            SELECT {qid} AS query_id, doc_id,
+                   CAST(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                            list(CAST(s AS DOUBLE) ORDER BY t)),
+                        (a, x) -> a + x) AS FLOAT) AS score
+            FROM tsc WHERE {pred}
+            GROUP BY doc_id"""
+
+    _title_blocks = [
+        # 0 'title:doc' / 1 'title:7' — single title TermQuery
+        "SELECT 0 AS query_id, doc_id, s AS score FROM tsc WHERE t = 'doc'",
+        "SELECT 1 AS query_id, doc_id, s AS score FROM tsc WHERE t = '7'",
+        # 2 '+data title:5' — body MUST then title SHOULD
+        """SELECT 2 AS query_id, t0.doc_id,
+                  CAST(CAST(t0.s AS DOUBLE)
+                     + coalesce(CAST(t1.s AS DOUBLE), 0.0) AS FLOAT) AS score
+           FROM (SELECT doc_id, s FROM sc WHERE t = 'data') t0
+           LEFT JOIN (SELECT doc_id, s FROM tsc WHERE t = '5') t1
+             ON t1.doc_id = t0.doc_id""",
+        # 3 '+title:rep +data' — cross-field conjunction, title MUST first
+        """SELECT 3 AS query_id, t0.doc_id,
+                  CAST(CAST(t0.s AS DOUBLE)
+                     + CAST(t1.s AS DOUBLE) AS FLOAT) AS score
+           FROM (SELECT doc_id, s FROM tsc WHERE t = 'rep') t0
+           JOIN (SELECT doc_id, s FROM sc WHERE t = 'data') t1
+             USING (doc_id)""",
+        # 4 'data -title:3' — title-field exclusion
+        """SELECT 4 AS query_id, doc_id, s AS score FROM sc
+           WHERE t = 'data'
+             AND doc_id NOT IN (SELECT doc_id FROM ttf WHERE t = '3')""",
+        # 5 'title:re*' prefix / 6 'title:re?' wildcard /
+        # 7 'title:rep~1' fuzzy (banded Levenshtein <= 1) /
+        # 10 'title:[6 TO 8]' inclusive range / 11 'title:/d.c/' regexp
+        _tgroup(5, "t LIKE 're%'"),
+        _tgroup(6, "t LIKE 're_'"),
+        _tgroup(7, "levenshtein(t, 'rep') <= 1"),
+        # 8 'title:doc^2.5 data' — boosted title clause accumulates first
+        """SELECT 8 AS query_id, m.doc_id,
+                  CAST(coalesce(CAST(b.s AS DOUBLE), 0.0)
+                     + coalesce(CAST(d.s AS DOUBLE), 0.0) AS FLOAT) AS score
+           FROM (SELECT doc_id FROM ttf WHERE t = 'doc'
+                 UNION SELECT doc_id FROM tf WHERE t = 'data') m
+           LEFT JOIN bsc b ON b.doc_id = m.doc_id
+           LEFT JOIN (SELECT doc_id, s FROM sc WHERE t = 'data') d
+             ON d.doc_id = m.doc_id""",
+        # 9 'title:"doc 7"' — title phrase: summed-idf weight, adjacency freq
+        f"""SELECT 9 AS query_id, p9.doc_id,
+                   {_bm25_score("w9.w", "p9.freq", "k.inv")} AS score
+            FROM p9 JOIN tnb ON tnb.doc_id = p9.doc_id
+            JOIN tcache k ON k.b = tnb.b, w9""",
+        _tgroup(10, "t >= '6' AND t <= '8'"),
+        _tgroup(11, "regexp_full_match(t, 'd.c')"),
+    ]
+    _title_sql = f"""
+            WITH {_title_cte},
+            allq AS ({" UNION ALL ".join(_title_blocks)})
+            SELECT query_id, CAST(rn - 1 AS INTEGER) AS rank, doc_id, score
+            FROM (
+                SELECT query_id, doc_id, score, row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY score DESC, doc_id ASC) AS rn
+                FROM allq
+            ) WHERE rn <= 10
+        """
     return {
+        # the doc-sharded scatter/gather plan is TopDocs.merge-exact vs the
+        # single searcher, so both flagship entries share one oracle
+        "bm25_topk": _refq_sql,
+        "bm25_topk_sharded": _refq_sql,
+        "replica_bm25_topk": _replica_sql,
+        "bm25_title_topk": _title_sql,
         "title_term_df": f"""
             SELECT term, count(*) AS df, CAST(sum(cnt) AS BIGINT) AS ttf FROM (
                 SELECT doc_id, t AS term, count(*) AS cnt FROM (
