@@ -737,6 +737,10 @@ def line_dedup_stats(ds, chunk_tokens: int = 3):
         chunk_strs: list[str] = []
         owner: list[int] = []
         packed: list[int] = []
+        if len(docs):
+            assert int(docs.max()) < (1 << (63 - _LINE_POS_BITS)), (
+                "doc_id exceeds the packed (doc_id<<20)|pos budget"
+            )
         for d, t in zip(docs.tolist(), texts):
             toks = TOKEN_RE.findall(t.lower()) if t else []
             n_lines = (len(toks) + chunk_tokens - 1) // chunk_tokens

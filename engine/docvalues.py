@@ -100,11 +100,18 @@ class DocValuesReader:
         upd = self._updates.get(col)
         if upd is not None and len(upd[0]):
             uids, uvals = upd
+            uvals = np.asarray(uvals)
+            # Lucene numeric DV updates are longs; casting a float base to
+            # the update dtype would silently truncate non-updated docs.
+            # Fail loudly if a float column ever gets an int-typed update.
+            assert np.issubdtype(out.dtype, np.integer) or np.issubdtype(
+                uvals.dtype, np.floating
+            ), f"DV update dtype {uvals.dtype} would truncate base {out.dtype}"
             pos = np.searchsorted(uids, docs)
             pos = np.clip(pos, 0, len(uids) - 1)
             hit = uids[pos] == docs
-            out = out.astype(np.asarray(uvals).dtype, copy=False)
-            out[hit] = np.asarray(uvals)[pos[hit]]
+            out = out.astype(uvals.dtype, copy=False)
+            out[hit] = uvals[pos[hit]]
         return out
 
 

@@ -1690,7 +1690,17 @@ def lang_stats_facet(sf_dir: str) -> "pa.Table":
         agg = b.group_by("lang").aggregate(
             [("n_chars", "count"), ("n_chars", "sum"), ("n_chars", "min"), ("n_chars", "max")]
         )
-        return agg.rename_columns(["lang", "n_docs", "sum_nchars", "min_nchars", "max_nchars"])
+        # select by generated name, not position (key-vs-aggregate column
+        # order differs across pyarrow versions)
+        return pa.table(
+            {
+                "lang": agg.column("lang"),
+                "n_docs": agg.column("n_chars_count"),
+                "sum_nchars": agg.column("n_chars_sum"),
+                "min_nchars": agg.column("n_chars_min"),
+                "max_nchars": agg.column("n_chars_max"),
+            }
+        )
 
     out = (
         ds.map_batches(partial, batch_format="pyarrow", **_rargs())

@@ -79,15 +79,15 @@ def spell_suggest(
     dictionary terms with 0 < levenshtein <= max_edits, ranked by
     (dist asc, df desc, term asc). Returns a pyarrow Table (output is
     <= len(words) * top_n rows — always driver-small)."""
-    import ray
     import ray.data
 
     shard_paths = [s["path"] for s in merge_manifest["shards"]]
     words_l = [w.lower() for w in words]
-    words_ref = ray.put(words_l)
 
     def _cand(batch: pa.Table) -> pa.Table:
-        wl = ray.get(words_ref)
+        # words_l is tiny — closure capture, not a bare ray.put handle
+        # (owner-death hazard, CLAUDE.md)
+        wl = words_l
         terms = batch.column("term").to_pylist()
         dfs = batch.column("df").to_numpy()
         tlens = np.fromiter((len(t) for t in terms), dtype=np.int64, count=len(terms))
@@ -409,15 +409,16 @@ def fuzzy_complete(
 
     Same Ray shape as spell_suggest: one pruned (term, df) scan where
     the dictionary lives, per-batch partial top-n, driver-small reduce."""
-    import ray
     import ray.data
 
     shard_paths = [s["path"] for s in merge_manifest["shards"]]
     keys_l = [k.lower() for k in keys]
-    keys_ref = ray.put(keys_l)
 
     def _cand(batch: pa.Table) -> pa.Table:
-        kl = ray.get(keys_ref)
+        # keys_l is tiny — capture it in the closure (serializes with the
+        # task) instead of a bare ray.put handle whose owner could die
+        # before lazy execution (CLAUDE.md actor-stage hazard)
+        kl = keys_l
         terms = batch.column("term").to_pylist()
         dfs = batch.column("df").to_numpy()
         out = {"key": [], "suggestion": [], "df": []}
