@@ -169,9 +169,13 @@ def box_docs_file(
 
 def box_docs(
     geo_manifest: dict, min_lat: int, max_lat: int, min_lon: int, max_lon: int
-) -> pa.Table:
+):
     """LatLonPoint.newBoxQuery (inclusive, milli-degrees): streamed
-    one-task-per-file scan over files whose bounds overlap the box."""
+    one-task-per-file scan over files whose bounds overlap the box.
+    Returns a ray.data.Dataset of (doc_id) — a box over a web-scale corpus
+    can match billions of rows, so the match set never lands on the
+    driver; callers reduce (count/write/join) or take_all only when the
+    result is known-bounded (the sf-scale driver entries)."""
     import ray.data
 
     def _overlap(f: dict) -> bool:
@@ -183,7 +187,7 @@ def box_docs(
 
     hit = [f["path"] for f in geo_manifest["files"] if _overlap(f)]
     if not hit:
-        return pa.table({"doc_id": pa.array([], type=pa.int64())})
+        return ray.data.from_arrow(pa.table({"doc_id": pa.array([], type=pa.int64())}))
 
     def _scan(batch: pa.Table) -> pa.Table:
         parts = [
@@ -193,15 +197,9 @@ def box_docs(
         docs = np.concatenate(parts) if parts else np.empty(0, dtype=np.int64)
         return pa.table({"doc_id": pa.array(docs, type=pa.int64())})
 
-    rows = (
-        ray.data.from_items([{"path": p} for p in hit])
-        .map_batches(_scan, batch_size=1, batch_format="pyarrow", **_rargs())
-        .take_all()
+    return ray.data.from_items([{"path": p} for p in hit]).map_batches(
+        _scan, batch_size=1, batch_format="pyarrow", **_rargs()
     )
-    docs = np.sort(
-        np.fromiter((r["doc_id"] for r in rows), dtype=np.int64, count=len(rows))
-    )
-    return pa.table({"doc_id": pa.array(docs, type=pa.int64())})
 
 
 def haversin_meters(
@@ -256,7 +254,9 @@ def distance_docs(
 ) -> pa.Table:
     """LatLonPoint.newDistanceQuery: docs within radius_m meters of the
     point (haversine, mean earth radius). Bounding-box prefilter over the
-    leaf stats, exact vectorized haversine on the candidates only."""
+    leaf stats, exact vectorized haversine on the candidates only.
+    Returns a ray.data.Dataset of (doc_id) — see box_docs on why the
+    match set streams instead of collecting on the driver."""
     import ray.data
 
     b = _distance_box(lat_deg, lon_deg, radius_m)
@@ -270,7 +270,7 @@ def distance_docs(
 
     hit = [f["path"] for f in geo_manifest["files"] if _overlap(f)]
     if not hit:
-        return pa.table({"doc_id": pa.array([], type=pa.int64())})
+        return ray.data.from_arrow(pa.table({"doc_id": pa.array([], type=pa.int64())}))
 
     def _scan(batch: pa.Table) -> pa.Table:
         out = []
@@ -292,15 +292,9 @@ def distance_docs(
         docs = np.concatenate(out) if out else np.empty(0, dtype=np.int64)
         return pa.table({"doc_id": pa.array(docs, type=pa.int64())})
 
-    rows = (
-        ray.data.from_items([{"path": p} for p in hit])
-        .map_batches(_scan, batch_size=1, batch_format="pyarrow", **_rargs())
-        .take_all()
+    return ray.data.from_items([{"path": p} for p in hit]).map_batches(
+        _scan, batch_size=1, batch_format="pyarrow", **_rargs()
     )
-    docs = np.sort(
-        np.fromiter((r["doc_id"] for r in rows), dtype=np.int64, count=len(rows))
-    )
-    return pa.table({"doc_id": pa.array(docs, type=pa.int64())})
 
 
 def nearest_k(

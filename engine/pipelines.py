@@ -1443,10 +1443,11 @@ def geo_box_match_docs(
     max_lat: int = 30_000,
     min_lon: int = -60_000,
     max_lon: int = 90_000,
-) -> pa.Table:
+):
     """LatLonPoint.newBoxQuery (inclusive integer milli-degrees) — the
     2-D leaf scan with lat/lon row-group pruning. Exact integer oracle
-    recomputes the coordinate fixture in SQL."""
+    recomputes the coordinate fixture in SQL. Returns the streamed
+    Dataset (the match set never collects on the driver)."""
     from .geo import box_docs
 
     return box_docs(get_geo(sf_dir), min_lat, max_lat, min_lon, max_lon)
@@ -1454,11 +1455,11 @@ def geo_box_match_docs(
 
 def geo_distance_match_docs(
     sf_dir: str, lat: float = 10.0, lon: float = 20.0, radius_m: float = 2_000_000.0
-) -> pa.Table:
+):
     """LatLonPoint.newDistanceQuery: bounding-rectangle prefilter
     (Rectangle.fromPointDistance role) then the exact haversine mask on
-    candidates only. Rows-only driver check (libm trig is not bit-stable
-    across engines); the brute-force identity is a pytest property."""
+    candidates only; streamed Dataset result. Exact oracle replays the
+    same libm chain in SQL (same-machine trig matches bit-for-bit)."""
     from .geo import distance_docs
 
     return distance_docs(get_geo(sf_dir), lat, lon, radius_m)

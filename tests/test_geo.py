@@ -20,6 +20,13 @@ from engine.geo import (
 N_DOCS = 1200
 
 
+def _doc_ids(ds):
+    """Collect a (bounded, test-sized) doc_id Dataset to a sorted array."""
+    rows = ds.take_all()
+    return np.sort(np.array([r["doc_id"] for r in rows], dtype=np.int64))
+
+
+
 @pytest.fixture(scope="module")
 def geo_manifest(tmp_path_factory, ray_session):
     root = str(tmp_path_factory.mktemp("geoidx"))
@@ -43,7 +50,7 @@ def test_box_query_exact(geo_manifest, coords):
     lat, lon = coords
     for b in [(-30000, 30000, -60000, 90000), (-90000, 89999, -180000, 179999),
               (0, 0, -180000, 179999), (50000, 40000, 0, 1000)]:
-        got = box_docs(geo_manifest, *b).column("doc_id").to_numpy()
+        got = _doc_ids(box_docs(geo_manifest, *b))
         exp = np.flatnonzero(
             (lat >= b[0]) & (lat <= b[1]) & (lon >= b[2]) & (lon <= b[3])
         )
@@ -54,9 +61,9 @@ def test_box_query_exact(geo_manifest, coords):
 def test_box_query_dateline_crossing(geo_manifest, coords):
     """min_lon > max_lon crosses the dateline: lon >= min OR lon <= max."""
     lat, lon = coords
-    got = box_docs(geo_manifest, -90000, 90000, 150000, -150000)
+    got = _doc_ids(box_docs(geo_manifest, -90000, 90000, 150000, -150000))
     exp = np.flatnonzero((lon >= 150000) | (lon <= -150000))
-    np.testing.assert_array_equal(got.column("doc_id").to_numpy(), exp)
+    np.testing.assert_array_equal(got, exp)
 
 
 def test_box_leaf_prune(geo_manifest):
@@ -73,7 +80,7 @@ def test_distance_query_vs_brute_force(geo_manifest, coords):
     lat, lon = coords
     for (qlat, qlon, r) in [(10.0, 20.0, 2_000_000.0), (89.0, 0.0, 500_000.0),
                             (0.0, 179.9, 3_000_000.0)]:
-        got = distance_docs(geo_manifest, qlat, qlon, r).column("doc_id").to_numpy()
+        got = _doc_ids(distance_docs(geo_manifest, qlat, qlon, r))
         d = haversin_meters(lat / 1000.0, lon / 1000.0, qlat, qlon)
         exp = np.flatnonzero(d <= r)
         np.testing.assert_array_equal(got, exp)
