@@ -107,17 +107,29 @@ def nb_train(
     sf_dir: str,
     class_col: str = "lang",
     analyzer: Analyzer = DEFAULT_ANALYZER,
+    min_hits: int = 1,
+    max_features: int | None = None,
 ) -> dict:
     """Train the NB model from the labeled documents table in two
     streamed passes (hits per (class, term); per-class doc counts +
-    unique-pair totals). Returns the model dict."""
+    unique-pair totals). Returns the model dict.
+
+    The collected model is BOUNDED: ``min_hits`` drops (class, term)
+    rows below a doc-frequency floor inside the streamed aggregate, and
+    ``max_features`` keeps only the top-N terms by total hits (term-asc
+    tie) via per-batch partial top-N — at web scale (10^9-term
+    vocabulary) set one of these so the driver never materializes the
+    full vocab x classes table. Defaults keep every feature (the
+    sf-scale oracle semantics). Dropped features score as unseen
+    (hits=0 -> +1 smoothing), exactly how the reference treats any
+    out-of-model word."""
     import ray.data
     from ray.data.aggregate import Sum
 
     path = os.path.join(sf_dir, "documents.parquet")
     ds = ray.data.read_parquet(path, columns=["text", class_col])
 
-    hits_tbl = (
+    hits_ds = (
         ds.map_batches(
             _hits_partial(class_col, analyzer),
             batch_format="pyarrow",
@@ -125,8 +137,47 @@ def nb_train(
         )
         .groupby(["class", "term"])
         .aggregate(Sum("hits", alias_name="hits"))
-        .to_pandas()
     )
+    if min_hits > 1:
+        hits_ds = hits_ds.map_batches(
+            lambda b: b.filter(
+                pa.compute.greater_equal(b.column("hits"), min_hits)
+            ),
+            batch_format="pyarrow",
+            **_rargs(),
+        )
+    if max_features is not None:
+        # distributed feature selection: per-term total hits -> partial
+        # top-N per batch -> driver-small final top-N -> semi-join filter
+        term_tot = (
+            hits_ds.select_columns(["term", "hits"])
+            .groupby("term")
+            .aggregate(Sum("hits", alias_name="tot"))
+        )
+
+        def _partial_top(b: pa.Table) -> pa.Table:
+            df = b.to_pandas().sort_values(
+                ["tot", "term"], ascending=[False, True]
+            )
+            return pa.Table.from_pandas(
+                df.head(max_features), preserve_index=False
+            )
+
+        top = (
+            term_tot.map_batches(_partial_top, batch_format="pyarrow", **_rargs())
+            .to_pandas()
+            .sort_values(["tot", "term"], ascending=[False, True])
+            .head(max_features)
+        )
+        keep = pa.array(sorted(top["term"]), type=pa.string())
+        hits_ds = hits_ds.map_batches(
+            lambda b: b.filter(
+                pa.compute.is_in(b.column("term"), value_set=keep)
+            ),
+            batch_format="pyarrow",
+            **_rargs(),
+        )
+    hits_tbl = hits_ds.to_pandas()
     stats = (
         ds.map_batches(
             _class_stats_partial(class_col, analyzer),
@@ -244,71 +295,126 @@ def knn_vote(
     return best_c, best_s
 
 
+class KNNClassifierStage:
+    """Actor-pool kNN classification stage: the searcher opens ONCE per
+    actor in ``__init__`` (same state-amortization shape as NB
+    inference); example documents stream through as (doc_id, text)
+    batches. Neighbor labels are fetched per batch with a doc_id-pushdown
+    pruned read over the labeled table (bounded by batch_size x k ids —
+    never a full table scan)."""
+
+    def __init__(
+        self,
+        index_dir: str,
+        labels_path: str,
+        class_col: str = "lang",
+        k: int = 10,
+        max_query_terms: int = 10,
+    ):
+        from .checkpoint import load_merge_manifest
+        from .search import IndexSearcher
+
+        self.merge_manifest = load_merge_manifest(index_dir)
+        self.searcher = IndexSearcher(self.merge_manifest)
+        self.labels_path = labels_path
+        self.class_col = class_col
+        self.k = k
+        self.max_query_terms = max_query_terms
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.dataset as pads
+
+        from .mlt import select_like_terms
+
+        doc_ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        neighbor_sets: dict[int, tuple[list[int], list[float]]] = {}
+        need_ids: set[int] = set()
+        for did, text in zip(doc_ids, texts):
+            sel = select_like_terms(
+                self.merge_manifest,
+                text or "",
+                max_query_terms=self.max_query_terms,
+                min_term_freq=2,
+                min_doc_freq=5,
+            )
+            if not sel:
+                neighbor_sets[did] = ([], [])
+                continue
+            q = " ".join(t for t, _tf, _df, _s in sel)
+            docs, scores = self.searcher.search(q, self.k)
+            neighbor_sets[did] = (docs.tolist(), scores.tolist())
+            need_ids.update(docs.tolist())
+        labels = (
+            pads.dataset(self.labels_path)
+            .to_table(
+                columns=["doc_id", self.class_col],
+                filter=pads.field("doc_id").isin(sorted(need_ids)),
+            )
+            .to_pandas()
+            .set_index("doc_id")[self.class_col]
+            .to_dict()
+            if need_ids
+            else {}
+        )
+        out_cls = []
+        for did in doc_ids:
+            docs, scores = neighbor_sets[did]
+            cls, _ = knn_vote(scores, [labels[d] for d in docs], self.k)
+            out_cls.append(cls if cls is not None else "")
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, type=pa.int64()),
+                "assigned_class": pa.array(out_cls, type=pa.string()),
+            }
+        )
+
+
 def knn_classify_docs(
     sf_dir: str,
     doc_ids: list[int],
     index_dir: str,
     k: int = 10,
     max_query_terms: int = 10,
+    batch_size: int = 64,
+    concurrency: tuple[int, int] = (1, 4),
 ) -> pa.Table:
     """kNN classification of example docs: MLT term selection -> BM25
-    top-k neighbor search -> class vote. Example texts and neighbor
-    labels are fetched with doc_id-pushdown pruned reads (never a full
-    table scan)."""
+    top-k neighbor search -> class vote, run as the KNNClassifierStage
+    actor pool (examples stream as batches; the searcher opens once per
+    actor). Example texts are fetched with a doc_id-pushdown pruned
+    read."""
     import pyarrow.dataset as pads
-
-    from .checkpoint import load_merge_manifest
-    from .mlt import select_like_terms
-    from .search import IndexSearcher
+    import ray.data
 
     src = os.path.join(sf_dir, "documents.parquet")
-    ex = (
-        pads.dataset(src)
-        .to_table(
-            columns=["doc_id", "text"],
-            filter=pads.field("doc_id").isin(doc_ids),
-        )
-        .to_pandas()
-        .set_index("doc_id")
+    examples = ray.data.read_parquet(
+        src,
+        columns=["doc_id", "text"],
+        filter=pads.field("doc_id").isin(doc_ids),
     )
-    merge_manifest = load_merge_manifest(index_dir)
-    searcher = IndexSearcher(merge_manifest)
-    neighbor_sets: dict[int, tuple[list[int], list[float]]] = {}
-    need_ids: set[int] = set()
-    for did in doc_ids:
-        text = ex.loc[did, "text"] if did in ex.index else ""
-        sel = select_like_terms(
-            merge_manifest, text, max_query_terms=max_query_terms,
-            min_term_freq=2, min_doc_freq=5,
-        )
-        if not sel:
-            neighbor_sets[did] = ([], [])
-            continue
-        q = " ".join(t for t, _tf, _df, _s in sel)
-        docs, scores = searcher.search(q, k)
-        neighbor_sets[did] = (docs.tolist(), scores.tolist())
-        need_ids.update(docs.tolist())
-    labels = (
-        pads.dataset(src)
-        .to_table(
-            columns=["doc_id", "lang"],
-            filter=pads.field("doc_id").isin(sorted(need_ids)),
-        )
-        .to_pandas()
-        .set_index("doc_id")["lang"]
-        .to_dict()
-        if need_ids
-        else {}
-    )
-    out_doc, out_cls = [], []
-    for did in doc_ids:
-        docs, scores = neighbor_sets[did]
-        cls, _ = knn_vote(scores, [labels[d] for d in docs], k)
-        out_doc.append(did)
-        out_cls.append(cls if cls is not None else "")
+    out = examples.map_batches(
+        KNNClassifierStage,
+        fn_constructor_kwargs={
+            "index_dir": index_dir,
+            "labels_path": src,
+            "class_col": "lang",
+            "k": k,
+            "max_query_terms": max_query_terms,
+        },
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        **_rargs(),
+    ).to_pandas()
+    # restore the caller's example order (batches may complete out of
+    # order); docs absent from the table classify as "" like before
+    got = dict(zip(out["doc_id"], out["assigned_class"]))
     return pa.table(
         {
-            "doc_id": pa.array(out_doc, type=pa.int64()),
-            "assigned_class": pa.array(out_cls, type=pa.string()),
+            "doc_id": pa.array(doc_ids, type=pa.int64()),
+            "assigned_class": pa.array(
+                [got.get(d, "") for d in doc_ids], type=pa.string()
+            ),
         }
     )

@@ -122,3 +122,30 @@ def test_knn_classify_deterministic_and_labeled():
     assert a.equals(b)
     assert a["doc_id"].tolist() == list(range(5))
     assert (a["assigned_class"] != "").all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_nb_train_feature_caps():
+    """min_hits floors the (class, term) table; max_features keeps the
+    top-N terms by total hits (term-asc tie) — the bounded-model path a
+    web-scale vocabulary requires. Capped features score as unseen."""
+    from engine.classify import nb_train
+
+    full = nb_train("/root/testdata/sf0.001")
+    floored = nb_train("/root/testdata/sf0.001", min_hits=50)
+    assert set(floored["hits"]) == {
+        k for k, v in full["hits"].items() if v >= 50
+    }
+    assert 0 < len(floored["hits"]) < len(full["hits"])
+    # class stats are untouched by feature selection
+    assert floored["classes"] == full["classes"]
+    assert floored["avg_uniq"] == full["avg_uniq"]
+
+    capped = nb_train("/root/testdata/sf0.001", max_features=5)
+    tot: dict[str, int] = {}
+    for (t, _c), h in full["hits"].items():
+        tot[t] = tot.get(t, 0) + h
+    exp_terms = set(
+        sorted(tot, key=lambda t: (-tot[t], t))[:5]
+    )
+    assert {t for t, _c in capped["hits"]} == exp_terms
