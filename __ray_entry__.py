@@ -455,6 +455,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "points_range_docs": pipelines.points_range_match_docs,
         "term_points_filter_docs": pipelines.term_points_filter_docs,
         "geo_box_docs": pipelines.geo_box_match_docs,
+        "points_box_docs": pipelines.points2d_box_match_docs,
         "geo_distance_docs": pipelines.geo_distance_match_docs,
         "geo_nearest_k": pipelines.geo_nearest_k,
         "collapse_top_docs": relational.collapse_top_docs,
@@ -2743,6 +2744,14 @@ def oracle_sql() -> dict[str, str]:
         # LatLonPoint.newBoxQuery over the doc_id-derived coordinate
         # fixture (engine/geo.py synth_latlon — pure integer arithmetic,
         # bit-exact in SQL); bounds inclusive, milli-degrees
+        # 2-D BKD box (IntPoint.newRangeQuery 2-D, inclusive bounds) over
+        # events (user_id, ts-as-epoch-micros); ids emitted as doc_id
+        "points_box_docs": """
+            SELECT event_id AS doc_id FROM events
+            WHERE user_id BETWEEN 20 AND 60
+              AND epoch_us(ts) BETWEEN 1704844800000000 AND 1705708800000000
+            ORDER BY doc_id
+        """,
         "geo_box_docs": """
             SELECT doc_id FROM documents
             WHERE ((doc_id * 2654435761) % 180000) - 90000

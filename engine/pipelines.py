@@ -1465,6 +1465,32 @@ def geo_distance_match_docs(
     return distance_docs(get_geo(sf_dir), lat, lon, radius_m)
 
 
+def points2d_box_match_docs(
+    sf_dir: str,
+    user_lo: int = 20,
+    user_hi: int = 60,
+    ts_lo: int = 1_704_844_800_000_000,  # 2024-01-10 00:00:00 UTC, micros
+    ts_hi: int = 1_705_708_800_000_000,  # 2024-01-20 00:00:00 UTC, micros
+):
+    """2-D BKD box query (IntPoint.newRangeQuery 2-D, inclusive) over the
+    events table's (user_id, ts) — alternating-median kd leaf layout,
+    leaf-stat pruning on both dims, streamed Dataset result. Exact
+    integer oracle: user_id/epoch_us(ts) BETWEEN in SQL."""
+    import pyarrow.parquet as _pq
+
+    from .points import box_docs_2d, build_points_2d
+
+    src = os.path.join(sf_dir, "events.parquet")
+    n = _pq.read_metadata(src).num_rows
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out_dir = os.path.join(CACHE_ROOT, f"{tag}-events{n}-points2d")
+    man = build_points_2d(
+        src, out_dir, fields=("user_id", "ts"), id_col="event_id",
+        rows_per_leaf=256,
+    )
+    return box_docs_2d(man, user_lo, user_hi, ts_lo, ts_hi)
+
+
 def geo_nearest_k(
     sf_dir: str, lat: float = 10.0, lon: float = 20.0, k: int = 10
 ) -> pa.Table:

@@ -189,3 +189,214 @@ def range_docs(points_manifest: dict, lo: int, hi: int) -> pa.Table:
         np.fromiter((r["doc_id"] for r in rows), dtype=np.int64, count=len(rows))
     )
     return pa.table({"doc_id": pa.array(docs, type=pa.int64())})
+
+
+# ---------------------------------------------------------------------------
+# 2-D points — the k-d BKD role (util/bkd/BKDWriter.java alternating median
+# splits; document/IntPoint.java newRangeQuery 2-D box, INCLUSIVE bounds).
+# ---------------------------------------------------------------------------
+
+
+def _kd_leaf_order(x: np.ndarray, y: np.ndarray, rows_per_leaf: int) -> np.ndarray:
+    """Permutation laying points out in BKD leaf order: recursive splits
+    alternating dims, each split on a LEAF-COUNT boundary (BKDWriter.build
+    splits at multiples of maxPointsInLeafNode so every leaf except the
+    last is exactly full) — leaves then align 1:1 with fixed-size parquet
+    row groups."""
+    vals = (x, y)
+    out: list[np.ndarray] = []
+
+    def rec(sel: np.ndarray, dim: int) -> None:
+        n = len(sel)
+        if n <= rows_per_leaf:
+            out.append(sel)
+            return
+        n_leaves = -(-n // rows_per_leaf)
+        mid = ((n_leaves + 1) // 2) * rows_per_leaf
+        ord_ = np.argsort(vals[dim][sel], kind="stable")
+        rec(sel[ord_[:mid]], 1 - dim)
+        rec(sel[ord_[mid:]], 1 - dim)
+
+    rec(np.arange(len(x), dtype=np.int64), 0)
+    return np.concatenate(out) if out else np.empty(0, dtype=np.int64)
+
+
+def build_points_2d(
+    src_path: str,
+    out_dir: str,
+    fields: tuple[str, str],
+    id_col: str = "doc_id",
+    rows_per_leaf: int = POINTS_LEAF_ROWS,
+    rows_per_file: int = 1 << 20,
+) -> dict:
+    """Build (or reuse) a 2-D points index over two int64 columns of a
+    parquet table (timestamp columns are taken as epoch micros). One Ray
+    task per row-group span of the source (deterministic specs => resume
+    skips finished files); within a task the span's points are laid out
+    by `_kd_leaf_order` and written write-once with one row group per kd
+    leaf. The manifest carries per-file min/max on BOTH dims (the .kdm
+    field bounds); the parquet footer stats per row group are the inner
+    tree nodes."""
+    import ray
+    import ray.data
+
+    fx, fy = fields
+    man_path = os.path.join(out_dir, "points2d_manifest.json")
+    if os.path.exists(man_path):
+        with open(man_path) as f:
+            return json.load(f)
+    os.makedirs(out_dir, exist_ok=True)
+
+    md = pq.read_metadata(src_path)
+    # group consecutive row groups into ~rows_per_file spans
+    specs = []
+    g0, acc = 0, 0
+    for g in range(md.num_row_groups):
+        acc += md.row_group(g).num_rows
+        if acc >= rows_per_file or g == md.num_row_groups - 1:
+            specs.append(
+                {
+                    "src": src_path,
+                    "rg_start": g0,
+                    "rg_end": g + 1,
+                    "out_path": os.path.join(
+                        out_dir, f"points2d-{len(specs):05d}.parquet"
+                    ),
+                }
+            )
+            g0, acc = g + 1, 0
+
+    def _as_i64(col: pa.ChunkedArray) -> np.ndarray:
+        arr = col.to_numpy(zero_copy_only=False)
+        if np.issubdtype(arr.dtype, np.datetime64):
+            return arr.astype("datetime64[us]").astype(np.int64)
+        return arr.astype(np.int64)
+
+    def _build_one(batch: pa.Table) -> pa.Table:
+        rows = []
+        for spec in batch.to_pylist():
+            out_path = spec["out_path"]
+            if not os.path.exists(out_path):  # write-once resume
+                pf = pq.ParquetFile(spec["src"])
+                tbl = pf.read_row_groups(
+                    list(range(spec["rg_start"], spec["rg_end"])),
+                    columns=[id_col, fx, fy],
+                )
+                xv = _as_i64(tbl.column(fx))
+                yv = _as_i64(tbl.column(fy))
+                ids = tbl.column(id_col).to_numpy().astype(np.int64)
+                order = _kd_leaf_order(xv, yv, rows_per_leaf)
+                sorted_tbl = pa.table(
+                    {
+                        "x": pa.array(xv[order], type=pa.int64()),
+                        "y": pa.array(yv[order], type=pa.int64()),
+                        "doc_id": pa.array(ids[order], type=pa.int64()),
+                    }
+                )
+                tmp = out_path + ".tmp"
+                pq.write_table(sorted_tbl, tmp, row_group_size=rows_per_leaf)
+                os.replace(tmp, out_path)
+            fmd = pq.read_metadata(out_path)
+            xs = [fmd.row_group(g).column(0).statistics for g in range(fmd.num_row_groups)]
+            ys = [fmd.row_group(g).column(1).statistics for g in range(fmd.num_row_groups)]
+            rows.append(
+                {
+                    "path": out_path,
+                    "min_x": min(int(s.min) for s in xs),
+                    "max_x": max(int(s.max) for s in xs),
+                    "min_y": min(int(s.min) for s in ys),
+                    "max_y": max(int(s.max) for s in ys),
+                    "n_rows": int(fmd.num_rows),
+                }
+            )
+        return pa.Table.from_pylist(rows)
+
+    files = (
+        ray.data.from_items(specs)
+        .map_batches(_build_one, batch_size=1, batch_format="pyarrow", **_rargs())
+        .take_all()
+    )
+    manifest = {
+        "fields": [fx, fy],
+        "id_col": id_col,
+        "rows_per_leaf": rows_per_leaf,
+        "files": sorted(files, key=lambda r: r["path"]),
+    }
+    tmp = man_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, man_path)
+    return manifest
+
+
+def box_docs_2d_file(
+    path: str, x_lo: int, x_hi: int, y_lo: int, y_hi: int
+) -> tuple[np.ndarray, int, int]:
+    """Matching ids from ONE 2-D points file for the inclusive box.
+    Returns (ids, n_groups_read, n_groups_total). Leaf groups whose 2-D
+    stats box misses the query are skipped (CELL_OUTSIDE_QUERY); groups
+    fully inside take all ids with no per-value test (CELL_INSIDE_QUERY);
+    boundary groups get the vectorized 2-D mask (CELL_CROSSES_QUERY)."""
+    pf = pq.ParquetFile(path)
+    md = pf.metadata
+    out: list[np.ndarray] = []
+    n_read = 0
+    for g in range(md.num_row_groups):
+        sx = md.row_group(g).column(0).statistics
+        sy = md.row_group(g).column(1).statistics
+        if int(sx.max) < x_lo or int(sx.min) > x_hi:
+            continue
+        if int(sy.max) < y_lo or int(sy.min) > y_hi:
+            continue
+        n_read += 1
+        inside = (
+            x_lo <= int(sx.min)
+            and int(sx.max) <= x_hi
+            and y_lo <= int(sy.min)
+            and int(sy.max) <= y_hi
+        )
+        if inside:
+            out.append(
+                pf.read_row_group(g, columns=["doc_id"]).column("doc_id").to_numpy()
+            )
+            continue
+        tbl = pf.read_row_group(g)
+        xv = tbl.column("x").to_numpy()
+        yv = tbl.column("y").to_numpy()
+        m = (xv >= x_lo) & (xv <= x_hi) & (yv >= y_lo) & (yv <= y_hi)
+        out.append(tbl.column("doc_id").to_numpy()[m])
+    docs = np.concatenate(out) if out else np.empty(0, dtype=np.int64)
+    return docs, n_read, md.num_row_groups
+
+
+def box_docs_2d(points_manifest: dict, x_lo: int, x_hi: int, y_lo: int, y_hi: int):
+    """IntPoint.newRangeQuery 2-D (inclusive box): file-level prune on
+    both dims' manifest bounds, then a streamed one-task-per-file Dataset
+    scan. Returns a ray.data.Dataset of (doc_id) — the match set never
+    collects on the driver."""
+    import ray.data
+
+    hit = [
+        f["path"]
+        for f in points_manifest["files"]
+        if not (
+            f["max_x"] < x_lo
+            or f["min_x"] > x_hi
+            or f["max_y"] < y_lo
+            or f["min_y"] > y_hi
+        )
+    ]
+    if not hit:
+        return ray.data.from_arrow(pa.table({"doc_id": pa.array([], type=pa.int64())}))
+
+    def _scan(batch: pa.Table) -> pa.Table:
+        parts = [
+            box_docs_2d_file(p, x_lo, x_hi, y_lo, y_hi)[0]
+            for p in batch.column("path").to_pylist()
+        ]
+        docs = np.concatenate(parts) if parts else np.empty(0, dtype=np.int64)
+        return pa.table({"doc_id": pa.array(docs, type=pa.int64())})
+
+    return ray.data.from_items([{"path": p} for p in hit]).map_batches(
+        _scan, batch_size=1, batch_format="pyarrow", **_rargs()
+    )

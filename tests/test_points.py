@@ -93,3 +93,82 @@ def test_points_inside_cell_fast_path(pts_manifest, pts_corpus):
     docs, n_read, n_total = range_docs_file(f["path"], -1, 1 << 40)
     assert n_read == n_total
     assert len(docs) == 300
+
+
+# ---------------------------------------------------------------------------
+# 2-D points (k-d BKD role: alternating median splits, 2-D leaf pruning)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def points2d(tmp_path_factory, ray_session):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from engine.points import build_points_2d
+
+    rng = np.random.default_rng(7)
+    n = 5000
+    x = rng.integers(0, 1000, n, dtype=np.int64)
+    y = rng.integers(0, 1000, n, dtype=np.int64)
+    src = str(tmp_path_factory.mktemp("pts2dsrc") / "src.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+                "x": pa.array(x),
+                "y": pa.array(y),
+            }
+        ),
+        src,
+        row_group_size=1250,
+    )
+    out = str(tmp_path_factory.mktemp("pts2d"))
+    man = build_points_2d(
+        src, out, fields=("x", "y"), rows_per_leaf=128, rows_per_file=2500
+    )
+    return man, x, y
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_points2d_box_vs_brute_force(points2d):
+    from engine.points import box_docs_2d
+
+    man, x, y = points2d
+    assert len(man["files"]) == 2  # rows_per_file split the source spans
+    for box in [(100, 300, 400, 700), (0, 999, 0, 999), (500, 400, 0, 10),
+                (990, 999, 990, 999)]:
+        got = np.sort(
+            np.array(
+                [r["doc_id"] for r in box_docs_2d(man, *box).take_all()],
+                dtype=np.int64,
+            )
+        )
+        exp = np.flatnonzero(
+            (x >= box[0]) & (x <= box[1]) & (y >= box[2]) & (y <= box[3])
+        )
+        np.testing.assert_array_equal(got, exp)
+
+
+def test_points2d_leaf_prune_both_dims(points2d):
+    """A narrow box reads only a fraction of the kd leaves — the
+    alternating-dim splits give BOTH dims pruning power, unlike a 1-D
+    sort where the second dim's stats are useless."""
+    from engine.points import box_docs_2d_file
+
+    man, _x, _y = points2d
+    f = man["files"][0]
+    _docs, n_read, n_total = box_docs_2d_file(f["path"], 100, 200, 100, 200)
+    assert n_total >= 15
+    assert n_read < n_total / 2
+
+
+def test_points2d_build_idempotent(points2d):
+    from engine.points import build_points_2d
+
+    man, _x, _y = points2d
+    src_dir = man["files"][0]["path"].rsplit("/", 1)[0]
+    again = build_points_2d(
+        "unused", src_dir, fields=("x", "y"), rows_per_leaf=128
+    )
+    assert again == man
