@@ -508,17 +508,25 @@ class IndexSearcher:
                     rx = _re.compile(bare_p)
                 except _re.error:
                     continue
-                lit = _re.match(r"[a-z0-9]*", bare_p).group(0)
+                prefixes = _regexp_literal_prefixes(bare_p)
                 for seg in segs_p:
-                    cand = (
-                        seg.expand_prefix(lit, 65536)
-                        if lit
-                        else (
+                    if prefixes:
+                        # char-class-aware prefix seek: the union of the
+                        # mandatory literal prefixes' dictionary ranges,
+                        # re-sorted so candidate order stays lexicographic
+                        cand = sorted(
+                            {
+                                t
+                                for p_ in prefixes
+                                for t in seg.expand_prefix(p_, 65536)
+                            }
+                        )
+                    else:
+                        cand = (
                             seg._terms
                             if hasattr(seg, "_terms")
                             else seg.iter_terms()
                         )
-                    )
                     for t in cand:
                         if rx.fullmatch(t) and qual(t) not in seen_r:
                             seen_r.add(qual(t))
@@ -1115,14 +1123,97 @@ def _edit_distance_le(a: str, b: str, k: int) -> bool:
     return prev[len(b)] <= k
 
 
+def _regexp_literal_prefixes(pat: str, cap: int = 16) -> list[str]:
+    """Mandatory literal prefixes of a regexp: a leading run of literal
+    chars and simple char classes ([abc] of plain literals) expands to at
+    most ``cap`` concrete prefixes (RegExp.toAutomaton's determinized
+    initial paths, at prefix granularity). A quantified element ends the
+    mandatory run; empty result = no usable prefix (full dictionary
+    scan)."""
+    prefixes = [""]
+    i = 0
+    while i < len(pat):
+        c = pat[i]
+        if c == "[":
+            k = pat.find("]", i + 1)
+            if k < 0:
+                break
+            body = pat[i + 1 : k]
+            if not body or body[0] == "^" or "-" in body or "\\" in body:
+                break
+            alts = list(body)
+            j = k + 1
+        elif c.isalnum():
+            alts = [c]
+            j = i + 1
+        else:
+            break
+        if j < len(pat) and pat[j] in "*+?{":
+            break  # quantifier makes the element non-mandatory
+        if len(prefixes) * len(alts) > cap:
+            break
+        prefixes = [p + a for p in prefixes for a in alts]
+        i = j
+    return [p for p in prefixes if p]
+
+
+def _lev_range_lower_bound(base: str, tmin: str, tmax: str) -> int:
+    """Lower bound on lev(base, t) over every term t in the sorted range
+    [tmin, tmax]. All such terms start with P = commonprefix(tmin, tmax);
+    min over completions c of lev(base, P + c) = min of the DP's final
+    row (pick c = the cheapest remaining base suffix for free). This is
+    the term-range face of the Levenshtein-automaton/FST intersect
+    (util/automaton/LevenshteinAutomata.java:33 + FuzzyQuery.java:247):
+    a dictionary shard whose bound exceeds max_ed can contain no match
+    and is never read."""
+    import os.path
+
+    p = os.path.commonprefix([tmin, tmax])
+    prev = list(range(len(base) + 1))
+    for ca in p:
+        cur = [prev[0] + 1]
+        for j, cb in enumerate(base, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        if min(cur) > len(base) + len(p):  # unreachable, keeps loop simple
+            return min(cur)
+        prev = cur
+    return min(prev)
+
+
+# instrumentation for the shard-prune tests (files read / files total of
+# the last dictionary-level fuzzy expansion)
+FUZZY_DICT_STATS = {"files_read": 0, "files_total": 0}
+
+
 def _fuzzy_expand(seg, base: str, max_ed: int, max_terms: int) -> list[str]:
-    """Terms within edit distance of ``base`` (exact term first). Scans the
-    dictionary restricted by the shared-prefix heuristic Lucene's automaton
-    achieves structurally: candidate lengths within ±max_ed."""
+    """Terms within edit distance of ``base`` (exact term first). On a
+    merged index with a sorted dictionary level, only dict files whose
+    term-range Levenshtein lower bound is <= max_ed are read (the
+    automaton-intersect seek at file granularity); within a file the
+    length band |len(t) - len(base)| <= max_ed prunes vectorized-cheap
+    before the banded DP."""
     out = []
+    ranges = None
+    if hasattr(seg, "_dict_ranges"):
+        ranges = seg._dict_ranges()
+    if ranges is not None:
+        import pyarrow.parquet as _pq
+
+        FUZZY_DICT_STATS["files_total"] = len(ranges)
+        FUZZY_DICT_STATS["files_read"] = 0
+        for tmin, tmax, path in ranges:  # sorted disjoint ranges
+            if _lev_range_lower_bound(base, tmin, tmax) > max_ed:
+                continue
+            FUZZY_DICT_STATS["files_read"] += 1
+            for t in _pq.read_table(path, columns=["term"]).column("term").to_pylist():
+                if _edit_distance_le(base, t, max_ed):
+                    out.append(t)
+                    if len(out) >= max_terms:
+                        return out
+        return out
     if hasattr(seg, "_terms"):
         candidates = seg._terms
-    else:  # MergedIndex: pruned-column dictionary enumeration (no blobs)
+    else:  # MergedIndex without a dict level: pruned-column enumeration
         candidates = seg.iter_terms()
     for t in candidates:
         if _edit_distance_le(base, t, max_ed):

@@ -238,11 +238,27 @@ def test_sorted_dictionary_level(built, tmp_path_factory):
     assert len(reads) < len(mm["dict_files"]) or len(mm["dict_files"]) == 1
 
     # fuzzy expansion enumerates via pruned dict reads and matches a scan
-    from engine.search import _fuzzy_expand
+    from engine.search import FUZZY_DICT_STATS, _fuzzy_expand
 
     got = _fuzzy_expand(mi, "the00", 1, 50)
     exp_f = [t for t in all_terms if _ed_le(t, "the00", 1)][:50]
     assert sorted(got) == sorted(exp_f)
+    # automaton-style shard seek: only dict files whose term-range
+    # Levenshtein lower bound admits a match are read (FuzzyQuery.java:247
+    # / LevenshteinAutomata.java:33 at file granularity)
+    if len(mm["dict_files"]) > 1:
+        assert 0 < FUZZY_DICT_STATS["files_read"] < FUZZY_DICT_STATS["files_total"]
+    # the range bound is admissible: every skipped file truly has no match
+    from engine.search import _lev_range_lower_bound
+
+    for r in mm["dict_files"]:
+        if _lev_range_lower_bound("the00", r["term_min"], r["term_max"]) > 1:
+            import pyarrow.parquet as _pq
+
+            terms_in = (
+                _pq.read_table(r["path"], columns=["term"]).column("term").to_pylist()
+            )
+            assert not any(_ed_le(t, "the00", 1) for t in terms_in)
 
 
 def _ed_le(a, b, k):
