@@ -209,6 +209,15 @@ class IndexSearcher:
         # hit stream BEFORE top-k selection. Stats (df/ttf/norms) keep
         # counting deleted docs until a rewrite — exactly Lucene's
         # pre-merge semantics.
+        # LRUQueryCache role (search/LRUQueryCache.java:61): per-searcher
+        # (= per searcher actor) LRU of filter-clause bitsets keyed by
+        # (segment index, clause terms). Segments are immutable, so
+        # entries never invalidate; deletions apply AFTER filtering
+        # (liveDocs mask in _live), matching Lucene's cache-on-the-
+        # reader-before-deletes semantics.
+        from collections import OrderedDict as _FOD
+
+        self._filter_cache: "OrderedDict" = _FOD()
         self._deleted: np.ndarray | None = None
         dpath = manifest.get("deletes")
         if dpath:
@@ -295,7 +304,35 @@ class IndexSearcher:
 
         obj.make_scorer = SIMILARITIES["bm25"]
         obj._deleted = None  # shard-subset searchers carry no liveDocs
+        from collections import OrderedDict as _FOD
+
+        obj._filter_cache = _FOD()
         return obj
+
+    _FILTER_CACHE_MAX = 32  # entries; each is one bool byte/doc of one segment
+
+    def _filter_bitset(self, gi: int, seg, ts: tuple[str, ...]) -> np.ndarray:
+        """Bool[span] for one TermInSetQuery FILTER clause on one segment,
+        LRU-cached per searcher (LRUQueryCache.java:61 role): the second
+        evaluation of a repeated filter set is a dict lookup, not a
+        postings re-read. Callers must not mutate the returned array."""
+        key = (gi, ts)
+        cached = self._filter_cache.get(key)
+        if cached is not None:
+            self._filter_cache.move_to_end(key)
+            return cached
+        lo = seg.doc_base
+        hit_any = np.zeros(seg.norm_span, dtype=bool)
+        for t in ts:
+            fld_s, bare_s = self._split_field(t)
+            sseg = seg if fld_s == "body" else self._field_seg(fld_s, gi)
+            docs, _ = sseg.postings(bare_s)
+            if len(docs):
+                hit_any[docs - lo] = True
+        self._filter_cache[key] = hit_any
+        if len(self._filter_cache) > self._FILTER_CACHE_MAX:
+            self._filter_cache.popitem(last=False)
+        return hit_any
 
     # -- stats pass (createWeight analogue) --------------------------------
 
@@ -817,15 +854,9 @@ class IndexSearcher:
                 sel = matched
             for ts in q.term_sets:
                 # TermInSetQuery FILTER: require >= 1 term of the set,
-                # contribute no score
-                hit_any = np.zeros(span, dtype=bool)
-                for t in ts:
-                    fld_s, bare_s = self._split_field(t)
-                    sseg = seg if fld_s == "body" else self._field_seg(fld_s, gi)
-                    docs, _ = sseg.postings(bare_s)
-                    if len(docs):
-                        hit_any[docs - lo] = True
-                sel = sel & hit_any
+                # contribute no score; bitset served from the per-searcher
+                # LRU on repeats (LRUQueryCache role)
+                sel = sel & self._filter_bitset(gi, seg, ts)
             if should_cnt is not None:
                 # minimumNumberShouldMatch (search/BooleanQuery.java:78,102):
                 # optional clauses that match count toward the minimum;
@@ -1008,14 +1039,7 @@ class IndexSearcher:
         else:
             sel = opt.copy()
         for ts in q.term_sets:
-            hit_any = np.zeros(span, dtype=bool)
-            for t in ts:
-                fld_s, bare_s = self._split_field(t)
-                sseg = seg if fld_s == "body" else self._field_seg(fld_s, gi)
-                docs, _ = sseg.postings(bare_s)
-                if len(docs):
-                    hit_any[docs - lo] = True
-            sel = sel & hit_any
+            sel = sel & self._filter_bitset(gi, seg, ts)
         if should_cnt is not None:
             sel = sel & (should_cnt >= q.min_should_match)
         for t in q.must_not:

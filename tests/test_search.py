@@ -629,6 +629,46 @@ def test_term_in_set_filter(corpus):
     assert set(s2.tolist()) == {0.0}
 
 
+def test_filter_clause_lru_cache(corpus):
+    """LRUQueryCache role (search/LRUQueryCache.java:61): the second
+    evaluation of a repeated filter set hits the per-searcher bitset LRU
+    — zero postings reads — and returns identical results. Evicted
+    entries recompute."""
+    from dataclasses import replace
+
+    from engine.queryparse import parse_query
+
+    s = IndexSearcher(corpus["manifest"], algorithm="taat")
+    q = replace(parse_query("the00"), term_sets=(("t00000", "t00001"),))
+    d1, s1 = s.search(q, corpus["doc_count"])
+    assert len(s._filter_cache) > 0
+
+    calls = {"n": 0}
+    orig = {}
+    for seg in s.segments:
+        orig[id(seg)] = seg.postings
+    try:
+        for seg in s.segments:
+            real = seg.postings
+
+            def counting(term, _real=real):
+                calls["n"] += 1
+                return _real(term)
+
+            seg.postings = counting
+        d2, s2 = s.search(q, corpus["doc_count"])
+        # the scoring term 'the00' still reads postings; the FILTER terms
+        # don't — so exactly one postings call per segment
+        assert calls["n"] == len(s.segments)
+    finally:
+        for seg in s.segments:
+            seg.postings = orig[id(seg)]
+    np.testing.assert_array_equal(d1, d2)
+    np.testing.assert_array_equal(s1, s2)
+    # capacity eviction: distinct filter sets beyond the LRU max recompute
+    assert len(s._filter_cache) <= s._FILTER_CACHE_MAX
+
+
 def _ref_eval(corpus, q):
     """Independent reference evaluator for nested BooleanQuery semantics
     over the test oracle postings: returns (matched bool[n], score
