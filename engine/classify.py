@@ -126,8 +126,10 @@ def nb_train(
     import ray.data
     from ray.data.aggregate import Sum
 
+    from .rayenv import read_parquet_clean
+
     path = os.path.join(sf_dir, "documents.parquet")
-    ds = ray.data.read_parquet(path, columns=["text", class_col])
+    ds = read_parquet_clean(path, columns=["text", class_col])
 
     hits_ds = (
         ds.map_batches(
@@ -227,8 +229,11 @@ class NBClassifierStage:
     """Actor-pool inference stage: model ships once as constructor args,
     document batches stream through."""
 
-    def __init__(self, model: dict, analyzer: Analyzer = DEFAULT_ANALYZER):
-        self.model = model
+    def __init__(self, model, analyzer: Analyzer = DEFAULT_ANALYZER):
+        from .rayenv import Opaque
+
+        # the model dict ships Opaque-wrapped (see rayenv.Opaque)
+        self.model = model.obj if isinstance(model, Opaque) else model
         self.analyzer = analyzer
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -256,12 +261,16 @@ def nb_classify_dataset(
     stream (self-classification) — Dataset of (doc_id, assigned_class)."""
     import ray.data
 
+    from .rayenv import Opaque
+
     model = nb_train(sf_dir, class_col, analyzer)
+    from .rayenv import read_parquet_clean
+
     path = os.path.join(sf_dir, "documents.parquet")
-    ds = ray.data.read_parquet(path, columns=["doc_id", "text"])
+    ds = read_parquet_clean(path, columns=["doc_id", "text"])
     return ds.map_batches(
         NBClassifierStage,
-        fn_constructor_args=(model, analyzer),
+        fn_constructor_args=(Opaque(model), analyzer),
         batch_format="pyarrow",
         batch_size=256,
         concurrency=concurrency,
@@ -388,7 +397,9 @@ def knn_classify_docs(
     import ray.data
 
     src = os.path.join(sf_dir, "documents.parquet")
-    examples = ray.data.read_parquet(
+    from .rayenv import read_parquet_clean
+
+    examples = read_parquet_clean(
         src,
         columns=["doc_id", "text"],
         filter=pads.field("doc_id").isin(doc_ids),

@@ -1197,9 +1197,13 @@ def merge_by_term(
             for r in heavy_shards
         )
 
+    t_join = time.perf_counter()
     dict_thread.join()
     dict_rows = dict_state["rows"]
+    # thread-wall includes CPU contention with the heavy pass it hides
+    # behind; the EXPOSED cost is only the join wait after final_heavy
     stage_t["dict_level_overlapped"] = dict_state["sec"]
+    stage_t["dict_level_exposed"] = round(time.perf_counter() - t_join, 3)
 
     # extra indexed fields (title, ...) merge through the SAME salted
     # groupby-term path into their own sub-index; the resulting manifests

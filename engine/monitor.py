@@ -244,13 +244,19 @@ class PercolatorStage:
 
     def __init__(
         self,
-        compiled: dict,
-        anchor_map: dict,
+        compiled,
+        anchor_map,
         always: list,
         analyzer: Analyzer = DEFAULT_ANALYZER,
     ):
-        self.compiled = compiled
-        self.anchor_map = anchor_map
+        from .rayenv import Opaque
+
+        # dict args ship Opaque-wrapped (rayenv.Opaque: keeps Ray Data's
+        # schema-dedup hashing off the raw dicts)
+        self.compiled = compiled.obj if isinstance(compiled, Opaque) else compiled
+        self.anchor_map = (
+            anchor_map.obj if isinstance(anchor_map, Opaque) else anchor_map
+        )
         self.always = always
         self.analyzer = analyzer
 
@@ -311,10 +317,12 @@ def percolate(
     by construction."""
     from .rayenv import remote_args
 
+    from .rayenv import Opaque
+
     compiled, anchor_map, always = compile_queries(queries, analyzer)
     return docs_ds.map_batches(
         PercolatorStage,
-        fn_constructor_args=(compiled, anchor_map, always, analyzer),
+        fn_constructor_args=(Opaque(compiled), Opaque(anchor_map), always, analyzer),
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

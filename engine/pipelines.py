@@ -461,11 +461,10 @@ def percolate_matches(sf_dir: str):
     bucket. Oracle: a UNION ALL of per-query containment SQL."""
     import os
 
-    import ray.data
-
     from .monitor import percolate
+    from .rayenv import read_parquet_clean
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
     return percolate(ds, PERCOLATE_QUERIES)
@@ -485,7 +484,9 @@ def nb_train_stats(sf_dir: str) -> pa.Table:
     from .classify import _hits_partial
     from .rayenv import remote_args as _rargs
 
-    ds = ray.data.read_parquet(
+    from .rayenv import read_parquet_clean
+
+    ds = read_parquet_clean(
         os.path.join(sf_dir, "documents.parquet"), columns=["text", "lang"]
     )
     out = (

@@ -31,9 +31,11 @@ import pyarrow.compute as pc
 
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None):
-    import ray.data
+    from .rayenv import read_parquet_clean
 
-    return ray.data.read_parquet(
+    # metadata-stripped read: pandas-written testdata schemas are
+    # unhashable and spam ray.data's schema-dedup warning (rayenv)
+    return read_parquet_clean(
         os.path.join(sf_dir, f"{table}.parquet"), columns=columns
     )
 

@@ -63,7 +63,9 @@ def build_sorted_layout(
             return json.load(f)
 
     src = os.path.join(sf_dir, "documents.parquet")
-    ds = ray.data.read_parquet(src, columns=["doc_id", col])
+    from .rayenv import read_parquet_clean
+
+    ds = read_parquet_clean(src, columns=["doc_id", col])
 
     # deterministic systematic sample for boundary estimation (bounded
     # driver collect; the sample rate, not the corpus, sets its size —
@@ -89,7 +91,9 @@ def build_sorted_layout(
         pid = np.searchsorted(bounds, vals, side="right").astype(np.int64)
         return batch.append_column("pid", pa.array(pid))
 
-    full = ray.data.read_parquet(src)
+    from .rayenv import read_parquet_clean
+
+    full = read_parquet_clean(src)
     full.map_batches(assign, batch_format="pyarrow", **_rargs()).write_parquet(
         out_dir, partition_cols=["pid"]
     )
