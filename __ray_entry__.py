@@ -432,6 +432,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "collection_stats": pipelines.collection_stats,
         "doc_norms": pipelines.doc_norms,
         "bm25_topk": pipelines.bm25_search_results,
+        "bm25_snippets_passages": pipelines.bm25_snippets_passages,
         "bm25_scores_exact": pipelines.bm25_scores_exact,
         "bm25_bool_scores_exact": pipelines.bm25_bool_scores_exact,
         "bm25_phrase_scores_exact": pipelines.bm25_phrase_scores_exact,
@@ -1954,6 +1955,121 @@ def oracle_sql() -> dict[str, str]:
             SELECT top10.doc_id, top10.rank,
                    CAST(top10.score AS DOUBLE) AS score, snip.snippet
             FROM top10 JOIN snip ON snip.doc_id = top10.doc_id
+        """,
+        # PASSAGE-scored highlighting (UnifiedHighlighter
+        # PassageScorer.java:84-142 over 16-token windows, float64 math):
+        # weight = 2.2*ln(1 + ((1 + L/16) + 0.5)/(ttf + 0.5)),
+        # tf = freq/(freq + 1.2*(0.25 + 0.75*plen/16)),
+        # score = (1 + 1/ln(16 + start)) * sum(tf*weight);
+        # top-10 'data join' docs from the exact f32 chain, one best
+        # passage per doc (score desc, start asc)
+        "bm25_snippets_passages": f"""
+            WITH lt(b, lo) AS (VALUES {lt_values}),
+            stats AS (
+                SELECT (SELECT count(*) FROM documents) AS n_docs,
+                       (SELECT CAST(sum(len({_TOK})) AS BIGINT)
+                        FROM documents) AS sttf
+            ),
+            tok AS (SELECT doc_id, unnest({_TOK}) AS t FROM documents),
+            tfa AS (SELECT doc_id, count(*) AS freq FROM tok
+                    WHERE t = 'data' GROUP BY doc_id),
+            tfb AS (SELECT doc_id, count(*) AS freq FROM tok
+                    WHERE t = 'join' GROUP BY doc_id),
+            nb AS (
+                SELECT doc_id, (SELECT max(b) FROM lt WHERE lo <= n) AS b
+                FROM (SELECT doc_id, len({_TOK}) AS n FROM documents)
+            ),
+            c AS (
+                SELECT {_bm25_w("(SELECT count(*) FROM tfa)")} AS wa,
+                       {_bm25_w("(SELECT count(*) FROM tfb)")} AS wb,
+                       CAST(sttf / CAST(n_docs AS DOUBLE) AS FLOAT) AS avgdl
+                FROM stats
+            ),
+            cache AS (SELECT lt.b, {_bm25_cache_expr} AS inv FROM lt, c),
+            pairs AS (
+                SELECT coalesce(tfa.doc_id, tfb.doc_id) AS doc_id,
+                       tfa.freq AS fa, tfb.freq AS fb
+                FROM tfa FULL OUTER JOIN tfb ON tfa.doc_id = tfb.doc_id
+            ),
+            scored AS (
+                SELECT p.doc_id,
+                       CAST(
+                         coalesce(CAST({_bm25_score("c.wa", "p.fa", "k.inv")}
+                                       AS DOUBLE), 0.0)
+                       + coalesce(CAST({_bm25_score("c.wb", "p.fb", "k.inv")}
+                                       AS DOUBLE), 0.0)
+                       AS FLOAT) AS score
+                FROM pairs p
+                JOIN nb ON nb.doc_id = p.doc_id
+                JOIN cache k ON k.b = nb.b, c
+            ),
+            top10 AS (
+                SELECT rank, doc_id FROM (
+                    SELECT CAST(row_number() OVER (
+                               ORDER BY score DESC, doc_id ASC) - 1 AS BIGINT)
+                               AS rank, doc_id
+                    FROM scored
+                ) WHERE rank < 10
+            ),
+            tokl AS (
+                SELECT doc_id, {_TOK} AS ts, len({_TOK}) AS n FROM documents
+                WHERE doc_id IN (SELECT doc_id FROM top10)
+            ),
+            pos AS (
+                SELECT doc_id, unnest({_TOK}) AS t,
+                       unnest(range(len({_TOK}))) AS p
+                FROM documents WHERE doc_id IN (SELECT doc_id FROM top10)
+            ),
+            ttfq AS (
+                SELECT doc_id, t, count(*) AS ttf FROM pos
+                WHERE t IN ('data', 'join') GROUP BY doc_id, t
+            ),
+            wgt AS (
+                SELECT q.doc_id, q.t,
+                       (1.2 + 1) * ln(1 + ((1 + tokl.n / 16.0) + 0.5)
+                                          / (q.ttf + 0.5)) AS w
+                FROM ttfq q JOIN tokl ON tokl.doc_id = q.doc_id
+            ),
+            pw AS (
+                SELECT doc_id, t, CAST(p // 16 AS BIGINT) AS w_id,
+                       count(*) AS freq
+                FROM pos WHERE t IN ('data', 'join')
+                GROUP BY doc_id, t, w_id
+            ),
+            pscore AS (
+                SELECT pw.doc_id, pw.w_id,
+                       (1 + 1 / ln(16.0 + pw.w_id * 16)) * sum(
+                           pw.freq / (pw.freq + 1.2 * ((1 - 0.75)
+                               + 0.75 * (least(16, tokl.n - pw.w_id * 16)
+                                         / 16.0)))
+                           * wgt.w
+                       ) AS score,
+                       any_value(least(16, tokl.n - pw.w_id * 16)) AS plen
+                FROM pw
+                JOIN wgt ON wgt.doc_id = pw.doc_id AND wgt.t = pw.t
+                JOIN tokl ON tokl.doc_id = pw.doc_id
+                GROUP BY pw.doc_id, pw.w_id
+            ),
+            best AS (
+                SELECT doc_id, w_id, score, plen FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY doc_id
+                        ORDER BY score DESC, w_id ASC) AS rn
+                    FROM pscore
+                ) WHERE rn = 1
+            )
+            SELECT top10.doc_id, top10.rank,
+                   CAST(best.w_id * 16 AS BIGINT) AS passage_start,
+                   best.score AS passage_score,
+                   array_to_string(list_transform(
+                       tokl.ts[best.w_id * 16 + 1
+                               : best.w_id * 16 + best.plen],
+                       x -> CASE WHEN x IN ('data', 'join')
+                            THEN '**' || x || '**' ELSE x END), ' ')
+                       AS snippet
+            FROM top10
+            JOIN best ON best.doc_id = top10.doc_id
+            JOIN tokl ON tokl.doc_id = top10.doc_id
         """,
         # 2-term disjunction 'data merge' with exact float32 scores: per-
         # term float32 scores summed in a float64 accumulator and cast

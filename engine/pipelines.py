@@ -811,6 +811,60 @@ def bm25_snippets(sf_dir: str, query: str = "data join", k: int = 10) -> pa.Tabl
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def bm25_snippets_passages(
+    sf_dir: str, query: str = "data join", k: int = 10
+) -> pa.Table:
+    """Two-phase search + PASSAGE-SCORED highlight (UnifiedHighlighter
+    PassageScorer.java:84-142 formula set over fixed token windows —
+    engine/textops.make_snippet_passages): BM25 top-k, doc_id-pushdown
+    fetch, per-doc best passage by norm(start) * sum(tf * weight).
+    (doc_id, rank, passage_start, passage_score, snippet); float64
+    passage math replays bit-exactly in the DuckDB oracle."""
+    import pyarrow.dataset as pads
+
+    from .checkpoint import load_merge_manifest
+    from .search import IndexSearcher
+    from .textops import make_snippet_passages
+
+    idx = get_index(sf_dir)
+    searcher = IndexSearcher(load_merge_manifest(idx["index_dir"]))
+    docs, _scores = searcher.search(query, k)
+    terms = [t for t in query.lower().split() if t.isalnum()]
+    pages_dir = os.path.dirname(idx["index_dir"]) + "/pages"
+    hit_ids = sorted(int(d) for d in docs)
+    tbl = pads.dataset(pages_dir).to_table(
+        columns=["doc_id", "text"], filter=pads.field("doc_id").isin(hit_ids)
+    )
+    text_of = dict(
+        zip(tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist())
+    )
+    rows = []
+    for rank, d in enumerate(docs.tolist()):
+        start, pscore, snip = make_snippet_passages(text_of.get(int(d), ""), terms)
+        rows.append(
+            {
+                "doc_id": int(d),
+                "rank": rank,
+                "passage_start": start,
+                "passage_score": pscore,
+                "snippet": snip,
+            }
+        )
+    return pa.table(
+        {
+            "doc_id": pa.array([r["doc_id"] for r in rows], type=pa.int64()),
+            "rank": pa.array([r["rank"] for r in rows], type=pa.int64()),
+            "passage_start": pa.array(
+                [r["passage_start"] for r in rows], type=pa.int64()
+            ),
+            "passage_score": pa.array(
+                [r["passage_score"] for r in rows], type=pa.float64()
+            ),
+            "snippet": pa.array([r["snippet"] for r in rows], type=pa.string()),
+        }
+    )
+
+
 def bm25_snippets_offsets(
     sf_dir: str, query: str = "data join", k: int = 10
 ) -> pa.Table:

@@ -306,6 +306,73 @@ def make_snippet(text: str, terms: list[str], window: int = 8, max_fragments: in
     return " ... ".join(frags)
 
 
+def make_snippet_passages(
+    text: str,
+    terms: list[str],
+    window: int = 16,
+    k1: float = 1.2,
+    b: float = 0.75,
+    pivot: float = 16.0,
+) -> tuple[int, float, str]:
+    """Passage-scored snippet — the UnifiedHighlighter PassageScorer
+    formula set (highlighter/.../uhighlight/PassageScorer.java:84-142):
+
+        weight(L, ttf) = (k1+1) * ln(1 + ((1 + L/pivot) + 0.5)/(ttf + 0.5))
+        tf(freq, plen) = freq / (freq + k1*((1-b) + b*(plen/pivot)))
+        norm(start)    = 1 + 1/ln(pivot + start)
+        score(passage) = norm(start) * Σ_unique-term tf * weight
+
+    Documented deviations: passages are fixed non-overlapping WINDOWS of
+    ``window`` tokens (BreakIterator-sentence stand-in), lengths are in
+    tokens with pivot rescaled accordingly (the reference measures
+    characters with pivot=87), and arithmetic is float64 so the DuckDB
+    oracle replays every op bit-exactly (the same-libm ln lore).
+    Returns (passage_start_token, passage_score, marked snippet) of the
+    best passage (score desc, start asc); (0, 0.0, leading window) when
+    no term matches."""
+    import math
+
+    toks = TOKEN_RE.findall((text or "").lower())
+    term_set = set(terms)
+    n = len(toks)
+    if n == 0:
+        return 0, 0.0, ""
+    ttf = {t: 0 for t in term_set}
+    for t in toks:
+        if t in term_set:
+            ttf[t] += 1
+    if not any(ttf.values()):
+        return 0, 0.0, " ".join(toks[:window])
+    num_docs = 1 + n / pivot
+    weight = {
+        t: (k1 + 1) * math.log(1 + (num_docs + 0.5) / (ttf[t] + 0.5))
+        for t in term_set
+        if ttf[t]
+    }
+    best = None  # (neg score handled by compare, start)
+    for start in range(0, n, window):
+        plen = min(window, n - start)
+        freqs: dict[str, int] = {}
+        for t in toks[start : start + plen]:
+            if t in term_set:
+                freqs[t] = freqs.get(t, 0) + 1
+        if not freqs:
+            continue
+        denom = k1 * ((1 - b) + b * (plen / pivot))
+        s = 0.0
+        for t in sorted(freqs):  # unique terms, sorted (deterministic sum)
+            s += (freqs[t] / (freqs[t] + denom)) * weight[t]
+        score = (1 + 1 / math.log(pivot + start)) * s
+        if best is None or score > best[0] or (score == best[0] and start < best[1]):
+            best = (score, start)
+    score, start = best
+    plen = min(window, n - start)
+    snippet = " ".join(
+        f"**{t}**" if t in term_set else t for t in toks[start : start + plen]
+    )
+    return start, score, snippet
+
+
 def make_snippet_offsets(
     text: str,
     spans: list[tuple[int, int]],

@@ -965,3 +965,38 @@ def test_image_embedder_deterministic_and_plumbed(ray_session):
         np.asarray(row, dtype=np.float32),
         emb._encode(np.array([3], dtype=np.int64))[0].astype(np.float32),
     )
+
+
+def test_make_snippet_passages_formula():
+    """PassageScorer formula replay (PassageScorer.java:84-142): windows of
+    16 tokens, weight/tf/norm hand-computed for a crafted doc; the best
+    passage is the second window (two distinct terms beat one despite the
+    position-decay norm favoring the first)."""
+    import math
+
+    from engine.textops import make_snippet_passages
+
+    # window 0: one 'data'; window 1: 'data join' adjacent; 36 tokens total
+    toks = (
+        ["data"] + ["x"] * 15
+        + ["data", "join"] + ["y"] * 14
+        + ["z"] * 4
+    )
+    text = " ".join(toks)
+    start, score, snip = make_snippet_passages(text, ["data", "join"])
+    assert start == 16
+    n = 36
+    num_docs = 1 + n / 16.0
+    w = {
+        "data": 2.2 * math.log(1 + (num_docs + 0.5) / (2 + 0.5)),
+        "join": 2.2 * math.log(1 + (num_docs + 0.5) / (1 + 0.5)),
+    }
+    denom = 1.2 * (0.25 + 0.75 * (16 / 16.0))
+    exp = (1 + 1 / math.log(16.0 + 16)) * (
+        (1 / (1 + denom)) * w["data"] + (1 / (1 + denom)) * w["join"]
+    )
+    assert score == exp
+    assert snip.startswith("**data** **join**")
+    # no-match doc: leading window, zero score
+    s0, sc0, sn0 = make_snippet_passages("alpha beta", ["zz"])
+    assert (s0, sc0, sn0) == (0, 0.0, "alpha beta")
