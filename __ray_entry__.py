@@ -658,6 +658,38 @@ def oracle_sql() -> dict[str, str]:
             "ELSE x END), ' ')"
         )
 
+    # American Soundex as a SQL fold (engine/filters.py soundex: first
+    # letter + 3 consonant-class digits, same-class adjacency collapses,
+    # h/w transparent, vowels reset) — state rides a 'prev;digits' string
+    # through list_reduce; validated against the Python implementation on
+    # 3k random words incl. the classic Robert/Rupert/Ashcraft cases
+    _sdx_cls = (
+        "CASE WHEN c IN ('b','f','p','v') THEN '1' "
+        "WHEN c IN ('c','g','j','k','q','s','x','z') THEN '2' "
+        "WHEN c IN ('d','t') THEN '3' WHEN c = 'l' THEN '4' "
+        "WHEN c IN ('m','n') THEN '5' WHEN c = 'r' THEN '6' "
+        "WHEN c IN ('h','w') THEN 'H' ELSE 'V' END"
+    )
+    _sdx_first = _sdx_cls.replace("c IN", "substring(t, 1, 1) IN").replace(
+        "c = ", "substring(t, 1, 1) = "
+    )
+    _sdx_expr = f"""
+        upper(substring(t, 1, 1)) || rpad(split_part(list_reduce(list_prepend(
+            CASE WHEN {_sdx_first} IN ('H','V') THEN ';'
+                 ELSE {_sdx_first} || ';' END,
+            list_transform(
+                list_transform(range(2, length(t) + 1),
+                               i -> substring(t, CAST(i AS INTEGER), 1)),
+                c -> {_sdx_cls})),
+          (acc, m) -> CASE
+              WHEN m = 'H' THEN acc
+              WHEN m = 'V' THEN ';' || split_part(acc, ';', 2)
+              WHEN m != split_part(acc, ';', 1)
+                   AND length(split_part(acc, ';', 2)) < 3
+                   THEN m || ';' || split_part(acc, ';', 2) || m
+              ELSE m || ';' || split_part(acc, ';', 2) END
+        ), ';', 2), 3, '0')
+    """
     # MinHash permutation coefficients, verbatim (engine/dedup._coeffs
     # seeded rng 424242): (j, a_j, b_j) rows for the 64 permutations
     from engine.dedup import _coeffs as _mh_coeffs
@@ -2123,6 +2155,21 @@ def oracle_sql() -> dict[str, str]:
         "term_df_ttf": f"""
             SELECT term, count(*) AS df, CAST(sum(cnt) AS BIGINT) AS ttf
             FROM ({tok_pairs}) GROUP BY term
+        """,
+        # PhoneticFilter role: top-50 Soundex codes by distinct source
+        # terms; non-alphabetic tokens pass through uncoded
+        "soundex_groups": f"""
+            WITH terms AS (
+                SELECT DISTINCT t FROM (
+                    SELECT unnest({_TOK}) AS t FROM documents)
+            ),
+            coded AS (
+                SELECT CASE WHEN NOT regexp_full_match(t, '[a-z]+')
+                            THEN t ELSE {_sdx_expr} END AS code
+                FROM terms
+            )
+            SELECT code, CAST(count(*) AS BIGINT) AS n_terms FROM coded
+            GROUP BY code ORDER BY n_terms DESC, code ASC LIMIT 50
         """,
         "top100_terms": f"""
             SELECT term, count(*) AS df FROM ({tok_pairs})
