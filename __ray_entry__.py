@@ -2156,6 +2156,100 @@ def oracle_sql() -> dict[str, str]:
             SELECT term, count(*) AS df, CAST(sum(cnt) AS BIGINT) AS ttf
             FROM ({tok_pairs}) GROUP BY term
         """,
+        # Multimodal metadata extraction replayed exactly: the synth image
+        # payload (engine/multimodal.py synth_image_payloads: format header
+        # by doc_id % 3 + sha256("42:{id}") digest x (id%5+1)) reconstructs
+        # in SQL via from_hex, so n_bytes / sniffed format / parsed
+        # dimensions / md5-of-hex fingerprint all recompute bit-for-bit
+        "image_meta": """
+            WITH p AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 3 = 0 THEN from_hex(
+                                '89504e470d0a1a0a' || '0000000000000000'
+                                || format('{:08x}', 16 + doc_id % 64)
+                                || format('{:08x}', 9 + doc_id % 32))
+                            WHEN doc_id % 3 = 1 THEN from_hex(
+                                '474946383961'
+                                || format('{:02x}', (32 + doc_id % 100) % 256)
+                                || format('{:02x}', (32 + doc_id % 100) // 256)
+                                || '1800')
+                            ELSE from_hex('ffd8ffe0') END
+                       || repeat(from_hex(sha256('42:' || CAST(doc_id AS VARCHAR))),
+                                 CAST(doc_id % 5 + 1 AS INTEGER)) AS payload
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(octet_length(payload) AS BIGINT) AS n_bytes,
+                   CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+                        ELSE 'jpeg' END AS format,
+                   CAST(CASE doc_id % 3 WHEN 0 THEN 16 + doc_id % 64
+                        WHEN 1 THEN 32 + doc_id % 100 ELSE -1 END
+                        AS INTEGER) AS width,
+                   CAST(CASE doc_id % 3 WHEN 0 THEN 9 + doc_id % 32
+                        WHEN 1 THEN 24 ELSE -1 END AS INTEGER) AS height,
+                   md5(lower(hex(payload))) AS content_md5
+            FROM p
+        """,
+        # Audio RMS frames replayed exactly: the media payload is the
+        # sha256 digest repeated (period 32), every 256-sample window at
+        # hop 128 covers exactly 8 periods, and int8-square sums are exact
+        # integers in f64 — rms = sqrt(8 * S32 / 256.0) independent of
+        # summation order
+        "audio_frame_energy": """
+            WITH hx AS (
+                SELECT doc_id,
+                       lower(sha256('media:7:' || CAST(doc_id AS VARCHAR))) AS h,
+                       (32 * ((doc_id % 40) + 8) - 256) // 128 + 1 AS n_frames
+                FROM documents
+            ),
+            bytes AS (
+                SELECT doc_id, n_frames,
+                       (strpos('0123456789abcdef',
+                               substring(h, CAST(2 * j + 1 AS INTEGER), 1)) - 1) * 16
+                     + (strpos('0123456789abcdef',
+                               substring(h, CAST(2 * j + 2 AS INTEGER), 1)) - 1) AS b
+                FROM hx, (SELECT unnest(range(32)) AS j)
+            ),
+            s32 AS (
+                SELECT doc_id, any_value(n_frames) AS n_frames,
+                       sum(CASE WHEN b > 127 THEN (b - 256) * (b - 256)
+                                ELSE b * b END) AS s
+                FROM bytes GROUP BY doc_id
+            )
+            SELECT doc_id, CAST(f AS INTEGER) AS frame,
+                   sqrt((8 * s) / 256.0) AS rms_energy
+            FROM (SELECT doc_id, s,
+                         unnest(range(CAST(n_frames AS BIGINT))) AS f
+                  FROM s32)
+        """,
+        # Video frame sampling replayed exactly: 64-byte fake frames over
+        # the period-32 payload => every frame's mean luma = (unsigned
+        # byte sum of one period) / 32, frames sampled at stride 4
+        "video_frame_sample": """
+            WITH hx AS (
+                SELECT doc_id,
+                       lower(sha256('media:7:' || CAST(doc_id AS VARCHAR))) AS h,
+                       (32 * ((doc_id % 40) + 8)) // 64 AS n_frames
+                FROM documents
+            ),
+            bytes AS (
+                SELECT doc_id, n_frames,
+                       (strpos('0123456789abcdef',
+                               substring(h, CAST(2 * j + 1 AS INTEGER), 1)) - 1) * 16
+                     + (strpos('0123456789abcdef',
+                               substring(h, CAST(2 * j + 2 AS INTEGER), 1)) - 1) AS b
+                FROM hx, (SELECT unnest(range(32)) AS j)
+            ),
+            s32 AS (
+                SELECT doc_id, any_value(n_frames) AS n_frames, sum(b) AS s
+                FROM bytes GROUP BY doc_id
+            )
+            SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+                   (2 * s) / 64.0 AS mean_luma
+            FROM (SELECT doc_id, s,
+                         unnest(range(0, CAST(n_frames AS BIGINT), 4)) AS i
+                  FROM s32)
+        """,
         # PhoneticFilter role: top-50 Soundex codes by distinct source
         # terms; non-alphabetic tokens pass through uncoded
         "soundex_groups": f"""

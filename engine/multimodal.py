@@ -32,7 +32,7 @@ IMAGE_META_SCHEMA = pa.schema(
         ("format", pa.string()),
         ("width", pa.int32()),
         ("height", pa.int32()),
-        ("sha1", pa.string()),
+        ("content_md5", pa.string()),
     ]
 )
 
@@ -90,7 +90,10 @@ class ImageMetaExtractor:
             rows["format"].append(fmt)
             rows["width"].append(w)
             rows["height"].append(h)
-            rows["sha1"].append(hashlib.sha1(p).hexdigest())
+            # md5 over the canonical lowercase-hex encoding: DuckDB's md5 is
+            # VARCHAR-only, so hashing the hex string keeps the content
+            # fingerprint SQL-replayable (CLAUDE.md process-independent rule)
+            rows["content_md5"].append(hashlib.md5(p.hex().encode()).hexdigest())
         return pa.table(rows, schema=IMAGE_META_SCHEMA)
 
 
