@@ -425,12 +425,24 @@ class IndexSearcher:
         k: int = 10,
         threshold: int = TOTAL_HITS_THRESHOLD,
         algorithm: str | None = None,
+        time_limit_ms: float | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
-        """Top-k (global docIDs, float32 scores), (score desc, docID asc)."""
+        """Top-k (global docIDs, float32 scores), (score desc, docID asc).
+
+        ``time_limit_ms`` is the TimeLimitingCollector role
+        (search/TimeLimitingCollector.java): the deadline is checked at
+        segment granularity on the exhaustive plan; crossing it raises
+        TimeLimitExceeded carrying the partial top-k of the segments
+        finished in time."""
         q = parse_query(query) if isinstance(query, str) else query
         if q.empty or k <= 0:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
-        return self.execute(self.rewrite(q), k, threshold, algorithm)
+        deadline = (
+            None
+            if time_limit_ms is None
+            else __import__("time").perf_counter() + time_limit_ms / 1000.0
+        )
+        return self.execute(self.rewrite(q), k, threshold, algorithm, deadline)
 
     def rewrite(self, q: BoolQuery) -> BoolQuery:
         """Multi-term scoring rewrites against this searcher's dictionary
@@ -624,9 +636,13 @@ class IndexSearcher:
         k: int = 10,
         threshold: int = TOTAL_HITS_THRESHOLD,
         algorithm: str | None = None,
+        deadline: float | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Run an already-rewritten BoolQuery — the Weight.scorer +
-        collect phase. Plan choice mirrors Boolean2ScorerSupplier."""
+        collect phase. Plan choice mirrors Boolean2ScorerSupplier.
+        ``deadline`` (perf_counter seconds) is enforced at segment
+        granularity on the exhaustive plans (TimeLimitingCollector
+        role)."""
         if q.empty or k <= 0:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
         if q.nested:
@@ -676,7 +692,7 @@ class IndexSearcher:
             algorithm = "wand" if total_postings > WAND_POSTINGS_CUTOVER else "taat"
 
         if algorithm == "taat":
-            return self._search_taat(q, live_should, params, k)
+            return self._search_taat(q, live_should, params, k, deadline)
         return self._search_wand(q, live_should, params, k, threshold)
 
     # -- exhaustive vectorized plan ----------------------------------------
@@ -687,7 +703,27 @@ class IndexSearcher:
         live_should: tuple[str, ...],
         params: dict[str, TermScorerParams | None],
         k: int,
+        deadline: float | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
+        import time as _time
+
+        def _check_deadline() -> None:
+            # TimeLimitingCollector.collect's timer check, at the segment
+            # (leaf) granularity of this vectorized plan; the exception
+            # carries the partial top-k collected in time
+            if deadline is not None and _time.perf_counter() > deadline:
+                if all_docs:
+                    d, sc = topk_sort(
+                        *self._live(
+                            np.concatenate(all_docs), np.concatenate(all_scores)
+                        ),
+                        k,
+                    )
+                else:
+                    d = np.empty(0, dtype=np.int64)
+                    sc = np.empty(0, dtype=np.float32)
+                raise TimeLimitExceeded(d, sc)
+
         all_docs: list[np.ndarray] = []
         all_scores: list[np.ndarray] = []
         n_must = len(q.must)
@@ -711,6 +747,7 @@ class IndexSearcher:
             t = live_should[0]
             fld_t, bare_t = self._split_field(t)
             for gi, seg in enumerate(self.segments):
+                _check_deadline()
                 tseg = seg if fld_t == "body" else self._field_seg(fld_t, gi)
                 docs, freqs = tseg.postings(bare_t)
                 if len(docs):
@@ -722,6 +759,7 @@ class IndexSearcher:
                 *self._live(np.concatenate(all_docs), np.concatenate(all_scores)), k
             )
         for gi, seg in enumerate(self.segments):
+            _check_deadline()
             lo = seg.doc_base
             span = seg.norm_span
             acc = np.zeros(span, dtype=np.float64)
@@ -1145,6 +1183,19 @@ def _edit_distance_le(a: str, b: str, k: int) -> bool:
             return False
         prev = cur
     return prev[len(b)] <= k
+
+
+class TimeLimitExceeded(Exception):
+    """TimeLimitingCollector.TimeExceededException role
+    (search/TimeLimitingCollector.java): raised when a query's deadline
+    passes mid-collect. Carries the PARTIAL top-k from the segments that
+    finished in time (docs, scores), like the reference's
+    partialResults=true mode."""
+
+    def __init__(self, docs: np.ndarray, scores: np.ndarray):
+        super().__init__("query time limit exceeded")
+        self.docs = docs
+        self.scores = scores
 
 
 def _regexp_literal_prefixes(pat: str, cap: int = 16) -> list[str]:

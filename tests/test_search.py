@@ -938,3 +938,51 @@ def test_sweetspot_similarity_plateau(corpus):
     ed, es = topk_sort(d, params.score(f, corpus["norms"][d]), 10)
     np.testing.assert_array_equal(docs, ed)
     np.testing.assert_array_equal(scores, es)
+
+
+def test_time_limiting_collector(corpus):
+    """TimeLimitingCollector role: an already-expired deadline raises
+    TimeLimitExceeded with empty partials; a generous limit returns the
+    full results; a deadline planted between segments carries partial
+    top-k from the finished segments only."""
+    import time
+
+    import pytest as _pytest
+
+    from engine.search import TimeLimitExceeded
+
+    s = IndexSearcher(corpus["manifest"], algorithm="taat")
+    full_d, full_s = s.search("the00 the19", corpus["doc_count"])
+
+    with _pytest.raises(TimeLimitExceeded) as ei:
+        s.search("the00 the19", 10, time_limit_ms=0.0)
+    assert len(ei.value.docs) == 0
+
+    d2, s2 = s.search("the00 the19", corpus["doc_count"], time_limit_ms=60_000)
+    np.testing.assert_array_equal(d2, full_d)
+    np.testing.assert_array_equal(s2, full_s)
+
+    # plant a deadline that expires after the first segment: monkeypatch
+    # the segment's postings to burn time, then check partials are a
+    # prefix-of-segments result
+    seg1 = s.segments[1]
+    orig = seg1.postings
+
+    def slow(term):
+        time.sleep(0.05)
+        return orig(term)
+
+    seg1.postings = slow
+    try:
+        with _pytest.raises(TimeLimitExceeded) as ei2:
+            s.search("the00 the19", corpus["doc_count"], time_limit_ms=25.0)
+    finally:
+        seg1.postings = orig
+    part = ei2.value
+    lim = s.segments[1].doc_base if len(s.segments) > 1 else 10**18
+    assert len(part.docs) > 0
+    assert (part.docs < s.segments[2].doc_base).all() if len(s.segments) > 2 else True
+    # every partial hit scores identically to the full run
+    full_map = dict(zip(full_d.tolist(), full_s.tolist()))
+    for d, sc in zip(part.docs.tolist(), part.scores.tolist()):
+        assert full_map[d] == sc
