@@ -426,6 +426,7 @@ class IndexSearcher:
         threshold: int = TOTAL_HITS_THRESHOLD,
         algorithm: str | None = None,
         time_limit_ms: float | None = None,
+        collector=None,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Top-k (global docIDs, float32 scores), (score desc, docID asc).
 
@@ -433,7 +434,14 @@ class IndexSearcher:
         (search/TimeLimitingCollector.java): the deadline is checked at
         segment granularity on the exhaustive plan; crossing it raises
         TimeLimitExceeded carrying the partial top-k of the segments
-        finished in time."""
+        finished in time.
+
+        ``collector`` is the Collector extension point
+        (search/Collector.java getLeafCollector/collect), vectorized:
+        ``collector(docs, scores)`` is invoked once per segment with that
+        segment's matched global docIDs + f32 scores, BEFORE top-k
+        selection — custom aggregation (counting, histogram, side
+        accumulation) observes every hit, not just the winners."""
         q = parse_query(query) if isinstance(query, str) else query
         if q.empty or k <= 0:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
@@ -442,7 +450,9 @@ class IndexSearcher:
             if time_limit_ms is None
             else __import__("time").perf_counter() + time_limit_ms / 1000.0
         )
-        return self.execute(self.rewrite(q), k, threshold, algorithm, deadline)
+        return self.execute(
+            self.rewrite(q), k, threshold, algorithm, deadline, collector
+        )
 
     def rewrite(self, q: BoolQuery) -> BoolQuery:
         """Multi-term scoring rewrites against this searcher's dictionary
@@ -637,12 +647,16 @@ class IndexSearcher:
         threshold: int = TOTAL_HITS_THRESHOLD,
         algorithm: str | None = None,
         deadline: float | None = None,
+        collector=None,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Run an already-rewritten BoolQuery — the Weight.scorer +
         collect phase. Plan choice mirrors Boolean2ScorerSupplier.
         ``deadline`` (perf_counter seconds) is enforced at segment
         granularity on the exhaustive plans (TimeLimitingCollector
-        role)."""
+        role). A ``collector`` forces the exhaustive plan (a pruning plan
+        cannot feed a see-every-hit callback)."""
+        if collector is not None:
+            algorithm = "taat"
         if q.empty or k <= 0:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
         if q.nested:
@@ -692,7 +706,7 @@ class IndexSearcher:
             algorithm = "wand" if total_postings > WAND_POSTINGS_CUTOVER else "taat"
 
         if algorithm == "taat":
-            return self._search_taat(q, live_should, params, k, deadline)
+            return self._search_taat(q, live_should, params, k, deadline, collector)
         return self._search_wand(q, live_should, params, k, threshold)
 
     # -- exhaustive vectorized plan ----------------------------------------
@@ -704,6 +718,7 @@ class IndexSearcher:
         params: dict[str, TermScorerParams | None],
         k: int,
         deadline: float | None = None,
+        collector=None,
     ) -> tuple[np.ndarray, np.ndarray]:
         import time as _time
 
@@ -751,8 +766,11 @@ class IndexSearcher:
                 tseg = seg if fld_t == "body" else self._field_seg(fld_t, gi)
                 docs, freqs = tseg.postings(bare_t)
                 if len(docs):
+                    sc_seg = params[t].score(freqs, tseg.norm_of(docs))
+                    if collector is not None:
+                        collector(docs, sc_seg)
                     all_docs.append(docs)
-                    all_scores.append(params[t].score(freqs, tseg.norm_of(docs)))
+                    all_scores.append(sc_seg)
             if not all_docs:
                 return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
             return topk_sort(
@@ -908,8 +926,12 @@ class IndexSearcher:
                     sel[docs - lo] = False
             local_sel = np.flatnonzero(sel)
             if len(local_sel):
-                all_docs.append(local_sel + lo)
-                all_scores.append(acc[local_sel].astype(np.float32))
+                seg_docs = local_sel + lo
+                seg_scores = acc[local_sel].astype(np.float32)
+                if collector is not None:
+                    collector(seg_docs, seg_scores)
+                all_docs.append(seg_docs)
+                all_scores.append(seg_scores)
         if not all_docs:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
         return topk_sort(*self._live(np.concatenate(all_docs), np.concatenate(all_scores)), k)

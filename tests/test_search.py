@@ -986,3 +986,28 @@ def test_time_limiting_collector(corpus):
     full_map = dict(zip(full_d.tolist(), full_s.tolist()))
     for d, sc in zip(part.docs.tolist(), part.scores.tolist()):
         assert full_map[d] == sc
+
+
+def test_collector_extension_point(corpus):
+    """Collector extension (search/Collector.java role, vectorized): a
+    user collector sees EVERY hit of every segment before top-k — total
+    observed hits equals the exhaustive match count, and observed scores
+    for the winners match the returned top-k bit-exactly."""
+    s = IndexSearcher(corpus["manifest"], algorithm="taat")
+    op = corpus["oracle_postings"]
+
+    seen: dict[int, float] = {}
+
+    def coll(docs, scores):
+        for d, sc in zip(docs.tolist(), scores.tolist()):
+            seen[d] = sc
+
+    d, sc = s.search("the00 t00000", 10, collector=coll)
+    expected_matches = set(op["the00"][0].tolist()) | set(op["t00000"][0].tolist())
+    assert set(seen) == expected_matches
+    for dd, ss in zip(d.tolist(), sc.tolist()):
+        assert seen[dd] == ss
+    # single-term fast path also feeds the collector
+    seen.clear()
+    s.search("t00000", 5, collector=coll)
+    assert set(seen) == set(op["t00000"][0].tolist())
