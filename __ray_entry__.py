@@ -458,6 +458,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_box_docs": pipelines.geo_box_match_docs,
         "points_box_docs": pipelines.points2d_box_match_docs,
         "geo_distance_docs": pipelines.geo_distance_match_docs,
+        "geo_polygon_docs": pipelines.geo_polygon_match_docs,
         "geo_nearest_k": pipelines.geo_nearest_k,
         "collapse_top_docs": relational.collapse_top_docs,
         "diversified_topk": relational.diversified_topk_docs,
@@ -525,6 +526,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_sample": relational.orders_sample,
         "orders_sample_hash": relational.orders_sample_hash,
     }
+
+
+def _geo_polygon_sql() -> str:
+    """Even-odd point-in-polygon parity as pure-integer SQL (replays
+    engine/geo.py point_in_polygon_mask edge-for-edge)."""
+    from engine.pipelines import GEO_POLYGON
+
+    edges = []
+    n = len(GEO_POLYGON)
+    for i in range(n):
+        y1, x1 = GEO_POLYGON[i]
+        y2, x2 = GEO_POLYGON[(i + 1) % n]
+        t = f"(lon - {x1}) * {y2 - y1} - {x2 - x1} * (lat - {y1})"
+        cmp_ = f"{t} < 0" if y2 > y1 else f"{t} > 0"
+        edges.append(
+            f"CASE WHEN (({y1} > lat) != ({y2} > lat)) AND ({cmp_}) "
+            "THEN 1 ELSE 0 END"
+        )
+    return f"""
+        WITH pts AS (
+            SELECT doc_id,
+                   (doc_id * 2654435761) % 180000 - 90000 AS lat,
+                   (doc_id * 40503 + 12345) % 360000 - 180000 AS lon
+            FROM documents
+        )
+        SELECT doc_id FROM pts
+        WHERE ({' + '.join(edges)}) % 2 = 1
+        ORDER BY doc_id
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3009,6 +3039,10 @@ def oracle_sql() -> dict[str, str]:
               AND epoch_us(ts) BETWEEN 1704844800000000 AND 1705708800000000
             ORDER BY doc_id
         """,
+        # LatLonPoint.newPolygonQuery: the even-odd crossing parity over
+        # the doc_id-derived integer grid, replayed edge-by-edge with
+        # int64 cross-multiplication (bit-exact — no floats anywhere)
+        "geo_polygon_docs": _geo_polygon_sql(),
         "geo_box_docs": """
             SELECT doc_id FROM documents
             WHERE ((doc_id * 2654435761) % 180000) - 90000

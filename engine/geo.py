@@ -297,6 +297,82 @@ def distance_docs(
     )
 
 
+def point_in_polygon_mask(
+    lat: np.ndarray, lon: np.ndarray, poly: list[tuple[int, int]]
+) -> np.ndarray:
+    """Even-odd (ray-casting) point-in-polygon over INTEGER milli-degree
+    coordinates — the LatLonPointInPolygonQuery role
+    (document/LatLonPointInPolygonQuery.java; the reference tessellates,
+    this engine keeps the classic crossing parity — documented deviation,
+    same interior for simple polygons). All arithmetic is int64
+    cross-multiplication (products < 2^63 at milli-degree scale), so the
+    SQL oracle replays the decision bit-exactly. Half-open edge rule
+    ((y1 > p) != (y2 > p)) keeps boundary handling deterministic."""
+    inside = np.zeros(len(lat), dtype=bool)
+    n = len(poly)
+    for i in range(n):
+        y1, x1 = poly[i]  # (lat, lon)
+        y2, x2 = poly[(i + 1) % n]
+        spans = (y1 > lat) != (y2 > lat)
+        if not spans.any():
+            continue
+        t = (lon - x1) * (y2 - y1) - (x2 - x1) * (lat - y1)
+        cross = spans & ((t < 0) if y2 > y1 else (t > 0))
+        inside ^= cross
+    return inside
+
+
+def polygon_docs(geo_manifest: dict, poly: list[tuple[int, int]]):
+    """LatLonPoint.newPolygonQuery: docs inside the polygon (vertices as
+    (lat, lon) integer milli-degrees, even-odd interior). Bounding-box
+    prune over file/leaf stats, exact integer parity test on candidates;
+    streamed Dataset result."""
+    import ray.data
+
+    min_lat = min(p[0] for p in poly)
+    max_lat = max(p[0] for p in poly)
+    min_lon = min(p[1] for p in poly)
+    max_lon = max(p[1] for p in poly)
+
+    hit = [
+        f["path"]
+        for f in geo_manifest["files"]
+        if not (
+            f["max_lat"] < min_lat
+            or f["min_lat"] > max_lat
+            or f["max_lon"] < min_lon
+            or f["min_lon"] > max_lon
+        )
+    ]
+    if not hit:
+        return ray.data.from_arrow(pa.table({"doc_id": pa.array([], type=pa.int64())}))
+
+    def _scan(batch: pa.Table) -> pa.Table:
+        out = []
+        for p in batch.column("path").to_pylist():
+            pf = pq.ParquetFile(p)
+            md = pf.metadata
+            for g in range(md.num_row_groups):
+                sla = md.row_group(g).column(0).statistics
+                if int(sla.max) < min_lat or int(sla.min) > max_lat:
+                    continue
+                slo = md.row_group(g).column(1).statistics
+                if int(slo.max) < min_lon or int(slo.min) > max_lon:
+                    continue
+                tbl = pf.read_row_group(g)
+                lat = tbl.column("lat").to_numpy()
+                lon = tbl.column("lon").to_numpy()
+                m = point_in_polygon_mask(lat, lon, poly)
+                if m.any():
+                    out.append(tbl.column("doc_id").to_numpy()[m])
+        docs = np.concatenate(out) if out else np.empty(0, dtype=np.int64)
+        return pa.table({"doc_id": pa.array(docs, type=pa.int64())})
+
+    return ray.data.from_items([{"path": p} for p in hit]).map_batches(
+        _scan, batch_size=1, batch_format="pyarrow", **_rargs()
+    )
+
+
 def nearest_k(
     geo_manifest: dict, lat_deg: float, lon_deg: float, k: int
 ) -> pa.Table:

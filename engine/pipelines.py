@@ -1520,6 +1520,27 @@ def geo_distance_match_docs(
     return distance_docs(get_geo(sf_dir), lat, lon, radius_m)
 
 
+# pentagon over the milli-degree grid (lat, lon) — covers a mid-density
+# band of the doc_id-derived coordinate fixture
+GEO_POLYGON: list[tuple[int, int]] = [
+    (-40_000, -120_000),
+    (45_000, -90_000),
+    (60_000, 30_000),
+    (0, 100_000),
+    (-55_000, 20_000),
+]
+
+
+def geo_polygon_match_docs(sf_dir: str, poly: list[tuple[int, int]] | None = None):
+    """LatLonPoint.newPolygonQuery (even-odd interior over integer
+    milli-degrees — engine/geo.py point_in_polygon_mask): bounding-box
+    leaf prune + exact int64 crossing parity; streamed Dataset result.
+    The oracle replays the same per-edge cross-multiplication in SQL."""
+    from .geo import polygon_docs
+
+    return polygon_docs(get_geo(sf_dir), poly or GEO_POLYGON)
+
+
 def points2d_box_match_docs(
     sf_dir: str,
     user_lo: int = 20,

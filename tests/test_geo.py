@@ -112,3 +112,36 @@ def test_haversin_known_value():
     """Paris→London ≈ 343-344 km on the mean-radius sphere."""
     d = haversin_meters(np.array([48.8566]), np.array([2.3522]), 51.5074, -0.1278)
     assert 340_000 < d[0] < 348_000
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_polygon_query_vs_brute_force(geo_manifest, coords):
+    """Polygon interior (even-odd integer parity) vs an independent
+    matplotlib-free reference: the shoelace-free crossing count computed
+    per point in pure Python."""
+    from engine.geo import point_in_polygon_mask, polygon_docs
+
+    lat, lon = coords
+    poly = [(-40000, -120000), (45000, -90000), (60000, 30000),
+            (0, 100000), (-55000, 20000)]
+
+    def ref_inside(py, px):
+        inside = False
+        n = len(poly)
+        for i in range(n):
+            y1, x1 = poly[i]
+            y2, x2 = poly[(i + 1) % n]
+            if (y1 > py) != (y2 > py):
+                t = (px - x1) * (y2 - y1) - (x2 - x1) * (py - y1)
+                if (t < 0) if y2 > y1 else (t > 0):
+                    inside = not inside
+        return inside
+
+    exp = np.array([ref_inside(int(a), int(o)) for a, o in zip(lat, lon)])
+    got_mask = point_in_polygon_mask(lat, lon, poly)
+    np.testing.assert_array_equal(got_mask, exp)
+    got = _doc_ids(polygon_docs(geo_manifest, poly))
+    np.testing.assert_array_equal(got, np.flatnonzero(exp))
+    # a polygon is not its bounding box: the mask must differ from it
+    bbox = (lat >= -55000) & (lat <= 60000) & (lon >= -120000) & (lon <= 100000)
+    assert got_mask.sum() < bbox.sum()
