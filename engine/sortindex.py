@@ -49,20 +49,30 @@ def build_sorted_layout(
     n_parts: int = 8,
     sample_mod: int = 7,
     cache_root: str = _CACHE_ROOT,
+    extra_sources: list[str] | None = None,
 ) -> dict:
     """Range-partition the documents table by ``col``; returns the layout
     manifest {col, parts: [{pid, lo, hi, n_rows, files}]} with parts
-    ordered by ascending range."""
+    ordered by ascending range.
+
+    ``extra_sources`` (parquet paths with the same schema) merge into the
+    SAME sorted layout — the merge-time index sort role
+    (index/Sorter.java DocMap inside SegmentMerger): N unsorted inputs in,
+    ONE range-ordered layout out. Because this engine's docIDs are stable
+    source keys, no renumbering DocMap is needed; the "sort while
+    merging" is the range-partitioned rewrite itself."""
     import ray.data
 
     tag = os.path.basename(os.path.normpath(sf_dir))
-    out_dir = os.path.join(cache_root, f"sorted-{tag}-{col}-{n_parts}")
+    n_extra = len(extra_sources or [])
+    suffix = f"-m{n_extra}" if n_extra else ""
+    out_dir = os.path.join(cache_root, f"sorted-{tag}-{col}-{n_parts}{suffix}")
     man_path = os.path.join(out_dir, "layout.json")
     if os.path.exists(man_path):
         with open(man_path) as f:
             return json.load(f)
 
-    src = os.path.join(sf_dir, "documents.parquet")
+    src = [os.path.join(sf_dir, "documents.parquet")] + list(extra_sources or [])
     from .rayenv import read_parquet_clean
 
     ds = read_parquet_clean(src, columns=["doc_id", col])

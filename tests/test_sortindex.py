@@ -70,3 +70,49 @@ def test_sorted_layout_resume_idempotent(tmp_path):
         "/root/testdata/sf0.001", n_parts=4, cache_root=str(tmp_path)
     )
     assert a == b  # second call served from the layout manifest
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sorted_merge_of_unsorted_sources(tmp_path):
+    """Merge-time index sort (index/Sorter.java DocMap-in-SegmentMerger
+    role): a second UNSORTED source (an NRT-tail stand-in with fresh
+    doc_ids) merges into ONE range-ordered layout; sorted top-k over the
+    merged layout equals the brute-force order over the union."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from engine.sortindex import build_sorted_layout, sorted_topk
+
+    rng = np.random.default_rng(3)
+    n = 200
+    extra = pa.table(
+        {
+            "doc_id": pa.array(np.arange(10_000, 10_000 + n, dtype=np.int64)),
+            "text": pa.array(["x"] * n, type=pa.string()),
+            "lang": pa.array(["en"] * n, type=pa.string()),
+            "source": pa.array(["tail"] * n, type=pa.string()),
+            "n_chars": pa.array(rng.integers(0, 2000, n, dtype=np.int64)),
+        }
+    )
+    extra_path = str(tmp_path / "tail.parquet")
+    pq.write_table(extra, extra_path)
+
+    layout = build_sorted_layout(
+        "/root/testdata/sf0.001", col="n_chars", n_parts=8,
+        cache_root=str(tmp_path), extra_sources=[extra_path],
+    )
+    assert sum(p["n_rows"] for p in layout["parts"]) == 500 + n
+
+    out, scanned = sorted_topk(layout, 15, descending=True)
+    assert scanned < len(layout["parts"])
+    exp = duckdb.sql(f"""
+        SELECT doc_id, n_chars FROM (
+            SELECT doc_id, n_chars FROM
+                read_parquet('/root/testdata/sf0.001/documents.parquet')
+            UNION ALL
+            SELECT doc_id, n_chars FROM read_parquet('{extra_path}')
+        ) ORDER BY n_chars DESC, doc_id ASC LIMIT 15
+    """).fetchdf()
+    assert out.column("doc_id").to_pylist() == exp["doc_id"].tolist()
+    assert out.column("n_chars").to_pylist() == exp["n_chars"].tolist()
