@@ -707,7 +707,7 @@ class IndexSearcher:
 
         if algorithm == "taat":
             return self._search_taat(q, live_should, params, k, deadline, collector)
-        return self._search_wand(q, live_should, params, k, threshold)
+        return self._search_wand(q, live_should, params, k, threshold, deadline)
 
     # -- exhaustive vectorized plan ----------------------------------------
 
@@ -1122,9 +1122,16 @@ class IndexSearcher:
         params: dict[str, TermScorerParams | None],
         k: int,
         threshold: int,
+        deadline: float | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
+        import time as _time
+
         collector = TopKCollector(k, threshold)
         for gi, seg in enumerate(self.segments):  # docID order => shared bottom stays sound
+            if deadline is not None and _time.perf_counter() > deadline:
+                # TimeLimitingCollector role on the pruning plan: partial
+                # top-k of the segments finished in time
+                raise TimeLimitExceeded(*collector.results())
             def iters(terms: tuple[str, ...]) -> list[TermIterator]:
                 out = []
                 for t in terms:

@@ -1011,3 +1011,19 @@ def test_collector_extension_point(corpus):
     seen.clear()
     s.search("t00000", 5, collector=coll)
     assert set(seen) == set(op["t00000"][0].tolist())
+
+
+def test_time_limit_wand_path(corpus):
+    """The deadline also governs the pruning plan (WAND), raising with
+    the partial collector state."""
+    import pytest as _pytest
+
+    from engine.search import TimeLimitExceeded
+
+    s = IndexSearcher(corpus["manifest"], algorithm="wand")
+    with _pytest.raises(TimeLimitExceeded):
+        s.search("the00 the19", 10, time_limit_ms=0.0)
+    d, sc = s.search("the00 the19", 10, time_limit_ms=60_000)
+    d2, s2 = s.search("the00 the19", 10)
+    np.testing.assert_array_equal(d, d2)
+    np.testing.assert_array_equal(sc, s2)
