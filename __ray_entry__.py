@@ -459,6 +459,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "points_box_docs": pipelines.points2d_box_match_docs,
         "geo_distance_docs": pipelines.geo_distance_match_docs,
         "geo_polygon_docs": pipelines.geo_polygon_match_docs,
+        "expression_score_topk": pipelines.expression_score_topk,
         "geo_nearest_k": pipelines.geo_nearest_k,
         "collapse_top_docs": relational.collapse_top_docs,
         "diversified_topk": relational.diversified_topk_docs,
@@ -3038,6 +3039,21 @@ def oracle_sql() -> dict[str, str]:
             WHERE user_id BETWEEN 20 AND 60
               AND epoch_us(ts) BETWEEN 1704844800000000 AND 1705708800000000
             ORDER BY doc_id
+        """,
+        # compiled-expression top-k (JavascriptCompiler role): identical
+        # float64 op order + same-machine libm => bit-exact replay
+        "expression_score_topk": """
+            SELECT CAST(row_number() OVER (
+                       ORDER BY score DESC, o_orderkey ASC) - 1 AS BIGINT)
+                       AS rank,
+                   o_orderkey, score
+            FROM (
+                SELECT o_orderkey,
+                       o_totalprice / 1000.0 + sqrt(o_orderkey)
+                           - ln(o_custkey + 1) AS score
+                FROM orders
+            )
+            ORDER BY rank LIMIT 25
         """,
         # LatLonPoint.newPolygonQuery: the even-odd crossing parity over
         # the doc_id-derived integer grid, replayed edge-by-edge with

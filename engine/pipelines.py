@@ -1520,6 +1520,28 @@ def geo_distance_match_docs(
     return distance_docs(get_geo(sf_dir), lat, lon, radius_m)
 
 
+EXPRESSION_SRC = "o_totalprice / 1000.0 + sqrt(o_orderkey) - ln(o_custkey + 1)"
+
+
+def expression_score_topk(sf_dir: str, k: int = 25) -> pa.Table:
+    """Compiled-expression top-k (lucene/expressions JavascriptCompiler
+    role — engine/expressions.py): the arithmetic source compiles once
+    into a vectorized numpy function, evaluates per batch over pruned
+    Arrow columns, partial top-k combiner per batch. Exact float64 SQL
+    oracle (same op order, same libm)."""
+    from .expressions import expression_topk_dataset
+    from .relational import _read
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    return expression_topk_dataset(
+        ds,
+        EXPRESSION_SRC,
+        bindings=["o_totalprice", "o_orderkey", "o_custkey"],
+        id_col="o_orderkey",
+        k=k,
+    )
+
+
 # pentagon over the milli-degree grid (lat, lon) — covers a mid-density
 # band of the doc_id-derived coordinate fixture
 GEO_POLYGON: list[tuple[int, int]] = [
