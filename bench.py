@@ -179,10 +179,11 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     # of the headline north-rule number; recorded for the ops inventory)
     ops = {}
     try:
-        import ray.data as _rd
+        import ray.data as _rd  # noqa: F401 (kept for parity)
 
         from engine.dedup import exact_dedup
         from engine.monitor import percolate
+        from engine.rayenv import read_parquet_clean
         from engine.pipelines import PERCOLATE_QUERIES
 
         docs_path = os.path.join(sf_dir, "documents.parquet")
@@ -191,14 +192,14 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         n_tbl = _pq.read_metadata(docs_path).num_rows
         t0 = time.perf_counter()
         percolate(
-            _rd.read_parquet(docs_path, columns=["doc_id", "text"]),
+            read_parquet_clean(docs_path, columns=["doc_id", "text"]),
             PERCOLATE_QUERIES,
             concurrency=(1, max(2, num_cpus // 2)),
         ).count()
         ops["percolate_docs_per_sec"] = round(n_tbl / (time.perf_counter() - t0), 1)
         t0 = time.perf_counter()
         exact_dedup(
-            _rd.read_parquet(docs_path, columns=["doc_id", "text"])
+            read_parquet_clean(docs_path, columns=["doc_id", "text"])
         ).count()
         ops["exact_dedup_docs_per_sec"] = round(n_tbl / (time.perf_counter() - t0), 1)
     except Exception as exc:  # secondary metrics never fail the bench
