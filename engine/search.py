@@ -1589,6 +1589,7 @@ class BatchSearcher:
         algorithm: str = "auto",
         default_k: int = 10,
         emit_latency: bool = False,
+        time_limit_ms: float | None = None,
     ):
         from .checkpoint import load_manifest, load_merge_manifest
 
@@ -1598,6 +1599,10 @@ class BatchSearcher:
         self.searcher = IndexSearcher(manifest, algorithm=algorithm)
         self.default_k = default_k
         self.emit_latency = emit_latency
+        # Solr timeAllowed + partialResults=true role: a per-query budget;
+        # an expired query contributes whatever the deadline allowed, with
+        # the `partial` column flagging it (the stage never throws)
+        self.time_limit_ms = time_limit_ms
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import time
@@ -1614,21 +1619,34 @@ class BatchSearcher:
         out_doc: list[int] = []
         out_score: list[float] = []
         out_lat: list[float] = []
+        out_partial: list[bool] = []
         for qid, qs, k in zip(qids, queries, ks):
             t0 = time.perf_counter()
-            docs, scores = self.searcher.search(qs, int(k))
+            partial = False
+            if self.time_limit_ms is None:
+                docs, scores = self.searcher.search(qs, int(k))
+            else:
+                try:
+                    docs, scores = self.searcher.search(
+                        qs, int(k), time_limit_ms=self.time_limit_ms
+                    )
+                except TimeLimitExceeded as e:
+                    docs, scores, partial = e.docs, e.scores, True
             lat_ms = (time.perf_counter() - t0) * 1000.0
             out_qid.extend([qid] * len(docs))
             out_rank.extend(range(len(docs)))
             out_doc.extend(docs.tolist())
             out_score.extend(scores.tolist())
             out_lat.extend([lat_ms] * len(docs))
+            out_partial.extend([partial] * len(docs))
         cols = {
             "query_id": pa.array(out_qid, type=pa.int64()),
             "rank": pa.array(out_rank, type=pa.int32()),
             "doc_id": pa.array(out_doc, type=pa.int64()),
             "score": pa.array(out_score, type=pa.float32()),
         }
+        if self.time_limit_ms is not None:
+            cols["partial"] = pa.array(out_partial, type=pa.bool_())
         if self.emit_latency:
             cols["latency_ms"] = pa.array(out_lat, type=pa.float64())
         return pa.table(cols)

@@ -1027,3 +1027,37 @@ def test_time_limit_wand_path(corpus):
     d2, s2 = s.search("the00 the19", 10)
     np.testing.assert_array_equal(d, d2)
     np.testing.assert_array_equal(sc, s2)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_batch_searcher_time_allowed(corpus, tmp_path):
+    """Solr timeAllowed + partialResults=true at the distributed stage:
+    an expired budget yields flagged partial rows instead of raising; a
+    generous budget yields the normal results with partial=false."""
+    import pyarrow as pa
+
+    from engine.search import BatchSearcher
+
+    idx = corpus["manifest"]["root"] if "root" in corpus["manifest"] else None
+    # BatchSearcher wants an index_dir; derive from a segment path
+    seg_dir = corpus["manifest"]["partitions"][0]["seg_dir"]
+    index_dir = seg_dir.rsplit("/partitions/", 1)[0]
+
+    qtbl = pa.table(
+        {
+            "query_id": pa.array([0, 1], type=pa.int64()),
+            "query": pa.array(["the00 the19", "t00000"], type=pa.string()),
+            "k": pa.array([10, 10], type=pa.int64()),
+        }
+    )
+    ok = BatchSearcher(index_dir, time_limit_ms=60_000)(qtbl)
+    assert "partial" in ok.column_names
+    assert not any(ok.column("partial").to_pylist())
+    assert ok.num_rows == 20
+
+    expired = BatchSearcher(index_dir, time_limit_ms=0.0)(qtbl)
+    assert all(expired.column("partial").to_pylist())
+    assert expired.num_rows == 0 or expired.num_rows < 20
+    # without a budget the schema is unchanged (no partial column)
+    plain = BatchSearcher(index_dir)(qtbl)
+    assert "partial" not in plain.column_names
