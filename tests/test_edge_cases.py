@@ -75,3 +75,52 @@ def test_analyze_batch_long_token_skip():
     flat, lengths = analyze_batch([f"ok {long_tok} fine"])
     assert flat == ["ok", "fine"]
     assert lengths.tolist() == [2]
+
+
+def test_expression_empty_and_constant():
+    """Expression edge cases: constant-only expression, empty columns."""
+    import numpy as np
+
+    from engine.expressions import compile_expression
+
+    fn = compile_expression("1.5 + 2.5", [])
+    assert fn({}) == 4.0
+    fn2 = compile_expression("a * 2.0", ["a"])
+    out = fn2({"a": np.array([], dtype=np.float64)})
+    assert len(out) == 0
+
+
+def test_polygon_mask_degenerate():
+    """Degenerate polygons: all-collinear vertices match nothing; a
+    triangle containing the query point matches."""
+    import numpy as np
+
+    from engine.geo import point_in_polygon_mask
+
+    lat = np.array([0, 50_000], dtype=np.int64)
+    lon = np.array([0, 50_000], dtype=np.int64)
+    line = [(0, 0), (10_000, 10_000), (20_000, 20_000)]
+    assert not point_in_polygon_mask(lat, lon, line).any()
+    tri = [(-10_000, -10_000), (-10_000, 10_000), (20_000, 0)]
+    m = point_in_polygon_mask(lat, lon, tri)
+    assert m.tolist() == [True, False]
+
+
+def test_lev_range_bound_properties():
+    """The fuzzy shard bound is admissible: it never exceeds the true
+    distance to any term in the range (spot-checked by construction)."""
+    from engine.search import _edit_distance_le, _lev_range_lower_bound
+
+    import random
+    import string
+
+    rng = random.Random(5)
+    for _ in range(200):
+        base = "".join(rng.choice(string.ascii_lowercase) for _ in range(rng.randint(1, 8)))
+        t = "".join(rng.choice(string.ascii_lowercase) for _ in range(rng.randint(1, 8)))
+        # a range containing exactly t: bound must admit t's true distance
+        b = _lev_range_lower_bound(base, t, t)
+        for k in range(0, 4):
+            if _edit_distance_le(base, t, k):
+                assert b <= k
+                break
