@@ -415,6 +415,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "function_score_topk": pipelines.function_score_topk,
         "free_text_suggest": pipelines.free_text_suggest_body,
         "replica_bm25_topk": pipelines.replica_bm25_topk,
+        "bm25_search_after_pages": pipelines.bm25_search_after_pages,
+        "cursor_mark_sharded": pipelines.cursor_mark_sharded,
+        "rerank_topk": pipelines.rerank_topk,
         "sorted_index_topk": pipelines.sorted_index_topk,
         "intervals_ordered_docs": pipelines.intervals_ordered_docs,
         "intervals_unordered_docs": pipelines.intervals_unordered_docs,
@@ -1037,6 +1040,61 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": _refq_sql,
         "bm25_topk_sharded": _refq_sql,
         "replica_bm25_topk": _replica_sql,
+        # searchAfter deep paging: chained pages == OFFSET pagination of
+        # one big top-k (the collector order is total, so page p is ranks
+        # [p*k, p*k+k) exactly — search/IndexSearcher.java:416-433)
+        "bm25_search_after_pages": f"""
+            WITH {_scored_cte},
+            q AS ({_flat_q(0, (), ("data", "join"), ())})
+            SELECT CAST(rn - 1 AS INTEGER) AS rank, doc_id, score FROM (
+                SELECT doc_id, score, row_number() OVER (
+                    ORDER BY score DESC, doc_id ASC) AS rn
+                FROM q
+            ) WHERE rn <= 30
+        """,
+        # Solr cursorMark page 2 over the sharded path = ranks 10..19 of
+        # the same total order (shard-local paging against the global mark
+        # commutes with the TopDocs merge)
+        "cursor_mark_sharded": f"""
+            WITH {_scored_cte},
+            q AS ({_flat_q(0, (), ("data", "join"), ())})
+            SELECT CAST(rn - 1 AS INTEGER) AS rank, doc_id, score FROM (
+                SELECT doc_id, score, row_number() OVER (
+                    ORDER BY score DESC, doc_id ASC) AS rn
+                FROM q
+            ) WHERE rn BETWEEN 11 AND 20
+        """,
+        # QueryRescorer + Solr ReRank combine: window = first-pass top-30,
+        # combined = (float)((double)first + 2.0 * (double)second) when the
+        # rerank term matches (ReRankQParserPlugin.java:86-92; += in Java
+        # promotes to double then casts back to float), first-pass float
+        # unchanged otherwise; re-sort (score desc, doc asc), top 10
+        "rerank_topk": f"""
+            WITH {_scored_cte},
+            q AS ({_flat_q(0, (), ("data", "join"), ())}),
+            win AS (
+                SELECT doc_id, score FROM (
+                    SELECT doc_id, score, row_number() OVER (
+                        ORDER BY score DESC, doc_id ASC) AS rn
+                    FROM q
+                ) WHERE rn <= 30
+            ),
+            comb AS (
+                SELECT win.doc_id,
+                       CASE WHEN r2.doc_id IS NULL THEN win.score
+                            ELSE CAST(CAST(win.score AS DOUBLE)
+                                      + 2.0 * CAST(r2.s AS DOUBLE) AS FLOAT)
+                       END AS score
+                FROM win LEFT JOIN (
+                    SELECT doc_id, s FROM sc WHERE t = 'merge'
+                ) r2 ON r2.doc_id = win.doc_id
+            )
+            SELECT CAST(rn - 1 AS INTEGER) AS rank, doc_id, score FROM (
+                SELECT doc_id, score, row_number() OVER (
+                    ORDER BY score DESC, doc_id ASC) AS rn
+                FROM comb
+            ) WHERE rn <= 10
+        """,
         "bm25_title_topk": _title_sql,
         "title_term_df": f"""
             SELECT term, count(*) AS df, CAST(sum(cnt) AS BIGINT) AS ttf FROM (

@@ -1440,6 +1440,127 @@ def bm25_topk_sharded(sf_dir: str, n_shards: int = 3) -> pa.Table:
     return search_dataset_sharded(queries, idx["build_manifest"], n_shards=n_shards)
 
 
+def bm25_search_after_pages(
+    sf_dir: str, query: str = "data join", page_k: int = 10, n_pages: int = 3
+) -> pa.Table:
+    """Deep paging — IndexSearcher.searchAfter
+    (search/IndexSearcher.java:416-433, PagingTopScoreDocCollector in
+    search/TopScoreDocCollector.java:66-107): page 1 via search(), every
+    next page via search_after() on the previous page's LAST (score, doc)
+    mark. Ranks are absolute, so the chained pages must equal one big
+    top-(page_k * n_pages); the oracle replays that as OFFSET pagination
+    over the f32 score CTE."""
+    from .checkpoint import load_merge_manifest
+    from .search import IndexSearcher
+
+    idx = get_index(sf_dir)
+    searcher = IndexSearcher(load_merge_manifest(idx["index_dir"]))
+    ranks: list[int] = []
+    docs_out: list[int] = []
+    scores_out: list[float] = []
+    after: tuple[float, int] | None = None
+    base = 0
+    for _ in range(n_pages):
+        d, s = searcher.search_after(query, after, k=page_k)
+        ranks.extend(range(base, base + len(d)))
+        docs_out.extend(d.tolist())
+        scores_out.extend(s.tolist())
+        if len(d) < page_k:
+            break  # past the last page
+        after = (float(s[-1]), int(d[-1]))
+        base += len(d)
+    return pa.table(
+        {
+            "rank": pa.array(ranks, type=pa.int32()),
+            "doc_id": pa.array(docs_out, type=pa.int64()),
+            "score": pa.array(scores_out, type=pa.float32()),
+        }
+    )
+
+
+def cursor_mark_sharded(
+    sf_dir: str, query: str = "data join", page_k: int = 10, n_shards: int = 3
+) -> pa.Table:
+    """Solr cursorMark deep paging over the doc-sharded scatter/gather
+    path (Solr CursorMark: the totem is the last hit's sort values,
+    re-sent to every shard next page): page 1's mark from the merged
+    searcher, page 2 executed by search_dataset_sharded with the mark
+    shipped alongside the plan — every shard pages locally against the
+    same global mark and the reduce stays a plain TopDocs merge. Emits
+    page 2 with absolute ranks."""
+    import ray.data
+
+    from .checkpoint import load_merge_manifest
+    from .search import IndexSearcher, search_dataset_sharded
+
+    idx = get_index(sf_dir)
+    searcher = IndexSearcher(load_merge_manifest(idx["index_dir"]))
+    d1, s1 = searcher.search(query, k=page_k)
+    if len(d1) < page_k:
+        return pa.table(
+            {
+                "rank": pa.array([], type=pa.int32()),
+                "doc_id": pa.array([], type=pa.int64()),
+                "score": pa.array([], type=pa.float32()),
+            }
+        )
+    queries = ray.data.from_items(
+        [
+            {
+                "query_id": 0,
+                "query": query,
+                "k": page_k,
+                "after_score": float(s1[-1]),
+                "after_doc": int(d1[-1]),
+            }
+        ]
+    )
+    res = search_dataset_sharded(
+        queries, idx["build_manifest"], n_shards=n_shards
+    ).to_arrow_refs()
+    import ray as _ray
+
+    tbl = pa.concat_tables([_ray.get(r) for r in res])
+    rank = tbl["rank"].to_numpy().astype(np.int32) + np.int32(page_k)
+    return pa.table(
+        {
+            "rank": pa.array(rank),
+            "doc_id": tbl["doc_id"].combine_chunks(),
+            "score": tbl["score"].combine_chunks(),
+        }
+    )
+
+
+def rerank_topk(
+    sf_dir: str,
+    query: str = "data join",
+    rerank_query: str = "merge",
+    weight: float = 2.0,
+    window: int = 30,
+    k: int = 10,
+) -> pa.Table:
+    """Two-pass re-ranking — QueryRescorer
+    (search/QueryRescorer.java:51-131) with the Solr ReRank combine
+    (ReRankQParserPlugin.java:86-92, reRankDocs window + reRankWeight):
+    first pass BM25 top-``window``, second pass re-scores that window
+    with ``rerank_query``, combined = (float)((double)first +
+    weight * (double)second) on matches, first unchanged otherwise."""
+    from .checkpoint import load_merge_manifest
+    from .search import IndexSearcher
+
+    idx = get_index(sf_dir)
+    searcher = IndexSearcher(load_merge_manifest(idx["index_dir"]))
+    d1, s1 = searcher.search(query, k=window)
+    d2, s2 = searcher.rescore(d1, s1, rerank_query, weight=weight, top_n=k)
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(len(d2), dtype=np.int32)),
+            "doc_id": pa.array(d2, type=pa.int64()),
+            "score": pa.array(s2, type=pa.float32()),
+        }
+    )
+
+
 def get_points(sf_dir: str, field: str = "n_chars") -> tuple[dict, dict]:
     """Points index over one numeric DV column of the cached corpus index
     (built once per corpus, write-once resume). Returns (index, points

@@ -454,6 +454,117 @@ class IndexSearcher:
             self.rewrite(q), k, threshold, algorithm, deadline, collector
         )
 
+    def search_after(
+        self,
+        query: str | BoolQuery,
+        after: tuple[float, int] | None,
+        k: int = 10,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Deep-paging top-k: the k best hits strictly AFTER the ``after``
+        mark in collector order — IndexSearcher.searchAfter
+        (search/IndexSearcher.java:416-433) with
+        PagingTopScoreDocCollector's skip rule
+        (search/TopScoreDocCollector.java:66-107: a hit competes only if
+        score < after.score, or score == after.score and doc > after.doc).
+        Solr's cursorMark deep paging is this mark round-tripped per page.
+
+        ``after`` is (float32 score, global docID) — the LAST hit of the
+        previous page; ``None`` behaves like ``search`` (first page).
+        Chained pages reproduce one big top-k exactly: the ranking order
+        (score desc, docID asc) is total, so page p+1 = ranks [p*k, p*k+k).
+
+        Like ``collector=``, paging runs the exhaustive plan (the pruned
+        WAND plan cannot see below its own top-k floor; the reference's
+        paging collector likewise starts with an empty heap and cannot
+        raise minCompetitiveScore from the mark, as any score <= after's
+        may still compete)."""
+        if after is None:
+            return self.search(query, k)
+        q = parse_query(query) if isinstance(query, str) else query
+        if q.empty or k <= 0:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
+        return self.execute_after(self.rewrite(q), after, k)
+
+    def execute_after(
+        self, q: BoolQuery, after: tuple[float, int], k: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """searchAfter on an already-rewritten query (the shard-task side
+        of cursor-mark paging: the fan-out ships a rewritten plan, every
+        shard pages locally with the same global mark, the reduce is the
+        normal TopDocs merge)."""
+        after_s = np.float32(after[0])
+        after_d = int(after[1])
+        parts_d: list[np.ndarray] = []
+        parts_s: list[np.ndarray] = []
+
+        def _page(docs: np.ndarray, scores: np.ndarray) -> None:
+            # collector hits are pre-liveDocs: apply the deletions mask
+            # here (PagingTopScoreDocCollector sits above liveDocs too)
+            docs, scores = self._live(docs, scores)
+            m = (scores < after_s) | ((scores == after_s) & (docs > after_d))
+            if m.any():
+                d, s = topk_sort(docs[m], scores[m], k)
+                parts_d.append(d)
+                parts_s.append(s)
+
+        if q.nested:
+            # the nested clause-tree plan has no collector hook but is
+            # already exhaustive: collect every match, then page
+            d, s = self._search_nested(q, self.doc_count)
+            m = (s < after_s) | ((s == after_s) & (d > after_d))
+            return topk_sort(d[m], s[m], k)
+        self.execute(q, 1, collector=_page)
+        if not parts_d:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
+        return topk_sort(np.concatenate(parts_d), np.concatenate(parts_s), k)
+
+    def rescore(
+        self,
+        first_docs: np.ndarray,
+        first_scores: np.ndarray,
+        rerank_query: str | BoolQuery,
+        weight: float = 1.0,
+        top_n: int = 10,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Two-pass re-ranking — QueryRescorer.rescore
+        (search/QueryRescorer.java:51-131) with the Solr ReRank combine
+        (solr/.../search/ReRankQParserPlugin.java:86-92): for each
+        first-pass hit, combined = (float)((double)first +
+        weight * (double)second) when the rerank query matches the hit,
+        the first-pass float unchanged otherwise; the WINDOW (the
+        first-pass hits only) re-sorts by (score desc, docID asc) and the
+        best ``top_n`` return.
+
+        Second-pass scores come from the exhaustive plan's collector hook
+        masked to the window — the reference likewise advances the rerank
+        scorer through its full postings across the window docs; only the
+        accumulation is window-restricted."""
+        window = np.asarray(first_docs, dtype=np.int64)
+        if len(window) == 0 or top_n <= 0:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
+        order = np.argsort(window)
+        sorted_w = window[order]
+        second = np.zeros(len(window), dtype=np.float32)
+        m = np.zeros(len(window), dtype=bool)
+
+        def _capture(docs: np.ndarray, scores: np.ndarray) -> None:
+            # window docs came from a first-pass search, so they are live;
+            # intersect the rerank query's hit stream with the window
+            pos = np.clip(np.searchsorted(sorted_w, docs), 0, len(sorted_w) - 1)
+            hit = sorted_w[pos] == docs
+            if hit.any():
+                idx = order[pos[hit]]
+                second[idx] = scores[hit]
+                m[idx] = True  # secondPassMatches flag
+
+        self.search(rerank_query, k=1, collector=_capture)
+        comb = np.asarray(first_scores, dtype=np.float32).copy()
+        comb[m] = (
+            comb[m].astype(np.float64)
+            + float(weight) * second[m].astype(np.float64)
+        ).astype(np.float32)
+        return topk_sort(window, comb, top_n)
+
     def rewrite(self, q: BoolQuery) -> BoolQuery:
         """Multi-term scoring rewrites against this searcher's dictionary
         (fuzzy/range/wildcard/prefix → capped SHOULD disjunctions), applied
@@ -1943,6 +2054,14 @@ def search_dataset_sharded(
             q = full.rewrite(parse_query(r["query"]))
             stats = {t: full.global_term_stats(t) for t in sorted(query_terms(q))}
             plan = repr((asdict(q), stats))
+            # optional cursor mark (Solr cursorMark deep paging): the SAME
+            # global (score, doc) mark pages every shard — shard-local
+            # scores are globally comparable, so the after filter commutes
+            # with the shard partition and the reduce stays a TopDocs merge
+            a_doc = r.get("after_doc")
+            a_doc = -1 if a_doc is None else int(a_doc)
+            a_score = r.get("after_score")
+            a_score = float("nan") if a_score is None else float(a_score)
             for sid in range(n_shards):
                 rows.append(
                     {
@@ -1950,6 +2069,8 @@ def search_dataset_sharded(
                         "k": int(r.get("k", 10)),
                         "shard_id": sid,
                         "plan": plan,
+                        "after_doc": a_doc,
+                        "after_score": a_score,
                     }
                 )
         return pa.Table.from_pylist(rows)
@@ -1966,7 +2087,14 @@ def search_dataset_sharded(
             q = boolquery_from_dict(qd)
             s.stats_override = stats
             try:
-                docs, scores = s.execute(q, int(r["k"]), algorithm=algorithm)
+                if int(r.get("after_doc", -1)) >= 0:
+                    docs, scores = s.execute_after(
+                        q,
+                        (float(r["after_score"]), int(r["after_doc"])),
+                        int(r["k"]),
+                    )
+                else:
+                    docs, scores = s.execute(q, int(r["k"]), algorithm=algorithm)
             finally:
                 s.stats_override = None
             out["query_id"].extend([r["query_id"]] * len(docs))

@@ -1061,3 +1061,95 @@ def test_batch_searcher_time_allowed(corpus, tmp_path):
     # without a budget the schema is unchanged (no partial column)
     plain = BatchSearcher(index_dir)(qtbl)
     assert "partial" not in plain.column_names
+
+
+def test_search_after_pages_equal_big_topk(corpus):
+    """IndexSearcher.searchAfter (search/IndexSearcher.java:416-433):
+    chained pages of k reproduce one big top-(p*k) exactly — the
+    (score desc, docID asc) order is total, so the page boundary mark
+    partitions it without overlap or loss, including across score-tie
+    clusters (the 'tiekey' docID tie-break)."""
+    s = IndexSearcher(corpus["manifest"], algorithm="taat")
+    for query in ["the00", "the00 the07 the19", "t00003 the02", "tiekey",
+                  "+t00000 t00001 t00002", "the00 -t00000"]:
+        big_d, big_s = s.search(query, 21)
+        got_d: list[int] = []
+        got_s: list[float] = []
+        after = None
+        for _ in range(3):
+            d, sc = s.search_after(query, after, k=7)
+            got_d.extend(d.tolist())
+            got_s.extend(sc.tolist())
+            if len(d) < 7:
+                break
+            after = (float(sc[-1]), int(d[-1]))
+        np.testing.assert_array_equal(np.array(got_d), big_d, err_msg=query)
+        np.testing.assert_array_equal(
+            np.array(got_s, dtype=np.float32), big_s, err_msg=query
+        )
+
+
+def test_search_after_none_and_exhausted(corpus):
+    """after=None is page 1 (plain search); paging past the last hit
+    returns empty, not an error."""
+    s = IndexSearcher(corpus["manifest"])
+    d0, s0 = s.search("s000300", 5)
+    d1, s1 = s.search_after("s000300", None, k=5)
+    np.testing.assert_array_equal(d0, d1)
+    np.testing.assert_array_equal(s0, s1)
+    assert len(d0) >= 1
+    last = (float(s0[-1]), int(d0[-1]))
+    d2, _ = s.search_after("s000300", last, k=5)
+    assert len(d2) == 0 or d2[0] not in set(d0.tolist())
+
+
+def test_search_after_nested_query(corpus):
+    """The nested clause-tree plan pages through the exhaustive-collect
+    fallback: chained pages == one big top-k for a parenthesized query."""
+    s = IndexSearcher(corpus["manifest"])
+    query = "+the00 (t00000 t00001)"
+    big_d, big_s = s.search(query, 14)
+    d1, s1 = s.search_after(query, None, k=7)
+    assert len(d1) == min(7, len(big_d))
+    after = (float(s1[-1]), int(d1[-1]))
+    d2, s2 = s.search_after(query, after, k=7)
+    np.testing.assert_array_equal(np.concatenate([d1, d2]), big_d)
+    np.testing.assert_array_equal(
+        np.concatenate([s1, s2]).astype(np.float32), big_s
+    )
+
+
+def test_rescore_rerank_combine(corpus):
+    """QueryRescorer.rescore (search/QueryRescorer.java:51-131) with the
+    Solr ReRank combine (ReRankQParserPlugin.java:86-92): window docs that
+    match the rerank query get (float)((double)first + w*(double)second),
+    non-matching window docs keep their first-pass float bit-exactly, and
+    the result is the re-sorted window top-n."""
+    from engine.bm25 import topk_sort
+
+    s = IndexSearcher(corpus["manifest"], algorithm="taat")
+    op = corpus["oracle_postings"]
+    d1, s1 = s.search("the00 the07", 25)
+
+    # brute-force second-pass scores for 't00000' from the oracle postings
+    docs2, freqs2 = op["t00000"]
+    p2 = make_term_scorer(len(docs2), s.doc_count, s.sum_ttf)
+    sc2 = p2.score(np.asarray(freqs2), corpus["norms"][np.asarray(docs2)])
+    second = dict(zip(np.asarray(docs2).tolist(), sc2.tolist()))
+
+    w = 2.5
+    comb = s1.copy()
+    for i, doc in enumerate(d1.tolist()):
+        if doc in second:
+            comb[i] = np.float32(
+                np.float64(s1[i]) + w * np.float64(np.float32(second[doc]))
+            )
+    exp_d, exp_s = topk_sort(d1, comb, 10)
+    got_d, got_s = s.rescore(d1, s1, "t00000", weight=w, top_n=10)
+    np.testing.assert_array_equal(got_d, exp_d)
+    np.testing.assert_array_equal(got_s, exp_s)
+
+    # a rerank query with zero window overlap leaves the order untouched
+    nd, ns = s.rescore(d1, s1, "zzznomatch", weight=9.0, top_n=10)
+    np.testing.assert_array_equal(nd, d1[:10])
+    np.testing.assert_array_equal(ns, s1[:10])

@@ -188,3 +188,65 @@ def test_fanout_builds_no_driver_index(tmp_path_factory):
         np.testing.assert_array_equal(
             sub["score"].to_numpy().astype(np.float32), bs, err_msg=q["query"]
         )
+
+
+def test_sharded_cursor_mark_paging(tmp_path_factory):
+    """Solr cursorMark over the scatter/gather path: shipping the page-1
+    mark to every shard and TopDocs-merging the shard pages equals the
+    single-searcher search_after page exactly — the after filter commutes
+    with the doc partition because shard scores are globally comparable."""
+    import ray.data
+
+    from engine.build import invert_to_segment
+    from engine.checkpoint import finalize_build_manifest
+    from engine.fixtures import make_pages
+    from engine.search import IndexSearcher, search_dataset_sharded
+
+    root = tmp_path_factory.mktemp("cursor")
+    pages = make_pages(600, seed=23)
+    texts = pages.column("text").to_pylist()
+    rows = []
+    for s in range(6):
+        lo, hi = s * 100, (s + 1) * 100
+        seg_dir = str(root / f"partitions/p{lo:012d}")
+        meta = invert_to_segment(np.arange(lo, hi, dtype=np.int64), texts[lo:hi], seg_dir)
+        rows.append(
+            {k: meta[k] for k in ("doc_base", "n_docs", "sum_ttf", "n_terms", "wall_ms")}
+            | {"seg_dir": seg_dir}
+        )
+    manifest = finalize_build_manifest(str(root), rows)
+    base = IndexSearcher(manifest, algorithm="taat")
+
+    queries = []
+    marks = {}
+    for qid, (qs, k) in enumerate(
+        [("the00", 8), ("t00000 t00001", 6), ("tiekey", 5)]
+    ):
+        d1, s1 = base.search(qs, k)
+        assert len(d1) == k
+        marks[qid] = (qs, k, (float(s1[-1]), int(d1[-1])))
+        queries.append(
+            {
+                "query_id": qid,
+                "query": qs,
+                "k": k,
+                "after_score": float(s1[-1]),
+                "after_doc": int(d1[-1]),
+            }
+        )
+    res = (
+        search_dataset_sharded(ray.data.from_items(queries), manifest, n_shards=3)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+    )
+    for qid, (qs, k, mark) in marks.items():
+        ed, es = base.search_after(qs, mark, k=k)
+        sub = res[res["query_id"] == qid]
+        np.testing.assert_array_equal(sub["doc_id"].to_numpy(), ed, err_msg=qs)
+        np.testing.assert_array_equal(
+            sub["score"].to_numpy().astype(np.float32), es, err_msg=qs
+        )
+        # page 2 equals ranks [k, 2k) of one big top-2k
+        bd, bs = base.search(qs, 2 * k)
+        np.testing.assert_array_equal(ed, bd[k:], err_msg=qs)
+        np.testing.assert_array_equal(es, bs[k:], err_msg=qs)
