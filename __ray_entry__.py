@@ -78,6 +78,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             textops.bpe_token_count_batch, batch_format="pyarrow", **_rargs()
         )
 
+    def q_token_pack(sf_dir):
+        return textops.pack_sequences(_docs(sf_dir), budget=512, chunk=64)
+
     def q_shingle_top50(sf_dir):
         return textops.shingle_top_counts(_docs(sf_dir), size=2, k=50)
 
@@ -479,6 +482,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- text analysis ------------------------------------------------
         "token_counts_docs": q_token_count_docs,
         "token_counts_bpe": q_token_count_bpe,
+        "token_pack_sequences": q_token_pack,
         "shingle_top50": q_shingle_top50,
         "stemmed_top_terms": q_stemmed_top_terms,
         "edge_ngram_top100": q_edge_ngram_top100,
@@ -2483,6 +2487,44 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_counts_docs": f"""
             SELECT doc_id, len({_TOK}) AS n_tokens FROM documents
+        """,
+        # greedy first-fit-sequential packing replayed as a list_reduce
+        # fold per 64-doc chunk: accumulator = [fill, open_seq,
+        # assignment...], init fill=budget+1 forces the first doc (even a
+        # 0-token one) to open seq 0; a doc joins the open sequence iff
+        # fill + n <= 512, else opens the next (overflow docs get their
+        # own sequence; empty docs join the open one)
+        "token_pack_sequences": f"""
+            WITH tok AS (
+                SELECT doc_id, CAST(len({_TOK}) AS BIGINT) AS n,
+                       doc_id // 64 AS chunk_id
+                FROM documents
+            ),
+            per_chunk AS (
+                SELECT chunk_id,
+                       list(doc_id ORDER BY doc_id) AS dids,
+                       list(n ORDER BY doc_id) AS ns
+                FROM tok GROUP BY chunk_id
+            ),
+            folded AS (
+                SELECT chunk_id, dids, ns,
+                    list_reduce(
+                        list_prepend(
+                            [CAST(513 AS BIGINT), CAST(-1 AS BIGINT)],
+                            list_transform(ns, n -> [n, CAST(0 AS BIGINT)])),
+                        (a, x) -> CASE WHEN a[1] + x[1] <= 512
+                            THEN list_concat(
+                                list_concat([a[1] + x[1], a[2]], a[3:]),
+                                [a[2]])
+                            ELSE list_concat(
+                                list_concat([x[1], a[2] + 1], a[3:]),
+                                [a[2] + 1]) END
+                    ) AS st
+                FROM per_chunk
+            )
+            SELECT unnest(dids) AS doc_id, unnest(ns) AS n_tokens,
+                   chunk_id, unnest(st[3:]) AS seq_id
+            FROM folded
         """,
         # LangId argmax replayed exactly: char trigrams of the padded
         # lowercase text, integer dot products against the embedded seed

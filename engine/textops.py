@@ -842,3 +842,51 @@ def canonicalize_url_batch(batch: pa.Table, url_col: str = "url") -> pa.Table:
             "n_dropped": pa.array(dropped),
         }
     )
+
+
+def pack_sequences(ds, budget: int = 512, chunk: int = 64):
+    """Greedy sequence packing for LLM training-batch prep
+    (beyond-reference: the 'packing' step that concatenates documents
+    into fixed-token-budget training sequences, cf. T5/GPT packed
+    pretraining batches): (doc_id, n_tokens, chunk_id, seq_id).
+
+    Global greedy packing is inherently sequential, so packing is scoped
+    to fixed doc_id chunks of ``chunk`` docs — the partitioning a 100-TB
+    run uses (pack within input shard): per-chunk packing is
+    embarrassingly parallel, deterministic, and the only cross-chunk
+    waste is one partially-filled tail sequence per chunk.
+
+    Within a chunk, docs pack in doc_id order with first-fit-sequential:
+    a doc joins the open sequence iff fill + n_tokens <= budget, else it
+    opens a new one (a doc longer than the budget gets its own overflow
+    sequence; an empty doc joins the open sequence). ``seq_id`` is
+    chunk-local. Token counts are the whitespace+regex analyzer counts
+    (token_count_batch), so the packing replays exactly in SQL."""
+    import pandas as pd
+
+    def _count(batch: pa.Table) -> pa.Table:
+        t = token_count_batch(batch)
+        cid = t.column("doc_id").to_numpy() // np.int64(chunk)
+        return t.append_column("chunk_id", pa.array(cid, type=pa.int64()))
+
+    def _pack(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id").reset_index(drop=True)
+        fill = budget + 1  # forces the first doc (even 0-token) to open seq 0
+        seq = -1
+        seqs = np.empty(len(g), dtype=np.int64)
+        for i, n in enumerate(g["n_tokens"].to_numpy()):
+            n = int(n)
+            if fill + n <= budget:
+                fill += n
+            else:
+                fill = n
+                seq += 1
+            seqs[i] = seq
+        g["seq_id"] = seqs
+        return g
+
+    return (
+        ds.map_batches(_count, batch_format="pyarrow", **_rargs())
+        .groupby("chunk_id")
+        .map_groups(_pack, batch_format="pandas", **_rargs())
+    )

@@ -1000,3 +1000,51 @@ def test_make_snippet_passages_formula():
     # no-match doc: leading window, zero score
     s0, sc0, sn0 = make_snippet_passages("alpha beta", ["zz"])
     assert (s0, sc0, sn0) == (0, 0.0, "alpha beta")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pack_sequences_greedy_semantics():
+    """Sequence packing: per-chunk greedy first-fit-sequential in doc_id
+    order — a doc joins the open sequence iff fill + n <= budget, an
+    overflow doc (> budget) gets its own sequence, an empty doc joins the
+    open one, and the first doc of every chunk opens seq 0."""
+    import ray.data
+
+    from engine.textops import pack_sequences
+
+    # texts engineered so token counts are 3,4,5,2,11,1,0,9,1 with budget 10
+    ns = [3, 4, 5, 2, 11, 1, 0, 9, 1]
+    texts = [" ".join(f"w{i}" for i in range(n)) for n in ns]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(ns)), type=pa.int64()),
+                "text": pa.array(texts, type=pa.string()),
+            }
+        )
+    )
+    out = (
+        pack_sequences(ds, budget=10, chunk=100)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["n_tokens"].tolist() == ns
+    assert out["seq_id"].tolist() == [0, 0, 1, 1, 2, 3, 3, 3, 4]
+    assert out["chunk_id"].tolist() == [0] * len(ns)
+
+    # chunk boundaries reset the packer: chunk=4 restarts seq at doc 4, 8
+    out2 = (
+        pack_sequences(ds, budget=10, chunk=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out2["chunk_id"].tolist() == [0, 0, 0, 0, 1, 1, 1, 1, 2]
+    assert out2["seq_id"].tolist() == [0, 0, 1, 1, 0, 1, 1, 1, 0]
+
+    # conservation: every doc appears exactly once; fills never exceed the
+    # budget except single-doc overflow sequences
+    g = out.groupby("seq_id")["n_tokens"].agg(["sum", "count"])
+    for _, row in g.iterrows():
+        assert row["sum"] <= 10 or row["count"] == 1
