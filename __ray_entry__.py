@@ -409,6 +409,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_unordered_match_docs": pipelines.span_unordered_match_docs,
         "span_first_match_docs": pipelines.span_first_match_docs,
         "span_not_match_docs": pipelines.span_not_match_docs,
+        "span_containing_docs": pipelines.span_containing_match_docs,
+        "span_within_docs": pipelines.span_within_match_docs,
+        "span_or_near_docs": pipelines.span_or_near_match_docs,
         "span_near_topk": pipelines.span_near_topk,
         "percolate_matches": pipelines.percolate_matches,
         "nb_train_stats": pipelines.nb_train_stats,
@@ -1155,6 +1158,75 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, CAST(count(*) AS BIGINT) AS matches
             FROM tok WHERE t = 'data' AND p + 1 <= 5 GROUP BY doc_id
+        """,
+        # SpanContaining(near(data, join, slop=4), the): big = qualifying
+        # greedy windows (p1, mp = min join pos > p1, gap <= slop); with
+        # unit littles and start-ordered bigs the greedy monotone little
+        # pointer (SpanContainingQuery.java:98-116) equals
+        # exists-containment per big, so matches = count of windows
+        # enclosing a 'the' position (p1 <= q <= mp)
+        "span_containing_docs": f"""
+            WITH tok AS (
+                SELECT doc_id, unnest({_TOK}) AS t,
+                       unnest(range(len({_TOK}))) AS p
+                FROM documents
+            ),
+            a AS (SELECT doc_id, p FROM tok WHERE t = 'data'),
+            b AS (SELECT doc_id, p FROM tok WHERE t = 'join'),
+            big AS (
+                SELECT a.doc_id, a.p AS st, min(b.p) AS mp
+                FROM a JOIN b USING (doc_id) WHERE b.p > a.p
+                GROUP BY a.doc_id, a.p
+                HAVING min(b.p) - a.p - 1 <= 4
+            )
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS matches FROM big
+            WHERE EXISTS (
+                SELECT 1 FROM tok l
+                WHERE l.doc_id = big.doc_id AND l.t = 'the'
+                  AND l.p BETWEEN big.st AND big.mp
+            ) GROUP BY doc_id
+        """,
+        # SpanWithin(near(data, join, slop=6), merge): ordered-near big
+        # spans have non-decreasing (start, end), so the greedy monotone
+        # big pointer (SpanWithinQuery.java:98-118) equals exists-enclosure
+        # per little — matches = count of 'merge' positions inside any
+        # qualifying window
+        "span_within_docs": f"""
+            WITH tok AS (
+                SELECT doc_id, unnest({_TOK}) AS t,
+                       unnest(range(len({_TOK}))) AS p
+                FROM documents
+            ),
+            a AS (SELECT doc_id, p FROM tok WHERE t = 'data'),
+            b AS (SELECT doc_id, p FROM tok WHERE t = 'join'),
+            big AS (
+                SELECT a.doc_id, a.p AS st, min(b.p) AS mp
+                FROM a JOIN b USING (doc_id) WHERE b.p > a.p
+                GROUP BY a.doc_id, a.p
+                HAVING min(b.p) - a.p - 1 <= 6
+            )
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS matches FROM (
+                SELECT DISTINCT l.doc_id, l.p FROM tok l JOIN big
+                  ON big.doc_id = l.doc_id
+                WHERE l.t = 'merge' AND l.p BETWEEN big.st AND big.mp
+            ) GROUP BY doc_id
+        """,
+        # ordered SpanNear(SpanOr(data, merge), join, slop=2): one
+        # candidate per union position p (SpanOrQuery merged spans),
+        # greedily stretched to the first join start > p; qualifies iff
+        # any join position lies in (p, p + 1 + slop]
+        "span_or_near_docs": f"""
+            WITH tok AS (
+                SELECT doc_id, unnest({_TOK}) AS t,
+                       unnest(range(len({_TOK}))) AS p
+                FROM documents
+            ),
+            a AS (SELECT doc_id, p FROM tok WHERE t IN ('data', 'merge')),
+            b AS (SELECT doc_id, p FROM tok WHERE t = 'join')
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS matches FROM (
+                SELECT DISTINCT a.doc_id, a.p FROM a JOIN b USING (doc_id)
+                WHERE b.p > a.p AND b.p <= a.p + 3
+            ) GROUP BY doc_id
         """,
         # SpanNot(near(data, join, slop=2), dup): the greedy include span
         # for p1 is (p1, mp+1) with mp = min join pos > p1; it survives iff

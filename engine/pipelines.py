@@ -367,6 +367,71 @@ def span_unordered_match_docs(
     return t.select(["doc_id"])
 
 
+def span_containing_match_docs(
+    sf_dir: str,
+    t1: str = "data",
+    t2: str = "join",
+    slop: int = 4,
+    little: str = "the",
+) -> pa.Table:
+    """(doc_id, matches) for SpanContainingQuery(near(t1, t2, slop),
+    little) — SpanContainingQuery.java:78-116: big spans (ordered near)
+    that contain a little span, via the greedy monotone little pointer.
+    With unit littles and start-ordered bigs the greedy walk equals
+    exists-containment per big span, so the match count replays in SQL:
+    count of qualifying (p1, first-t2-after) windows that enclose a
+    ``little`` position."""
+    from .spans import SpanContaining, SpanNear, SpanTerm
+
+    q = SpanContaining(
+        SpanNear((SpanTerm(t1), SpanTerm(t2)), slop=slop, in_order=True),
+        SpanTerm(little),
+    )
+    return _span_match_table(_span_searcher(sf_dir), q)
+
+
+def span_within_match_docs(
+    sf_dir: str,
+    t1: str = "data",
+    t2: str = "join",
+    slop: int = 6,
+    little: str = "merge",
+) -> pa.Table:
+    """(doc_id, matches) for SpanWithinQuery(big=near(t1, t2, slop),
+    little) — SpanWithinQuery.java:79-118: little spans enclosed in a
+    big span, greedy monotone big pointer. The ordered-near big spans
+    have non-decreasing (start, end) in emission order, so the greedy
+    walk equals exists-enclosure per little span — the count replays in
+    SQL as ``little`` positions inside any qualifying near window."""
+    from .spans import SpanNear, SpanTerm, SpanWithin
+
+    q = SpanWithin(
+        SpanNear((SpanTerm(t1), SpanTerm(t2)), slop=slop, in_order=True),
+        SpanTerm(little),
+    )
+    return _span_match_table(_span_searcher(sf_dir), q)
+
+
+def span_or_near_match_docs(
+    sf_dir: str,
+    alts: tuple[str, str] = ("data", "merge"),
+    t2: str = "join",
+    slop: int = 2,
+) -> pa.Table:
+    """(doc_id, matches) for an ordered SpanNearQuery whose FIRST clause
+    is a SpanOrQuery (SpanOrQuery.java position-merged union feeding
+    NearSpansOrdered): one candidate per union position p, stretched to
+    the first t2 start >= p+1, matching iff the gap <= slop."""
+    from .spans import SpanNear, SpanOr, SpanTerm
+
+    q = SpanNear(
+        (SpanOr(tuple(SpanTerm(a) for a in alts)), SpanTerm(t2)),
+        slop=slop,
+        in_order=True,
+    )
+    return _span_match_table(_span_searcher(sf_dir), q)
+
+
 def span_first_match_docs(
     sf_dir: str, term: str = "data", end: int = 5
 ) -> pa.Table:

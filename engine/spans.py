@@ -54,6 +54,8 @@ __all__ = [
     "SpanOr",
     "SpanNot",
     "SpanRange",
+    "SpanContaining",
+    "SpanWithin",
     "span_first",
     "eval_spans",
     "span_terms",
@@ -93,6 +95,29 @@ class SpanRange:
     hi: int = 2**31 - 1
 
 
+@dataclass(frozen=True)
+class SpanContaining:
+    """SpanContainingQuery (spans/SpanContainingQuery.java:78-116): emit
+    the big spans that contain a little span, via the reference's greedy
+    monotone walk — for each big span in emission order, advance little
+    while little.start < big.start (the little iterator never rewinds),
+    then emit big iff big.end >= little.end."""
+
+    big: object
+    little: object
+
+
+@dataclass(frozen=True)
+class SpanWithin:
+    """SpanWithinQuery (spans/SpanWithinQuery.java:79-96): emit the
+    little spans enclosed in a big span — for each little span in order,
+    advance big while big.end < little.end, then emit little iff
+    big.start <= little.start."""
+
+    big: object
+    little: object
+
+
 def span_first(match, end: int) -> SpanRange:
     """SpanFirstQuery.java:38-46 — SpanPositionRange with lo=0."""
     return SpanRange(match, 0, end)
@@ -107,6 +132,9 @@ def span_terms(q) -> list[str]:
         for c in q.clauses:
             out.extend(span_terms(c))
         return out
+    if isinstance(q, (SpanContaining, SpanWithin)):
+        # SpanContainQuery extracts both sides (ConjunctionSpans weights)
+        return span_terms(q.big) + span_terms(q.little)
     if isinstance(q, SpanNot):
         # SpanNotWeight extracts include terms only for scoring
         return span_terms(q.include)
@@ -260,7 +288,50 @@ def eval_spans(seg, q) -> dict[int, np.ndarray]:
             if len(kept):
                 out[d] = kept
         return out
+    if isinstance(q, (SpanContaining, SpanWithin)):
+        big = eval_spans(seg, q.big)
+        little = eval_spans(seg, q.little)
+        out = {}
+        for d in sorted(set(big) & set(little)):
+            kept = (
+                _contain_walk(big[d], little[d])
+                if isinstance(q, SpanContaining)
+                else _within_walk(big[d], little[d])
+            )
+            if len(kept):
+                out[d] = kept
+        return out
     raise TypeError(f"not a span node: {q!r}")
+
+
+def _contain_walk(big: np.ndarray, little: np.ndarray) -> np.ndarray:
+    """SpanContainingQuery.java:98-116 nextStartPosition loop: the little
+    pointer is monotone across bigs (never rewinds in a doc)."""
+    kept = []
+    li = 0
+    for bi in range(len(big)):
+        while little[li, 0] < big[bi, 0]:
+            li += 1
+            if li == len(little):
+                return big[kept] if kept else _EMPTY
+        if big[bi, 1] >= little[li, 1]:
+            kept.append(bi)
+    return big[kept] if kept else _EMPTY
+
+
+def _within_walk(big: np.ndarray, little: np.ndarray) -> np.ndarray:
+    """SpanWithinQuery.java:98-118 nextStartPosition loop: the big
+    pointer is monotone across littles."""
+    kept = []
+    bi = 0
+    for li in range(len(little)):
+        while big[bi, 1] < little[li, 1]:
+            bi += 1
+            if bi == len(big):
+                return little[kept] if kept else _EMPTY
+        if big[bi, 0] <= little[li, 0]:
+            kept.append(li)
+    return little[kept] if kept else _EMPTY
 
 
 def span_freqs(

@@ -216,6 +216,9 @@ def test_span_entries_match_duckdb_sf0001():
         "span_unordered_match_docs",
         "span_first_match_docs",
         "span_not_match_docs",
+        "span_containing_docs",
+        "span_within_docs",
+        "span_or_near_docs",
     ):
         got = qs[name]("/root/testdata/sf0.001").to_pandas()
         exp = con.execute(sql[name]).fetchdf()
@@ -237,3 +240,82 @@ def test_span_near_topk_scores():
     assert s.dtype == np.float32
     assert (np.diff(s) <= 0).all()
     assert out["rank"].tolist() == list(range(len(out)))
+
+
+def test_contain_within_walks_brute_force():
+    """SpanContaining/SpanWithin greedy walks (ContainSpans.java +
+    SpanContainingQuery.java:98-116 / SpanWithinQuery.java:98-118) equal
+    exists-containment for unit littles, on random position sets."""
+    from engine.spans import _contain_walk, _within_walk
+
+    rng = np.random.default_rng(7)
+    for _ in range(200):
+        nb, nl = rng.integers(1, 8), rng.integers(1, 8)
+        starts = np.sort(rng.integers(0, 30, nb))
+        widths = rng.integers(1, 5, nb)
+        big = np.stack([starts, starts + widths, widths - 1], axis=1).astype(np.int64)
+        # keep (start, end) lexicographic emission order
+        big = big[np.lexsort((big[:, 1], big[:, 0]))]
+        lp = np.sort(rng.integers(0, 34, nl))
+        little = np.stack([lp, lp + 1, np.zeros(nl, dtype=np.int64)], axis=1)
+
+        got_c = _contain_walk(big, little)
+        exp_c = [
+            i
+            for i in range(len(big))
+            if any(big[i, 0] <= q and q + 1 <= big[i, 1] for q in lp)
+        ]
+        np.testing.assert_array_equal(got_c, big[exp_c])
+
+        # within needs ends non-decreasing too (the ordered-near shape)
+        bw = big[np.argsort(big[:, 1], kind="stable")]
+        bw = bw[np.lexsort((bw[:, 1], bw[:, 0]))]
+        if np.all(np.diff(bw[:, 1]) >= 0):
+            got_w = _within_walk(bw, little)
+            exp_w = [
+                j
+                for j in range(len(little))
+                if any(b[0] <= lp[j] and lp[j] + 1 <= b[1] for b in bw)
+            ]
+            np.testing.assert_array_equal(got_w, little[exp_w])
+
+
+def test_contain_walk_greedy_divergence_pinned():
+    """With a MULTI-WIDTH little whose first start-qualifying span is too
+    long, the reference's monotone pointer rejects the big even though a
+    later little would fit (SpanContainingQuery.java:104-111 checks only
+    the current little) — pin that, don't 'fix' it to exists-semantics."""
+    from engine.spans import _contain_walk
+
+    big = np.array([[2, 5, 2]], dtype=np.int64)
+    little = np.array([[2, 9, 6], [3, 4, 0]], dtype=np.int64)  # (start, end) order
+    assert len(_contain_walk(big, little)) == 0
+
+
+def test_span_containing_within_nodes_end_to_end():
+    """Containing/within over the fake segment: phrase-within-window and
+    window-containing-term shapes."""
+    from engine.spans import SpanContaining, SpanWithin
+
+    seg = FakeSeg(
+        {
+            1: ["data", "x", "the", "join", "z"],   # window [0,4) contains 'the'@2
+            2: ["data", "join", "merge"],            # window [0,2), no 'the'
+            3: ["the", "data", "x", "join"],         # 'the'@0 outside [1,4)
+        }
+    )
+    big = SpanNear((SpanTerm("data"), SpanTerm("join")), slop=4, in_order=True)
+    out = eval_spans(seg, SpanContaining(big, SpanTerm("the")))
+    assert sorted(out) == [1]
+    np.testing.assert_array_equal(out[1], np.array([[0, 4, 2]]))
+
+    out_w = eval_spans(seg, SpanWithin(big, SpanTerm("merge")))
+    assert sorted(out_w) == []  # merge@2 not inside window [0,2)
+    seg2 = FakeSeg({5: ["data", "merge", "join"]})
+    out_w2 = eval_spans(seg2, SpanWithin(big, SpanTerm("merge")))
+    np.testing.assert_array_equal(out_w2[5], np.array([[1, 2, 0]]))
+
+    # span_terms covers both sides
+    assert span_terms(SpanContaining(big, SpanTerm("the"))) == [
+        "data", "join", "the",
+    ]
