@@ -206,6 +206,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             source_path=os.path.join(sf_dir, "documents.parquet"),
         )
 
+    def q_near_dup_clusters(sf_dir):
+        # pairs -> connected components -> (doc_id, cluster_id = min of
+        # component): the keep-one-per-cluster rule after LSH verification
+        pairs = dedup.minhash_lsh_dedup(
+            _docs(sf_dir),
+            threshold=0.7,
+            source_path=os.path.join(sf_dir, "documents.parquet"),
+        )
+        return dedup.near_dup_clusters(pairs)
+
     def q_simhash(sf_dir):
         return _docs(sf_dir).map_batches(dedup.simhash_batch, batch_format="pyarrow", **_rargs())
 
@@ -504,6 +514,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_repetition": q_gopher_repetition,
         "host_doc_counts": q_host_stats,
         "minhash_lsh_pairs": q_minhash,
+        "near_dup_clusters": q_near_dup_clusters,
         "simhash64": q_simhash,
         "simhash_near_dup_pairs": q_simhash_pairs,
         "ngram_jaccard_pairs": q_ngram_jaccard,
@@ -1041,6 +1052,62 @@ def oracle_sql() -> dict[str, str]:
                 FROM allq
             ) WHERE rn <= 10
         """
+    _minhash_pairs_sql = f"""
+            WITH tok AS (SELECT doc_id, {_TOK} AS ts FROM documents),
+            sh AS (
+                SELECT DISTINCT doc_id,
+                       array_to_string(ts[i + 1 : i + 3], ' ') AS s
+                FROM (SELECT doc_id, ts,
+                             unnest(range(CASE WHEN len(ts) >= 3
+                                          THEN len(ts) - 2 ELSE 1 END)) AS i
+                      FROM tok WHERE len(ts) > 0)
+            ),
+            shh AS (
+                SELECT DISTINCT doc_id,
+                       CAST({_fnv_str_sql("s")} AS HUGEINT) AS h
+                FROM sh
+            ),
+            perm(j, a, b) AS (VALUES {_mh_values}),
+            sig AS (
+                SELECT doc_id, j,
+                       min((((h % 4294967296) * a
+                             + ((h // 4294967296) * a % 4294967296)
+                               * 4294967296 + b)
+                            % 18446744073709551616)
+                           % 2305843009213693951) AS v
+                FROM shh CROSS JOIN perm
+                GROUP BY doc_id, j
+            ),
+            bands AS (
+                SELECT doc_id, j // 4 AS band_id,
+                       list(v ORDER BY j) AS key
+                FROM sig GROUP BY doc_id, j // 4
+            ),
+            cand AS (
+                SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+                FROM bands x JOIN bands y
+                  ON x.band_id = y.band_id AND x.key = y.key
+                 AND x.doc_id < y.doc_id
+            ),
+            sz AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
+            inter AS (
+                SELECT c.doc_a, c.doc_b, count(*) AS ni
+                FROM cand c
+                JOIN shh p ON p.doc_id = c.doc_a
+                JOIN shh q ON q.doc_id = c.doc_b AND q.h = p.h
+                GROUP BY c.doc_a, c.doc_b
+            )
+            SELECT c.doc_a, c.doc_b,
+                   coalesce(i.ni, 0)
+                   / (sa.n + sb.n - coalesce(i.ni, 0)) AS jaccard
+            FROM cand c
+            JOIN sz sa ON sa.doc_id = c.doc_a
+            JOIN sz sb ON sb.doc_id = c.doc_b
+            LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+            WHERE coalesce(i.ni, 0)
+                  / (sa.n + sb.n - coalesce(i.ni, 0)) >= 0.7
+        """
+
     return {
         # the doc-sharded scatter/gather plan is TopDocs.merge-exact vs the
         # single searcher, so both flagship entries share one oracle
@@ -2941,60 +3008,27 @@ def oracle_sql() -> dict[str, str]:
         # hash-set Jaccard >= 0.7. Fixture-safe assumption documented in
         # dedup.py: no zero-token docs (those would band-collide with each
         # other and verify at jaccard 1.0; the corpus has none)
-        "minhash_lsh_pairs": f"""
-            WITH tok AS (SELECT doc_id, {_TOK} AS ts FROM documents),
-            sh AS (
-                SELECT DISTINCT doc_id,
-                       array_to_string(ts[i + 1 : i + 3], ' ') AS s
-                FROM (SELECT doc_id, ts,
-                             unnest(range(CASE WHEN len(ts) >= 3
-                                          THEN len(ts) - 2 ELSE 1 END)) AS i
-                      FROM tok WHERE len(ts) > 0)
+        "minhash_lsh_pairs": _minhash_pairs_sql,
+        # connected components over the SAME verified near-dup pairs:
+        # recursive min-label closure (UNION dedups, so the recursion
+        # terminates at the component's member set); cluster_id = the
+        # component's min doc_id — the keep-one-per-cluster dedup rule
+        "near_dup_clusters": f"""
+            WITH RECURSIVE pairs AS ({_minhash_pairs_sql}),
+            edges AS (
+                SELECT doc_a AS a, doc_b AS b FROM pairs
+                UNION ALL
+                SELECT doc_b AS a, doc_a AS b FROM pairs
             ),
-            shh AS (
-                SELECT DISTINCT doc_id,
-                       CAST({_fnv_str_sql("s")} AS HUGEINT) AS h
-                FROM sh
-            ),
-            perm(j, a, b) AS (VALUES {_mh_values}),
-            sig AS (
-                SELECT doc_id, j,
-                       min((((h % 4294967296) * a
-                             + ((h // 4294967296) * a % 4294967296)
-                               * 4294967296 + b)
-                            % 18446744073709551616)
-                           % 2305843009213693951) AS v
-                FROM shh CROSS JOIN perm
-                GROUP BY doc_id, j
-            ),
-            bands AS (
-                SELECT doc_id, j // 4 AS band_id,
-                       list(v ORDER BY j) AS key
-                FROM sig GROUP BY doc_id, j // 4
-            ),
-            cand AS (
-                SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-                FROM bands x JOIN bands y
-                  ON x.band_id = y.band_id AND x.key = y.key
-                 AND x.doc_id < y.doc_id
-            ),
-            sz AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
-            inter AS (
-                SELECT c.doc_a, c.doc_b, count(*) AS ni
-                FROM cand c
-                JOIN shh p ON p.doc_id = c.doc_a
-                JOIN shh q ON q.doc_id = c.doc_b AND q.h = p.h
-                GROUP BY c.doc_a, c.doc_b
+            nodes AS (SELECT DISTINCT a AS node FROM edges),
+            reach(node, lbl) AS (
+                SELECT node, node AS lbl FROM nodes
+                UNION
+                SELECT e.b AS node, r.lbl
+                FROM reach r JOIN edges e ON e.a = r.node
             )
-            SELECT c.doc_a, c.doc_b,
-                   coalesce(i.ni, 0)
-                   / (sa.n + sb.n - coalesce(i.ni, 0)) AS jaccard
-            FROM cand c
-            JOIN sz sa ON sa.doc_id = c.doc_a
-            JOIN sz sb ON sb.doc_id = c.doc_b
-            LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
-            WHERE coalesce(i.ni, 0)
-                  / (sa.n + sb.n - coalesce(i.ni, 0)) >= 0.7
+            SELECT node AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
+            FROM reach GROUP BY node
         """,
         # exact set-similarity self-join over the recrawl-style union
         # (originals + 3-token-appended copies): distinct 3-token shingles

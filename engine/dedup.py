@@ -817,3 +817,122 @@ def line_dedup_stats(ds, chunk_tokens: int = 3):
         )
 
     return summed.map_batches(finish, batch_format="pyarrow", **_rargs())
+
+
+def near_dup_clusters(pairs, max_rounds: int = 64):
+    """Near-dup pairs → connected components: (doc_id, cluster_id) with
+    cluster_id = the MIN doc_id of the component — the cluster-and-keep
+    step after LSH candidate verification (keep cluster_id == doc_id,
+    drop the rest; CCNet/C4-style cluster dedup over the near-dup graph).
+
+    Distributed min-label propagation (the hash-to-min shape, Rastogi et
+    al. 2013): labels start as node ids; every round each node takes the
+    min of its own label and its neighbors' labels — round = one tagged
+    union groupby (labels + symmetrized edges) that emits messages, plus
+    one Min aggregate. Labels only decrease, so the label SUM strictly
+    decreases until the fixpoint — convergence is one scalar aggregate
+    per round, no driver-side graph state ever. Rounds needed = the
+    eccentricity of each component's min vertex (near-dup components are
+    shallow; ``max_rounds`` is a runaway bound, not a tuning knob).
+
+    ``pairs``: Dataset or Arrow table with (doc_a, doc_b) columns.
+    Only docs that appear in at least one pair are emitted (singletons
+    are their own cluster by definition and would dominate the output)."""
+    import pandas as pd
+    import ray.data
+    from ray.data.aggregate import Min as _Min, Sum as _Sum
+
+    if isinstance(pairs, pa.Table):
+        pairs = ray.data.from_arrow(pairs)
+
+    def _sym(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_a").to_numpy()
+        b = batch.column("doc_b").to_numpy()
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([a, b]), type=pa.int64()),
+                "dst": pa.array(np.concatenate([b, a]), type=pa.int64()),
+            }
+        )
+
+    edges = pairs.map_batches(_sym, batch_format="pyarrow", **_rargs()).materialize()
+    if edges.count() == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "cluster_id": pa.array([], type=pa.int64()),
+                }
+            )
+        )
+
+    # round 0: lbl(node) = min(node, min neighbor)
+    labels = (
+        edges.groupby("src")
+        .aggregate(_Min("dst", alias_name="nmin"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "node": b.column("src"),
+                    "lbl": pa.array(
+                        np.minimum(
+                            b.column("src").to_numpy(), b.column("nmin").to_numpy()
+                        ),
+                        type=pa.int64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+            **_rargs(),
+        )
+        .materialize()
+    )
+    prev_sum = labels.aggregate(_Sum("lbl"))["sum(lbl)"]
+
+    def _messages(g: pd.DataFrame) -> pd.DataFrame:
+        own = int(g.loc[g["tag"] == 0, "val"].min())
+        dsts = g.loc[g["tag"] == 1, "val"]
+        return pd.DataFrame(
+            {
+                "node": np.concatenate([[int(g["key"].iloc[0])], dsts.to_numpy()]),
+                "lbl": np.int64(own),
+            }
+        )
+
+    for _ in range(max_rounds):
+        tagged_l = labels.map_batches(
+            lambda b: pa.table(
+                {"key": b.column("node"), "val": b.column("lbl"),
+                 "tag": pa.array(np.zeros(b.num_rows, dtype=np.int8))}
+            ),
+            batch_format="pyarrow",
+            **_rargs(),
+        )
+        tagged_e = edges.map_batches(
+            lambda b: pa.table(
+                {"key": b.column("src"), "val": b.column("dst"),
+                 "tag": pa.array(np.ones(b.num_rows, dtype=np.int8))}
+            ),
+            batch_format="pyarrow",
+            **_rargs(),
+        )
+        labels = (
+            tagged_l.union(tagged_e)
+            .groupby("key")
+            .map_groups(_messages, batch_format="pandas", **_rargs())
+            .groupby("node")
+            .aggregate(_Min("lbl", alias_name="lbl"))
+            .materialize()
+        )
+        new_sum = labels.aggregate(_Sum("lbl"))["sum(lbl)"]
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+
+    return labels.map_batches(
+        lambda b: pa.table(
+            {"doc_id": b.column("node"), "cluster_id": b.column("lbl")}
+        ),
+        batch_format="pyarrow",
+        **_rargs(),
+    )

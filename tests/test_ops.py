@@ -1048,3 +1048,30 @@ def test_pack_sequences_greedy_semantics():
     g = out.groupby("seq_id")["n_tokens"].agg(["sum", "count"])
     for _, row in g.iterrows():
         assert row["sum"] <= 10 or row["count"] == 1
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_near_dup_clusters_components():
+    """Connected components by min-label propagation: chains, multiple
+    components, and a diameter-6 path (forces several propagation
+    rounds); empty input yields an empty typed table."""
+    import ray.data
+
+    from engine.dedup import near_dup_clusters
+
+    pairs = pa.table(
+        {
+            "doc_a": pa.array([1, 2, 10, 20, 21, 5, 36, 35, 34, 33, 32, 31], type=pa.int64()),
+            "doc_b": pa.array([2, 3, 11, 21, 22, 6, 35, 34, 33, 32, 31, 30], type=pa.int64()),
+        }
+    )
+    out = near_dup_clusters(pairs).to_pandas()
+    got = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert got == {
+        1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 10: 10, 11: 10,
+        20: 20, 21: 20, 22: 20,
+        30: 30, 31: 30, 32: 30, 33: 30, 34: 30, 35: 30, 36: 30,
+    }
+    empty = near_dup_clusters(pairs.slice(0, 0))
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema().base_schema] == ["doc_id", "cluster_id"]
