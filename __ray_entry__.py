@@ -496,6 +496,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts_docs": q_token_count_docs,
         "token_counts_bpe": q_token_count_bpe,
         "token_pack_sequences": q_token_pack,
+        "word_delimiter_terms": pipelines.word_delimiter_terms,
         "shingle_top50": q_shingle_top50,
         "stemmed_top_terms": q_stemmed_top_terms,
         "edge_ngram_top100": q_edge_ngram_top100,
@@ -2626,6 +2627,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_counts_docs": f"""
             SELECT doc_id, len({_TOK}) AS n_tokens FROM documents
+        """,
+        # WordDelimiterGraphFilter over the injected token
+        # Wi-Fi{d}PowerShot's (d = doc_id % 10): the oracle rebuilds the
+        # 9 emitted terms by string concat — original (possessive kept on
+        # the preserved token), word/number parts, the two CATENATE_WORDS
+        # runs, and the CATENATE_ALL join — all lowercased by the chain
+        "word_delimiter_terms": """
+            SELECT doc_id, unnest([
+                'wi-fi' || d || 'powershot''s',
+                'wi', 'fi', 'wifi', d, 'power', 'shot', 'powershot',
+                'wifi' || d || 'powershot'
+            ]) AS term
+            FROM (SELECT doc_id, CAST(doc_id % 10 AS VARCHAR) AS d
+                  FROM documents)
         """,
         # greedy first-fit-sequential packing replayed as a list_reduce
         # fold per 64-doc chunk: accumulator = [fill, open_seq,

@@ -264,3 +264,190 @@ def apply_filters(tokens: list[str], names: tuple[str, ...], _caches={}) -> list
             cache[t] = v
         out.append(v)
     return out
+
+
+# ---------------------------------------------------------------------------
+# WordDelimiterGraphFilter (analysis/common/.../miscellaneous/
+# WordDelimiterGraphFilter.java + WordDelimiterIterator.java) — the
+# camelCase / product-code / possessive splitter of Solr's text_en_splitting
+# chain, ASCII char classes (the corpus subset; the reference consults
+# Character.getType for the full Unicode table).
+
+_WD_LOWER, _WD_UPPER, _WD_DIGIT, _WD_DELIM = 0x01, 0x02, 0x04, 0x08
+_WD_ALPHA = _WD_LOWER | _WD_UPPER
+_WD_DONE = -1
+
+
+def _wd_type(ch: str) -> int:
+    if "a" <= ch <= "z":
+        return _WD_LOWER
+    if "A" <= ch <= "Z":
+        return _WD_UPPER
+    if "0" <= ch <= "9":
+        return _WD_DIGIT
+    return _WD_DELIM
+
+
+class _WDIterator:
+    """WordDelimiterIterator.java:134-259 faithful port: subword bounds
+    with leading/trailing-delimiter trim, isBreak transition table, and
+    the English-possessive ('s) skip."""
+
+    def __init__(self, text: str, split_case: bool, split_num: bool, poss: bool):
+        self.text = text
+        self.split_case = split_case
+        self.split_num = split_num
+        self.poss = poss
+        self.length = self.end_bounds = len(text)
+        self.current = self.start_bounds = self.end = 0
+        self.skip_possessive = self.has_final_possessive = False
+        # setBounds (:254-263)
+        while self.start_bounds < self.length and _wd_type(text[self.start_bounds]) == _WD_DELIM:
+            self.start_bounds += 1
+        while self.end_bounds > self.start_bounds and _wd_type(text[self.end_bounds - 1]) == _WD_DELIM:
+            self.end_bounds -= 1
+        if self._ends_with_possessive(self.end_bounds):
+            self.has_final_possessive = True
+        self.current = self.start_bounds
+
+    def _ends_with_possessive(self, pos: int) -> bool:
+        t = self.text
+        return (
+            self.poss
+            and pos > 2
+            and t[pos - 2] == "'"
+            and t[pos - 1] in "sS"
+            and _wd_type(t[pos - 3]) & _WD_ALPHA
+            and (pos == self.end_bounds or _wd_type(t[pos]) == _WD_DELIM)
+        )
+
+    def _is_break(self, last: int, cur: int) -> bool:
+        # isBreak (:216-236)
+        if cur & last:
+            return False
+        if not self.split_case and (last & _WD_ALPHA) and (cur & _WD_ALPHA):
+            return False
+        if (last & _WD_UPPER) and (cur & _WD_ALPHA):
+            return False  # UPPER->letter never splits
+        if not self.split_num and (
+            ((last & _WD_ALPHA) and cur == _WD_DIGIT)
+            or (last == _WD_DIGIT and (cur & _WD_ALPHA))
+        ):
+            return False
+        return True
+
+    def next(self) -> int:
+        self.current = self.end
+        if self.current == _WD_DONE:
+            return _WD_DONE
+        if self.skip_possessive:
+            self.current += 2
+            self.skip_possessive = False
+        last = 0
+        while self.current < self.end_bounds and (
+            (last := _wd_type(self.text[self.current])) == _WD_DELIM
+        ):
+            self.current += 1
+        if self.current >= self.end_bounds:
+            self.end = _WD_DONE
+            return _WD_DONE
+        self.end = self.current + 1
+        while self.end < self.end_bounds:
+            t = _wd_type(self.text[self.end])
+            if self._is_break(last, t):
+                break
+            last = t
+            self.end += 1
+        if self.end < self.end_bounds - 1 and self._ends_with_possessive(self.end + 2):
+            self.skip_possessive = True
+        return self.end
+
+    def type(self) -> int:
+        t = _wd_type(self.text[self.current])
+        return _WD_ALPHA if t & _WD_ALPHA else t
+
+    def is_single_word(self) -> bool:
+        if self.has_final_possessive:
+            return self.current == self.start_bounds and self.end == self.end_bounds - 2
+        return self.current == self.start_bounds and self.end == self.end_bounds
+
+
+def word_delimiter_parts(
+    token: str,
+    *,
+    generate_word_parts: bool = True,
+    generate_number_parts: bool = True,
+    catenate_words: bool = False,
+    catenate_numbers: bool = False,
+    catenate_all: bool = False,
+    preserve_original: bool = False,
+    split_on_case_change: bool = True,
+    split_on_numerics: bool = True,
+    stem_english_possessive: bool = True,
+) -> list[str]:
+    """Emitted terms for one input token, in the reference's buffer order
+    (WordDelimiterGraphFilter.bufferWordParts: original first, parts as
+    the iterator yields them, each words/numbers catenation at its flush
+    point, catenate-all last with the subwordCount > lastConcatCount
+    dedup). Tokens with no delimiter pass through unchanged (:146-151);
+    all-delimiter tokens drop unless preserved (:158-166)."""
+    it = _WDIterator(
+        token, split_on_case_change, split_on_numerics, stem_english_possessive
+    )
+    it.next()
+    if it.current == 0 and it.end == len(token):
+        return [token]
+    if it.end == _WD_DONE:
+        return [token] if preserve_original else []
+
+    def _gen(wtype: int) -> bool:
+        return (generate_word_parts and bool(wtype & _WD_ALPHA)) or (
+            generate_number_parts and wtype == _WD_DIGIT
+        )
+
+    def _cat(wtype: int) -> bool:
+        return (catenate_words and bool(wtype & _WD_ALPHA)) or (
+            catenate_numbers and wtype == _WD_DIGIT
+        )
+
+    out: list[str] = []
+    if preserve_original:
+        out.append(token)
+    if it.is_single_word():
+        out.append(token[it.current : it.end])
+        return out
+
+    concat: list[str] = []
+    concat_type = 0
+    concat_all: list[str] = []
+    last_concat_count = 0
+
+    def _flush() -> None:
+        nonlocal last_concat_count
+        last_concat_count = len(concat)
+        if len(concat) != 1 or not _gen(concat_type):
+            out.append("".join(concat))
+        concat.clear()
+
+    while it.end != _WD_DONE:
+        wtype = it.type()
+        part = token[it.current : it.end]
+        if concat and not (concat_type & wtype):
+            _flush()
+        if _cat(wtype):
+            if not concat:
+                concat_type = wtype
+            concat.append(part)
+        if catenate_all:
+            concat_all.append(part)
+        if _gen(wtype):
+            out.append(part)
+        it.next()
+    if concat:
+        _flush()
+    if concat_all:
+        # skip if identical to the combo just flushed (e.g. PowerShot
+        # with CATENATE_WORDS already wrote the full catenation)
+        if len(concat_all) > last_concat_count:
+            out.append("".join(concat_all))
+    return out

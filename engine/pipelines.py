@@ -1626,6 +1626,55 @@ def rerank_topk(
     )
 
 
+def word_delimiter_terms(sf_dir: str) -> "object":
+    """WordDelimiterGraphFilter terms for injected product-code-style
+    tokens (analysis/common/.../miscellaneous/WordDelimiterGraphFilter.java
+    — Solr's text_en_splitting splitter): every doc contributes the token
+    ``Wi-Fi{doc_id % 10}PowerShot's`` (deterministic injection, the
+    pii_scrub pattern), expanded with GENERATE_WORD_PARTS +
+    GENERATE_NUMBER_PARTS + CATENATE_WORDS + CATENATE_ALL +
+    PRESERVE_ORIGINAL and lowercased downstream (the chain order:
+    WDGF splits on case BEFORE LowerCaseFilter). Emits (doc_id, term)
+    rows; only 10 distinct injected tokens exist, so the expansion is
+    memoized per batch (no per-row state machine in the hot loop)."""
+    import ray.data
+
+    from .filters import word_delimiter_parts
+    from .rayenv import read_parquet_clean
+
+    ds = read_parquet_clean(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+    expansions = {
+        d: [
+            t.lower()
+            for t in word_delimiter_parts(
+                f"Wi-Fi{d}PowerShot's",
+                catenate_words=True,
+                catenate_all=True,
+                preserve_original=True,
+            )
+        ]
+        for d in range(10)
+    }
+
+    def _expand(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        n = len(expansions[0])
+        out_ids = np.repeat(ids, n)
+        terms = np.concatenate([np.array(expansions[int(i) % 10]) for i in ids])
+        return pa.table(
+            {
+                "doc_id": pa.array(out_ids, type=pa.int64()),
+                "term": pa.array(terms, type=pa.string()),
+            }
+        )
+
+    from .rayenv import remote_args as _ra
+
+    return ds.map_batches(_expand, batch_format="pyarrow", **_ra())
+
+
 def get_points(sf_dir: str, field: str = "n_chars") -> tuple[dict, dict]:
     """Points index over one numeric DV column of the cached corpus index
     (built once per corpus, write-once resume). Returns (index, points

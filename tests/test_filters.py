@@ -226,3 +226,53 @@ def test_soundex_term_groups_dataset(ray_session):
     got = dict(zip(out["code"], out["n_terms"]))
     # distinct terms: smith, smyth (both S530), jones (J520)
     assert got == {"S530": 2, "J520": 1}
+
+
+def test_word_delimiter_graph_parts():
+    """WordDelimiterGraphFilter semantics (WordDelimiterIterator.java
+    isBreak table + bufferWordParts emission): camelCase, acronym+digit,
+    possessives, delimiter trimming, and the catenation dedup rules."""
+    from engine.filters import word_delimiter_parts as w
+
+    # splitting table
+    assert w("PowerShot") == ["Power", "Shot"]
+    assert w("SD500") == ["SD", "500"]
+    assert w("TransAM") == ["Trans", "AM"]  # lower->UPPER splits, UPPER run sticks
+    assert w("O'Neil's") == ["O", "Neil"]
+    assert w("Shot's") == ["Shot"]  # single word + possessive
+    assert w("SHOT'S") == ["SHOT"]  # uppercase possessive s
+    assert w("super-duper-XL500-42-AutoCoder!") == [
+        "super", "duper", "XL", "500", "42", "Auto", "Coder",
+    ]
+    # no-delimiter passthrough (:146-151) and all-delimiter drop (:158-166)
+    assert w("hello") == ["hello"]
+    assert w("hello", preserve_original=True) == ["hello"]
+    assert w("---") == []
+    assert w("---", preserve_original=True) == ["---"]
+    # bounds trimming + preserve
+    assert w("-foo-", preserve_original=True) == ["-foo-", "foo"]
+    # split flags off => no delimiters seen => passthrough
+    assert w("PowerShot", split_on_case_change=False) == ["PowerShot"]
+    assert w("SD500", split_on_numerics=False) == ["SD500"]
+    # catenations: flush on type change, subwordCount-1 dedup vs parts
+    assert w("PowerShot", catenate_words=True) == ["Power", "Shot", "PowerShot"]
+    assert w("foo-500", catenate_words=True) == ["foo", "500"]  # 1-part concat == part
+    assert w("foo-500", generate_word_parts=False, catenate_words=True) == ["foo", "500"]
+    assert w("500-42", catenate_numbers=True) == ["500", "42", "50042"]
+    # catenate_all: skipped when identical to the last flushed concat
+    assert w("PowerShot", catenate_words=True, catenate_all=True) == [
+        "Power", "Shot", "PowerShot",
+    ]
+    assert w("PowerShot500", catenate_words=True, catenate_all=True) == [
+        "Power", "Shot", "PowerShot", "500", "PowerShot500",
+    ]
+    # the driver-entry template
+    assert w(
+        "Wi-Fi5PowerShot's",
+        catenate_words=True,
+        catenate_all=True,
+        preserve_original=True,
+    ) == [
+        "Wi-Fi5PowerShot's", "Wi", "Fi", "WiFi", "5",
+        "Power", "Shot", "PowerShot", "WiFi5PowerShot",
+    ]
