@@ -429,6 +429,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_classify": pipelines.knn_classify,
         "drill_sideways": relational.drill_sideways_docs,
         "function_score_topk": pipelines.function_score_topk,
+        "covering_query_topk": pipelines.covering_query_topk,
         "free_text_suggest": pipelines.free_text_suggest_body,
         "replica_bm25_topk": pipelines.replica_bm25_topk,
         "bm25_search_after_pages": pipelines.bm25_search_after_pages,
@@ -1115,6 +1116,35 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": _refq_sql,
         "bm25_topk_sharded": _refq_sql,
         "replica_bm25_topk": _replica_sql,
+        # CoveringQuery (sandbox): minMatch(doc) = 1 + length(text) % 3
+        # (LongValuesSource over the n_chars DV), match iff >= minMatch of
+        # the 4 clauses hit; score = double-accumulated f32 clause scores
+        # in clause order, cast f32 (the 0.0-prepended ordered fold)
+        "covering_query_topk": f"""
+            WITH {_scored_cte},
+            cov AS (
+                SELECT doc_id,
+                       CAST(list_reduce(
+                            list_prepend(CAST(0.0 AS DOUBLE),
+                                list(CAST(s AS DOUBLE) ORDER BY ord)),
+                            (a, x) -> a + x) AS FLOAT) AS score,
+                       count(*) AS cnt
+                FROM (
+                    SELECT doc_id, s,
+                           CASE t WHEN 'data' THEN 0 WHEN 'join' THEN 1
+                                  WHEN 'merge' THEN 2 ELSE 3 END AS ord
+                    FROM sc WHERE t IN ('data', 'join', 'merge', 'query')
+                ) GROUP BY doc_id
+            ),
+            mm AS (SELECT doc_id, 1 + length(text) % 3 AS min_match
+                   FROM documents)
+            SELECT CAST(rn - 1 AS BIGINT) AS rank, doc_id, score FROM (
+                SELECT cov.doc_id, cov.score, row_number() OVER (
+                    ORDER BY cov.score DESC, cov.doc_id ASC) AS rn
+                FROM cov JOIN mm ON mm.doc_id = cov.doc_id
+                WHERE cov.cnt >= mm.min_match
+            ) WHERE rn <= 10
+        """,
         # searchAfter deep paging: chained pages == OFFSET pagination of
         # one big top-k (the collector order is total, so page p is ranks
         # [p*k, p*k+k) exactly — search/IndexSearcher.java:416-433)

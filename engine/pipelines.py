@@ -624,6 +624,69 @@ def function_score_topk(
     )
 
 
+def covering_query_topk(
+    sf_dir: str,
+    clauses: tuple[str, ...] = ("data", "join", "merge", "query"),
+    k: int = 10,
+) -> pa.Table:
+    """CoveringQuery (sandbox/search/CoveringQuery.java + CoveringScorer):
+    a doc matches iff at least minimumNumberMatch(doc) of the clauses
+    match, where minMatch comes from a per-doc LongValuesSource — here
+    ``1 + n_chars % 3`` over the DV sidecar (CoveringScorer clamps the
+    value to >= 1). Score = the sum of the MATCHING clauses' f32 scores,
+    accumulated in double in clause order then cast to float (the
+    DisjunctionSumScorer shape), so the SQL fold replays it bit-exactly.
+    Per-clause hit streams come from the exhaustive plan's collector
+    hook; the union/count/accumulate is one vectorized pass."""
+    from .bm25 import topk_sort
+    from .checkpoint import load_merge_manifest
+    from .docvalues import DocValuesReader
+    from .search import IndexSearcher
+
+    idx = get_index(sf_dir)
+    searcher = IndexSearcher(load_merge_manifest(idx["index_dir"]))
+    cl_data: list[tuple[np.ndarray, np.ndarray]] = []
+    for t in clauses:
+        parts: list[tuple[np.ndarray, np.ndarray]] = []
+        searcher.search(t, k=1, collector=lambda d, s, P=parts: P.append((d, s)))
+        if parts:
+            d = np.concatenate([p[0] for p in parts])
+            s = np.concatenate([p[1] for p in parts])
+            d, s = searcher._live(d, s)
+        else:
+            d = np.empty(0, dtype=np.int64)
+            s = np.empty(0, dtype=np.float32)
+        cl_data.append((d, s))
+    all_docs = [d for d, _ in cl_data if len(d)]
+    if not all_docs:
+        return pa.table(
+            {
+                "rank": pa.array([], type=pa.int64()),
+                "doc_id": pa.array([], type=pa.int64()),
+                "score": pa.array([], type=pa.float32()),
+            }
+        )
+    union = np.unique(np.concatenate(all_docs))
+    acc = np.zeros(len(union), dtype=np.float64)
+    cnt = np.zeros(len(union), dtype=np.int64)
+    for d, s in cl_data:  # clause order = accumulation order
+        if len(d):
+            idx_u = np.searchsorted(union, d)
+            acc[idx_u] += s.astype(np.float64)
+            cnt[idx_u] += 1
+    dv = DocValuesReader(idx["build_manifest"]["partitions"])
+    min_match = np.maximum(1, 1 + dv.values_for(union, "n_chars") % 3)
+    sel = cnt >= min_match
+    docs, scores = topk_sort(union[sel], acc[sel].astype(np.float32), k)
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(len(docs)), type=pa.int64()),
+            "doc_id": pa.array(docs, type=pa.int64()),
+            "score": pa.array(scores, type=pa.float32()),
+        }
+    )
+
+
 def get_payload_index(sf_dir: str) -> dict:
     """Build (or reuse) the PAYLOAD index variant: each document's token
     stream re-rendered as ``tok|position`` words (the

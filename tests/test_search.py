@@ -1153,3 +1153,44 @@ def test_rescore_rerank_combine(corpus):
     nd, ns = s.rescore(d1, s1, "zzznomatch", weight=9.0, top_n=10)
     np.testing.assert_array_equal(nd, d1[:10])
     np.testing.assert_array_equal(ns, s1[:10])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_covering_query_entry_sf0001():
+    """CoveringQuery (sandbox/search/CoveringQuery.java): driver entry vs
+    the DuckDB replay at sf0.001, plus the per-doc minMatch invariant
+    (every winner matches >= 1 + n_chars % 3 of the clauses)."""
+    import duckdb
+
+    import __ray_entry__ as e
+
+    got = e.queries()["covering_query_topk"]("/root/testdata/sf0.001").to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    exp = con.execute(e.oracle_sql()["covering_query_topk"]).fetchdf()
+    cols = sorted(got.columns)
+    a = got[cols].sort_values(cols).reset_index(drop=True)
+    b = exp[cols].sort_values(cols).reset_index(drop=True)
+    assert a.astype(object).map(repr).equals(b.astype(object).map(repr))
+    assert len(a) > 0
+
+    # invariant: each winner matches at least minMatch(doc) clauses
+    chk = con.execute(
+        """
+        WITH tok AS (SELECT doc_id,
+                            regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+                     FROM documents),
+        hits AS (SELECT doc_id, count(DISTINCT t) AS c FROM (
+            SELECT doc_id, unnest(ts) AS t FROM tok
+        ) WHERE t IN ('data', 'join', 'merge', 'query') GROUP BY doc_id)
+        SELECT h.doc_id, h.c, 1 + length(d.text) % 3 AS mm
+        FROM hits h JOIN documents d USING (doc_id)
+        """
+    ).fetchdf()
+    mm = dict(zip(chk["doc_id"], zip(chk["c"], chk["mm"])))
+    for doc in got["doc_id"]:
+        c, m = mm[doc]
+        assert c >= m, (doc, c, m)
