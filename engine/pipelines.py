@@ -687,6 +687,80 @@ def covering_query_topk(
     )
 
 
+class LMScorer:
+    """Actor-pool doc scorer under the trained stupid-backoff bigram LM
+    (the KenLM-style perplexity filter of pretraining pipelines, using
+    the engine's FreeTextSuggester model — suggest/analyzing/
+    FreeTextSuggester.java stupid backoff, ALPHA = 0.4): per doc,
+    logprob = sum over adjacent transitions (a, b) of
+    ln(big(a,b) / uni(a)) when the bigram was seen, else
+    ln(0.4 * uni(b) / total). The model ships once per actor via
+    fn_constructor_args (vocab-bounded broadcast, never per batch);
+    accumulation is left-associative float64 in token order so the SQL
+    fold replays it bit-exactly."""
+
+    def __init__(self, model_opaque):
+        m = model_opaque.obj
+        self.uni = m["uni"]
+        self.big = m["big"]
+        self.tot = float(m["tot"])
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import math
+
+        from .analyze import DEFAULT_ANALYZER, tokenize
+
+        ids, n_trans, lps = [], [], []
+        for doc_id, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            toks = tokenize(text or "", DEFAULT_ANALYZER)
+            if len(toks) < 2:
+                continue  # no transitions: the doc has no LM evidence
+            lp = 0.0
+            for a, b in zip(toks, toks[1:]):
+                c = self.big.get((a, b))
+                if c is not None:
+                    p = c / self.uni[a]
+                else:
+                    p = 0.4 * self.uni[b] / self.tot
+                lp += math.log(p)
+            ids.append(doc_id)
+            n_trans.append(len(toks) - 1)
+            lps.append(lp)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "n_trans": pa.array(n_trans, type=pa.int64()),
+                "logprob": pa.array(lps, type=pa.float64()),
+            }
+        )
+
+
+def lm_doc_logprob(sf_dir: str) -> "object":
+    """(doc_id, n_trans, logprob) for every doc with >= 2 tokens — the
+    LM quality-filter scoring pass (filtering = a quantile cut over
+    logprob / n_trans, derivable downstream). Model trained distributed
+    (freetext_train's one-pass partial counts), then broadcast to the
+    scorer actor pool."""
+    from .rayenv import Opaque, read_parquet_clean
+    from .suggest import freetext_train
+
+    model = freetext_train(sf_dir)
+    ds = read_parquet_clean(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    from .rayenv import remote_args as _ra
+
+    return ds.map_batches(
+        LMScorer,
+        fn_constructor_args=(Opaque(model),),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+        **_ra(),
+    )
+
+
 def get_payload_index(sf_dir: str) -> dict:
     """Build (or reuse) the PAYLOAD index variant: each document's token
     stream re-rendered as ``tok|position`` words (the

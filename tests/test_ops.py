@@ -1075,3 +1075,34 @@ def test_near_dup_clusters_components():
     empty = near_dup_clusters(pairs.slice(0, 0))
     assert empty.count() == 0
     assert [f.name for f in empty.schema().base_schema] == ["doc_id", "cluster_id"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_lm_scorer_stupid_backoff():
+    """LM doc scoring: seen bigrams score ln(big/uni(a)), unseen back off
+    to ln(0.4 * uni(b) / total) — hand-computed on a 3-doc corpus; docs
+    with < 2 tokens are skipped (no transitions)."""
+    import math
+
+    from engine.pipelines import LMScorer
+    from engine.rayenv import Opaque
+
+    # corpus: "a b a b", "b a", "c" -> uni a:3 b:3 c:1 tot=7
+    # bigrams: (a,b):2 (b,a):2
+    model = {"uni": {"a": 3, "b": 3, "c": 1}, "big": {("a", "b"): 2, ("b", "a"): 2}, "tot": 7}
+    scorer = LMScorer(Opaque(model))
+    out = scorer(
+        pa.table({"doc_id": pa.array([0, 1, 2], type=pa.int64()),
+                  "text": pa.array(["a b a c", "c", "b b"], type=pa.string())})
+    )
+    got = dict(zip(out.column("doc_id").to_pylist(),
+                   zip(out.column("n_trans").to_pylist(),
+                       out.column("logprob").to_pylist())))
+    # doc 0: (a,b) seen 2/3; (b,a) seen 2/3; (a,c) unseen 0.4*1/7
+    exp0 = math.log(2 / 3)
+    exp0 += math.log(2 / 3)
+    exp0 += math.log(0.4 * 1 / 7)
+    # doc 2: (b,b) unseen: 0.4*3/7
+    assert got[0] == (3, exp0)
+    assert 1 not in got  # single-token doc skipped
+    assert got[2] == (1, math.log(0.4 * 3 / 7))
