@@ -430,6 +430,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "drill_sideways": relational.drill_sideways_docs,
         "function_score_topk": pipelines.function_score_topk,
         "covering_query_topk": pipelines.covering_query_topk,
+        "elevate_topk": pipelines.elevate_topk,
         "free_text_suggest": pipelines.free_text_suggest_body,
         "lm_doc_logprob": pipelines.lm_doc_logprob,
         "replica_bm25_topk": pipelines.replica_bm25_topk,
@@ -1117,6 +1118,25 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": _refq_sql,
         "bm25_topk_sharded": _refq_sql,
         "replica_bm25_topk": _replica_sql,
+        # QueryElevationComponent: docs 5, 2 pinned (config order, even if
+        # non-matching — forceElevation), doc 0 excluded, organic 'data
+        # join' ranking below the pins
+        "elevate_topk": f"""
+            WITH {_scored_cte},
+            q AS ({_flat_q(0, (), ("data", "join"), ())}),
+            organic AS (
+                SELECT doc_id, row_number() OVER (
+                    ORDER BY score DESC, doc_id ASC) AS rn
+                FROM q WHERE doc_id NOT IN (5, 2, 0)
+            ),
+            pinned(doc_id, rn) AS (VALUES (5, 0), (2, 1))
+            SELECT CAST(rank AS BIGINT) AS rank, doc_id, elevated FROM (
+                SELECT doc_id, rn AS rank, TRUE AS elevated FROM pinned
+                UNION ALL
+                SELECT doc_id, rn + 1 AS rank, FALSE AS elevated
+                FROM organic
+            ) WHERE rank <= 9
+        """,
         # CoveringQuery (sandbox): minMatch(doc) = 1 + length(text) % 3
         # (LongValuesSource over the n_chars DV), match iff >= minMatch of
         # the 4 clauses hit; score = double-accumulated f32 clause scores

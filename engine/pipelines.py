@@ -761,6 +761,42 @@ def lm_doc_logprob(sf_dir: str) -> "object":
     )
 
 
+def elevate_topk(
+    sf_dir: str,
+    query: str = "data join",
+    elevated: tuple[int, ...] = (5, 2),
+    excluded: tuple[int, ...] = (0,),
+    k: int = 10,
+) -> pa.Table:
+    """Solr QueryElevationComponent (handler/component/
+    QueryElevationComponent.java, elevate.xml editorial config): for a
+    configured query, the listed docs pin to the TOP in config order
+    (forceElevation — pinned even when they don't match the query),
+    excluded docs drop from the results, and the organic ranking follows
+    below the pins. Emits (rank, doc_id, elevated); organic hits keep
+    the BM25 collector order."""
+    from .checkpoint import load_merge_manifest
+    from .search import IndexSearcher
+
+    idx = get_index(sf_dir)
+    searcher = IndexSearcher(load_merge_manifest(idx["index_dir"]))
+    drop = set(elevated) | set(excluded)
+    d, _s = searcher.search(query, k=k + len(drop))
+    organic = [int(x) for x in d.tolist() if int(x) not in drop]
+    out = list(elevated) + organic
+    out = out[:k]
+    n_elev = min(len(elevated), k)
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(len(out)), type=pa.int64()),
+            "doc_id": pa.array(out, type=pa.int64()),
+            "elevated": pa.array(
+                [i < n_elev for i in range(len(out))], type=pa.bool_()
+            ),
+        }
+    )
+
+
 def get_payload_index(sf_dir: str) -> dict:
     """Build (or reuse) the PAYLOAD index variant: each document's token
     stream re-rendered as ``tok|position`` words (the

@@ -1194,3 +1194,26 @@ def test_covering_query_entry_sf0001():
     for doc in got["doc_id"]:
         c, m = mm[doc]
         assert c >= m, (doc, c, m)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_elevate_topk_pinning():
+    """QueryElevationComponent: pins lead in config order and are marked
+    elevated, the excluded doc never appears, organic order below the
+    pins equals the plain ranking with pinned/excluded docs removed."""
+    import __ray_entry__ as e
+    from engine.checkpoint import load_merge_manifest
+    from engine.pipelines import elevate_topk, get_index
+    from engine.search import IndexSearcher
+
+    sf = "/root/testdata/sf0.001"
+    out = elevate_topk(sf).to_pandas()
+    assert out["doc_id"].tolist()[:2] == [5, 2]
+    assert out["elevated"].tolist()[:2] == [True, True]
+    assert not out["elevated"].tolist()[2:].count(True)
+    assert 0 not in set(out["doc_id"])
+    idx = get_index(sf)
+    s = IndexSearcher(load_merge_manifest(idx["index_dir"]))
+    d, _ = s.search("data join", k=13)
+    organic = [x for x in d.tolist() if x not in {5, 2, 0}][:8]
+    assert out["doc_id"].tolist()[2:] == organic
