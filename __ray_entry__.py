@@ -1056,6 +1056,138 @@ def oracle_sql() -> dict[str, str]:
                 FROM allq
             ) WHERE rn <= 10
         """
+    # ----- Porter stemmer replayed in SQL (stemmed_top_terms oracle) ------
+    # The 1980 algorithm as a CTE chain over the DISTINCT vocabulary:
+    # each level recomputes the word's consonant/vowel pattern with a
+    # list_reduce fold (y = vowel iff the pattern so far ends 'c'); the
+    # fold is causal, so a stem's pattern is a PREFIX of the word's
+    # pattern — measure/vowel/cvc conditions on suffix-stripped stems are
+    # substr() on one pattern column. Validated 0-mismatch against
+    # engine.filters.porter_stem on 5,629 words (corpus battery + fuzz).
+    def _pcv(expr: str) -> str:
+        return (
+            "list_reduce(list_prepend('', regexp_extract_all(" + expr + ", '.')), "
+            "(a, ch) -> a || (CASE WHEN ch IN ('a','e','i','o','u') THEN 'v' "
+            "WHEN ch = 'y' AND a <> '' AND substr(a, length(a), 1) = 'c' THEN 'v' "
+            "ELSE 'c' END))"
+        )
+
+    def _pm(pat: str) -> str:
+        # collapse c+/v+ runs (RE2-safe), count 'vc' transitions
+        return (
+            "len(regexp_extract_all(regexp_replace(regexp_replace(" + pat
+            + ", 'c+', 'c', 'g'), 'v+', 'v', 'g'), 'vc'))"
+        )
+
+    def _pstem_pat(L: int) -> str:
+        return f"substr(pat, 1, length(s) - {L})"
+
+    def _phas_v(L: int) -> str:
+        return f"substr(pat, 1, length(s) - {L}) LIKE '%v%'"
+
+    def _prule(pairs, min_m: int, step4: bool = False) -> str:
+        # break-on-first-suffix-match, table order; failing measure keeps w
+        outs = []
+        for item in pairs:
+            suf, rep = (item, "") if step4 else item
+            L = len(suf)
+            mcond = f"{_pm(_pstem_pat(L))} > {min_m}"
+            if step4 and suf == "ion":
+                mcond += (
+                    f" AND length(s) > {L}"
+                    f" AND substr(s, length(s) - {L}, 1) IN ('s','t')"
+                )
+            newv = f"substr(s, 1, length(s) - {L})" + (f" || '{rep}'" if rep else "")
+            outs.append(
+                f"WHEN s LIKE '%{suf}' THEN"
+                f" (CASE WHEN {mcond} THEN {newv} ELSE s END)"
+            )
+        return "CASE " + " ".join(outs) + " ELSE s END"
+
+    _P2 = [("ational", "ate"), ("tional", "tion"), ("enci", "ence"),
+           ("anci", "ance"), ("izer", "ize"), ("abli", "able"), ("alli", "al"),
+           ("entli", "ent"), ("eli", "e"), ("ousli", "ous"),
+           ("ization", "ize"), ("ation", "ate"), ("ator", "ate"),
+           ("alism", "al"), ("iveness", "ive"), ("fulness", "ful"),
+           ("ousness", "ous"), ("aliti", "al"), ("iviti", "ive"),
+           ("biliti", "ble")]
+    _P3 = [("icate", "ic"), ("ative", ""), ("alize", "al"), ("iciti", "ic"),
+           ("ical", "ic"), ("ful", ""), ("ness", "")]
+    _P4 = ["al", "ance", "ence", "er", "ic", "able", "ible", "ant", "ement",
+           "ment", "ent", "ion", "ou", "ism", "ate", "iti", "ous", "ive",
+           "ize"]
+    _pdbl = ("(length(s) >= 2 AND substr(s, length(s), 1) ="
+             " substr(s, length(s) - 1, 1) AND substr(pat, length(s), 1) = 'c')")
+    _pcvc = ("(length(s) >= 3 AND substr(pat, length(s) - 2, 3) = 'cvc'"
+             " AND substr(s, length(s), 1) NOT IN ('w','x','y'))")
+    _porter_ctes = f"""
+        t1 AS (
+            SELECT w, CASE
+                WHEN w LIKE '%sses' OR w LIKE '%ies'
+                    THEN substr(w, 1, length(w) - 2)
+                WHEN w LIKE '%s' AND w NOT LIKE '%ss'
+                    THEN substr(w, 1, length(w) - 1)
+                ELSE w END AS s
+            FROM vocab
+        ),
+        t2 AS (SELECT w, s, {_pcv('s')} AS pat FROM t1),
+        t3 AS (
+            SELECT w, CASE
+                WHEN s LIKE '%eed' THEN
+                    (CASE WHEN {_pm(_pstem_pat(3))} > 0
+                          THEN substr(s, 1, length(s) - 1) ELSE s END)
+                WHEN s LIKE '%ed' AND {_phas_v(2)}
+                    THEN substr(s, 1, length(s) - 2)
+                WHEN s LIKE '%ing' AND {_phas_v(3)}
+                    THEN substr(s, 1, length(s) - 3)
+                ELSE s END AS s,
+                (s NOT LIKE '%eed' AND ((s LIKE '%ed' AND {_phas_v(2)})
+                    OR (s LIKE '%ing' AND {_phas_v(3)}))) AS fired
+            FROM t2
+        ),
+        t4 AS (SELECT w, s, fired, {_pcv('s')} AS pat FROM t3),
+        t5 AS (
+            SELECT w, CASE
+                WHEN NOT fired THEN s
+                WHEN s LIKE '%at' OR s LIKE '%bl' OR s LIKE '%iz' THEN s || 'e'
+                WHEN {_pdbl} AND substr(s, length(s), 1) NOT IN ('l','s','z')
+                    THEN substr(s, 1, length(s) - 1)
+                WHEN {_pm('pat')} = 1 AND {_pcvc} THEN s || 'e'
+                ELSE s END AS s
+            FROM t4
+        ),
+        t6 AS (SELECT w, s, {_pcv('s')} AS pat FROM t5),
+        t7 AS (
+            SELECT w, CASE WHEN s LIKE '%y' AND {_phas_v(1)}
+                           THEN substr(s, 1, length(s) - 1) || 'i'
+                           ELSE s END AS s
+            FROM t6
+        ),
+        t8 AS (SELECT w, s, {_pcv('s')} AS pat FROM t7),
+        t9 AS (SELECT w, {_prule(_P2, 0)} AS s FROM t8),
+        t10 AS (SELECT w, s, {_pcv('s')} AS pat FROM t9),
+        t11 AS (SELECT w, {_prule(_P3, 0)} AS s FROM t10),
+        t12 AS (SELECT w, s, {_pcv('s')} AS pat FROM t11),
+        t13 AS (SELECT w, {_prule(_P4, 1, step4=True)} AS s FROM t12),
+        t14 AS (SELECT w, s, {_pcv('s')} AS pat FROM t13),
+        t15 AS (
+            SELECT w, CASE WHEN s LIKE '%e' AND
+                ({_pm(_pstem_pat(1))} > 1 OR ({_pm(_pstem_pat(1))} = 1 AND NOT
+                  (length(s) - 1 >= 3
+                   AND substr(pat, length(s) - 3, 3) = 'cvc'
+                   AND substr(s, length(s) - 1, 1) NOT IN ('w','x','y'))))
+                THEN substr(s, 1, length(s) - 1) ELSE s END AS s
+            FROM t14
+        ),
+        t16 AS (SELECT w, s, {_pcv('s')} AS pat FROM t15),
+        t17 AS (
+            SELECT w, CASE WHEN {_pm('pat')} > 1 AND {_pdbl} AND s LIKE '%l'
+                           THEN substr(s, 1, length(s) - 1) ELSE s END AS s
+            FROM t16
+        ),
+        pstem AS (SELECT w, CASE WHEN length(w) <= 2 THEN w ELSE s END AS stem
+                  FROM t17)"""
+
     _minhash_pairs_sql = f"""
             WITH tok AS (SELECT doc_id, {_TOK} AS ts FROM documents),
             sh AS (
@@ -2717,6 +2849,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_counts_docs": f"""
             SELECT doc_id, len({_TOK}) AS n_tokens FROM documents
+        """,
+        # Porter-stemmed df top-100: the full 1980 algorithm replayed as
+        # the CTE chain above (stemming only the DISTINCT vocabulary),
+        # df = docs whose stemmed token set contains the stem
+        "stemmed_top_terms": f"""
+            WITH tok AS (
+                SELECT DISTINCT doc_id, unnest({_TOK}) AS w FROM documents
+            ),
+            vocab AS (SELECT DISTINCT w FROM tok),
+            {_porter_ctes},
+            sdf AS (
+                SELECT p.stem AS term, count(DISTINCT t.doc_id) AS df
+                FROM tok t JOIN pstem p ON p.w = t.w
+                GROUP BY p.stem
+            )
+            SELECT term, df FROM sdf ORDER BY df DESC, term ASC LIMIT 100
         """,
         # WordDelimiterGraphFilter over the injected token
         # Wi-Fi{d}PowerShot's (d = doc_id % 10): the oracle rebuilds the

@@ -532,9 +532,11 @@ def stemmed_df_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 
 def stemmed_top_terms(ds, k: int = 100):
-    """Top-k Porter-stemmed terms by df (tie: term asc) — no SQL oracle
-    (DuckDB's stem() needs the unavailable fts extension), covered by the
-    golden-pair tests in tests/test_filters.py instead."""
+    """Top-k Porter-stemmed terms by df (tie: term asc). Exact SQL
+    oracle: the full 1980 algorithm replayed as a DuckDB CTE chain over
+    the distinct vocabulary (cv-pattern list_reduce fold + substr measure
+    conditions — __ray_entry__ stemmed_top_terms), fuzz-pinned against
+    porter_stem in tests/test_filters.py."""
     from ray.data.aggregate import Sum
 
     return (

@@ -276,3 +276,43 @@ def test_word_delimiter_graph_parts():
         "Wi-Fi5PowerShot's", "Wi", "Fi", "WiFi", "5",
         "Power", "Shot", "PowerShot", "WiFi5PowerShot",
     ]
+
+
+def test_porter_sql_oracle_matches_engine_fuzz():
+    """The stemmed_top_terms oracle's Porter CTE chain equals
+    engine.filters.porter_stem on a suffix-heavy fuzz battery (the SQL
+    replay is independent: cv-pattern fold + substr measure conditions)."""
+    import random
+
+    import duckdb
+
+    import __ray_entry__ as e
+    from engine.filters import porter_stem
+
+    # extract the CTE chain from the oracle by stemming a custom vocab
+    sql = e.oracle_sql()["stemmed_top_terms"]
+    start = sql.index("t1 AS (")
+    end = sql.index("sdf AS (")
+    chain = sql[start:end].rstrip().rstrip(",")
+
+    rng = random.Random(3)
+    words = {"caresses", "ponies", "agreed", "motoring", "hopping", "happy",
+             "relational", "vietnamization", "decisiveness", "triplicate",
+             "adjustable", "replacement", "adoption", "controll", "roll",
+             "dying", "lying", "sky", "oed", "by"}
+    for _ in range(1500):
+        n = rng.randint(1, 10)
+        words.add("".join(rng.choice("abcdefghijklmnopqrstuvwxyz") for _ in range(n)))
+    for _ in range(800):
+        base = "".join(rng.choice("bcdfglmnprstvzaeiouaeiou") for _ in range(rng.randint(1, 6)))
+        words.add(base + rng.choice(
+            ["ational", "enci", "izer", "ization", "ousness", "biliti",
+             "icate", "ative", "ful", "ness", "ed", "ing", "eed", "ies",
+             "sses", "s", "y", "e", "ement", "ion", "ll", "at", "bl", "iz"]))
+    words = sorted(words)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE vocab(w VARCHAR)")
+    con.executemany("INSERT INTO vocab VALUES (?)", [(w,) for w in words])
+    got = dict(con.execute(f"WITH {chain} SELECT w, stem FROM pstem").fetchall())
+    bad = [(w, porter_stem(w), got[w]) for w in words if got[w] != porter_stem(w)]
+    assert not bad, bad[:10]
