@@ -3531,6 +3531,33 @@ def oracle_sql() -> dict[str, str]:
         # across engines only at ulp scale (measured <= 1e-7 m on this
         # host) while the closest doc to the 2,000 km boundary is 150 m
         # away over the first 50k doc_ids — the match SET cannot flip
+        # nearest-k distance sort, promoted round 4: ranking by the
+        # vectorized distance can't flip on the milli-degree grid (min
+        # inter-point gap ~0.1 m vs 1-ulp trig drift), and the emitted
+        # distances are scalar libm in THIS op order on both sides
+        # (explicit products, no pow; probed bit-identical)
+        "geo_nearest_k": """
+            WITH pts AS (
+                SELECT doc_id,
+                       ((doc_id * 2654435761) % 180000 - 90000) / 1000.0 AS la,
+                       ((doc_id * 40503 + 12345) % 360000 - 180000) / 1000.0 AS lo
+                FROM documents
+            ),
+            d AS (
+                SELECT doc_id, 2.0 * 6371008.7714 * asin(least(1.0, sqrt(
+                        sin(radians(10.0 - la) / 2.0)
+                          * sin(radians(10.0 - la) / 2.0)
+                      + cos(radians(la)) * cos(radians(10.0))
+                          * (sin(radians(20.0 - lo) / 2.0)
+                             * sin(radians(20.0 - lo) / 2.0))))) AS dist_m
+                FROM pts
+            )
+            SELECT CAST(rn - 1 AS BIGINT) AS rank, doc_id, dist_m FROM (
+                SELECT doc_id, dist_m, row_number() OVER (
+                    ORDER BY dist_m ASC, doc_id ASC) AS rn
+                FROM d
+            ) WHERE rn <= 10
+        """,
         "geo_distance_docs": """
             SELECT doc_id FROM (
                 SELECT doc_id,

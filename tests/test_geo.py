@@ -93,7 +93,22 @@ def test_nearest_k_vs_brute_force(geo_manifest, coords):
     exp = np.lexsort((np.arange(N_DOCS), d))[:10]
     got = nearest_k(geo_manifest, 10.0, 20.0, 10)
     np.testing.assert_array_equal(got.column("doc_id").to_numpy(), exp)
-    np.testing.assert_allclose(got.column("dist_m").to_numpy(), d[exp], rtol=0)
+    # emitted distances are the scalar-libm oracle op order (round-4
+    # exactness promotion): bit-equal to the scalar recompute, within
+    # ulp noise of the vectorized reference
+    import math
+
+    def scalar_d(la, lo):
+        t1 = math.sin(math.radians(10.0 - la) / 2.0)
+        t2 = math.sin(math.radians(20.0 - lo) / 2.0)
+        h = t1 * t1 + math.cos(math.radians(la)) * math.cos(
+            math.radians(10.0)
+        ) * (t2 * t2)
+        return 2.0 * 6371008.7714 * math.asin(min(1.0, math.sqrt(h)))
+
+    exp_scalar = [scalar_d(lat[i] / 1000.0, lon[i] / 1000.0) for i in exp]
+    np.testing.assert_array_equal(got.column("dist_m").to_numpy(), exp_scalar)
+    np.testing.assert_allclose(got.column("dist_m").to_numpy(), d[exp], rtol=1e-12)
 
 
 @pytest.mark.usefixtures("ray_session")
