@@ -429,6 +429,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_classify": pipelines.knn_classify,
         "drill_sideways": relational.drill_sideways_docs,
         "function_score_topk": pipelines.function_score_topk,
+        "feature_field_topk": pipelines.feature_field_topk,
         "covering_query_topk": pipelines.covering_query_topk,
         "elevate_topk": pipelines.elevate_topk,
         "free_text_suggest": pipelines.free_text_suggest_body,
@@ -702,6 +703,18 @@ def oracle_sql() -> dict[str, str]:
     def _bm25_w(df_sub: str) -> str:
         return (
             f"CAST(ln(1 + (n_docs - {df_sub} + 0.5) / ({df_sub} + 0.5)) AS FLOAT)"
+        )
+
+    # FeatureField.decodeFeatureValue(tf) = intBitsToFloat(tf << 15) as
+    # exact integer/power-of-two-double arithmetic: exponent and mantissa
+    # unpacked from tf<<15, value = (2^23 + mant) * 2^(e-127) / 2^23
+    def _feat_dec(tf: str) -> str:
+        return (
+            f"CAST((8388608 + ({tf} * 32768) % 8388608) * "
+            f"CASE WHEN (({tf} * 32768) // 8388608) - 127 >= 0 "
+            f"THEN CAST(1 << ((({tf} * 32768) // 8388608) - 127) AS DOUBLE) "
+            f"ELSE 1.0 / CAST(1 << (127 - (({tf} * 32768) // 8388608)) "
+            f"AS DOUBLE) END / 8388608.0 AS FLOAT)"
         )
     # best-window snippet fragment around hit position h (textops.
     # make_snippet: +/-8 tokens, ** marks, max 2 fragments) as SQL over
@@ -2006,6 +2019,106 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY score DESC, doc_id ASC) - 1 AS BIGINT)
                            AS rank, doc_id, score
                 FROM boosted
+            ) WHERE rank < 10
+        """,
+        # FeatureField exact (document/FeatureField.java): encode =
+        # floatToIntBits(f32(1+n_chars)) >>> 15 in pure integer arithmetic
+        # (exponent via to_base bit length, mantissa shift — exact for
+        # integer values < 2^24); decode = intBitsToFloat(tf<<15) as
+        # (2^23+mant)*2^(e-127)/2^23 in exact powers-of-two doubles; auto
+        # pivot = decode(trunc(f32(ttf/df))); satu replayed as the f32 op
+        # chain, log/sigm as f64 libm with the f32 params promoted
+        # (0.6000000238418579 = double(float32(0.6))); final score =
+        # (float)(f64(bm25 'data join') + f64(satu)), the bool-sum order
+        "feature_field_topk": f"""
+            WITH lt(b, lo) AS (VALUES {lt_values}),
+            stats AS (
+                SELECT (SELECT count(*) FROM documents) AS n_docs,
+                       (SELECT CAST(sum(len({_TOK})) AS BIGINT)
+                        FROM documents) AS sttf
+            ),
+            tok AS (SELECT doc_id, unnest({_TOK}) AS t FROM documents),
+            tfa AS (SELECT doc_id, count(*) AS freq FROM tok
+                    WHERE t = 'data' GROUP BY doc_id),
+            tfb AS (SELECT doc_id, count(*) AS freq FROM tok
+                    WHERE t = 'join' GROUP BY doc_id),
+            nb AS (
+                SELECT doc_id, (SELECT max(b) FROM lt WHERE lo <= n) AS b
+                FROM (SELECT doc_id, len({_TOK}) AS n FROM documents)
+            ),
+            c AS (
+                SELECT {_bm25_w("(SELECT count(*) FROM tfa)")} AS wa,
+                       {_bm25_w("(SELECT count(*) FROM tfb)")} AS wb,
+                       CAST(sttf / CAST(n_docs AS DOUBLE) AS FLOAT) AS avgdl
+                FROM stats
+            ),
+            cache AS (SELECT lt.b, {_bm25_cache_expr} AS inv FROM lt, c),
+            pairs AS (
+                SELECT coalesce(tfa.doc_id, tfb.doc_id) AS doc_id,
+                       tfa.freq AS fa, tfb.freq AS fb
+                FROM tfa FULL OUTER JOIN tfb ON tfa.doc_id = tfb.doc_id
+            ),
+            inner_s AS (
+                SELECT p.doc_id,
+                       CAST(
+                         coalesce(CAST({_bm25_score("c.wa", "p.fa", "k.inv")}
+                                       AS DOUBLE), 0.0)
+                       + coalesce(CAST({_bm25_score("c.wb", "p.fb", "k.inv")}
+                                       AS DOUBLE), 0.0)
+                       AS FLOAT) AS s
+                FROM pairs p
+                JOIN nb ON nb.doc_id = p.doc_id
+                JOIN cache k ON k.b = nb.b, c
+            ),
+            enc AS (
+                SELECT doc_id,
+                       ((length(to_base(1 + n_chars, 2)) - 1 + 127) * 8388608
+                        + ((1 + n_chars)
+                           * (1 << (23 - (length(to_base(1 + n_chars, 2)) - 1)))
+                           - 8388608)) // 32768 AS freq
+                FROM documents
+            ),
+            piv AS (
+                SELECT CAST(TRUNC(CAST(CAST(CAST(sum(freq) AS DOUBLE)
+                                / count(*) AS FLOAT) AS DOUBLE)) AS BIGINT)
+                       AS ptf
+                FROM enc
+            ),
+            pivd AS (SELECT {_feat_dec("ptf")} AS pivot FROM piv),
+            decf AS (SELECT doc_id, {_feat_dec("freq")} AS f FROM enc),
+            featsc AS (
+                SELECT d.doc_id, d.f, p.pivot,
+                       CAST(CAST(1.0 AS DOUBLE) * CAST(
+                         CAST(1.0 - CAST(
+                           CAST(CAST(p.pivot AS DOUBLE) / CAST(
+                             CAST(CAST(d.f AS DOUBLE)
+                                  + CAST(p.pivot AS DOUBLE) AS FLOAT)
+                           AS DOUBLE) AS FLOAT)
+                         AS DOUBLE) AS FLOAT)
+                       AS DOUBLE) AS FLOAT) AS satu,
+                       CAST(1.5 * ln(CAST(CAST(1.0 AS DOUBLE)
+                                          + CAST(d.f AS DOUBLE) AS FLOAT))
+                            AS FLOAT) AS score_log,
+                       CAST(2.0 * (1.0
+                         - pow(CAST(p.pivot AS DOUBLE), 0.6000000238418579)
+                           / (pow(CAST(d.f AS DOUBLE), 0.6000000238418579)
+                              + pow(CAST(p.pivot AS DOUBLE),
+                                    0.6000000238418579)))
+                            AS FLOAT) AS score_sigm
+                FROM decf d, pivd p
+            ),
+            combined AS (
+                SELECT i.doc_id,
+                       CAST(CAST(i.s AS DOUBLE) + CAST(fs.satu AS DOUBLE)
+                            AS FLOAT) AS score,
+                       fs.score_log, fs.score_sigm
+                FROM inner_s i JOIN featsc fs ON fs.doc_id = i.doc_id
+            )
+            SELECT rank, doc_id, score, score_log, score_sigm FROM (
+                SELECT CAST(row_number() OVER (
+                           ORDER BY score DESC, doc_id ASC) - 1 AS BIGINT)
+                           AS rank, doc_id, score, score_log, score_sigm
+                FROM combined
             ) WHERE rank < 10
         """,
         # KNearestNeighborClassifier replayed exactly for the 10 example

@@ -624,6 +624,65 @@ def function_score_topk(
     )
 
 
+def feature_field_topk(
+    sf_dir: str, query: str = "data join", k: int = 10
+) -> pa.Table:
+    """FeatureField static-factor boosting (document/FeatureField.java,
+    FeatureQuery.java): the 'pagerank' feature — float32(1 + n_chars) per
+    doc — is encoded to pseudo term freqs (floatToIntBits >>> 15) in a
+    write-once sidecar with persisted df/ttf, then fused with the BM25
+    query as a SHOULD clause: final = (float)(f64(bm25) + f64(satu)),
+    the BooleanQuery double-accumulate order. ``score`` ranks by the
+    newSaturationQuery shape with the auto pivot (= decode of the
+    float-cast avg freq, FeatureField.java:511-523); ``score_log`` /
+    ``score_sigm`` report newLogQuery(w=1.5, a=1) and
+    newSigmoidQuery(w=2, pivot=auto, a=0.6) for the same hits."""
+    from .bm25 import topk_sort
+    from .checkpoint import load_merge_manifest
+    from .feature import (
+        FeatureReader,
+        build_feature_sidecar,
+        compute_pivot,
+        load_feature_manifest,
+        log_scores,
+        saturation_scores,
+        sigmoid_scores,
+    )
+    from .search import IndexSearcher
+
+    idx = get_index(sf_dir)
+    feat_dir = os.path.join(
+        os.path.dirname(idx["index_dir"]), "features", "pagerank"
+    )
+    manifest = load_feature_manifest(feat_dir)
+    if manifest is None:
+        manifest = build_feature_sidecar(
+            os.path.join(sf_dir, "documents.parquet"), feat_dir
+        )
+    searcher = IndexSearcher(load_merge_manifest(idx["index_dir"]))
+    docs, scores = searcher.search(query, k=searcher.doc_count)
+    rdr = FeatureReader(feat_dir, manifest)
+    freq = rdr.freq_for(docs)
+    pivot = compute_pivot(manifest["df"], manifest["ttf"])
+    satu = saturation_scores(freq, 1.0, pivot)
+    combined = (
+        scores.astype(np.float64) + satu.astype(np.float64)
+    ).astype(np.float32)
+    docs, combined = topk_sort(docs, combined, k)
+    freq_k = rdr.freq_for(docs)
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(len(docs)), type=pa.int64()),
+            "doc_id": pa.array(docs, type=pa.int64()),
+            "score": pa.array(combined, type=pa.float32()),
+            "score_log": pa.array(log_scores(freq_k, 1.5, 1.0), type=pa.float32()),
+            "score_sigm": pa.array(
+                sigmoid_scores(freq_k, 2.0, pivot, 0.6), type=pa.float32()
+            ),
+        }
+    )
+
+
 def covering_query_topk(
     sf_dir: str,
     clauses: tuple[str, ...] = ("data", "join", "merge", "query"),
