@@ -184,6 +184,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_line_dedup(sf_dir):
         return dedup.line_dedup_stats(_docs(sf_dir), chunk_tokens=3)
 
+    def q_decontaminate(sf_dir):
+        """Benchmark decontamination: train docs sharing any token 4-gram
+        with the held-out eval split (doc_id % 37 == 0). Real pipelines use
+        8-13-grams (GPT-3 appendix C); the synthetic corpus's small
+        vocabulary makes 4 the equivalent selectivity."""
+        return dedup.decontaminate_ngrams(_docs(sf_dir), n=4, eval_stride=37)
+
     def q_host_stats(sf_dir):
         """Per-host page stats over the pages fixture (url, text); hosts are
         doc_id-derived (engine/fixtures.py:85), so the oracle recomputes
@@ -516,6 +523,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": q_pii_scrub,
         "url_canonicalize": q_url_canon,
         "line_dedup_stats": q_line_dedup,
+        "decontaminate_ngrams": q_decontaminate,
         "gopher_repetition": q_gopher_repetition,
         "host_doc_counts": q_host_stats,
         "minhash_lsh_pairs": q_minhash,
@@ -3190,6 +3198,22 @@ def oracle_sql() -> dict[str, str]:
         # occurrence is kept iff it is the (doc_id, pos)-lexicographic
         # first of its content; SQL groups by CONTENT (the engine by
         # 64-bit FNV of it — collision-free at any realistic scale)
+        # benchmark decontamination: DISTINCT-4-gram semi-join of train
+        # docs (doc_id % 37 != 0) against the eval split's gram set
+        "decontaminate_ngrams": f"""
+            WITH toks AS (SELECT doc_id, {_TOK} AS ts FROM documents),
+            win AS (
+                SELECT doc_id,
+                       array_to_string(
+                           ts[CAST(i + 1 AS BIGINT):CAST(i + 4 AS BIGINT)],
+                           ' ') AS g
+                FROM toks, unnest(range(len(ts) - 4 + 1)) AS u(i)
+            ),
+            ev AS (SELECT DISTINCT g FROM win WHERE doc_id % 37 = 0),
+            dg AS (SELECT DISTINCT doc_id, g FROM win WHERE doc_id % 37 != 0)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+            FROM dg JOIN ev USING (g) GROUP BY doc_id
+        """,
         "line_dedup_stats": f"""
             WITH tok AS (SELECT doc_id, {_TOK} AS ts FROM documents),
             ch AS (

@@ -936,3 +936,106 @@ def near_dup_clusters(pairs, max_rounds: int = 64):
         batch_format="pyarrow",
         **_rargs(),
     )
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (eval-overlap n-gram filter)
+# ---------------------------------------------------------------------------
+
+
+class _DeconScan:
+    """Actor-pool scan stage: the eval n-gram set ships ONCE per actor via
+    fn_constructor_args (never per batch, never a bare ray.put handle —
+    CLAUDE.md owner-death hazard); __call__ intersects each train doc's
+    distinct n-gram set against it (C-level set ops)."""
+
+    def __init__(self, grams, n: int, eval_stride: int):
+        self._grams = grams.obj if hasattr(grams, "obj") else grams
+        self._n = n
+        self._stride = eval_stride
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_numpy()
+        texts = batch.column("text").to_pylist()
+        out_ids: list[int] = []
+        out_hits: list[int] = []
+        for did, t in zip(doc_ids, texts):
+            if int(did) % self._stride == 0:  # eval doc: not scanned
+                continue
+            toks = TOKEN_RE.findall(t.lower()) if t else []
+            if len(toks) < self._n:
+                continue
+            grams = set(
+                map(" ".join, zip(*(toks[i:] for i in range(self._n))))
+            )
+            hits = len(grams & self._grams)
+            if hits:
+                out_ids.append(int(did))
+                out_hits.append(hits)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_ids, type=pa.int64()),
+                "n_hits": pa.array(out_hits, type=pa.int64()),
+            }
+        )
+
+
+def decontaminate_ngrams(
+    ds,
+    n: int = 8,
+    eval_stride: int = 37,
+    max_eval_grams: int = 5_000_000,
+):
+    """Benchmark decontamination — the eval-overlap pass every pretraining
+    pipeline runs before training (the GPT-3 appendix-C / Dolma / FineWeb
+    13-gram filter, parameterized): docs sharing any token ``n``-gram with
+    the held-out eval set are flagged with their DISTINCT overlap count.
+
+    Eval set = docs with ``doc_id % eval_stride == 0`` (a deterministic
+    held-out split). Two stages, both streaming:
+
+    1. eval-gram collection: map_batches emits each batch's DISTINCT eval
+       n-grams; the driver unions them into the broadcast set (bounded by
+       ``max_eval_grams`` — eval sets are small by construction; at 100 TB
+       you'd broadcast u64 fnv1a gram hashes instead, trading the string
+       set for an 8-byte array and re-verifying collisions by pushdown,
+       exactly like minhash_lsh_dedup's verify stage).
+    2. train scan: actor-pool map_batches; the gram set rides
+       fn_constructor_args once per actor; per doc a C-level set
+       intersection counts DISTINCT shared grams. Only contaminated rows
+       are emitted (sparse output).
+
+    Returns a Dataset of (doc_id, n_hits) for contaminated train docs —
+    exactly SQL-replayable (DISTINCT-gram semi-join + group count)."""
+    from .rayenv import Opaque
+
+    def _eval_grams(batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_numpy()
+        texts = batch.column("text").to_pylist()
+        grams: set[str] = set()
+        for did, t in zip(doc_ids, texts):
+            if int(did) % eval_stride != 0:
+                continue
+            toks = TOKEN_RE.findall(t.lower()) if t else []
+            if len(toks) >= n:
+                grams.update(map(" ".join, zip(*(toks[i:] for i in range(n)))))
+        return pa.table({"gram": pa.array(sorted(grams), type=pa.string())})
+
+    eval_set: set[str] = set()
+    for row in ds.map_batches(
+        _eval_grams, batch_format="pyarrow", **_rargs()
+    ).iter_rows():
+        eval_set.add(row["gram"])
+        if len(eval_set) > max_eval_grams:
+            raise ValueError(
+                f"decontaminate_ngrams: eval gram set exceeds {max_eval_grams}; "
+                "hash-broadcast variant required at this scale"
+            )
+
+    return ds.map_batches(
+        _DeconScan,
+        fn_constructor_args=(Opaque(eval_set), n, eval_stride),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+        **_rargs(),
+    )

@@ -1106,3 +1106,44 @@ def test_lm_scorer_stupid_backoff():
     assert got[0] == (3, exp0)
     assert 1 not in got  # single-token doc skipped
     assert got[2] == (1, math.log(0.4 * 3 / 7))
+
+
+def test_decontaminate_ngrams_planted_overlap(ray_session):
+    """Planted case: doc 5 copies a 4-gram from eval doc 0 (0 % 37 == 0);
+    doc 6 shares no gram; eval docs themselves are never scanned."""
+    import ray.data
+
+    from engine.dedup import decontaminate_ngrams
+
+    rows = [
+        {"doc_id": 0, "text": "alpha beta gamma delta epsilon"},  # eval
+        {"doc_id": 5, "text": "xx beta gamma delta epsilon yy"},  # 2 hits
+        {"doc_id": 6, "text": "uno dos tres cuatro cinco seis"},  # clean
+        {"doc_id": 37, "text": "one two three four"},  # eval (37 % 37 == 0)
+        {"doc_id": 8, "text": "one two three four"},  # hits eval doc 37
+        {"doc_id": 9, "text": "short text"},  # < n tokens
+    ]
+    out = (
+        decontaminate_ngrams(ray.data.from_items(rows), n=4, eval_stride=37)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # doc 5 windows: "xx beta gamma delta", "beta gamma delta epsilon",
+    # "gamma delta epsilon yy" -> exactly 1 distinct gram shared with eval
+    # doc 0 ("beta gamma delta epsilon"); doc 8 shares "one two three four"
+    assert list(out["doc_id"]) == [5, 8]
+    assert list(out["n_hits"]) == [1, 1]
+
+
+def test_decontaminate_ngrams_eval_cap():
+    import pytest
+    import ray.data
+
+    from engine.dedup import decontaminate_ngrams
+
+    rows = [{"doc_id": 0, "text": "a b c d e f g h i j"}]
+    with pytest.raises(ValueError):
+        decontaminate_ngrams(
+            ray.data.from_items(rows), n=2, eval_stride=37, max_eval_grams=3
+        )
