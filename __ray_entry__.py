@@ -467,6 +467,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_bool_scores_exact": pipelines.bm25_bool_scores_exact,
         "bm25_phrase_scores_exact": pipelines.bm25_phrase_scores_exact,
         "phrase_match_docs": pipelines.phrase_match_docs,
+        "leading_wildcard_docs": pipelines.leading_wildcard_docs,
         "multi_phrase_match_docs": pipelines.multi_phrase_match_docs,
         "join_util_docs": pipelines.join_util_docs,
         "payload_term_stats": pipelines.payload_term_stats,
@@ -1381,6 +1382,13 @@ def oracle_sql() -> dict[str, str]:
                     SELECT doc_id, unnest({title_tok}) AS t FROM documents
                 ) GROUP BY doc_id, t
             ) GROUP BY term
+        """,
+        # leading-wildcard WildcardQuery (*er) via the reversed
+        # dictionary: docs containing any token ending with 'er'
+        "leading_wildcard_docs": f"""
+            SELECT DISTINCT doc_id FROM (
+                SELECT doc_id, unnest({_TOK}) AS t FROM documents
+            ) WHERE t LIKE '%er'
         """,
         "phrase_slop_match_docs": f"""
             WITH tok AS (

@@ -238,10 +238,23 @@ def soundex(token: str) -> str:
 # --- filter registry -------------------------------------------------------
 # Named 1:1 filters the Analyzer config can chain (Analyzer.filters).
 # Each is str -> str and must never return "" for a non-"" token.
+def reverse_string(token: str, marker: str = "") -> str:
+    """ReverseStringFilter (analysis/reverse/ReverseStringFilter.java:26-33):
+    reverse the token, optionally prepending a marker char that keeps
+    reversed terms out of the forward dictionary's term space (the Solr
+    ReversedWildcardFilterFactory convention, marker U+0001)."""
+    return marker + token[::-1]
+
+
+def reverse_token(token: str) -> str:
+    return token[::-1]
+
+
 FILTERS = {
     "porter": porter_stem,
     "asciifold": fold_ascii,
     "soundex": soundex,
+    "reverse": reverse_token,
 }
 
 

@@ -1566,6 +1566,30 @@ class MergedIndex:
             self._postings_cache.popitem(last=False)
         return out
 
+    def expand_suffix(self, suffix: str, max_terms: int = 1024) -> list[str]:
+        """Terms ENDING with ``suffix`` — the Solr ReversedWildcardFilter
+        leading-wildcard seek (see Segment.expand_suffix): one lazy
+        reversed-dictionary build per open reader (pruned term-only
+        reads), then every ``*foo`` is a binary-search window instead of
+        a full dictionary scan + fnmatch. Persist-at-merge is the
+        10^9-term path (a reversed twin of the dict_files level)."""
+        from bisect import bisect_left
+
+        rev = getattr(self, "_rev_terms", None)
+        if rev is None:
+            rev = sorted((t[::-1], t) for t in self.iter_terms())
+            self._rev_terms = rev
+        rsuf = suffix[::-1]
+        i = bisect_left(rev, (rsuf,))
+        out: list[str] = []
+        while i < len(rev) and len(out) < max_terms:
+            rt, t = rev[i]
+            if not rt.startswith(rsuf):
+                break
+            out.append(t)
+            i += 1
+        return sorted(out)
+
     def iter_terms(self):
         """Enumerate dictionary terms with PRUNED single-column reads —
         never touches postings blobs (the fix for whole-row .to_pylist()

@@ -256,6 +256,23 @@ def phrase_match_docs(sf_dir: str, phrase: str = "data join") -> pa.Table:
     return pa.table({"doc_id": pa.array(out, type=pa.int64())})
 
 
+def leading_wildcard_docs(sf_dir: str, pattern: str = "*er") -> pa.Table:
+    """(doc_id) of documents matching a LEADING-wildcard WildcardQuery —
+    the Solr ReversedWildcardFilterFactory role (solr/analysis/
+    ReversedWildcardFilter.java): the rewrite seeks reverse(suffix) as a
+    prefix window over the lazily-derived reversed dictionary
+    (Segment/MergedIndex.expand_suffix) instead of scanning + fnmatching
+    the whole term dict, then unions the expanded terms' postings through
+    the normal search path."""
+    from .checkpoint import load_merge_manifest
+    from .search import IndexSearcher
+
+    idx = get_index(sf_dir)
+    searcher = IndexSearcher(load_merge_manifest(idx["index_dir"]))
+    docs, _scores = searcher.search(pattern, k=searcher.doc_count)
+    return pa.table({"doc_id": pa.array(np.sort(docs), type=pa.int64())})
+
+
 def phrase_slop_match_docs(
     sf_dir: str, phrase: str = "data join", slop: int = 2
 ) -> pa.Table:

@@ -721,11 +721,25 @@ class IndexSearcher:
                             extra.append(t)
             for pat in q.wildcards:
                 # scan from the fixed prefix of the pattern (BlockTree
-                # intersect role); bounded like maxClauseCount
+                # intersect role); bounded like maxClauseCount. A LEADING
+                # wildcard (*foo) has no prefix to seek — route it through
+                # the reversed dictionary instead (Solr ReversedWildcard-
+                # FilterFactory role: seek reverse(suffix) as a prefix),
+                # falling back to the full scan only when the pattern has
+                # neither a literal prefix nor a literal suffix (*a*).
+                import re as _rsplit
+
                 bare_w, segs_w, qual = _route(pat)
                 fixed = bare_w.split("*", 1)[0].split("?", 1)[0]
+                tail = _rsplit.split(r"[*?]", bare_w)[-1]
                 for seg in segs_w:
-                    for t in seg.expand_prefix(fixed, 65536):
+                    if fixed:
+                        cand = seg.expand_prefix(fixed, 65536)
+                    elif tail and hasattr(seg, "expand_suffix"):
+                        cand = seg.expand_suffix(tail, 65536)
+                    else:
+                        cand = seg.expand_prefix("", 65536)
+                    for t in cand:
                         if fnmatch.fnmatchcase(t, bare_w) and qual(t) not in seen:
                             seen.add(qual(t))
                             extra.append(qual(t))

@@ -202,6 +202,33 @@ class Segment:
         j = bisect_right(self._terms, hi)
         return self._terms[i : min(j, i + max_terms)]
 
+    def expand_suffix(self, suffix: str, max_terms: int = 1024) -> list[str]:
+        """Terms ENDING with ``suffix`` — the leading-wildcard seek of
+        Solr's ReversedWildcardFilterFactory (solr/analysis/
+        ReversedWildcardFilter.java: index reversed tokens so ``*foo``
+        becomes a prefix seek on ``oof``). The engine derives the reversed
+        dictionary lazily from the forward one instead of indexing a
+        second postings field (scoring reuses forward postings; only the
+        TERM set is needed for MultiTermQuery rewrite); at 10^9-term
+        dictionaries the reversed dictionary would be persisted at merge
+        next to the forward dict files. Result is forward-sorted."""
+        from bisect import bisect_left
+
+        rev = getattr(self, "_rev_terms", None)
+        if rev is None:
+            rev = sorted((t[::-1], t) for t in self._terms)
+            self._rev_terms = rev
+        rsuf = suffix[::-1]
+        i = bisect_left(rev, (rsuf,))
+        out: list[str] = []
+        while i < len(rev) and len(out) < max_terms:
+            rt, t = rev[i]
+            if not rt.startswith(rsuf):
+                break
+            out.append(t)
+            i += 1
+        return sorted(out)
+
     def term_stats(self, term: str) -> tuple[int, int]:
         """(docFreq, totalTermFreq) — 0,0 if absent (TermStates.build role)."""
         i = self.term_index(term)

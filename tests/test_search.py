@@ -1217,3 +1217,41 @@ def test_elevate_topk_pinning():
     d, _ = s.search("data join", k=13)
     organic = [x for x in d.tolist() if x not in {5, 2, 0}][:8]
     assert out["doc_id"].tolist()[2:] == organic
+
+
+def test_leading_wildcard_reversed_dictionary(corpus):
+    """*suffix routes through expand_suffix (reversed-dictionary seek,
+    Solr ReversedWildcardFilterFactory role) and must equal both the
+    explicit disjunction and a full-scan fnmatch rewrite."""
+    import fnmatch
+
+    s = IndexSearcher(corpus["manifest"], algorithm="taat")
+    seg = s.segments[0]
+    all_terms = list(seg._terms) if hasattr(seg, "_terms") else list(seg.iter_terms())
+    # expand_suffix == full-scan endswith filter, forward-sorted
+    for suf in ["01", "e05", "zzz-none"]:
+        exp = sorted(t for t in all_terms if t.endswith(suf))
+        assert seg.expand_suffix(suf, 65536) == exp
+    # reversed dict is built once and cached
+    assert seg.expand_suffix("01", 8) is not None
+    cached = seg._rev_terms
+    seg.expand_suffix("02", 8)
+    assert seg._rev_terms is cached
+    # search equivalence: *e05 == disjunction of every term ending e05
+    d1, s1 = s.search("*e05", 10)
+    terms = sorted({t for t in all_terms if fnmatch.fnmatchcase(t, "*e05")})
+    d2, s2 = s.search(" ".join(terms), 10)
+    np.testing.assert_array_equal(d1, d2)
+    np.testing.assert_array_equal(s1, s2)
+    # pattern with neither prefix nor suffix still works (full-scan path)
+    d3, _ = s.search("*e05*", 10)
+    assert len(d3) >= len(d1)
+
+
+def test_reverse_string_filter_goldens():
+    from engine.filters import FILTERS, reverse_string
+
+    assert reverse_string("country") == "yrtnuoc"
+    assert reverse_string("country", chr(1)) == chr(1) + "yrtnuoc"
+    assert FILTERS["reverse"]("abc") == "cba"
+    assert FILTERS["reverse"]("") == ""
