@@ -437,6 +437,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "drill_sideways": relational.drill_sideways_docs,
         "function_score_topk": pipelines.function_score_topk,
         "feature_field_topk": pipelines.feature_field_topk,
+        "distance_feature_topk": pipelines.distance_feature_topk,
         "covering_query_topk": pipelines.covering_query_topk,
         "elevate_topk": pipelines.elevate_topk,
         "free_text_suggest": pipelines.free_text_suggest_body,
@@ -2035,6 +2036,69 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY score DESC, doc_id ASC) - 1 AS BIGINT)
                            AS rank, doc_id, score
                 FROM boosted
+            ) WHERE rank < 10
+        """,
+        # LongDistanceFeatureQuery (newDistanceFeatureQuery recency-boost
+        # shape): dist = |n_chars - 1000|; clause = (float)(500/(500+d));
+        # final = (float)(f64(bm25 'data join') + f64(clause))
+        "distance_feature_topk": f"""
+            WITH lt(b, lo) AS (VALUES {lt_values}),
+            stats AS (
+                SELECT (SELECT count(*) FROM documents) AS n_docs,
+                       (SELECT CAST(sum(len({_TOK})) AS BIGINT)
+                        FROM documents) AS sttf
+            ),
+            tok AS (SELECT doc_id, unnest({_TOK}) AS t FROM documents),
+            tfa AS (SELECT doc_id, count(*) AS freq FROM tok
+                    WHERE t = 'data' GROUP BY doc_id),
+            tfb AS (SELECT doc_id, count(*) AS freq FROM tok
+                    WHERE t = 'join' GROUP BY doc_id),
+            nb AS (
+                SELECT doc_id, (SELECT max(b) FROM lt WHERE lo <= n) AS b
+                FROM (SELECT doc_id, len({_TOK}) AS n FROM documents)
+            ),
+            c AS (
+                SELECT {_bm25_w("(SELECT count(*) FROM tfa)")} AS wa,
+                       {_bm25_w("(SELECT count(*) FROM tfb)")} AS wb,
+                       CAST(sttf / CAST(n_docs AS DOUBLE) AS FLOAT) AS avgdl
+                FROM stats
+            ),
+            cache AS (SELECT lt.b, {_bm25_cache_expr} AS inv FROM lt, c),
+            pairs AS (
+                SELECT coalesce(tfa.doc_id, tfb.doc_id) AS doc_id,
+                       tfa.freq AS fa, tfb.freq AS fb
+                FROM tfa FULL OUTER JOIN tfb ON tfa.doc_id = tfb.doc_id
+            ),
+            inner_s AS (
+                SELECT p.doc_id,
+                       CAST(
+                         coalesce(CAST({_bm25_score("c.wa", "p.fa", "k.inv")}
+                                       AS DOUBLE), 0.0)
+                       + coalesce(CAST({_bm25_score("c.wb", "p.fb", "k.inv")}
+                                       AS DOUBLE), 0.0)
+                       AS FLOAT) AS s
+                FROM pairs p
+                JOIN nb ON nb.doc_id = p.doc_id
+                JOIN cache k ON k.b = nb.b, c
+            ),
+            dist AS (
+                SELECT doc_id,
+                       CAST(1.0 * (500.0 / (500.0
+                            + CAST(abs(n_chars - 1000) AS DOUBLE)))
+                            AS FLOAT) AS ds
+                FROM documents
+            ),
+            combined AS (
+                SELECT i.doc_id,
+                       CAST(CAST(i.s AS DOUBLE) + CAST(d.ds AS DOUBLE)
+                            AS FLOAT) AS score
+                FROM inner_s i JOIN dist d ON d.doc_id = i.doc_id
+            )
+            SELECT rank, doc_id, score FROM (
+                SELECT CAST(row_number() OVER (
+                           ORDER BY score DESC, doc_id ASC) - 1 AS BIGINT)
+                           AS rank, doc_id, score
+                FROM combined
             ) WHERE rank < 10
         """,
         # FeatureField exact (document/FeatureField.java): encode =

@@ -238,3 +238,27 @@ class FeatureReader:
             sel = np.flatnonzero(m)
             out[sel[ok]] = r_freq[pos[ok]]
         return out
+
+
+def distance_feature_scores(
+    values: np.ndarray, origin: int, pivot_distance: int, boost: float = 1.0
+) -> np.ndarray:
+    """LongDistanceFeatureQuery scoring (document/LongDistanceFeatureQuery
+    .java:110-116, the FeatureField.newDistanceFeatureQuery family —
+    recency/proximity decay over a numeric doc value): distance =
+    max(v, origin) - min(v, origin) in exact long arithmetic saturating to
+    Long.MAX_VALUE on overflow, then
+    score = (float)(boost * (pivotDistance / (pivotDistance + (double) d)))
+    with pivotDistance > 0 required."""
+    if pivot_distance <= 0:
+        raise ValueError(f"pivotDistance must be > 0, got {pivot_distance}")
+    v = np.asarray(values, dtype=np.int64)
+    big = np.maximum(v, np.int64(origin))
+    small = np.minimum(v, np.int64(origin))
+    with np.errstate(over="ignore"):
+        d = big - small
+    d = np.where(d < 0, np.iinfo(np.int64).max, d)  # long-overflow saturation
+    return (
+        np.float64(np.float32(boost))
+        * (np.float64(pivot_distance) / (np.float64(pivot_distance) + d.astype(np.float64)))
+    ).astype(np.float32)

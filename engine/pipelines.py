@@ -700,6 +700,44 @@ def feature_field_topk(
     )
 
 
+def distance_feature_topk(
+    sf_dir: str,
+    query: str = "data join",
+    origin: int = 1000,
+    pivot_distance: int = 500,
+    k: int = 10,
+) -> pa.Table:
+    """FeatureField.newDistanceFeatureQuery over a numeric doc value
+    (document/LongDistanceFeatureQuery.java:110-116 — the recency-boost
+    shape): dist = |n_chars - origin| saturating long arithmetic,
+    boost-clause score = (float)(pivot / (pivot + (double) dist)), fused
+    with the BM25 MUST query by the BooleanQuery double-sum. The factor
+    rides the DV sidecar (doc-range-routed pruned reads)."""
+    from .bm25 import topk_sort
+    from .checkpoint import load_merge_manifest
+    from .docvalues import DocValuesReader
+    from .feature import distance_feature_scores
+    from .search import IndexSearcher
+
+    idx = get_index(sf_dir)
+    searcher = IndexSearcher(load_merge_manifest(idx["index_dir"]))
+    docs, scores = searcher.search(query, k=searcher.doc_count)
+    dv = DocValuesReader(idx["build_manifest"]["partitions"])
+    vals = dv.values_for(docs, "n_chars")
+    dist = distance_feature_scores(vals, origin, pivot_distance)
+    combined = (
+        scores.astype(np.float64) + dist.astype(np.float64)
+    ).astype(np.float32)
+    docs, combined = topk_sort(docs, combined, k)
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(len(docs)), type=pa.int64()),
+            "doc_id": pa.array(docs, type=pa.int64()),
+            "score": pa.array(combined, type=pa.float32()),
+        }
+    )
+
+
 def covering_query_topk(
     sf_dir: str,
     clauses: tuple[str, ...] = ("data", "join", "merge", "query"),

@@ -167,3 +167,22 @@ def test_feature_field_topk_matches_independent_combination(ray_session):
         satu = saturation_scores(f, 1.0, pivot)[0]
         exp = np.float32(np.float64(np.float32(by_doc[r["doc_id"]])) + np.float64(satu))
         assert np.float32(r["score"]) == exp
+
+
+def test_distance_feature_scalar_op_order_and_saturation():
+    from engine.feature import distance_feature_scores
+
+    vals = np.array([0, 500, 1000, 1500, 10**6], dtype=np.int64)
+    got = distance_feature_scores(vals, origin=1000, pivot_distance=500, boost=1.5)
+    for i, v in enumerate(vals):
+        d = abs(int(v) - 1000)
+        assert got[i] == np.float32(
+            float(np.float32(1.5)) * (500.0 / (500.0 + float(d)))
+        )
+    # long-overflow saturation -> Long.MAX_VALUE distance (score ~ 0)
+    sat = distance_feature_scores(
+        np.array([2**62], dtype=np.int64), origin=-(2**62) - 10, pivot_distance=5
+    )
+    assert sat[0] == np.float32(5.0 / (5.0 + float(2**63 - 1)))
+    with pytest.raises(ValueError):
+        distance_feature_scores(vals, 0, 0)
