@@ -450,6 +450,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "intervals_ordered_docs": pipelines.intervals_ordered_docs,
         "intervals_unordered_docs": pipelines.intervals_unordered_docs,
         "common_terms_match_docs": pipelines.common_terms_match_docs,
+        "common_grams_docs": pipelines.common_grams_docs,
         "common_terms_topk": pipelines.common_terms_topk,
         "index_stats": pipelines.index_stats,
         "live_term_match_docs": pipelines.live_term_match_docs,
@@ -1599,6 +1600,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         # CommonTermsQuery: hit set = docs containing every LOW-freq
         # query term (df <= ceil(0.25 * N)); high-freq terms only score
+        # CommonGramsFilter gram-term postings: 'the_data' freq ==
+        # count of adjacent (the, data) pairs per doc
+        "common_grams_docs": f"""
+            WITH toks AS (
+                SELECT doc_id, unnest({_TOK}) AS tok,
+                       generate_subscripts({_TOK}, 1) AS ord
+                FROM documents
+            )
+            SELECT a.doc_id, CAST(count(*) AS BIGINT) AS freq
+            FROM toks a JOIN toks b
+              ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
+            WHERE a.tok = 'the' AND b.tok = 'data'
+            GROUP BY a.doc_id
+        """,
         "common_terms_match_docs": f"""
             WITH tdf AS (
                 SELECT term, count(*) AS df FROM ({tok_pairs}) GROUP BY term

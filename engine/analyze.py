@@ -54,6 +54,15 @@ class Analyzer:
     # analyzers keep the raw stream (search-time expansion is the
     # SynonymQuery clause).
     synonyms: tuple[tuple[str, tuple[str, ...]], ...] = ()
+    # index-time common-grams set (analysis/commongrams/CommonGramsFilter
+    # .java:101-178 role): for stream-consecutive tokens (w1, w2) where
+    # either is common, the bigram "w1_w2" is stacked at w1's position
+    # (the filter emits the gram with posIncr 0 before w2; posLen 2).
+    # Runs on the post-stop post-filter stream; with no stopwords this is
+    # exactly position-adjacency. Query side, CommonGramsQueryFilter
+    # replaces the pair with the gram — the engine queries the gram term
+    # directly (pipelines.common_grams_docs).
+    common_grams: tuple[str, ...] = ()
     # named 1:1 token filters applied AFTER stop removal, in order
     # (engine/filters.py registry: "porter", "asciifold") — the
     # EnglishAnalyzer.java:108-118 chain position for PorterStemFilter.
@@ -356,9 +365,10 @@ def analyze_batch_indexing(
     for the delta codec; duplicate (term, position) pairs are dropped
     (a synonym identical to a co-positioned token)."""
     flat, lengths, positions = analyze_batch_with_positions(texts, analyzer)
-    if not analyzer.synonyms:
+    if not analyzer.synonyms and not analyzer.common_grams:
         return flat, lengths, lengths, positions
     syn = {k: tuple(v) for k, v in analyzer.synonyms}
+    common = frozenset(analyzer.common_grams)
     out_flat: list[str] = []
     out_pos: list[int] = []
     emit = np.empty(len(texts), dtype=np.int64)
@@ -376,6 +386,16 @@ def analyze_batch_indexing(
                 if (s, p) not in seen:
                     seen.add((s, p))
                     stacked.append((p, 1, s))
+        if common:
+            # CommonGramsFilter: gram between stream-consecutive tokens
+            # when either side is common, stacked at the FIRST token's
+            # position (posIncr-0 emission before the second token)
+            for j in range(1, len(toks)):
+                if toks[j - 1] in common or toks[j] in common:
+                    g = toks[j - 1] + "_" + toks[j]
+                    if (g, pos[j - 1]) not in seen:
+                        seen.add((g, pos[j - 1]))
+                        stacked.append((pos[j - 1], 1, g))
         stacked.sort(key=lambda x: (x[0], x[1]))
         emit[i] = len(stacked)
         out_flat.extend(t for _p, _o, t in stacked)

@@ -1610,6 +1610,70 @@ def get_synonym_index(sf_dir: str, partition_docs: int = 2048) -> dict:
     }
 
 
+def get_common_grams_index(sf_dir: str, partition_docs: int = 2048) -> dict:
+    """Index variant built with CommonGramsFilter (analysis/commongrams/
+    CommonGramsFilter.java): bigrams "w1_w2" stacked at w1's position for
+    every stream-adjacent pair touching the common set ('the'). Separate
+    cache variant; shares the pages dir."""
+    from .analyze import Analyzer
+    from .build import build_index
+    from .checkpoint import load_manifest, load_merge_manifest
+    from .fixtures import pages_from_documents, write_pages
+    from .merge import merge_by_term
+
+    n_rows = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+    root = _cache_dir(sf_dir, n_rows, "-cg")
+    pages_dir = os.path.join(_cache_dir(sf_dir, n_rows), "pages")
+    index_dir = os.path.join(root, "index")
+    os.makedirs(root, exist_ok=True)
+    build_manifest = load_manifest(index_dir)
+    if build_manifest is None:
+        if not os.path.exists(os.path.join(pages_dir, "pages-00000.parquet")):
+            write_pages(pages_from_documents(sf_dir), pages_dir, n_files=4)
+        build_manifest = build_index(
+            pages_dir,
+            index_dir,
+            partition_docs=partition_docs,
+            from_html=True,
+            analyzer=Analyzer(common_grams=("the",)),
+        )
+    merge_manifest = load_merge_manifest(index_dir)
+    if merge_manifest is None:
+        merge_manifest = merge_by_term(build_manifest, index_dir)
+    return {
+        "index_dir": index_dir,
+        "build_manifest": build_manifest,
+        "merge_manifest": merge_manifest,
+    }
+
+
+def common_grams_docs(sf_dir: str, gram: str = "the_data") -> pa.Table:
+    """(doc_id, freq) for a common-gram term — the CommonGramsQueryFilter
+    contract (commongrams/CommonGramsQueryFilter.java): a query pair
+    touching a common word is answered by ONE gram-term postings read
+    instead of a positional phrase intersection. Oracle: the adjacent-
+    positions self-join the gram materialized at index time."""
+    from .checkpoint import load_merge_manifest
+    from .search import IndexSearcher
+
+    idx = get_common_grams_index(sf_dir)
+    searcher = IndexSearcher(load_merge_manifest(idx["index_dir"]))
+    docs_all, freqs_all = [], []
+    for seg in searcher.segments:
+        docs, freqs = seg.postings(gram)
+        docs_all.append(docs)
+        freqs_all.append(freqs)
+    docs = np.concatenate(docs_all) if docs_all else np.empty(0, np.int64)
+    freqs = np.concatenate(freqs_all) if freqs_all else np.empty(0, np.int64)
+    order = np.argsort(docs)
+    return pa.table(
+        {
+            "doc_id": pa.array(docs[order], type=pa.int64()),
+            "freq": pa.array(freqs[order].astype(np.int64), type=pa.int64()),
+        }
+    )
+
+
 def synonym_phrase_match_docs(sf_dir: str) -> pa.Table:
     """Phrase '"quick row"' over the synonym-graph index: 'quick' is
     stacked at every 'fast' position (posIncr 0), so the phrase matches

@@ -148,3 +148,27 @@ def test_synonym_index_end_to_end():
     seg_s, seg_p = syn.segments[0], plain.segments[0]
     ids = np.array(sorted(dq[:20]), dtype=np.int64)
     assert np.array_equal(seg_s.norm_of(ids), seg_p.norm_of(ids))
+
+
+def test_common_grams_indexing_stack():
+    """CommonGramsFilter contract (commongrams/CommonGramsFilter.java):
+    'w1_w2' stacked at w1's position for stream-adjacent pairs touching
+    the common set; emit counts grams, norms do not (discountOverlaps)."""
+    from engine.analyze import Analyzer, analyze_batch_indexing
+
+    an = Analyzer(common_grams=("the",))
+    flat, emit, norm, pos = analyze_batch_indexing(
+        ["the data joins the table", "no common words here"], an
+    )
+    n0 = int(emit[0])
+    toks0 = list(zip(flat[:n0], pos[:n0].tolist()))
+    # grams: the_data @0, joins_the @2 (right side common), the_table @3
+    assert ("the_data", 0) in toks0
+    assert ("joins_the", 2) in toks0
+    assert ("the_table", 3) in toks0
+    assert ("data_joins", 1) not in toks0  # neither side common
+    assert int(norm[0]) == 5 and n0 == 8  # 5 words + 3 stacked grams
+    # doc without common words is untouched
+    assert int(emit[1]) == int(norm[1]) == 4
+    # positions stay monotone per doc (delta-codec requirement)
+    assert all(b >= a for a, b in zip(pos[:n0].tolist(), pos[1:n0].tolist()))
