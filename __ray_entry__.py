@@ -438,6 +438,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "function_score_topk": pipelines.function_score_topk,
         "feature_field_topk": pipelines.feature_field_topk,
         "distance_feature_topk": pipelines.distance_feature_topk,
+        "lmdirichlet_topk": pipelines.lmdirichlet_topk,
         "covering_query_topk": pipelines.covering_query_topk,
         "elevate_topk": pipelines.elevate_topk,
         "free_text_suggest": pipelines.free_text_suggest_body,
@@ -2051,6 +2052,60 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY score DESC, doc_id ASC) - 1 AS BIGINT)
                            AS rank, doc_id, score
                 FROM boosted
+            ) WHERE rank < 10
+        """,
+        # LMDirichletSimilarity (mu=2000): per-term
+        # (float)max(0, ln(1+f/(mu*p)) + ln(mu/(dl+mu))), p=(ttf+1)/(sttf+1),
+        # dl = SmallFloat-decoded length; f64 clause sum cast f32
+        "lmdirichlet_topk": f"""
+            WITH lt(b, lo) AS (VALUES {lt_values}),
+            stats AS (
+                SELECT (SELECT CAST(sum(len({_TOK})) AS BIGINT)
+                        FROM documents) AS sttf
+            ),
+            tok AS (SELECT doc_id, unnest({_TOK}) AS t FROM documents),
+            tta AS (SELECT count(*) AS v FROM tok WHERE t = 'data'),
+            ttb AS (SELECT count(*) AS v FROM tok WHERE t = 'join'),
+            tfa AS (SELECT doc_id, count(*) AS freq FROM tok
+                    WHERE t = 'data' GROUP BY doc_id),
+            tfb AS (SELECT doc_id, count(*) AS freq FROM tok
+                    WHERE t = 'join' GROUP BY doc_id),
+            nb AS (
+                SELECT doc_id,
+                       (SELECT max(lo) FROM lt
+                        WHERE lo <= n) AS dl
+                FROM (SELECT doc_id, len({_TOK}) AS n FROM documents)
+            ),
+            mus AS (
+                SELECT 2000.0 * ((tta.v + 1.0) / (s.sttf + 1.0)) AS mpa,
+                       2000.0 * ((ttb.v + 1.0) / (s.sttf + 1.0)) AS mpb
+                FROM tta, ttb, stats s
+            ),
+            pairs AS (
+                SELECT coalesce(tfa.doc_id, tfb.doc_id) AS doc_id,
+                       tfa.freq AS fa, tfb.freq AS fb
+                FROM tfa FULL OUTER JOIN tfb ON tfa.doc_id = tfb.doc_id
+            ),
+            scored AS (
+                SELECT p.doc_id,
+                       CAST(
+                         coalesce(CAST(CAST(GREATEST(0.0,
+                             1.0 * (ln(1.0 + CAST(p.fa AS DOUBLE) / m.mpa)
+                                    + ln(2000.0 / (nb.dl + 2000.0))))
+                             AS FLOAT) AS DOUBLE), 0.0)
+                       + coalesce(CAST(CAST(GREATEST(0.0,
+                             1.0 * (ln(1.0 + CAST(p.fb AS DOUBLE) / m.mpb)
+                                    + ln(2000.0 / (nb.dl + 2000.0))))
+                             AS FLOAT) AS DOUBLE), 0.0)
+                       AS FLOAT) AS score
+                FROM pairs p
+                JOIN nb ON nb.doc_id = p.doc_id, mus m
+            )
+            SELECT rank, doc_id, score FROM (
+                SELECT CAST(row_number() OVER (
+                           ORDER BY score DESC, doc_id ASC) - 1 AS BIGINT)
+                           AS rank, doc_id, score
+                FROM scored
             ) WHERE rank < 10
         """,
         # LongDistanceFeatureQuery (newDistanceFeatureQuery recency-boost

@@ -86,6 +86,7 @@ def make_term_scorer(
     k1: np.float32 = K1_DEFAULT,
     b: np.float32 = B_DEFAULT,
     boost: np.float32 = np.float32(1.0),
+    ttf: int = 0,  # term totalTermFreq; unused by BM25 (interface parity)
 ) -> TermScorerParams:
     w = np.multiply(boost, idf(doc_freq, doc_count), dtype=np.float32)
     avgdl = avg_field_length(sum_total_term_freq, doc_count)
@@ -180,6 +181,7 @@ def make_classic_scorer(
     doc_count: int,
     sum_total_term_freq: int,  # unused by TF-IDF; kept for interface parity
     boost: np.float32 = np.float32(1.0),
+    ttf: int = 0,  # interface parity
 ) -> TermScorerParams:
     """ClassicSimilarity (TFIDFSimilarity): score = boost * idf^2 * sqrt(tf)
     * (1/sqrt(length)) with idf = log((docCount+1)/(docFreq+1)) + 1 and the
@@ -223,6 +225,7 @@ def make_sweetspot_scorer(
     ln_min: int = 1,
     ln_max: int = 1,
     steepness: float = 0.5,
+    ttf: int = 0,  # interface parity
 ) -> TermScorerParams:
     """SweetSpotSimilarity (misc/.../SweetSpotSimilarity.java:47-120):
     ClassicSimilarity with a plateau length norm —
@@ -243,8 +246,58 @@ def make_sweetspot_scorer(
     return ClassicScorerParams(weight=w, cache=cache)
 
 
+@dataclass(frozen=True)
+class LMDirichletScorerParams(TermScorerParams):
+    """LMDirichletSimilarity scorer state: collection probability folded
+    into mu*p, per-norm-byte ln(mu / (docLen + mu)) precomputed in double
+    (the SimilarityBase LENGTH_TABLE is double-valued)."""
+
+    boost_d: float = 1.0
+    mu_p: float = 1.0
+    norm_ln: np.ndarray | None = None  # float64[256]
+
+    def score(self, freqs: np.ndarray, norm_bytes: np.ndarray) -> np.ndarray:
+        """(float) max(0, boost * (ln(1 + freq/(mu*p)) + ln(mu/(dl+mu))))
+        — LMDirichletSimilarity.java:73-78 via SimilarityBase.java:227-230
+        (double math, single float cast). Math.log(1 + x), NOT log1p."""
+        f = freqs.astype(np.float64)
+        s = self.boost_d * (
+            np.log(1.0 + f / self.mu_p)
+            + self.norm_ln[np.asarray(norm_bytes, dtype=np.uint8)]
+        )
+        return np.where(s > 0.0, s, 0.0).astype(np.float32)
+
+
+def make_lmdirichlet_scorer(
+    doc_freq: int,
+    doc_count: int,
+    sum_total_term_freq: int,
+    boost: np.float32 = np.float32(1.0),
+    ttf: int = 0,
+    mu: float = 2000.0,
+) -> TermScorerParams:
+    """LMDirichletSimilarity (search/similarities/LMDirichletSimilarity
+    .java:42-78, default mu=2000): Bayesian-smoothed query-likelihood LM.
+    p(w|C) = (totalTermFreq + 1) / (sumTotalTermFreq + 1) in double
+    (LMSimilarity.DefaultCollectionModel.java:154-156); negative smoothed
+    scores clamp to 0 (the documented paper deviation). The norm byte
+    decodes through the shared SmallFloat length table; mu is a float
+    param promoted to double exactly as in Java."""
+    mu_d = float(np.float32(mu))
+    p = (float(ttf) + 1.0) / (float(sum_total_term_freq) + 1.0)
+    norm_ln = np.log(mu_d / (LENGTH_TABLE.astype(np.float64) + mu_d))
+    return LMDirichletScorerParams(
+        weight=np.float32(boost),
+        cache=np.zeros(256, dtype=np.float32),  # unused by this model
+        boost_d=float(np.float32(boost)),
+        mu_p=mu_d * p,
+        norm_ln=norm_ln,
+    )
+
+
 SIMILARITIES = {
     "bm25": make_term_scorer,
     "classic": make_classic_scorer,
     "sweetspot": make_sweetspot_scorer,
+    "lmdirichlet": make_lmdirichlet_scorer,
 }

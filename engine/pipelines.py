@@ -700,6 +700,32 @@ def feature_field_topk(
     )
 
 
+def lmdirichlet_topk(
+    sf_dir: str, query: str = "data join", k: int = 10
+) -> pa.Table:
+    """Top-k under LMDirichletSimilarity (search/similarities/
+    LMDirichletSimilarity.java, mu=2000) — the Similarity extension point
+    exercised end-to-end: per-term (float) max(0, ln(1 + f/(mu*p)) +
+    ln(mu/(dl+mu))) with p=(ttf+1)/(sttf+1), summed per doc in double then
+    cast (the BooleanQuery order). Exact oracle: the whole chain replays
+    in DuckDB doubles (libm ln matches bit-for-bit on this host)."""
+    from .checkpoint import load_merge_manifest
+    from .search import IndexSearcher
+
+    idx = get_index(sf_dir)
+    searcher = IndexSearcher(
+        load_merge_manifest(idx["index_dir"]), similarity="lmdirichlet"
+    )
+    docs, scores = searcher.search(query, k=k)
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(len(docs)), type=pa.int64()),
+            "doc_id": pa.array(docs, type=pa.int64()),
+            "score": pa.array(scores, type=pa.float32()),
+        }
+    )
+
+
 def distance_feature_topk(
     sf_dir: str,
     query: str = "data join",

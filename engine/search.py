@@ -365,13 +365,16 @@ class IndexSearcher:
     def _params_for(self, terms: tuple[str, ...]) -> dict[str, TermScorerParams | None]:
         out: dict[str, TermScorerParams | None] = {}
         for t in terms:
-            df, _ = self.global_term_stats(t)
+            df, ttf = self.global_term_stats(t)
             fld, _bare = self._split_field(t)
             _segs, f_doc_count, f_sum_ttf = self.fields[fld]
             # per-field collection stats: avgdl comes from THIS field's
-            # sumTotalTermFreq (BM25Similarity.java:80-82 per-field)
+            # sumTotalTermFreq (BM25Similarity.java:80-82 per-field);
+            # ttf feeds LM-family collection probabilities (LMSimilarity)
             out[t] = (
-                self.make_scorer(df, f_doc_count, f_sum_ttf) if df > 0 else None
+                self.make_scorer(df, f_doc_count, f_sum_ttf, ttf=ttf)
+                if df > 0
+                else None
             )
         return out
 

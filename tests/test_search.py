@@ -1255,3 +1255,44 @@ def test_reverse_string_filter_goldens():
     assert reverse_string("country", chr(1)) == chr(1) + "yrtnuoc"
     assert FILTERS["reverse"]("abc") == "cba"
     assert FILTERS["reverse"]("") == ""
+
+
+def test_lmdirichlet_similarity(corpus):
+    """LMDirichletSimilarity: scalar op-order goldens + clamp-at-zero +
+    end-to-end rank equality with a brute-force recomputation."""
+    import math
+
+    from engine.bm25 import make_lmdirichlet_scorer
+    from engine.smallfloat import LENGTH_TABLE
+
+    sttf, dc = corpus["sum_ttf"], corpus["doc_count"]
+    docs, freqs = corpus["oracle_postings"]["t00005"]
+    params = make_lmdirichlet_scorer(len(docs), dc, sttf, ttf=int(freqs.sum()))
+    got = params.score(freqs, corpus["norms"][docs])
+    p = (float(freqs.sum()) + 1.0) / (float(sttf) + 1.0)
+    for i in range(min(20, len(docs))):
+        dl = float(LENGTH_TABLE[corpus["norms"][docs][i]])
+        s = 1.0 * (
+            math.log(1.0 + float(freqs[i]) / (2000.0 * p))
+            + math.log(2000.0 / (dl + 2000.0))
+        )
+        assert got[i] == np.float32(max(0.0, s))
+    # negative smoothed scores clamp to 0 (rare term in a long doc)
+    tiny = make_lmdirichlet_scorer(1, dc, sttf, ttf=1)
+    long_norm = np.array([255], dtype=np.uint8)  # longest length bucket
+    assert tiny.score(np.array([1]), long_norm)[0] == np.float32(0.0)
+    # searcher end-to-end: sum-in-double of clamped f32 clauses
+    s = IndexSearcher(corpus["manifest"], similarity="lmdirichlet")
+    d, sc = s.search("t00005 t00012", 10)
+    op = corpus["oracle_postings"]
+    acc: dict[int, float] = {}
+    for t in ("t00005", "t00012"):
+        td, tf = op[t]
+        pr = make_lmdirichlet_scorer(len(td), dc, sttf, ttf=int(tf.sum()))
+        for doc, v in zip(td.tolist(), pr.score(tf, corpus["norms"][td]).tolist()):
+            acc[doc] = acc.get(doc, 0.0) + float(np.float32(v))
+    exp = sorted(
+        ((np.float32(v), -doc) for doc, v in acc.items()), reverse=True
+    )[:10]
+    np.testing.assert_array_equal(sc, np.array([v for v, _ in exp], np.float32))
+    np.testing.assert_array_equal(d, np.array([-nd for _, nd in exp], np.int64))
