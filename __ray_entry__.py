@@ -439,6 +439,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "feature_field_topk": pipelines.feature_field_topk,
         "distance_feature_topk": pipelines.distance_feature_topk,
         "lmdirichlet_topk": pipelines.lmdirichlet_topk,
+        "lmjelinek_topk": pipelines.lmjelinek_topk,
+        "boolean_sim_topk": pipelines.boolean_sim_topk,
         "covering_query_topk": pipelines.covering_query_topk,
         "elevate_topk": pipelines.elevate_topk,
         "free_text_suggest": pipelines.free_text_suggest_body,
@@ -2052,6 +2054,81 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY score DESC, doc_id ASC) - 1 AS BIGINT)
                            AS rank, doc_id, score
                 FROM boosted
+            ) WHERE rank < 10
+        """,
+        # LMJelinekMercerSimilarity (lambda=0.1): per-term
+        # (float)(ln(1 + (((1-l)_f32)*f/dl) / (l*p))); f64 sum cast f32
+        "lmjelinek_topk": f"""
+            WITH lt(b, lo) AS (VALUES {lt_values}),
+            stats AS (
+                SELECT (SELECT CAST(sum(len({_TOK})) AS BIGINT)
+                        FROM documents) AS sttf
+            ),
+            tok AS (SELECT doc_id, unnest({_TOK}) AS t FROM documents),
+            tta AS (SELECT count(*) AS v FROM tok WHERE t = 'data'),
+            ttb AS (SELECT count(*) AS v FROM tok WHERE t = 'join'),
+            tfa AS (SELECT doc_id, count(*) AS freq FROM tok
+                    WHERE t = 'data' GROUP BY doc_id),
+            tfb AS (SELECT doc_id, count(*) AS freq FROM tok
+                    WHERE t = 'join' GROUP BY doc_id),
+            nb AS (
+                SELECT doc_id,
+                       (SELECT max(lo) FROM lt WHERE lo <= n) AS dl
+                FROM (SELECT doc_id, len({_TOK}) AS n FROM documents)
+            ),
+            consts AS (
+                SELECT CAST(CAST(1.0 - CAST(0.1 AS FLOAT) AS FLOAT) AS DOUBLE)
+                           AS oml,
+                       CAST(CAST(0.1 AS FLOAT) AS DOUBLE) AS lam
+            ),
+            mus AS (
+                SELECT c.oml AS oml,
+                       c.lam * ((tta.v + 1.0) / (s.sttf + 1.0)) AS lpa,
+                       c.lam * ((ttb.v + 1.0) / (s.sttf + 1.0)) AS lpb
+                FROM tta, ttb, stats s, consts c
+            ),
+            pairs AS (
+                SELECT coalesce(tfa.doc_id, tfb.doc_id) AS doc_id,
+                       tfa.freq AS fa, tfb.freq AS fb
+                FROM tfa FULL OUTER JOIN tfb ON tfa.doc_id = tfb.doc_id
+            ),
+            scored AS (
+                SELECT p.doc_id,
+                       CAST(
+                         coalesce(CAST(CAST(
+                             1.0 * ln(1.0 + ((m.oml * CAST(p.fa AS DOUBLE))
+                                             / nb.dl) / m.lpa)
+                             AS FLOAT) AS DOUBLE), 0.0)
+                       + coalesce(CAST(CAST(
+                             1.0 * ln(1.0 + ((m.oml * CAST(p.fb AS DOUBLE))
+                                             / nb.dl) / m.lpb)
+                             AS FLOAT) AS DOUBLE), 0.0)
+                       AS FLOAT) AS score
+                FROM pairs p
+                JOIN nb ON nb.doc_id = p.doc_id, mus m
+            )
+            SELECT rank, doc_id, score FROM (
+                SELECT CAST(row_number() OVER (
+                           ORDER BY score DESC, doc_id ASC) - 1 AS BIGINT)
+                           AS rank, doc_id, score
+                FROM scored
+            ) WHERE rank < 10
+        """,
+        # BooleanSimilarity: clause score = boost (1f); disjunction score
+        # = matching-clause count, doc-asc tie-break
+        "boolean_sim_topk": f"""
+            WITH tok AS (SELECT doc_id, unnest({_TOK}) AS t FROM documents),
+            m AS (
+                SELECT doc_id,
+                       CAST(count(DISTINCT t) AS DOUBLE) AS nmatch
+                FROM tok WHERE t IN ('data', 'join', 'merge')
+                GROUP BY doc_id
+            )
+            SELECT rank, doc_id, score FROM (
+                SELECT CAST(row_number() OVER (
+                           ORDER BY nmatch DESC, doc_id ASC) - 1 AS BIGINT)
+                           AS rank, doc_id, CAST(nmatch AS FLOAT) AS score
+                FROM m
             ) WHERE rank < 10
         """,
         # LMDirichletSimilarity (mu=2000): per-term

@@ -295,9 +295,78 @@ def make_lmdirichlet_scorer(
     )
 
 
+@dataclass(frozen=True)
+class LMJelinekMercerScorerParams(TermScorerParams):
+    """LMJelinekMercerSimilarity scorer state. The op order preserves the
+    reference association exactly: ((1-lambda)_f32 * freq / docLen) /
+    (lambda * p), all in double except the (1 - lambda) float subtraction."""
+
+    boost_d: float = 1.0
+    one_minus_lambda: float = 0.9  # float32(1 - lambda), promoted
+    lambda_p: float = 1.0  # lambda_d * collectionProbability
+    dl_table: np.ndarray | None = None  # float64[256] decoded lengths
+
+    def score(self, freqs: np.ndarray, norm_bytes: np.ndarray) -> np.ndarray:
+        """(float)(boost * ln(1 + ((1-l)*f/dl) / (l*p))) —
+        LMJelinekMercerSimilarity.java:60-65 via SimilarityBase.java:227."""
+        f = freqs.astype(np.float64)
+        dl = self.dl_table[np.asarray(norm_bytes, dtype=np.uint8)]
+        x = (self.one_minus_lambda * f) / dl
+        return (self.boost_d * np.log(1.0 + x / self.lambda_p)).astype(np.float32)
+
+
+def make_lmjelinekmercer_scorer(
+    doc_freq: int,
+    doc_count: int,
+    sum_total_term_freq: int,
+    boost: np.float32 = np.float32(1.0),
+    ttf: int = 0,
+    lam: float = 0.1,
+) -> TermScorerParams:
+    """LMJelinekMercerSimilarity (search/similarities/
+    LMJelinekMercerSimilarity.java:40-65): linear interpolation of the
+    document and collection language models. lambda is a float field —
+    (1 - lambda) computes in FLOAT precision before promoting (the
+    subtle Java arithmetic the oracle replays); p(w|C) as in LMDirichlet."""
+    lam32 = np.float32(lam)
+    p = (float(ttf) + 1.0) / (float(sum_total_term_freq) + 1.0)
+    return LMJelinekMercerScorerParams(
+        weight=np.float32(boost),
+        cache=np.zeros(256, dtype=np.float32),  # unused by this model
+        boost_d=float(np.float32(boost)),
+        one_minus_lambda=float(np.float32(np.float32(1.0) - lam32)),
+        lambda_p=float(lam32) * p,
+        dl_table=LENGTH_TABLE.astype(np.float64),
+    )
+
+
+@dataclass(frozen=True)
+class BooleanScorerParams(TermScorerParams):
+    """BooleanSimilarity (search/similarities/BooleanSimilarity.java:47-61):
+    score(freq, norm) = boost — query-boost-only matching (filter-style
+    scoring); a disjunction's score counts matching clauses."""
+
+    def score(self, freqs: np.ndarray, norm_bytes: np.ndarray) -> np.ndarray:
+        return np.full(len(freqs), self.weight, dtype=np.float32)
+
+
+def make_boolean_scorer(
+    doc_freq: int,
+    doc_count: int,
+    sum_total_term_freq: int,
+    boost: np.float32 = np.float32(1.0),
+    ttf: int = 0,
+) -> TermScorerParams:
+    return BooleanScorerParams(
+        weight=np.float32(boost), cache=np.zeros(256, dtype=np.float32)
+    )
+
+
 SIMILARITIES = {
     "bm25": make_term_scorer,
     "classic": make_classic_scorer,
     "sweetspot": make_sweetspot_scorer,
     "lmdirichlet": make_lmdirichlet_scorer,
+    "lmjelinekmercer": make_lmjelinekmercer_scorer,
+    "boolean": make_boolean_scorer,
 }

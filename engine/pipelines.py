@@ -726,6 +726,47 @@ def lmdirichlet_topk(
     )
 
 
+def lmjelinek_topk(sf_dir: str, query: str = "data join", k: int = 10) -> pa.Table:
+    """Top-k under LMJelinekMercerSimilarity (lambda=0.1) — see
+    bm25.make_lmjelinekmercer_scorer; per-doc double clause sum cast f32."""
+    from .checkpoint import load_merge_manifest
+    from .search import IndexSearcher
+
+    idx = get_index(sf_dir)
+    searcher = IndexSearcher(
+        load_merge_manifest(idx["index_dir"]), similarity="lmjelinekmercer"
+    )
+    docs, scores = searcher.search(query, k=k)
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(len(docs)), type=pa.int64()),
+            "doc_id": pa.array(docs, type=pa.int64()),
+            "score": pa.array(scores, type=pa.float32()),
+        }
+    )
+
+
+def boolean_sim_topk(sf_dir: str, query: str = "data join merge", k: int = 10) -> pa.Table:
+    """Top-k under BooleanSimilarity (BooleanSimilarity.java:47-61):
+    each matching clause scores its boost (1f), so a disjunction's score
+    is the matching-clause count — doc-asc tie-break carries the ranking."""
+    from .checkpoint import load_merge_manifest
+    from .search import IndexSearcher
+
+    idx = get_index(sf_dir)
+    searcher = IndexSearcher(
+        load_merge_manifest(idx["index_dir"]), similarity="boolean"
+    )
+    docs, scores = searcher.search(query, k=k)
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(len(docs)), type=pa.int64()),
+            "doc_id": pa.array(docs, type=pa.int64()),
+            "score": pa.array(scores, type=pa.float32()),
+        }
+    )
+
+
 def distance_feature_topk(
     sf_dir: str,
     query: str = "data join",

@@ -1296,3 +1296,38 @@ def test_lmdirichlet_similarity(corpus):
     )[:10]
     np.testing.assert_array_equal(sc, np.array([v for v, _ in exp], np.float32))
     np.testing.assert_array_equal(d, np.array([-nd for _, nd in exp], np.int64))
+
+
+def test_lmjelinekmercer_and_boolean_similarity(corpus):
+    """LM-JM op-order goldens (the float (1-lambda) subtlety) and
+    BooleanSimilarity count-of-matching-clauses scoring."""
+    import math
+
+    from engine.bm25 import make_boolean_scorer, make_lmjelinekmercer_scorer
+    from engine.smallfloat import LENGTH_TABLE
+
+    sttf, dc = corpus["sum_ttf"], corpus["doc_count"]
+    docs, freqs = corpus["oracle_postings"]["t00005"]
+    params = make_lmjelinekmercer_scorer(len(docs), dc, sttf, ttf=int(freqs.sum()))
+    got = params.score(freqs, corpus["norms"][docs])
+    p = (float(freqs.sum()) + 1.0) / (float(sttf) + 1.0)
+    oml = float(np.float32(np.float32(1.0) - np.float32(0.1)))
+    assert oml != 0.9  # the float32 subtraction is NOT exactly 0.9
+    for i in range(min(20, len(docs))):
+        dl = float(LENGTH_TABLE[corpus["norms"][docs][i]])
+        x = (oml * float(freqs[i])) / dl
+        s = 1.0 * math.log(1.0 + x / (float(np.float32(0.1)) * p))
+        assert got[i] == np.float32(s)
+    # BooleanSimilarity: every match scores boost; disjunction == count
+    sb = IndexSearcher(corpus["manifest"], similarity="boolean")
+    d, sc = sb.search("t00005 t00012", 10)
+    op = corpus["oracle_postings"]
+    both = set(op["t00005"][0].tolist()) & set(op["t00012"][0].tolist())
+    if both:
+        assert np.float32(2.0) in sc
+    assert set(np.unique(sc)).issubset({np.float32(1.0), np.float32(2.0)})
+    bp = make_boolean_scorer(1, dc, sttf, boost=np.float32(2.5))
+    assert list(bp.score(np.array([1, 7]), np.array([3, 200]))) == [
+        np.float32(2.5),
+        np.float32(2.5),
+    ]
