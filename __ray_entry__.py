@@ -81,6 +81,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_token_pack(sf_dir):
         return textops.pack_sequences(_docs(sf_dir), budget=512, chunk=64)
 
+    def q_chunk_sliding(sf_dir):
+        return textops.chunk_sliding(_docs(sf_dir), window=64, stride=32)
+
     def q_shingle_top50(sf_dir):
         return textops.shingle_top_counts(_docs(sf_dir), size=2, k=50)
 
@@ -513,6 +516,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts_docs": q_token_count_docs,
         "token_counts_bpe": q_token_count_bpe,
         "token_pack_sequences": q_token_pack,
+        "chunk_sliding": q_chunk_sliding,
         "word_delimiter_terms": pipelines.word_delimiter_terms,
         "shingle_top50": q_shingle_top50,
         "stemmed_top_terms": q_stemmed_top_terms,
@@ -3257,6 +3261,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT unnest(dids) AS doc_id, unnest(ns) AS n_tokens,
                    chunk_id, unnest(st[3:]) AS seq_id
             FROM folded
+        """,
+        # sliding-window LM chunking replayed exactly: analyzer tokens
+        # via regexp_extract_all, chunk i starts at i*32, emitted iff it
+        # contributes a new token (i = 0, or n - start > window - stride
+        # = 32); slice is 1-based inclusive and clamps at the list end,
+        # chunk_text = space-join of the window's tokens
+        "chunk_sliding": f"""
+            WITH tok AS (
+                SELECT doc_id, {_TOK} AS toks,
+                       CAST(len({_TOK}) AS BIGINT) AS n
+                FROM documents
+            ),
+            ch AS (
+                SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+                       CAST(i * 32 AS BIGINT) AS start_tok, toks, n
+                FROM tok, range(0, 1024) r(i)
+                WHERE i * 32 < n AND (i = 0 OR n - i * 32 > 32)
+            )
+            SELECT doc_id, chunk_idx, start_tok,
+                   CAST(least(64, n - start_tok) AS BIGINT)
+                       AS n_chunk_tokens,
+                   array_to_string(
+                       toks[CAST(start_tok + 1 AS INT)
+                            : CAST(start_tok + 64 AS INT)], ' ')
+                       AS chunk_text
+            FROM ch
         """,
         # LangId argmax replayed exactly: char trigrams of the padded
         # lowercase text, integer dot products against the embedded seed

@@ -892,3 +892,61 @@ def pack_sequences(ds, budget: int = 512, chunk: int = 64):
         .groupby("chunk_id")
         .map_groups(_pack, batch_format="pandas", **_rargs())
     )
+
+
+def chunk_sliding(ds, window: int = 64, stride: int = 32):
+    """Sliding-window document chunking for LM pretraining
+    (beyond-reference: the fixed-context splitter applied to
+    longer-than-context documents, cf. HF ``return_overflowing_tokens``
+    with stride): (doc_id, chunk_idx, start_tok, n_chunk_tokens,
+    chunk_text).
+
+    Chunks start at token offsets 0, stride, 2*stride, ... and span up to
+    ``window`` tokens. A chunk is emitted iff it contributes at least one
+    token not covered by the previous window: chunk 0 always, chunk i>0
+    iff n_tokens - i*stride > window - stride. The final chunk may be
+    shorter than ``window``. Empty docs emit no chunks.
+
+    Tokens are the whitespace+regex analyzer tokens (TOKEN_RE on
+    lowercased text), and ``chunk_text`` is the space-join of the
+    window's tokens — both replay exactly in SQL
+    (regexp_extract_all + list_slice + array_to_string).
+
+    Scale posture: pure map_batches (no shuffle, no driver state); the
+    per-doc fan-out is bounded by n_tokens/stride, and output streams
+    block-by-block."""
+    assert 0 < stride <= window
+
+    def _chunk(batch: pa.Table) -> pa.Table:
+        docs = batch.column("doc_id").to_numpy()
+        texts = batch.column("text").to_pylist()
+        d_out: list[int] = []
+        i_out: list[int] = []
+        s_out: list[int] = []
+        n_out: list[int] = []
+        t_out: list[str] = []
+        for d, t in zip(docs.tolist(), texts):
+            toks = TOKEN_RE.findall(t.lower()) if t else []
+            n = len(toks)
+            i = 0
+            start = 0
+            while start < n and (i == 0 or n - start > window - stride):
+                piece = toks[start : start + window]
+                d_out.append(d)
+                i_out.append(i)
+                s_out.append(start)
+                n_out.append(len(piece))
+                t_out.append(" ".join(piece))
+                i += 1
+                start += stride
+        return pa.table(
+            {
+                "doc_id": pa.array(d_out, type=pa.int64()),
+                "chunk_idx": pa.array(i_out, type=pa.int64()),
+                "start_tok": pa.array(s_out, type=pa.int64()),
+                "n_chunk_tokens": pa.array(n_out, type=pa.int64()),
+                "chunk_text": pa.array(t_out, type=pa.string()),
+            }
+        )
+
+    return ds.map_batches(_chunk, batch_format="pyarrow", **_rargs())

@@ -1147,3 +1147,50 @@ def test_decontaminate_ngrams_eval_cap():
         decontaminate_ngrams(
             ray.data.from_items(rows), n=2, eval_stride=37, max_eval_grams=3
         )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_chunk_sliding_semantics():
+    """Sliding-window chunking: starts at multiples of stride, window-cap
+    per chunk, a chunk is emitted only if it contributes a token beyond
+    the previous window's coverage, empty docs emit nothing."""
+    import ray.data
+
+    from engine.textops import chunk_sliding
+
+    # doc 0: 10 tokens, window 8 stride 4 -> starts 0, 4 (start 8 covers
+    #   only tokens 8..9, already inside window(4..11) -> suppressed)
+    # doc 1: 3 tokens (shorter than window) -> one chunk
+    # doc 2: empty -> no chunks
+    # doc 3: 13 tokens -> starts 0, 4, 8 (8: 13-8=5 > 8-4) ; 12 suppressed
+    texts = [
+        " ".join(f"t{i}" for i in range(10)),
+        "a b c",
+        "",
+        " ".join(f"t{i}" for i in range(13)),
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(4), type=pa.int64()),
+                "text": pa.array(texts, type=pa.string()),
+            }
+        )
+    )
+    out = (
+        chunk_sliding(ds, window=8, stride=4)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+    assert out["doc_id"].tolist() == [0, 0, 1, 3, 3, 3]
+    assert out["start_tok"].tolist() == [0, 4, 0, 0, 4, 8]
+    assert out["n_chunk_tokens"].tolist() == [8, 6, 3, 8, 8, 5]
+    assert out["chunk_idx"].tolist() == [0, 1, 0, 0, 1, 2]
+    assert out.loc[2, "chunk_text"] == "a b c"
+    assert out.loc[1, "chunk_text"] == "t4 t5 t6 t7 t8 t9"
+    # full coverage: every token of doc 3 appears in some chunk
+    covered = set()
+    for _, r in out[out.doc_id == 3].iterrows():
+        covered.update(range(r.start_tok, r.start_tok + r.n_chunk_tokens))
+    assert covered == set(range(13))
