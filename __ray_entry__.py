@@ -443,6 +443,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distance_feature_topk": pipelines.distance_feature_topk,
         "lmdirichlet_topk": pipelines.lmdirichlet_topk,
         "lmjelinek_topk": pipelines.lmjelinek_topk,
+        "dfi_topk": pipelines.dfi_topk,
         "boolean_sim_topk": pipelines.boolean_sim_topk,
         "covering_query_topk": pipelines.covering_query_topk,
         "elevate_topk": pipelines.elevate_topk,
@@ -2133,6 +2134,64 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY nmatch DESC, doc_id ASC) - 1 AS BIGINT)
                            AS rank, doc_id, CAST(nmatch AS FLOAT) AS score
                 FROM m
+            ) WHERE rank < 10
+        """,
+        # DFISimilarity (ChiSquared): expected e = ((ttf+1)*dl)/(sttf+1)
+        # in the Java association; clause = (float)(ln((f-e)^2/e + 1)
+        # / ln(2)) when f > e else 0; f64 clause sum cast f32
+        "dfi_topk": f"""
+            WITH lt(b, lo) AS (VALUES {lt_values}),
+            stats AS (
+                SELECT (SELECT CAST(sum(len({_TOK})) AS BIGINT)
+                        FROM documents) AS sttf
+            ),
+            tok AS (SELECT doc_id, unnest({_TOK}) AS t FROM documents),
+            tta AS (SELECT count(*) AS v FROM tok WHERE t = 'data'),
+            ttb AS (SELECT count(*) AS v FROM tok WHERE t = 'join'),
+            tfa AS (SELECT doc_id, count(*) AS freq FROM tok
+                    WHERE t = 'data' GROUP BY doc_id),
+            tfb AS (SELECT doc_id, count(*) AS freq FROM tok
+                    WHERE t = 'join' GROUP BY doc_id),
+            nb AS (
+                SELECT doc_id,
+                       (SELECT max(lo) FROM lt WHERE lo <= n) AS dl
+                FROM (SELECT doc_id, len({_TOK}) AS n FROM documents)
+            ),
+            exps AS (
+                SELECT ((tta.v + 1.0) * nb.dl) / (s.sttf + 1.0) AS ea,
+                       ((ttb.v + 1.0) * nb.dl) / (s.sttf + 1.0) AS eb,
+                       nb.doc_id AS doc_id
+                FROM nb, tta, ttb, stats s
+            ),
+            pairs AS (
+                SELECT coalesce(tfa.doc_id, tfb.doc_id) AS doc_id,
+                       tfa.freq AS fa, tfb.freq AS fb
+                FROM tfa FULL OUTER JOIN tfb ON tfa.doc_id = tfb.doc_id
+            ),
+            scored AS (
+                SELECT p.doc_id,
+                       CAST(
+                         coalesce(CAST(CAST(CASE
+                           WHEN CAST(p.fa AS DOUBLE) > e.ea THEN
+                             1.0 * (ln(((CAST(p.fa AS DOUBLE) - e.ea)
+                                        * (CAST(p.fa AS DOUBLE) - e.ea))
+                                       / e.ea + 1.0) / ln(2.0))
+                           ELSE 0.0 END AS FLOAT) AS DOUBLE), 0.0)
+                       + coalesce(CAST(CAST(CASE
+                           WHEN CAST(p.fb AS DOUBLE) > e.eb THEN
+                             1.0 * (ln(((CAST(p.fb AS DOUBLE) - e.eb)
+                                        * (CAST(p.fb AS DOUBLE) - e.eb))
+                                       / e.eb + 1.0) / ln(2.0))
+                           ELSE 0.0 END AS FLOAT) AS DOUBLE), 0.0)
+                       AS FLOAT) AS score
+                FROM pairs p
+                JOIN exps e ON e.doc_id = p.doc_id
+            )
+            SELECT rank, doc_id, score FROM (
+                SELECT CAST(row_number() OVER (
+                           ORDER BY score DESC, doc_id ASC) - 1 AS BIGINT)
+                           AS rank, doc_id, score
+                FROM scored
             ) WHERE rank < 10
         """,
         # LMDirichletSimilarity (mu=2000): per-term

@@ -362,6 +362,65 @@ def make_boolean_scorer(
     )
 
 
+@dataclass(frozen=True)
+class DFIScorerParams(TermScorerParams):
+    """DFISimilarity scorer state: per-norm-byte expected frequency under
+    independence precomputed in double with the reference op order
+    ((ttf + 1) * docLen) / (sttf + 1)."""
+
+    boost_d: float = 1.0
+    measure: str = "chisquared"
+    exp_table: np.ndarray | None = None  # float64[256] expected freq
+
+    def score(self, freqs: np.ndarray, norm_bytes: np.ndarray) -> np.ndarray:
+        """(float) boost * log2(independence(freq, expected) + 1), zero
+        when freq <= expected — DFISimilarity.java:57-68 via
+        SimilarityBase.java:227-230 (double math, single float cast);
+        log2(x) = Math.log(x) / LOG_2 (SimilarityBase.java:202-205)."""
+        f = freqs.astype(np.float64)
+        e = self.exp_table[np.asarray(norm_bytes, dtype=np.uint8)]
+        d = f - e
+        if self.measure == "chisquared":
+            m = (d * d) / e  # IndependenceChiSquared.java:27-29
+        elif self.measure == "standardized":
+            m = d / np.sqrt(e)  # IndependenceStandardized.java:28-30
+        else:  # saturated
+            m = d / e  # IndependenceSaturated.java:27-29
+        s = self.boost_d * (np.log(m + 1.0) / _LOG_2)
+        return np.where(f > e, s, 0.0).astype(np.float32)
+
+
+_LOG_2 = math.log(2.0)  # SimilarityBase.LOG_2 (Math.log(2))
+
+
+def make_dfi_scorer(
+    doc_freq: int,
+    doc_count: int,
+    sum_total_term_freq: int,
+    boost: np.float32 = np.float32(1.0),
+    ttf: int = 0,
+    measure: str = "chisquared",
+) -> TermScorerParams:
+    """DFISimilarity (search/similarities/DFISimilarity.java:44-68):
+    divergence-from-independence, parameter-free. expected =
+    ((totalTermFreq + 1) * docLen) / (numberOfFieldTokens + 1) where
+    numberOfFieldTokens = sumTotalTermFreq (SimilarityBase.java:111);
+    freq <= expected scores 0; otherwise boost * log2(measure + 1) with
+    the ChiSquared measure (freq-expected)^2/expected (Solr
+    DFISimilarityFactory's default independenceMeasure). The expected
+    table keeps the Java association ((ttf+1) * dl) / (sttf+1) per norm
+    byte so the DuckDB replay is bit-exact."""
+    dl = LENGTH_TABLE.astype(np.float64)
+    exp_table = ((float(ttf) + 1.0) * dl) / (float(sum_total_term_freq) + 1.0)
+    return DFIScorerParams(
+        weight=np.float32(boost),
+        cache=np.zeros(256, dtype=np.float32),  # unused by this model
+        boost_d=float(np.float32(boost)),
+        measure=measure,
+        exp_table=exp_table,
+    )
+
+
 SIMILARITIES = {
     "bm25": make_term_scorer,
     "classic": make_classic_scorer,
@@ -369,4 +428,5 @@ SIMILARITIES = {
     "lmdirichlet": make_lmdirichlet_scorer,
     "lmjelinekmercer": make_lmjelinekmercer_scorer,
     "boolean": make_boolean_scorer,
+    "dfi": make_dfi_scorer,
 }

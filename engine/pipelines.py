@@ -746,6 +746,27 @@ def lmjelinek_topk(sf_dir: str, query: str = "data join", k: int = 10) -> pa.Tab
     )
 
 
+def dfi_topk(sf_dir: str, query: str = "data join", k: int = 10) -> pa.Table:
+    """Top-k under DFISimilarity (DFISimilarity.java:44-68, ChiSquared
+    independence): per-term (float) boost * log2((f-e)^2/e + 1) when the
+    observed freq exceeds the expected ((ttf+1)*dl)/(sttf+1), else 0;
+    per-doc double clause sum cast f32. Exact oracle: the chain replays
+    in DuckDB doubles (libm ln, ln(m+1)/ln(2) division)."""
+    from .checkpoint import load_merge_manifest
+    from .search import IndexSearcher
+
+    idx = get_index(sf_dir)
+    searcher = IndexSearcher(load_merge_manifest(idx["index_dir"]), similarity="dfi")
+    docs, scores = searcher.search(query, k=k)
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(len(docs)), type=pa.int64()),
+            "doc_id": pa.array(docs, type=pa.int64()),
+            "score": pa.array(scores, type=pa.float32()),
+        }
+    )
+
+
 def boolean_sim_topk(sf_dir: str, query: str = "data join merge", k: int = 10) -> pa.Table:
     """Top-k under BooleanSimilarity (BooleanSimilarity.java:47-61):
     each matching clause scores its boost (1f), so a disjunction's score

@@ -1331,3 +1331,43 @@ def test_lmjelinekmercer_and_boolean_similarity(corpus):
         np.float32(2.5),
         np.float32(2.5),
     ]
+
+
+def test_dfi_similarity(corpus):
+    """DFISimilarity (ChiSquared): scalar op-order goldens, zero when
+    freq <= expected, and end-to-end rank equality vs brute force."""
+    import math
+
+    from engine.bm25 import make_dfi_scorer
+    from engine.smallfloat import LENGTH_TABLE
+
+    sttf, dc = corpus["sum_ttf"], corpus["doc_count"]
+    docs, freqs = corpus["oracle_postings"]["t00005"]
+    ttf = int(freqs.sum())
+    params = make_dfi_scorer(len(docs), dc, sttf, ttf=ttf)
+    got = params.score(freqs, corpus["norms"][docs])
+    for i in range(min(20, len(docs))):
+        dl = float(LENGTH_TABLE[corpus["norms"][docs][i]])
+        e = ((float(ttf) + 1.0) * dl) / (float(sttf) + 1.0)
+        f = float(freqs[i])
+        if f <= e:
+            assert got[i] == np.float32(0.0)
+        else:
+            m = ((f - e) * (f - e)) / e
+            assert got[i] == np.float32(1.0 * (math.log(m + 1.0) / math.log(2.0)))
+    # a common term in a long doc: freq 1 <= expected -> exactly 0
+    common = make_dfi_scorer(dc, dc, sttf, ttf=sttf // 2)
+    assert common.score(np.array([1]), np.array([255], np.uint8))[0] == np.float32(0.0)
+    # searcher end-to-end vs brute-force double-sum of f32 clauses
+    s = IndexSearcher(corpus["manifest"], similarity="dfi")
+    d, sc = s.search("t00005 t00012", 10)
+    op = corpus["oracle_postings"]
+    acc: dict[int, float] = {}
+    for t in ("t00005", "t00012"):
+        td, tf = op[t]
+        pr = make_dfi_scorer(len(td), dc, sttf, ttf=int(tf.sum()))
+        for doc, v in zip(td.tolist(), pr.score(tf, corpus["norms"][td]).tolist()):
+            acc[doc] = acc.get(doc, 0.0) + float(np.float32(v))
+    exp = sorted(((np.float32(v), -doc) for doc, v in acc.items()), reverse=True)[:10]
+    np.testing.assert_array_equal(sc, np.array([v for v, _ in exp], np.float32))
+    np.testing.assert_array_equal(d, np.array([-nd for _, nd in exp], np.int64))
