@@ -444,6 +444,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lmdirichlet_topk": pipelines.lmdirichlet_topk,
         "lmjelinek_topk": pipelines.lmjelinek_topk,
         "dfi_topk": pipelines.dfi_topk,
+        "axiomatic_topk": pipelines.axiomatic_topk,
         "boolean_sim_topk": pipelines.boolean_sim_topk,
         "covering_query_topk": pipelines.covering_query_topk,
         "elevate_topk": pipelines.elevate_topk,
@@ -2186,6 +2187,73 @@ def oracle_sql() -> dict[str, str]:
                        AS FLOAT) AS score
                 FROM pairs p
                 JOIN exps e ON e.doc_id = p.doc_id
+            )
+            SELECT rank, doc_id, score FROM (
+                SELECT CAST(row_number() OVER (
+                           ORDER BY score DESC, doc_id ASC) - 1 AS BIGINT)
+                           AS rank, doc_id, score
+                FROM scored
+            ) WHERE rank < 10
+        """,
+        # AxiomaticF2EXP (s=0.25f, k=0.35f): clause =
+        # (float)(((f/((f+s) + (s*dl)/avgdl)) * pow((N+1)/df, k)) * 1.0);
+        # avgdl = sttf / N in double; f64 clause sum cast f32
+        "axiomatic_topk": f"""
+            WITH lt(b, lo) AS (VALUES {lt_values}),
+            stats AS (
+                SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents)
+                           AS n_docs,
+                       (SELECT CAST(sum(len({_TOK})) AS BIGINT)
+                        FROM documents) AS sttf
+            ),
+            consts AS (
+                SELECT CAST(CAST(0.25 AS FLOAT) AS DOUBLE) AS s,
+                       CAST(CAST(0.35 AS FLOAT) AS DOUBLE) AS k
+            ),
+            tok AS (SELECT doc_id, unnest({_TOK}) AS t FROM documents),
+            dfa AS (SELECT count(DISTINCT doc_id) AS v FROM tok
+                    WHERE t = 'data'),
+            dfb AS (SELECT count(DISTINCT doc_id) AS v FROM tok
+                    WHERE t = 'join'),
+            tfa AS (SELECT doc_id, count(*) AS freq FROM tok
+                    WHERE t = 'data' GROUP BY doc_id),
+            tfb AS (SELECT doc_id, count(*) AS freq FROM tok
+                    WHERE t = 'join' GROUP BY doc_id),
+            nb AS (
+                SELECT doc_id,
+                       (SELECT max(lo) FROM lt WHERE lo <= n) AS dl
+                FROM (SELECT doc_id, len({_TOK}) AS n FROM documents)
+            ),
+            idfs AS (
+                SELECT pow((st.n_docs + 1.0) / dfa.v, c.k) AS ia,
+                       pow((st.n_docs + 1.0) / dfb.v, c.k) AS ib,
+                       CAST(st.sttf AS DOUBLE) / st.n_docs AS avgdl,
+                       c.s AS s
+                FROM dfa, dfb, stats st, consts c
+            ),
+            pairs AS (
+                SELECT coalesce(tfa.doc_id, tfb.doc_id) AS doc_id,
+                       tfa.freq AS fa, tfb.freq AS fb
+                FROM tfa FULL OUTER JOIN tfb ON tfa.doc_id = tfb.doc_id
+            ),
+            scored AS (
+                SELECT p.doc_id,
+                       CAST(
+                         coalesce(CAST(CAST(
+                             ((CAST(p.fa AS DOUBLE)
+                               / ((CAST(p.fa AS DOUBLE) + i.s)
+                                  + (i.s * nb.dl) / i.avgdl)) * i.ia)
+                             * 1.0
+                             AS FLOAT) AS DOUBLE), 0.0)
+                       + coalesce(CAST(CAST(
+                             ((CAST(p.fb AS DOUBLE)
+                               / ((CAST(p.fb AS DOUBLE) + i.s)
+                                  + (i.s * nb.dl) / i.avgdl)) * i.ib)
+                             * 1.0
+                             AS FLOAT) AS DOUBLE), 0.0)
+                       AS FLOAT) AS score
+                FROM pairs p
+                JOIN nb ON nb.doc_id = p.doc_id, idfs i
             )
             SELECT rank, doc_id, score FROM (
                 SELECT CAST(row_number() OVER (

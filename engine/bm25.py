@@ -421,6 +421,62 @@ def make_dfi_scorer(
     )
 
 
+@dataclass(frozen=True)
+class AxiomaticScorerParams(TermScorerParams):
+    """AxiomaticF2EXP scorer state: the doc-length term of the tfln
+    denominator precomputed per norm byte in the Java association
+    (s * docLen) / avgFieldLength; idf = pow((N+1)/df, k) is a scalar."""
+
+    idf_d: float = 1.0
+    s_d: float = 0.25
+    boost_d: float = 1.0
+    dl_term: np.ndarray | None = None  # float64[256]: (s*dl[b])/avgdl
+
+    def score(self, freqs: np.ndarray, norm_bytes: np.ndarray) -> np.ndarray:
+        """(float) max(0, ((freq/((freq+s) + (s*dl)/avgdl)) * idf) * boost)
+        — Axiomatic.java:104-113 (tf=ln=1, gamma=0 for F2EXP:61-94; the
+        boost multiplies AFTER the component product), double math single
+        float cast via SimilarityBase.java:227-230."""
+        f = freqs.astype(np.float64)
+        tfln = f / ((f + self.s_d) + self.dl_term[np.asarray(norm_bytes, dtype=np.uint8)])
+        s = (tfln * self.idf_d) * self.boost_d
+        return np.where(s > 0.0, s, 0.0).astype(np.float32)
+
+
+def make_axiomatic_scorer(
+    doc_freq: int,
+    doc_count: int,
+    sum_total_term_freq: int,
+    boost: np.float32 = np.float32(1.0),
+    ttf: int = 0,
+    s: float = 0.25,
+    k: float = 0.35,
+) -> TermScorerParams:
+    """AxiomaticF2EXP (search/similarities/AxiomaticF2EXP.java:61-94,
+    Axiomatic.java:99-113, defaults s=0.25f k=0.35f): score =
+    tfln * idf with tfln = freq / (freq + s + s*docLen/avgFieldLength)
+    and idf = Math.pow((numberOfDocuments + 1) / docFreq, k);
+    avgFieldLength = sumTotalTermFreq / (double) docCount
+    (SimilarityBase.java:112). s and k are float fields promoted to
+    double at use; boost multiplies the double before the single cast.
+    Clamped at zero (Axiomatic.java:112 Math.max for the F3 gammas —
+    a no-op for F2EXP's non-negative scores, kept for parity)."""
+    s_d = float(np.float32(s))
+    k_d = float(np.float32(k))
+    avgdl = float(sum_total_term_freq) / float(doc_count)
+    dl = LENGTH_TABLE.astype(np.float64)
+    dl_term = (s_d * dl) / avgdl
+    idf_d = float(np.power((float(doc_count) + 1.0) / float(doc_freq), k_d))
+    return AxiomaticScorerParams(
+        weight=np.float32(boost),
+        cache=np.zeros(256, dtype=np.float32),  # unused by this model
+        idf_d=idf_d,
+        s_d=s_d,
+        boost_d=float(np.float32(boost)),
+        dl_term=dl_term,
+    )
+
+
 SIMILARITIES = {
     "bm25": make_term_scorer,
     "classic": make_classic_scorer,
@@ -429,4 +485,5 @@ SIMILARITIES = {
     "lmjelinekmercer": make_lmjelinekmercer_scorer,
     "boolean": make_boolean_scorer,
     "dfi": make_dfi_scorer,
+    "axiomatic": make_axiomatic_scorer,
 }

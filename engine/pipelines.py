@@ -767,6 +767,26 @@ def dfi_topk(sf_dir: str, query: str = "data join", k: int = 10) -> pa.Table:
     )
 
 
+def axiomatic_topk(sf_dir: str, query: str = "data join", k: int = 10) -> pa.Table:
+    """Top-k under AxiomaticF2EXP (AxiomaticF2EXP.java:61-94, s=0.25
+    k=0.35): per-term (float)((f/((f+s) + (s*dl)/avgdl)) * ((N+1)/df)^k);
+    per-doc double clause sum cast f32. Exact oracle: the chain replays
+    in DuckDB doubles (libm pow matches numpy on this host)."""
+    from .checkpoint import load_merge_manifest
+    from .search import IndexSearcher
+
+    idx = get_index(sf_dir)
+    searcher = IndexSearcher(load_merge_manifest(idx["index_dir"]), similarity="axiomatic")
+    docs, scores = searcher.search(query, k=k)
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(len(docs)), type=pa.int64()),
+            "doc_id": pa.array(docs, type=pa.int64()),
+            "score": pa.array(scores, type=pa.float32()),
+        }
+    )
+
+
 def boolean_sim_topk(sf_dir: str, query: str = "data join merge", k: int = 10) -> pa.Table:
     """Top-k under BooleanSimilarity (BooleanSimilarity.java:47-61):
     each matching clause scores its boost (1f), so a disjunction's score

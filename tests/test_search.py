@@ -1371,3 +1371,47 @@ def test_dfi_similarity(corpus):
     exp = sorted(((np.float32(v), -doc) for doc, v in acc.items()), reverse=True)[:10]
     np.testing.assert_array_equal(sc, np.array([v for v, _ in exp], np.float32))
     np.testing.assert_array_equal(d, np.array([-nd for _, nd in exp], np.int64))
+
+
+def test_axiomatic_similarity(corpus):
+    """AxiomaticF2EXP: scalar op-order goldens (s/k float promotion,
+    boost-after-product order) and end-to-end rank equality."""
+    import math
+
+    from engine.bm25 import make_axiomatic_scorer
+    from engine.smallfloat import LENGTH_TABLE
+
+    sttf, dc = corpus["sum_ttf"], corpus["doc_count"]
+    docs, freqs = corpus["oracle_postings"]["t00005"]
+    params = make_axiomatic_scorer(len(docs), dc, sttf)
+    got = params.score(freqs, corpus["norms"][docs])
+    s_d = float(np.float32(0.25))
+    k_d = float(np.float32(0.35))
+    avgdl = float(sttf) / float(dc)
+    idf = float(np.power((float(dc) + 1.0) / float(len(docs)), k_d))
+    for i in range(min(20, len(docs))):
+        dl = float(LENGTH_TABLE[corpus["norms"][docs][i]])
+        f = float(freqs[i])
+        tfln = f / ((f + s_d) + (s_d * dl) / avgdl)
+        assert got[i] == np.float32((tfln * idf) * 1.0)
+    # boost multiplies AFTER the component product (Axiomatic.java:110)
+    b = make_axiomatic_scorer(len(docs), dc, sttf, boost=np.float32(2.5))
+    f0 = float(freqs[0])
+    dl0 = float(LENGTH_TABLE[corpus["norms"][docs][0]])
+    tfln0 = f0 / ((f0 + s_d) + (s_d * dl0) / avgdl)
+    assert b.score(freqs[:1], corpus["norms"][docs][:1])[0] == np.float32(
+        (tfln0 * idf) * float(np.float32(2.5))
+    )
+    # searcher end-to-end vs brute-force double-sum of f32 clauses
+    s = IndexSearcher(corpus["manifest"], similarity="axiomatic")
+    d, sc = s.search("t00005 t00012", 10)
+    op = corpus["oracle_postings"]
+    acc: dict[int, float] = {}
+    for t in ("t00005", "t00012"):
+        td, tf = op[t]
+        pr = make_axiomatic_scorer(len(td), dc, sttf)
+        for doc, v in zip(td.tolist(), pr.score(tf, corpus["norms"][td]).tolist()):
+            acc[doc] = acc.get(doc, 0.0) + float(np.float32(v))
+    exp = sorted(((np.float32(v), -doc) for doc, v in acc.items()), reverse=True)[:10]
+    np.testing.assert_array_equal(sc, np.array([v for v, _ in exp], np.float32))
+    np.testing.assert_array_equal(d, np.array([-nd for _, nd in exp], np.int64))
