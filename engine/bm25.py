@@ -477,6 +477,59 @@ def make_axiomatic_scorer(
     )
 
 
+@dataclass(frozen=True)
+class IBScorerParams(TermScorerParams):
+    """IBSimilarity (LL distribution, DF lambda, H2 normalization) scorer
+    state: the per-norm-byte H2 factor log2(1 + (c*avgdl)/dl) precomputed
+    in double; lambda is the Java float (df+1)/(N+1) promoted."""
+
+    boost_d: float = 1.0
+    lambda_d: float = 0.5
+    tfn_factor: np.ndarray | None = None  # float64[256]
+
+    def score(self, freqs: np.ndarray, norm_bytes: np.ndarray) -> np.ndarray:
+        """(float) boost * -ln(lambda / (tfn + lambda)) with tfn =
+        freq * log2(1 + (c*avgdl)/docLen) — IBSimilarity.java:99-105,
+        DistributionLL.java:33-35, NormalizationH2.java:58-60, double
+        math single float cast via SimilarityBase.java:227-230."""
+        f = freqs.astype(np.float64)
+        tfn = f * self.tfn_factor[np.asarray(norm_bytes, dtype=np.uint8)]
+        s = self.boost_d * -np.log(self.lambda_d / (tfn + self.lambda_d))
+        return s.astype(np.float32)
+
+
+def make_ib_scorer(
+    doc_freq: int,
+    doc_count: int,
+    sum_total_term_freq: int,
+    boost: np.float32 = np.float32(1.0),
+    ttf: int = 0,
+    c: float = 1.0,
+) -> TermScorerParams:
+    """IBSimilarity(DistributionLL, LambdaDF, NormalizationH2) — the
+    information-based model family's most common configuration.
+    lambda = (float)((docFreq + 1.0) / (numberOfDocuments + 1.0)),
+    nextDown'ed at exactly 1 (LambdaDF.java:32-38); H2 c defaults to 1
+    (NormalizationH2.java:53-55); avgFieldLength = sttf / (double) N."""
+    lam = np.float32((float(doc_freq) + 1.0) / (float(doc_count) + 1.0))
+    if lam == np.float32(1.0):
+        lam = np.nextafter(lam, np.float32(0.0), dtype=np.float32)
+    c_d = float(np.float32(c))
+    avgdl = float(sum_total_term_freq) / float(doc_count)
+    dl = LENGTH_TABLE.astype(np.float64)
+    with np.errstate(divide="ignore"):
+        # byte 0 (zero-length doc) yields +inf — unreachable via postings
+        # (a tokenless doc has no terms), matching the Java division
+        tfn_factor = np.log(1.0 + (c_d * avgdl) / dl) / _LOG_2
+    return IBScorerParams(
+        weight=np.float32(boost),
+        cache=np.zeros(256, dtype=np.float32),  # unused by this model
+        boost_d=float(np.float32(boost)),
+        lambda_d=float(lam),
+        tfn_factor=tfn_factor,
+    )
+
+
 SIMILARITIES = {
     "bm25": make_term_scorer,
     "classic": make_classic_scorer,
@@ -486,4 +539,5 @@ SIMILARITIES = {
     "boolean": make_boolean_scorer,
     "dfi": make_dfi_scorer,
     "axiomatic": make_axiomatic_scorer,
+    "ib": make_ib_scorer,
 }

@@ -1415,3 +1415,40 @@ def test_axiomatic_similarity(corpus):
     exp = sorted(((np.float32(v), -doc) for doc, v in acc.items()), reverse=True)[:10]
     np.testing.assert_array_equal(sc, np.array([v for v, _ in exp], np.float32))
     np.testing.assert_array_equal(d, np.array([-nd for _, nd in exp], np.int64))
+
+
+def test_ib_similarity(corpus):
+    """IBSimilarity(LL, DF, H2): scalar op-order goldens (float lambda
+    promotion, ln/ln(2) tfn factor) and end-to-end rank equality."""
+    import math
+
+    from engine.bm25 import make_ib_scorer
+    from engine.smallfloat import LENGTH_TABLE
+
+    sttf, dc = corpus["sum_ttf"], corpus["doc_count"]
+    docs, freqs = corpus["oracle_postings"]["t00005"]
+    params = make_ib_scorer(len(docs), dc, sttf)
+    got = params.score(freqs, corpus["norms"][docs])
+    lam = float(np.float32((float(len(docs)) + 1.0) / (float(dc) + 1.0)))
+    avgdl = float(sttf) / float(dc)
+    for i in range(min(20, len(docs))):
+        dl = float(LENGTH_TABLE[corpus["norms"][docs][i]])
+        tfn = float(freqs[i]) * (math.log(1.0 + (1.0 * avgdl) / dl) / math.log(2.0))
+        assert got[i] == np.float32(1.0 * -math.log(lam / (tfn + lam)))
+    # lambda == 1 nextDown guard: df == N docs
+    all_df = make_ib_scorer(dc, dc, sttf)
+    v = all_df.score(np.array([1]), np.array([100], np.uint8))
+    assert np.isfinite(v).all() and v[0] >= 0
+    # searcher end-to-end vs brute-force double-sum of f32 clauses
+    s = IndexSearcher(corpus["manifest"], similarity="ib")
+    d, sc = s.search("t00005 t00012", 10)
+    op = corpus["oracle_postings"]
+    acc: dict[int, float] = {}
+    for t in ("t00005", "t00012"):
+        td, tf = op[t]
+        pr = make_ib_scorer(len(td), dc, sttf)
+        for doc, v2 in zip(td.tolist(), pr.score(tf, corpus["norms"][td]).tolist()):
+            acc[doc] = acc.get(doc, 0.0) + float(np.float32(v2))
+    exp = sorted(((np.float32(v2), -doc) for doc, v2 in acc.items()), reverse=True)[:10]
+    np.testing.assert_array_equal(sc, np.array([v2 for v2, _ in exp], np.float32))
+    np.testing.assert_array_equal(d, np.array([-nd for _, nd in exp], np.int64))
