@@ -446,6 +446,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dfi_topk": pipelines.dfi_topk,
         "axiomatic_topk": pipelines.axiomatic_topk,
         "ib_topk": pipelines.ib_topk,
+        "dfr_topk": pipelines.dfr_topk,
         "boolean_sim_topk": pipelines.boolean_sim_topk,
         "covering_query_topk": pipelines.covering_query_topk,
         "elevate_topk": pipelines.elevate_topk,
@@ -2255,6 +2256,68 @@ def oracle_sql() -> dict[str, str]:
                        AS FLOAT) AS score
                 FROM pairs p
                 JOIN nb ON nb.doc_id = p.doc_id, idfs i
+            )
+            SELECT rank, doc_id, score FROM (
+                SELECT CAST(row_number() OVER (
+                           ORDER BY score DESC, doc_id ASC) - 1 AS BIGINT)
+                           AS rank, doc_id, score
+                FROM scored
+            ) WHERE rank < 10
+        """,
+        # DFR I(F)L2: A = ln(1 + (N+1)/(F+0.5))/ln(2) with F = ttf;
+        # tfn = f * (ln(1 + avgdl/dl)/ln(2)); clause =
+        # (float)(1.0 * ((A * 1.0) * (1 - 1/(1+tfn)))); f64 sum cast f32
+        "dfr_topk": f"""
+            WITH lt(b, lo) AS (VALUES {lt_values}),
+            stats AS (
+                SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents)
+                           AS n_docs,
+                       (SELECT CAST(sum(len({_TOK})) AS BIGINT)
+                        FROM documents) AS sttf
+            ),
+            tok AS (SELECT doc_id, unnest({_TOK}) AS t FROM documents),
+            tta AS (SELECT count(*) AS v FROM tok WHERE t = 'data'),
+            ttb AS (SELECT count(*) AS v FROM tok WHERE t = 'join'),
+            tfa AS (SELECT doc_id, count(*) AS freq FROM tok
+                    WHERE t = 'data' GROUP BY doc_id),
+            tfb AS (SELECT doc_id, count(*) AS freq FROM tok
+                    WHERE t = 'join' GROUP BY doc_id),
+            nb AS (
+                SELECT doc_id,
+                       (SELECT max(lo) FROM lt WHERE lo <= n) AS dl
+                FROM (SELECT doc_id, len({_TOK}) AS n FROM documents)
+            ),
+            cs AS (
+                SELECT (ln(1.0 + CAST(st.n_docs + 1 AS DOUBLE)
+                               / (CAST(tta.v AS DOUBLE) + 0.5)) / ln(2.0))
+                           * 1.0 AS aa,
+                       (ln(1.0 + CAST(st.n_docs + 1 AS DOUBLE)
+                               / (CAST(ttb.v AS DOUBLE) + 0.5)) / ln(2.0))
+                           * 1.0 AS ab,
+                       CAST(st.sttf AS DOUBLE) / st.n_docs AS avgdl
+                FROM tta, ttb, stats st
+            ),
+            scored AS (
+                SELECT p.doc_id,
+                       CAST(
+                         coalesce(CAST(CAST(
+                             1.0 * (c.aa * (1.0 - 1.0
+                                 / (1.0 + CAST(p.fa AS DOUBLE)
+                                    * (ln(1.0 + (1.0 * c.avgdl) / nb.dl)
+                                       / ln(2.0)))))
+                             AS FLOAT) AS DOUBLE), 0.0)
+                       + coalesce(CAST(CAST(
+                             1.0 * (c.ab * (1.0 - 1.0
+                                 / (1.0 + CAST(p.fb AS DOUBLE)
+                                    * (ln(1.0 + (1.0 * c.avgdl) / nb.dl)
+                                       / ln(2.0)))))
+                             AS FLOAT) AS DOUBLE), 0.0)
+                       AS FLOAT) AS score
+                FROM (SELECT coalesce(tfa.doc_id, tfb.doc_id) AS doc_id,
+                             tfa.freq AS fa, tfb.freq AS fb
+                      FROM tfa FULL OUTER JOIN tfb
+                        ON tfa.doc_id = tfb.doc_id) p
+                JOIN nb ON nb.doc_id = p.doc_id, cs c
             )
             SELECT rank, doc_id, score FROM (
                 SELECT CAST(row_number() OVER (

@@ -530,6 +530,56 @@ def make_ib_scorer(
     )
 
 
+@dataclass(frozen=True)
+class DFRScorerParams(TermScorerParams):
+    """DFRSimilarity(BasicModelIF, AfterEffectL, NormalizationH2) scorer
+    state: A = log2(1 + (N+1)/(F+0.5)) scalar, per-norm-byte H2 factor."""
+
+    boost_d: float = 1.0
+    a_d: float = 1.0
+    tfn_factor: np.ndarray | None = None  # float64[256]
+
+    def score(self, freqs: np.ndarray, norm_bytes: np.ndarray) -> np.ndarray:
+        """(float) boost * ((A * 1.0) * (1 - 1/(1 + tfn))) with tfn =
+        freq * log2(1 + (c*avgdl)/docLen) — DFRSimilarity.java:110-114,
+        BasicModelIF.java:34-45 (the monotone A*(1+tfn)-A rewrite),
+        AfterEffectL.java:32-34 (aeTimes1pTfn = 1), double math single
+        float cast via SimilarityBase.java:227-230."""
+        f = freqs.astype(np.float64)
+        tfn = f * self.tfn_factor[np.asarray(norm_bytes, dtype=np.uint8)]
+        s = self.boost_d * (self.a_d * (1.0 - 1.0 / (1.0 + tfn)))
+        return s.astype(np.float32)
+
+
+def make_dfr_scorer(
+    doc_freq: int,
+    doc_count: int,
+    sum_total_term_freq: int,
+    boost: np.float32 = np.float32(1.0),
+    ttf: int = 0,
+    c: float = 1.0,
+) -> TermScorerParams:
+    """DFRSimilarity with the I(F)L2 configuration (divergence from
+    randomness, BasicModelIF + AfterEffectL + NormalizationH2 c=1):
+    A = log2(1 + (N + 1) / (F + 0.5)) with N = numberOfDocuments and
+    F = totalTermFreq (longs promoted against the 0.5 double); the
+    after-effect folds to 1.0 so score = boost * (A * (1 - 1/(1+tfn)))."""
+    c_d = float(np.float32(c))
+    avgdl = float(sum_total_term_freq) / float(doc_count)
+    a_d = math.log(1.0 + float(doc_count + 1) / (float(ttf) + 0.5)) / _LOG_2
+    dl = LENGTH_TABLE.astype(np.float64)
+    with np.errstate(divide="ignore"):
+        # byte 0 (zero-length doc) is unreachable via postings
+        tfn_factor = np.log(1.0 + (c_d * avgdl) / dl) / _LOG_2
+    return DFRScorerParams(
+        weight=np.float32(boost),
+        cache=np.zeros(256, dtype=np.float32),  # unused by this model
+        boost_d=float(np.float32(boost)),
+        a_d=a_d * 1.0,  # A * aeTimes1pTfn (AfterEffectL = 1.0)
+        tfn_factor=tfn_factor,
+    )
+
+
 SIMILARITIES = {
     "bm25": make_term_scorer,
     "classic": make_classic_scorer,
@@ -540,4 +590,5 @@ SIMILARITIES = {
     "dfi": make_dfi_scorer,
     "axiomatic": make_axiomatic_scorer,
     "ib": make_ib_scorer,
+    "dfr": make_dfr_scorer,
 }

@@ -807,6 +807,26 @@ def ib_topk(sf_dir: str, query: str = "data join", k: int = 10) -> pa.Table:
     )
 
 
+def dfr_topk(sf_dir: str, query: str = "data join", k: int = 10) -> pa.Table:
+    """Top-k under DFRSimilarity I(F)L2 (BasicModelIF + AfterEffectL +
+    NormalizationH2 c=1): per-term (float)(A * (1 - 1/(1+tfn))) with
+    A = log2(1 + (N+1)/(F+0.5)); per-doc double clause sum cast f32.
+    Exact oracle: libm ln and the ln/ln(2) divisions replay in DuckDB."""
+    from .checkpoint import load_merge_manifest
+    from .search import IndexSearcher
+
+    idx = get_index(sf_dir)
+    searcher = IndexSearcher(load_merge_manifest(idx["index_dir"]), similarity="dfr")
+    docs, scores = searcher.search(query, k=k)
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(len(docs)), type=pa.int64()),
+            "doc_id": pa.array(docs, type=pa.int64()),
+            "score": pa.array(scores, type=pa.float32()),
+        }
+    )
+
+
 def boolean_sim_topk(sf_dir: str, query: str = "data join merge", k: int = 10) -> pa.Table:
     """Top-k under BooleanSimilarity (BooleanSimilarity.java:47-61):
     each matching clause scores its boost (1f), so a disjunction's score

@@ -1452,3 +1452,41 @@ def test_ib_similarity(corpus):
     exp = sorted(((np.float32(v2), -doc) for doc, v2 in acc.items()), reverse=True)[:10]
     np.testing.assert_array_equal(sc, np.array([v2 for v2, _ in exp], np.float32))
     np.testing.assert_array_equal(d, np.array([-nd for _, nd in exp], np.int64))
+
+
+def test_dfr_similarity(corpus):
+    """DFR I(F)L2: scalar op-order goldens (A scalar, the monotone
+    rewrite's 1 - 1/(1+tfn) shape) and end-to-end rank equality."""
+    import math
+
+    from engine.bm25 import make_dfr_scorer
+    from engine.smallfloat import LENGTH_TABLE
+
+    sttf, dc = corpus["sum_ttf"], corpus["doc_count"]
+    docs, freqs = corpus["oracle_postings"]["t00005"]
+    ttf = int(freqs.sum())
+    params = make_dfr_scorer(len(docs), dc, sttf, ttf=ttf)
+    got = params.score(freqs, corpus["norms"][docs])
+    avgdl = float(sttf) / float(dc)
+    A = math.log(1.0 + float(dc + 1) / (float(ttf) + 0.5)) / math.log(2.0)
+    for i in range(min(20, len(docs))):
+        dl = float(LENGTH_TABLE[corpus["norms"][docs][i]])
+        tfn = float(freqs[i]) * (math.log(1.0 + (1.0 * avgdl) / dl) / math.log(2.0))
+        assert got[i] == np.float32(1.0 * ((A * 1.0) * (1.0 - 1.0 / (1.0 + tfn))))
+    # score is monotone non-decreasing in freq at fixed norm
+    nrm = np.full(4, corpus["norms"][docs][0], np.uint8)
+    mono = params.score(np.array([1, 2, 5, 50]), nrm)
+    assert (np.diff(mono) >= 0).all()
+    # searcher end-to-end vs brute-force double-sum of f32 clauses
+    s = IndexSearcher(corpus["manifest"], similarity="dfr")
+    d, sc = s.search("t00005 t00012", 10)
+    op = corpus["oracle_postings"]
+    acc: dict[int, float] = {}
+    for t in ("t00005", "t00012"):
+        td, tf = op[t]
+        pr = make_dfr_scorer(len(td), dc, sttf, ttf=int(tf.sum()))
+        for doc, v in zip(td.tolist(), pr.score(tf, corpus["norms"][td]).tolist()):
+            acc[doc] = acc.get(doc, 0.0) + float(np.float32(v))
+    exp = sorted(((np.float32(v), -doc) for doc, v in acc.items()), reverse=True)[:10]
+    np.testing.assert_array_equal(sc, np.array([v for v, _ in exp], np.float32))
+    np.testing.assert_array_equal(d, np.array([-nd for _, nd in exp], np.int64))
