@@ -447,6 +447,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "axiomatic_topk": pipelines.axiomatic_topk,
         "ib_topk": pipelines.ib_topk,
         "dfr_topk": pipelines.dfr_topk,
+        "multi_sim_topk": pipelines.multi_sim_topk,
+        "perfield_sim_topk": pipelines.perfield_sim_topk,
         "boolean_sim_topk": pipelines.boolean_sim_topk,
         "covering_query_topk": pipelines.covering_query_topk,
         "elevate_topk": pipelines.elevate_topk,
@@ -2066,6 +2068,147 @@ def oracle_sql() -> dict[str, str]:
         """,
         # LMJelinekMercerSimilarity (lambda=0.1): per-term
         # (float)(ln(1 + (((1-l)_f32)*f/dl) / (l*p))); f64 sum cast f32
+        # MultiSimilarity(bm25, classic) on one term: clause = float-sum
+        # (0.0f + bm25_f32) + classic_f32 in sub order; classic chain =
+        # f32(idf^2) * f32(sqrt(f32 freq)) * f32(1/f32(sqrt(f32 dl)))
+        "multi_sim_topk": f"""
+            WITH lt(b, lo) AS (VALUES {lt_values}),
+            stats AS (
+                SELECT (SELECT count(*) FROM documents) AS n_docs,
+                       (SELECT CAST(sum(len({_TOK})) AS BIGINT)
+                        FROM documents) AS sttf
+            ),
+            tf AS (
+                SELECT doc_id, count(*) AS freq FROM (
+                    SELECT doc_id, unnest({_TOK}) AS t FROM documents
+                ) WHERE t = 'data' GROUP BY doc_id
+            ),
+            nb AS (
+                SELECT doc_id, (SELECT max(b) FROM lt WHERE lo <= n) AS b
+                FROM (SELECT doc_id, len({_TOK}) AS n FROM documents)
+            ),
+            c AS (
+                SELECT {_bm25_w("(SELECT count(*) FROM tf)")} AS w,
+                       {_f32op(
+                           _f32("ln((stats.n_docs + 1.0) / ((SELECT count(*) FROM tf) + 1.0)) + 1.0"),
+                           "*",
+                           _f32("ln((stats.n_docs + 1.0) / ((SELECT count(*) FROM tf) + 1.0)) + 1.0"),
+                       )} AS wc,
+                       CAST(sttf / CAST(n_docs AS DOUBLE) AS FLOAT) AS avgdl
+                FROM stats
+            ),
+            cache AS (
+                SELECT lt.b, {_bm25_cache_expr} AS inv,
+                       {_f32op("CAST(1.0 AS FLOAT)", "/",
+                               _f32("sqrt(" + _f32("lt.lo") + ")"))} AS invc
+                FROM lt, c
+            ),
+            scored AS (
+                SELECT tf.doc_id,
+                       {_f32op(
+                           _bm25_score("c.w", "tf.freq", "k.inv"),
+                           "+",
+                           _f32op(
+                               _f32op("c.wc", "*", _f32("sqrt(" + _f32("tf.freq") + ")")),
+                               "*",
+                               "k.invc",
+                           ),
+                       )} AS score
+                FROM tf
+                JOIN nb ON nb.doc_id = tf.doc_id
+                JOIN cache k ON k.b = nb.b, c
+            )
+            SELECT rank, doc_id, score FROM (
+                SELECT CAST(row_number() OVER (
+                           ORDER BY score DESC, doc_id ASC) - 1 AS BIGINT)
+                           AS rank, doc_id, score
+                FROM scored
+            ) WHERE rank < 10
+        """,
+        # PerFieldSimilarityWrapper: title:doc scores Classic with the
+        # TITLE field's stats (titles are 'doc {{id}} rep 0', freq 1,
+        # dl 4), body 'data' scores BM25; doc = f64 clause sum cast f32
+        "perfield_sim_topk": f"""
+            WITH lt(b, lo) AS (VALUES {lt_values}),
+            stats AS (
+                SELECT (SELECT count(*) FROM documents) AS n_docs,
+                       (SELECT CAST(sum(len({_TOK})) AS BIGINT)
+                        FROM documents) AS sttf
+            ),
+            tstats AS (
+                SELECT (SELECT count(*) FROM documents) AS n_docs,
+                       (SELECT CAST(sum(len({title_tok})) AS BIGINT)
+                        FROM documents) AS sttf
+            ),
+            tf AS (
+                SELECT doc_id, count(*) AS freq FROM (
+                    SELECT doc_id, unnest({_TOK}) AS t FROM documents
+                ) WHERE t = 'data' GROUP BY doc_id
+            ),
+            ttf AS (
+                SELECT doc_id, count(*) AS freq FROM (
+                    SELECT doc_id, unnest({title_tok}) AS t FROM documents
+                ) WHERE t = 'doc' GROUP BY doc_id
+            ),
+            nb AS (
+                SELECT doc_id, (SELECT max(b) FROM lt WHERE lo <= n) AS b
+                FROM (SELECT doc_id, len({_TOK}) AS n FROM documents)
+            ),
+            tnb AS (
+                SELECT doc_id, (SELECT max(b) FROM lt WHERE lo <= n) AS b
+                FROM (SELECT doc_id, len({title_tok}) AS n FROM documents)
+            ),
+            c AS (
+                SELECT {_bm25_w("(SELECT count(*) FROM tf)")} AS w,
+                       CAST(sttf / CAST(n_docs AS DOUBLE) AS FLOAT) AS avgdl
+                FROM stats
+            ),
+            tc AS (
+                SELECT {_f32op(
+                           _f32("ln((tstats.n_docs + 1.0) / ((SELECT count(*) FROM ttf) + 1.0)) + 1.0"),
+                           "*",
+                           _f32("ln((tstats.n_docs + 1.0) / ((SELECT count(*) FROM ttf) + 1.0)) + 1.0"),
+                       )} AS wc
+                FROM tstats
+            ),
+            cache AS (SELECT lt.b, {_bm25_cache_expr} AS inv FROM lt, c),
+            tcache AS (
+                SELECT lt.b, {_f32op("CAST(1.0 AS FLOAT)", "/",
+                                     _f32("sqrt(" + _f32("lt.lo") + ")"))}
+                           AS invc
+                FROM lt
+            ),
+            title_s AS (
+                SELECT t.doc_id,
+                       {_f32op(
+                           _f32op("tc.wc", "*", _f32("sqrt(" + _f32("t.freq") + ")")),
+                           "*",
+                           "k.invc",
+                       )} AS s
+                FROM ttf t JOIN tnb ON tnb.doc_id = t.doc_id
+                JOIN tcache k ON k.b = tnb.b, tc
+            ),
+            body_s AS (
+                SELECT tf.doc_id,
+                       {_bm25_score("c.w", "tf.freq", "k.inv")} AS s
+                FROM tf JOIN nb ON nb.doc_id = tf.doc_id
+                JOIN cache k ON k.b = nb.b, c
+            ),
+            scored AS (
+                SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+                       CAST(coalesce(CAST(a.s AS DOUBLE), 0.0)
+                            + coalesce(CAST(b.s AS DOUBLE), 0.0)
+                            AS FLOAT) AS score
+                FROM title_s a FULL OUTER JOIN body_s b
+                  ON a.doc_id = b.doc_id
+            )
+            SELECT rank, doc_id, score FROM (
+                SELECT CAST(row_number() OVER (
+                           ORDER BY score DESC, doc_id ASC) - 1 AS BIGINT)
+                           AS rank, doc_id, score
+                FROM scored
+            ) WHERE rank < 10
+        """,
         "lmjelinek_topk": f"""
             WITH lt(b, lo) AS (VALUES {lt_values}),
             stats AS (

@@ -580,6 +580,44 @@ def make_dfr_scorer(
     )
 
 
+@dataclass(frozen=True)
+class MultiScorerParams(TermScorerParams):
+    """MultiSimilarity scorer state: the sub-scorers' params in order."""
+
+    subs: tuple = ()
+
+    def score(self, freqs: np.ndarray, norm_bytes: np.ndarray) -> np.ndarray:
+        """float sum += sub.score(freq, norm) in sub order — FLOAT
+        accumulation per MultiSimilarity.java:66-72 (MultiSimScorer)."""
+        acc = np.zeros(len(freqs), dtype=np.float32)
+        for sub in self.subs:
+            acc = np.add(acc, sub.score(freqs, norm_bytes), dtype=np.float32)
+        return acc
+
+
+def make_multi_scorer(
+    doc_freq: int,
+    doc_count: int,
+    sum_total_term_freq: int,
+    boost: np.float32 = np.float32(1.0),
+    ttf: int = 0,
+    subs: tuple = ("bm25", "classic"),
+) -> TermScorerParams:
+    """MultiSimilarity (search/similarities/MultiSimilarity.java:44-72):
+    each sub-similarity builds its own scorer with the same boost and
+    stats (:52-54); a hit's score is the FLOAT-accumulated sum of the
+    sub-scores in construction order."""
+    built = tuple(
+        SIMILARITIES[name](doc_freq, doc_count, sum_total_term_freq, boost=boost, ttf=ttf)
+        for name in subs
+    )
+    return MultiScorerParams(
+        weight=np.float32(boost),
+        cache=np.zeros(256, dtype=np.float32),  # unused by this model
+        subs=built,
+    )
+
+
 SIMILARITIES = {
     "bm25": make_term_scorer,
     "classic": make_classic_scorer,
@@ -591,4 +629,5 @@ SIMILARITIES = {
     "axiomatic": make_axiomatic_scorer,
     "ib": make_ib_scorer,
     "dfr": make_dfr_scorer,
+    "multi": make_multi_scorer,
 }

@@ -827,6 +827,51 @@ def dfr_topk(sf_dir: str, query: str = "data join", k: int = 10) -> pa.Table:
     )
 
 
+def multi_sim_topk(sf_dir: str, term: str = "data", k: int = 10) -> pa.Table:
+    """Top-k under MultiSimilarity(bm25, classic)
+    (MultiSimilarity.java:44-72): a hit's score is the FLOAT-accumulated
+    sum of the sub-similarity scores in construction order. Exact oracle:
+    both sub-chains replay f32-op-exact in SQL and the float adds replay
+    as CAST(double-add AS FLOAT)."""
+    from .checkpoint import load_merge_manifest
+    from .search import IndexSearcher
+
+    idx = get_index(sf_dir)
+    searcher = IndexSearcher(load_merge_manifest(idx["index_dir"]), similarity="multi")
+    docs, scores = searcher.search(term, k=k)
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(len(docs)), type=pa.int64()),
+            "doc_id": pa.array(docs, type=pa.int64()),
+            "score": pa.array(scores, type=pa.float32()),
+        }
+    )
+
+
+def perfield_sim_topk(sf_dir: str, query: str = "title:doc data", k: int = 10) -> pa.Table:
+    """Top-k with a per-field Similarity map (PerFieldSimilarityWrapper
+    .java:46-48): title clauses score under ClassicSimilarity, body
+    clauses under BM25 — one query mixing both fields. Exact oracle:
+    each field's clause chain replays with that field's collection
+    stats; the doc score is the f64 clause sum cast f32."""
+    from .checkpoint import load_merge_manifest
+    from .search import IndexSearcher
+
+    idx = get_index(sf_dir)
+    searcher = IndexSearcher(
+        load_merge_manifest(idx["index_dir"]),
+        similarity={"title": "classic", "": "bm25"},
+    )
+    docs, scores = searcher.search(query, k=k)
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(len(docs)), type=pa.int64()),
+            "doc_id": pa.array(docs, type=pa.int64()),
+            "score": pa.array(scores, type=pa.float32()),
+        }
+    )
+
+
 def boolean_sim_topk(sf_dir: str, query: str = "data join merge", k: int = 10) -> pa.Table:
     """Top-k under BooleanSimilarity (BooleanSimilarity.java:47-61):
     each matching clause scores its boost (1f), so a disjunction's score

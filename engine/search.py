@@ -203,7 +203,17 @@ class IndexSearcher:
         self.stats_override: dict | None = None
         from .bm25 import SIMILARITIES
 
-        self.make_scorer = SIMILARITIES[similarity]  # Similarity plug point
+        # Similarity plug point; a dict maps field -> similarity name
+        # (PerFieldSimilarityWrapper.java:46-48 get(field) dispatch,
+        # "" = the wrapper's default for unlisted fields)
+        if isinstance(similarity, dict):
+            self._sim_map: dict | None = {
+                f: SIMILARITIES[n] for f, n in similarity.items() if f
+            }
+            self.make_scorer = SIMILARITIES[similarity.get("", "bm25")]
+        else:
+            self._sim_map = None
+            self.make_scorer = SIMILARITIES[similarity]
         # liveDocs (IndexWriter.deleteDocuments + LeafReader.getLiveDocs):
         # a sorted global doc_id array of deletions, masked out of every
         # hit stream BEFORE top-k selection. Stats (df/ttf/norms) keep
@@ -303,6 +313,7 @@ class IndexSearcher:
         from .bm25 import SIMILARITIES
 
         obj.make_scorer = SIMILARITIES["bm25"]
+        obj._sim_map = None
         obj._deleted = None  # shard-subset searchers carry no liveDocs
         from collections import OrderedDict as _FOD
 
@@ -371,11 +382,12 @@ class IndexSearcher:
             # per-field collection stats: avgdl comes from THIS field's
             # sumTotalTermFreq (BM25Similarity.java:80-82 per-field);
             # ttf feeds LM-family collection probabilities (LMSimilarity)
-            out[t] = (
-                self.make_scorer(df, f_doc_count, f_sum_ttf, ttf=ttf)
-                if df > 0
-                else None
+            mk = (
+                self._sim_map.get(fld, self.make_scorer)
+                if self._sim_map is not None
+                else self.make_scorer
             )
+            out[t] = mk(df, f_doc_count, f_sum_ttf, ttf=ttf) if df > 0 else None
         return out
 
     # -- query entry -------------------------------------------------------

@@ -1490,3 +1490,30 @@ def test_dfr_similarity(corpus):
     exp = sorted(((np.float32(v), -doc) for doc, v in acc.items()), reverse=True)[:10]
     np.testing.assert_array_equal(sc, np.array([v for v, _ in exp], np.float32))
     np.testing.assert_array_equal(d, np.array([-nd for _, nd in exp], np.int64))
+
+
+def test_multi_and_perfield_similarity(corpus):
+    """MultiSimilarity float-accumulated sub-scores; per-field similarity
+    map routes title clauses to a different scorer than body clauses."""
+    from engine.bm25 import make_classic_scorer, make_multi_scorer, make_term_scorer
+
+    sttf, dc = corpus["sum_ttf"], corpus["doc_count"]
+    docs, freqs = corpus["oracle_postings"]["t00005"]
+    multi = make_multi_scorer(len(docs), dc, sttf, ttf=int(freqs.sum()))
+    b = make_term_scorer(len(docs), dc, sttf)
+    c = make_classic_scorer(len(docs), dc, sttf)
+    nb = corpus["norms"][docs]
+    got = multi.score(freqs, nb)
+    exp = np.add(
+        np.add(np.zeros(len(docs), np.float32), b.score(freqs, nb), dtype=np.float32),
+        c.score(freqs, nb),
+        dtype=np.float32,
+    )
+    np.testing.assert_array_equal(got, exp)
+    # per-field map: body under bm25 == plain bm25 searcher
+    s_map = IndexSearcher(corpus["manifest"], similarity={"": "bm25", "title": "classic"})
+    s_b = IndexSearcher(corpus["manifest"])
+    d1, sc1 = s_map.search("t00005 t00012", 10)
+    d2, sc2 = s_b.search("t00005 t00012", 10)
+    np.testing.assert_array_equal(d1, d2)
+    np.testing.assert_array_equal(sc1, sc2)
