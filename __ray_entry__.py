@@ -84,6 +84,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_chunk_sliding(sf_dir):
         return textops.chunk_sliding(_docs(sf_dir), window=64, stride=32)
 
+    def q_dup_span(sf_dir):
+        from engine import dedup
+
+        return dedup.dup_span_stats(_docs(sf_dir), window=16)
+
     def q_shingle_top50(sf_dir):
         return textops.shingle_top_counts(_docs(sf_dir), size=2, k=50)
 
@@ -523,6 +528,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts_bpe": q_token_count_bpe,
         "token_pack_sequences": q_token_pack,
         "chunk_sliding": q_chunk_sliding,
+        "dup_span_stats": q_dup_span,
         "word_delimiter_terms": pipelines.word_delimiter_terms,
         "shingle_top50": q_shingle_top50,
         "stemmed_top_terms": q_stemmed_top_terms,
@@ -3655,6 +3661,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT unnest(dids) AS doc_id, unnest(ns) AS n_tokens,
                    chunk_id, unnest(st[3:]) AS seq_id
             FROM folded
+        """,
+        # ExactSubstr dup spans (Lee et al. 2021 role): a 16-token window
+        # is duplicated iff its exact content occurs 2+ times corpus-wide
+        # (the engine groups by the 64-bit polynomial window hash — the
+        # oracle groups by content, identical barring ~2^-64 collisions);
+        # coverage = union of [pos, pos+16) via the lead() gap fold
+        "dup_span_stats": f"""
+            WITH tok AS (SELECT doc_id, {_TOK} AS ts FROM documents),
+            win AS (
+                SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                       array_to_string(
+                           ts[CAST(i + 1 AS INT) : CAST(i + 16 AS INT)],
+                           ' ') AS w
+                FROM tok, range(0, 8192) r(i)
+                WHERE len(ts) >= 16 AND i <= len(ts) - 16
+            ),
+            dup AS (
+                SELECT doc_id, pos FROM (
+                    SELECT doc_id, pos,
+                           count(*) OVER (PARTITION BY w) AS c
+                    FROM win
+                ) WHERE c >= 2
+            ),
+            cov AS (
+                SELECT doc_id,
+                       coalesce(least(16, lead(pos) OVER (
+                           PARTITION BY doc_id ORDER BY pos) - pos), 16)
+                           AS c
+                FROM dup
+            )
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_windows,
+                   CAST(sum(c) AS BIGINT) AS n_dup_tokens
+            FROM cov GROUP BY doc_id
         """,
         # sliding-window LM chunking replayed exactly: analyzer tokens
         # via regexp_extract_all, chunk i starts at i*32, emitted iff it

@@ -1039,3 +1039,109 @@ def decontaminate_ngrams(
         concurrency=(1, 8),
         **_rargs(),
     )
+
+
+def dup_span_stats(ds, window: int = 16):
+    """ExactSubstr duplicate-span accounting (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better" §4.1 —
+    the suffix-array exact-substring pass, realized at scale as
+    fixed-``window``-token rolling-hash matching, the Dolma/RedPajama
+    practice): a window is DUPLICATED iff its exact token content occurs
+    at 2+ positions corpus-wide (any doc, including within-doc repeats).
+    Per doc with at least one duplicated window:
+    (doc_id, n_dup_windows, n_dup_tokens) where n_dup_tokens is the size
+    of the union of the covered [p, p+window) spans — the token mass an
+    ExactSubstr pass would cut.
+
+    Shape: explode window hashes (map_batches, the same B^i polynomial
+    over fnv1a token hashes as rolling_fingerprint_batch, uint64
+    wraparound), route by wh-hash BUCKET (not per-hash groups — a
+    per-group map_groups over millions of single-occurrence hashes is
+    the ~90us/group shape the perf lore kills; ``buckets`` coarse groups
+    each process vectorized), then a doc-bucket groupby folds coverage
+    for many docs per group in one numpy pass. No joins, no driver
+    state; the window hash is content-equivalent at 64 bits (collision
+    odds negligible; the oracle groups by content)."""
+    import pandas as pd
+
+    from .textops import fnv1a
+
+    B = np.uint64(1099511628211)
+    pw = np.array([B ** np.uint64(i) for i in range(window)], dtype=np.uint64)
+    buckets = 64
+
+    def _windows(batch: pa.Table) -> pa.Table:
+        docs = batch.column("doc_id").to_numpy()
+        texts = batch.column("text").to_pylist()
+        d_out: list[np.ndarray] = []
+        p_out: list[np.ndarray] = []
+        h_out: list[np.ndarray] = []
+        for d, t in zip(docs.tolist(), texts):
+            toks = TOKEN_RE.findall((t or "").lower())
+            if len(toks) < window:
+                continue
+            h = np.fromiter((fnv1a(w) for w in toks), dtype=np.uint64, count=len(toks))
+            sw = np.lib.stride_tricks.sliding_window_view(h, window)
+            wh = (sw * pw[None, :]).sum(axis=1, dtype=np.uint64)
+            d_out.append(np.full(len(wh), d, dtype=np.int64))
+            p_out.append(np.arange(len(wh), dtype=np.int64))
+            h_out.append(wh.astype(np.int64))  # two's-complement view
+        if not d_out:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "pos": pa.array([], type=pa.int64()),
+                    "wh": pa.array([], type=pa.int64()),
+                    "bucket": pa.array([], type=pa.int64()),
+                }
+            )
+        whs = np.concatenate(h_out)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate(d_out)),
+                "pos": pa.array(np.concatenate(p_out)),
+                "wh": pa.array(whs),
+                "bucket": pa.array(
+                    (whs.view(np.uint64) % np.uint64(buckets)).astype(np.int64)
+                ),
+            }
+        )
+
+    def _dups(g: pd.DataFrame) -> pd.DataFrame:
+        # one vectorized pass over a whole hash bucket: keep occurrences
+        # whose wh occurs 2+ times (transform is C-level per bucket)
+        counts = g.groupby("wh")["doc_id"].transform("size")
+        out = g.loc[counts >= 2, ["doc_id", "pos"]].copy()
+        out["doc_bucket"] = out["doc_id"] % buckets
+        return out
+
+    def _coverage(g: pd.DataFrame) -> pd.DataFrame:
+        # vectorized across ALL docs in the doc-bucket: sorted (doc, pos)
+        # rows; a row's covered width is min(window, next_pos - pos)
+        # within the same doc, window for each doc's last row
+        g = g.sort_values(["doc_id", "pos"])
+        d = g["doc_id"].to_numpy()
+        p = g["pos"].to_numpy()
+        same = np.empty(len(d), dtype=bool)
+        same[:-1] = d[1:] == d[:-1]
+        same[-1] = False
+        contr = np.where(
+            same,
+            np.minimum(window, np.concatenate([np.diff(p), [window]])),
+            window,
+        ).astype(np.int64)
+        agg = (
+            pd.DataFrame({"doc_id": d, "c": contr})
+            .groupby("doc_id", sort=True)
+            .agg(n_dup_windows=("c", "size"), n_dup_tokens=("c", "sum"))
+            .reset_index()
+        )
+        return agg
+
+    return (
+        ds.map_batches(_windows, batch_format="pyarrow", **_rargs())
+        .groupby("bucket")
+        .map_groups(_dups, batch_format="pandas", **_rargs())
+        .groupby("doc_bucket")
+        .map_groups(_coverage, batch_format="pandas", **_rargs())
+    )

@@ -1194,3 +1194,47 @@ def test_chunk_sliding_semantics():
     for _, r in out[out.doc_id == 3].iterrows():
         covered.update(range(r.start_tok, r.start_tok + r.n_chunk_tokens))
     assert covered == set(range(13))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dup_span_stats_semantics():
+    """ExactSubstr dup spans: cross-doc and within-doc window duplicates,
+    interval-union coverage of overlapping windows, unique docs absent."""
+    import ray.data
+
+    from engine.dedup import dup_span_stats
+
+    W = 4
+    shared = "alpha beta gamma delta"                      # one 4-window
+    # doc 0 and 1 share a 5-token run -> two overlapping dup windows each
+    run = "alpha beta gamma delta epsilon"
+    uniq0 = " ".join(f"u{i}" for i in range(6))
+    uniq1 = " ".join(f"v{i}" for i in range(6))
+    # doc 2 repeats its own 4-token phrase twice (within-doc dup)
+    doc2 = shared + " zz yy xx ww " + shared
+    # doc 3 is all-unique
+    doc3 = " ".join(f"w{i}" for i in range(12))
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+                "text": pa.array(
+                    [uniq0 + " " + run, run + " " + uniq1, doc2, doc3],
+                    type=pa.string(),
+                ),
+            }
+        )
+    )
+    out = (
+        dup_span_stats(ds, window=W)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["doc_id"].tolist() == [0, 1, 2]
+    # docs 0/1: the 5-token shared run = 2 overlapping windows, union = 5
+    assert out.loc[0, "n_dup_windows"] == 2 and out.loc[0, "n_dup_tokens"] == 5
+    assert out.loc[1, "n_dup_windows"] == 2 and out.loc[1, "n_dup_tokens"] == 5
+    # doc 2: 'alpha beta gamma delta' twice -> windows at pos 0 and 8,
+    # non-overlapping, 4 tokens each (plus they also match docs 0/1)
+    assert out.loc[2, "n_dup_windows"] == 2 and out.loc[2, "n_dup_tokens"] == 8
