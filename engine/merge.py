@@ -869,6 +869,50 @@ def _merge_sorted_batch(
         )
 
 
+def _fmix64(h):
+    """MurmurHash3 fmix64 finalizer (scalar int or uint64 ndarray) —
+    restores avalanche that raw FNV-1a lacks in its low bits: strings
+    differing only in a trailing digit hash to an arithmetic progression
+    (delta * prime), which makes a pow2-masked single-hash Bloom cluster
+    its false positives; the FuzzySet reference avoids this by using
+    MurmurHash2 (codecs/bloom/FuzzySet.java hashFunction)."""
+    if isinstance(h, np.ndarray):
+        h = h.copy()
+        h ^= h >> np.uint64(33)
+        h *= np.uint64(0xFF51AFD7ED558CCD)
+        h ^= h >> np.uint64(33)
+        h *= np.uint64(0xC4CEB9FE1A85EC53)
+        h ^= h >> np.uint64(33)
+        return h
+    M = 0xFFFFFFFFFFFFFFFF
+    h = (h ^ (h >> 33)) & M
+    h = (h * 0xFF51AFD7ED558CCD) & M
+    h = (h ^ (h >> 33)) & M
+    h = (h * 0xC4CEB9FE1A85EC53) & M
+    return (h ^ (h >> 33)) & M
+
+
+def _bloom_partial(paths: list[str], m_bits: int) -> np.ndarray:
+    """Partial Bloom bitset (packed uint64, little-bit-endian within each
+    word) over the term columns of the given shard files — the map side
+    of the FuzzySet build (codecs/bloom/FuzzySet.java:46-60 single-hash
+    pow2-mask design; fnv1a + fmix64 finalizer standing in for
+    MurmurHash2)."""
+    from .textops import fnv1a_vec
+
+    bits = np.zeros(m_bits // 64, dtype=np.uint64)
+    mask = np.uint64(m_bits - 1)
+    for p in paths:
+        col = pq.read_table(p, columns=["term"]).column("term")
+        h = _fmix64(fnv1a_vec(col)) & mask
+        np.bitwise_or.at(
+            bits,
+            (h >> np.uint64(6)).astype(np.int64),
+            np.uint64(1) << (h & np.uint64(63)),
+        )
+    return bits
+
+
 def merge_by_term(
     manifest: dict,
     index_dir: str,
@@ -1213,6 +1257,37 @@ def merge_by_term(
             for r in heavy_shards
         )
 
+    # Bloom sidecar over the full merged term dictionary
+    # (codecs/bloom/BloomFilteringPostingsFormat.java + FuzzySet.java
+    # role: a per-field bitset consulted before any dictionary seek so a
+    # definite-miss term costs ZERO shard-file reads — FuzzySet uses one
+    # hash against a pow2-masked bitset; here fnv1a with ~10 bits/term,
+    # saturation ~10%). Partial bitsets build in parallel raw tasks (one
+    # pass over each shard's term column) and OR on the driver — the OR
+    # is bytes-sized (m/8), not term-sized. At 10^9 terms the global
+    # bitset is ~1.2 GB/actor; the documented scale variant is one bloom
+    # per bucket file (tested term set identical either way).
+    t_s = time.perf_counter()
+    total_terms = sum(int(s["n_terms"]) for s in shards)
+    if total_terms:
+        m_bits = 1 << max(6, int(np.ceil(np.log2(10 * total_terms))))
+        _bloom_remote = ray.remote(**_rargs())(_bloom_partial)
+        paths = [s["path"] for s in shards]
+        n_chunks = max(1, min(len(paths), int(ray.cluster_resources().get("CPU", 8))))
+        path_chunks = [list(c) for c in np.array_split(paths, n_chunks) if len(c)]
+        bits = np.zeros(m_bits // 64, dtype=np.uint64)
+        for part in ray.get(
+            [_bloom_remote.remote(c, m_bits) for c in path_chunks]
+        ):
+            np.bitwise_or(bits, part, out=bits)
+        bloom_path = os.path.join(index_dir, "merged", "bloom.bin")
+        bits.tofile(bloom_path + ".tmp")
+        os.replace(bloom_path + ".tmp", bloom_path)
+        bloom_meta = {"path": bloom_path, "m": m_bits, "k": 1, "hash": "fnv1a"}
+    else:
+        bloom_meta = None
+    stage_t["bloom_build"] = round(time.perf_counter() - t_s, 3)
+
     t_join = time.perf_counter()
     dict_thread.join()
     dict_rows = dict_state["rows"]
@@ -1256,6 +1331,7 @@ def merge_by_term(
         "norm_files": [s["path"] for s in norm_shards],
         "norm_shards": norm_shards,
         "dict_files": dict_rows,
+        "bloom": bloom_meta,
         "doc_count": manifest["doc_count"],
         "sum_ttf": manifest["sum_ttf"],
         "wall_ms": round((time.perf_counter() - t0) * 1000, 3),
@@ -1297,6 +1373,11 @@ class MergedIndex:
         self._heavy_ranges.sort()
         self._heavy_set = set(m.get("heavy_terms", []))
         self._tables: OrderedDict[str, tuple[pa.Table, list[str]]] = OrderedDict()
+        # Bloom sidecar (BloomFilteringPostingsFormat role): consulted
+        # before any dictionary seek; bitset loads lazily on first miss
+        # check so opening stays O(manifest)
+        self._bloom_meta = m.get("bloom")
+        self._bloom_bits: np.ndarray | None = None
 
         # Norms are NEVER loaded dense at open: a searcher worker touches
         # only the doc-range shards its postings hit, lazily through the
@@ -1392,9 +1473,25 @@ class MergedIndex:
             return self._light_by_bucket.get(fnv1a(term) % self.n_buckets)
         return None
 
+    def _bloom_definite_miss(self, term: str) -> bool:
+        """True iff the Bloom sidecar PROVES the term absent (no false
+        negatives by construction; ~10% of misses pass through as false
+        positives and pay the normal shard-file seek)."""
+        bm = self._bloom_meta
+        if not bm:
+            return False
+        if self._bloom_bits is None:
+            self._bloom_bits = np.fromfile(bm["path"], dtype=np.uint64)
+        from .textops import fnv1a
+
+        h = _fmix64(fnv1a(term)) & (int(bm["m"]) - 1)
+        return not (int(self._bloom_bits[h >> 6]) >> (h & 63)) & 1
+
     def _find(self, term: str):
         from bisect import bisect_left
 
+        if self._bloom_definite_miss(term):
+            return None, -1
         path = self._shard_path_of(term)
         candidates = [path] if path else []
         if not candidates or term in self._heavy_set:

@@ -436,3 +436,38 @@ def test_compute_heavy_terms_distributed_tail(built):
     dist = compute_heavy_terms(dirs, salt_threshold=400, max_driver_rows=1)
     assert local == dist
     assert len(local) >= 15  # the00..the19 stop band
+
+
+def test_bloom_sidecar(built, tmp_path_factory):
+    """BloomFilteringPostingsFormat role: the merged dictionary's Bloom
+    sidecar proves definite misses with zero shard-file reads, never
+    false-negatives an indexed term, and survives reopen from disk."""
+    m = built["manifest"]
+    root = str(tmp_path_factory.mktemp("bloom"))
+    mm = merge_by_term(m, root, salt_threshold=400, n_salts=4)
+    assert mm["bloom"] is not None and mm["bloom"]["k"] == 1
+    assert os.path.getsize(mm["bloom"]["path"]) == mm["bloom"]["m"] // 8
+
+    mi = MergedIndex(root)
+    # no false negatives: every indexed term passes the bloom
+    segs = [Segment(r["seg_dir"]) for r in m["partitions"]]
+    all_terms = set()
+    for s in segs:
+        all_terms.update(s._terms)
+    for t in all_terms:
+        assert not mi._bloom_definite_miss(t), t
+    # a definite miss answers (0, 0) without loading ANY shard table
+    assert len(mi._tables) == 0
+    n_skipped = 0
+    for probe in (f"zz-absent-{i}" for i in range(50)):
+        if mi._bloom_definite_miss(probe):
+            n_skipped += 1
+            assert mi.term_stats(probe) == (0, 0)
+    assert len(mi._tables) == 0  # bloom-proved misses read nothing
+    assert n_skipped >= 40  # ~10% FPR at 10 bits/term, 1 hash
+    # present terms still resolve identically through the bloom path
+    seg_df = {}
+    for t in ["the00", "t00000", "tiekey"]:
+        df = sum(s.term_stats(t)[0] for s in segs)
+        ttf = sum(s.term_stats(t)[1] for s in segs)
+        assert mi.term_stats(t) == (df, ttf), t
