@@ -89,6 +89,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return dedup.dup_span_stats(_docs(sf_dir), window=16)
 
+    def q_domain_mix(sf_dir):
+        import ray.data
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "source"]
+        )
+        return textops.domain_mix_sample(
+            ds, {"src0": 1000, "src1": 500, "src2": 250, "src3": 0}, 100
+        )
+
     def q_shingle_top50(sf_dir):
         return textops.shingle_top_counts(_docs(sf_dir), size=2, k=50)
 
@@ -529,6 +539,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_pack_sequences": q_token_pack,
         "chunk_sliding": q_chunk_sliding,
         "dup_span_stats": q_dup_span,
+        "domain_mix_sample": q_domain_mix,
         "word_delimiter_terms": pipelines.word_delimiter_terms,
         "shingle_top50": q_shingle_top50,
         "stemmed_top_terms": q_stemmed_top_terms,
@@ -3661,6 +3672,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT unnest(dids) AS doc_id, unnest(ns) AS n_tokens,
                    chunk_id, unnest(st[3:]) AS seq_id
             FROM folded
+        """,
+        # domain mixing: keep iff fnv(doc_id LE bytes) % 1000 <
+        # per-source permille (src0 1000, src1 500, src2 250, src3 0,
+        # default 100) — the deterministic-hash sampler replayed exactly
+        "domain_mix_sample": f"""
+            SELECT doc_id, source FROM documents
+            WHERE ({_fnv_sql("doc_id")}) % 1000 <
+                  CASE source WHEN 'src0' THEN 1000 WHEN 'src1' THEN 500
+                       WHEN 'src2' THEN 250 WHEN 'src3' THEN 0
+                       ELSE 100 END
         """,
         # ExactSubstr dup spans (Lee et al. 2021 role): a 16-token window
         # is duplicated iff its exact content occurs 2+ times corpus-wide

@@ -950,3 +950,35 @@ def chunk_sliding(ds, window: int = 64, stride: int = 32):
         )
 
     return ds.map_batches(_chunk, batch_format="pyarrow", **_rargs())
+
+
+def domain_mix_sample(ds, rates: dict[str, int], default_permille: int = 100):
+    """Per-domain weighted sampling for training-data mixing (the
+    Pile/Dolma "mixing weights" pass: each source keeps a configured
+    fraction of its documents). Deterministic FNV-residue sampling over
+    doc_id (the same resumable-across-retries property as
+    relational.orders_sample_hash — no RNG state, identical under any
+    partitioning), so the kept set replays exactly in SQL:
+    keep iff fnv1a(8 LE bytes of doc_id) % 1000 < permille(source).
+
+    ``rates`` maps source -> permille (0..1000); unlisted sources use
+    ``default_permille``. Pure map_batches filter — no shuffle; rate
+    tables ship in the task closure (stop-word-sized)."""
+
+    def filt(batch: pa.Table) -> pa.Table:
+        k = batch.column("doc_id").to_numpy().astype(np.uint64)
+        h = np.full(len(k), np.uint64(0xCBF29CE484222325), dtype=np.uint64)
+        prime = np.uint64(0x100000001B3)
+        for i in range(8):
+            b = (k >> np.uint64(8 * i)) & np.uint64(0xFF)
+            h = (h ^ b) * prime
+        res = (h % np.uint64(1000)).astype(np.int64)
+        srcs = batch.column("source").to_pylist()
+        thr = np.fromiter(
+            (rates.get(s, default_permille) for s in srcs),
+            dtype=np.int64,
+            count=len(srcs),
+        )
+        return batch.filter(pa.array(res < thr))
+
+    return ds.map_batches(filt, batch_format="pyarrow", **_rargs())

@@ -1238,3 +1238,43 @@ def test_dup_span_stats_semantics():
     # doc 2: 'alpha beta gamma delta' twice -> windows at pos 0 and 8,
     # non-overlapping, 4 tokens each (plus they also match docs 0/1)
     assert out.loc[2, "n_dup_windows"] == 2 and out.loc[2, "n_dup_tokens"] == 8
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_domain_mix_sample_semantics():
+    """Domain mixing: permille 1000 keeps all, 0 keeps none, the kept set
+    is identical across partitionings (deterministic hash, no RNG)."""
+    import ray.data
+
+    from engine.textops import domain_mix_sample
+
+    n = 400
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(n), type=pa.int64()),
+            "source": pa.array(
+                ["all", "none", "half", "rest"][0:4] * (n // 4), type=pa.string()
+            ),
+        }
+    )
+    rates = {"all": 1000, "none": 0, "half": 500}
+    out1 = (
+        domain_mix_sample(ray.data.from_arrow(t), rates, 100)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert (out1[out1.source == "all"].shape[0]) == n // 4          # all kept
+    assert (out1[out1.source == "none"].shape[0]) == 0              # none kept
+    frac_half = out1[out1.source == "half"].shape[0] / (n // 4)
+    assert 0.3 < frac_half < 0.7                                    # ~50%
+    frac_rest = out1[out1.source == "rest"].shape[0] / (n // 4)
+    assert frac_rest < 0.3                                          # ~10%
+    # partition-invariance: 8-block input yields the identical kept set
+    out2 = (
+        domain_mix_sample(ray.data.from_arrow(t).repartition(8), rates, 100)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out1["doc_id"].tolist() == out2["doc_id"].tolist()
