@@ -515,6 +515,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_facet_nchars": pipelines.range_facet_nchars,
         "points_range_docs": pipelines.points_range_match_docs,
         "term_points_filter_docs": pipelines.term_points_filter_docs,
+        "index_or_dv_filter_docs": pipelines.index_or_dv_filter_docs,
         "geo_box_docs": pipelines.geo_box_match_docs,
         "points_box_docs": pipelines.points2d_box_match_docs,
         "geo_distance_docs": pipelines.geo_distance_match_docs,
@@ -4323,6 +4324,14 @@ def oracle_sql() -> dict[str, str]:
         # BooleanQuery{MUST term, FILTER point range}: text match AND
         # numeric filter; the FILTER clause never scores
         "term_points_filter_docs": f"""
+            SELECT doc_id FROM documents
+            WHERE list_contains({_TOK}, 'data')
+              AND n_chars >= 150 AND n_chars <= 400
+            ORDER BY doc_id
+        """,
+        # IndexOrDocValuesQuery: planner picks points-lead or DV-verify
+        # by cost — either path returns this same conjunction
+        "index_or_dv_filter_docs": f"""
             SELECT doc_id FROM documents
             WHERE list_contains({_TOK}, 'data')
               AND n_chars >= 150 AND n_chars <= 400

@@ -2261,6 +2261,42 @@ def term_points_filter_docs(
     return pa.table({"doc_id": pa.array(both, type=pa.int64())})
 
 
+def index_or_dv_filter_docs(
+    sf_dir: str, term: str = "data", lo: int = 150, hi: int = 400
+) -> pa.Table:
+    """IndexOrDocValuesQuery (search/IndexOrDocValuesQuery.java:30-76):
+    the same numeric-range predicate carries TWO strategies — the points
+    index (fast when the range leads) and per-candidate DocValues
+    verification (fast when another clause leads with far fewer docs).
+    The planner compares lead costs (term df vs the points side's
+    footer-stats estimate, ScorerSupplier.cost()) and either verifies
+    the term's candidates against the DV sidecar (dvQuery path) or runs
+    the points range and intersects (indexQuery path). Both paths
+    return the identical doc set (asserted in tests), so the oracle is
+    the same term + BETWEEN conjunction as term_points_filter_docs."""
+    from .checkpoint import load_merge_manifest
+    from .docvalues import DocValuesReader
+    from .points import range_docs, range_estimate
+    from .search import IndexSearcher
+
+    idx, pts = get_points(sf_dir)
+    searcher = IndexSearcher(load_merge_manifest(idx["index_dir"]))
+    df, _ttf = searcher.global_term_stats(term)
+    est = range_estimate(pts, lo, hi)
+    docs, _scores = searcher.search(term, k=searcher.doc_count)
+    docs = np.asarray(docs, dtype=np.int64)
+    if df <= est:
+        # dvQuery path: random-access verification of the term's candidates
+        dv = DocValuesReader(idx["build_manifest"]["partitions"])
+        vals = dv.values_for(docs, pts["field"])
+        both = np.sort(docs[(vals >= lo) & (vals <= hi)])
+    else:
+        # indexQuery path: the points tree leads, conjunction intersects
+        range_set = range_docs(pts, lo, hi).column("doc_id").to_numpy()
+        both = np.intersect1d(docs, range_set)
+    return pa.table({"doc_id": pa.array(both, type=pa.int64())})
+
+
 def get_geo(sf_dir: str) -> dict:
     """Geo points index (LatLonPoint role) over the cached corpus index —
     coordinates are the documented doc_id-derived integer fixture

@@ -160,6 +160,26 @@ def range_docs_file(
     return np.concatenate(out), len(touch), md.num_row_groups
 
 
+def range_estimate(points_manifest: dict, lo: int, hi: int) -> int:
+    """Upper-bound match count for [lo, hi] from FOOTER STATS ONLY (no
+    row reads) — the BKD inner-node cost estimate behind
+    IndexOrDocValuesQuery's lead-cost comparison
+    (search/IndexOrDocValuesQuery.java:48-76 ScorerSupplier.cost():
+    the points side reports its tree-pruned cost before any scorer is
+    built). Sums row counts of row groups overlapping the range."""
+    total = 0
+    for f in points_manifest["files"]:
+        if f["max"] < lo or f["min"] > hi:
+            continue
+        md = pq.ParquetFile(f["path"]).metadata
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(0).statistics  # column 0 = value
+            if int(st.max) < lo or int(st.min) > hi:
+                continue
+            total += md.row_group(g).num_rows
+    return total
+
+
 def range_docs(points_manifest: dict, lo: int, hi: int) -> pa.Table:
     """All doc_ids whose field value is in the INCLUSIVE [lo, hi]
     (LongPoint.newRangeQuery semantics), sorted by doc_id. File-level

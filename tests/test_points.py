@@ -172,3 +172,30 @@ def test_points2d_build_idempotent(points2d):
         "unused", src_dir, fields=("x", "y"), rows_per_leaf=128
     )
     assert again == man
+
+
+def test_index_or_dv_cost_paths():
+    """IndexOrDocValuesQuery role: both strategies return the identical
+    doc set, and the footer-stats estimate orders the costs sensibly."""
+    from engine.pipelines import get_points, index_or_dv_filter_docs
+    from engine.points import range_docs, range_estimate
+
+    sf = "/root/testdata/sf0.01"
+    _idx, pts = get_points(sf)
+    # estimate is an upper bound of the true count and prunes to 0
+    # outside the value domain
+    true_n = range_docs(pts, 150, 400).num_rows
+    est = range_estimate(pts, 150, 400)
+    assert est >= true_n > 0
+    assert range_estimate(pts, 10**9, 2 * 10**9) == 0
+    # a wide range makes the term lead (dvQuery path); a degenerate range
+    # makes the points side lead (indexQuery path) — same result set as
+    # the generic two-funnel intersection either way
+    from engine.pipelines import term_points_filter_docs
+
+    wide = index_or_dv_filter_docs(sf, "data", 0, 10**9)
+    wide_ref = term_points_filter_docs(sf, "data", 0, 10**9)
+    assert wide.column("doc_id").to_pylist() == wide_ref.column("doc_id").to_pylist()
+    mid = index_or_dv_filter_docs(sf, "data", 150, 400)
+    mid_ref = term_points_filter_docs(sf, "data", 150, 400)
+    assert mid.column("doc_id").to_pylist() == mid_ref.column("doc_id").to_pylist()
