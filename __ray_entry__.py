@@ -517,6 +517,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_points_filter_docs": pipelines.term_points_filter_docs,
         "index_or_dv_filter_docs": pipelines.index_or_dv_filter_docs,
         "geo_box_docs": pipelines.geo_box_match_docs,
+        "shape_box_docs": pipelines.shape_box_match_docs,
         "points_box_docs": pipelines.points2d_box_match_docs,
         "geo_distance_docs": pipelines.geo_distance_match_docs,
         "geo_polygon_docs": pipelines.geo_polygon_match_docs,
@@ -4373,6 +4374,32 @@ def oracle_sql() -> dict[str, str]:
                       BETWEEN -30000 AND 30000
               AND ((doc_id * 40503 + 12345) % 360000) - 180000
                       BETWEEN -60000 AND 90000
+            ORDER BY doc_id
+        """,
+        # LatLonShape box query over per-doc diamonds (center = the point
+        # fixture, arm = 300 + doc_id%7*100): INTERSECTS iff clamped L1
+        # distance from box to center <= arm; WITHIN iff all 4 tips are
+        # inside — pure integer, replayed verbatim
+        "shape_box_docs": """
+            WITH s AS (
+                SELECT doc_id,
+                       ((doc_id * 2654435761) % 180000) - 90000 AS clat,
+                       ((doc_id * 40503 + 12345) % 360000) - 180000 AS clon,
+                       300 + (doc_id % 7) * 100 AS arm
+                FROM documents
+            ),
+            d AS (
+                SELECT doc_id, clat, clon, arm,
+                       GREATEST(0, -60000 - clon, clon - 90000) AS ax,
+                       GREATEST(0, -30000 - clat, clat - 30000) AS ay
+                FROM s
+            )
+            SELECT doc_id,
+                   CASE WHEN clat - arm >= -30000 AND clat + arm <= 30000
+                             AND clon - arm >= -60000 AND clon + arm <= 90000
+                        THEN 'WITHIN' ELSE 'INTERSECTS' END AS relation
+            FROM d
+            WHERE ax + ay <= arm
             ORDER BY doc_id
         """,
         # LatLonPoint.newDistanceQuery: haversine <= radius over the

@@ -446,3 +446,180 @@ def nearest_k(
             "dist_m": pa.array(dist[order], type=pa.float64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# LatLonShape role (document/LatLonShape.java + LatLonShapeBoundingBoxQuery):
+# per-doc SHAPES indexed with bbox-expanded leaf stats, queried by box with
+# spatial relations. The fixture shape is an L1 diamond (|dlat| + |dlon| <=
+# arm) centered on the point fixture — convex, so the reference's
+# tessellated-triangle tree walk reduces to a closed-form exact test the
+# SQL oracle replays in pure integers: the box's clamped L1 distance to the
+# center <= arm (INTERSECTS), all four tips inside (WITHIN). Dateline
+# wrap-around is out of scope for shapes (the box query above keeps it for
+# points); the fixture's arithmetic is plain integer space either side.
+# ---------------------------------------------------------------------------
+
+
+def synth_shape_arm(doc_ids: np.ndarray) -> np.ndarray:
+    """Deterministic per-doc diamond arm (milli-deg): 300 + (doc_id % 7) * 100."""
+    ids = np.asarray(doc_ids, dtype=np.int64)
+    return 300 + (ids % 7) * 100
+
+
+def _shapes_dir(index_dir: str) -> str:
+    return os.path.join(index_dir, "geo_shapes")
+
+
+def build_shapes(build_manifest: dict, index_dir: str, rows_per_leaf: int = GEO_LEAF_ROWS) -> dict:
+    """Per-partition shape files (center + arm), lat-sorted leaves, per-file
+    ARM-EXPANDED bbox bounds (a shape overlaps the query iff its bbox does —
+    the stats must cover the full extent, not just centers). Write-once."""
+    import ray
+    import ray.data
+
+    out_dir = _shapes_dir(index_dir)
+    man_path = os.path.join(out_dir, "shapes_manifest.json")
+    if os.path.exists(man_path):
+        with open(man_path) as f:
+            return json.load(f)
+    os.makedirs(out_dir, exist_ok=True)
+
+    parts = sorted(build_manifest["partitions"], key=lambda r: int(r["doc_base"]))
+    specs = [
+        {
+            "doc_base": int(r["doc_base"]),
+            "n_docs": int(r["n_docs"]),
+            "out_path": os.path.join(out_dir, f"shapes-{i:05d}.parquet"),
+        }
+        for i, r in enumerate(parts)
+    ]
+
+    def _build_one(batch: pa.Table) -> pa.Table:
+        rows = []
+        for spec in batch.to_pylist():
+            out_path = spec["out_path"]
+            if not os.path.exists(out_path):
+                ids = np.arange(
+                    spec["doc_base"], spec["doc_base"] + spec["n_docs"], dtype=np.int64
+                )
+                lat, lon = synth_latlon(ids)
+                arm = synth_shape_arm(ids)
+                order = np.argsort(lat, kind="stable")
+                tbl = pa.table(
+                    {
+                        "lat": pa.array(lat[order], type=pa.int64()),
+                        "lon": pa.array(lon[order], type=pa.int64()),
+                        "arm": pa.array(arm[order], type=pa.int64()),
+                        "doc_id": pa.array(ids[order], type=pa.int64()),
+                    }
+                )
+                tmp = out_path + ".tmp"
+                pq.write_table(tbl, tmp, row_group_size=rows_per_leaf)
+                os.replace(tmp, out_path)
+            md = pq.read_metadata(out_path)
+            la = [md.row_group(g).column(0).statistics for g in range(md.num_row_groups)]
+            lo = [md.row_group(g).column(1).statistics for g in range(md.num_row_groups)]
+            am = [md.row_group(g).column(2).statistics for g in range(md.num_row_groups)]
+            max_arm = max(int(s.max) for s in am)
+            rows.append(
+                {
+                    "path": out_path,
+                    "min_lat": min(int(s.min) for s in la) - max_arm,
+                    "max_lat": max(int(s.max) for s in la) + max_arm,
+                    "min_lon": min(int(s.min) for s in lo) - max_arm,
+                    "max_lon": max(int(s.max) for s in lo) + max_arm,
+                    "n_rows": int(md.num_rows),
+                }
+            )
+        return pa.Table.from_pylist(rows)
+
+    files = (
+        ray.data.from_items(specs)
+        .map_batches(_build_one, batch_size=1, batch_format="pyarrow", **_rargs())
+        .take_all()
+    )
+    manifest = {
+        "rows_per_leaf": rows_per_leaf,
+        "files": sorted(files, key=lambda r: r["path"]),
+    }
+    tmp = man_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, man_path)
+    return manifest
+
+
+def shape_box_docs(
+    shapes_manifest: dict, min_lat: int, max_lat: int, min_lon: int, max_lon: int
+):
+    """LatLonShapeBoundingBoxQuery over the indexed diamonds: streamed
+    one-task-per-file Dataset of (doc_id, relation) with relation WITHIN
+    (shape fully inside the box) or INTERSECTS (crosses the boundary).
+    Exact integer test: clamped L1 distance ax + ay <= arm, where
+    ax = max(0, min_lon - lon, lon - max_lon) and ay likewise for lat;
+    WITHIN iff all four diamond tips lie inside the box."""
+    import ray.data
+
+    def _overlap(f: dict) -> bool:
+        return not (
+            f["max_lat"] < min_lat
+            or f["min_lat"] > max_lat
+            or f["max_lon"] < min_lon
+            or f["min_lon"] > max_lon
+        )
+
+    hit = [f["path"] for f in shapes_manifest["files"] if _overlap(f)]
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], type=pa.int64()),
+            "relation": pa.array([], type=pa.string()),
+        }
+    )
+    if not hit:
+        return ray.data.from_arrow(empty)
+
+    def _scan(batch: pa.Table) -> pa.Table:
+        outs = [empty]
+        for p in batch.column("path").to_pylist():
+            pf = pq.ParquetFile(p)
+            md = pf.metadata
+            for g in range(md.num_row_groups):
+                sla = md.row_group(g).column(0).statistics
+                sam = md.row_group(g).column(2).statistics
+                pad = int(sam.max)
+                if int(sla.max) + pad < min_lat or int(sla.min) - pad > max_lat:
+                    continue
+                tbl = pf.read_row_group(g)
+                lat = tbl.column("lat").to_numpy()
+                lon = tbl.column("lon").to_numpy()
+                arm = tbl.column("arm").to_numpy()
+                ax = np.maximum(
+                    0, np.maximum(min_lon - lon, lon - max_lon)
+                )
+                ay = np.maximum(
+                    0, np.maximum(min_lat - lat, lat - max_lat)
+                )
+                inter = (ax + ay) <= arm
+                within = (
+                    (lat - arm >= min_lat)
+                    & (lat + arm <= max_lat)
+                    & (lon - arm >= min_lon)
+                    & (lon + arm <= max_lon)
+                )
+                rel = np.where(within, "WITHIN", "INTERSECTS")
+                outs.append(
+                    pa.table(
+                        {
+                            "doc_id": pa.array(
+                                tbl.column("doc_id").to_numpy()[inter]
+                            ),
+                            "relation": pa.array(rel[inter], type=pa.string()),
+                        }
+                    )
+                )
+        return pa.concat_tables(outs)
+
+    return ray.data.from_items([{"path": p} for p in hit]).map_batches(
+        _scan, batch_size=1, batch_format="pyarrow", **_rargs()
+    )

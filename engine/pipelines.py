@@ -2323,6 +2323,25 @@ def geo_box_match_docs(
     return box_docs(get_geo(sf_dir), min_lat, max_lat, min_lon, max_lon)
 
 
+def shape_box_match_docs(
+    sf_dir: str,
+    min_lat: int = -30_000,
+    max_lat: int = 30_000,
+    min_lon: int = -60_000,
+    max_lon: int = 90_000,
+):
+    """LatLonShapeBoundingBoxQuery over per-doc diamond shapes
+    (document/LatLonShape.java box query with spatial relations): the
+    shape index's arm-expanded bbox prune + closed-form exact integer
+    test (clamped L1 distance vs arm); (doc_id, relation) streamed.
+    Exact oracle replays the center/arm fixture and both relations."""
+    from .geo import build_shapes, shape_box_docs
+
+    idx = get_index(sf_dir)
+    shapes = build_shapes(idx["build_manifest"], idx["index_dir"])
+    return shape_box_docs(shapes, min_lat, max_lat, min_lon, max_lon)
+
+
 def geo_distance_match_docs(
     sf_dir: str, lat: float = 10.0, lon: float = 20.0, radius_m: float = 2_000_000.0
 ):

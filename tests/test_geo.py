@@ -160,3 +160,40 @@ def test_polygon_query_vs_brute_force(geo_manifest, coords):
     # a polygon is not its bounding box: the mask must differ from it
     bbox = (lat >= -55000) & (lat <= 60000) & (lon >= -120000) & (lon <= 100000)
     assert got_mask.sum() < bbox.sum()
+
+
+def test_shape_box_relations():
+    """LatLonShape box query: INTERSECTS vs WITHIN agree with a brute
+    recomputation over all docs, and boundary diamonds classify right."""
+    import numpy as np
+
+    from engine.geo import synth_latlon, synth_shape_arm
+    from engine.pipelines import shape_box_match_docs
+
+    sf = "/root/testdata/sf0.01"
+    b = (-30_000, 30_000, -60_000, 90_000)
+    out = (
+        shape_box_match_docs(sf, *b)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    import pyarrow.parquet as pq
+
+    n = pq.read_metadata(f"{sf}/documents.parquet").num_rows
+    ids = np.arange(n, dtype=np.int64)
+    lat, lon = synth_latlon(ids)
+    arm = synth_shape_arm(ids)
+    ax = np.maximum(0, np.maximum(b[2] - lon, lon - b[3]))
+    ay = np.maximum(0, np.maximum(b[0] - lat, lat - b[1]))
+    inter = (ax + ay) <= arm
+    within = (
+        (lat - arm >= b[0]) & (lat + arm <= b[1])
+        & (lon - arm >= b[2]) & (lon + arm <= b[3])
+    )
+    assert out["doc_id"].tolist() == ids[inter].tolist()
+    exp_rel = np.where(within[inter], "WITHIN", "INTERSECTS")
+    assert out["relation"].tolist() == exp_rel.tolist()
+    # a crossing diamond exists whenever the box edge cuts one (both
+    # relations occur at this box on this corpus)
+    assert set(out["relation"]) == {"WITHIN", "INTERSECTS"}
