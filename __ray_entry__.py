@@ -463,6 +463,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ib_topk": pipelines.ib_topk,
         "dfr_topk": pipelines.dfr_topk,
         "multi_sim_topk": pipelines.multi_sim_topk,
+        "blended_term_topk": pipelines.blended_term_topk,
         "perfield_sim_topk": pipelines.perfield_sim_topk,
         "boolean_sim_topk": pipelines.boolean_sim_topk,
         "covering_query_topk": pipelines.covering_query_topk,
@@ -2087,6 +2088,72 @@ def oracle_sql() -> dict[str, str]:
         """,
         # LMJelinekMercerSimilarity (lambda=0.1): per-term
         # (float)(ln(1 + (((1-l)_f32)*f/dl) / (l*p))); f64 sum cast f32
+        # BlendedTermQuery(data, join): both clauses share ONE blended
+        # weight from df = max(dfa, dfb); dismax combine: total =
+        # f32(mx + f32(f32(0.01) * f32(sum_f64 - mx_f64))) with mx the
+        # max f32 clause and sum the f64 clause sum
+        "blended_term_topk": f"""
+            WITH lt(b, lo) AS (VALUES {lt_values}),
+            stats AS (
+                SELECT (SELECT count(*) FROM documents) AS n_docs,
+                       (SELECT CAST(sum(len({_TOK})) AS BIGINT)
+                        FROM documents) AS sttf
+            ),
+            tok AS (SELECT doc_id, unnest({_TOK}) AS t FROM documents),
+            tfa AS (SELECT doc_id, count(*) AS freq FROM tok
+                    WHERE t = 'data' GROUP BY doc_id),
+            tfb AS (SELECT doc_id, count(*) AS freq FROM tok
+                    WHERE t = 'join' GROUP BY doc_id),
+            nb AS (
+                SELECT doc_id, (SELECT max(b) FROM lt WHERE lo <= n) AS b
+                FROM (SELECT doc_id, len({_TOK}) AS n FROM documents)
+            ),
+            c AS (
+                SELECT {_bm25_w("GREATEST((SELECT count(*) FROM tfa), (SELECT count(*) FROM tfb))")} AS w,
+                       CAST(sttf / CAST(n_docs AS DOUBLE) AS FLOAT) AS avgdl
+                FROM stats
+            ),
+            cache AS (SELECT lt.b, {_bm25_cache_expr} AS inv FROM lt, c),
+            pairs AS (
+                SELECT coalesce(tfa.doc_id, tfb.doc_id) AS doc_id,
+                       tfa.freq AS fa, tfb.freq AS fb
+                FROM tfa FULL OUTER JOIN tfb ON tfa.doc_id = tfb.doc_id
+            ),
+            clauses AS (
+                SELECT p.doc_id,
+                       {_bm25_score("c.w", "p.fa", "k.inv")} AS sa,
+                       {_bm25_score("c.w", "p.fb", "k.inv")} AS sb
+                FROM pairs p
+                JOIN nb ON nb.doc_id = p.doc_id
+                JOIN cache k ON k.b = nb.b, c
+            ),
+            combined AS (
+                SELECT doc_id,
+                       CAST(
+                         CAST(GREATEST(coalesce(sa, CAST(0.0 AS FLOAT)),
+                                       coalesce(sb, CAST(0.0 AS FLOAT)))
+                              AS DOUBLE)
+                       + CAST(CAST(
+                           CAST(CAST(0.01 AS FLOAT) AS DOUBLE)
+                           * CAST(CAST(
+                               (coalesce(CAST(sa AS DOUBLE), 0.0)
+                                + coalesce(CAST(sb AS DOUBLE), 0.0))
+                               - CAST(GREATEST(
+                                     coalesce(sa, CAST(0.0 AS FLOAT)),
+                                     coalesce(sb, CAST(0.0 AS FLOAT)))
+                                 AS DOUBLE)
+                             AS FLOAT) AS DOUBLE)
+                           AS FLOAT) AS DOUBLE)
+                       AS FLOAT) AS score
+                FROM clauses
+            )
+            SELECT rank, doc_id, score FROM (
+                SELECT CAST(row_number() OVER (
+                           ORDER BY score DESC, doc_id ASC) - 1 AS BIGINT)
+                           AS rank, doc_id, score
+                FROM combined
+            ) WHERE rank < 10
+        """,
         # MultiSimilarity(bm25, classic) on one term: clause = float-sum
         # (0.0f + bm25_f32) + classic_f32 in sub order; classic chain =
         # f32(idf^2) * f32(sqrt(f32 freq)) * f32(1/f32(sqrt(f32 dl)))

@@ -872,6 +872,38 @@ def perfield_sim_topk(sf_dir: str, query: str = "title:doc data", k: int = 10) -
     )
 
 
+def blended_term_topk(
+    sf_dir: str, terms: tuple[str, ...] = ("data", "join"), k: int = 10
+) -> pa.Table:
+    """BlendedTermQuery (search/BlendedTermQuery.java:48-233): every term
+    scores with ARTIFICIAL blended stats — df = max of the terms' doc
+    freqs, ttf = their sum (rewrite():higher-line 'Compute aggregated
+    doc freq...'; adjustFrequencies/accumulateStatistics) — then the
+    sub TermQueries combine under the default DisjunctionMaxRewrite
+    with tieBreaker 0.01f (:183). The engine injects the blended stats
+    through the same stats_override plug the sharded fan-out uses, so
+    TermStates.build sees the artificial frequencies exactly as the
+    reference's adjusted contexts do. Exact oracle: the shared blended
+    weight + the dismax combine's f32 op chain replay in SQL."""
+    from .checkpoint import load_merge_manifest
+    from .search import IndexSearcher
+
+    idx = get_index(sf_dir)
+    searcher = IndexSearcher(load_merge_manifest(idx["index_dir"]))
+    stats = [searcher.global_term_stats(t) for t in terms]
+    df_b = max(d for d, _ in stats)
+    ttf_b = sum(t for _, t in stats)
+    searcher.stats_override = {t: (df_b, ttf_b) for t in terms}
+    docs, scores = searcher.search_dismax(" ".join(terms), k=k, tie_breaker=0.01)
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(len(docs)), type=pa.int64()),
+            "doc_id": pa.array(docs, type=pa.int64()),
+            "score": pa.array(scores, type=pa.float32()),
+        }
+    )
+
+
 def boolean_sim_topk(sf_dir: str, query: str = "data join merge", k: int = 10) -> pa.Table:
     """Top-k under BooleanSimilarity (BooleanSimilarity.java:47-61):
     each matching clause scores its boost (1f), so a disjunction's score

@@ -1517,3 +1517,42 @@ def test_multi_and_perfield_similarity(corpus):
     d2, sc2 = s_b.search("t00005 t00012", 10)
     np.testing.assert_array_equal(d1, d2)
     np.testing.assert_array_equal(sc1, sc2)
+
+
+def test_blended_term_query(corpus):
+    """BlendedTermQuery: both terms score under the shared blended stats
+    (df = max, ttf = sum) and combine via dismax 0.01 — equal to a
+    hand-built recomputation; differs from the unblended dismax."""
+    from engine.bm25 import make_term_scorer
+
+    s = IndexSearcher(corpus["manifest"])
+    terms = ("t00005", "t00012")
+    stats = [s.global_term_stats(t) for t in terms]
+    df_b = max(d for d, _ in stats)
+    ttf_b = sum(t for _, t in stats)
+    s.stats_override = {t: (df_b, ttf_b) for t in terms}
+    d, sc = s.search_dismax(" ".join(terms), 10, tie_breaker=0.01)
+    # brute recomputation with the SHARED blended weight
+    dc, sttf = corpus["doc_count"], corpus["sum_ttf"]
+    pr = make_term_scorer(df_b, dc, sttf)
+    op = corpus["oracle_postings"]
+    mx: dict[int, np.float32] = {}
+    sm: dict[int, float] = {}
+    for t in terms:
+        td, tf = op[t]
+        for doc, v in zip(td.tolist(), pr.score(tf, corpus["norms"][td]).tolist()):
+            v32 = np.float32(v)
+            mx[doc] = max(mx.get(doc, np.float32(0.0)), v32)
+            sm[doc] = sm.get(doc, 0.0) + float(v32)
+    tie = np.float32(0.01)
+    exp = {}
+    for doc in mx:
+        y = np.multiply(tie, np.float32(sm[doc] - float(np.float64(mx[doc]))), dtype=np.float32)
+        exp[doc] = np.float32(mx[doc] + y)
+    top = sorted(((v, -doc) for doc, v in exp.items()), reverse=True)[:10]
+    np.testing.assert_array_equal(sc, np.array([v for v, _ in top], np.float32))
+    np.testing.assert_array_equal(d, np.array([-nd for _, nd in top], np.int64))
+    # blending changes scores vs the unblended dismax (df differ)
+    s2 = IndexSearcher(corpus["manifest"])
+    d2, sc2 = s2.search_dismax(" ".join(terms), 10, tie_breaker=0.01)
+    assert not np.array_equal(sc, sc2)
