@@ -464,6 +464,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dfr_topk": pipelines.dfr_topk,
         "multi_sim_topk": pipelines.multi_sim_topk,
         "blended_term_topk": pipelines.blended_term_topk,
+        "explain_scores": pipelines.explain_scores,
         "perfield_sim_topk": pipelines.perfield_sim_topk,
         "boolean_sim_topk": pipelines.boolean_sim_topk,
         "covering_query_topk": pipelines.covering_query_topk,
@@ -2088,6 +2089,70 @@ def oracle_sql() -> dict[str, str]:
         """,
         # LMJelinekMercerSimilarity (lambda=0.1): per-term
         # (float)(ln(1 + (((1-l)_f32)*f/dl) / (l*p))); f64 sum cast f32
+        # IndexSearcher.explain over 'data join' top-3: one row per
+        # (doc, present clause) — freq, SmallFloat-decoded docLen, the
+        # f32 clause, and the doc total (f64 clause sum cast f32)
+        "explain_scores": f"""
+            WITH lt(b, lo) AS (VALUES {lt_values}),
+            stats AS (
+                SELECT (SELECT count(*) FROM documents) AS n_docs,
+                       (SELECT CAST(sum(len({_TOK})) AS BIGINT)
+                        FROM documents) AS sttf
+            ),
+            tok AS (SELECT doc_id, unnest({_TOK}) AS t FROM documents),
+            tfa AS (SELECT doc_id, count(*) AS freq FROM tok
+                    WHERE t = 'data' GROUP BY doc_id),
+            tfb AS (SELECT doc_id, count(*) AS freq FROM tok
+                    WHERE t = 'join' GROUP BY doc_id),
+            nb AS (
+                SELECT doc_id, (SELECT max(b) FROM lt WHERE lo <= n) AS b,
+                       (SELECT max(lo) FROM lt WHERE lo <= n) AS dl
+                FROM (SELECT doc_id, len({_TOK}) AS n FROM documents)
+            ),
+            c AS (
+                SELECT {_bm25_w("(SELECT count(*) FROM tfa)")} AS wa,
+                       {_bm25_w("(SELECT count(*) FROM tfb)")} AS wb,
+                       CAST(sttf / CAST(n_docs AS DOUBLE) AS FLOAT) AS avgdl
+                FROM stats
+            ),
+            cache AS (SELECT lt.b, {_bm25_cache_expr} AS inv FROM lt, c),
+            pairs AS (
+                SELECT coalesce(tfa.doc_id, tfb.doc_id) AS doc_id,
+                       tfa.freq AS fa, tfb.freq AS fb
+                FROM tfa FULL OUTER JOIN tfb ON tfa.doc_id = tfb.doc_id
+            ),
+            scored AS (
+                SELECT p.doc_id, p.fa, p.fb, nb.dl,
+                       {_bm25_score("c.wa", "p.fa", "k.inv")} AS sa,
+                       {_bm25_score("c.wb", "p.fb", "k.inv")} AS sb,
+                       CAST(
+                         coalesce(CAST({_bm25_score("c.wa", "p.fa", "k.inv")}
+                                       AS DOUBLE), 0.0)
+                       + coalesce(CAST({_bm25_score("c.wb", "p.fb", "k.inv")}
+                                       AS DOUBLE), 0.0)
+                       AS FLOAT) AS total
+                FROM pairs p
+                JOIN nb ON nb.doc_id = p.doc_id
+                JOIN cache k ON k.b = nb.b, c
+            ),
+            top AS (
+                SELECT * FROM (
+                    SELECT *, row_number() OVER (
+                        ORDER BY total DESC, doc_id ASC) AS rn
+                    FROM scored
+                ) WHERE rn <= 3
+            )
+            SELECT doc_id, term, freq, doc_len, clause_score, total
+            FROM (
+                SELECT doc_id, 'data' AS term, fa AS freq, dl AS doc_len,
+                       sa AS clause_score, total, 0 AS ord FROM top
+                WHERE fa IS NOT NULL
+                UNION ALL
+                SELECT doc_id, 'join' AS term, fb AS freq, dl AS doc_len,
+                       sb AS clause_score, total, 1 AS ord FROM top
+                WHERE fb IS NOT NULL
+            )
+        """,
         # BlendedTermQuery(data, join): both clauses share ONE blended
         # weight from df = max(dfa, dfb); dismax combine: total =
         # f32(mx + f32(f32(0.01) * f32(sum_f64 - mx_f64))) with mx the

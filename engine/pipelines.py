@@ -872,6 +872,48 @@ def perfield_sim_topk(sf_dir: str, query: str = "title:doc data", k: int = 10) -
     )
 
 
+def explain_scores(sf_dir: str, query: str = "data join", k: int = 3) -> pa.Table:
+    """IndexSearcher.explain over the query's top-k docs
+    (search/IndexSearcher.java:714-730; BM25Similarity.explainScore
+    component shape): one row per (doc, matching clause) with the raw
+    freq, SmallFloat-decoded docLen, f32 clause score, and the doc's
+    total (= the f64 clause-sum cast f32 search() produced — the
+    explain/score identity Lucene's CheckHits asserts). Exact oracle:
+    every component replays in SQL via the f32 BM25 chain."""
+    from .checkpoint import load_merge_manifest
+    from .search import IndexSearcher
+
+    idx = get_index(sf_dir)
+    searcher = IndexSearcher(load_merge_manifest(idx["index_dir"]))
+    docs, scores = searcher.search(query, k=k)
+    d_out: list[int] = []
+    t_out: list[str] = []
+    f_out: list[int] = []
+    l_out: list[int] = []
+    c_out: list[np.float32] = []
+    tot_out: list[np.float32] = []
+    for doc, total in zip(docs.tolist(), scores.tolist()):
+        ex = searcher.explain(query, doc)
+        assert ex["value"] == np.float32(total)  # CheckHits explain identity
+        for det in ex["details"]:
+            d_out.append(doc)
+            t_out.append(det["description"].split("(")[1].split(" ")[0])
+            f_out.append(det["freq"])
+            l_out.append(det["doc_len"])
+            c_out.append(det["value"])
+            tot_out.append(ex["value"])
+    return pa.table(
+        {
+            "doc_id": pa.array(d_out, type=pa.int64()),
+            "term": pa.array(t_out, type=pa.string()),
+            "freq": pa.array(f_out, type=pa.int64()),
+            "doc_len": pa.array(l_out, type=pa.int64()),
+            "clause_score": pa.array(c_out, type=pa.float32()),
+            "total": pa.array(tot_out, type=pa.float32()),
+        }
+    )
+
+
 def blended_term_topk(
     sf_dir: str, terms: tuple[str, ...] = ("data", "join"), k: int = 10
 ) -> pa.Table:

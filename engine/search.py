@@ -469,6 +469,81 @@ class IndexSearcher:
             self.rewrite(q), k, threshold, algorithm, deadline, collector
         )
 
+    def explain(self, query: str | "BoolQuery", doc_id: int) -> dict:
+        """Explanation tree for one document
+        (search/IndexSearcher.java:714-730 explain; shape mirrors
+        BM25Similarity.explainScore / BooleanWeight.explain): per
+        matching clause the raw freq, SmallFloat-decoded docLen, weight
+        and float32 clause score; ``value`` is the f64 clause-sum cast
+        f32 — bit-identical to what search() scores this doc. Flat
+        must/should/must_not queries (the TAAT plan's shape); a matching
+        MUST_NOT or a missing MUST clause yields match=False, value 0."""
+        from .smallfloat import LENGTH_TABLE
+
+        q = self.rewrite(parse_query(query) if isinstance(query, str) else query)
+        doc = int(doc_id)
+
+        def _doc_freq(t: str) -> tuple[int, int, object]:
+            """(freq, norm_byte, field_seg) of ``doc`` for term t."""
+            fld, bare = self._split_field(t)
+            for gi, seg in enumerate(self.segments):
+                if not (seg.doc_base <= doc < seg.max_doc):
+                    continue
+                fseg = seg if fld == "body" else self._field_seg(fld, gi)
+                docs, freqs = fseg.postings(bare)
+                i = np.searchsorted(docs, doc)
+                if i < len(docs) and docs[i] == doc:
+                    return int(freqs[i]), int(fseg.norm_of(np.array([doc]))[0]), fseg
+                return 0, 0, fseg
+            return 0, 0, None
+
+        params = self._params_for(tuple(q.must) + tuple(q.should) + tuple(q.must_not))
+        for t in q.must_not:
+            if params[t] is not None and _doc_freq(t)[0] > 0:
+                return {
+                    "match": False,
+                    "value": np.float32(0.0),
+                    "description": f"failure to meet condition: prohibited clause {t} matched",
+                    "details": [],
+                }
+        details: list[dict] = []
+        acc = 0.0
+        must_missing = False
+        for t in tuple(q.must) + tuple(q.should):
+            p = params[t]
+            freq = 0
+            if p is not None:
+                freq, nb, _fseg = _doc_freq(t)
+            if freq == 0:
+                if t in q.must:
+                    must_missing = True
+                continue
+            s = p.score(np.array([freq], dtype=np.int64), np.array([nb], dtype=np.uint8))[0]
+            details.append(
+                {
+                    "match": True,
+                    "value": np.float32(s),
+                    "description": f"weight({t} in {doc})",
+                    "freq": freq,
+                    "doc_len": int(LENGTH_TABLE[nb]),
+                    "weight": np.float32(p.weight),
+                }
+            )
+            acc += float(np.float32(s))
+        if must_missing or (self._deleted is not None and doc in set(self._deleted.tolist())):
+            return {
+                "match": False,
+                "value": np.float32(0.0),
+                "description": "failure to match required clause",
+                "details": details,
+            }
+        return {
+            "match": bool(details),
+            "value": np.float32(acc),
+            "description": "sum of:",
+            "details": details,
+        }
+
     def search_after(
         self,
         query: str | BoolQuery,

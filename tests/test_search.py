@@ -1556,3 +1556,36 @@ def test_blended_term_query(corpus):
     s2 = IndexSearcher(corpus["manifest"])
     d2, sc2 = s2.search_dismax(" ".join(terms), 10, tie_breaker=0.01)
     assert not np.array_equal(sc, sc2)
+
+
+def test_explain(corpus):
+    """explain(): clause-sum identity with search() for every top doc,
+    MUST_NOT rejection, missing-MUST rejection, non-match doc."""
+    s = IndexSearcher(corpus["manifest"])
+    q = "t00005 t00012"
+    d, sc = s.search(q, 10)
+    for doc, total in zip(d.tolist(), sc.tolist()):
+        ex = s.explain(q, doc)
+        assert ex["match"] and ex["value"] == np.float32(total)
+        assert ex["details"] and all(det["freq"] > 0 for det in ex["details"])
+        # clause f64 sum cast f32 == value
+        acc = 0.0
+        for det in ex["details"]:
+            acc += float(det["value"])
+        assert np.float32(acc) == ex["value"]
+    # a doc outside the match set explains as no-match
+    all_match = set()
+    for t in ("t00005", "t00012"):
+        all_match.update(corpus["oracle_postings"][t][0].tolist())
+    non = next(i for i in range(corpus["doc_count"]) if i not in all_match)
+    exn = s.explain(q, non)
+    assert not exn["match"] and exn["value"] == np.float32(0.0)
+    # prohibited clause: a doc matching the must_not explains as no-match
+    doc_n = corpus["oracle_postings"]["t00012"][0][0]
+    exb = s.explain("t00012 -t00012", int(doc_n))
+    assert not exb["match"] and "prohibited" in exb["description"]
+    # missing MUST clause
+    only5 = [i for i in corpus["oracle_postings"]["t00005"][0].tolist()
+             if i not in set(corpus["oracle_postings"]["t00012"][0].tolist())]
+    exm = s.explain("+t00012 t00005", int(only5[0]))
+    assert not exm["match"]
