@@ -465,6 +465,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multi_sim_topk": pipelines.multi_sim_topk,
         "blended_term_topk": pipelines.blended_term_topk,
         "explain_scores": pipelines.explain_scores,
+        "keyword_repeat_docs": pipelines.keyword_repeat_docs,
         "perfield_sim_topk": pipelines.perfield_sim_topk,
         "boolean_sim_topk": pipelines.boolean_sim_topk,
         "covering_query_topk": pipelines.covering_query_topk,
@@ -2089,6 +2090,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         # LMJelinekMercerSimilarity (lambda=0.1): per-term
         # (float)(ln(1 + (((1-l)_f32)*f/dl) / (l*p))); f64 sum cast f32
+        # KeywordRepeat + Porter + RemoveDuplicates: the stem 'queri'
+        # carries exactly the 'query' occurrences (only vocab word with
+        # that stem); 'data' stems to itself so RemoveDuplicates keeps
+        # one copy — freqs are the raw token counts either way
+        "keyword_repeat_docs": f"""
+            WITH tok AS (SELECT doc_id, unnest({_TOK}) AS t FROM documents),
+            cq AS (SELECT doc_id, count(*) AS freq FROM tok
+                   WHERE t = 'query' GROUP BY doc_id),
+            cd AS (SELECT doc_id, count(*) AS freq FROM tok
+                   WHERE t = 'data' GROUP BY doc_id)
+            SELECT 'query' AS term, doc_id, freq FROM cq
+            UNION ALL SELECT 'queri' AS term, doc_id, freq FROM cq
+            UNION ALL SELECT 'data' AS term, doc_id, freq FROM cd
+        """,
         # IndexSearcher.explain over 'data join' top-3: one row per
         # (doc, present clause) — freq, SmallFloat-decoded docLen, the
         # f32 clause, and the doc total (f64 clause sum cast f32)

@@ -68,6 +68,15 @@ class Analyzer:
     # EnglishAnalyzer.java:108-118 chain position for PorterStemFilter.
     # 1:1 means positions/offsets/lengths are unchanged by the chain.
     filters: tuple[str, ...] = ()
+    # KeywordRepeatFilter + RemoveDuplicatesTokenFilter role
+    # (miscellaneous/KeywordRepeatFilter.java:25-33 duplicates every
+    # token with the first copy KEYWORD-marked so the stemmer skips it;
+    # miscellaneous/RemoveDuplicatesTokenFilter.java:42-57 drops the
+    # copy when the filter chain left it unchanged): when True, each
+    # position indexes the ORIGINAL token plus its ``filters``-chained
+    # form, stacked at posIncr 0, deduped when identical. Indexing path
+    # only; mutually exclusive with synonyms/common_grams here.
+    keyword_repeat: bool = False
 
     def compiled(self) -> re.Pattern[str]:
         return re.compile(self.token_pattern)
@@ -364,6 +373,41 @@ def analyze_batch_indexing(
     its stacked synonyms), so per-term position streams remain monotone
     for the delta codec; duplicate (term, position) pairs are dropped
     (a synonym identical to a co-positioned token)."""
+    if analyzer.keyword_repeat and analyzer.filters:
+        # KeywordRepeat chain: tokenize WITHOUT the 1:1 filter chain (the
+        # keyword-marked copies), then stack each token's chained form at
+        # the same position when it differs (RemoveDuplicates contract).
+        assert not analyzer.synonyms and not analyzer.common_grams
+        from dataclasses import replace as _dc_replace
+
+        from .filters import FILTERS
+
+        base = _dc_replace(analyzer, filters=(), keyword_repeat=False)
+        flat, lengths, positions = analyze_batch_with_positions(texts, base)
+        chain = [FILTERS[name] for name in analyzer.filters]
+        out_flat: list[str] = []
+        out_pos: list[int] = []
+        emit = np.empty(len(texts), dtype=np.int64)
+        start = 0
+        for i, n in enumerate(lengths.tolist()):
+            toks = flat[start : start + n]
+            pos = positions[start : start + n].tolist()
+            start += n
+            n_emit = 0
+            for t, p in zip(toks, pos):
+                out_flat.append(t)
+                out_pos.append(p)
+                n_emit += 1
+                ft = t
+                for f in chain:
+                    ft = f(ft)
+                if ft and ft != t:
+                    out_flat.append(ft)
+                    out_pos.append(p)
+                    n_emit += 1
+            emit[i] = n_emit
+        return out_flat, emit, lengths, np.asarray(out_pos, dtype=np.int64)
+
     flat, lengths, positions = analyze_batch_with_positions(texts, analyzer)
     if not analyzer.synonyms and not analyzer.common_grams:
         return flat, lengths, lengths, positions

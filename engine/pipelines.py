@@ -1914,6 +1914,87 @@ def get_common_grams_index(sf_dir: str, partition_docs: int = 2048) -> dict:
     }
 
 
+def get_keyword_repeat_index(sf_dir: str, partition_docs: int = 2048) -> dict:
+    """Index variant built with KeywordRepeatFilter + PorterStemFilter +
+    RemoveDuplicatesTokenFilter (miscellaneous/KeywordRepeatFilter.java,
+    RemoveDuplicatesTokenFilter.java): every position indexes the
+    original token AND its Porter stem (posIncr 0) when they differ, so
+    both exact-form and stemmed queries match. Separate cache variant;
+    shares the pages dir."""
+    from .analyze import Analyzer
+    from .build import build_index
+    from .checkpoint import load_manifest, load_merge_manifest
+    from .fixtures import pages_from_documents, write_pages
+    from .merge import merge_by_term
+
+    n_rows = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+    root = _cache_dir(sf_dir, n_rows, "-kr")
+    pages_dir = os.path.join(_cache_dir(sf_dir, n_rows), "pages")
+    index_dir = os.path.join(root, "index")
+    os.makedirs(root, exist_ok=True)
+    build_manifest = load_manifest(index_dir)
+    if build_manifest is None:
+        if not os.path.exists(os.path.join(pages_dir, "pages-00000.parquet")):
+            write_pages(pages_from_documents(sf_dir), pages_dir, n_files=4)
+        build_manifest = build_index(
+            pages_dir,
+            index_dir,
+            partition_docs=partition_docs,
+            from_html=True,
+            analyzer=Analyzer(filters=("porter",), keyword_repeat=True),
+        )
+    merge_manifest = load_merge_manifest(index_dir)
+    if merge_manifest is None:
+        merge_manifest = merge_by_term(build_manifest, index_dir)
+    return {
+        "index_dir": index_dir,
+        "build_manifest": build_manifest,
+        "merge_manifest": merge_manifest,
+    }
+
+
+def keyword_repeat_docs(
+    sf_dir: str, terms: tuple[str, ...] = ("query", "queri", "data")
+) -> pa.Table:
+    """(term, doc_id, freq) postings over the keyword-repeat index: the
+    ORIGINAL surface form and its Porter stem both resolve — 'queri'
+    (the stem) carries exactly the 'query' occurrences, while unchanged
+    stems ('data') index once (RemoveDuplicates). Oracle: raw token
+    counts, with stem terms mapped back to the vocabulary words that
+    stem to them."""
+    from .checkpoint import load_merge_manifest
+    from .search import IndexSearcher
+
+    idx = get_keyword_repeat_index(sf_dir)
+    searcher = IndexSearcher(load_merge_manifest(idx["index_dir"]))
+    t_out: list[str] = []
+    d_out: list[np.ndarray] = []
+    f_out: list[np.ndarray] = []
+    for t in terms:
+        docs_all, freqs_all = [], []
+        for seg in searcher.segments:
+            docs, freqs = seg.postings(t)
+            docs_all.append(docs)
+            freqs_all.append(freqs)
+        docs = np.concatenate(docs_all) if docs_all else np.empty(0, np.int64)
+        freqs = np.concatenate(freqs_all) if freqs_all else np.empty(0, np.int64)
+        order = np.argsort(docs)
+        t_out.extend([t] * len(docs))
+        d_out.append(docs[order])
+        f_out.append(freqs[order].astype(np.int64))
+    return pa.table(
+        {
+            "term": pa.array(t_out, type=pa.string()),
+            "doc_id": pa.array(
+                np.concatenate(d_out) if d_out else np.empty(0, np.int64)
+            ),
+            "freq": pa.array(
+                np.concatenate(f_out) if f_out else np.empty(0, np.int64)
+            ),
+        }
+    )
+
+
 def common_grams_docs(sf_dir: str, gram: str = "the_data") -> pa.Table:
     """(doc_id, freq) for a common-gram term — the CommonGramsQueryFilter
     contract (commongrams/CommonGramsQueryFilter.java): a query pair

@@ -172,3 +172,28 @@ def test_common_grams_indexing_stack():
     assert int(emit[1]) == int(norm[1]) == 4
     # positions stay monotone per doc (delta-codec requirement)
     assert all(b >= a for a, b in zip(pos[:n0].tolist(), pos[1:n0].tolist()))
+
+
+def test_keyword_repeat_filter():
+    """KeywordRepeat + Porter + RemoveDuplicates: original + stem stacked
+    at the same position when they differ, single copy when identical;
+    norm length counts only posIncr>=1 originals (discountOverlaps)."""
+    import numpy as np
+
+    from engine.analyze import Analyzer, analyze_batch_indexing
+
+    a = Analyzer(filters=("porter",), keyword_repeat=True)
+    flat, emit, norm, pos = analyze_batch_indexing(
+        ["Query DATA tables value", "", "merge merge"], a
+    )
+    assert flat == [
+        "query", "queri", "data", "tables", "tabl", "value", "valu",
+        "merge", "merg", "merge", "merg",
+    ]
+    assert emit.tolist() == [7, 0, 4]
+    assert norm.tolist() == [4, 0, 2]  # originals only
+    assert pos.tolist() == [0, 0, 1, 2, 2, 3, 3, 0, 0, 1, 1]
+    # without keyword_repeat the stream is stems only
+    b = Analyzer(filters=("porter",))
+    flat2, _e2, _n2, _p2 = analyze_batch_indexing(["Query DATA tables"], b)
+    assert flat2 == ["queri", "data", "tabl"]
