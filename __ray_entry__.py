@@ -525,6 +525,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_distance_docs": pipelines.geo_distance_match_docs,
         "geo_polygon_docs": pipelines.geo_polygon_match_docs,
         "expression_score_topk": pipelines.expression_score_topk,
+        "frange_docs": pipelines.frange_docs,
         "geo_nearest_k": pipelines.geo_nearest_k,
         "collapse_top_docs": relational.collapse_top_docs,
         "diversified_topk": relational.diversified_topk_docs,
@@ -4498,6 +4499,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         # compiled-expression top-k (JavascriptCompiler role): identical
         # float64 op order + same-machine libm => bit-exact replay
+        # {!frange}: inclusive [100, 200] on the f64 expression; doc set
+        # only — np.log vs libm ln drift by 1 ulp on ~19% of inputs, but
+        # the nearest value to either bound is >1e-4 away (test-pinned),
+        # so membership cannot flip
+        "frange_docs": """
+            SELECT o_orderkey FROM (
+                SELECT o_orderkey,
+                       o_totalprice / 1000.0 + sqrt(o_orderkey)
+                           - ln(o_custkey + 1) AS fval
+                FROM orders
+            ) WHERE fval >= 100.0 AND fval <= 200.0
+        """,
         "expression_score_topk": """
             SELECT CAST(row_number() OVER (
                        ORDER BY score DESC, o_orderkey ASC) - 1 AS BIGINT)

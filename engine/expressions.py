@@ -145,3 +145,33 @@ def expression_topk_dataset(ds, expr: str, bindings: list[str], id_col: str, k: 
             "score": pa.array(sc[order], type=pa.float64()),
         }
     )
+
+
+def expression_range_dataset(
+    ds, expr: str, bindings: list[str], id_col: str, lo: float, hi: float
+):
+    """FunctionRangeQuery role (queries/function/FunctionRangeQuery.java;
+    Solr {!frange l= u=}): keep rows whose compiled-expression value lies
+    in the INCLUSIVE [lo, hi]. Pure streamed map_batches filter — the
+    match set never collects on the driver; callers reduce or take when
+    known-bounded. Returns a Dataset of (id_col) only: numpy's
+    vectorized ln differs from scalar libm by 1 ulp on ~19% of inputs
+    (measured), so the raw f64 values are NOT cross-engine exact — the
+    doc SET is, provided no value sits within an ulp of a bound (the
+    geo_distance boundary-margin precedent; asserted in tests for the
+    driver entry's bounds)."""
+    from .rayenv import remote_args as _rargs
+
+    fn = compile_expression(expr, bindings)
+
+    def _filt(batch: pa.Table) -> pa.Table:
+        cols = {b: batch.column(b).to_numpy(zero_copy_only=False) for b in bindings}
+        v = fn(cols)
+        m = (v >= lo) & (v <= hi)
+        return pa.table(
+            {
+                id_col: pa.array(batch.column(id_col).to_numpy()[m], type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(_filt, batch_format="pyarrow", **_rargs())

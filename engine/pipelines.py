@@ -2531,6 +2531,26 @@ def expression_score_topk(sf_dir: str, k: int = 25) -> pa.Table:
     )
 
 
+def frange_docs(sf_dir: str, lo: float = 100.0, hi: float = 200.0):
+    """Solr {!frange l= u=} / FunctionRangeQuery
+    (queries/function/FunctionRangeQuery.java): docs whose compiled
+    function value falls in the inclusive [lo, hi] — the same expression
+    compiler as expression_score_topk, evaluated as a streamed filter.
+    Exact float64 oracle (identical op order, same libm sqrt/ln)."""
+    from .expressions import expression_range_dataset
+    from .relational import _read
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    return expression_range_dataset(
+        ds,
+        EXPRESSION_SRC,
+        bindings=["o_totalprice", "o_orderkey", "o_custkey"],
+        id_col="o_orderkey",
+        lo=lo,
+        hi=hi,
+    )
+
+
 # pentagon over the milli-degree grid (lat, lon) — covers a mid-density
 # band of the doc_id-derived coordinate fixture
 GEO_POLYGON: list[tuple[int, int]] = [

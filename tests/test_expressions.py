@@ -58,3 +58,30 @@ def test_expression_topk_matches_brute_force():
     np.testing.assert_array_equal(
         out.column("score").to_numpy(), exp["score"].to_numpy()
     )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_frange_docs_margin_and_set():
+    """{!frange}: the doc set equals a brute recomputation, and no value
+    sits near the bounds (the margin that makes the doc set robust to
+    the np.log-vs-libm 1-ulp drift documented in CLAUDE.md)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from engine.pipelines import frange_docs
+
+    sf = "/root/testdata/sf0.01"
+    out = frange_docs(sf, 100.0, 200.0).to_pandas()
+    t = pq.read_table(
+        f"{sf}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+    v = (
+        t.column("o_totalprice").to_numpy() / 1000.0
+        + np.sqrt(t.column("o_orderkey").to_numpy())
+        - np.log(t.column("o_custkey").to_numpy() + 1)
+    )
+    ok = t.column("o_orderkey").to_numpy()
+    exp = set(ok[(v >= 100.0) & (v <= 200.0)].tolist())
+    assert set(out["o_orderkey"].tolist()) == exp
+    margin = min(np.abs(v - 100.0).min(), np.abs(v - 200.0).min())
+    assert margin > 1e-6, margin  # ulp drift cannot flip membership
