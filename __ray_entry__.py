@@ -519,6 +519,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "points_range_docs": pipelines.points_range_match_docs,
         "term_points_filter_docs": pipelines.term_points_filter_docs,
         "index_or_dv_filter_docs": pipelines.index_or_dv_filter_docs,
+        "range_field_docs": pipelines.range_field_match_docs,
         "geo_box_docs": pipelines.geo_box_match_docs,
         "shape_box_docs": pipelines.shape_box_match_docs,
         "points_box_docs": pipelines.points2d_box_match_docs,
@@ -4476,6 +4477,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM documents
             WHERE list_contains({_TOK}, 'data')
               AND n_chars >= 150 AND n_chars <= 400
+            ORDER BY doc_id
+        """,
+        # RangeFieldQuery over doc_id-derived intervals lo=(id*7919)%10000,
+        # hi=lo+50+id%400 vs query [3000, 6000]: emit intersecting docs
+        # classified WITHIN / CONTAINS / CROSSES (equal ranges -> WITHIN)
+        "range_field_docs": """
+            WITH r AS (
+                SELECT doc_id,
+                       (doc_id * 7919) % 10000 AS lo,
+                       (doc_id * 7919) % 10000 + 50 + (doc_id % 400) AS hi
+                FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN lo >= 3000 AND hi <= 6000 THEN 'WITHIN'
+                        WHEN lo <= 3000 AND hi >= 6000 THEN 'CONTAINS'
+                        ELSE 'CROSSES' END AS relation
+            FROM r
+            WHERE hi >= 3000 AND lo <= 6000
             ORDER BY doc_id
         """,
         # IndexOrDocValuesQuery: planner picks points-lead or DV-verify

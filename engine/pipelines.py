@@ -2416,6 +2416,19 @@ def term_points_filter_docs(
     return pa.table({"doc_id": pa.array(both, type=pa.int64())})
 
 
+def range_field_match_docs(sf_dir: str, q_lo: int = 3000, q_hi: int = 6000):
+    """Range-field query (document/LongRange + RangeFieldQuery.java
+    QueryType): per-doc [lo, hi] intervals indexed lo-sorted with
+    min-lo/max-hi leaf stats; every doc range intersecting the query
+    range streams out classified WITHIN / CONTAINS / CROSSES. Exact
+    integer oracle replays the doc_id-derived interval fixture."""
+    from .points import build_range_field, range_field_docs
+
+    idx = get_index(sf_dir)
+    rm = build_range_field(idx["build_manifest"], idx["index_dir"])
+    return range_field_docs(rm, q_lo, q_hi)
+
+
 def index_or_dv_filter_docs(
     sf_dir: str, term: str = "data", lo: int = 150, hi: int = 400
 ) -> pa.Table:

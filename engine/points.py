@@ -420,3 +420,151 @@ def box_docs_2d(points_manifest: dict, x_lo: int, x_hi: int, y_lo: int, y_hi: in
     return ray.data.from_items([{"path": p} for p in hit]).map_batches(
         _scan, batch_size=1, batch_format="pyarrow", **_rargs()
     )
+
+
+# ---------------------------------------------------------------------------
+# Range fields (document/LongRange.java + RangeFieldQuery.java QueryType
+# INTERSECTS/WITHIN/CONTAINS/CROSSES): every doc carries an [lo, hi]
+# interval, indexed as lo-sorted leaves with per-file [min(lo), max(hi)]
+# stats (the 2*dims-packed BKD role for 1-D ranges). The fixture interval
+# is doc_id-derived pure-integer so the SQL oracle replays it verbatim:
+#     lo = (doc_id * 7919) % 10000,  hi = lo + 50 + (doc_id % 400)
+# ---------------------------------------------------------------------------
+
+
+def synth_ranges(doc_ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    ids = np.asarray(doc_ids, dtype=np.int64)
+    lo = (ids * 7919) % 10000
+    return lo, lo + 50 + (ids % 400)
+
+
+def build_range_field(build_manifest: dict, index_dir: str, rows_per_leaf: int = POINTS_LEAF_ROWS) -> dict:
+    """Per-partition range-field files, write-once + resume-idempotent."""
+    import json
+
+    import ray
+    import ray.data
+
+    from .rayenv import remote_args as _rargs
+
+    out_dir = os.path.join(index_dir, "range_field")
+    man_path = os.path.join(out_dir, "range_manifest.json")
+    if os.path.exists(man_path):
+        with open(man_path) as f:
+            return json.load(f)
+    os.makedirs(out_dir, exist_ok=True)
+    parts = sorted(build_manifest["partitions"], key=lambda r: int(r["doc_base"]))
+    specs = [
+        {
+            "doc_base": int(r["doc_base"]),
+            "n_docs": int(r["n_docs"]),
+            "out_path": os.path.join(out_dir, f"ranges-{i:05d}.parquet"),
+        }
+        for i, r in enumerate(parts)
+    ]
+
+    def _build_one(batch: pa.Table) -> pa.Table:
+        rows = []
+        for spec in batch.to_pylist():
+            out_path = spec["out_path"]
+            if not os.path.exists(out_path):
+                ids = np.arange(
+                    spec["doc_base"], spec["doc_base"] + spec["n_docs"], dtype=np.int64
+                )
+                lo, hi = synth_ranges(ids)
+                order = np.argsort(lo, kind="stable")
+                tbl = pa.table(
+                    {
+                        "lo": pa.array(lo[order], type=pa.int64()),
+                        "hi": pa.array(hi[order], type=pa.int64()),
+                        "doc_id": pa.array(ids[order], type=pa.int64()),
+                    }
+                )
+                tmp = out_path + ".tmp"
+                pq.write_table(tbl, tmp, row_group_size=rows_per_leaf)
+                os.replace(tmp, out_path)
+            md = pq.read_metadata(out_path)
+            ls = [md.row_group(g).column(0).statistics for g in range(md.num_row_groups)]
+            hs = [md.row_group(g).column(1).statistics for g in range(md.num_row_groups)]
+            rows.append(
+                {
+                    "path": out_path,
+                    "min_lo": min(int(s.min) for s in ls),
+                    "max_hi": max(int(s.max) for s in hs),
+                    "n_rows": int(md.num_rows),
+                }
+            )
+        return pa.Table.from_pylist(rows)
+
+    files = (
+        ray.data.from_items(specs)
+        .map_batches(_build_one, batch_size=1, batch_format="pyarrow", **_rargs())
+        .take_all()
+    )
+    manifest = {"rows_per_leaf": rows_per_leaf, "files": sorted(files, key=lambda r: r["path"])}
+    tmp = man_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, man_path)
+    return manifest
+
+
+def range_field_docs(range_manifest: dict, q_lo: int, q_hi: int):
+    """RangeFieldQuery over the indexed intervals: streamed Dataset of
+    (doc_id, relation) for every doc range intersecting [q_lo, q_hi],
+    classified WITHIN (doc range inside the query), CONTAINS (doc range
+    covers the query), or CROSSES (partial overlap) — RangeFieldQuery
+    .QueryType.{INTERSECTS,WITHIN,CONTAINS,CROSSES} semantics; the
+    INTERSECTS set is all emitted rows. File prune on [min_lo, max_hi]."""
+    import ray.data
+
+    from .rayenv import remote_args as _rargs
+
+    hit = [
+        f["path"]
+        for f in range_manifest["files"]
+        if not (f["max_hi"] < q_lo or f["min_lo"] > q_hi)
+    ]
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], type=pa.int64()),
+            "relation": pa.array([], type=pa.string()),
+        }
+    )
+    if not hit:
+        return ray.data.from_arrow(empty)
+
+    def _scan(batch: pa.Table) -> pa.Table:
+        outs = [empty]
+        for p in batch.column("path").to_pylist():
+            pf = pq.ParquetFile(p)
+            md = pf.metadata
+            for g in range(md.num_row_groups):
+                sl = md.row_group(g).column(0).statistics
+                sh = md.row_group(g).column(1).statistics
+                if int(sh.max) < q_lo or int(sl.min) > q_hi:
+                    continue
+                tbl = pf.read_row_group(g)
+                lo = tbl.column("lo").to_numpy()
+                hi = tbl.column("hi").to_numpy()
+                inter = (hi >= q_lo) & (lo <= q_hi)
+                within = (lo >= q_lo) & (hi <= q_hi)
+                contains = (lo <= q_lo) & (hi >= q_hi)
+                # a doc range equal to the query is both within and
+                # contains — classified WITHIN (within tested first)
+                rel = np.where(
+                    within, "WITHIN", np.where(contains, "CONTAINS", "CROSSES")
+                )
+                outs.append(
+                    pa.table(
+                        {
+                            "doc_id": pa.array(tbl.column("doc_id").to_numpy()[inter]),
+                            "relation": pa.array(rel[inter], type=pa.string()),
+                        }
+                    )
+                )
+        return pa.concat_tables(outs)
+
+    return ray.data.from_items([{"path": p} for p in hit]).map_batches(
+        _scan, batch_size=1, batch_format="pyarrow", **_rargs()
+    )

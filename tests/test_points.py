@@ -199,3 +199,34 @@ def test_index_or_dv_cost_paths():
     mid = index_or_dv_filter_docs(sf, "data", 150, 400)
     mid_ref = term_points_filter_docs(sf, "data", 150, 400)
     assert mid.column("doc_id").to_pylist() == mid_ref.column("doc_id").to_pylist()
+
+
+def test_range_field_relations():
+    """RangeFieldQuery: intersect set + WITHIN/CONTAINS/CROSSES
+    classification equals brute recomputation; equal ranges -> WITHIN."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from engine.pipelines import range_field_match_docs
+    from engine.points import synth_ranges
+
+    sf = "/root/testdata/sf0.01"
+    out = (
+        range_field_match_docs(sf, 3000, 6000)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    n = pq.read_metadata(f"{sf}/documents.parquet").num_rows
+    ids = np.arange(n, dtype=np.int64)
+    lo, hi = synth_ranges(ids)
+    inter = (hi >= 3000) & (lo <= 6000)
+    assert out["doc_id"].tolist() == ids[inter].tolist()
+    within = (lo >= 3000) & (hi <= 6000)
+    contains = (lo <= 3000) & (hi >= 6000)
+    exp = np.where(within, "WITHIN", np.where(contains, "CONTAINS", "CROSSES"))
+    assert out["relation"].tolist() == exp[inter].tolist()
+    assert {"WITHIN", "CROSSES"} <= set(out["relation"])  # both occur
+    # a query equal to one doc's range classifies WITHIN
+    one = range_field_match_docs(sf, int(lo[7]), int(hi[7])).to_pandas()
+    assert one.loc[one.doc_id == 7, "relation"].iloc[0] == "WITHIN"
