@@ -472,6 +472,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "elevate_topk": pipelines.elevate_topk,
         "free_text_suggest": pipelines.free_text_suggest_body,
         "lm_doc_logprob": pipelines.lm_doc_logprob,
+        "ccnet_buckets": pipelines.ccnet_buckets,
         "replica_bm25_topk": pipelines.replica_bm25_topk,
         "bm25_search_after_pages": pipelines.bm25_search_after_pages,
         "cursor_mark_sharded": pipelines.cursor_mark_sharded,
@@ -1838,6 +1839,51 @@ def oracle_sql() -> dict[str, str]:
                                     list(lp ORDER BY p)),
                        (x, y) -> x + y) AS logprob
             FROM pv GROUP BY doc_id
+        """,
+        # CCNet head/middle/tail bucketing: avg = logprob / n_trans (one
+        # exact f64 division over the bit-exact lm chain), fixed cutoffs
+        # -3.39 / -3.42 — identical doubles compare identically
+        "ccnet_buckets": f"""
+            WITH pos AS (
+                SELECT doc_id, unnest({_TOK}) AS t,
+                       unnest(range(len({_TOK}))) AS p
+                FROM documents
+            ),
+            uni AS (SELECT t, count(*) AS c FROM pos GROUP BY t),
+            tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM pos),
+            trans AS (
+                SELECT x.doc_id, x.p, x.t AS a, y.t AS b
+                FROM pos x JOIN pos y
+                  ON x.doc_id = y.doc_id AND y.p = x.p + 1
+            ),
+            big AS (SELECT a AS t1, b AS t2, count(*) AS c
+                    FROM trans GROUP BY a, b),
+            pv AS (
+                SELECT tr.doc_id, tr.p,
+                       CASE WHEN bg.c IS NOT NULL
+                            THEN ln(CAST(bg.c AS DOUBLE) / u1.c)
+                            ELSE ln(0.4 * CAST(u2.c AS DOUBLE)
+                                    / (SELECT n FROM tot))
+                       END AS lp
+                FROM trans tr
+                JOIN uni u1 ON u1.t = tr.a
+                JOIN uni u2 ON u2.t = tr.b
+                LEFT JOIN big bg ON bg.t1 = tr.a AND bg.t2 = tr.b
+            ),
+            lp AS (
+                SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trans,
+                       list_reduce(
+                           list_prepend(CAST(0.0 AS DOUBLE),
+                                        list(lp ORDER BY p)),
+                           (x, y) -> x + y) AS logprob
+                FROM pv GROUP BY doc_id
+            )
+            SELECT doc_id, n_trans,
+                   logprob / n_trans AS avg_logprob,
+                   CASE WHEN logprob / n_trans > -3.39 THEN 'head'
+                        WHEN logprob / n_trans > -3.42 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM lp
         """,
         "free_text_suggest": f"""
             WITH pos AS (

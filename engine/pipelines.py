@@ -1142,6 +1142,39 @@ def lm_doc_logprob(sf_dir: str) -> "object":
     )
 
 
+def ccnet_buckets(
+    sf_dir: str, t_head: float = -3.39, t_mid: float = -3.42
+) -> "object":
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3: docs
+    split head/middle/tail by reference-LM perplexity against FIXED
+    cutoffs learned on a reference corpus — the cutoffs are broadcast
+    constants, not computed on the stream, so the op stays a pure map):
+    (doc_id, n_trans, avg_logprob, bucket) with bucket from the
+    per-transition mean log-probability (higher = less perplexed =
+    head). Exact oracle: the logprob chain is the bit-exact
+    lm_doc_logprob replay; avg = one exact f64 division; the CASE
+    compares identical doubles."""
+    from .rayenv import remote_args as _ra
+
+    ds = lm_doc_logprob(sf_dir)
+
+    def _bucket(batch: pa.Table) -> pa.Table:
+        lp = batch.column("logprob").to_numpy()
+        nt = batch.column("n_trans").to_numpy()
+        avg = lp / nt
+        bucket = np.where(avg > t_head, "head", np.where(avg > t_mid, "middle", "tail"))
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_trans": batch.column("n_trans"),
+                "avg_logprob": pa.array(avg, type=pa.float64()),
+                "bucket": pa.array(bucket, type=pa.string()),
+            }
+        )
+
+    return ds.map_batches(_bucket, batch_format="pyarrow", **_ra())
+
+
 def elevate_topk(
     sf_dir: str,
     query: str = "data join",

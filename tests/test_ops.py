@@ -1278,3 +1278,19 @@ def test_domain_mix_sample_semantics():
         .reset_index(drop=True)
     )
     assert out1["doc_id"].tolist() == out2["doc_id"].tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ccnet_buckets_semantics():
+    """CCNet bucketing: every scored doc gets exactly one bucket, the
+    cutoffs partition by avg_logprob, and all three buckets occur at
+    the entry's thresholds on the sf0.01 corpus."""
+    from engine.pipelines import ccnet_buckets
+
+    out = ccnet_buckets("/root/testdata/sf0.01").to_pandas()
+    assert len(out) == 500
+    avg = out["avg_logprob"]
+    assert (out.loc[avg > -3.39, "bucket"] == "head").all()
+    assert (out.loc[(avg <= -3.39) & (avg > -3.42), "bucket"] == "middle").all()
+    assert (out.loc[avg <= -3.42, "bucket"] == "tail").all()
+    assert set(out["bucket"]) == {"head", "middle", "tail"}
