@@ -89,6 +89,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return dedup.dup_span_stats(_docs(sf_dir), window=16)
 
+    def q_bloom_new(sf_dir):
+        import ray.data
+        from engine import dedup
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "source"]
+        )
+        return dedup.bloom_new_keys(ds, m_bits=4096)
+
     def q_domain_mix(sf_dir):
         import ray.data
 
@@ -548,6 +557,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_sliding": q_chunk_sliding,
         "dup_span_stats": q_dup_span,
         "domain_mix_sample": q_domain_mix,
+        "bloom_new_urls": q_bloom_new,
         "word_delimiter_terms": pipelines.word_delimiter_terms,
         "shingle_top50": q_shingle_top50,
         "stemmed_top_terms": q_stemmed_top_terms,
@@ -635,6 +645,25 @@ def _geo_polygon_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     from engine.relational import fnv1a_str_sql as _fnv_str_sql
+
+    def _mulmod64_sql(e: str, c: int) -> str:
+        # (e * c) mod 2^64 with both operands up to 2^64: 32-bit split so
+        # the HUGEINT intermediates stay under 2^97 (CLAUDE.md trick)
+        return (
+            f"CAST((((CAST(({e}) % 4294967296 AS HUGEINT) * {c})"
+            f" + ((CAST(({e}) // 4294967296 AS HUGEINT) * {c})"
+            f" % 4294967296) * 4294967296)"
+            f" % 18446744073709551616) AS UBIGINT)"
+        )
+
+    def _fmix64_sql(h: str) -> str:
+        # MurmurHash3 fmix64 (engine/merge.py _fmix64) replayed exactly
+        e = f"xor(CAST(({h}) AS UBIGINT), CAST(({h}) AS UBIGINT) >> 33)"
+        e = _mulmod64_sql(e, 0xFF51AFD7ED558CCD)
+        e = f"xor({e}, ({e}) >> 33)"
+        e = _mulmod64_sql(e, 0xC4CEB9FE1A85EC53)
+        e = f"xor({e}, ({e}) >> 33)"
+        return e
     from engine.relational import fnv1a_u64_sql as _fnv_sql
 
     tok_pairs = f"""
@@ -3869,6 +3898,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT unnest(dids) AS doc_id, unnest(ns) AS n_tokens,
                    chunk_id, unnest(st[3:]) AS seq_id
             FROM folded
+        """,
+        # Bloom seen-set filter: the even-doc_id crawl populates a 4096-bit
+        # single-hash bitset (fnv1a string fold -> fmix64 -> % 4096); a
+        # stream key is provably-new iff its bit is unset — the oracle
+        # replays the BITSET itself, so even false-positive victims match
+        "bloom_new_urls": f"""
+            WITH k AS (
+                SELECT doc_id,
+                       'https://' || source || '.example.com/doc/'
+                           || CAST(doc_id AS VARCHAR) AS url
+                FROM documents
+            ),
+            h AS (
+                SELECT doc_id, url,
+                       ({_fmix64_sql(_fnv_str_sql("url"))}) % 4096 AS bit
+                FROM k
+            ),
+            seen AS (SELECT DISTINCT bit FROM h WHERE doc_id % 2 = 0)
+            SELECT h.doc_id, h.url
+            FROM h LEFT JOIN seen ON h.bit = seen.bit
+            WHERE seen.bit IS NULL
         """,
         # domain mixing: keep iff fnv(doc_id LE bytes) % 1000 <
         # per-source permille (src0 1000, src1 500, src2 250, src3 0,

@@ -1145,3 +1145,82 @@ def dup_span_stats(ds, window: int = 16):
         .groupby("doc_bucket")
         .map_groups(_coverage, batch_format="pandas", **_rargs())
     )
+
+
+def bloom_new_keys(ds, m_bits: int = 4096):
+    """Incremental-crawl seen-set filter (the crawl-frontier / URL-dedup
+    Bloom pass; FuzzySet single-hash design shared with the merge
+    dictionary sidecar, engine/merge.py): the PREVIOUS crawl's keys
+    (here the even-doc_id half — the deterministic recrawl fixture)
+    populate a pow2-masked bitset; the full stream is then filtered to
+    keys whose bit is UNSET — provably never seen (no false negatives;
+    a ~saturation fraction of genuinely-new keys is sacrificed to false
+    positives, the standard frontier trade).
+
+    key = 'https://' || source || '.example.com/doc/' || doc_id (the
+    fixture url scheme), hashed fnv1a -> fmix64 -> & (m-1). Shape: one
+    pass builds per-batch partial bitsets (ORed on the driver — m/8
+    bytes, not key-count); the scan ships the bitset to an actor pool
+    via fn_constructor_args. The ORACLE replays the bitset exactly in
+    SQL (fnv1a string fold + fmix64 via HUGEINT mulmod), so even the
+    false-positive victims match bit-for-bit."""
+    from .merge import _fmix64
+    from .rayenv import Opaque
+    from .textops import fnv1a_vec
+
+    assert m_bits & (m_bits - 1) == 0
+    mask = np.uint64(m_bits - 1)
+
+    def _keys(batch: pa.Table) -> pa.array:
+        import pyarrow.compute as pc
+
+        return pc.binary_join_element_wise(
+            "https://",
+            batch.column("source").cast(pa.string()),
+            ".example.com/doc/",
+            batch.column("doc_id").cast(pa.string()),
+            "",
+        )
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        seen = batch.filter(
+            pa.compute.equal(pa.compute.bit_wise_and(batch.column("doc_id"), 1), 0)
+        )
+        bits = np.zeros(m_bits // 64, dtype=np.uint64)
+        if seen.num_rows:
+            h = _fmix64(fnv1a_vec(_keys(seen).combine_chunks())) & mask
+            np.bitwise_or.at(
+                bits,
+                (h >> np.uint64(6)).astype(np.int64),
+                np.uint64(1) << (h & np.uint64(63)),
+            )
+        return pa.table({"bits": pa.array([bits.tobytes()], type=pa.binary())})
+
+    parts = ds.map_batches(_partial, batch_format="pyarrow", **_rargs()).take_all()
+    bits = np.zeros(m_bits // 64, dtype=np.uint64)
+    for row in parts:
+        np.bitwise_or(bits, np.frombuffer(row["bits"], dtype=np.uint64), out=bits)
+
+    class _Scan:
+        def __init__(self, packed):
+            self.bits = np.frombuffer(packed.obj, dtype=np.uint64)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            h = _fmix64(fnv1a_vec(_keys(batch).combine_chunks())) & mask
+            word = self.bits[(h >> np.uint64(6)).astype(np.int64)]
+            hit = (word >> (h & np.uint64(63))) & np.uint64(1)
+            new = batch.filter(pa.array(hit == 0))
+            return pa.table(
+                {
+                    "doc_id": new.column("doc_id"),
+                    "url": _keys(new),
+                }
+            )
+
+    return ds.map_batches(
+        _Scan,
+        fn_constructor_args=(Opaque(bits.tobytes()),),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+        **_rargs(),
+    )

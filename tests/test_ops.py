@@ -1294,3 +1294,30 @@ def test_ccnet_buckets_semantics():
     assert (out.loc[(avg <= -3.39) & (avg > -3.42), "bucket"] == "middle").all()
     assert (out.loc[avg <= -3.42, "bucket"] == "tail").all()
     assert set(out["bucket"]) == {"head", "middle", "tail"}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bloom_new_keys_semantics():
+    """Bloom seen-set filter: no seen key ever passes (no false
+    negatives), survivors are a subset of the genuinely-new keys, and
+    the false-positive sacrifice tracks the bitset saturation."""
+    import ray.data
+
+    from engine.dedup import bloom_new_keys
+
+    n = 400
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(n), type=pa.int64()),
+            "source": pa.array([f"src{i % 20}" for i in range(n)], type=pa.string()),
+        }
+    )
+    out = bloom_new_keys(ray.data.from_arrow(t), m_bits=4096).to_pandas()
+    ids = set(out["doc_id"])
+    assert all(i % 2 == 1 for i in ids)          # every seen (even) key filtered
+    n_new = n // 2
+    assert len(ids) > 0.8 * n_new                # ~5% saturation -> few FP losses
+    assert out["url"].str.startswith("https://src").all()
+    # a larger bitset loses fewer new keys
+    out_big = bloom_new_keys(ray.data.from_arrow(t), m_bits=1 << 16).to_pandas()
+    assert len(out_big) >= len(out)
