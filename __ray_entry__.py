@@ -98,6 +98,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return dedup.bloom_new_keys(ds, m_bits=4096)
 
+    def q_hll_vocab(sf_dir):
+        return textops.hll_vocab_estimate(_docs(sf_dir), b=6)
+
     def q_domain_mix(sf_dir):
         import ray.data
 
@@ -558,6 +561,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_span_stats": q_dup_span,
         "domain_mix_sample": q_domain_mix,
         "bloom_new_urls": q_bloom_new,
+        "hll_vocab_estimate": q_hll_vocab,
         "word_delimiter_terms": pipelines.word_delimiter_terms,
         "shingle_top50": q_shingle_top50,
         "stemmed_top_terms": q_stemmed_top_terms,
@@ -3898,6 +3902,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT unnest(dids) AS doc_id, unnest(ns) AS n_tokens,
                    chunk_id, unnest(st[3:]) AS seq_id
             FROM folded
+        """,
+        # HyperLogLog vocab cardinality (b=6, m=64): bucket = h >> 58,
+        # rank = 33 - bitlength(h % 2^32) via bin() string length (no
+        # floats), untouched buckets rank 0; the raw-HLL estimate folds
+        # 2^-rank in bucket order so the f64 arithmetic replays exactly
+        "hll_vocab_estimate": f"""
+            WITH vocab AS (
+                SELECT DISTINCT unnest({_TOK}) AS w FROM documents
+            ),
+            h AS (SELECT {_fmix64_sql(_fnv_str_sql("w"))} AS hv FROM vocab),
+            br AS (
+                SELECT CAST(hv >> 58 AS BIGINT) AS bucket,
+                       CASE WHEN hv % 4294967296 = 0 THEN 33
+                            ELSE 33 - length(bin(hv % 4294967296))
+                       END AS rank
+                FROM h
+            ),
+            mx AS (SELECT bucket, max(rank) AS rank FROM br GROUP BY bucket),
+            fb AS (
+                SELECT r.i AS bucket, coalesce(mx.rank, 0) AS rank
+                FROM range(0, 64) r(i) LEFT JOIN mx ON mx.bucket = r.i
+            ),
+            acc AS (
+                SELECT list_reduce(
+                           list_prepend(CAST(0.0 AS DOUBLE),
+                               list(pow(2.0, -CAST(rank AS DOUBLE))
+                                    ORDER BY bucket)),
+                           (x, y) -> x + y) AS s,
+                       CAST(sum(CASE WHEN rank = 0 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS nz
+                FROM fb
+            )
+            SELECT CAST(64 AS BIGINT) AS m, nz AS n_zero_buckets,
+                   ((0.709 * 64.0) * 64.0) / s AS estimate
+            FROM acc
         """,
         # Bloom seen-set filter: the even-doc_id crawl populates a 4096-bit
         # single-hash bitset (fnv1a string fold -> fmix64 -> % 4096); a

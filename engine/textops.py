@@ -982,3 +982,81 @@ def domain_mix_sample(ds, rates: dict[str, int], default_permille: int = 100):
         return batch.filter(pa.array(res < thr))
 
     return ds.map_batches(filt, batch_format="pyarrow", **_rargs())
+
+
+def hll_vocab_estimate(ds, b: int = 6):
+    """HyperLogLog cardinality sketch over the corpus VOCABULARY (the
+    Solr StatsComponent 'cardinality'/json.facet 'hll' role; Flajolet
+    et al. 2007): distinct-token estimate without a distinct shuffle.
+    m = 2^b buckets; each token hash feeds bucket = h >> (64-b) and
+    rank = 33 - bitlength(h & (2^32-1)) (the rank domain is capped at
+    32 low bits so the SQL oracle's float-free bit math stays exact;
+    zero low bits rank 33). Per-batch partials carry ONE (bucket, rank)
+    row per touched bucket (np.maximum.at), the groupby(bucket).Max
+    reduce moves <= m rows per batch, and the final fold runs in bucket
+    order so the float64 estimate replays bit-exactly in SQL:
+    E = alpha_m * m^2 / sum_b 2^-rank_b (raw HLL, no small/large-range
+    correction — documented; alpha_64 = 0.709 constant).
+
+    Returns one row (m, n_zero_buckets, estimate)."""
+    from ray.data.aggregate import Max
+
+    m = 1 << b
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        toks: set[str] = set()
+        for t in texts:
+            toks.update(TOKEN_RE.findall((t or "").lower()))
+        if not toks:
+            return pa.table(
+                {
+                    "bucket": pa.array([], type=pa.int64()),
+                    "rank": pa.array([], type=pa.int64()),
+                }
+            )
+        from .merge import _fmix64
+
+        # fmix64 finalizer: raw FNV's high bits cluster on short
+        # sequential keys (21/64 buckets hit on a 2000-term probe) —
+        # same avalanche fix as the Bloom sidecar (CLAUDE.md lore)
+        h = _fmix64(
+            np.fromiter((fnv1a(w) for w in toks), dtype=np.uint64, count=len(toks))
+        )
+        bucket = (h >> np.uint64(64 - b)).astype(np.int64)
+        low = (h & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        # bitlength via int bit math (no floats): np.frexp is float-based;
+        # use the exact integer log2 from bit_length per unique value
+        bl = np.fromiter((int(x).bit_length() for x in low), dtype=np.int64, count=len(low))
+        rank = 33 - bl  # low == 0 -> bit_length 0 -> rank 33
+        ranks = np.zeros(m, dtype=np.int64)
+        np.maximum.at(ranks, bucket, rank)
+        touched = np.flatnonzero(ranks)
+        return pa.table(
+            {
+                "bucket": pa.array(touched, type=pa.int64()),
+                "rank": pa.array(ranks[touched], type=pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(_partial, batch_format="pyarrow", **_rargs())
+        .groupby("bucket")
+        .aggregate(Max("rank", alias_name="rank"))
+        .take_all()
+    )
+    ranks = np.zeros(m, dtype=np.int64)
+    for row in agg:
+        ranks[int(row["bucket"])] = int(row["rank"])
+    # ordered float64 fold (bucket asc) so the SQL list_reduce replays it
+    acc = 0.0
+    for r in ranks.tolist():
+        acc += 2.0 ** (-r)
+    est = (0.709 * float(m) * float(m)) / acc
+    return pa.table(
+        {
+            "m": pa.array([m], type=pa.int64()),
+            "n_zero_buckets": pa.array([int((ranks == 0).sum())], type=pa.int64()),
+            "estimate": pa.array([est], type=pa.float64()),
+        }
+    )

@@ -1321,3 +1321,31 @@ def test_bloom_new_keys_semantics():
     # a larger bitset loses fewer new keys
     out_big = bloom_new_keys(ray.data.from_arrow(t), m_bits=1 << 16).to_pandas()
     assert len(out_big) >= len(out)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hll_vocab_estimate_accuracy():
+    """HLL sketch: the estimate lands within the expected raw-HLL error
+    band of the true distinct count on a 2000-term synthetic vocab, and
+    is partition-invariant (same sketch under any batching)."""
+    import ray.data
+
+    from engine.textops import hll_vocab_estimate
+
+    n_vocab = 2000
+    words = [f"w{i:05d}" for i in range(n_vocab)]
+    texts = [" ".join(words[i::40]) for i in range(40)]  # each word once
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(40), type=pa.int64()),
+            "text": pa.array(texts, type=pa.string()),
+        }
+    )
+    out = hll_vocab_estimate(ray.data.from_arrow(t), b=6).to_pandas()
+    est = out["estimate"].iloc[0]
+    # raw HLL with m=64: ~1.04/sqrt(64) = 13% std error; allow 3 sigma
+    assert abs(est - n_vocab) / n_vocab < 0.4, est
+    out2 = hll_vocab_estimate(
+        ray.data.from_arrow(t).repartition(8), b=6
+    ).to_pandas()
+    assert out2["estimate"].iloc[0] == est  # max-merge is order-free
