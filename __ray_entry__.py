@@ -101,6 +101,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_hll_vocab(sf_dir):
         return textops.hll_vocab_estimate(_docs(sf_dir), b=6)
 
+    def q_cms_terms(sf_dir):
+        return textops.cms_term_counts(
+            _docs(sf_dir), ("the", "data", "join", "zzmissing"), d=4, w=512
+        )
+
     def q_domain_mix(sf_dir):
         import ray.data
 
@@ -562,6 +567,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_mix_sample": q_domain_mix,
         "bloom_new_urls": q_bloom_new,
         "hll_vocab_estimate": q_hll_vocab,
+        "cms_term_counts": q_cms_terms,
         "word_delimiter_terms": pipelines.word_delimiter_terms,
         "shingle_top50": q_shingle_top50,
         "stemmed_top_terms": q_stemmed_top_terms,
@@ -659,6 +665,11 @@ def oracle_sql() -> dict[str, str]:
             f" % 4294967296) * 4294967296)"
             f" % 18446744073709551616) AS UBIGINT)"
         )
+
+    _cms_salt_rows = ", ".join(
+        f"({r}, CAST({(0x9E3779B97F4A7C15 * (r + 1)) & 0xFFFFFFFFFFFFFFFF} AS UBIGINT))"
+        for r in range(4)
+    )
 
     def _fmix64_sql(h: str) -> str:
         # MurmurHash3 fmix64 (engine/merge.py _fmix64) replayed exactly
@@ -3902,6 +3913,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT unnest(dids) AS doc_id, unnest(ns) AS n_tokens,
                    chunk_id, unnest(st[3:]) AS seq_id
             FROM folded
+        """,
+        # Count-Min Sketch (d=4, w=512): the identical salted-fmix64
+        # matrix rebuilt from token counts; estimate = min over rows of
+        # the query term's cell — collision inflation matches exactly
+        "cms_term_counts": f"""
+            WITH tc AS (
+                SELECT t, CAST(count(*) AS BIGINT) AS c FROM (
+                    SELECT unnest({_TOK}) AS t FROM documents) GROUP BY t
+            ),
+            salts(r, s) AS (VALUES {_cms_salt_rows}),
+            cells AS (
+                SELECT salts.r AS rw,
+                       CAST(({_fmix64_sql('xor(' + _fnv_str_sql('t') + ', salts.s)')})
+                            % 512 AS BIGINT) AS col,
+                       CAST(sum(c) AS BIGINT) AS cnt
+                FROM tc, salts GROUP BY 1, 2
+            ),
+            q(term) AS (VALUES ('the'), ('data'), ('join'), ('zzmissing')),
+            qcell AS (
+                SELECT q.term, salts.r AS rw,
+                       CAST(({_fmix64_sql('xor(' + _fnv_str_sql('term') + ', salts.s)')})
+                            % 512 AS BIGINT) AS col
+                FROM q, salts
+            )
+            SELECT qcell.term, CAST(min(coalesce(cells.cnt, 0)) AS BIGINT)
+                       AS est
+            FROM qcell LEFT JOIN cells
+              ON cells.rw = qcell.rw AND cells.col = qcell.col
+            GROUP BY qcell.term
         """,
         # HyperLogLog vocab cardinality (b=6, m=64): bucket = h >> 58,
         # rank = 33 - bitlength(h % 2^32) via bin() string length (no

@@ -1060,3 +1060,82 @@ def hll_vocab_estimate(ds, b: int = 6):
             "estimate": pa.array([est], type=pa.float64()),
         }
     )
+
+
+def cms_term_counts(ds, query_terms: tuple[str, ...], d: int = 4, w: int = 512):
+    """Count-Min Sketch term-frequency estimation (Cormode & Muthu 2005
+    — the heavy-hitter sketch a 100-TB pipeline uses when exact
+    per-term counts would need a vocabulary-wide shuffle): d x w counter
+    matrix, row r hashes token t to fmix64(fnv1a(t) ^ SALT[r]) % w and
+    adds its occurrence count; estimate(t) = min over rows (always an
+    OVERcount — CMS never underestimates). The sketch is LINEAR, so
+    per-batch partial matrices merge by cell-wise sum: partials stream
+    as (cell, cnt) rows through one groupby Sum — the reduce moves
+    <= d*w rows per batch regardless of vocabulary size.
+
+    Returns (term, est) for ``query_terms``. The SQL oracle rebuilds the
+    identical matrix (token counts -> salted fmix64 cells -> min), so
+    even collision-inflated estimates match exactly."""
+    from ray.data.aggregate import Sum
+
+    from .merge import _fmix64
+
+    salts = tuple(0x9E3779B97F4A7C15 * (r + 1) & 0xFFFFFFFFFFFFFFFF for r in range(d))
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        counts: dict[str, int] = {}
+        for t in texts:
+            for w_ in TOKEN_RE.findall((t or "").lower()):
+                counts[w_] = counts.get(w_, 0) + 1
+        if not counts:
+            return pa.table(
+                {
+                    "cell": pa.array([], type=pa.int64()),
+                    "cnt": pa.array([], type=pa.int64()),
+                }
+            )
+        toks = list(counts)
+        c = np.fromiter((counts[t] for t in toks), dtype=np.int64, count=len(toks))
+        h = np.fromiter((fnv1a(t) for t in toks), dtype=np.uint64, count=len(toks))
+        cells: list[np.ndarray] = []
+        vals: list[np.ndarray] = []
+        for r, salt in enumerate(salts):
+            col = (_fmix64(h ^ np.uint64(salt)) % np.uint64(w)).astype(np.int64)
+            mat = np.zeros(w, dtype=np.int64)
+            np.add.at(mat, col, c)
+            touched = np.flatnonzero(mat)
+            cells.append(r * w + touched)
+            vals.append(mat[touched])
+        return pa.table(
+            {
+                "cell": pa.array(np.concatenate(cells)),
+                "cnt": pa.array(np.concatenate(vals)),
+            }
+        )
+
+    agg = (
+        ds.map_batches(_partial, batch_format="pyarrow", **_rargs())
+        .groupby("cell")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .take_all()
+    )
+    mat = np.zeros(d * w, dtype=np.int64)
+    for row in agg:
+        mat[int(row["cell"])] = int(row["cnt"])
+    out_t: list[str] = []
+    out_e: list[int] = []
+    for t in query_terms:
+        h = fnv1a(t)
+        est = min(
+            int(mat[r * w + (_fmix64(h ^ salt) % w)])
+            for r, salt in enumerate(salts)
+        )
+        out_t.append(t)
+        out_e.append(est)
+    return pa.table(
+        {
+            "term": pa.array(out_t, type=pa.string()),
+            "est": pa.array(out_e, type=pa.int64()),
+        }
+    )

@@ -1349,3 +1349,31 @@ def test_hll_vocab_estimate_accuracy():
         ray.data.from_arrow(t).repartition(8), b=6
     ).to_pandas()
     assert out2["estimate"].iloc[0] == est  # max-merge is order-free
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cms_term_counts_semantics():
+    """Count-Min: estimates never undercount, equal the true count when
+    no row collides, and are partition-invariant (linear sketch)."""
+    import ray.data
+
+    from engine.textops import cms_term_counts
+
+    words = [f"w{i:04d}" for i in range(200)]
+    # w0000 appears 3x per doc, others once
+    texts = [" ".join(["w0000"] * 3 + words[1:][i::10]) for i in range(10)]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(10), type=pa.int64()),
+            "text": pa.array(texts, type=pa.string()),
+        }
+    )
+    q = ("w0000", "w0001", "absenttok")
+    out = cms_term_counts(ray.data.from_arrow(t), q, d=4, w=512).to_pandas()
+    est = dict(zip(out["term"], out["est"]))
+    assert est["w0000"] >= 30      # never undercounts (3 x 10 docs)
+    assert est["w0001"] >= 1
+    # with 200 tokens over 4x512 cells, min-row collision odds are tiny
+    assert est["w0000"] <= 40
+    out2 = cms_term_counts(ray.data.from_arrow(t).repartition(5), q, d=4, w=512).to_pandas()
+    assert dict(zip(out2["term"], out2["est"])) == est  # linear merge
