@@ -101,6 +101,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_hll_vocab(sf_dir):
         return textops.hll_vocab_estimate(_docs(sf_dir), b=6)
 
+    def q_doclen_quantiles(sf_dir):
+        import ray.data
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["n_chars"]
+        )
+        return textops.doclen_quantiles(ds, (0.5, 0.9, 0.99))
+
     def q_cms_terms(sf_dir):
         return textops.cms_term_counts(
             _docs(sf_dir), ("the", "data", "join", "zzmissing"), d=4, w=512
@@ -568,6 +576,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_new_urls": q_bloom_new,
         "hll_vocab_estimate": q_hll_vocab,
         "cms_term_counts": q_cms_terms,
+        "doclen_quantiles": q_doclen_quantiles,
         "word_delimiter_terms": pipelines.word_delimiter_terms,
         "shingle_top50": q_shingle_top50,
         "stemmed_top_terms": q_stemmed_top_terms,
@@ -3913,6 +3922,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT unnest(dids) AS doc_id, unnest(ns) AS n_tokens,
                    chunk_id, unnest(st[3:]) AS seq_id
             FROM folded
+        """,
+        # exact type-1 quantiles: smallest value with cumulative count
+        # >= ceil(q * N) over the n_chars histogram
+        "doclen_quantiles": """
+            WITH h AS (
+                SELECT n_chars AS v, count(*) AS c FROM documents
+                GROUP BY n_chars
+            ),
+            cum AS (
+                SELECT v, sum(c) OVER (ORDER BY v) AS cc,
+                       (SELECT count(*) FROM documents) AS n
+                FROM h
+            ),
+            q(q) AS (VALUES (0.5), (0.9), (0.99))
+            SELECT q.q AS q,
+                   (SELECT min(v) FROM cum
+                    WHERE cc >= GREATEST(1, CAST(ceil(q.q * cum2.n)
+                                                 AS BIGINT))) AS value
+            FROM q, (SELECT DISTINCT n FROM cum) cum2
         """,
         # Count-Min Sketch (d=4, w=512): the identical salted-fmix64
         # matrix rebuilt from token counts; estimate = min over rows of

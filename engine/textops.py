@@ -1139,3 +1139,43 @@ def cms_term_counts(ds, query_terms: tuple[str, ...], d: int = 4, w: int = 512):
             "est": pa.array(out_e, type=pa.int64()),
         }
     )
+
+
+def doclen_quantiles(ds, qs: tuple[float, ...] = (0.5, 0.9, 0.99)):
+    """EXACT distributed quantiles of the n_chars distribution — the
+    two-phase value-histogram pattern (groupby(value).Count moves one
+    row per DISTINCT value, so the reduce is bounded by the value
+    domain, not the corpus; the quantile selection runs over the tiny
+    histogram). Quantile rule = type-1 (inverse ECDF): the smallest
+    value whose cumulative count >= ceil(q * N). Returns (q, value).
+    A 100-TB run over an unbounded domain would bucket first (the same
+    shape with range keys); char lengths are domain-bounded so the
+    histogram IS exact."""
+    from ray.data.aggregate import Count
+
+    import math as _math
+
+    hist = (
+        ds.groupby("n_chars")
+        .aggregate(Count(alias_name="cnt"))
+        .take_all()
+    )
+    vals = np.array([int(r["n_chars"]) for r in hist], dtype=np.int64)
+    cnts = np.array([int(r["cnt"]) for r in hist], dtype=np.int64)
+    order = np.argsort(vals)
+    vals, cnts = vals[order], cnts[order]
+    cum = np.cumsum(cnts)
+    n = int(cum[-1]) if len(cum) else 0
+    out_q: list[float] = []
+    out_v: list[int] = []
+    for q in qs:
+        k = max(1, _math.ceil(q * n))
+        i = int(np.searchsorted(cum, k))
+        out_q.append(q)
+        out_v.append(int(vals[i]))
+    return pa.table(
+        {
+            "q": pa.array(out_q, type=pa.float64()),
+            "value": pa.array(out_v, type=pa.int64()),
+        }
+    )

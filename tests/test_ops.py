@@ -1377,3 +1377,22 @@ def test_cms_term_counts_semantics():
     assert est["w0000"] <= 40
     out2 = cms_term_counts(ray.data.from_arrow(t).repartition(5), q, d=4, w=512).to_pandas()
     assert dict(zip(out2["term"], out2["est"])) == est  # linear merge
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_doclen_quantiles_exact():
+    """Exact type-1 quantiles: equals numpy's inverse-ECDF on the raw
+    values, including duplicate-heavy and tiny distributions."""
+    import math
+
+    import ray.data
+
+    from engine.textops import doclen_quantiles
+
+    vals = [5] * 10 + [7] * 5 + [100] * 4 + [9999]
+    t = pa.table({"n_chars": pa.array(vals, type=pa.int64())})
+    out = doclen_quantiles(ray.data.from_arrow(t), (0.5, 0.9, 0.99, 1.0)).to_pandas()
+    s = sorted(vals)
+    for q, v in zip(out["q"], out["value"]):
+        k = max(1, math.ceil(q * len(s)))
+        assert v == s[k - 1], (q, v, s[k - 1])
