@@ -548,6 +548,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_field_docs": pipelines.range_field_match_docs,
         "geo_box_docs": pipelines.geo_box_match_docs,
         "shape_box_docs": pipelines.shape_box_match_docs,
+        "geo_heatmap_facet": pipelines.geo_heatmap_facet,
         "points_box_docs": pipelines.points2d_box_match_docs,
         "geo_distance_docs": pipelines.geo_distance_match_docs,
         "geo_polygon_docs": pipelines.geo_polygon_match_docs,
@@ -4757,6 +4758,26 @@ def oracle_sql() -> dict[str, str]:
               AND ((doc_id * 40503 + 12345) % 360000) - 180000
                       BETWEEN -60000 AND 90000
             ORDER BY doc_id
+        """,
+        # Solr facet.heatmap: 8x8 grid over the box, cell =
+        # ((v - min) * 8) // (span+1-1...); pure integer replay of the
+        # coordinate fixture + row-major cell addressing
+        "geo_heatmap_facet": """
+            WITH pts AS (
+                SELECT ((doc_id * 2654435761) % 180000) - 90000 AS lat,
+                       ((doc_id * 40503 + 12345) % 360000) - 180000 AS lon
+                FROM documents
+            ),
+            inbox AS (
+                SELECT lat, lon FROM pts
+                WHERE lat BETWEEN -60000 AND 60000
+                  AND lon BETWEEN -120000 AND 120000
+            )
+            SELECT ((lat - (-60000)) * 8) // 120001 AS cell_row,
+                   ((lon - (-120000)) * 8) // 240001 AS cell_col,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM inbox
+            GROUP BY 1, 2
         """,
         # LatLonShape box query over per-doc diamonds (center = the point
         # fixture, arm = 300 + doc_id%7*100): INTERSECTS iff clamped L1

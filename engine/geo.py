@@ -623,3 +623,58 @@ def shape_box_docs(
     return ray.data.from_items([{"path": p} for p in hit]).map_batches(
         _scan, batch_size=1, batch_format="pyarrow", **_rargs()
     )
+
+
+def heatmap_facet(
+    geo_manifest: dict,
+    min_lat: int,
+    max_lat: int,
+    min_lon: int,
+    max_lon: int,
+    grid: int = 8,
+) -> pa.Table:
+    """Solr heatmap faceting (solr/handler/component/SpatialHeatmapFacets
+    .java over the prefix-tree grid role): counts of points per cell of a
+    ``grid`` x ``grid`` lattice covering the (inclusive) box, cells
+    addressed row-major from the south-west corner. Cell assignment is
+    pure integer arithmetic — cell = ((v - min) * grid) // span with
+    span = max - min + 1 — so the SQL oracle replays it verbatim.
+    Shape: per-file vectorized partial count vectors (grid^2 ints)
+    summed on the driver — the reduce is grid^2 numbers regardless of
+    corpus size; files outside the box are never opened."""
+    import ray
+
+    from .rayenv import remote_args as _rargs
+
+    lat_span = max_lat - min_lat + 1
+    lon_span = max_lon - min_lon + 1
+
+    def _partial(path: str) -> np.ndarray:
+        docs, _r, _t = box_docs_file(path, min_lat, max_lat, min_lon, max_lon)
+        counts = np.zeros(grid * grid, dtype=np.int64)
+        if len(docs):
+            lat, lon = synth_latlon(docs)
+            row = ((lat - min_lat) * grid) // lat_span
+            col = ((lon - min_lon) * grid) // lon_span
+            np.add.at(counts, row * grid + col, 1)
+        return counts
+
+    hit = [
+        f["path"]
+        for f in geo_manifest["files"]
+        if not (f["max_lat"] < min_lat or f["min_lat"] > max_lat
+                or f["max_lon"] < min_lon or f["min_lon"] > max_lon)
+    ]
+    counts = np.zeros(grid * grid, dtype=np.int64)
+    if hit:
+        part = ray.remote(**_rargs())(_partial)
+        for c in ray.get([part.remote(p) for p in hit]):
+            counts += c
+    cells = np.flatnonzero(counts)
+    return pa.table(
+        {
+            "cell_row": pa.array((cells // grid).astype(np.int64)),
+            "cell_col": pa.array((cells % grid).astype(np.int64)),
+            "cnt": pa.array(counts[cells]),
+        }
+    )

@@ -2543,6 +2543,22 @@ def shape_box_match_docs(
     return shape_box_docs(shapes, min_lat, max_lat, min_lon, max_lon)
 
 
+def geo_heatmap_facet(
+    sf_dir: str,
+    min_lat: int = -60_000,
+    max_lat: int = 60_000,
+    min_lon: int = -120_000,
+    max_lon: int = 120_000,
+    grid: int = 8,
+) -> pa.Table:
+    """Solr facet.heatmap over the geo point fixture: grid-cell counts
+    with per-file partial vectors (see geo.heatmap_facet). Exact integer
+    oracle replays the fixture + cell arithmetic."""
+    from .geo import heatmap_facet
+
+    return heatmap_facet(get_geo(sf_dir), min_lat, max_lat, min_lon, max_lon, grid)
+
+
 def geo_distance_match_docs(
     sf_dir: str, lat: float = 10.0, lon: float = 20.0, radius_m: float = 2_000_000.0
 ):

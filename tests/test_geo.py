@@ -197,3 +197,30 @@ def test_shape_box_relations():
     # a crossing diamond exists whenever the box edge cuts one (both
     # relations occur at this box on this corpus)
     assert set(out["relation"]) == {"WITHIN", "INTERSECTS"}
+
+
+def test_heatmap_facet_counts():
+    """Heatmap faceting: cell counts conserve the box match count and
+    equal a brute per-cell recomputation."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from engine.pipelines import geo_box_match_docs, geo_heatmap_facet
+    from engine.geo import synth_latlon
+
+    sf = "/root/testdata/sf0.01"
+    b = (-60_000, 60_000, -120_000, 120_000)
+    out = geo_heatmap_facet(sf, *b, grid=8).to_pandas()
+    n_box = geo_box_match_docs(sf, *b).to_pandas().shape[0]
+    assert out["cnt"].sum() == n_box  # conservation
+    n = pq.read_metadata(f"{sf}/documents.parquet").num_rows
+    ids = np.arange(n, dtype=np.int64)
+    lat, lon = synth_latlon(ids)
+    m = (lat >= b[0]) & (lat <= b[1]) & (lon >= b[2]) & (lon <= b[3])
+    row = ((lat[m] - b[0]) * 8) // (b[1] - b[0] + 1)
+    col = ((lon[m] - b[2]) * 8) // (b[3] - b[2] + 1)
+    brute = np.zeros(64, dtype=np.int64)
+    np.add.at(brute, row * 8 + col, 1)
+    got = np.zeros(64, dtype=np.int64)
+    got[out["cell_row"] * 8 + out["cell_col"]] = out["cnt"]
+    np.testing.assert_array_equal(got, brute)
