@@ -101,6 +101,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_hll_vocab(sf_dir):
         return textops.hll_vocab_estimate(_docs(sf_dir), b=6)
 
+    def q_pagerank(sf_dir):
+        import pyarrow.parquet as _pq
+        import ray.data
+        from engine.graph import pagerank
+
+        n = _pq.read_metadata(
+            os.path.join(sf_dir, "documents.parquet")
+        ).num_rows
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+        )
+        return pagerank(ds, n_docs=n, n_iters=5)
+
     def q_doclen_quantiles(sf_dir):
         import ray.data
 
@@ -578,6 +591,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_vocab_estimate": q_hll_vocab,
         "cms_term_counts": q_cms_terms,
         "doclen_quantiles": q_doclen_quantiles,
+        "pagerank": q_pagerank,
         "word_delimiter_terms": pipelines.word_delimiter_terms,
         "shingle_top50": q_shingle_top50,
         "stemmed_top_terms": q_stemmed_top_terms,
@@ -674,6 +688,45 @@ def oracle_sql() -> dict[str, str]:
             f" + ((CAST(({e}) // 4294967296 AS HUGEINT) * {c})"
             f" % 4294967296) * 4294967296)"
             f" % 18446744073709551616) AS UBIGINT)"
+        )
+
+    def _pagerank_sql(n_iters: int = 5) -> str:
+        n = "(SELECT count(*) FROM documents)"
+        arms = " UNION ALL ".join(
+            f"SELECT doc_id AS source, (doc_id * {a} + {b}) % {n} AS target "
+            f"FROM documents WHERE (doc_id * {a} + {b}) % {n} != doc_id"
+            for a, b in ((31, 7), (97, 13), (131, 29))
+        )
+        deg_terms = " + ".join(
+            f"(CASE WHEN (doc_id * {a} + {b}) % {n} != doc_id THEN 1 ELSE 0 END)"
+            for a, b in ((31, 7), (97, 13), (131, 29))
+        )
+        ctes = [
+            f"edges AS ({arms})",
+            f"deg AS (SELECT doc_id, {deg_terms} AS d FROM documents)",
+            f"r0 AS (SELECT doc_id, 1.0 / {n} AS rank FROM documents)",
+        ]
+        for k in range(n_iters):
+            ctes.append(f"""r{k + 1} AS (
+                SELECT d.doc_id,
+                       CASE WHEN f.s IS NULL THEN (0.15 / {n})
+                            ELSE (0.15 / {n}) + 0.85 * f.s END AS rank
+                FROM documents d LEFT JOIN (
+                    SELECT e.target AS doc_id,
+                           list_reduce(
+                               list_prepend(CAST(0.0 AS DOUBLE),
+                                   list(r{k}.rank / deg.d
+                                        ORDER BY e.source)),
+                               (x, y) -> x + y) AS s
+                    FROM edges e
+                    JOIN r{k} ON r{k}.doc_id = e.source
+                    JOIN deg ON deg.doc_id = e.source
+                    GROUP BY e.target
+                ) f ON f.doc_id = d.doc_id
+            )""")
+        return (
+            "WITH " + ",\n".join(ctes)
+            + f"\nSELECT doc_id, rank FROM r{n_iters}"
         )
 
     _cms_salt_rows = ", ".join(
@@ -3924,6 +3977,13 @@ def oracle_sql() -> dict[str, str]:
                    chunk_id, unnest(st[3:]) AS seq_id
             FROM folded
         """,
+        # PageRank power iteration (5 damped updates, fixture graph
+        # i -> (i*31+7)%N / (i*97+13)%N / (i*131+29)%N, self-loops
+        # dropped, parallel edges kept, dangling mass dropped): every
+        # f64 reduction order-pinned — per-target contributions fold
+        # source-ascending (0.0-seeded left-assoc == reduceat), update
+        # = (0.15/N) + 0.85 * s
+        "pagerank": _pagerank_sql(),
         # exact type-1 quantiles: smallest value with cumulative count
         # >= ceil(q * N) over the n_chars histogram
         "doclen_quantiles": """

@@ -1,0 +1,141 @@
+"""Distributed web-graph operators (beyond-reference: the link-analysis
+pass of a crawl/training pipeline — PageRank power iteration).
+
+The fixture link graph derives from doc_id arithmetic (testdata has no
+link columns), so the SQL oracle replays it verbatim: each doc i emits
+up to 3 out-edges to (i*31 + 7) % N, (i*97 + 13) % N, (i*131 + 29) % N,
+self-loops dropped, duplicate targets KEPT (parallel edges contribute
+twice — a deterministic rule both sides implement).
+
+PageRank is the canonical "iterative algorithm" the driver contract
+calls out as usually SQL-ineligible; it is exact here because every
+float64 reduction is ORDER-PINNED: a target's incoming contributions
+fold in source-ascending order (np.add.reduceat over the
+(target, source)-lexsorted contribution array is a sequential
+left-assoc sum; the oracle replays it with a per-target ordered
+list_reduce), and the damping update r' = 0.15/N + 0.85 * s is two
+exact-rounded ops. Dangling mass (outdeg 0 — impossible for this
+fixture's 3-formula fan-out unless all three hit the source) is
+dropped, the deterministic "lost mass" variant.
+
+Ray shape per iteration: ranks Dataset (doc_id, rank) -> map_batches
+emits (bucket, target, source, contrib) -> groupby(bucket) (COARSE
+buckets, not per-target groups — the perf-lore ~90us/group shape is
+avoided) -> vectorized per-bucket ordered reduceat -> next ranks
+Dataset. Nothing whole-corpus lands on the driver; 5 iterations = 5
+bounded shuffles of one row per edge.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .rayenv import remote_args as _rargs
+
+EDGE_MULS = ((31, 7), (97, 13), (131, 29))
+DAMPING = 0.85
+N_BUCKETS = 64
+
+
+def synth_out_edges(doc_ids: np.ndarray, n_docs: int) -> tuple[np.ndarray, np.ndarray]:
+    """(sources, targets) of the fixture graph for the given docs —
+    self-loops dropped, parallel edges kept."""
+    ids = np.asarray(doc_ids, dtype=np.int64)
+    srcs: list[np.ndarray] = []
+    tgts: list[np.ndarray] = []
+    for a, b in EDGE_MULS:
+        t = (ids * a + b) % n_docs
+        keep = t != ids
+        srcs.append(ids[keep])
+        tgts.append(t[keep])
+    return np.concatenate(srcs), np.concatenate(tgts)
+
+
+def out_degree(doc_ids: np.ndarray, n_docs: int) -> np.ndarray:
+    """Out-degree of each doc under the fixture rule (0..3)."""
+    ids = np.asarray(doc_ids, dtype=np.int64)
+    deg = np.zeros(len(ids), dtype=np.int64)
+    for a, b in EDGE_MULS:
+        deg += ((ids * a + b) % n_docs) != ids
+    return deg
+
+
+def pagerank(ds, n_docs: int, n_iters: int = 5):
+    """Power-iteration PageRank over the fixture graph. ``ds`` supplies
+    the doc_id universe (one row per doc; any extra columns ignored).
+    Returns a Dataset (doc_id, rank) after ``n_iters`` damped updates
+    from the uniform start 1/N."""
+    import ray.data
+
+    def _init(batch: pa.Table) -> pa.Table:
+        docs = batch.column("doc_id")
+        return pa.table(
+            {
+                "doc_id": docs,
+                "rank": pa.array(
+                    np.full(len(docs), 1.0 / n_docs, dtype=np.float64)
+                ),
+            }
+        )
+
+    ranks = ds.select_columns(["doc_id"]).map_batches(
+        _init, batch_format="pyarrow", **_rargs()
+    )
+
+    def _contribs(batch: pa.Table) -> pa.Table:
+        docs = batch.column("doc_id").to_numpy()
+        r = batch.column("rank").to_numpy()
+        deg = out_degree(docs, n_docs)
+        share = np.where(deg > 0, r / np.maximum(deg, 1), 0.0)
+        # a zero-contribution (source -1) anchor row per doc keeps
+        # in-link-less targets in the fold (they resolve to the base
+        # mass) WITHOUT a second union+max shuffle; sorted first per
+        # target, it adds exactly 0.0 to the 0.0-seeded fold
+        s_out: list[np.ndarray] = [np.full(len(docs), -1, dtype=np.int64)]
+        t_out: list[np.ndarray] = [docs]
+        c_out: list[np.ndarray] = [np.zeros(len(docs), dtype=np.float64)]
+        for a, b in EDGE_MULS:
+            t = (docs * a + b) % n_docs
+            keep = t != docs
+            s_out.append(docs[keep])
+            t_out.append(t[keep])
+            c_out.append(share[keep])
+        tgt = np.concatenate(t_out)
+        return pa.table(
+            {
+                "bucket": pa.array((tgt % N_BUCKETS).astype(np.int64)),
+                "target": pa.array(tgt),
+                "source": pa.array(np.concatenate(s_out)),
+                "contrib": pa.array(np.concatenate(c_out), type=pa.float64()),
+            }
+        )
+
+    def _fold(g: pa.Table) -> pa.Table:
+        t = g.column("target").to_numpy()
+        s = g.column("source").to_numpy()
+        c = g.column("contrib").to_numpy()
+        order = np.lexsort((s, t))  # per-target source-ascending order
+        t, c = t[order], c[order]
+        bounds = np.flatnonzero(np.concatenate(([True], t[1:] != t[:-1])))
+        sums = np.add.reduceat(c, bounds)  # sequential left-assoc per slice
+        return pa.table(
+            {
+                "doc_id": pa.array(t[bounds], type=pa.int64()),
+                "rank": pa.array((0.15 / n_docs) + DAMPING * sums, type=pa.float64()),
+            }
+        )
+
+    for i in range(n_iters):
+        ranks = (
+            ranks.map_batches(_contribs, batch_format="pyarrow", **_rargs())
+            .groupby("bucket")
+            .map_groups(_fold, batch_format="pyarrow", **_rargs())
+        )
+        # iterative barrier: each iteration's output IS the next input —
+        # materialize so the lazy lineage doesn't re-execute iteration k
+        # once per downstream iteration (5 chained shuffles re-run
+        # quadratically otherwise; measured 54 s -> ~5 s at sf0.01)
+        if i < n_iters - 1:
+            ranks = ranks.materialize()
+    return ranks

@@ -1396,3 +1396,44 @@ def test_doclen_quantiles_exact():
     for q, v in zip(out["q"], out["value"]):
         k = max(1, math.ceil(q * len(s)))
         assert v == s[k - 1], (q, v, s[k - 1])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pagerank_semantics():
+    """PageRank: mass ~conserved minus dangling loss, equals a local
+    numpy power iteration with the same order-pinned folds, and docs
+    with no in-links sit at the base mass."""
+    import ray.data
+
+    from engine.graph import EDGE_MULS, pagerank, out_degree
+
+    n = 120
+    t = pa.table({"doc_id": pa.array(range(n), type=pa.int64())})
+    out = (
+        pagerank(ray.data.from_arrow(t), n_docs=n, n_iters=5)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(out) == n
+    # local reference with identical fold order
+    ids = np.arange(n, dtype=np.int64)
+    r = np.full(n, 1.0 / n)
+    for _ in range(5):
+        deg = out_degree(ids, n)
+        share = np.where(deg > 0, r / np.maximum(deg, 1), 0.0)
+        contrib: dict[int, list[tuple[int, float]]] = {i: [] for i in range(n)}
+        for a, b in EDGE_MULS:
+            tgt = (ids * a + b) % n
+            for s in range(n):
+                if tgt[s] != s:
+                    contrib[int(tgt[s])].append((s, share[s]))
+        nr = np.empty(n)
+        for d in range(n):
+            acc = 0.0
+            for _s, c in sorted(contrib[d]):
+                acc += c
+            nr[d] = (0.15 / n) + 0.85 * acc
+        r = nr
+    np.testing.assert_array_equal(out["rank"].to_numpy(), r)
+    assert abs(out["rank"].sum() - 1.0) < 0.2  # mass ~1 minus dangling loss
