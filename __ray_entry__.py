@@ -114,6 +114,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return pagerank(ds, n_docs=n, n_iters=5)
 
+    def q_anchor_stats(sf_dir):
+        import pyarrow.parquet as _pq
+        from engine.graph import anchor_stats
+
+        n = _pq.read_metadata(
+            os.path.join(sf_dir, "documents.parquet")
+        ).num_rows
+        return anchor_stats(_docs(sf_dir), n_docs=n)
+
     def q_doclen_quantiles(sf_dir):
         import ray.data
 
@@ -592,6 +601,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_term_counts": q_cms_terms,
         "doclen_quantiles": q_doclen_quantiles,
         "pagerank": q_pagerank,
+        "anchor_stats": q_anchor_stats,
         "word_delimiter_terms": pipelines.word_delimiter_terms,
         "shingle_top50": q_shingle_top50,
         "stemmed_top_terms": q_stemmed_top_terms,
@@ -3976,6 +3986,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT unnest(dids) AS doc_id, unnest(ns) AS n_tokens,
                    chunk_id, unnest(st[3:]) AS seq_id
             FROM folded
+        """,
+        # anchor-text aggregation over the same link fixture: per target
+        # the in-link count and the DISTINCT anchor vocabulary (anchors
+        # = each source's first two tokens)
+        "anchor_stats": f"""
+            WITH e AS (
+                SELECT doc_id AS source,
+                       (doc_id * 31 + 7) % (SELECT count(*) FROM documents)
+                           AS target
+                FROM documents
+                WHERE (doc_id * 31 + 7) % (SELECT count(*) FROM documents)
+                          != doc_id
+                UNION ALL
+                SELECT doc_id,
+                       (doc_id * 97 + 13) % (SELECT count(*) FROM documents)
+                FROM documents
+                WHERE (doc_id * 97 + 13) % (SELECT count(*) FROM documents)
+                          != doc_id
+                UNION ALL
+                SELECT doc_id,
+                       (doc_id * 131 + 29) % (SELECT count(*) FROM documents)
+                FROM documents
+                WHERE (doc_id * 131 + 29) % (SELECT count(*) FROM documents)
+                          != doc_id
+            ),
+            anch AS (
+                SELECT doc_id, unnest(({_TOK})[1:2]) AS tok FROM documents
+            ),
+            links AS (
+                SELECT target, CAST(count(*) AS BIGINT) AS n_inlinks
+                FROM e GROUP BY target
+            ),
+            terms AS (
+                SELECT e.target,
+                       CAST(count(DISTINCT anch.tok) AS BIGINT)
+                           AS n_anchor_terms
+                FROM e JOIN anch ON anch.doc_id = e.source
+                GROUP BY e.target
+            )
+            SELECT l.target AS doc_id, l.n_inlinks,
+                   coalesce(t.n_anchor_terms, 0) AS n_anchor_terms
+            FROM links l LEFT JOIN terms t ON t.target = l.target
         """,
         # PageRank power iteration (5 damped updates, fixture graph
         # i -> (i*31+7)%N / (i*97+13)%N / (i*131+29)%N, self-loops

@@ -139,3 +139,73 @@ def pagerank(ds, n_docs: int, n_iters: int = 5):
         if i < n_iters - 1:
             ranks = ranks.materialize()
     return ranks
+
+
+def anchor_stats(ds, n_docs: int):
+    """Anchor-text aggregation (the web-graph pass that builds per-target
+    anchor evidence for retrieval/training — cf. anchor-text fields in
+    web search): every fixture edge carries the SOURCE doc's first two
+    tokens as its anchor; per target emit (doc_id, n_inlinks,
+    n_anchor_terms) where n_anchor_terms counts DISTINCT anchor tokens
+    over all in-edges. Shape: map_batches explodes (target, token) +
+    (target, inlink-marker) rows, two native groupby aggregates — no
+    joins, no driver state."""
+    from ray.data.aggregate import Count
+
+    from .analyze import TOKEN_RE
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        docs = batch.column("doc_id").to_numpy()
+        texts = batch.column("text").to_pylist()
+        anchors: list[list[str]] = [
+            TOKEN_RE.findall((t or "").lower())[:2] for t in texts
+        ]
+        t_out: list[int] = []
+        k_out: list[str] = []
+        for i, d in enumerate(docs.tolist()):
+            for a, b in EDGE_MULS:
+                tgt = (d * a + b) % n_docs
+                if tgt == d:
+                    continue
+                t_out.append(tgt)
+                k_out.append("\x01")  # in-link marker row
+                for w in anchors[i]:
+                    t_out.append(tgt)
+                    k_out.append(w)
+        return pa.table(
+            {
+                "doc_id": pa.array(t_out, type=pa.int64()),
+                "tok": pa.array(k_out, type=pa.string()),
+            }
+        )
+
+    exploded = ds.map_batches(_explode, batch_format="pyarrow", **_rargs())
+    # one distinct-pair groupby; markers count in-links, tokens count
+    # distinct anchor vocabulary per target
+    agg = exploded.groupby(["doc_id", "tok"]).aggregate(Count(alias_name="c"))
+
+    def _finish(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        is_marker = pc.equal(batch.column("tok"), "\x01")
+        docs = batch.column("doc_id").to_numpy()
+        c = batch.column("c").to_numpy()
+        m = is_marker.to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(docs, type=pa.int64()),
+                "n_inlinks": pa.array(np.where(m, c, 0), type=pa.int64()),
+                "n_anchor_terms": pa.array((~m).astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        agg.map_batches(_finish, batch_format="pyarrow", **_rargs())
+        .groupby("doc_id")
+        .aggregate(
+            Sum("n_inlinks", alias_name="n_inlinks"),
+            Sum("n_anchor_terms", alias_name="n_anchor_terms"),
+        )
+    )

@@ -1437,3 +1437,43 @@ def test_pagerank_semantics():
         r = nr
     np.testing.assert_array_equal(out["rank"].to_numpy(), r)
     assert abs(out["rank"].sum() - 1.0) < 0.2  # mass ~1 minus dangling loss
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_anchor_stats_semantics():
+    """Anchor aggregation: in-link counts and distinct anchor vocab per
+    target equal a local recomputation; empty-text sources still count
+    as in-links but contribute no terms."""
+    import ray.data
+
+    from engine.analyze import TOKEN_RE
+    from engine.graph import EDGE_MULS, anchor_stats
+
+    n = 60
+    texts = [f"alpha{i % 3} beta{i % 2} filler" if i % 5 else "" for i in range(n)]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(n), type=pa.int64()),
+            "text": pa.array(texts, type=pa.string()),
+        }
+    )
+    out = (
+        anchor_stats(ray.data.from_arrow(t), n_docs=n)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    inl: dict[int, int] = {}
+    vocab: dict[int, set[str]] = {}
+    for i in range(n):
+        anchor = TOKEN_RE.findall(texts[i].lower())[:2]
+        for a, b in EDGE_MULS:
+            tgt = (i * a + b) % n
+            if tgt == i:
+                continue
+            inl[tgt] = inl.get(tgt, 0) + 1
+            vocab.setdefault(tgt, set()).update(anchor)
+    assert dict(zip(out["doc_id"], out["n_inlinks"])) == inl
+    assert dict(zip(out["doc_id"], out["n_anchor_terms"])) == {
+        k: len(v) for k, v in vocab.items()
+    }
