@@ -2826,10 +2826,18 @@ def oracle_sql() -> dict[str, str]:
                 FROM (SELECT doc_id, len({_TOK}) AS n FROM documents)
             ),
             cs AS (
-                SELECT CAST(CAST((dfa.v + 1.0) / (st.n_docs + 1.0)
-                            AS FLOAT) AS DOUBLE) AS la,
-                       CAST(CAST((dfb.v + 1.0) / (st.n_docs + 1.0)
-                            AS FLOAT) AS DOUBLE) AS lb,
+                -- LambdaDF.java:34-37 nextDown guard: lambda == 1
+                -- (df == N) steps to the previous float
+                SELECT CASE WHEN CAST((dfa.v + 1.0) / (st.n_docs + 1.0)
+                                 AS FLOAT) = CAST(1.0 AS FLOAT)
+                            THEN CAST(0.9999999403953552 AS DOUBLE)
+                            ELSE CAST(CAST((dfa.v + 1.0) / (st.n_docs + 1.0)
+                                 AS FLOAT) AS DOUBLE) END AS la,
+                       CASE WHEN CAST((dfb.v + 1.0) / (st.n_docs + 1.0)
+                                 AS FLOAT) = CAST(1.0 AS FLOAT)
+                            THEN CAST(0.9999999403953552 AS DOUBLE)
+                            ELSE CAST(CAST((dfb.v + 1.0) / (st.n_docs + 1.0)
+                                 AS FLOAT) AS DOUBLE) END AS lb,
                        CAST(st.sttf AS DOUBLE) / st.n_docs AS avgdl
                 FROM dfa, dfb, stats st
             ),

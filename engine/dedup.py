@@ -1064,10 +1064,8 @@ def dup_span_stats(ds, window: int = 16):
     odds negligible; the oracle groups by content)."""
     import pandas as pd
 
-    from .textops import fnv1a
+    from .textops import fnv1a_vec, rolling_window_hashes
 
-    B = np.uint64(1099511628211)
-    pw = np.array([B ** np.uint64(i) for i in range(window)], dtype=np.uint64)
     buckets = 64
 
     def _windows(batch: pa.Table) -> pa.Table:
@@ -1080,9 +1078,8 @@ def dup_span_stats(ds, window: int = 16):
             toks = TOKEN_RE.findall((t or "").lower())
             if len(toks) < window:
                 continue
-            h = np.fromiter((fnv1a(w) for w in toks), dtype=np.uint64, count=len(toks))
-            sw = np.lib.stride_tricks.sliding_window_view(h, window)
-            wh = (sw * pw[None, :]).sum(axis=1, dtype=np.uint64)
+            h = fnv1a_vec(pa.array(toks, type=pa.string()))
+            wh = rolling_window_hashes(h, window)
             d_out.append(np.full(len(wh), d, dtype=np.int64))
             p_out.append(np.arange(len(wh), dtype=np.int64))
             h_out.append(wh.astype(np.int64))  # two's-complement view

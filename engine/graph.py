@@ -10,10 +10,11 @@ twice — a deterministic rule both sides implement).
 PageRank is the canonical "iterative algorithm" the driver contract
 calls out as usually SQL-ineligible; it is exact here because every
 float64 reduction is ORDER-PINNED: a target's incoming contributions
-fold in source-ascending order (np.add.reduceat over the
-(target, source)-lexsorted contribution array is a sequential
-left-assoc sum; the oracle replays it with a per-target ordered
-list_reduce), and the damping update r' = 0.15/N + 0.85 * s is two
+fold in source-ascending order (one vectorized += pass per in-group
+rank over the (target, source)-lexsorted contribution array — a
+genuinely sequential left-assoc sum; np.add.reduceat is NOT usable
+here, its 8+-element slices associate pairwise; the oracle replays
+the fold with a per-target ordered list_reduce), and the damping update r' = 0.15/N + 0.85 * s is two
 exact-rounded ops. Dangling mass (outdeg 0 — impossible for this
 fixture's 3-formula fan-out unless all three hit the source) is
 dropped, the deterministic "lost mass" variant.
@@ -21,7 +22,7 @@ dropped, the deterministic "lost mass" variant.
 Ray shape per iteration: ranks Dataset (doc_id, rank) -> map_batches
 emits (bucket, target, source, contrib) -> groupby(bucket) (COARSE
 buckets, not per-target groups — the perf-lore ~90us/group shape is
-avoided) -> vectorized per-bucket ordered reduceat -> next ranks
+avoided) -> vectorized per-bucket ordered fold -> next ranks
 Dataset. Nothing whole-corpus lands on the driver; 5 iterations = 5
 bounded shuffles of one row per edge.
 """
@@ -117,11 +118,23 @@ def pagerank(ds, n_docs: int, n_iters: int = 5):
         c = g.column("contrib").to_numpy()
         order = np.lexsort((s, t))  # per-target source-ascending order
         t, c = t[order], c[order]
-        bounds = np.flatnonzero(np.concatenate(([True], t[1:] != t[:-1])))
-        sums = np.add.reduceat(c, bounds)  # sequential left-assoc per slice
+        starts = np.flatnonzero(np.concatenate(([True], t[1:] != t[:-1])))
+        n_groups = len(starts)
+        sizes = np.diff(np.concatenate((starts, [len(t)])))
+        # GENUINELY sequential left-assoc per-group sum: one vectorized
+        # += pass per in-group rank (np.add.reduceat is NOT sequential —
+        # it switches to unrolled/pairwise association for slices of 8+
+        # elements, which would diverge from the oracle's list_reduce
+        # the moment a target's in-degree reaches 8)
+        gid = np.repeat(np.arange(n_groups), sizes)
+        rank_in_group = np.arange(len(t)) - starts[gid]
+        sums = np.zeros(n_groups, dtype=np.float64)
+        for k in range(int(sizes.max()) if n_groups else 0):
+            sel = rank_in_group == k
+            sums[gid[sel]] += c[sel]
         return pa.table(
             {
-                "doc_id": pa.array(t[bounds], type=pa.int64()),
+                "doc_id": pa.array(t[starts], type=pa.int64()),
                 "rank": pa.array((0.15 / n_docs) + DAMPING * sums, type=pa.float64()),
             }
         )

@@ -897,7 +897,7 @@ def explain_scores(sf_dir: str, query: str = "data join", k: int = 3) -> pa.Tabl
         assert ex["value"] == np.float32(total)  # CheckHits explain identity
         for det in ex["details"]:
             d_out.append(doc)
-            t_out.append(det["description"].split("(")[1].split(" ")[0])
+            t_out.append(det["term"])
             f_out.append(det["freq"])
             l_out.append(det["doc_len"])
             c_out.append(det["value"])

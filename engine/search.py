@@ -524,13 +524,18 @@ class IndexSearcher:
                     "match": True,
                     "value": np.float32(s),
                     "description": f"weight({t} in {doc})",
+                    "term": t,
                     "freq": freq,
                     "doc_len": int(LENGTH_TABLE[nb]),
                     "weight": np.float32(p.weight),
                 }
             )
             acc += float(np.float32(s))
-        if must_missing or (self._deleted is not None and doc in set(self._deleted.tolist())):
+        deleted = False
+        if self._deleted is not None:
+            j = int(np.searchsorted(self._deleted, doc))
+            deleted = j < len(self._deleted) and int(self._deleted[j]) == doc
+        if must_missing or deleted:
             return {
                 "match": False,
                 "value": np.float32(0.0),

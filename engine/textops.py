@@ -246,6 +246,22 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     )
 
 
+_ROLL_B = np.uint64(1099511628211)
+
+
+def rolling_window_hashes(h: np.ndarray, window: int) -> np.ndarray:
+    """Polynomial window hash over a token-hash stream: wh[p] =
+    sum_i h[p+i] * B^i (uint64 wraparound), vectorized via a sliding
+    window view — ONE definition shared by the winnowing fingerprints
+    and the ExactSubstr dup-span pass so the SQL replays (HUGEINT
+    mulmod power table) stay pinned to a single chain."""
+    pw = np.array(
+        [_ROLL_B ** np.uint64(i) for i in range(window)], dtype=np.uint64
+    )
+    sw = np.lib.stride_tricks.sliding_window_view(h, window)
+    return (sw * pw[None, :]).sum(axis=1, dtype=np.uint64)
+
+
 def rolling_fingerprint_batch(
     batch: pa.Table, window: int = 8, keep: int = 4, text_col: str = "text"
 ) -> pa.Table:
@@ -254,20 +270,14 @@ def rolling_fingerprint_batch(
     edits; vectorized via numpy sliding windows)."""
     texts = batch.column(text_col).to_pylist()
     out: list[list[int]] = []
-    B = np.uint64(1099511628211)
     for t in texts:
         toks = TOKEN_RE.findall((t or "").lower())
         # deterministic token hash (Python's hash() is per-process salted)
-        h = np.fromiter(
-            (fnv1a(w) for w in toks), dtype=np.uint64, count=len(toks)
-        )
+        h = fnv1a_vec(pa.array(toks, type=pa.string()))
         if len(h) < window:
             wh = h if len(h) else np.zeros(1, dtype=np.uint64)
         else:
-            # windowed polynomial hash, vectorized over all windows
-            pw = np.array([B ** np.uint64(i) for i in range(window)], dtype=np.uint64)
-            sw = np.lib.stride_tricks.sliding_window_view(h, window)
-            wh = (sw * pw[None, :]).sum(axis=1, dtype=np.uint64)
+            wh = rolling_window_hashes(h, window)
         smallest = np.sort(wh)[:keep] & np.uint64(0x7FFFFFFFFFFFFFFF)
         out.append([int(x) for x in smallest])
     return pa.table(
