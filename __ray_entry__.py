@@ -511,6 +511,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dfr_topk": pipelines.dfr_topk,
         "multi_sim_topk": pipelines.multi_sim_topk,
         "blended_term_topk": pipelines.blended_term_topk,
+        "edismax_topk": pipelines.edismax_topk,
         "explain_scores": pipelines.explain_scores,
         "keyword_repeat_docs": pipelines.keyword_repeat_docs,
         "perfield_sim_topk": pipelines.perfield_sim_topk,
@@ -2332,6 +2333,97 @@ def oracle_sql() -> dict[str, str]:
                        sb AS clause_score, total, 1 AS ord FROM top
                 WHERE fb IS NOT NULL
             )
+        """,
+        # edismax qf (body^1 title^2, user terms 'data' and '0'): live
+        # clauses are body:data (varying) and title:0^2 (every title ends
+        # 'rep 0', freq 1, dl 4); dismax tie 0.1: total = f32(max +
+        # f32(f32(0.1) * f32(sum_f64 - max_f64)))
+        "edismax_topk": f"""
+            WITH lt(b, lo) AS (VALUES {lt_values}),
+            stats AS (
+                SELECT (SELECT count(*) FROM documents) AS n_docs,
+                       (SELECT CAST(sum(len({_TOK})) AS BIGINT)
+                        FROM documents) AS sttf
+            ),
+            tstats AS (
+                SELECT (SELECT count(*) FROM documents) AS n_docs,
+                       (SELECT CAST(sum(len({title_tok})) AS BIGINT)
+                        FROM documents) AS sttf
+            ),
+            tf AS (
+                SELECT doc_id, count(*) AS freq FROM (
+                    SELECT doc_id, unnest({_TOK}) AS t FROM documents
+                ) WHERE t = 'data' GROUP BY doc_id
+            ),
+            ttf0 AS (
+                SELECT doc_id, count(*) AS freq FROM (
+                    SELECT doc_id, unnest({title_tok}) AS t FROM documents
+                ) WHERE t = '0' GROUP BY doc_id
+            ),
+            nb AS (
+                SELECT doc_id, (SELECT max(b) FROM lt WHERE lo <= n) AS b
+                FROM (SELECT doc_id, len({_TOK}) AS n FROM documents)
+            ),
+            tnb AS (
+                SELECT doc_id, (SELECT max(b) FROM lt WHERE lo <= n) AS b
+                FROM (SELECT doc_id, len({title_tok}) AS n FROM documents)
+            ),
+            c AS (
+                SELECT {_bm25_w("(SELECT count(*) FROM tf)")} AS w,
+                       CAST(sttf / CAST(n_docs AS DOUBLE) AS FLOAT) AS avgdl
+                FROM stats
+            ),
+            tc AS (
+                SELECT {_f32op("CAST(2.0 AS FLOAT)", "*", _bm25_w("(SELECT count(*) FROM ttf0)"))} AS w,
+                       CAST(sttf / CAST(n_docs AS DOUBLE) AS FLOAT) AS avgdl
+                FROM tstats AS stats
+            ),
+            cache AS (SELECT lt.b, {_bm25_cache_expr} AS inv FROM lt, c),
+            tcache AS (SELECT lt.b, {_bm25_cache_expr} AS inv
+                       FROM lt, tc AS c),
+            body_s AS (
+                SELECT tf.doc_id, {_bm25_score("c.w", "tf.freq", "k.inv")} AS s
+                FROM tf JOIN nb ON nb.doc_id = tf.doc_id
+                JOIN cache k ON k.b = nb.b, c
+            ),
+            title_s AS (
+                SELECT t0.doc_id,
+                       {_bm25_score("tc.w", "t0.freq", "k.inv")} AS s
+                FROM ttf0 t0 JOIN tnb ON tnb.doc_id = t0.doc_id
+                JOIN tcache k ON k.b = tnb.b, tc
+            ),
+            pairs AS (
+                SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+                       a.s AS sa, b.s AS sb
+                FROM body_s a FULL OUTER JOIN title_s b
+                  ON a.doc_id = b.doc_id
+            ),
+            combined AS (
+                SELECT doc_id,
+                       CAST(
+                         CAST(GREATEST(coalesce(sa, CAST(0.0 AS FLOAT)),
+                                       coalesce(sb, CAST(0.0 AS FLOAT)))
+                              AS DOUBLE)
+                       + CAST(CAST(
+                           CAST(CAST(0.1 AS FLOAT) AS DOUBLE)
+                           * CAST(CAST(
+                               (coalesce(CAST(sa AS DOUBLE), 0.0)
+                                + coalesce(CAST(sb AS DOUBLE), 0.0))
+                               - CAST(GREATEST(
+                                     coalesce(sa, CAST(0.0 AS FLOAT)),
+                                     coalesce(sb, CAST(0.0 AS FLOAT)))
+                                 AS DOUBLE)
+                             AS FLOAT) AS DOUBLE)
+                           AS FLOAT) AS DOUBLE)
+                       AS FLOAT) AS score
+                FROM pairs
+            )
+            SELECT rank, doc_id, score FROM (
+                SELECT CAST(row_number() OVER (
+                           ORDER BY score DESC, doc_id ASC) - 1 AS BIGINT)
+                           AS rank, doc_id, score
+                FROM combined
+            ) WHERE rank < 10
         """,
         # BlendedTermQuery(data, join): both clauses share ONE blended
         # weight from df = max(dfa, dfb); dismax combine: total =

@@ -914,6 +914,43 @@ def explain_scores(sf_dir: str, query: str = "data join", k: int = 3) -> pa.Tabl
     )
 
 
+def edismax_topk(
+    sf_dir: str,
+    user_query: str = "data 0",
+    k: int = 10,
+    tie: float = 0.1,
+    title_boost: float = 2.0,
+) -> pa.Table:
+    """Solr edismax qf shape (handler/component + ExtendedDismaxQParser:
+    each user term expands across the qf fields with per-field boosts —
+    body^1 title^{title_boost} here — and the per-term field clauses
+    combine under DisjunctionMaxQuery with the configured tie breaker).
+    Exact oracle: every field clause's f32 BM25 chain + the dismax
+    combine replay in SQL (boost = f32(boost * idf) weight order)."""
+    from .checkpoint import load_merge_manifest
+    from .search import IndexSearcher
+
+    idx = get_index(sf_dir)
+    searcher = IndexSearcher(load_merge_manifest(idx["index_dir"]))
+    clauses: list[str] = []
+    boosts: dict[str, float] = {}
+    for w in user_query.split():
+        clauses.append(w)
+        tq = f"title:{w}"
+        clauses.append(tq)
+        boosts[tq] = title_boost
+    docs, scores = searcher.search_dismax(
+        " ".join(clauses), k=k, tie_breaker=tie, boosts=boosts
+    )
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(len(docs)), type=pa.int64()),
+            "doc_id": pa.array(docs, type=pa.int64()),
+            "score": pa.array(scores, type=pa.float32()),
+        }
+    )
+
+
 def blended_term_topk(
     sf_dir: str, terms: tuple[str, ...] = ("data", "join"), k: int = 10
 ) -> pa.Table:

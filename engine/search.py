@@ -373,7 +373,9 @@ class IndexSearcher:
             ttf += t
         return df, ttf
 
-    def _params_for(self, terms: tuple[str, ...]) -> dict[str, TermScorerParams | None]:
+    def _params_for(
+        self, terms: tuple[str, ...], boosts: dict[str, float] | None = None
+    ) -> dict[str, TermScorerParams | None]:
         out: dict[str, TermScorerParams | None] = {}
         for t in terms:
             df, ttf = self.global_term_stats(t)
@@ -387,19 +389,31 @@ class IndexSearcher:
                 if self._sim_map is not None
                 else self.make_scorer
             )
-            out[t] = mk(df, f_doc_count, f_sum_ttf, ttf=ttf) if df > 0 else None
+            b = np.float32((boosts or {}).get(t, 1.0))  # BoostQuery wrap
+            out[t] = (
+                mk(df, f_doc_count, f_sum_ttf, ttf=ttf, boost=b)
+                if df > 0
+                else None
+            )
         return out
 
     # -- query entry -------------------------------------------------------
 
     def search_dismax(
-        self, query: str | BoolQuery, k: int = 10, tie_breaker: float = 0.0
+        self,
+        query: str | BoolQuery,
+        k: int = 10,
+        tie_breaker: float = 0.0,
+        boosts: dict[str, float] | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
         """DisjunctionMaxQuery over the SHOULD terms: per doc
         score = max(clause scores) + tie_breaker * (sum - max)
-        (search/DisjunctionMaxQuery.java semantics, float32 result)."""
+        (search/DisjunctionMaxQuery.java semantics, float32 result).
+        ``boosts`` maps a clause term to its BoostQuery factor — the
+        Solr edismax qf shape (user term expanded per field with
+        per-field weights, combined under dismax)."""
         q = parse_query(query) if isinstance(query, str) else query
-        params = self._params_for(q.should)
+        params = self._params_for(q.should, boosts=boosts)
         live = [t for t in q.should if params[t] is not None]
         if not live or k <= 0:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)

@@ -1589,3 +1589,33 @@ def test_explain(corpus):
              if i not in set(corpus["oracle_postings"]["t00012"][0].tolist())]
     exm = s.explain("+t00012 t00005", int(only5[0]))
     assert not exm["match"]
+
+
+def test_dismax_boosts(corpus):
+    """Per-clause boosts in dismax (the edismax qf shape): a boosted
+    clause scales exactly f32(boost * idf) in the weight; boost 1 maps
+    to the unboosted result."""
+    from engine.bm25 import make_term_scorer
+
+    s = IndexSearcher(corpus["manifest"])
+    d0, sc0 = s.search_dismax("t00005 t00012", 10, tie_breaker=0.1)
+    d1, sc1 = s.search_dismax(
+        "t00005 t00012", 10, tie_breaker=0.1, boosts={"t00005": 1.0}
+    )
+    np.testing.assert_array_equal(d0, d1)
+    np.testing.assert_array_equal(sc0, sc1)
+    # boost 3 on one clause == recompute with a boosted scorer
+    dc, sttf = corpus["doc_count"], corpus["sum_ttf"]
+    op = corpus["oracle_postings"]
+    d2, sc2 = s.search_dismax(
+        "t00005 t00012", 10, tie_breaker=0.0, boosts={"t00005": 3.0}
+    )
+    mx: dict[int, np.float32] = {}
+    for t, b in (("t00005", 3.0), ("t00012", 1.0)):
+        td, tf = op[t]
+        pr = make_term_scorer(len(td), dc, sttf, boost=np.float32(b))
+        for doc, v in zip(td.tolist(), pr.score(tf, corpus["norms"][td]).tolist()):
+            mx[doc] = max(mx.get(doc, np.float32(0.0)), np.float32(v))
+    exp = sorted(((np.float32(0.0) + v, -doc) for doc, v in mx.items()), reverse=True)[:10]
+    np.testing.assert_array_equal(sc2, np.array([v for v, _ in exp], np.float32))
+    np.testing.assert_array_equal(d2, np.array([-nd for _, nd in exp], np.int64))
