@@ -583,6 +583,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spell_suggest": pipelines.spell_suggest_body,
         "more_like_this_terms": pipelines.more_like_this_terms,
         "more_like_this_topk": pipelines.more_like_this_topk,
+        "mlt_like_text_topk": pipelines.mlt_like_text_topk,
         "prefix_complete": pipelines.prefix_complete_body,
         "infix_complete": pipelines.infix_complete_body,
         "fuzzy_complete": pipelines.fuzzy_complete_body,
@@ -739,6 +740,80 @@ def oracle_sql() -> dict[str, str]:
             "WITH " + ",\n".join(ctes)
             + f"\nSELECT doc_id, rank FROM r{n_iters}"
         )
+
+    def _mlt_sql(tdoc_src: str) -> str:
+        """The MoreLikeThis oracle with the tf SOURCE parameterized
+        (by-doc: the example doc's tokens; like-text: the literal
+        snippet's tokens) — selection (tf>=2, df>=5, tf*idf top-10) and
+        the per-rank ordered BM25 f64 fold are shared verbatim."""
+        return f"""
+            WITH lt(b, lo) AS (VALUES {lt_values}),
+            stats AS (
+                SELECT (SELECT count(*) FROM documents) AS n_docs,
+                       (SELECT CAST(sum(len({_TOK})) AS BIGINT)
+                        FROM documents) AS sttf
+            ),
+            tdoc AS (
+                SELECT t AS term, count(*) AS tf FROM (
+                    {tdoc_src}
+                ) GROUP BY t HAVING count(*) >= 2
+            ),
+            tdf AS (
+                SELECT term, count(*) AS df FROM ({tok_pairs}) GROUP BY term
+            ),
+            mlt AS (
+                SELECT term, df, rn FROM (
+                    SELECT tdoc.term, tdf.df,
+                           row_number() OVER (ORDER BY
+                               tdoc.tf * (ln(((SELECT n_docs FROM stats) + 1)
+                                             / (tdf.df + 1.0)) + 1) DESC,
+                               tdoc.term ASC) AS rn
+                    FROM tdoc JOIN tdf USING (term)
+                    WHERE tdf.df >= 5
+                ) WHERE rn <= 10
+            ),
+            mltw AS (
+                SELECT term, rn,
+                       {_bm25_w("df")} AS w
+                FROM mlt, stats
+            ),
+            tf2 AS (
+                SELECT doc_id, t AS term, count(*) AS freq FROM (
+                    SELECT doc_id, unnest({_TOK}) AS t FROM documents
+                ) GROUP BY doc_id, t
+            ),
+            nb AS (
+                SELECT doc_id, (SELECT max(b) FROM lt WHERE lo <= n) AS b
+                FROM (SELECT doc_id, len({_TOK}) AS n FROM documents)
+            ),
+            c AS (
+                SELECT CAST(sttf / CAST(n_docs AS DOUBLE) AS FLOAT) AS avgdl
+                FROM stats
+            ),
+            cache AS (SELECT lt.b, {_bm25_cache_expr} AS inv FROM lt, c),
+            per_term AS (
+                SELECT tf2.doc_id, mltw.rn,
+                       {_bm25_score("mltw.w", "tf2.freq", "k.inv")} AS s
+                FROM tf2
+                JOIN mltw USING (term)
+                JOIN nb ON nb.doc_id = tf2.doc_id
+                JOIN cache k ON k.b = nb.b
+            ),
+            scored AS (
+                SELECT doc_id,
+                       CAST(list_reduce(
+                           list_prepend(CAST(0.0 AS DOUBLE),
+                               list(CAST(s AS DOUBLE) ORDER BY rn)),
+                           (a, x) -> a + x) AS FLOAT) AS score
+                FROM per_term GROUP BY doc_id
+            )
+            SELECT rank, doc_id, score FROM (
+                SELECT CAST(row_number() OVER (
+                           ORDER BY score DESC, doc_id ASC) - 1 AS BIGINT)
+                           AS rank, doc_id, score
+                FROM scored
+            ) WHERE rank < 10
+        """
 
     _cms_salt_rows = ", ".join(
         f"({r}, CAST({(0x9E3779B97F4A7C15 * (r + 1)) & 0xFFFFFFFFFFFFFFFF} AS UBIGINT))"
@@ -3287,74 +3362,16 @@ def oracle_sql() -> dict[str, str]:
         # rank order) searched as a SHOULD query — per-term f32 scores
         # folded per doc in QUERY ORDER in a double accumulator (the TAAT
         # clause order; WAND==TAAT score equality is test-enforced), cast
-        "more_like_this_topk": f"""
-            WITH lt(b, lo) AS (VALUES {lt_values}),
-            stats AS (
-                SELECT (SELECT count(*) FROM documents) AS n_docs,
-                       (SELECT CAST(sum(len({_TOK})) AS BIGINT)
-                        FROM documents) AS sttf
-            ),
-            tdoc AS (
-                SELECT t AS term, count(*) AS tf FROM (
-                    SELECT unnest({_TOK}) AS t FROM documents WHERE doc_id = 7
-                ) GROUP BY t HAVING count(*) >= 2
-            ),
-            tdf AS (
-                SELECT term, count(*) AS df FROM ({tok_pairs}) GROUP BY term
-            ),
-            mlt AS (
-                SELECT term, df, rn FROM (
-                    SELECT tdoc.term, tdf.df,
-                           row_number() OVER (ORDER BY
-                               tdoc.tf * (ln(((SELECT n_docs FROM stats) + 1)
-                                             / (tdf.df + 1.0)) + 1) DESC,
-                               tdoc.term ASC) AS rn
-                    FROM tdoc JOIN tdf USING (term)
-                    WHERE tdf.df >= 5
-                ) WHERE rn <= 10
-            ),
-            mltw AS (
-                SELECT term, rn,
-                       {_bm25_w("df")} AS w
-                FROM mlt, stats
-            ),
-            tf2 AS (
-                SELECT doc_id, t AS term, count(*) AS freq FROM (
-                    SELECT doc_id, unnest({_TOK}) AS t FROM documents
-                ) GROUP BY doc_id, t
-            ),
-            nb AS (
-                SELECT doc_id, (SELECT max(b) FROM lt WHERE lo <= n) AS b
-                FROM (SELECT doc_id, len({_TOK}) AS n FROM documents)
-            ),
-            c AS (
-                SELECT CAST(sttf / CAST(n_docs AS DOUBLE) AS FLOAT) AS avgdl
-                FROM stats
-            ),
-            cache AS (SELECT lt.b, {_bm25_cache_expr} AS inv FROM lt, c),
-            per_term AS (
-                SELECT tf2.doc_id, mltw.rn,
-                       {_bm25_score("mltw.w", "tf2.freq", "k.inv")} AS s
-                FROM tf2
-                JOIN mltw USING (term)
-                JOIN nb ON nb.doc_id = tf2.doc_id
-                JOIN cache k ON k.b = nb.b
-            ),
-            scored AS (
-                SELECT doc_id,
-                       CAST(list_reduce(
-                           list_prepend(CAST(0.0 AS DOUBLE),
-                               list(CAST(s AS DOUBLE) ORDER BY rn)),
-                           (a, x) -> a + x) AS FLOAT) AS score
-                FROM per_term GROUP BY doc_id
-            )
-            SELECT rank, doc_id, score FROM (
-                SELECT CAST(row_number() OVER (
-                           ORDER BY score DESC, doc_id ASC) - 1 AS BIGINT)
-                           AS rank, doc_id, score
-                FROM scored
-            ) WHERE rank < 10
-        """,
+        # MoreLikeThis.like(Reader): the same selection/search chain with
+        # tf from the LITERAL free text (no example doc)
+        "mlt_like_text_topk": _mlt_sql(
+            "SELECT unnest(regexp_extract_all(lower("
+            "'data data join join merge hash the the data table query scan'"
+            "), '[a-z0-9]+')) AS t"
+        ),
+        "more_like_this_topk": _mlt_sql(
+            f"SELECT unnest({_TOK}) AS t FROM documents WHERE doc_id = 7"
+        ),
         # ordered SpanNear(data, join, slop=2) top-k with exact float32
         # scores: per doc the greedy matches' widths in start order, freq =
         # the SpanScorer float32 fold over 1/(1+width) (each step double-

@@ -2219,6 +2219,46 @@ def more_like_this_terms(sf_dir: str, doc_id: int = 7) -> pa.Table:
     )
 
 
+MLT_FREE_TEXT = "data data join join merge hash the the data table query scan"
+
+
+def mlt_like_text_topk(sf_dir: str, text: str | None = None, k: int = 10) -> pa.Table:
+    """MoreLikeThis from FREE TEXT (MoreLikeThis.like(Reader) — the
+    'find documents like this pasted snippet' entry point, no example
+    doc in the index): identical term selection + SHOULD search as the
+    by-doc variant, with tf from the supplied text. Exact oracle: the
+    literal text's token counts replay in SQL."""
+    from .checkpoint import load_merge_manifest
+    from .mlt import select_like_terms
+    from .search import IndexSearcher
+
+    idx = get_index(sf_dir)
+    sel = select_like_terms(
+        idx["merge_manifest"],
+        text if text is not None else MLT_FREE_TEXT,
+        max_query_terms=10,
+        min_term_freq=2,
+        min_doc_freq=5,
+    )
+    if not sel:
+        return pa.table(
+            {
+                "rank": pa.array([], type=pa.int64()),
+                "doc_id": pa.array([], type=pa.int64()),
+                "score": pa.array([], type=pa.float32()),
+            }
+        )
+    searcher = IndexSearcher(load_merge_manifest(idx["index_dir"]))
+    docs, scores = searcher.search(" ".join(term for term, _, _, _ in sel), k)
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(len(docs)), type=pa.int64()),
+            "doc_id": pa.array(docs, type=pa.int64()),
+            "score": pa.array(scores, type=pa.float32()),
+        }
+    )
+
+
 def more_like_this_topk(sf_dir: str, doc_id: int = 7, k: int = 10) -> pa.Table:
     """Full MLT: selected terms searched as a SHOULD query through the
     normal BM25 path (MoreLikeThis.like -> createQuery -> search);
