@@ -533,6 +533,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "common_terms_topk": pipelines.common_terms_topk,
         "index_stats": pipelines.index_stats,
         "live_term_match_docs": pipelines.live_term_match_docs,
+        "live_query_match_docs": pipelines.live_query_match_docs,
         "nrt_match_docs": pipelines.nrt_match_docs,
         "synonym_phrase_match_docs": pipelines.synonym_phrase_match_docs,
         "term_vector_doc": pipelines.term_vector_doc,
@@ -1928,6 +1929,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM documents
             WHERE list_contains({_TOK}, 'data')
               AND NOT list_contains({_TOK}, 'dup')
+        """,
+        # deleteDocuments(Query '+dup +slow'): the masked set removes
+        # only docs containing BOTH terms
+        "live_query_match_docs": f"""
+            SELECT doc_id FROM documents
+            WHERE list_contains({_TOK}, 'data')
+              AND NOT (list_contains({_TOK}, 'dup')
+                       AND list_contains({_TOK}, 'slow'))
         """,
         # Luke-role index overview: recompute every stat from source
         "index_stats": f"""

@@ -77,3 +77,39 @@ def delete_by_term(index_dir: str, term: str, field: str = "body") -> int:
         json.dump(manifest, f)
     os.replace(mtmp, mpath)
     return int(len(merged))
+
+
+def delete_by_query(index_dir: str, query: str) -> int:
+    """IndexWriter.deleteDocuments(Query...) (index/IndexWriter.java
+    deleteDocuments(Query) overload): evaluate the query EXHAUSTIVELY
+    (k = doc_count, scores irrelevant — the reference materializes the
+    query's DocIdSetIterator per segment) and union every match into
+    the liveDocs deletion set. Same write-once generation file +
+    manifest swap as delete_by_term; idempotent. Returns the total
+    deleted count after the operation.
+
+    Matches against the CURRENT live set (a doc already deleted stays
+    deleted; the query itself is masked by existing liveDocs exactly as
+    a reader-based delete would be)."""
+    from .checkpoint import load_merge_manifest
+    from .search import IndexSearcher
+
+    mpath = _merged_manifest_path(index_dir)
+    with open(mpath) as f:
+        manifest = json.load(f)
+    searcher = IndexSearcher(load_merge_manifest(index_dir))
+    docs, _scores = searcher.search(query, k=searcher.doc_count)
+    merged = np.union1d(deleted_docs(index_dir), np.asarray(docs, dtype=np.int64))
+    import hashlib
+
+    gen = hashlib.md5(merged.tobytes()).hexdigest()[:12]
+    gen_path = os.path.join(index_dir, "merged", f"deletes-{gen}.parquet")
+    tmp = gen_path + ".tmp"
+    pq.write_table(pa.table({"doc_id": pa.array(merged, type=pa.int64())}), tmp)
+    os.replace(tmp, gen_path)
+    manifest["deletes"] = gen_path
+    mtmp = mpath + ".tmp"
+    with open(mtmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(mtmp, mpath)
+    return int(len(merged))

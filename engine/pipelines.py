@@ -1911,6 +1911,27 @@ def live_term_match_docs(sf_dir: str) -> pa.Table:
     return pa.table({"doc_id": pa.array(np.sort(docs), type=pa.int64())})
 
 
+def live_query_match_docs(sf_dir: str) -> pa.Table:
+    """deleteDocuments(Query) + liveDocs masking: replicate the index,
+    delete every doc matching the BOOLEAN query '+dup +slow'
+    (IndexWriter.deleteDocuments(Query) — the by-query overload the
+    by-term entry doesn't exercise), then the 'data' match set on the
+    replica excludes exactly the docs containing BOTH terms. Oracle:
+    data docs minus (dup AND slow) docs."""
+    from .checkpoint import load_merge_manifest
+    from .deletes import delete_by_query
+    from .replicate import replicate_index
+    from .search import IndexSearcher
+
+    idx = get_index(sf_dir)
+    replica = idx["index_dir"].rstrip("/") + "-replica-delq"
+    replicate_index(idx["index_dir"], replica)
+    delete_by_query(replica, "+dup +slow")
+    searcher = IndexSearcher(load_merge_manifest(replica))
+    docs, _scores = searcher.search("data", k=searcher.doc_count)
+    return pa.table({"doc_id": pa.array(np.sort(docs), type=pa.int64())})
+
+
 def get_synonym_index(sf_dir: str, partition_docs: int = 2048) -> dict:
     """Index variant built with an index-time synonym graph
     (SynonymGraphFilter role): 'quick' stacked at every 'fast' position.

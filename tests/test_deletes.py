@@ -52,3 +52,31 @@ def test_delete_by_term_masks_hits_keeps_stats(tmp_path):
 
     # deleting an absent term is a no-op
     assert delete_by_term(replica, "zzznothere") == n
+
+
+def test_delete_by_query(tmp_path):
+    """deleteDocuments(Query): boolean-query deletes union into liveDocs
+    idempotently and mask exactly the matching docs."""
+    import numpy as np
+
+    from engine.checkpoint import load_merge_manifest
+    from engine.deletes import delete_by_query, deleted_docs
+    from engine.pipelines import get_index
+    from engine.replicate import replicate_index
+    from engine.search import IndexSearcher
+
+    sf = "/root/testdata/sf0.01"
+    idx = get_index(sf)
+    replica = str(tmp_path / "delq")
+    replicate_index(idx["index_dir"], replica)
+    n1 = delete_by_query(replica, "+dup +slow")
+    assert n1 == len(deleted_docs(replica)) > 0
+    # idempotent re-delete
+    assert delete_by_query(replica, "+dup +slow") == n1
+    # masked search excludes exactly the deleted docs
+    s = IndexSearcher(load_merge_manifest(replica))
+    docs, _ = s.search("data", k=s.doc_count)
+    assert not set(docs.tolist()) & set(deleted_docs(replica).tolist())
+    # a second query unions more deletions
+    n2 = delete_by_query(replica, "dup")
+    assert n2 >= n1
