@@ -534,6 +534,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_stats": pipelines.index_stats,
         "live_term_match_docs": pipelines.live_term_match_docs,
         "live_query_match_docs": pipelines.live_query_match_docs,
+        "query_counts": pipelines.query_counts,
         "nrt_match_docs": pipelines.nrt_match_docs,
         "synonym_phrase_match_docs": pipelines.synonym_phrase_match_docs,
         "term_vector_doc": pipelines.term_vector_doc,
@@ -1929,6 +1930,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM documents
             WHERE list_contains({_TOK}, 'data')
               AND NOT list_contains({_TOK}, 'dup')
+        """,
+        # IndexSearcher.count over the reference shapes
+        "query_counts": f"""
+            SELECT query, n FROM (
+                SELECT 'data' AS query, CAST(count(*) AS BIGINT) AS n
+                FROM documents WHERE list_contains({_TOK}, 'data')
+                UNION ALL
+                SELECT 'data join', CAST(count(*) AS BIGINT) FROM documents
+                WHERE list_contains({_TOK}, 'data')
+                   OR list_contains({_TOK}, 'join')
+                UNION ALL
+                SELECT '+data +join', CAST(count(*) AS BIGINT) FROM documents
+                WHERE list_contains({_TOK}, 'data')
+                  AND list_contains({_TOK}, 'join')
+                UNION ALL
+                SELECT '+data -dup', CAST(count(*) AS BIGINT) FROM documents
+                WHERE list_contains({_TOK}, 'data')
+                  AND NOT list_contains({_TOK}, 'dup')
+                UNION ALL
+                SELECT '"data join"', CAST(count(*) AS BIGINT) FROM (
+                    SELECT DISTINCT a.doc_id FROM (
+                        SELECT doc_id, unnest({_TOK}) AS t,
+                               unnest(range(len({_TOK}))) AS p
+                        FROM documents) a
+                    JOIN (
+                        SELECT doc_id, unnest({_TOK}) AS t,
+                               unnest(range(len({_TOK}))) AS p
+                        FROM documents) b USING (doc_id)
+                    WHERE a.t = 'data' AND b.t = 'join' AND b.p = a.p + 1
+                )
+                UNION ALL
+                SELECT '*', CAST(count(*) AS BIGINT) FROM documents
+            )
         """,
         # deleteDocuments(Query '+dup +slow'): the masked set removes
         # only docs containing BOTH terms

@@ -1911,6 +1911,33 @@ def live_term_match_docs(sf_dir: str) -> pa.Table:
     return pa.table({"doc_id": pa.array(np.sort(docs), type=pa.int64())})
 
 
+def query_counts(sf_dir: str) -> pa.Table:
+    """IndexSearcher.count over the reference query shapes (the exact
+    hit-count API, Weight#count fast path for single terms): (query, n).
+    Exact oracle recomputes each count from the raw text."""
+    from .checkpoint import load_merge_manifest
+    from .search import IndexSearcher
+
+    idx = get_index(sf_dir)
+    searcher = IndexSearcher(load_merge_manifest(idx["index_dir"]))
+    queries = [
+        "data",
+        "data join",
+        "+data +join",
+        "+data -dup",
+        '"data join"',
+        "*",
+    ]
+    return pa.table(
+        {
+            "query": pa.array(queries, type=pa.string()),
+            "n": pa.array(
+                [searcher.count(q) for q in queries], type=pa.int64()
+            ),
+        }
+    )
+
+
 def live_query_match_docs(sf_dir: str) -> pa.Table:
     """deleteDocuments(Query) + liveDocs masking: replicate the index,
     delete every doc matching the BOOLEAN query '+dup +slow'

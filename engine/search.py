@@ -563,6 +563,31 @@ class IndexSearcher:
             "details": details,
         }
 
+    def count(self, query: str | "BoolQuery") -> int:
+        """IndexSearcher.count (search/IndexSearcher.java count(Query) →
+        Weight#count): exact match count without scoring. The TermQuery
+        fast path returns the dictionary's docFreq directly when no
+        deletions exist (TermWeight.count — zero postings reads, and
+        with the Bloom sidecar a miss costs zero file reads too);
+        everything else runs the exhaustive match plan and counts."""
+        q = self.rewrite(parse_query(query) if isinstance(query, str) else query)
+        if q.empty:
+            return 0
+        flat_single_term = (
+            not q.nested
+            and len(q.should) == 1
+            and not (
+                q.must or q.must_not or q.phrases or q.sloppy or q.multi_phrases
+                or q.synonyms or q.boosts or q.min_should_match or q.term_sets
+                or q.match_all
+            )
+        )
+        if flat_single_term and self._deleted is None:
+            df, _ttf = self.global_term_stats(q.should[0])
+            return int(df)
+        docs, _scores = self.execute(q, k=max(1, self.doc_count))
+        return int(len(docs))
+
     def search_after(
         self,
         query: str | BoolQuery,

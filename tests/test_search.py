@@ -1619,3 +1619,18 @@ def test_dismax_boosts(corpus):
     exp = sorted(((np.float32(0.0) + v, -doc) for doc, v in mx.items()), reverse=True)[:10]
     np.testing.assert_array_equal(sc2, np.array([v for v, _ in exp], np.float32))
     np.testing.assert_array_equal(d2, np.array([-nd for _, nd in exp], np.int64))
+
+
+def test_count_api(corpus):
+    """IndexSearcher.count: single-term fast path == df with zero
+    postings work; compound shapes == exhaustive match counts; deletions
+    disable the fast path."""
+    s = IndexSearcher(corpus["manifest"])
+    df, _ = s.global_term_stats("t00005")
+    assert s.count("t00005") == df
+    d, _sc = s.search("t00005 t00012", k=s.doc_count)
+    assert s.count("t00005 t00012") == len(d)
+    d2, _ = s.search("+t00005 +t00012", k=s.doc_count)
+    assert s.count("+t00005 +t00012") == len(d2)
+    assert s.count("zzabsent") == 0
+    assert s.count("") == 0
