@@ -535,6 +535,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "live_term_match_docs": pipelines.live_term_match_docs,
         "live_query_match_docs": pipelines.live_query_match_docs,
         "query_counts": pipelines.query_counts,
+        "lmdirichlet_topk_sharded": pipelines.lmdirichlet_topk_sharded,
         "nrt_match_docs": pipelines.nrt_match_docs,
         "synonym_phrase_match_docs": pipelines.synonym_phrase_match_docs,
         "term_vector_doc": pipelines.term_vector_doc,
@@ -1501,7 +1502,7 @@ def oracle_sql() -> dict[str, str]:
                   / (sa.n + sb.n - coalesce(i.ni, 0)) >= 0.7
         """
 
-    return {
+    out = {
         # the doc-sharded scatter/gather plan is TopDocs.merge-exact vs the
         # single searcher, so both flagship entries share one oracle
         "bm25_topk": _refq_sql,
@@ -5322,3 +5323,8 @@ def oracle_sql() -> dict[str, str]:
             WHERE ({_fnv_sql("o_orderkey")}) % 100 < 10
         """,
     }
+    # the sharded LM entry scores the SAME query with the SAME global
+    # stats — the oracle is identical to the single-searcher one (the
+    # whole point: sharding must not change a single bit)
+    out["lmdirichlet_topk_sharded"] = out["lmdirichlet_topk"]
+    return out

@@ -1911,6 +1911,33 @@ def live_term_match_docs(sf_dir: str) -> pa.Table:
     return pa.table({"doc_id": pa.array(np.sort(docs), type=pa.int64())})
 
 
+def lmdirichlet_topk_sharded(sf_dir: str, k: int = 10) -> pa.Table:
+    """The LM Similarity plug on the DISTRIBUTED scatter/gather path:
+    the same 'data join' query under LMDirichletSimilarity fans out over
+    doc shards with global stats injected — shard-local LM scores are
+    globally comparable because every weight derives solely from the
+    shipped (df, ttf) + collection stats, so the reduce stays a TopDocs
+    merge and the result is bit-identical to the single searcher (the
+    oracle IS lmdirichlet_topk's)."""
+    import ray.data
+
+    from .search import search_dataset_sharded
+
+    idx = get_index(sf_dir)
+    qds = ray.data.from_items([{"query_id": 0, "query": "data join", "k": k}])
+    out = search_dataset_sharded(
+        qds, idx["build_manifest"], n_shards=3, similarity="lmdirichlet"
+    ).to_pandas()
+    out = out.sort_values("rank")
+    return pa.table(
+        {
+            "rank": pa.array(out["rank"].astype("int64")),
+            "doc_id": pa.array(out["doc_id"].astype("int64")),
+            "score": pa.array(out["score"].astype("float32")),
+        }
+    )
+
+
 def query_counts(sf_dir: str) -> pa.Table:
     """IndexSearcher.count over the reference query shapes (the exact
     hit-count API, Weight#count fast path for single terms): (query, n).

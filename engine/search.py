@@ -2172,7 +2172,7 @@ def _shard_searcher(manifest_ref, shard_id: int, n_shards: int) -> IndexSearcher
 
 def search_dataset_sharded(
     queries_ds, manifest: dict, n_shards: int = 4, batch_size: int = 32,
-    algorithm: str | None = None,
+    algorithm: str | None = None, similarity: str = "bm25",
 ):
     """queries (query_id, query[, k]) → exact global top-k hits.
 
@@ -2229,6 +2229,12 @@ def search_dataset_sharded(
         out = {"query_id": [], "doc_id": [], "score": [], "k": []}
         for r in batch.to_pylist():
             s = _shard_searcher(manifest_ref, int(r["shard_id"]), n_shards)
+            # per-request Similarity plug (shard-local scores stay
+            # globally comparable: every similarity here derives its
+            # weights solely from the injected GLOBAL stats)
+            from .bm25 import SIMILARITIES
+
+            s.make_scorer = SIMILARITIES[similarity]
             qd, stats = ast.literal_eval(r["plan"])
             from .queryparse import boolquery_from_dict
 

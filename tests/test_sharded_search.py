@@ -250,3 +250,33 @@ def test_sharded_cursor_mark_paging(tmp_path_factory):
         bd, bs = base.search(qs, 2 * k)
         np.testing.assert_array_equal(ed, bd[k:], err_msg=qs)
         np.testing.assert_array_equal(es, bs[k:], err_msg=qs)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sharded_similarity_plug():
+    """The sharded fan-out under a non-BM25 similarity equals the single
+    searcher bit-for-bit (global-stats weights commute with sharding),
+    and the default stays BM25."""
+    import numpy as np
+    import ray.data
+
+    from engine.checkpoint import load_merge_manifest
+    from engine.pipelines import get_index
+    from engine.search import IndexSearcher, search_dataset_sharded
+
+    sf = "/root/testdata/sf0.01"
+    idx = get_index(sf)
+    s = IndexSearcher(load_merge_manifest(idx["index_dir"]), similarity="lmdirichlet")
+    d_ref, sc_ref = s.search("data join", 10)
+    qds = ray.data.from_items([{"query_id": 0, "query": "data join", "k": 10}])
+    out = (
+        search_dataset_sharded(
+            qds, idx["build_manifest"], n_shards=3, similarity="lmdirichlet"
+        )
+        .to_pandas()
+        .sort_values("rank")
+    )
+    np.testing.assert_array_equal(out["doc_id"].to_numpy(), d_ref)
+    np.testing.assert_array_equal(
+        out["score"].to_numpy().astype(np.float32), sc_ref
+    )
