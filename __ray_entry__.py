@@ -535,6 +535,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "live_term_match_docs": pipelines.live_term_match_docs,
         "live_query_match_docs": pipelines.live_query_match_docs,
         "query_counts": pipelines.query_counts,
+        "omit_norms_topk": pipelines.omit_norms_topk,
         "lmdirichlet_topk_sharded": pipelines.lmdirichlet_topk_sharded,
         "nrt_match_docs": pipelines.nrt_match_docs,
         "synonym_phrase_match_docs": pipelines.synonym_phrase_match_docs,
@@ -1931,6 +1932,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM documents
             WHERE list_contains({_TOK}, 'data')
               AND NOT list_contains({_TOK}, 'dup')
+        """,
+        # omitNorms: every doc scores as length 1 — ONE cache value
+        # (the SmallFloat byte for 1), clause sums unchanged otherwise
+        "omit_norms_topk": f"""
+            WITH stats AS (
+                SELECT (SELECT count(*) FROM documents) AS n_docs,
+                       (SELECT CAST(sum(len({_TOK})) AS BIGINT)
+                        FROM documents) AS sttf
+            ),
+            tok AS (SELECT doc_id, unnest({_TOK}) AS t FROM documents),
+            tfa AS (SELECT doc_id, count(*) AS freq FROM tok
+                    WHERE t = 'data' GROUP BY doc_id),
+            tfb AS (SELECT doc_id, count(*) AS freq FROM tok
+                    WHERE t = 'join' GROUP BY doc_id),
+            c AS (
+                SELECT {_bm25_w("(SELECT count(*) FROM tfa)")} AS wa,
+                       {_bm25_w("(SELECT count(*) FROM tfb)")} AS wb,
+                       CAST(sttf / CAST(n_docs AS DOUBLE) AS FLOAT) AS avgdl
+                FROM stats
+            ),
+            cache AS (SELECT {_bm25_cache_expr.replace("CAST(lt.lo AS FLOAT)", "CAST(1 AS FLOAT)")} AS inv FROM c),
+            pairs AS (
+                SELECT coalesce(tfa.doc_id, tfb.doc_id) AS doc_id,
+                       tfa.freq AS fa, tfb.freq AS fb
+                FROM tfa FULL OUTER JOIN tfb ON tfa.doc_id = tfb.doc_id
+            ),
+            scored AS (
+                SELECT p.doc_id,
+                       CAST(
+                         coalesce(CAST({_bm25_score("c.wa", "p.fa", "k.inv")}
+                                       AS DOUBLE), 0.0)
+                       + coalesce(CAST({_bm25_score("c.wb", "p.fb", "k.inv")}
+                                       AS DOUBLE), 0.0)
+                       AS FLOAT) AS score
+                FROM pairs p, cache k, c
+            )
+            SELECT rank, doc_id, score FROM (
+                SELECT CAST(row_number() OVER (
+                           ORDER BY score DESC, doc_id ASC) - 1 AS BIGINT)
+                           AS rank, doc_id, score
+                FROM scored
+            ) WHERE rank < 10
         """,
         # IndexSearcher.count over the reference shapes
         "query_counts": f"""

@@ -1938,6 +1938,26 @@ def lmdirichlet_topk_sharded(sf_dir: str, k: int = 10) -> pa.Table:
     )
 
 
+def omit_norms_topk(sf_dir: str, query: str = "data join", k: int = 10) -> pa.Table:
+    """Top-k with norms OMITTED (FieldType.omitNorms: absent norms read
+    as the long 1 — LeafSimScorer.java:47-54 — so every doc scores as
+    length 1; tf still counts, length normalization vanishes). Exact
+    oracle: the BM25 chain with the norm-cache entry for length 1."""
+    from .checkpoint import load_merge_manifest
+    from .search import IndexSearcher
+
+    idx = get_index(sf_dir)
+    searcher = IndexSearcher(load_merge_manifest(idx["index_dir"]), omit_norms=True)
+    docs, scores = searcher.search(query, k=k)
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(len(docs)), type=pa.int64()),
+            "doc_id": pa.array(docs, type=pa.int64()),
+            "score": pa.array(scores, type=pa.float32()),
+        }
+    )
+
+
 def query_counts(sf_dir: str) -> pa.Table:
     """IndexSearcher.count over the reference query shapes (the exact
     hit-count API, Weight#count fast path for single terms): (query, n).

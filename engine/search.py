@@ -174,8 +174,32 @@ def _flatten_bool(q: BoolQuery) -> BoolQuery:
     )
 
 
+class _OmitNormsReader:
+    """Segment view with norms omitted: every norm byte reads as the
+    SmallFloat encoding of length 1 (the reference's 'return 1L' default
+    when getNormValues is null); everything else delegates."""
+
+    def __init__(self, seg):
+        self._seg = seg
+        from .smallfloat import int_to_byte4_array
+
+        self._b1 = np.uint8(int_to_byte4_array(np.array([1], dtype=np.int64))[0])
+
+    def __getattr__(self, name):
+        return getattr(self._seg, name)
+
+    def norm_of(self, doc_ids: np.ndarray) -> np.ndarray:
+        return np.full(len(np.asarray(doc_ids)), self._b1, dtype=np.uint8)
+
+
 class IndexSearcher:
-    def __init__(self, manifest: dict, algorithm: str = "auto", similarity: str = "bm25"):
+    def __init__(
+        self,
+        manifest: dict,
+        algorithm: str = "auto",
+        similarity: str = "bm25",
+        omit_norms: bool = False,
+    ):
         def _open(m: dict) -> list:
             if m.get("kind") == "merge-by-term":
                 from .merge import MergedIndex
@@ -199,6 +223,17 @@ class IndexSearcher:
         }
         for fld, fm in (manifest.get("fields") or {}).items():
             self.fields[fld] = (_open(fm), int(fm["doc_count"]), int(fm["sum_ttf"]))
+        if omit_norms:
+            # FieldType.omitNorms view (LeafSimScorer.java:47-54: absent
+            # norms read as the long 1 — every doc scores as length 1).
+            # Norm-dependent impact frontiers are stale under this view,
+            # so the exhaustive plan is forced.
+            self.segments = [_OmitNormsReader(s) for s in self.segments]
+            self.fields = {
+                fld: ([_OmitNormsReader(s) for s in segs], dc, st)
+                for fld, (segs, dc, st) in self.fields.items()
+            }
+            algorithm = "taat"
         self.algorithm = algorithm
         self.stats_override: dict | None = None
         from .bm25 import SIMILARITIES

@@ -1634,3 +1634,32 @@ def test_count_api(corpus):
     assert s.count("+t00005 +t00012") == len(d2)
     assert s.count("zzabsent") == 0
     assert s.count("") == 0
+
+
+def test_omit_norms(corpus):
+    """omitNorms view: every doc scores with the length-1 norm byte —
+    equal tf implies equal score regardless of doc length; the normal
+    searcher differs; non-norm surfaces (count, df) unchanged."""
+    from engine.bm25 import make_term_scorer
+    from engine.smallfloat import int_to_byte4_array
+
+    s = IndexSearcher(corpus["manifest"], omit_norms=True)
+    d, sc = s.search("t00005", 50)
+    b1 = np.uint8(int_to_byte4_array(np.array([1], np.int64))[0])
+    dc, sttf = corpus["doc_count"], corpus["sum_ttf"]
+    td, tf = corpus["oracle_postings"]["t00005"]
+    pr = make_term_scorer(len(td), dc, sttf)
+    exp = pr.score(tf, np.full(len(td), b1, np.uint8))
+    by_doc = dict(zip(td.tolist(), exp.tolist()))
+    for doc, v in zip(d.tolist(), sc.tolist()):
+        assert np.float32(v) == np.float32(by_doc[doc])
+    # equal tf -> equal score under omitNorms
+    same_tf = [doc for doc, f in zip(td.tolist(), tf.tolist()) if f == tf[0]]
+    if len(same_tf) > 1:
+        scores = [np.float32(by_doc[doc]) for doc in same_tf]
+        assert len(set(float(x) for x in scores)) == 1
+    # normal searcher produces different scores (norms matter)
+    s2 = IndexSearcher(corpus["manifest"])
+    d2, sc2 = s2.search("t00005", 50)
+    assert not np.array_equal(np.sort(sc), np.sort(sc2))
+    assert s.count("t00005") == s2.count("t00005")
