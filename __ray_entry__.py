@@ -536,6 +536,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "live_query_match_docs": pipelines.live_query_match_docs,
         "query_counts": pipelines.query_counts,
         "omit_norms_topk": pipelines.omit_norms_topk,
+        "span_near_wildcard_docs": pipelines.span_near_wildcard_docs,
         "lmdirichlet_topk_sharded": pipelines.lmdirichlet_topk_sharded,
         "nrt_match_docs": pipelines.nrt_match_docs,
         "synonym_phrase_match_docs": pipelines.synonym_phrase_match_docs,
@@ -1932,6 +1933,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM documents
             WHERE list_contains({_TOK}, 'data')
               AND NOT list_contains({_TOK}, 'dup')
+        """,
+        # SpanMultiTermQueryWrapper: SpanNear('the', SpanOr(s*), slop=1,
+        # ordered) — one candidate per 'the' position, matched iff any
+        # s-prefixed token starts within (p1, p1 + 2]
+        "span_near_wildcard_docs": f"""
+            WITH tok AS (
+                SELECT doc_id, unnest({_TOK}) AS t,
+                       unnest(range(len({_TOK}))) AS p
+                FROM documents
+            ),
+            a AS (SELECT doc_id, p FROM tok WHERE t = 'the'),
+            b AS (SELECT doc_id, p FROM tok WHERE t LIKE 's%')
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS matches FROM (
+                SELECT DISTINCT a.doc_id, a.p FROM a JOIN b USING (doc_id)
+                WHERE b.p > a.p AND b.p <= a.p + 2
+            ) GROUP BY doc_id
         """,
         # omitNorms: every doc scores as length 1 — ONE cache value
         # (the SmallFloat byte for 1), clause sums unchanged otherwise

@@ -370,6 +370,38 @@ def span_near_match_docs(
     return _span_match_table(_span_searcher(sf_dir), q)
 
 
+def span_near_wildcard_docs(
+    sf_dir: str, t1: str = "the", pattern: str = "s*", slop: int = 1
+) -> pa.Table:
+    """(doc_id, matches) for SpanNear(t1, SpanMultiTermQueryWrapper(
+    WildcardQuery(pattern)), slop, ordered) —
+    spans/SpanMultiTermQueryWrapper.java:60-95: the multi-term pattern
+    rewrites against the dictionary into a SpanOrQuery of the matching
+    terms, then participates in the positional near like any span.
+    Oracle: positions self-join with the pattern as a LIKE prefix."""
+    from .checkpoint import load_merge_manifest
+    from .search import IndexSearcher
+    from .spans import SpanNear, SpanOr, SpanTerm
+
+    idx = get_index(sf_dir)
+    searcher = IndexSearcher(load_merge_manifest(idx["index_dir"]))
+    assert pattern.endswith("*") and "*" not in pattern[:-1]
+    expanded = searcher.expand_prefix(pattern[:-1])
+    if not expanded:
+        return pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "matches": pa.array([], type=pa.int64()),
+            }
+        )
+    q = SpanNear(
+        (SpanTerm(t1), SpanOr(tuple(SpanTerm(t) for t in expanded))),
+        slop=slop,
+        in_order=True,
+    )
+    return _span_match_table(_span_searcher(sf_dir), q)
+
+
 def span_unordered_match_docs(
     sf_dir: str, t1: str = "hash", t2: str = "merge", slop: int = 2
 ) -> pa.Table:

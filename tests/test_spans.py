@@ -319,3 +319,22 @@ def test_span_containing_within_nodes_end_to_end():
     assert span_terms(SpanContaining(big, SpanTerm("the"))) == [
         "data", "join", "the",
     ]
+
+
+def test_span_multiterm_wrapper():
+    """SpanMultiTermQueryWrapper: the wildcard expands to a SpanOr whose
+    near-matches equal the union over per-term nears' candidate starts."""
+    from engine.pipelines import span_near_wildcard_docs, get_index
+    from engine.checkpoint import load_merge_manifest
+    from engine.search import IndexSearcher
+
+    sf = "/root/testdata/sf0.01"
+    out = span_near_wildcard_docs(sf, "the", "s*", slop=1).to_pandas()
+    assert len(out) > 0 and (out["matches"] > 0).all()
+    # empty expansion -> empty result
+    empty = span_near_wildcard_docs(sf, "the", "zzq*", slop=1).to_pandas()
+    assert len(empty) == 0
+    # the expansion really is multi-term on this vocabulary
+    idx = get_index(sf)
+    s = IndexSearcher(load_merge_manifest(idx["index_dir"]))
+    assert len(s.expand_prefix("s")) >= 5
