@@ -321,18 +321,6 @@ def merge_tree(manifest: dict, index_dir: str, fan_in: int = 8, target_segments:
 # Path B: salted groupby-term shuffle (north-rule merge)
 # ---------------------------------------------------------------------------
 
-_RESULT_SCHEMA = pa.schema(
-    [
-        ("kind", pa.string()),
-        ("path", pa.string()),
-        ("term_min", pa.string()),
-        ("term_max", pa.string()),
-        ("n_terms", pa.int64()),
-        ("bucket", pa.int64()),  # shuffle bucket of a light shard (-1 otherwise)
-    ]
-)
-
-
 def compute_heavy_terms(
     seg_dirs: list[str], salt_threshold: int, max_driver_rows: int = 2_000_000
 ) -> dict[str, int]:
@@ -561,96 +549,95 @@ def _norm_store_for(key: str, shards: list[dict]) -> _NormStore:
     return st
 
 
-def _make_exploder(heavy_ref, rank_of_base: dict[int, int], n_salts: int, n_buckets: int):
-    """Explode one partition's term table into PACKED shuffle rows — a pure
-    column transform (no postings decode): the blob travels opaque inside
-    one Arrow-IPC fragment per (partition, bucket), so the groupby shuffle
-    moves n_parts x n_buckets rows instead of one row per (term,
-    partition) — same bytes, ~2 orders of magnitude less per-row shuffle
-    overhead. Heavy terms get salt = contiguous-partition-rank-range id
-    (runs stay doc-ordered) and a per-(term, salt) bucket; light terms
-    salt -1 and a per-term bucket. Bucket hashing is the vectorized FNV-1a
-    (identical to the scalar fnv1a the searcher uses for shard routing).
-    Heavy set broadcast once via ray.put."""
-    import ray
+def _explode_chunk(
+    seg_dirs_chunk: list[str],
+    heavy: dict,
+    rank_of_base: dict[int, int],
+    n_salts: int,
+    n_buckets: int,
+):
+    """Explode a chunk of partitions' term tables into PACKED per-bucket
+    IPC fragments — a pure column transform (no postings decode): each
+    blob travels opaque inside one Arrow-IPC fragment per (partition,
+    bucket), so the exchange moves n_parts x n_buckets objects instead of
+    one row per (term, partition) — same bytes, ~2 orders of magnitude
+    less per-row shuffle overhead. Heavy terms get salt =
+    contiguous-partition-rank-range id (runs stay doc-ordered) and a
+    per-(term, salt) bucket; light terms salt -1 and a per-term bucket.
+    Bucket hashing is the vectorized FNV-1a (identical to the scalar
+    fnv1a the searcher uses for shard routing).
 
+    Returns a TUPLE of n_buckets lists of frag bytes: run under
+    ``ray.remote(num_returns=n_buckets)`` this is a map-side-partitioned
+    hash shuffle — each downstream bucket-merge task depends on exactly
+    its own return slot of every explode task, with no Dataset
+    sort-based all-to-all in between (measured: the Dataset groupby paid
+    a superlinear per-block fixed cost that pinned explode parallelism
+    to 16 blocks; raw routing removes the cliff entirely)."""
+    import pyarrow.compute as pc
+
+    from .textops import fnv1a_extend_vec, fnv1a_vec
+
+    heavy_arr = pa.array(sorted(heavy), type=pa.string())
     chunk = max(1, (len(rank_of_base) + n_salts - 1) // n_salts)
-
-    def _explode(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        from .textops import fnv1a_extend_vec, fnv1a_vec
-
-        heavy = ray.get(heavy_ref)
-        heavy_arr = pa.array(sorted(heavy), type=pa.string())
-        out_buckets: list[int] = []
-        out_frags: list[bytes] = []
-        for spec in batch.to_pylist():
-            seg_dir = spec["seg_dir"]
-            terms_path = os.path.join(seg_dir, "terms.parquet")
-            want = [
-                "term",
-                "df",
-                "ttf",
-                "singleton_doc",
-                "blob",
-                "pos_blob",
-                "off_blob",
-                "pay_blob",
-                "offsets",
-            ]
-            have = set(pq.read_schema(terms_path).names)
-            t = pq.read_table(
-                terms_path,
-                # offsets ride along (tiny: one int per 128 postings) so the
-                # bucket merger's block rows decode via the batched
-                # width-grouped unpack instead of a per-block Python loop;
-                # the intersection keeps pre-payload segment files readable
-                columns=[c for c in want if c in have],
-            )
-            with open(os.path.join(seg_dir, "meta.json")) as f:
-                doc_base = json.load(f)["doc_base"]
-            rank = rank_of_base[doc_base]
-            salt_val = rank // chunk
-            n = t.num_rows
-            term_col = t.column("term").combine_chunks()
-            if len(heavy):
-                is_heavy = pc.is_in(term_col, value_set=heavy_arr).to_numpy(
-                    zero_copy_only=False
-                )
-            else:
-                is_heavy = np.zeros(n, dtype=bool)
-            h = fnv1a_vec(term_col)
-            h_salted = fnv1a_extend_vec(h, f"\x00{salt_val}".encode())
-            buckets = np.where(
-                is_heavy, h_salted % np.uint64(n_buckets), h % np.uint64(n_buckets)
-            ).astype(np.int64)
-            salts = np.where(is_heavy, salt_val, -1).astype(np.int32)
-            t = t.append_column("salt", pa.array(salts, type=pa.int32()))
-            t = t.append_column(
-                "doc_base", pa.array(np.full(n, doc_base), type=pa.int64())
-            )
-            order = np.argsort(buckets, kind="stable")
-            t = t.take(pa.array(order))
-            b_sorted = buckets[order]
-            brk = np.flatnonzero(np.diff(b_sorted)) + 1
-            starts = np.concatenate([[0], brk]).astype(np.int64)
-            ends = np.concatenate([brk, [n]]).astype(np.int64)
-            for s_, e_ in zip(starts.tolist(), ends.tolist()):
-                frag = t.slice(s_, e_ - s_)
-                sink = pa.BufferOutputStream()
-                with pa.ipc.new_stream(sink, frag.schema) as w:
-                    w.write_table(frag)
-                out_buckets.append(int(b_sorted[s_]))
-                out_frags.append(sink.getvalue().to_pybytes())
-        return pa.table(
-            {
-                "bucket": pa.array(out_buckets, type=pa.int64()),
-                "frag": pa.array(out_frags, type=pa.binary()),
-            }
+    out: list[list[bytes]] = [[] for _ in range(n_buckets)]
+    for seg_dir in seg_dirs_chunk:
+        terms_path = os.path.join(seg_dir, "terms.parquet")
+        want = [
+            "term",
+            "df",
+            "ttf",
+            "singleton_doc",
+            "blob",
+            "pos_blob",
+            "off_blob",
+            "pay_blob",
+            "offsets",
+        ]
+        have = set(pq.read_schema(terms_path).names)
+        t = pq.read_table(
+            terms_path,
+            # offsets ride along (tiny: one int per 128 postings) so the
+            # bucket merger's block rows decode via the batched
+            # width-grouped unpack instead of a per-block Python loop;
+            # the intersection keeps pre-payload segment files readable
+            columns=[c for c in want if c in have],
         )
-
-    return _explode
+        with open(os.path.join(seg_dir, "meta.json")) as f:
+            doc_base = json.load(f)["doc_base"]
+        rank = rank_of_base[doc_base]
+        salt_val = rank // chunk
+        n = t.num_rows
+        term_col = t.column("term").combine_chunks()
+        if len(heavy):
+            is_heavy = pc.is_in(term_col, value_set=heavy_arr).to_numpy(
+                zero_copy_only=False
+            )
+        else:
+            is_heavy = np.zeros(n, dtype=bool)
+        h = fnv1a_vec(term_col)
+        h_salted = fnv1a_extend_vec(h, f"\x00{salt_val}".encode())
+        buckets = np.where(
+            is_heavy, h_salted % np.uint64(n_buckets), h % np.uint64(n_buckets)
+        ).astype(np.int64)
+        salts = np.where(is_heavy, salt_val, -1).astype(np.int32)
+        t = t.append_column("salt", pa.array(salts, type=pa.int32()))
+        t = t.append_column(
+            "doc_base", pa.array(np.full(n, doc_base), type=pa.int64())
+        )
+        order = np.argsort(buckets, kind="stable")
+        t = t.take(pa.array(order))
+        b_sorted = buckets[order]
+        brk = np.flatnonzero(np.diff(b_sorted)) + 1
+        starts = np.concatenate([[0], brk]).astype(np.int64)
+        ends = np.concatenate([brk, [n]]).astype(np.int64)
+        for s_, e_ in zip(starts.tolist(), ends.tolist()):
+            frag = t.slice(s_, e_ - s_)
+            sink = pa.BufferOutputStream()
+            with pa.ipc.new_stream(sink, frag.schema) as w:
+                w.write_table(frag)
+            out[int(b_sorted[s_])].append(sink.getvalue().to_pybytes())
+    return tuple(out)
 
 
 def _binary_views(arr: pa.Array) -> tuple[np.ndarray, memoryview]:
@@ -972,29 +959,24 @@ def merge_by_term(
     ray.get(norm_refs)  # norm shards must exist before merge tasks read them
     stage_t["norm_shards"] = round(time.perf_counter() - t_s, 3)
 
-    # Block sizing: the groupby all-to-all's overhead grows superlinearly
-    # with INPUT block count (measured explode stage: 16 blocks -> 4s,
-    # 64 blocks -> 34s, 160 blocks -> 15s+ at 32 cpus) while reduce-side
-    # balance wants at least ~2 tasks per cpu up to that cliff. 16 blocks
-    # measured best at every cpu level on this exchange size; on a real
-    # multi-node cluster this knob scales with aggregate exchange volume,
-    # not cpu count.
+    # Raw-task map-side hash shuffle (no Dataset sort-based all-to-all):
+    # explode tasks return num_returns=n_buckets per-bucket frag lists,
+    # and each bucket-merge task depends on exactly its own slot of every
+    # explode task's return — the exchange is the object transfer itself.
+    # Parallelism is free to track cpus (the old Dataset groupby's fixed
+    # per-block cost pinned it to 16 input blocks); on a multi-node
+    # cluster each merge task pulls one object per explode task from
+    # across the cluster, the standard shuffle fetch pattern.
     n_cpus = int(ray.cluster_resources().get("CPU", 8))
-    n_blocks = min(len(seg_dirs), max(8, min(n_cpus * 2, 16)))
-    explode_batch = max(1, -(-len(seg_dirs) // n_blocks))
-    exploded = ray.data.from_items([{"seg_dir": d} for d in seg_dirs]).map_batches(
-        _make_exploder(heavy_ref, rank_of_base, n_salts, n_buckets),
-        batch_size=explode_batch,
-        batch_format="pyarrow",
-        **_rargs(),
-    )
+    n_explode = min(len(seg_dirs), max(8, n_cpus * 2))
+    seg_chunks = [list(c) for c in np.array_split(np.array(seg_dirs), n_explode) if len(c)]
 
     shard_dir = os.path.join(index_dir, "merged", "terms")
     heavy_dir = os.path.join(index_dir, "merged", "heavy_runs")
     os.makedirs(shard_dir, exist_ok=True)
     os.makedirs(heavy_dir, exist_ok=True)
 
-    def _merge_bucket(batch: pa.Table) -> pa.Table:
+    def _merge_bucket(bucket_id: int, *frag_lists) -> list[dict]:
         """One shuffle bucket: merge every (term, salt) group in it, write
         one final shard (+ one heavy-run file), return result rows.
 
@@ -1004,13 +986,12 @@ def merge_by_term(
         dicts) was the single biggest line of the round-1 bench."""
         import uuid as _uuid
 
-        if batch.num_rows == 0:
-            return pa.Table.from_pylist([], schema=_RESULT_SCHEMA)
+        frags = [f for lst in frag_lists for f in lst]
+        if not frags:
+            return []
         norm_store = _norm_store_for(index_dir, norm_shards)
-        bucket_id = int(batch.column("bucket")[0].as_py())
         batch = pa.concat_tables(
-            pa.ipc.open_stream(f.as_py()).read_all()
-            for f in batch.column("frag").combine_chunks()
+            pa.ipc.open_stream(f).read_all() for f in frags
         )
         idx = pa.compute.sort_indices(
             batch, sort_keys=[("term", "ascending"), ("salt", "ascending"), ("doc_base", "ascending")]
@@ -1065,14 +1046,20 @@ def merge_by_term(
                     "bucket": bucket_id,
                 }
             )
-        return pa.Table.from_pylist(out_rows, schema=_RESULT_SCHEMA)
+        return out_rows
 
     t_s = time.perf_counter()
-    results = (
-        exploded.groupby("bucket")
-        .map_groups(_merge_bucket, batch_format="pyarrow", **_rargs())
-        .take_all()
-    )
+    _explode_remote = ray.remote(num_returns=n_buckets, **_rargs())(_explode_chunk)
+    per_task = [
+        _explode_remote.remote(c, heavy_ref, rank_of_base, n_salts, n_buckets)
+        for c in seg_chunks
+    ]
+    _bucket_remote = ray.remote(**_rargs())(_merge_bucket)
+    result_refs = [
+        _bucket_remote.remote(b, *[per_task[t][b] for t in range(len(per_task))])
+        for b in range(n_buckets)
+    ]
+    results = [row for rows in ray.get(result_refs) for row in rows]
     stage_t["explode_group_write"] = round(time.perf_counter() - t_s, 3)
 
     shards = [
