@@ -640,6 +640,65 @@ def _explode_chunk(
     return tuple(out)
 
 
+def _dict_explode_chunk(
+    paths: list[str], boundaries: list[str], n_ranges: int
+):
+    """Range-split a chunk of light shards' term columns for the sorted
+    dictionary level. Each shard's term column is ALREADY sorted (the
+    bucket merger writes term-sorted shards), so the split is one
+    searchsorted against the range boundaries + zero-copy slices — no
+    sort anywhere. Run under ``ray.remote(num_returns=n_ranges)`` this is
+    the same map-side-partitioned exchange as the postings shuffle: each
+    dict writer depends on exactly its own slot of every explode task."""
+    out: list[list[pa.Array]] = [[] for _ in range(n_ranges)]
+    bnd = np.array(boundaries, dtype=object)
+    for p in paths:
+        col = pq.read_table(p, columns=["term"]).column("term").combine_chunks()
+        if isinstance(col, pa.ChunkedArray):  # pyarrow<8 returns ChunkedArray
+            col = col.chunk(0) if col.num_chunks else pa.array([], pa.string())
+        n = len(col)
+        if not n:
+            continue
+        if len(bnd):
+            cuts = np.searchsorted(
+                col.to_numpy(zero_copy_only=False), bnd, side="left"
+            )
+        else:
+            cuts = np.array([], dtype=np.int64)
+        starts = np.concatenate([[0], cuts]).astype(np.int64)
+        ends = np.concatenate([cuts, [n]]).astype(np.int64)
+        for r, (s_, e_) in enumerate(zip(starts.tolist(), ends.tolist())):
+            if e_ > s_:
+                out[r].append(col.slice(s_, e_ - s_))
+    return tuple(out) if n_ranges > 1 else out[0]
+
+
+def _dict_write_range(dict_dir: str, heavy_terms: list[str], *arr_lists):
+    """Merge one dictionary range: concat the (sorted, disjoint-by-value)
+    slices from every explode task plus the heavy terms falling in this
+    range, sort the ~range-sized result, write one dict parquet. Returns
+    the manifest row, or None for an empty range."""
+    import uuid as _uuid
+
+    arrs = [a for lst in arr_lists for a in lst if len(a)]
+    if heavy_terms:
+        arrs.append(pa.array(heavy_terms, type=pa.string()))
+    if not arrs:
+        return None
+    col = pa.chunked_array(arrs, type=pa.string())
+    idx = pa.compute.sort_indices(col)
+    tbl = pa.table({"term": col.take(idx).combine_chunks()})
+    path = os.path.join(dict_dir, f"dict-{_uuid.uuid4().hex[:12]}.parquet")
+    pq.write_table(tbl, path + ".tmp")
+    os.replace(path + ".tmp", path)
+    return {
+        "term_min": tbl.column("term")[0].as_py(),
+        "term_max": tbl.column("term")[-1].as_py(),
+        "path": path,
+        "n_terms": tbl.num_rows,
+    }
+
+
 def _binary_views(arr: pa.Array) -> tuple[np.ndarray, memoryview]:
     """Zero-copy (offsets, data) views over a non-chunked binary array:
     row i's bytes are data[offs[i]:offs[i+1]] — no per-row Python bytes
@@ -1072,60 +1131,91 @@ def merge_by_term(
     # Sorted dictionary level (the BlockTree .tim/.tip role), OVERLAPPED
     # with the heavy pass: its input is the light shards' term columns plus
     # the heavy-term set — which the prepass already knows exactly (every
-    # salted term lands in a heavy shard) — so the distributed term sort
-    # runs in a background thread while the heavy runs finalize, hiding its
-    # ~flat latency entirely (it was the worst-scaling merge stage).
+    # salted term lands in a heavy shard) — so it runs in a background
+    # thread while the heavy runs finalize. No distributed sort: every
+    # light shard's term column is already sorted and the buckets are
+    # term-DISJOINT, so a raw-task range exchange (searchsorted splits →
+    # num_returns slots → per-range concat+sort of ~range-sized lists)
+    # replaces the Dataset sort("term") whose all-to-all fixed cost was
+    # the worst-scaling merge stage (~3-4s flat at sf0.1). Boundaries come
+    # from ONE bucket's quantiles: hash-bucketing makes any single bucket
+    # a uniform vocabulary sample.
     import threading
 
     dict_state: dict = {"rows": [], "sec": 0.0}
-    light_shard_paths = [s["path"] for s in shards]  # snapshot: the main
-    # thread extends `shards` with heavy shards after the pass below
+    light_pairs = [(s["path"], int(s["n_terms"])) for s in shards]  # snapshot:
+    # the main thread extends `shards` with heavy shards after the pass below
 
     def _run_dict_level():
         t_d = time.perf_counter()
         dict_dir = os.path.join(index_dir, "merged", "dict")
         os.makedirs(dict_dir, exist_ok=True)
-
-        def _write_dict(batch: pa.Table) -> pa.Table:
-            import uuid as _uuid
-
-            if batch.num_rows == 0:
-                return pa.Table.from_pylist([])
-            path = os.path.join(dict_dir, f"dict-{_uuid.uuid4().hex[:12]}.parquet")
-            pq.write_table(batch.select(["term"]), path + ".tmp")
-            os.replace(path + ".tmp", path)
-            return pa.Table.from_pylist(
-                [
-                    {
-                        "term_min": batch.column("term")[0].as_py(),
-                        "term_max": batch.column("term")[-1].as_py(),
-                        "path": path,
-                        "n_terms": batch.num_rows,
-                    }
-                ]
-            )
-
-        ds = None
-        if light_shard_paths:
-            ds = ray.data.read_parquet(
-                light_shard_paths,
-                columns=["term"],
-                override_num_blocks=min(len(light_shard_paths), 16),
-            )
-        if heavy:
-            hd = ray.data.from_items(
-                [{"term": t} for t in sorted(heavy)], override_num_blocks=1
-            )
-            ds = hd if ds is None else ds.union(hd)
-        if ds is None:
+        heavy_sorted = sorted(heavy)
+        total_terms = sum(n for _, n in light_pairs) + len(heavy_sorted)
+        if not total_terms:
             return
-        rows = (
-            ds.sort("term")
-            .map_batches(
-                _write_dict, batch_size=65536, batch_format="pyarrow", **_rargs()
+        # ~512 terms/file at small vocab keeps file-level prefix pruning
+        # sharp (fuzzy/prefix seeks skip whole files); the 256-file cap
+        # bounds manifest size and task count at 10^9-term scale, where
+        # within-file row groups carry the finer granularity.
+        n_ranges = 1 if total_terms < 64 else min(256, -(-total_terms // 512))
+
+        # boundary sample: quantiles over a few buckets' terms (hash
+        # bucketing makes each bucket a uniform vocabulary sample)
+        bnd: list[str] = []
+        if n_ranges > 1:
+            if light_pairs:
+                samp_paths = [
+                    p for p, _ in sorted(light_pairs, key=lambda s: -s[1])[:8]
+                ]
+                samp = sorted(
+                    t
+                    for p in samp_paths
+                    for t in pq.read_table(p, columns=["term"])
+                    .column("term")
+                    .to_pylist()
+                )
+                ns = len(samp)
+                if ns:
+                    bnd = sorted(
+                        {samp[min(ns - 1, (i * ns) // n_ranges)]
+                         for i in range(1, n_ranges)}
+                    )
+            elif heavy_sorted:
+                nh = len(heavy_sorted)
+                bnd = sorted(
+                    {heavy_sorted[min(nh - 1, (i * nh) // n_ranges)]
+                     for i in range(1, n_ranges)}
+                )
+        n_ranges = len(bnd) + 1
+
+        slots: list = []
+        if light_pairs:
+            n_cpus = int(ray.cluster_resources().get("CPU", 8))
+            paths = [p for p, _ in light_pairs]
+            chunks = [
+                list(c)
+                for c in np.array_split(np.array(paths), min(len(paths), n_cpus))
+                if len(c)
+            ]
+            _explode = ray.remote(**_rargs())(_dict_explode_chunk).options(
+                num_returns=n_ranges
             )
-            .take_all()
-        )
+            tasks = [_explode.remote(c, bnd, n_ranges) for c in chunks]
+            slots = [[t] if n_ranges == 1 else list(t) for t in tasks]
+
+        from bisect import bisect_right
+
+        heavy_by_range: list[list[str]] = [[] for _ in range(n_ranges)]
+        for t in heavy_sorted:
+            heavy_by_range[bisect_right(bnd, t)].append(t)
+
+        _write = ray.remote(**_rargs())(_dict_write_range)
+        row_refs = [
+            _write.remote(dict_dir, heavy_by_range[r], *[s[r] for s in slots])
+            for r in range(n_ranges)
+        ]
+        rows = [r for r in ray.get(row_refs) if r is not None]
         dict_state["rows"] = sorted(rows, key=lambda r: r["term_min"])
         dict_state["sec"] = round(time.perf_counter() - t_d, 3)
 
