@@ -146,6 +146,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ds, {"src0": 1000, "src1": 500, "src2": 250, "src3": 0}, 100
         )
 
+    def q_epoch_shuffle(sf_dir):
+        import ray.data
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+        )
+        return textops.epoch_shuffle(ds, seed=1)
+
     def q_shingle_top50(sf_dir):
         return textops.shingle_top_counts(_docs(sf_dir), size=2, k=50)
 
@@ -603,6 +611,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_sliding": q_chunk_sliding,
         "dup_span_stats": q_dup_span,
         "domain_mix_sample": q_domain_mix,
+        "epoch_shuffle": q_epoch_shuffle,
         "bloom_new_urls": q_bloom_new,
         "hll_vocab_estimate": q_hll_vocab,
         "cms_term_counts": q_cms_terms,
@@ -4360,6 +4369,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT h.doc_id, h.url
             FROM h LEFT JOIN seen ON h.bit = seen.bit
             WHERE seen.bit IS NULL
+        """,
+        # epoch shuffle: the seeded permutation key replayed exactly —
+        # fmix64(fnv1a(doc_id LE bytes) XOR golden*(seed+1)) >> 1; the
+        # driver compare is order-insensitive so the key VALUES are the
+        # oracle surface; the block order itself is test-pinned
+        "epoch_shuffle": f"""
+            SELECT doc_id,
+                   CAST(({_fmix64_sql(
+                       f"xor({_fnv_sql('doc_id')}, "
+                       f"CAST({(0x9E3779B97F4A7C15 * 2) & 0xFFFFFFFFFFFFFFFF}"
+                       " AS UBIGINT))"
+                   )}) >> 1 AS BIGINT) AS shuffle_key
+            FROM documents
         """,
         # domain mixing: keep iff fnv(doc_id LE bytes) % 1000 <
         # per-source permille (src0 1000, src1 500, src2 250, src3 0,

@@ -994,6 +994,42 @@ def domain_mix_sample(ds, rates: dict[str, int], default_permille: int = 100):
     return ds.map_batches(filt, batch_format="pyarrow", **_rargs())
 
 
+def epoch_shuffle(ds, seed: int = 1, id_col: str = "doc_id"):
+    """Seeded deterministic global shuffle (beyond-reference: the
+    per-epoch training-data reshuffle a pretraining pipeline runs before
+    sharding batches to trainers). shuffle_key = fmix64(fnv1a(8 LE bytes
+    of id) XOR golden-ratio seed salt) >> 1 (bit 63 dropped so the key
+    stays int64/BIGINT-safe), then ONE range-partitioned Dataset sort by
+    (shuffle_key, id) — the one pipeline stage whose job IS the
+    all-to-all exchange. No RNG state: the permutation depends only on
+    (id, seed), so it is partition-count-invariant, resumable across
+    retries (unlike ray.data.random_shuffle), and a different epoch's
+    seed gives an uncorrelated order (fmix64 avalanche). The key chain
+    replays exactly in SQL (HUGEINT mulmod, see the epoch_shuffle
+    oracle)."""
+    from .merge import _fmix64
+
+    salt = np.uint64((0x9E3779B97F4A7C15 * (seed + 1)) & 0xFFFFFFFFFFFFFFFF)
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        k = batch.column(id_col).to_numpy().astype(np.uint64)
+        h = np.full(len(k), np.uint64(0xCBF29CE484222325), dtype=np.uint64)
+        prime = np.uint64(0x100000001B3)
+        for i in range(8):
+            h = (h ^ ((k >> np.uint64(8 * i)) & np.uint64(0xFF))) * prime
+        key = (_fmix64(h ^ salt) >> np.uint64(1)).astype(np.int64)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "shuffle_key": pa.array(key, type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(keyed, batch_format="pyarrow", **_rargs()).sort(
+        ["shuffle_key", id_col]
+    )
+
+
 def hll_vocab_estimate(ds, b: int = 6):
     """HyperLogLog cardinality sketch over the corpus VOCABULARY (the
     Solr StatsComponent 'cardinality'/json.facet 'hll' role; Flajolet

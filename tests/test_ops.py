@@ -1281,6 +1281,40 @@ def test_domain_mix_sample_semantics():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_epoch_shuffle_deterministic_order():
+    """Seeded epoch shuffle: the STREAMED block order is the (key, id)
+    sort order; keys replay the scalar fnv1a+fmix64 chain; the same seed
+    reproduces the identical permutation under any partitioning, and a
+    different seed produces a different one."""
+    import ray.data
+
+    from engine.merge import _fmix64
+    from engine.textops import epoch_shuffle
+
+    n = 500
+    t = pa.table({"doc_id": pa.array(range(n), type=pa.int64())})
+
+    def scalar_key(doc_id: int, seed: int) -> int:
+        salt = (0x9E3779B97F4A7C15 * (seed + 1)) & 0xFFFFFFFFFFFFFFFF
+        h = 0xCBF29CE484222325
+        for i in range(8):
+            h = ((h ^ ((doc_id >> (8 * i)) & 0xFF)) * 0x100000001B3) % 2**64
+        return int(_fmix64(h ^ salt)) >> 1
+
+    out = epoch_shuffle(ray.data.from_arrow(t), seed=1).to_pandas()
+    # streamed order == (key, id) order, keys == scalar replay
+    expect = sorted((scalar_key(d, 1), d) for d in range(n))
+    assert list(zip(out["shuffle_key"], out["doc_id"])) == expect
+    # partition-invariance
+    out8 = epoch_shuffle(ray.data.from_arrow(t).repartition(8), seed=1).to_pandas()
+    assert out8["doc_id"].tolist() == out["doc_id"].tolist()
+    # a different epoch seed is a different permutation
+    out2 = epoch_shuffle(ray.data.from_arrow(t), seed=2).to_pandas()
+    assert out2["doc_id"].tolist() != out["doc_id"].tolist()
+    assert sorted(out2["doc_id"]) == list(range(n))
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_ccnet_buckets_semantics():
     """CCNet bucketing: every scored doc gets exactly one bucket, the
     cutoffs partition by avg_logprob, and all three buckets occur at
