@@ -135,8 +135,9 @@ def invert_to_segment(
         term_idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         dictionary = np.asarray(enc.dictionary)
         n_terms = len(dictionary)
+        sort_idx = np.argsort(dictionary, kind="stable")
         rank_of = np.empty(n_terms, dtype=np.int64)
-        rank_of[np.argsort(dictionary, kind="stable")] = np.arange(n_terms)
+        rank_of[sort_idx] = np.arange(n_terms)
         tok_doc = np.repeat(np.arange(n_docs, dtype=np.int64), lengths)
         tok_pos = tok_positions
         key = rank_of[term_idx] * n_docs + tok_doc
@@ -152,8 +153,6 @@ def invert_to_segment(
         pair_freq = np.diff(np.concatenate((pair_tok_starts, [len(skey)]))).astype(np.int64)
         pair_rank = pair_key // n_docs
         pair_doc = pair_key % n_docs
-        sorted_terms = np.sort(dictionary, kind="stable")
-
         counts = np.bincount(pair_rank, minlength=n_terms).astype(np.int64)
         starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
         ends = starts + counts
@@ -189,6 +188,19 @@ def invert_to_segment(
 
         # positions: one batched VInt pass over the whole prox stream,
         # per-term blobs = byte slices at term token boundaries
+        def _bin_col(bounds: np.ndarray, stream: bytes) -> pa.Array:
+            """Zero-copy per-term binary column: the batched VInt stream
+            is already laid out in term order, so the column is the
+            stream buffer + int32 slice offsets — no per-term bytes()."""
+            offs = np.ascontiguousarray(bounds, dtype=np.int32)
+            return pa.Array.from_buffers(
+                pa.binary(),
+                len(offs) - 1,
+                [None, pa.py_buffer(offs), pa.py_buffer(stream)],
+            )
+
+        _empty_bounds = np.zeros(n_terms + 1, dtype=np.int64)
+
         if index_positions:
             p_deltas = np.empty(len(spos), dtype=np.uint64)
             p_deltas[1:] = (spos[1:] - spos[:-1]).astype(np.uint64)
@@ -197,17 +209,9 @@ def invert_to_segment(
             p_nbytes = vint_byte_counts(p_deltas)
             p_off = np.concatenate(([0], np.cumsum(p_nbytes)))
             term_tok_starts = np.concatenate(([0], np.cumsum(ttf)))
-            p_mv = memoryview(p_stream)
-
-            def pos_slice(r: int) -> bytes:
-                return bytes(
-                    p_mv[p_off[term_tok_starts[r]] : p_off[term_tok_starts[r + 1]]]
-                )
-
+            pos_col = _bin_col(p_off[term_tok_starts], p_stream)
         else:
-
-            def pos_slice(r: int) -> bytes:
-                return b""
+            pos_col = _bin_col(_empty_bounds, b"")
 
         if index_offsets and len(spos):
             # offsets stream mirrors the prox stream build: interleaved
@@ -227,17 +231,9 @@ def invert_to_segment(
             o_nbytes = vint_byte_counts(o_deltas) + vint_byte_counts(o_lens)
             o_boff = np.concatenate(([0], np.cumsum(o_nbytes)))
             o_tok_starts = np.concatenate(([0], np.cumsum(ttf)))
-            o_mv = memoryview(o_stream)
-
-            def off_slice(r: int) -> bytes:
-                return bytes(
-                    o_mv[o_boff[o_tok_starts[r]] : o_boff[o_tok_starts[r + 1]]]
-                )
-
+            off_col = _bin_col(o_boff[o_tok_starts], o_stream)
         else:
-
-            def off_slice(r: int) -> bytes:
-                return b""
+            off_col = _bin_col(_empty_bounds, b"")
 
         if tok_payloads is not None and len(spos):
             # payload stream rides the SAME (term, doc, position) sorted
@@ -249,61 +245,101 @@ def invert_to_segment(
             pay_nbytes = vint_byte_counts(pw)
             pay_boff = np.concatenate(([0], np.cumsum(pay_nbytes)))
             pay_tok_starts = np.concatenate(([0], np.cumsum(ttf)))
-            pay_mv = memoryview(pay_stream)
-
-            def pay_slice(r: int) -> bytes:
-                return bytes(
-                    pay_mv[
-                        pay_boff[pay_tok_starts[r]] : pay_boff[
-                            pay_tok_starts[r + 1]
-                        ]
-                    ]
-                )
-
+            pay_col = _bin_col(pay_boff[pay_tok_starts], pay_stream)
         else:
+            pay_col = _bin_col(_empty_bounds, b"")
 
-            def pay_slice(r: int) -> bytes:
-                return b""
+        # --- vectorized terms-table assembly (round 5): the per-term
+        # Python loop only touches heavy terms (full block codec) and the
+        # light blob copies; every other column builds array-wise.
+        # Singletons — the bulk of a Zipf vocabulary — cost zero per-term
+        # Python.
+        heavy_idx = np.flatnonzero(heavy)
+        tps = [
+            encode_term_postings(
+                docs_g[int(starts[r]) : int(ends[r])],
+                pair_freq[int(starts[r]) : int(ends[r])],
+                norms_pp[int(starts[r]) : int(ends[r])],
+            )
+            for r in heavy_idx.tolist()
+        ]
 
-        for r in range(n_terms):
-            term = str(sorted_terms[r])
-            df = int(counts[r])
-            cols["term"].append(term)
-            cols["df"].append(df)
-            cols["ttf"].append(int(ttf[r]))
-            cols["pos_blob"].append(pos_slice(r))
-            cols["off_blob"].append(off_slice(r))
-            cols["pay_blob"].append(pay_slice(r))
-            if single[r]:
-                cols["singleton_doc"].append(int(first_doc[r]))
-                cols["blob"].append(b"")
-                cols["last_docs"].append([int(first_doc[r])])
-                cols["offsets"].append([])
-                cols["imp_freq"].append([int(max_freq[r])])
-                cols["imp_norm"].append([int(min_norm[r])])
-                cols["imp_start"].append([0, 1])
-            elif light[r]:
-                s, e = int(starts[r]), int(ends[r])
-                blob = bytes(d_mv[d_off[s] : d_off[e]]) + bytes(
-                    f_mv[f_off_pp[s] : f_off_pp[e]]
-                )
-                cols["singleton_doc"].append(-1)
-                cols["blob"].append(blob)
-                cols["last_docs"].append([int(last_doc[r])])
-                cols["offsets"].append([0])
-                cols["imp_freq"].append([int(max_freq[r])])
-                cols["imp_norm"].append([int(min_norm[r])])
-                cols["imp_start"].append([0, 1])
-            else:  # heavy: full block codec + exact impact frontiers
-                s, e = int(starts[r]), int(ends[r])
-                tp = encode_term_postings(docs_g[s:e], pair_freq[s:e], norms_pp[s:e])
-                cols["singleton_doc"].append(-1)
-                cols["blob"].append(tp.blob)
-                cols["last_docs"].append(tp.block_last_doc.tolist())
-                cols["offsets"].append(tp.block_offset.tolist())
-                cols["imp_freq"].append(tp.imp_freq.tolist())
-                cols["imp_norm"].append(tp.imp_norm.tolist())
-                cols["imp_start"].append(tp.imp_start.tolist())
+        # blob column: per-term byte lengths -> one output buffer
+        blob_len = np.where(
+            light,
+            (d_off[ends] - d_off[starts]) + (f_off_pp[ends] - f_off_pp[starts]),
+            0,
+        ).astype(np.int64)
+        for j, r in enumerate(heavy_idx.tolist()):
+            blob_len[r] = len(tps[j].blob)
+        blob_bounds = np.concatenate(([0], np.cumsum(blob_len)))
+        blob_buf = bytearray(int(blob_bounds[-1]))
+        bb_mv = memoryview(blob_buf)
+        for r in np.flatnonzero(light).tolist():
+            s, e = int(starts[r]), int(ends[r])
+            o = int(blob_bounds[r])
+            dn = int(d_off[e] - d_off[s])
+            bb_mv[o : o + dn] = d_mv[d_off[s] : d_off[e]]
+            bb_mv[o + dn : int(blob_bounds[r + 1])] = f_mv[f_off_pp[s] : f_off_pp[e]]
+        for j, r in enumerate(heavy_idx.tolist()):
+            bb_mv[int(blob_bounds[r]) : int(blob_bounds[r + 1])] = tps[j].blob
+
+        def _list_col(
+            nonheavy_len: np.ndarray,
+            fill,
+            heavy_vals: list[np.ndarray],
+        ) -> pa.Array:
+            """List column with per-term scalar fills for non-heavy terms
+            (``fill`` = array of per-term values, or a constant pair for
+            length-2 columns) and explicit heavy arrays."""
+            lens = nonheavy_len.copy()
+            for j, r in enumerate(heavy_idx.tolist()):
+                lens[r] = len(heavy_vals[j])
+            offs = np.concatenate(([0], np.cumsum(lens)))
+            vals = np.zeros(int(offs[-1]), dtype=np.int64)
+            nh = ~heavy
+            if isinstance(fill, tuple):  # constant (a, b) for length-2 rows
+                vals[offs[:-1][nh]] = fill[0]
+                vals[offs[:-1][nh] + 1] = fill[1]
+            else:
+                put = nh & (nonheavy_len > 0)
+                vals[offs[:-1][put]] = fill[put]
+            for j, r in enumerate(heavy_idx.tolist()):
+                vals[int(offs[r]) : int(offs[r + 1])] = heavy_vals[j]
+            return pa.ListArray.from_arrays(
+                pa.array(offs.astype(np.int32)), pa.array(vals, type=pa.int64())
+            )
+
+        ones = np.ones(n_terms, dtype=np.int64)
+        twos = np.full(n_terms, 2, dtype=np.int64)
+        cols = {
+            "term": enc.dictionary.take(pa.array(sort_idx)),
+            "df": pa.array(counts, type=pa.int64()),
+            "ttf": pa.array(ttf.astype(np.int64), type=pa.int64()),
+            "singleton_doc": pa.array(
+                np.where(single, first_doc, -1).astype(np.int64), type=pa.int64()
+            ),
+            "blob": _bin_col(blob_bounds, bytes(blob_buf)),
+            # df=1 terms have last_doc == first_doc, so last_doc fills all
+            "last_docs": _list_col(
+                ones, last_doc.astype(np.int64), [t.block_last_doc for t in tps]
+            ),
+            "offsets": _list_col(
+                np.where(single, 0, 1).astype(np.int64),
+                np.zeros(n_terms, dtype=np.int64),
+                [t.block_offset for t in tps],
+            ),
+            "imp_freq": _list_col(
+                ones, max_freq.astype(np.int64), [t.imp_freq for t in tps]
+            ),
+            "imp_norm": _list_col(
+                ones, min_norm.astype(np.int64), [t.imp_norm for t in tps]
+            ),
+            "imp_start": _list_col(twos, (0, 1), [t.imp_start for t in tps]),
+            "pos_blob": pos_col,
+            "off_blob": off_col,
+            "pay_blob": pay_col,
+        }
         n_terms_out = n_terms
     else:
         n_terms_out = 0
