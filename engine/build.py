@@ -191,7 +191,10 @@ def invert_to_segment(
         def _bin_col(bounds: np.ndarray, stream: bytes) -> pa.Array:
             """Zero-copy per-term binary column: the batched VInt stream
             is already laid out in term order, so the column is the
-            stream buffer + int32 slice offsets — no per-term bytes()."""
+            stream buffer + int32 slice offsets — no per-term bytes().
+            Partition streams are bounded by partition_docs (~4096 docs),
+            far under the int32 offset ceiling; assert anyway."""
+            assert int(bounds[-1]) <= 0x7FFFFFFF, "partition stream > 2 GiB"
             offs = np.ascontiguousarray(bounds, dtype=np.int32)
             return pa.Array.from_buffers(
                 pa.binary(),
