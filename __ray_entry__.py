@@ -320,6 +320,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_emb_neardup(sf_dir):
         return ann.embedding_near_dups(_emb(sf_dir), threshold=0.95)
 
+    def q_kmeans(sf_dir):
+        return ann.kmeans_clusters(_emb(sf_dir), k=8, iters=2)
+
     def q_dedup_by_url(sf_dir):
         """Keep-latest dedup over a deterministic recrawl: the pages table
         unioned with a copy shifted by (doc_id + n, warc_ts + 1000 s) at
@@ -650,6 +653,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_pages_by_url": q_dedup_by_url,
         # --- similarity search --------------------------------------------
         "ann_cosine_top10": q_ann_brute,
+        "kmeans_clusters": q_kmeans,
         "ann_ivf_top10": q_ann_ivf,
         "embedding_near_dups": q_emb_neardup,
         # --- relational / streaming-expression analogues ------------------
@@ -833,6 +837,63 @@ def oracle_sql() -> dict[str, str]:
         f"({r}, CAST({(0x9E3779B97F4A7C15 * (r + 1)) & 0xFFFFFFFFFFFFFFFF} AS UBIGINT))"
         for r in range(4)
     )
+
+    def _kmeans_sql(k: int = 8, iters: int = 2, dims: int = 64) -> str:
+        # Lloyd's k-means unrolled: init = k smallest vec_ids' embeddings;
+        # distance = LEFT-ASSOC + chain over dims of (v_d - c_d)^2 (the
+        # engine folds dims sequentially with vectorized f64 ops — same
+        # association); assignment ties -> lowest cid via ROW_NUMBER;
+        # centroid update = ordered list_reduce fold over vec_id order
+        # (engine: np.cumsum, a genuine sequential scan) / exact count
+        # division; empty clusters coalesce to the previous centroid.
+        def dist(va: str, ca: str) -> str:
+            return " + ".join(
+                f"(({va}[{d}]-{ca}[{d}])*({va}[{d}]-{ca}[{d}]))"
+                for d in range(1, dims + 1)
+            )
+
+        folds = ", ".join(
+            "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+            f"list(v[{d}] ORDER BY vec_id)), (x, y) -> x + y) "
+            "/ CAST(count(*) AS DOUBLE)"
+            for d in range(1, dims + 1)
+        )
+        sql = f"""WITH e AS (
+                SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings
+            ),
+            c0 AS (
+                SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+                           AS cid, v AS ce
+                FROM e ORDER BY vec_id LIMIT {k}
+            )"""
+        prev = "c0"
+        for it in range(1, iters + 1):
+            sql += f""",
+            d{it} AS (
+                SELECT e.vec_id, c.cid, e.v, {dist('e.v', 'c.ce')} AS dist
+                FROM e CROSS JOIN {prev} c
+            ),
+            a{it} AS (
+                SELECT vec_id, cid, v FROM (
+                    SELECT vec_id, cid, v, row_number() OVER (
+                        PARTITION BY vec_id ORDER BY dist, cid) AS rn
+                    FROM d{it}) WHERE rn = 1
+            ),
+            u{it} AS (SELECT cid, [{folds}] AS ce FROM a{it} GROUP BY cid),
+            c{it} AS (
+                SELECT p.cid, coalesce(u.ce, p.ce) AS ce
+                FROM {prev} p LEFT JOIN u{it} u ON p.cid = u.cid
+            )"""
+            prev = f"c{it}"
+        sql += f"""
+            SELECT vec_id, cid AS cluster FROM (
+                SELECT e.vec_id, c.cid, row_number() OVER (
+                    PARTITION BY e.vec_id
+                    ORDER BY {dist('e.v', 'c.ce')}, c.cid) AS rn
+                FROM e CROSS JOIN {prev} c) WHERE rn = 1"""
+        return sql
 
     def _fmix64_sql(h: str) -> str:
         # MurmurHash3 fmix64 (engine/merge.py _fmix64) replayed exactly
@@ -4889,6 +4950,8 @@ def oracle_sql() -> dict[str, str]:
                 WHERE q.doc_id < 10
             ) WHERE rank < 10
         """,
+        # k-means document clustering, exact end-to-end (see _kmeans_sql)
+        "kmeans_clusters": _kmeans_sql(k=8, iters=2, dims=64),
         "ann_cosine_top10": """
             SELECT query_id, rank, neighbor_id FROM (
               SELECT q.vec_id AS query_id,

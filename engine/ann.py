@@ -305,6 +305,105 @@ def ivf_topk_ds(
     )
 
 
+def kmeans_clusters(ds, k: int = 8, iters: int = 2):
+    """Deterministic Lloyd's k-means over the embedding column (the Solr
+    clustering-contrib document-clustering role, beyond-reference for the
+    training-data pipeline: topic bucketing / diversity sampling), with
+    every float op pinned so the WHOLE algorithm replays bit-for-bit in
+    SQL:
+
+    - init: centroids = embeddings of the k smallest vec_ids (f32→f64
+      casts are exact);
+    - distance: LEFT-ASSOC fold over dims of (x_d - c_d)^2 — vectorized
+      across rows, sequential across dims, matching SQL's left-assoc `+`
+      chain;
+    - assignment: argmin with ties → lowest cluster id (np.argmin
+      first-min == ROW_NUMBER() ORDER BY dist, cid);
+    - update: per-cluster per-dim sum via np.cumsum over vec_id-ordered
+      rows — numpy ACCUMULATE is a genuine sequential left fold (unlike
+      reduce/reduceat, which associate pairwise; CLAUDE.md lore) ==
+      DuckDB list_reduce(list_prepend(0.0, list(e_d ORDER BY vec_id)),
+      +), then an exact f64 division by the count. Empty clusters keep
+      their previous centroid.
+
+    Distributed shape: assignment is stateless map_batches with the
+    centroid matrix in the task closure (k×dims — stop-word-sized);
+    the update is one groupby(cluster).map_groups whose per-group work
+    is a cumsum. The oracle-exact fold REQUIRES a vec_id-ordered
+    sequential sum, so the update shuffles by cluster; at web scale
+    you'd run per-batch f64 partial sums (tree association) instead and
+    accept rows-only verification — the documented exactness/scale
+    trade, same as graph.py's PageRank folds. Returns the final
+    assignment (vec_id, cluster) after ``iters`` update rounds."""
+
+    def _init_centroids() -> np.ndarray:
+        def part_min(batch: pa.Table) -> pa.Table:
+            ids = batch.column("vec_id").to_numpy()
+            if not len(ids):
+                return batch
+            sel = np.argsort(ids, kind="stable")[:k]
+            return batch.take(pa.array(sel))
+
+        cands = ds.map_batches(
+            part_min, batch_format="pyarrow", **_rargs()
+        ).take_all()  # <= k rows per input block: bounded
+        rows = sorted(cands, key=lambda r: r["vec_id"])[:k]
+        return np.array([r["embedding"] for r in rows], dtype=np.float64)
+
+    def _assign(cents: np.ndarray):
+        def assign(batch: pa.Table) -> pa.Table:
+            m = _batch_matrix(batch)  # f32 -> f64 exact
+            n = m.shape[0]
+            dists = np.empty((n, len(cents)), dtype=np.float64)
+            for ci, c in enumerate(cents):
+                acc = np.zeros(n, dtype=np.float64)
+                for d in range(m.shape[1]):  # left-assoc over dims
+                    diff = m[:, d] - c[d]
+                    acc += diff * diff
+                dists[:, ci] = acc
+            cid = np.argmin(dists, axis=1)  # first min == lowest cid
+            return pa.table(
+                {
+                    "vec_id": batch.column("vec_id"),
+                    "cluster": pa.array(cid.astype(np.int64), type=pa.int64()),
+                    "embedding": batch.column("embedding"),
+                }
+            )
+
+        return ds.map_batches(assign, batch_format="pyarrow", **_rargs())
+
+    def _update_fold(g: pa.Table) -> pa.Table:
+        order = np.argsort(g.column("vec_id").to_numpy(), kind="stable")
+        m = _batch_matrix(g.take(pa.array(order)))
+        # cumsum = sequential left fold per dim; exact vs the SQL fold
+        sums = np.cumsum(m, axis=0)[-1]
+        return pa.table(
+            {
+                "cluster": pa.array(
+                    [int(g.column("cluster")[0].as_py())], type=pa.int64()
+                ),
+                "centroid": pa.array(
+                    [(sums / np.float64(m.shape[0])).tolist()],
+                    type=pa.list_(pa.float64()),
+                ),
+            }
+        )
+
+    cents = _init_centroids()
+    for _ in range(iters):
+        upd = (
+            _assign(cents)
+            .groupby("cluster")
+            .map_groups(_update_fold, batch_format="pyarrow", **_rargs())
+            .take_all()
+        )  # k rows
+        nxt = cents.copy()  # empty clusters keep their previous centroid
+        for r in upd:
+            nxt[int(r["cluster"])] = np.asarray(r["centroid"], dtype=np.float64)
+        cents = nxt
+    return _assign(cents).select_columns(["vec_id", "cluster"])
+
+
 def embedding_near_dups(
     ds,
     threshold: float = 0.95,
