@@ -323,6 +323,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_kmeans(sf_dir):
         return ann.kmeans_clusters(_emb(sf_dir), k=8, iters=2)
 
+    def q_cluster_sample(sf_dir):
+        return ann.cluster_balanced_sample(_emb(sf_dir), k=8, iters=2, per_cluster=16)
+
     def q_dedup_by_url(sf_dir):
         """Keep-latest dedup over a deterministic recrawl: the pages table
         unioned with a copy shifted by (doc_id + n, warc_ts + 1000 s) at
@@ -654,6 +657,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search --------------------------------------------
         "ann_cosine_top10": q_ann_brute,
         "kmeans_clusters": q_kmeans,
+        "cluster_balanced_sample": q_cluster_sample,
         "ann_ivf_top10": q_ann_ivf,
         "embedding_near_dups": q_emb_neardup,
         # --- relational / streaming-expression analogues ------------------
@@ -4952,6 +4956,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         # k-means document clustering, exact end-to-end (see _kmeans_sql)
         "kmeans_clusters": _kmeans_sql(k=8, iters=2, dims=64),
+        # cluster-balanced diversity sample: the kmeans CTE + keep the
+        # per_cluster smallest vec_ids per cluster
+        "cluster_balanced_sample": f"""
+            WITH km AS ({_kmeans_sql(k=8, iters=2, dims=64)})
+            SELECT vec_id, cluster FROM (
+                SELECT vec_id, cluster, row_number() OVER (
+                    PARTITION BY cluster ORDER BY vec_id) AS rn
+                FROM km) WHERE rn <= 16
+        """,
         "ann_cosine_top10": """
             SELECT query_id, rank, neighbor_id FROM (
               SELECT q.vec_id AS query_id,

@@ -404,6 +404,27 @@ def kmeans_clusters(ds, k: int = 8, iters: int = 2):
     return _assign(cents).select_columns(["vec_id", "cluster"])
 
 
+def cluster_balanced_sample(ds, k: int = 8, iters: int = 2, per_cluster: int = 16):
+    """Cluster-balanced diversity sampling (beyond-reference: the
+    topic-balanced subset selection a training-data pipeline runs after
+    clustering — equal-sized draws per k-means cluster instead of a
+    corpus-frequency-weighted draw). Deterministic: within each cluster
+    keep the ``per_cluster`` smallest vec_ids. Composes kmeans_clusters
+    (exact) with a per-group selection, so the whole pipeline replays in
+    SQL. The selection is a groupby(cluster) over (vec_id, cluster) int
+    pairs only — the embedding column never re-shuffles."""
+    import pandas as pd
+
+    assigned = kmeans_clusters(ds, k=k, iters=iters)
+
+    def head(g: pd.DataFrame) -> pd.DataFrame:
+        return g.nsmallest(per_cluster, "vec_id")
+
+    return assigned.groupby("cluster").map_groups(
+        head, batch_format="pandas", **_rargs()
+    )
+
+
 def embedding_near_dups(
     ds,
     threshold: float = 0.95,
