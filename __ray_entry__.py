@@ -326,6 +326,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_cluster_sample(sf_dir):
         return ann.cluster_balanced_sample(_emb(sf_dir), k=8, iters=2, per_cluster=16)
 
+    def q_cluster_purity(sf_dir):
+        return ann.cluster_purity(_emb(sf_dir), k=8, iters=2)
+
     def q_dedup_by_url(sf_dir):
         """Keep-latest dedup over a deterministic recrawl: the pages table
         unioned with a copy shifted by (doc_id + n, warc_ts + 1000 s) at
@@ -658,6 +661,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_cosine_top10": q_ann_brute,
         "kmeans_clusters": q_kmeans,
         "cluster_balanced_sample": q_cluster_sample,
+        "cluster_purity": q_cluster_purity,
         "ann_ivf_top10": q_ann_ivf,
         "embedding_near_dups": q_emb_neardup,
         # --- relational / streaming-expression analogues ------------------
@@ -4956,6 +4960,25 @@ def oracle_sql() -> dict[str, str]:
         """,
         # k-means document clustering, exact end-to-end (see _kmeans_sql)
         "kmeans_clusters": _kmeans_sql(k=8, iters=2, dims=64),
+        # clustering purity evaluation: kmeans CTE + label join + per-
+        # cluster dominant label (ties -> smallest label); all integers
+        "cluster_purity": f"""
+            WITH km AS ({_kmeans_sql(k=8, iters=2, dims=64)}),
+            cl AS (
+                SELECT km.cluster, e.label,
+                       CAST(count(*) AS BIGINT) AS c
+                FROM km JOIN embeddings e ON km.vec_id = e.vec_id
+                GROUP BY km.cluster, e.label
+            )
+            SELECT cluster, CAST(sz AS BIGINT) AS size,
+                   CAST(label AS BIGINT) AS top_label, c AS top_count
+            FROM (
+                SELECT cluster, label, c, row_number() OVER (
+                    PARTITION BY cluster ORDER BY c DESC, label) AS rn,
+                       sum(c) OVER (PARTITION BY cluster) AS sz
+                FROM cl) q
+            WHERE rn = 1
+        """,
         # cluster-balanced diversity sample: the kmeans CTE + keep the
         # per_cluster smallest vec_ids per cluster
         "cluster_balanced_sample": f"""

@@ -305,7 +305,7 @@ def ivf_topk_ds(
     )
 
 
-def kmeans_clusters(ds, k: int = 8, iters: int = 2):
+def kmeans_clusters(ds, k: int = 8, iters: int = 2, passthrough: tuple = ()):
     """Deterministic Lloyd's k-means over the embedding column (the Solr
     clustering-contrib document-clustering role, beyond-reference for the
     training-data pipeline: topic bucketing / diversity sampling), with
@@ -350,7 +350,7 @@ def kmeans_clusters(ds, k: int = 8, iters: int = 2):
         rows = sorted(cands, key=lambda r: r["vec_id"])[:k]
         return np.array([r["embedding"] for r in rows], dtype=np.float64)
 
-    def _assign(cents: np.ndarray):
+    def _assign(cents: np.ndarray, carry: tuple = ("embedding",)):
         def assign(batch: pa.Table) -> pa.Table:
             m = _batch_matrix(batch)  # f32 -> f64 exact
             n = m.shape[0]
@@ -362,13 +362,11 @@ def kmeans_clusters(ds, k: int = 8, iters: int = 2):
                     acc += diff * diff
                 dists[:, ci] = acc
             cid = np.argmin(dists, axis=1)  # first min == lowest cid
-            return pa.table(
-                {
-                    "vec_id": batch.column("vec_id"),
-                    "cluster": pa.array(cid.astype(np.int64), type=pa.int64()),
-                    "embedding": batch.column("embedding"),
-                }
-            )
+            cols = {"vec_id": batch.column("vec_id")}
+            for name in carry:
+                cols[name] = batch.column(name)
+            cols["cluster"] = pa.array(cid.astype(np.int64), type=pa.int64())
+            return pa.table(cols)
 
         return ds.map_batches(assign, batch_format="pyarrow", **_rargs())
 
@@ -401,7 +399,8 @@ def kmeans_clusters(ds, k: int = 8, iters: int = 2):
         for r in upd:
             nxt[int(r["cluster"])] = np.asarray(r["centroid"], dtype=np.float64)
         cents = nxt
-    return _assign(cents).select_columns(["vec_id", "cluster"])
+    # final assignment carries requested source columns (e.g. label)
+    return _assign(cents, carry=tuple(passthrough))
 
 
 def cluster_balanced_sample(ds, k: int = 8, iters: int = 2, per_cluster: int = 16):
@@ -422,6 +421,34 @@ def cluster_balanced_sample(ds, k: int = 8, iters: int = 2, per_cluster: int = 1
 
     return assigned.groupby("cluster").map_groups(
         head, batch_format="pandas", **_rargs()
+    )
+
+
+def cluster_purity(ds, k: int = 8, iters: int = 2, label_col: str = "label"):
+    """Clustering evaluation (the purity metric): per k-means cluster,
+    its size and dominant ground-truth label (ties → smallest label).
+    Composes the exact kmeans assignment (label passed through the final
+    assignment, no join) with ONE groupby((cluster, label)).count() —
+    the shuffle moves k×|labels| count rows, not vectors — and a tiny
+    per-cluster selection. All-integer output, exact in SQL."""
+    import pandas as pd
+
+    assigned = kmeans_clusters(ds, k=k, iters=iters, passthrough=(label_col,))
+    counts = assigned.groupby(["cluster", label_col]).count()
+
+    def top(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["count()", label_col], ascending=[False, True])
+        return pd.DataFrame(
+            {
+                "cluster": [int(g["cluster"].iloc[0])],
+                "size": [int(g["count()"].sum())],
+                "top_label": [int(g[label_col].iloc[0])],
+                "top_count": [int(g["count()"].iloc[0])],
+            }
+        )
+
+    return counts.groupby("cluster").map_groups(
+        top, batch_format="pandas", **_rargs()
     )
 
 
