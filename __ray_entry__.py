@@ -329,6 +329,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_cluster_purity(sf_dir):
         return ann.cluster_purity(_emb(sf_dir), k=8, iters=2)
 
+    def q_semdedup(sf_dir):
+        return ann.semdedup(_emb(sf_dir), k=8, iters=2, tau=0.3)
+
     def q_dedup_by_url(sf_dir):
         """Keep-latest dedup over a deterministic recrawl: the pages table
         unioned with a copy shifted by (doc_id + n, warc_ts + 1000 s) at
@@ -662,6 +665,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_clusters": q_kmeans,
         "cluster_balanced_sample": q_cluster_sample,
         "cluster_purity": q_cluster_purity,
+        "semdedup_kept": q_semdedup,
         "ann_ivf_top10": q_ann_ivf,
         "embedding_near_dups": q_emb_neardup,
         # --- relational / streaming-expression analogues ------------------
@@ -4960,6 +4964,33 @@ def oracle_sql() -> dict[str, str]:
         """,
         # k-means document clustering, exact end-to-end (see _kmeans_sql)
         "kmeans_clusters": _kmeans_sql(k=8, iters=2, dims=64),
+        # SemDeDup: within-cluster cosine dedup — drop j iff some i<j in
+        # its cluster has cos >= 0.3 (the fixture's random 64-dim vectors
+        # top out at cos 0.51, so 0.3 exercises real drops); dots/norms
+        # as left-assoc dim
+        # chains (f64), sqrt correctly rounded both engines, keep rule =
+        # NOT EXISTS self-join (non-recursive by construction)
+        "semdedup_kept": f"""
+            WITH km AS ({_kmeans_sql(k=8, iters=2, dims=64)}),
+            ev AS (
+                SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings
+            ),
+            kv AS (
+                SELECT km.vec_id, km.cluster, ev.v,
+                       {" + ".join(f"(v[{d}]*v[{d}])" for d in range(1, 65))}
+                           AS sq
+                FROM km JOIN ev ON km.vec_id = ev.vec_id
+            )
+            SELECT a.vec_id, a.cluster FROM kv a
+            WHERE NOT EXISTS (
+                SELECT 1 FROM kv b
+                WHERE b.cluster = a.cluster AND b.vec_id < a.vec_id
+                  AND ({" + ".join(f"(b.v[{d}]*a.v[{d}])" for d in range(1, 65))})
+                      / (sqrt(b.sq) * sqrt(a.sq)) >= 0.3
+            )
+        """,
         # clustering purity evaluation: kmeans CTE + label join + per-
         # cluster dominant label (ties -> smallest label); all integers
         "cluster_purity": f"""

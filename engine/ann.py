@@ -452,6 +452,60 @@ def cluster_purity(ds, k: int = 8, iters: int = 2, label_col: str = "label"):
     )
 
 
+def semdedup(ds, k: int = 8, iters: int = 2, tau: float = 0.95):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication WITHIN k-means clusters — a vector is dropped iff some
+    lower-vec_id vector in its cluster has cosine similarity >= tau.
+    The cluster pass bounds the candidate set (all-pairs only within a
+    cluster, never corpus-wide), which is the paper's scalability
+    argument verbatim.
+
+    Exact-replayable float chain (same discipline as kmeans_clusters):
+    f32->f64 casts, dots and squared norms as LEFT-ASSOC folds over dims
+    (vectorized across pairs, sequential across dims == SQL's + chain),
+    sqrt correctly rounded in both engines, one division and one >=
+    per pair. Keep rule is non-recursive (any earlier near-dup drops
+    you, kept or not), so the oracle is a NOT EXISTS self-join within
+    cluster. Returns the KEPT (vec_id, cluster) rows."""
+    import pandas as pd
+
+    assigned = kmeans_clusters(ds, k=k, iters=iters, passthrough=("embedding",))
+
+    def dedup_cluster(g: pa.Table) -> pa.Table:
+        order = np.argsort(g.column("vec_id").to_numpy(), kind="stable")
+        g = g.take(pa.array(order))
+        ids = g.column("vec_id").to_numpy()
+        m = _batch_matrix(g)  # f32 -> f64 exact, vec_id-ascending
+        n = m.shape[0]
+        # left-assoc folds: squared norms per vector, dots per (i, j) pair
+        sq = np.zeros(n, dtype=np.float64)
+        for d in range(m.shape[1]):
+            sq += m[:, d] * m[:, d]
+        rt = np.sqrt(sq)  # correctly rounded, matches SQL sqrt
+        iu, ju = np.triu_indices(n, k=1)  # i < j
+        dots = np.zeros(len(iu), dtype=np.float64)
+        for d in range(m.shape[1]):
+            dots += m[iu, d] * m[ju, d]
+        cos = dots / (rt[iu] * rt[ju])
+        dropped = np.zeros(n, dtype=bool)
+        hit = cos >= np.float64(tau)
+        dropped[np.unique(ju[hit])] = True
+        keep = ~dropped
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[keep], type=pa.int64()),
+                "cluster": pa.array(
+                    np.full(int(keep.sum()), int(g.column("cluster")[0].as_py())),
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    return assigned.groupby("cluster").map_groups(
+        dedup_cluster, batch_format="pyarrow", **_rargs()
+    )
+
+
 def embedding_near_dups(
     ds,
     threshold: float = 0.95,

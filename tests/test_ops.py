@@ -1355,6 +1355,40 @@ def test_kmeans_clusters_exact_replay():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_semdedup_semantics():
+    """SemDeDup: exact duplicates dedup to the lowest vec_id; scaled
+    copies (cos == 1.0) count as duplicates; orthogonal vectors all
+    survive; a vector is dropped by ANY earlier near-dup (kept or not)."""
+    import ray.data
+
+    from engine.ann import semdedup
+
+    dims = 8
+    base = np.zeros((6, dims), dtype=np.float32)
+    base[0, 0] = 1.0          # kept
+    base[1, 0] = 1.0          # duplicate of 0 -> dropped
+    base[2, 0] = 2.0          # scaled copy, cos == 1 -> dropped
+    base[3, 1] = 1.0          # orthogonal -> kept
+    base[4, 0] = 1.0
+    base[4, 1] = 1.0          # cos 0.707 to 0 and 3 -> dropped at tau 0.6
+    base[5, 2] = 1.0          # orthogonal -> kept
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(6), type=pa.int64()),
+            "embedding": pa.array(
+                [r.tolist() for r in base], type=pa.list_(pa.float32())
+            ),
+        }
+    )
+    out = (
+        semdedup(ray.data.from_arrow(t), k=1, iters=1, tau=0.6)
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    assert out["vec_id"].tolist() == [0, 3, 5]
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_epoch_shuffle_deterministic_order():
     """Seeded epoch shuffle: the STREAMED block order is the (key, id)
     sort order; keys replay the scalar fnv1a+fmix64 chain; the same seed
