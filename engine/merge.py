@@ -669,7 +669,11 @@ def _dict_explode_chunk(
         ends = np.concatenate([cuts, [n]]).astype(np.int64)
         for r, (s_, e_) in enumerate(zip(starts.tolist(), ends.tolist())):
             if e_ > s_:
-                out[r].append(col.slice(s_, e_ - s_))
+                # compact: a pickled Arrow SLICE ships the whole parent
+                # buffer (measured: 50-row slice of a 100k-row column
+                # pickles at full size), which would amplify the exchange
+                # by up to n_ranges x; concat_arrays re-buffers (~2 us)
+                out[r].append(pa.concat_arrays([col.slice(s_, e_ - s_)]))
     return tuple(out) if n_ranges > 1 else out[0]
 
 
