@@ -334,7 +334,12 @@ def kmeans_clusters(ds, k: int = 8, iters: int = 2, passthrough: tuple = ()):
     you'd run per-batch f64 partial sums (tree association) instead and
     accept rows-only verification — the documented exactness/scale
     trade, same as graph.py's PageRank folds. Returns the final
-    assignment (vec_id, cluster) after ``iters`` update rounds."""
+    assignment (vec_id, cluster) after ``iters`` update rounds.
+
+    The source materializes ONCE up front: the iterative loop would
+    otherwise re-execute the lazy read per init + iteration + final
+    assignment (the CLAUDE.md iterative-lineage lore)."""
+    ds = ds.materialize()
 
     def _init_centroids() -> np.ndarray:
         def part_min(batch: pa.Table) -> pa.Table:

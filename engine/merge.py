@@ -637,7 +637,8 @@ def _explode_chunk(
             with pa.ipc.new_stream(sink, frag.schema) as w:
                 w.write_table(frag)
             out[int(b_sorted[s_])].append(sink.getvalue().to_pybytes())
-    return tuple(out)
+    # num_returns=1 expects the single value itself, not a 1-tuple
+    return tuple(out) if n_buckets > 1 else out[0]
 
 
 def _dict_explode_chunk(
@@ -1117,9 +1118,12 @@ def merge_by_term(
         _explode_remote.remote(c, heavy_ref, rank_of_base, n_salts, n_buckets)
         for c in seg_chunks
     ]
+    # num_returns=1 yields a bare ObjectRef (not a 1-list) — same n==1
+    # handling as the dict-level exchange below
+    slots = [[t] if n_buckets == 1 else list(t) for t in per_task]
     _bucket_remote = ray.remote(**_rargs())(_merge_bucket)
     result_refs = [
-        _bucket_remote.remote(b, *[per_task[t][b] for t in range(len(per_task))])
+        _bucket_remote.remote(b, *[s[b] for s in slots])
         for b in range(n_buckets)
     ]
     results = [row for rows in ray.get(result_refs) for row in rows]

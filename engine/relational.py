@@ -437,12 +437,9 @@ def orders_sample_hash(sf_dir: str, pct: int = 10):
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
 
     def filt(batch: pa.Table) -> pa.Table:
-        k = batch.column("o_orderkey").to_numpy().astype(np.uint64)
-        h = np.full(len(k), np.uint64(0xCBF29CE484222325), dtype=np.uint64)
-        prime = np.uint64(0x100000001B3)
-        for i in range(8):
-            b = (k >> np.uint64(8 * i)) & np.uint64(0xFF)
-            h = (h ^ b) * prime  # uint64 wraparound == mod 2^64
+        from .textops import fnv1a_u64_vec
+
+        h = fnv1a_u64_vec(batch.column("o_orderkey").to_numpy())
         return batch.filter(pa.array((h % np.uint64(100)) < pct))
 
     return ds.map_batches(filt, batch_format="pyarrow", **_rargs())

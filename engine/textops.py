@@ -32,6 +32,20 @@ def fnv1a(s: str) -> int:
         h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
     return h
 
+def fnv1a_u64_vec(ids) -> "np.ndarray":
+    """Vectorized 64-bit FNV-1a over the 8 little-endian bytes of each
+    int64 — the ONE implementation behind every deterministic-hash
+    sampler (domain mixing, orders sampling, epoch shuffle), elementwise
+    identical to relational.fnv1a_u64_sql's replay. uint64 wraparound
+    multiply supplies the 2^64 mask."""
+    k = np.asarray(ids).astype(np.uint64)
+    h = np.full(len(k), np.uint64(0xCBF29CE484222325), dtype=np.uint64)
+    prime = np.uint64(0x100000001B3)
+    for i in range(8):
+        h = (h ^ ((k >> np.uint64(8 * i)) & np.uint64(0xFF))) * prime
+    return h
+
+
 def fnv1a_vec(arr, seed: int = 0xCBF29CE484222325):
     """Vectorized 64-bit FNV-1a over an Arrow string array — elementwise
     identical to fnv1a(). Column-at-a-time over the (offsets, data) buffers
@@ -976,12 +990,7 @@ def domain_mix_sample(ds, rates: dict[str, int], default_permille: int = 100):
     tables ship in the task closure (stop-word-sized)."""
 
     def filt(batch: pa.Table) -> pa.Table:
-        k = batch.column("doc_id").to_numpy().astype(np.uint64)
-        h = np.full(len(k), np.uint64(0xCBF29CE484222325), dtype=np.uint64)
-        prime = np.uint64(0x100000001B3)
-        for i in range(8):
-            b = (k >> np.uint64(8 * i)) & np.uint64(0xFF)
-            h = (h ^ b) * prime
+        h = fnv1a_u64_vec(batch.column("doc_id").to_numpy())
         res = (h % np.uint64(1000)).astype(np.int64)
         srcs = batch.column("source").to_pylist()
         thr = np.fromiter(
@@ -1012,11 +1021,7 @@ def epoch_shuffle(ds, seed: int = 1, id_col: str = "doc_id"):
     salt = np.uint64((0x9E3779B97F4A7C15 * (seed + 1)) & 0xFFFFFFFFFFFFFFFF)
 
     def keyed(batch: pa.Table) -> pa.Table:
-        k = batch.column(id_col).to_numpy().astype(np.uint64)
-        h = np.full(len(k), np.uint64(0xCBF29CE484222325), dtype=np.uint64)
-        prime = np.uint64(0x100000001B3)
-        for i in range(8):
-            h = (h ^ ((k >> np.uint64(8 * i)) & np.uint64(0xFF))) * prime
+        h = fnv1a_u64_vec(batch.column(id_col).to_numpy())
         key = (_fmix64(h ^ salt) >> np.uint64(1)).astype(np.int64)
         return pa.table(
             {
