@@ -264,6 +264,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         vocabulary makes 4 the equivalent selectivity."""
         return dedup.decontaminate_ngrams(_docs(sf_dir), n=4, eval_stride=37)
 
+    def q_dsir(sf_dir):
+        """DSIR importance resampling (Xie et al. 2023): hashed
+        bag-of-tokens target/raw models, fixed-point int64 log-ratio
+        weights (order-free integer per-doc sums), deterministic top-200
+        raw docs by weight. Target split = doc_id % 37 == 0 (same
+        held-out convention as decontaminate_ngrams)."""
+        return textops.dsir_select(
+            _docs(sf_dir), n_buckets=512, target_stride=37, top_k=200
+        )
+
     def q_host_stats(sf_dir):
         """Per-host page stats over the pages fixture (url, text); hosts are
         doc_id-derived (engine/fixtures.py:85), so the oracle recomputes
@@ -647,6 +657,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_canonicalize": q_url_canon,
         "line_dedup_stats": q_line_dedup,
         "decontaminate_ngrams": q_decontaminate,
+        "dsir_select": q_dsir,
         "gopher_repetition": q_gopher_repetition,
         "host_doc_counts": q_host_stats,
         "minhash_lsh_pairs": q_minhash,
@@ -4699,6 +4710,49 @@ def oracle_sql() -> dict[str, str]:
             dg AS (SELECT DISTINCT doc_id, g FROM win WHERE doc_id % 37 != 0)
             SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
             FROM dg JOIN ev USING (g) GROUP BY doc_id
+        """,
+        # DSIR importance resampling (Xie et al. 2023) replayed exactly:
+        # bucket = fnv1a(token) % 512; per-bucket lambda = the add-1
+        # log-likelihood ratio of the target (doc_id % 37 = 0) vs raw
+        # token models, quantized floor(lambda * 2^20) to BIGINT (scalar
+        # ln / single f64 div-sub-mul / floor all replay bit-for-bit);
+        # per-doc score = order-free INTEGER sum over token occurrences;
+        # deterministic top-200 by (score DESC, doc_id ASC)
+        "dsir_select": f"""
+            WITH toks AS (SELECT doc_id, {_TOK} AS ts FROM documents),
+            tok AS (SELECT doc_id, unnest(ts) AS w FROM toks),
+            bk AS (
+                SELECT doc_id,
+                       CAST({_fnv_str_sql("w")} % 512 AS BIGINT) AS b
+                FROM tok
+            ),
+            cnt AS (
+                SELECT b,
+                       sum(CASE WHEN doc_id % 37 = 0 THEN 1 ELSE 0 END)
+                           AS tc,
+                       sum(CASE WHEN doc_id % 37 != 0 THEN 1 ELSE 0 END)
+                           AS rc
+                FROM bk GROUP BY b
+            ),
+            tot AS (SELECT sum(tc) AS tt, sum(rc) AS rt FROM cnt),
+            lam AS (
+                SELECT b,
+                       CAST(floor(
+                           (ln(CAST(tc + 1 AS DOUBLE)
+                               / CAST(tt + 512 AS DOUBLE))
+                          - ln(CAST(rc + 1 AS DOUBLE)
+                               / CAST(rt + 512 AS DOUBLE))) * 1048576.0
+                       ) AS BIGINT) AS l
+                FROM cnt, tot
+            ),
+            sc AS (
+                SELECT bk.doc_id, CAST(sum(lam.l) AS BIGINT) AS dsir_score
+                FROM bk JOIN lam ON bk.b = lam.b
+                WHERE bk.doc_id % 37 != 0
+                GROUP BY bk.doc_id
+            )
+            SELECT doc_id, dsir_score FROM sc
+            ORDER BY dsir_score DESC, doc_id LIMIT 200
         """,
         "line_dedup_stats": f"""
             WITH tok AS (SELECT doc_id, {_TOK} AS ts FROM documents),

@@ -1230,3 +1230,152 @@ def doclen_quantiles(ds, qs: tuple[float, ...] = (0.5, 0.9, 0.99)):
             "value": pa.array(out_v, type=pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR data selection (hashed-ngram importance resampling, Xie et al. 2023)
+# ---------------------------------------------------------------------------
+
+
+class _DsirScore:
+    """Actor-pool scoring stage: the fixed-point lambda table ships ONCE
+    per actor via fn_constructor_args (never a bare ray.put handle — the
+    CLAUDE.md owner-death hazard); __call__ scores each raw doc as an
+    INTEGER sum of per-occurrence bucket weights and emits the batch's
+    partial top-k only (<= top_k rows per block shuffle)."""
+
+    def __init__(self, lam, n_buckets: int, target_stride: int, top_k: int):
+        self._lam = lam.obj if hasattr(lam, "obj") else lam
+        self._nb = np.uint64(n_buckets)
+        self._stride = target_stride
+        self._k = top_k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_numpy()
+        texts = batch.column("text").to_pylist()
+        out_id: list[int] = []
+        out_sc: list[int] = []
+        for did, t in zip(doc_ids, texts):
+            if int(did) % self._stride == 0:  # target doc: never selected
+                continue
+            toks = TOKEN_RE.findall(t.lower()) if t else []
+            if not toks:
+                continue
+            b = (
+                fnv1a_vec(pa.array(toks, type=pa.string())) % self._nb
+            ).astype(np.int64)
+            out_id.append(int(did))
+            out_sc.append(int(self._lam[b].sum()))  # int64 sum: order-free
+        ids = np.asarray(out_id, dtype=np.int64)
+        sc = np.asarray(out_sc, dtype=np.int64)
+        keep = np.lexsort((ids, -sc))[: self._k]  # score desc, doc_id asc
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[keep], type=pa.int64()),
+                "dsir_score": pa.array(sc[keep], type=pa.int64()),
+            }
+        )
+
+
+def dsir_select(
+    ds,
+    n_buckets: int = 512,
+    target_stride: int = 37,
+    top_k: int = 200,
+    scale_bits: int = 20,
+):
+    """DSIR — Data Selection via Importance Resampling (Xie et al. 2023;
+    beyond-reference LLM-pipeline op, the hashed-ngram data-selection
+    pass): fit hashed bag-of-tokens models for a TARGET split
+    (doc_id % target_stride == 0, the same held-out convention as
+    dedup.decontaminate_ngrams) and the RAW split (everything else),
+    weight each raw doc by its add-1-smoothed log-likelihood ratio
+
+        log w(doc) = sum over token occurrences of lambda[bucket(token)]
+        lambda_b   = ln((t_b+1)/(T+B)) - ln((r_b+1)/(R+B))
+
+    with bucket(token) = fnv1a(token) % n_buckets, then select the
+    ``top_k`` raw docs by weight (deterministic top-k, score-desc /
+    doc_id-asc — the paper's Gumbel-noise resampling is one seeded draw
+    away; the deterministic variant is resumable and
+    partition-invariant, like domain_mix_sample). Token-less docs are
+    never candidates.
+
+    Exactness + scale design: lambda is quantized to FIXED-POINT int64,
+    floor(lambda * 2^scale_bits), so the per-doc reduction is an integer
+    sum — order-free under any partitioning (no float-sum
+    nondeterminism in the distributed reduce) and exactly
+    SQL-replayable: scalar math.log matches DuckDB ln bit-for-bit
+    (CLAUDE.md libm lore), the divides/subtract/multiply are single
+    correctly-rounded f64 ops on exactly-representable ints, and floor
+    is exact. Three streaming stages: (1) per-batch partial bucket
+    counts (<= n_buckets rows each) folded on the driver — bounded by B,
+    not the corpus; (2) the B-entry lambda table ships per actor via
+    fn_constructor_args; (3) per-batch partial top-k, driver final sort
+    over <= top_k x n_blocks rows. Returns an Arrow table
+    (doc_id, dsir_score) of the selected docs."""
+    import math
+
+    from .rayenv import Opaque
+
+    B = n_buckets
+
+    def _counts(batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_numpy()
+        texts = batch.column("text").to_pylist()
+        t_cnt = np.zeros(B, dtype=np.int64)
+        r_cnt = np.zeros(B, dtype=np.int64)
+        for did, t in zip(doc_ids, texts):
+            toks = TOKEN_RE.findall(t.lower()) if t else []
+            if not toks:
+                continue
+            b = (
+                fnv1a_vec(pa.array(toks, type=pa.string())) % np.uint64(B)
+            ).astype(np.int64)
+            tgt = int(did) % target_stride == 0
+            (t_cnt if tgt else r_cnt)[:] += np.bincount(b, minlength=B)
+        touched = np.flatnonzero(t_cnt | r_cnt)
+        return pa.table(
+            {
+                "bucket": pa.array(touched, type=pa.int64()),
+                "t_cnt": pa.array(t_cnt[touched], type=pa.int64()),
+                "r_cnt": pa.array(r_cnt[touched], type=pa.int64()),
+            }
+        )
+
+    t_tot = np.zeros(B, dtype=np.int64)
+    r_tot = np.zeros(B, dtype=np.int64)
+    for part in ds.map_batches(
+        _counts, batch_format="pyarrow", **_rargs()
+    ).iter_batches(batch_format="pyarrow"):
+        # iter_batches may coalesce blocks -> duplicate bucket rows
+        np.add.at(t_tot, part.column("bucket").to_numpy(), part.column("t_cnt").to_numpy())
+        np.add.at(r_tot, part.column("bucket").to_numpy(), part.column("r_cnt").to_numpy())
+
+    T = int(t_tot.sum())
+    R = int(r_tot.sum())
+    scale = float(1 << scale_bits)
+    lam = np.empty(B, dtype=np.int64)
+    for i in range(B):  # scalar math.log: replays as DuckDB ln bit-for-bit
+        l = math.log((int(t_tot[i]) + 1) / (T + B)) - math.log(
+            (int(r_tot[i]) + 1) / (R + B)
+        )
+        lam[i] = math.floor(l * scale)
+
+    scored = ds.map_batches(
+        _DsirScore,
+        fn_constructor_args=(Opaque(lam), n_buckets, target_stride, top_k),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+        **_rargs(),
+    )
+    rows = scored.take_all()  # <= top_k per block: bounded
+    ids = np.array([int(r["doc_id"]) for r in rows], dtype=np.int64)
+    sc = np.array([int(r["dsir_score"]) for r in rows], dtype=np.int64)
+    keep = np.lexsort((ids, -sc))[:top_k]
+    return pa.table(
+        {
+            "doc_id": pa.array(ids[keep], type=pa.int64()),
+            "dsir_score": pa.array(sc[keep], type=pa.int64()),
+        }
+    )

@@ -1619,3 +1619,35 @@ def test_anchor_stats_semantics():
     assert dict(zip(out["doc_id"], out["n_anchor_terms"])) == {
         k: len(v) for k, v in vocab.items()
     }
+
+
+def test_dsir_select_planted_affinity_and_partition_invariance(ray_session):
+    """DSIR: a raw doc sharing the target vocabulary outscores a
+    disjoint-vocab doc; targets and token-less docs are never candidates;
+    the fixed-point integer scores are partition-invariant (order-free
+    int64 sums — the claim the quantization exists to make true)."""
+    import ray.data
+
+    from engine.textops import dsir_select
+
+    rows = [
+        {"doc_id": 0, "text": "alpha alpha alpha alpha"},  # target (0 % 37)
+        {"doc_id": 1, "text": "alpha alpha alpha alpha"},  # raw, target-like
+        {"doc_id": 2, "text": "zebra zebra zebra zebra"},  # raw, off-target
+        {"doc_id": 3, "text": ""},  # token-less: excluded
+        {"doc_id": 37, "text": "alpha"},  # target (37 % 37)
+    ]
+    out = dsir_select(
+        ray.data.from_items(rows), n_buckets=64, target_stride=37, top_k=5
+    )
+    assert out.column("doc_id").to_pylist() == [1, 2]
+    s1, s2 = out.column("dsir_score").to_pylist()
+    assert s1 > s2  # shared vocabulary ranks above disjoint vocabulary
+
+    re_out = dsir_select(
+        ray.data.from_items(rows).repartition(5),
+        n_buckets=64,
+        target_stride=37,
+        top_k=5,
+    )
+    assert re_out.equals(out)
