@@ -274,6 +274,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs(sf_dir), n_buckets=512, target_stride=37, top_k=200
         )
 
+    def q_dsir_gumbel(sf_dir):
+        """DSIR with the paper's actual Gumbel-top-k resampling (sampling
+        w/o replacement with prob proportional to the importance weight):
+        key = score/2^20 + seeded hash-derived Gumbel(0,1) noise — every
+        f64 op (exact power-of-2 uniform, two scalar lns, one add)
+        replays bit-for-bit in SQL."""
+        return textops.dsir_select(
+            _docs(sf_dir),
+            n_buckets=512,
+            target_stride=37,
+            top_k=200,
+            gumbel_seed=1,
+        )
+
     def q_host_stats(sf_dir):
         """Per-host page stats over the pages fixture (url, text); hosts are
         doc_id-derived (engine/fixtures.py:85), so the oracle recomputes
@@ -658,6 +672,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup_stats": q_line_dedup,
         "decontaminate_ngrams": q_decontaminate,
         "dsir_select": q_dsir,
+        "dsir_gumbel_topk": q_dsir_gumbel,
         "gopher_repetition": q_gopher_repetition,
         "host_doc_counts": q_host_stats,
         "minhash_lsh_pairs": q_minhash,
@@ -4753,6 +4768,58 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, dsir_score FROM sc
             ORDER BY dsir_score DESC, doc_id LIMIT 200
+        """,
+        # DSIR Gumbel-top-k resampling (the paper's actual sampler:
+        # w/o-replacement draws with prob proportional to w): key =
+        # score/2^20 (exact power-of-2 scaling) + -ln(-ln(u)) with
+        # u = (((fnv1a(doc_id) XOR seed-salt) >> 11)::DOUBLE + 0.5)/2^53
+        # — exact uniform, two scalar lns (libm == DuckDB ln), one add;
+        # probed bit-identical across signs/magnitudes before wiring
+        "dsir_gumbel_topk": f"""
+            WITH toks AS (SELECT doc_id, {_TOK} AS ts FROM documents),
+            tok AS (SELECT doc_id, unnest(ts) AS w FROM toks),
+            bk AS (
+                SELECT doc_id,
+                       CAST({_fnv_str_sql("w")} % 512 AS BIGINT) AS b
+                FROM tok
+            ),
+            cnt AS (
+                SELECT b,
+                       sum(CASE WHEN doc_id % 37 = 0 THEN 1 ELSE 0 END)
+                           AS tc,
+                       sum(CASE WHEN doc_id % 37 != 0 THEN 1 ELSE 0 END)
+                           AS rc
+                FROM bk GROUP BY b
+            ),
+            tot AS (SELECT sum(tc) AS tt, sum(rc) AS rt FROM cnt),
+            lam AS (
+                SELECT b,
+                       CAST(floor(
+                           (ln(CAST(tc + 1 AS DOUBLE)
+                               / CAST(tt + 512 AS DOUBLE))
+                          - ln(CAST(rc + 1 AS DOUBLE)
+                               / CAST(rt + 512 AS DOUBLE))) * 1048576.0
+                       ) AS BIGINT) AS l
+                FROM cnt, tot
+            ),
+            sc AS (
+                SELECT bk.doc_id, CAST(sum(lam.l) AS BIGINT) AS dsir_score
+                FROM bk JOIN lam ON bk.b = lam.b
+                WHERE bk.doc_id % 37 != 0
+                GROUP BY bk.doc_id
+            ),
+            g AS (
+                SELECT doc_id, dsir_score,
+                       CAST(dsir_score AS DOUBLE) / 1048576.0
+                       + (-ln(-ln(
+                           (CAST(((xor({_fnv_sql("doc_id")},
+                                      CAST(4354685564936845354 AS UBIGINT)))
+                                  >> 11) AS DOUBLE) + 0.5)
+                           / 9007199254740992.0))) AS gumbel_key
+                FROM sc
+            )
+            SELECT doc_id, dsir_score, gumbel_key FROM g
+            ORDER BY gumbel_key DESC, doc_id LIMIT 200
         """,
         "line_dedup_stats": f"""
             WITH tok AS (SELECT doc_id, {_TOK} AS ts FROM documents),

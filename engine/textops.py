@@ -1237,6 +1237,26 @@ def doclen_quantiles(ds, qs: tuple[float, ...] = (0.5, 0.9, 0.99)):
 # ---------------------------------------------------------------------------
 
 
+def _gumbel_keys(ids, scores, salt: int, inv_scale: float):
+    """Seeded Gumbel keys for DSIR resampling, every f64 op exactly
+    SQL-replayable: u = (float((fnv1a(8 LE bytes of id) XOR salt) >> 11)
+    + 0.5) / 2^53 (exact power-of-2 arithmetic, u strictly in (0,1)),
+    g = -ln(-ln(u)) via SCALAR math.log (libm == DuckDB ln bit-for-bit;
+    vectorized np.log differs by 1 ulp on ~19%% of inputs — CLAUDE.md),
+    key = float(score) * 2^-scale_bits + g (exact halving chain + one
+    correctly-rounded add). No RNG state: the draw depends only on
+    (id, seed), so it is partition-invariant and resumable."""
+    import math
+
+    h = fnv1a_u64_vec(ids) ^ np.uint64(salt)
+    hs = (h >> np.uint64(11)).astype(np.int64)
+    out = np.empty(len(ids), dtype=np.float64)
+    for i in range(len(ids)):
+        u = (float(int(hs[i])) + 0.5) / 9007199254740992.0
+        out[i] = float(int(scores[i])) * inv_scale + (-math.log(-math.log(u)))
+    return out
+
+
 class _DsirScore:
     """Actor-pool scoring stage: the fixed-point lambda table ships ONCE
     per actor via fn_constructor_args (never a bare ray.put handle — the
@@ -1244,11 +1264,21 @@ class _DsirScore:
     INTEGER sum of per-occurrence bucket weights and emits the batch's
     partial top-k only (<= top_k rows per block shuffle)."""
 
-    def __init__(self, lam, n_buckets: int, target_stride: int, top_k: int):
+    def __init__(
+        self,
+        lam,
+        n_buckets: int,
+        target_stride: int,
+        top_k: int,
+        gumbel_salt: int | None = None,
+        scale_bits: int = 20,
+    ):
         self._lam = lam.obj if hasattr(lam, "obj") else lam
         self._nb = np.uint64(n_buckets)
         self._stride = target_stride
         self._k = top_k
+        self._salt = gumbel_salt
+        self._inv_scale = 1.0 / float(1 << scale_bits)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = batch.column("doc_id").to_numpy()
@@ -1268,11 +1298,21 @@ class _DsirScore:
             out_sc.append(int(self._lam[b].sum()))  # int64 sum: order-free
         ids = np.asarray(out_id, dtype=np.int64)
         sc = np.asarray(out_sc, dtype=np.int64)
-        keep = np.lexsort((ids, -sc))[: self._k]  # score desc, doc_id asc
+        if self._salt is None:
+            keep = np.lexsort((ids, -sc))[: self._k]  # score desc, id asc
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids[keep], type=pa.int64()),
+                    "dsir_score": pa.array(sc[keep], type=pa.int64()),
+                }
+            )
+        keys = _gumbel_keys(ids, sc, self._salt, self._inv_scale)
+        keep = np.lexsort((ids, -keys))[: self._k]  # key desc, id asc
         return pa.table(
             {
                 "doc_id": pa.array(ids[keep], type=pa.int64()),
                 "dsir_score": pa.array(sc[keep], type=pa.int64()),
+                "gumbel_key": pa.array(keys[keep], type=pa.float64()),
             }
         )
 
@@ -1283,6 +1323,7 @@ def dsir_select(
     target_stride: int = 37,
     top_k: int = 200,
     scale_bits: int = 20,
+    gumbel_seed: int | None = None,
 ):
     """DSIR — Data Selection via Importance Resampling (Xie et al. 2023;
     beyond-reference LLM-pipeline op, the hashed-ngram data-selection
@@ -1296,10 +1337,12 @@ def dsir_select(
 
     with bucket(token) = fnv1a(token) % n_buckets, then select the
     ``top_k`` raw docs by weight (deterministic top-k, score-desc /
-    doc_id-asc — the paper's Gumbel-noise resampling is one seeded draw
-    away; the deterministic variant is resumable and
-    partition-invariant, like domain_mix_sample). Token-less docs are
-    never candidates.
+    doc_id-asc). With ``gumbel_seed`` set, selection becomes the paper's
+    actual RESAMPLING: top-k by log w + Gumbel(0,1) noise (sampling
+    without replacement with probability proportional to w), where the
+    Gumbel draw is a seeded deterministic hash of doc_id (_gumbel_keys)
+    — still partition-invariant and resumable, and the whole float chain
+    still replays exactly in SQL. Token-less docs are never candidates.
 
     Exactness + scale design: lambda is quantized to FIXED-POINT int64,
     floor(lambda * 2^scale_bits), so the per-doc reduction is an integer
@@ -1362,9 +1405,21 @@ def dsir_select(
         )
         lam[i] = math.floor(l * scale)
 
+    salt = (
+        None
+        if gumbel_seed is None
+        else (0x9E3779B97F4A7C15 * (gumbel_seed + 1)) & 0xFFFFFFFFFFFFFFFF
+    )
     scored = ds.map_batches(
         _DsirScore,
-        fn_constructor_args=(Opaque(lam), n_buckets, target_stride, top_k),
+        fn_constructor_args=(
+            Opaque(lam),
+            n_buckets,
+            target_stride,
+            top_k,
+            salt,
+            scale_bits,
+        ),
         batch_format="pyarrow",
         concurrency=(1, 8),
         **_rargs(),
@@ -1372,10 +1427,20 @@ def dsir_select(
     rows = scored.take_all()  # <= top_k per block: bounded
     ids = np.array([int(r["doc_id"]) for r in rows], dtype=np.int64)
     sc = np.array([int(r["dsir_score"]) for r in rows], dtype=np.int64)
-    keep = np.lexsort((ids, -sc))[:top_k]
+    if salt is None:
+        keep = np.lexsort((ids, -sc))[:top_k]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[keep], type=pa.int64()),
+                "dsir_score": pa.array(sc[keep], type=pa.int64()),
+            }
+        )
+    keys = np.array([float(r["gumbel_key"]) for r in rows], dtype=np.float64)
+    keep = np.lexsort((ids, -keys))[:top_k]
     return pa.table(
         {
             "doc_id": pa.array(ids[keep], type=pa.int64()),
             "dsir_score": pa.array(sc[keep], type=pa.int64()),
+            "gumbel_key": pa.array(keys[keep], type=pa.float64()),
         }
     )

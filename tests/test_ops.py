@@ -1651,3 +1651,36 @@ def test_dsir_select_planted_affinity_and_partition_invariance(ray_session):
         top_k=5,
     )
     assert re_out.equals(out)
+
+
+def test_dsir_gumbel_resampling_seeded_and_partition_invariant(ray_session):
+    """Gumbel-top-k DSIR: keys are a seeded deterministic function of
+    (doc_id, seed) — identical under repartitioning, different under a
+    different seed — and the selection is ordered by key desc."""
+    import ray.data
+
+    from engine.textops import dsir_select
+
+    rows = [
+        {"doc_id": i, "text": f"alpha w{i} w{i % 3} beta gamma"}
+        for i in range(12)
+    ]
+    src = ray.data.from_items(rows)
+    out1 = dsir_select(src, n_buckets=64, target_stride=37, top_k=5, gumbel_seed=1)
+    out1b = dsir_select(
+        ray.data.from_items(rows).repartition(4),
+        n_buckets=64,
+        target_stride=37,
+        top_k=5,
+        gumbel_seed=1,
+    )
+    assert out1.equals(out1b)
+    keys = out1.column("gumbel_key").to_pylist()
+    assert keys == sorted(keys, reverse=True)
+    assert 0 not in out1.column("doc_id").to_pylist()  # target excluded
+
+    out2 = dsir_select(
+        ray.data.from_items(rows), n_buckets=64, target_stride=37, top_k=5,
+        gumbel_seed=2,
+    )
+    assert out2.column("gumbel_key").to_pylist() != keys
