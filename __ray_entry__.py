@@ -569,6 +569,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_search_after_pages": pipelines.bm25_search_after_pages,
         "cursor_mark_sharded": pipelines.cursor_mark_sharded,
         "rerank_topk": pipelines.rerank_topk,
+        "rrf_fusion_topk": pipelines.rrf_fusion_topk,
         "sorted_index_topk": pipelines.sorted_index_topk,
         "intervals_ordered_docs": pipelines.intervals_ordered_docs,
         "intervals_unordered_docs": pipelines.intervals_unordered_docs,
@@ -1290,6 +1291,44 @@ def oracle_sql() -> dict[str, str]:
                 FROM q
             ) WHERE rn <= 10
         """
+    # ----- RRF hybrid fusion (rrf_fusion_topk) ----------------------------
+    # Both rank lists replay via their driver-green chains (the f32 BM25
+    # CTE; the cosine rank order of ann_cosine_top10); the fused score is
+    # two exact f64 divisions + one f64 add (lexical addend first, +0.0
+    # padding for a missing list — exact), so it hashes bit-for-bit.
+    _rrf_sql = f"""
+            WITH {_scored_cte},
+            lexq AS ({_flat_q(0, (), ("data", "join"), ())}),
+            lex AS (
+                SELECT doc_id, r FROM (
+                    SELECT doc_id, row_number() OVER (
+                        ORDER BY score DESC, doc_id ASC) AS r
+                    FROM lexq
+                ) WHERE r <= 10
+            ),
+            dense AS (
+                SELECT doc_id, r FROM (
+                    SELECT v.vec_id AS doc_id, row_number() OVER (
+                        ORDER BY list_cosine_similarity(q.embedding,
+                                                        v.embedding) DESC,
+                                 v.vec_id ASC) AS r
+                    FROM embeddings v,
+                         (SELECT embedding FROM embeddings
+                          WHERE vec_id = 0) q
+                ) WHERE r <= 10
+            ),
+            fused AS (
+                SELECT coalesce(l.doc_id, d.doc_id) AS doc_id,
+                       coalesce(1.0 / (60 + l.r), 0.0)
+                     + coalesce(1.0 / (60 + d.r), 0.0) AS rrf
+                FROM lex l FULL JOIN dense d ON l.doc_id = d.doc_id
+            )
+            SELECT CAST(rn - 1 AS BIGINT) AS rank, doc_id, rrf FROM (
+                SELECT doc_id, rrf, row_number() OVER (
+                    ORDER BY rrf DESC, doc_id ASC) AS rn
+                FROM fused
+            ) WHERE rn <= 10
+        """
     # ----- title-field query set (bm25_title_topk) ------------------------
     # The title field's own postings/norms/collection stats recompute from
     # the fixture title 'doc {doc_id} rep 0'; multi-term rewrites (prefix /
@@ -1618,6 +1657,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": _refq_sql,
         "bm25_topk_sharded": _refq_sql,
         "replica_bm25_topk": _replica_sql,
+        "rrf_fusion_topk": _rrf_sql,
         # QueryElevationComponent: docs 5, 2 pinned (config order, even if
         # non-matching — forceElevation), doc 0 excluded, organic 'data
         # join' ranking below the pins

@@ -2562,6 +2562,74 @@ def rerank_topk(
     )
 
 
+def rrf_fusion_topk(
+    sf_dir: str,
+    query: str = "data join",
+    query_vec_id: int = 0,
+    n_each: int = 10,
+    k: int = 10,
+    rrf_k: int = 60,
+) -> pa.Table:
+    """Reciprocal Rank Fusion of a lexical BM25 list and a dense cosine
+    list over the shared id space (embeddings.vec_id indexes
+    documents.doc_id) — the rank-based hybrid-retrieval combiner of
+    Cormack/Clarke/Buettcher SIGIR'09, the shape Solr/Elasticsearch ship
+    as "hybrid search" (the reference era predates a built-in; the role
+    slots beside QueryRescorer, search/QueryRescorer.java:51).
+
+    score(d) = 1/(rrf_k + r_lex(d)) + 1/(rrf_k + r_dense(d)) with
+    1-based ranks and +0.0 for a missing list. Each addend is ONE
+    correctly-rounded f64 division and the fusion is ONE f64 add
+    (lexical first), so the fused score replays bit-for-bit in DuckDB;
+    the input ranks are integers from two independently driver-green
+    chains (the bm25_topk f32 CTE and the ann_cosine_top10 rank order).
+
+    Scale posture: both retrievers are distributed (index scatter /
+    per-batch matmul partial top-k); the fusion itself touches only the
+    <= 2*n_each surviving rows — bounded by k, never by corpus size."""
+    import pyarrow.dataset as pads
+    import ray.data
+
+    from . import ann
+    from .checkpoint import load_merge_manifest
+    from .search import IndexSearcher
+
+    idx = get_index(sf_dir)
+    searcher = IndexSearcher(load_merge_manifest(idx["index_dir"]))
+    lex_docs, _ = searcher.search(query, n_each)
+    lex_rank = {int(d): i + 1 for i, d in enumerate(lex_docs)}
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    qt = pads.dataset(emb_path).to_table(
+        columns=["embedding"], filter=pads.field("vec_id") == query_vec_id
+    )
+    qv = np.asarray(qt.column("embedding")[0].as_py(), dtype=np.float64)
+    dense = ann.brute_force_topk_ds(
+        ray.data.read_parquet(emb_path),
+        qv[None, :],
+        np.asarray([query_vec_id]),
+        k=n_each,
+    ).to_pandas()  # bounded: exactly n_each rows reach the driver
+    dense_rank = {
+        int(n): int(r) + 1 for n, r in zip(dense["neighbor_id"], dense["rank"])
+    }
+
+    fused: list[tuple[int, float]] = []
+    for d in sorted(set(lex_rank) | set(dense_rank)):
+        a = 1.0 / (rrf_k + lex_rank[d]) if d in lex_rank else 0.0
+        b = 1.0 / (rrf_k + dense_rank[d]) if d in dense_rank else 0.0
+        fused.append((d, a + b))  # one f64 add, lexical addend first
+    fused.sort(key=lambda t: (-t[1], t[0]))
+    fused = fused[:k]
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(len(fused)), type=pa.int64()),
+            "doc_id": pa.array([d for d, _ in fused], type=pa.int64()),
+            "rrf": pa.array([s for _, s in fused], type=pa.float64()),
+        }
+    )
+
+
 def word_delimiter_terms(sf_dir: str) -> "object":
     """WordDelimiterGraphFilter terms for injected product-code-style
     tokens (analysis/common/.../miscellaneous/WordDelimiterGraphFilter.java

@@ -1684,3 +1684,50 @@ def test_dsir_gumbel_resampling_seeded_and_partition_invariant(ray_session):
         gumbel_seed=2,
     )
     assert out2.column("gumbel_key").to_pylist() != keys
+
+
+def test_rrf_fusion_matches_constituent_lists(ray_session):
+    """RRF fusion recomputed from the two constituent retrievers (the
+    searcher's lexical top-10 and a brute-force pinned cosine top-10)
+    must equal the pipeline's output — 1-based ranks, 1/(60+r) addends,
+    lexical first, ties to smallest doc_id."""
+    import numpy as np
+    import pyarrow.dataset as pads
+
+    from engine.checkpoint import load_merge_manifest
+    from engine.pipelines import get_index, rrf_fusion_topk
+    from engine.search import IndexSearcher
+
+    sf = "/root/testdata/sf0.001"
+    out = rrf_fusion_topk(sf).to_pandas()
+    assert list(out.columns) == ["rank", "doc_id", "rrf"]
+    assert len(out) == 10
+    assert list(out["rank"]) == list(range(10))
+    # monotone non-increasing with doc_id tie-break
+    pairs = list(zip(out["rrf"], out["doc_id"]))
+    assert pairs == sorted(pairs, key=lambda t: (-t[0], t[1]))
+
+    idx = get_index(sf)
+    searcher = IndexSearcher(load_merge_manifest(idx["index_dir"]))
+    lex_docs, _ = searcher.search("data join", 10)
+    lex = {int(d): i + 1 for i, d in enumerate(lex_docs)}
+
+    emb = pads.dataset(f"{sf}/embeddings.parquet").to_table()
+    ids = emb.column("vec_id").to_numpy()
+    m = np.stack([np.asarray(e, dtype=np.float64) for e in emb.column("embedding").to_pylist()])
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    q = mn[list(ids).index(0)]
+    sims = mn @ q
+    order = np.lexsort((ids, -sims))[:10]
+    dense = {int(ids[j]): r + 1 for r, j in enumerate(order)}
+
+    fused = sorted(
+        (
+            (d, (1.0 / (60 + lex[d]) if d in lex else 0.0)
+                + (1.0 / (60 + dense[d]) if d in dense else 0.0))
+            for d in set(lex) | set(dense)
+        ),
+        key=lambda t: (-t[1], t[0]),
+    )[:10]
+    assert [d for d, _ in fused] == list(out["doc_id"])
+    assert [s for _, s in fused] == list(out["rrf"])
