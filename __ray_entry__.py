@@ -356,6 +356,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_semdedup(sf_dir):
         return ann.semdedup(_emb(sf_dir), k=8, iters=2, tau=0.3)
 
+    def q_mmr(sf_dir):
+        qv, _ = _query_vectors(sf_dir, n=1)
+        return ann.mmr_rerank(_emb(sf_dir), qv[0], n_candidates=25, k=10, lam=0.75)
+
     def q_dedup_by_url(sf_dir):
         """Keep-latest dedup over a deterministic recrawl: the pages table
         unioned with a copy shifted by (doc_id + n, warc_ts + 1000 s) at
@@ -693,6 +697,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_balanced_sample": q_cluster_sample,
         "cluster_purity": q_cluster_purity,
         "semdedup_kept": q_semdedup,
+        "mmr_rerank_topk": q_mmr,
         "ann_ivf_top10": q_ann_ivf,
         "embedding_near_dups": q_emb_neardup,
         # --- relational / streaming-expression analogues ------------------
@@ -933,6 +938,78 @@ def oracle_sql() -> dict[str, str]:
                     ORDER BY {dist('e.v', 'c.ce')}, c.cid) AS rn
                 FROM e CROSS JOIN {prev} c) WHERE rn = 1"""
         return sql
+
+    def _mmr_sql(C: int = 25, k: int = 10, dims: int = 64) -> str:
+        # MMR greedy selection unrolled (ann.mmr_rerank): candidates by
+        # the proven cosine rank chain; rel / pair sims as LEFT-ASSOC dim
+        # chains over exact f32->f64 casts (the kmeans/semdedup fold
+        # discipline); objective = (0.75*rel) - (0.25*maxsim) — two
+        # single f64 multiplies + one subtract; max over selected is an
+        # order-free selection; score ties -> smallest vec_id.
+        lam, om = "0.75", "0.25"
+        sq = " + ".join(f"(v[{d}]*v[{d}])" for d in range(1, dims + 1))
+        dq = " + ".join(f"(q.v[{d}]*c.v[{d}])" for d in range(1, dims + 1))
+        dab = " + ".join(f"(a.v[{d}]*b.v[{d}])" for d in range(1, dims + 1))
+        ctes = [
+            """ev AS MATERIALIZED (
+                SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings
+            )""",
+            f"""cand AS MATERIALIZED (
+                SELECT vec_id FROM (
+                    SELECT v.vec_id, row_number() OVER (
+                        ORDER BY list_cosine_similarity(q.embedding,
+                                                        v.embedding) DESC,
+                                 v.vec_id ASC) AS r
+                    FROM embeddings v,
+                         (SELECT embedding FROM embeddings
+                          WHERE vec_id = 0) q
+                ) WHERE r <= {C}
+            )""",
+            f"""cv AS MATERIALIZED (SELECT ev.vec_id, ev.v, ({sq}) AS sq
+                       FROM cand JOIN ev USING (vec_id))""",
+            f"qq AS MATERIALIZED (SELECT v, ({sq}) AS sq FROM ev WHERE vec_id = 0)",
+            f"""rel AS MATERIALIZED (SELECT c.vec_id,
+                               ({dq}) / (sqrt(q.sq) * sqrt(c.sq)) AS rel
+                        FROM cv c, qq q)""",
+            f"""sim AS MATERIALIZED (
+                SELECT a.vec_id AS i, b.vec_id AS j,
+                       ({dab}) / (sqrt(a.sq) * sqrt(b.sq)) AS s
+                FROM cv a JOIN cv b ON a.vec_id < b.vec_id
+            )""",
+            f"""p1 AS MATERIALIZED (
+                SELECT vec_id, mmr FROM (
+                    SELECT vec_id, (({lam} * rel) - ({om} * 0.0)) AS mmr
+                    FROM rel
+                ) ORDER BY mmr DESC, vec_id LIMIT 1
+            )""",
+            "sel1 AS MATERIALIZED (SELECT vec_id FROM p1)",
+        ]
+        for t in range(2, k + 1):
+            ctes.append(f"""p{t} AS MATERIALIZED (
+                SELECT vec_id, mmr FROM (
+                    SELECT r.vec_id,
+                           (({lam} * r.rel) - ({om} * coalesce((
+                               SELECT max(s.s) FROM sim s
+                               WHERE (s.i = r.vec_id AND s.j IN
+                                        (SELECT vec_id FROM sel{t - 1}))
+                                  OR (s.j = r.vec_id AND s.i IN
+                                        (SELECT vec_id FROM sel{t - 1}))
+                           ), 0.0))) AS mmr
+                    FROM rel r
+                    WHERE r.vec_id NOT IN (SELECT vec_id FROM sel{t - 1})
+                ) ORDER BY mmr DESC, vec_id LIMIT 1
+            )""")
+            ctes.append(
+                f"sel{t} AS MATERIALIZED (SELECT vec_id FROM sel{t - 1} "
+                f"UNION ALL SELECT vec_id FROM p{t})"
+            )
+        union = "\nUNION ALL\n".join(
+            f"SELECT CAST({t - 1} AS BIGINT) AS rank, vec_id, mmr FROM p{t}"
+            for t in range(1, k + 1)
+        )
+        return "WITH " + ",\n".join(ctes) + "\n" + union
 
     def _fmix64_sql(h: str) -> str:
         # MurmurHash3 fmix64 (engine/merge.py _fmix64) replayed exactly
@@ -1658,6 +1735,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_sharded": _refq_sql,
         "replica_bm25_topk": _replica_sql,
         "rrf_fusion_topk": _rrf_sql,
+        "mmr_rerank_topk": _mmr_sql(),
         # QueryElevationComponent: docs 5, 2 pinned (config order, even if
         # non-matching — forceElevation), doc 0 excluded, organic 'data
         # join' ranking below the pins

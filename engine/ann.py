@@ -609,3 +609,103 @@ def embedding_near_dups(
         return g.head(1)
 
     return pairs.groupby(["doc_a", "doc_b"]).map_groups(dedupe, batch_format="pandas", **_rargs())
+
+
+def mmr_rerank(
+    ds,
+    query: np.ndarray,
+    n_candidates: int = 25,
+    k: int = 10,
+    lam: float = 0.75,
+):
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR'98) over the embedding Dataset — the diversity-aware retrieval
+    pass modern stacks bolt onto dense top-k (beyond-reference; the role
+    slots beside QueryRescorer and the diversified-grouping collector,
+    lucene/grouping DistinctValuesCollector kinship).
+
+    Two phases:
+    1. candidates = distributed cosine top-``n_candidates`` (the proven
+       ``brute_force_topk_ds`` partial-top-k rank chain);
+    2. greedy selection of ``k``: next = argmax over remaining of
+       lam*rel(d) - (1-lam)*max_{s in SELECTED} sim(d, s), score ties ->
+       smallest vec_id.
+
+    Exactness discipline (kmeans/semdedup): rel and pair sims are
+    recomputed from the f32 embeddings with LEFT-ASSOC f64 dim folds
+    (vectorized across pairs via per-dim outer-product accumulation,
+    sequential across dims == SQL's `+` chain), sqrt correctly rounded,
+    one division per cosine; the MMR objective is two single f64
+    multiplies and one subtract, and max over the selected set is an
+    order-free selection — so every emitted score replays bit-for-bit
+    in DuckDB. ``lam`` should be exactly representable (0.75 -> 1-lam
+    = 0.25 exact) to keep the two engines' coefficients identical.
+
+    Scale posture: phase 1 is the distributed partial top-k (k rows per
+    batch shuffle); phase 2 touches only the n_candidates survivors —
+    bounded by parameters, never corpus size."""
+    import pyarrow.compute as pc
+
+    q = np.asarray(query, dtype=np.float64)
+    cand = brute_force_topk_ds(
+        ds, q[None, :], np.asarray([0]), k=n_candidates
+    ).to_pandas()  # bounded: exactly n_candidates rows
+    ids_sorted = sorted(int(i) for i in cand["neighbor_id"])
+    idset = pa.array(ids_sorted, type=pa.int64())
+
+    def filt(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch.column("vec_id"), value_set=idset))
+
+    sub = (
+        ds.map_batches(filt, batch_format="pyarrow", **_rargs())
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )  # bounded: n_candidates rows
+    ids = sub["vec_id"].to_numpy()
+    m = np.stack([np.asarray(e, dtype=np.float64) for e in sub["embedding"]])
+    n, dims = m.shape
+
+    # left-assoc dim folds (pinned, replayable)
+    sq = np.zeros(n, dtype=np.float64)
+    rd = np.zeros(n, dtype=np.float64)
+    dots = np.zeros((n, n), dtype=np.float64)
+    sqq = np.float64(0.0)
+    for d in range(dims):
+        col = m[:, d]
+        sq += col * col
+        rd += q[d] * col
+        dots += np.outer(col, col)
+        sqq = sqq + q[d] * q[d]
+    rt = np.sqrt(sq)
+    rtq = np.sqrt(sqq)
+    rel = rd / (rtq * rt)
+    sims = dots / np.outer(rt, rt)
+
+    om = 1.0 - lam  # exact for representable lam (0.75 -> 0.25)
+    selected: list[int] = []
+    ranks: list[int] = []
+    out_ids: list[int] = []
+    out_mmr: list[float] = []
+    remaining = list(range(n))  # vec_id-ascending (sub is sorted)
+    for step in range(min(k, n)):
+        best_i = -1
+        best_s = None
+        for i in remaining:
+            maxsim = max((sims[i, j] for j in selected), default=0.0)
+            score = lam * rel[i] - om * maxsim
+            if best_s is None or score > best_s:  # strict: ties keep lowest id
+                best_s = score
+                best_i = i
+        selected.append(best_i)
+        remaining.remove(best_i)
+        ranks.append(step)
+        out_ids.append(int(ids[best_i]))
+        out_mmr.append(float(best_s))
+    return pa.table(
+        {
+            "rank": pa.array(ranks, type=pa.int64()),
+            "vec_id": pa.array(out_ids, type=pa.int64()),
+            "mmr": pa.array(out_mmr, type=pa.float64()),
+        }
+    )

@@ -1731,3 +1731,62 @@ def test_rrf_fusion_matches_constituent_lists(ray_session):
     )[:10]
     assert [d for d, _ in fused] == list(out["doc_id"])
     assert [s for _, s in fused] == list(out["rrf"])
+
+
+def test_mmr_rerank_demotes_near_duplicates(ray_session):
+    """MMR semantics on crafted vectors: v1 and v2 are near-identical and
+    most relevant; a diverse v3 must outrank the duplicate at step 2.
+    Also cross-checks the pipeline against an independent scalar greedy."""
+    import numpy as np
+    import ray.data
+
+    from engine.ann import mmr_rerank
+
+    rng = np.random.default_rng(7)
+    q = np.array([1.0, 1.0, 0.0, 0.0], dtype=np.float32)
+    vecs = {
+        1: [1.0, 0.002, 0.0, 0.0],    # most relevant
+        2: [1.0, 0.001, 0.0, 0.0],    # near-duplicate of 1, second by rel
+        3: [0.0, 1.0, 0.0, 0.0],      # equally relevant, orthogonal to 1
+        4: [0.5, 0.5, 2.0, 0.0],      # mid relevance (cos ~ 0.33)
+    }
+    for i in range(5, 12):  # filler noise far from q
+        vecs[i] = (rng.normal(size=4) * 0.1 + np.array([0, 0, 1, 1])).tolist()
+    rows = [
+        {"vec_id": i, "embedding": [float(np.float32(x)) for x in v]}
+        for i, v in vecs.items()
+    ]
+    ds = ray.data.from_items(rows).repartition(3)
+    out = mmr_rerank(ds, q.astype(np.float64), n_candidates=8, k=4, lam=0.75)
+    got = out.column("vec_id").to_pylist()
+    assert got[0] == 1            # pure relevance first
+    assert got[1] == 3            # diversity beats the near-duplicate
+    assert 2 in got               # duplicate still eventually selected
+    mmr = out.column("mmr").to_pylist()
+    assert mmr[0] == max(mmr)
+
+    # independent scalar greedy over pinned folds
+    ids = sorted(vecs)[:]
+    m = np.array(
+        [[float(np.float32(x)) for x in vecs[i]] for i in ids], dtype=np.float64
+    )
+    qq = q.astype(np.float64)
+    def cos(a, b):
+        dot = np.float64(0.0); sa = np.float64(0.0); sb = np.float64(0.0)
+        for d in range(4):
+            dot = dot + a[d] * b[d]; sa = sa + a[d] * a[d]; sb = sb + b[d] * b[d]
+        return dot / (np.sqrt(sa) * np.sqrt(sb))
+    rel = {i: cos(qq, m[ix]) for ix, i in enumerate(ids)}
+    cand = sorted(ids, key=lambda i: (-rel[i], i))[:8]
+    sel, res = [], []
+    for _ in range(4):
+        best, bs = None, None
+        for i in cand:
+            if i in sel:
+                continue
+            ms = max((cos(m[ids.index(i)], m[ids.index(j)]) for j in sel), default=0.0)
+            sc = 0.75 * rel[i] - 0.25 * ms
+            if bs is None or sc > bs:
+                best, bs = i, sc
+        sel.append(best); res.append((best, bs))
+    assert [i for i, _ in res] == got
