@@ -635,6 +635,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "collapse_top_docs": relational.collapse_top_docs,
         "diversified_topk": relational.diversified_topk_docs,
         "spell_suggest": pipelines.spell_suggest_body,
+        "spell_collation": pipelines.spell_collation,
         "more_like_this_terms": pipelines.more_like_this_terms,
         "more_like_this_topk": pipelines.more_like_this_topk,
         "mlt_like_text_topk": pipelines.mlt_like_text_topk,
@@ -5624,6 +5625,53 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY dist ASC, df DESC, term ASC) AS rn
                 FROM cand
             ) WHERE rn <= 5
+        """,
+        # SpellCheckCollator: per-term top-2 suggestions (the spell_suggest
+        # ranking) cross-joined into candidate conjunctions, each counted
+        # against the DISTINCT (doc_id, term) pairs; all-integer chain
+        "spell_collation": f"""
+            WITH td AS MATERIALIZED (
+                SELECT term, count(*) AS df FROM ({tok_pairs}) GROUP BY term
+            ),
+            dt AS MATERIALIZED (
+                SELECT DISTINCT doc_id, term FROM ({tok_pairs})
+            ),
+            ca AS (
+                SELECT term FROM (
+                    SELECT term, row_number() OVER (
+                        ORDER BY levenshtein('dta', term) ASC, df DESC,
+                                 term ASC) AS rn
+                    FROM td
+                    WHERE levenshtein('dta', term) <= 2 AND term <> 'dta'
+                ) WHERE rn <= 2
+            ),
+            cb AS (
+                SELECT term FROM (
+                    SELECT term, row_number() OVER (
+                        ORDER BY levenshtein('jion', term) ASC, df DESC,
+                                 term ASC) AS rn
+                    FROM td
+                    WHERE levenshtein('jion', term) <= 2 AND term <> 'jion'
+                ) WHERE rn <= 2
+            ),
+            coll AS (
+                SELECT a.term AS ta, b.term AS tb FROM ca a CROSS JOIN cb b
+            ),
+            hits AS (
+                SELECT coll.ta, coll.tb,
+                       (SELECT count(*)
+                        FROM dt x JOIN dt y ON x.doc_id = y.doc_id
+                        WHERE x.term = coll.ta AND y.term = coll.tb) AS h
+                FROM coll
+            )
+            SELECT CAST(row_number() OVER (
+                       ORDER BY hits DESC, "collation" ASC) - 1 AS BIGINT)
+                       AS rank,
+                   "collation", hits
+            FROM (SELECT ta || ' ' || tb AS "collation",
+                         CAST(h AS BIGINT) AS hits
+                  FROM hits WHERE h > 0)
+            ORDER BY rank LIMIT 5
         """,
         # FuzzySuggester: completions whose len(key)-prefix is within 1
         # classic-Levenshtein edit of the key (first char exact; keys < 3

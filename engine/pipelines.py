@@ -1722,6 +1722,59 @@ def spell_suggest_body(sf_dir: str) -> pa.Table:
     return spell_suggest(idx["merge_manifest"], words, max_edits=2, top_n=5)
 
 
+def spell_collation(
+    sf_dir: str,
+    query: tuple = ("dta", "jion"),
+    tries_per_term: int = 2,
+    max_out: int = 5,
+) -> pa.Table:
+    """Solr SpellCheckCollator role (solr/core spelling/SpellCheckCollator
+    collate(): correct each query term, re-run candidate combinations as
+    real queries, report the ones that actually hit): per misspelled term
+    take the top ``tries_per_term`` DirectSpellChecker suggestions
+    (dist asc, df desc, term asc — the spell_suggest ranking), form every
+    combination as a MUST conjunction, count hits via the exact
+    IndexSearcher.count API, keep collations with hits > 0 ranked by
+    (hits desc, collation asc). Deviation documented: Solr iterates
+    combinations by aggregate suggestion rank with a tries cap; with
+    tries_per_term=2 the combination space here is the same set.
+
+    All-integer output (hits) over two driver-green chains (the
+    levenshtein suggestion ranking and the conjunction count), so the
+    oracle replays exactly. Scale posture: suggestion scan is the
+    distributed per-shard pass; the collation loop touches
+    tries_per_term^n_terms combinations — bounded by parameters."""
+    from itertools import product
+
+    from .checkpoint import load_merge_manifest
+    from .search import IndexSearcher
+    from .suggest import spell_suggest
+
+    idx = get_index(sf_dir)
+    sugg = spell_suggest(
+        idx["merge_manifest"], list(query), max_edits=2, top_n=tries_per_term
+    ).to_pandas()
+    per_term: dict[str, list] = {w: [] for w in query}
+    for w, s in zip(sugg["word"], sugg["suggestion"]):
+        per_term[w].append(s)  # already rank-ordered
+
+    searcher = IndexSearcher(load_merge_manifest(idx["index_dir"]))
+    out: list[tuple[str, int]] = []
+    for combo in product(*[per_term[w] for w in query]):
+        hits = searcher.count(" ".join(f"+{t}" for t in combo))
+        if hits > 0:
+            out.append((" ".join(combo), hits))
+    out.sort(key=lambda t: (-t[1], t[0]))
+    out = out[:max_out]
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(len(out)), type=pa.int64()),
+            "collation": pa.array([c for c, _ in out], type=pa.string()),
+            "hits": pa.array([h for _, h in out], type=pa.int64()),
+        }
+    )
+
+
 def prefix_complete_body(sf_dir: str, prefix: str = "s") -> pa.Table:
     """Prefix completion over the merged body dictionary ranked by df
     (FSTCompletion / AnalyzingInfixSuggester role); exact oracle from the

@@ -1790,3 +1790,43 @@ def test_mmr_rerank_demotes_near_duplicates(ray_session):
                 best, bs = i, sc
         sel.append(best); res.append((best, bs))
     assert [i for i, _ in res] == got
+
+
+def test_spell_collation_reruns_corrected_conjunctions(ray_session):
+    """Collations are (suggestion_a suggestion_b) conjunctions with real
+    hit counts: the winner must be 'data join' with hits equal to the
+    count API's '+data +join', and every row must be a per-term top-2
+    suggestion pair with hits > 0, ranked by (hits desc, collation asc)."""
+    from engine.checkpoint import load_merge_manifest
+    from engine.pipelines import get_index, spell_collation
+    from engine.search import IndexSearcher
+    from engine.suggest import spell_suggest
+
+    sf = "/root/testdata/sf0.001"
+    out = spell_collation(sf).to_pandas()
+    assert list(out.columns) == ["rank", "collation", "hits"]
+    assert (out["hits"] > 0).all()
+    pairs = list(zip(out["hits"], out["collation"]))
+    assert pairs == sorted(pairs, key=lambda t: (-t[0], t[1]))
+
+    idx = get_index(sf)
+    searcher = IndexSearcher(load_merge_manifest(idx["index_dir"]))
+    sugg = spell_suggest(idx["merge_manifest"], ["dta", "jion"], top_n=2).to_pandas()
+    allowed_a = list(sugg[sugg["word"] == "dta"]["suggestion"])
+    allowed_b = list(sugg[sugg["word"] == "jion"]["suggestion"])
+    for c in out["collation"]:
+        a, b = c.split(" ")
+        assert a in allowed_a and b in allowed_b
+
+    # independent recompute: every combination re-counted and ranked
+    expect = sorted(
+        (
+            (f"{a} {b}", searcher.count(f"+{a} +{b}"))
+            for a in allowed_a
+            for b in allowed_b
+            if searcher.count(f"+{a} +{b}") > 0
+        ),
+        key=lambda t: (-t[1], t[0]),
+    )[:5]
+    assert [c for c, _ in expect] == list(out["collation"])
+    assert [h for _, h in expect] == list(out["hits"])
