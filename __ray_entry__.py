@@ -680,6 +680,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_select": q_dsir,
         "dsir_gumbel_topk": q_dsir_gumbel,
         "gopher_repetition": q_gopher_repetition,
+        "corpus_curation": pipelines.corpus_curation,
         "host_doc_counts": q_host_stats,
         "minhash_lsh_pairs": q_minhash,
         "near_dup_clusters": q_near_dup_clusters,
@@ -4824,6 +4825,121 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN dup ON d.doc_id = dup.doc_id
             LEFT JOIN bitop ON d.doc_id = bitop.doc_id
             LEFT JOIN tritop ON d.doc_id = tritop.doc_id
+        """,
+        # Composed curation pipeline: the langid / quality / gopher
+        # fragments inlined verbatim (each independently driver-green),
+        # integer repetition gates, dedup group over the unioned recrawl
+        # copy (copies share every text-derived signal, so the winner's
+        # columns are the group's Min()s — the engine's native aggregate)
+        "corpus_curation": f"""
+            WITH doc_s AS MATERIALIZED (
+                SELECT doc_id, '  ' || lower(text) || '  ' AS s FROM documents
+            ),
+            tg AS MATERIALIZED (
+                SELECT doc_id, substr(s, CAST(i AS INT), 3) AS g,
+                       count(*) AS c
+                FROM doc_s, range(1, 4096) r(i)
+                WHERE i <= length(s) - 2
+                GROUP BY doc_id, substr(s, CAST(i AS INT), 3)
+            ),
+            tnsq AS (SELECT doc_id, sum(c * c) AS v FROM tg GROUP BY doc_id),
+            prof(lang, g, c) AS (VALUES {_prof_values}),
+            pnsq(lang, v) AS (VALUES {_pnsq_values}),
+            ldots AS (
+                SELECT tg.doc_id, prof.lang, sum(tg.c * prof.c) AS dot
+                FROM tg JOIN prof ON tg.g = prof.g
+                GROUP BY tg.doc_id, prof.lang
+            ),
+            lscored AS (
+                SELECT t.doc_id, p.lang,
+                       CAST(coalesce(ldots.dot, 0) AS DOUBLE)
+                       / (sqrt(CAST(t.v AS DOUBLE)) * sqrt(CAST(p.v AS DOUBLE)))
+                           AS s
+                FROM tnsq t CROSS JOIN pnsq p
+                LEFT JOIN ldots
+                  ON ldots.doc_id = t.doc_id AND ldots.lang = p.lang
+            ),
+            lid AS MATERIALIZED (
+                SELECT doc_id, lang AS lang_pred FROM (
+                    SELECT doc_id, lang, row_number() OVER (
+                        PARTITION BY doc_id ORDER BY s DESC, lang ASC) AS rn
+                    FROM lscored
+                ) WHERE rn = 1
+            ),
+            qual AS MATERIALIZED (
+                SELECT doc_id,
+                       CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+                           0.4 * (least(len(toks), 500) / 500.0)
+                         + 0.2 * (1.0 - least(
+                               ((length(text) - length(regexp_replace(
+                                     text, '[^\\w\\s]', '', 'g')))
+                                / greatest(length(text), 1)) * 5, 1.0))
+                         + 0.2 * least(
+                               (len(list_filter(toks,
+                                    x -> list_contains({_stoplist}, x)))
+                                / len(toks)) * 3, 1.0)
+                         + 0.2 * (len(list_distinct(toks)) / len(toks))
+                       END AS quality
+                FROM (SELECT doc_id, text, {_TOK} AS toks FROM documents)
+            ),
+            cpos AS MATERIALIZED (
+                SELECT doc_id, unnest({_TOK}) AS t,
+                       unnest(range(len({_TOK}))) AS p
+                FROM documents
+            ),
+            cuni AS (SELECT doc_id, t, count(*) AS c FROM cpos GROUP BY doc_id, t),
+            cdup AS (
+                SELECT doc_id, CAST(sum(c) AS BIGINT) AS v
+                FROM cuni WHERE c >= 2 GROUP BY doc_id
+            ),
+            cbi AS (
+                SELECT a.doc_id, a.t || ' ' || b.t AS g, count(*) AS c
+                FROM cpos a JOIN cpos b
+                  ON a.doc_id = b.doc_id AND b.p = a.p + 1
+                GROUP BY 1, 2
+            ),
+            cbitop AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS v
+                       FROM cbi GROUP BY doc_id),
+            gph AS MATERIALIZED (
+                SELECT d.doc_id,
+                       CAST(len({_TOK}) AS BIGINT) AS n_tokens,
+                       coalesce(cdup.v, 0) AS n_dup_tokens,
+                       CAST(greatest(len({_TOK}) - 1, 0) AS BIGINT) AS n_bigrams,
+                       coalesce(cbitop.v, 0) AS top_bigram_cnt
+                FROM documents d
+                LEFT JOIN cdup ON d.doc_id = cdup.doc_id
+                LEFT JOIN cbitop ON d.doc_id = cbitop.doc_id
+            ),
+            bpe AS MATERIALIZED (
+                SELECT doc_id,
+                       len(regexp_extract_all(lower(text),
+                           '''(?:[sdmt]|ll|ve|re)| ?[a-z]+| ?[0-9]+| ?[^\\sa-z0-9]+'))
+                         AS n_bpe_tokens
+                FROM documents
+            ),
+            surv AS (
+                SELECT d.doc_id, md5(d.text) AS ch, q.quality, bpe.n_bpe_tokens
+                FROM documents d
+                JOIN lid ON lid.doc_id = d.doc_id AND lid.lang_pred = 'en'
+                JOIN qual q ON q.doc_id = d.doc_id AND q.quality >= 0.35
+                JOIN gph g ON g.doc_id = d.doc_id
+                     AND g.n_dup_tokens * 20 <= g.n_tokens * 19
+                     AND g.top_bigram_cnt * 10 <= g.n_bigrams * 1
+                JOIN bpe ON bpe.doc_id = d.doc_id
+            ),
+            u AS (
+                SELECT doc_id, md5(text) AS ch FROM documents
+                UNION ALL
+                SELECT doc_id + (SELECT count(*) FROM documents), md5(text)
+                FROM documents
+            ),
+            grp AS (
+                SELECT ch, min(doc_id) AS doc_id,
+                       CAST(count(*) AS BIGINT) AS dup_count
+                FROM u GROUP BY ch
+            )
+            SELECT s.doc_id, s.quality, s.n_bpe_tokens, g2.dup_count
+            FROM surv s JOIN grp g2 ON g2.ch = s.ch AND g2.doc_id = s.doc_id
         """,
         # C4-style line dedup over deterministic 3-token chunks: an
         # occurrence is kept iff it is the (doc_id, pos)-lexicographic

@@ -2615,6 +2615,132 @@ def rerank_topk(
     )
 
 
+def corpus_curation(
+    sf_dir: str,
+    quality_min: float = 0.35,
+    dup_num: int = 19,
+    dup_den: int = 20,
+    bigram_num: int = 1,
+    bigram_den: int = 10,
+):
+    """End-to-end training-corpus curation — the composed LLM-data
+    pipeline (C4/Gopher/FineWeb shape) as ONE streaming Dataset flow
+    over documents ∪ a deterministic recrawl copy (doc_id + n, same
+    text — the dedup_pages_by_url fixture pattern, so the dedup stage
+    has real work):
+
+      1. language ID gate (lang_pred == 'en', the langid chain);
+      2. quality gate (composite score >= quality_min, the bit-exact
+         f64 chain);
+      3. Gopher repetition gates in INTEGER arithmetic
+         (n_dup_tokens * dup_den <= n_tokens * dup_num;
+          top_bigram_cnt * bigram_den <= n_bigrams * bigram_num);
+      4. exact content dedup (groupby(md5) with NATIVE Min/Count —
+         every text-derived column is constant within a group, so the
+         winner's quality/token columns are Min()s too, no arg-min
+         packing needed);
+      5. BPE-ish token budget per kept doc.
+
+    One map_batches actor pool computes every per-doc signal (profiles
+    and regexes built once per actor in __init__), survivors stream
+    into one hash groupby — the only shuffle; rejected docs never leave
+    their input task. Returns (doc_id, quality, n_bpe_tokens,
+    dup_count) for kept docs."""
+    import ray.data
+
+    from .dedup import content_hash_batch
+    from .rayenv import Opaque, read_parquet_clean
+    from .rayenv import remote_args as _rargs
+    from .textops import LangId, QualityScorer, bpe_token_count_batch, gopher_repetition_batch
+
+    src_path = os.path.join(sf_dir, "documents.parquet")
+    n_docs = pq.read_metadata(src_path).num_rows
+    ds = read_parquet_clean(src_path, columns=["doc_id", "text"])
+
+    def shift(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return b.set_column(
+            b.schema.get_field_index("doc_id"),
+            "doc_id",
+            pc.add(b.column("doc_id"), n_docs),
+        )
+
+    src = ds.union(ds.map_batches(shift, batch_format="pyarrow", **_rargs()))
+
+    class CurationStage:
+        def __init__(self, params):
+            p = params.obj if hasattr(params, "obj") else params
+            self.quality_min = p["quality_min"]
+            self.dup_num, self.dup_den = p["dup_num"], p["dup_den"]
+            self.bigram_num, self.bigram_den = p["bigram_num"], p["bigram_den"]
+            self.lid = LangId()
+            self.qs = QualityScorer()
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            lang = np.asarray(self.lid(b).column("lang_pred").to_pylist())
+            quality = self.qs(b).column("quality").to_numpy()
+            g = gopher_repetition_batch(b)
+            n_tok = g.column("n_tokens").to_numpy()
+            n_dup = g.column("n_dup_tokens").to_numpy()
+            n_bi = g.column("n_bigrams").to_numpy()
+            top_bi = g.column("top_bigram_cnt").to_numpy()
+            keep = (
+                (lang == "en")
+                & (quality >= self.quality_min)
+                & (n_dup * self.dup_den <= n_tok * self.dup_num)
+                & (top_bi * self.bigram_den <= n_bi * self.bigram_num)
+            )
+            kept = b.filter(pa.array(keep))
+            kept = content_hash_batch(kept)
+            n_bpe = bpe_token_count_batch(kept).column("n_bpe_tokens")
+            return pa.table(
+                {
+                    "doc_id": kept.column("doc_id"),
+                    "content_hash": kept.column("content_hash"),
+                    "quality": pa.array(quality[keep], type=pa.float64()),
+                    "n_bpe_tokens": n_bpe,
+                }
+            )
+
+    from ray.data.aggregate import Count, Min
+
+    params = Opaque(
+        {
+            "quality_min": quality_min,
+            "dup_num": dup_num,
+            "dup_den": dup_den,
+            "bigram_num": bigram_num,
+            "bigram_den": bigram_den,
+        }
+    )
+    surv = src.map_batches(
+        CurationStage,
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+        fn_constructor_args=(params,),
+        **_rargs(),
+    )
+    agg = surv.groupby("content_hash").aggregate(
+        Min("doc_id", alias_name="doc_id"),
+        Min("quality", alias_name="quality"),
+        Min("n_bpe_tokens", alias_name="n_bpe_tokens"),
+        Count(alias_name="dup_count"),
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id").cast(pa.int64()),
+                "quality": b.column("quality"),
+                "n_bpe_tokens": b.column("n_bpe_tokens").cast(pa.int64()),
+                "dup_count": b.column("dup_count").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", **_rargs())
+
+
 def rrf_fusion_topk(
     sf_dir: str,
     query: str = "data join",

@@ -1830,3 +1830,55 @@ def test_spell_collation_reruns_corrected_conjunctions(ray_session):
     )[:5]
     assert [c for c, _ in expect] == list(out["collation"])
     assert [h for _, h in expect] == list(out["hits"])
+
+
+def test_corpus_curation_gates_and_dedup(ray_session):
+    """The composed curation pipeline: originals always beat their
+    recrawl copies (kept doc_id < n_docs, dup_count 2 on this
+    duplicate-free corpus), the gates reject real rows, and each kept
+    doc's signals recompute to passing values via the constituent ops."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from engine.pipelines import corpus_curation
+    from engine.textops import LangId, QualityScorer, gopher_repetition_batch
+
+    sf = "/root/testdata/sf0.001"
+    n = pq.read_metadata(f"{sf}/documents.parquet").num_rows
+    out = corpus_curation(sf).to_pandas()
+    assert 0 < len(out) < n           # gates rejected something
+    assert (out["doc_id"] < n).all()  # originals win the dedup
+    assert (out["dup_count"] == 2).all()
+
+    docs = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    kept = set(out["doc_id"])
+    sub = docs.filter(pa.compute.is_in(docs.column("doc_id"), value_set=pa.array(sorted(kept))))
+    lid, qs = LangId(), QualityScorer()
+    langs = lid(sub).column("lang_pred").to_pylist()
+    assert set(langs) == {"en"}
+    quality = qs(sub).column("quality").to_numpy()
+    assert (quality >= 0.35).all()
+    g = gopher_repetition_batch(sub)
+    nt = g.column("n_tokens").to_numpy()
+    nd = g.column("n_dup_tokens").to_numpy()
+    nb = g.column("n_bigrams").to_numpy()
+    tb = g.column("top_bigram_cnt").to_numpy()
+    assert (nd * 20 <= nt * 19).all()
+    assert (tb * 10 <= nb).all()
+
+    # and at least one rejected doc fails at least one gate
+    rej = docs.filter(
+        pa.compute.invert(pa.compute.is_in(docs.column("doc_id"), value_set=pa.array(sorted(kept))))
+    )
+    rl = lid(rej).column("lang_pred").to_pylist()
+    rq = qs(rej).column("quality").to_numpy()
+    rg = gopher_repetition_batch(rej)
+    import numpy as np
+
+    fail = (
+        (np.array(rl) != "en")
+        | (rq < 0.35)
+        | (rg.column("n_dup_tokens").to_numpy() * 20 > rg.column("n_tokens").to_numpy() * 19)
+        | (rg.column("top_bigram_cnt").to_numpy() * 10 > rg.column("n_bigrams").to_numpy())
+    )
+    assert fail.all()
