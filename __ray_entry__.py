@@ -574,6 +574,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cursor_mark_sharded": pipelines.cursor_mark_sharded,
         "rerank_topk": pipelines.rerank_topk,
         "rrf_fusion_topk": pipelines.rrf_fusion_topk,
+        "prf_expand_topk": pipelines.prf_expand_topk,
         "sorted_index_topk": pipelines.sorted_index_topk,
         "intervals_ordered_docs": pipelines.intervals_ordered_docs,
         "intervals_unordered_docs": pipelines.intervals_unordered_docs,
@@ -1408,6 +1409,57 @@ def oracle_sql() -> dict[str, str]:
                 FROM fused
             ) WHERE rn <= 10
         """
+    # ----- pseudo-relevance feedback (prf_expand_topk) --------------------
+    # First pass = the flagship f32 CTE for 'data'; feedback pseudo-doc =
+    # token counts over the top-10 docs; selection = the driver-green MLT
+    # rule (tf >= 2, df >= 5, top-10 by tf*idf, term asc ties); final
+    # score = the clause-ordered f64 fold over [original + expansions].
+    _prf_sql = f"""
+            WITH {_scored_cte},
+            fpq AS ({_flat_q(0, (), ("data",), ())}),
+            fb AS (
+                SELECT doc_id FROM (
+                    SELECT doc_id, row_number() OVER (
+                        ORDER BY score DESC, doc_id ASC) AS rn
+                    FROM fpq
+                ) WHERE rn <= 10
+            ),
+            tdoc AS (
+                SELECT t AS term, count(*) AS ptf FROM (
+                    SELECT unnest({_TOK}) AS t FROM documents
+                    WHERE doc_id IN (SELECT doc_id FROM fb)
+                ) GROUP BY t HAVING count(*) >= 2
+            ),
+            mlt AS (
+                SELECT term, rn FROM (
+                    SELECT tdoc.term, row_number() OVER (ORDER BY
+                        tdoc.ptf * (ln((stats.n_docs + 1)
+                                       / (dfs.df + 1.0)) + 1) DESC,
+                        tdoc.term ASC) AS rn
+                    FROM tdoc JOIN dfs ON dfs.t = tdoc.term, stats
+                    WHERE dfs.df >= 5
+                ) WHERE rn <= 10
+            ),
+            qterms AS (
+                SELECT 'data' AS term, 0 AS ord
+                UNION ALL
+                SELECT term, row_number() OVER (ORDER BY rn) AS ord
+                FROM mlt WHERE term <> 'data'
+            ),
+            scoredq AS (
+                SELECT sc.doc_id,
+                       CAST(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                list(CAST(sc.s AS DOUBLE) ORDER BY q.ord)),
+                            (a, x) -> a + x) AS FLOAT) AS score
+                FROM sc JOIN qterms q ON sc.t = q.term
+                GROUP BY sc.doc_id
+            )
+            SELECT CAST(rn - 1 AS BIGINT) AS rank, doc_id, score FROM (
+                SELECT doc_id, score, row_number() OVER (
+                    ORDER BY score DESC, doc_id ASC) AS rn
+                FROM scoredq
+            ) WHERE rn <= 10
+        """
     # ----- title-field query set (bm25_title_topk) ------------------------
     # The title field's own postings/norms/collection stats recompute from
     # the fixture title 'doc {doc_id} rep 0'; multi-term rewrites (prefix /
@@ -1738,6 +1790,7 @@ def oracle_sql() -> dict[str, str]:
         "replica_bm25_topk": _replica_sql,
         "rrf_fusion_topk": _rrf_sql,
         "mmr_rerank_topk": _mmr_sql(),
+        "prf_expand_topk": _prf_sql,
         # QueryElevationComponent: docs 5, 2 pinned (config order, even if
         # non-matching — forceElevation), doc 0 excluded, organic 'data
         # join' ranking below the pins

@@ -2477,6 +2477,62 @@ def more_like_this_topk(sf_dir: str, doc_id: int = 7, k: int = 10) -> pa.Table:
     )
 
 
+def prf_expand_topk(
+    sf_dir: str,
+    query: str = "data",
+    fb_k: int = 10,
+    max_terms: int = 10,
+    k: int = 10,
+) -> pa.Table:
+    """Pseudo-relevance feedback (Rocchio 1971 / blind RF, the classic
+    two-pass expansion): first-pass BM25 top-``fb_k`` for ``query``,
+    expansion terms selected from the feedback docs' concatenated token
+    stream with the MoreLikeThis rule (tf >= 2 in the pseudo-doc,
+    df >= 5, top-``max_terms`` by tf * idf — queries/mlt
+    MoreLikeThis.java:570-620 retrieveTerms/createQueue over a
+    multi-doc reader), then a second pass searching [original +
+    expansions] as a SHOULD disjunction in selection order.
+
+    Every stage is a driver-green chain: first-pass ranks = the
+    bm25_topk f32 CTE; the selection = the more_like_this selection CTE
+    with the pseudo-doc as tf source (concatenating texts with spaces
+    preserves the token multiset — tokens are [a-z0-9]+); the final
+    fold = the flagship clause-ordered f64 accumulation. The feedback
+    fetch is a doc_id-pushdown read of fb_k rows — bounded, never a
+    corpus scan."""
+    import pyarrow.dataset as pads
+
+    from .checkpoint import load_merge_manifest
+    from .mlt import select_like_terms
+    from .search import IndexSearcher
+
+    idx = get_index(sf_dir)
+    searcher = IndexSearcher(load_merge_manifest(idx["index_dir"]))
+    d1, _ = searcher.search(query, fb_k)
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    t = pads.dataset(src).to_table(
+        columns=["text"], filter=pads.field("doc_id").isin([int(d) for d in d1])
+    )
+    pseudo_doc = " ".join(x or "" for x in t.column("text").to_pylist())
+    sel = select_like_terms(
+        idx["merge_manifest"],
+        pseudo_doc,
+        max_query_terms=max_terms,
+        min_term_freq=2,
+        min_doc_freq=5,
+    )
+    terms = [query] + [term for term, _, _, _ in sel if term != query]
+    docs, scores = searcher.search(" ".join(terms), k)
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(len(docs)), type=pa.int64()),
+            "doc_id": pa.array(docs, type=pa.int64()),
+            "score": pa.array(scores, type=pa.float32()),
+        }
+    )
+
+
 def bm25_topk_sharded(sf_dir: str, n_shards: int = 3) -> pa.Table:
     """The doc-sharded scatter/gather search path (SURVEY §3.2) over the
     partition index: must produce the same hits as the single-searcher

@@ -1882,3 +1882,37 @@ def test_corpus_curation_gates_and_dedup(ray_session):
         | (rg.column("top_bigram_cnt").to_numpy() * 10 > rg.column("n_bigrams").to_numpy())
     )
     assert fail.all()
+
+
+def test_prf_expansion_changes_and_matches_manual_second_pass(ray_session):
+    """PRF must actually expand (more than the original term scored) and
+    its output must equal a manual second pass: feedback top-10 -> MLT
+    selection over the concatenated texts -> SHOULD search in selection
+    order."""
+    import pyarrow.dataset as pads
+
+    from engine.checkpoint import load_merge_manifest
+    from engine.mlt import select_like_terms
+    from engine.pipelines import get_index, prf_expand_topk
+    from engine.search import IndexSearcher
+
+    sf = "/root/testdata/sf0.001"
+    out = prf_expand_topk(sf).to_pandas()
+    assert len(out) == 10
+
+    idx = get_index(sf)
+    searcher = IndexSearcher(load_merge_manifest(idx["index_dir"]))
+    d1, _ = searcher.search("data", 10)
+    t = pads.dataset(f"{sf}/documents.parquet").to_table(
+        columns=["text"], filter=pads.field("doc_id").isin([int(d) for d in d1])
+    )
+    sel = select_like_terms(
+        idx["merge_manifest"],
+        " ".join(x or "" for x in t.column("text").to_pylist()),
+        max_query_terms=10, min_term_freq=2, min_doc_freq=5,
+    )
+    terms = ["data"] + [w for w, _, _, _ in sel if w != "data"]
+    assert len(terms) > 1  # expansion happened
+    d2, s2 = searcher.search(" ".join(terms), 10)
+    assert list(out["doc_id"]) == [int(x) for x in d2]
+    assert list(out["score"]) == [float(x) for x in s2]
