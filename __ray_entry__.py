@@ -682,6 +682,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_gumbel_topk": q_dsir_gumbel,
         "gopher_repetition": q_gopher_repetition,
         "corpus_curation": pipelines.corpus_curation,
+        "pmi_top_bigrams": lambda sf_dir: textops.pmi_top_bigrams(
+            _docs(sf_dir), top_n=50
+        ),
         "host_doc_counts": q_host_stats,
         "minhash_lsh_pairs": q_minhash,
         "near_dup_clusters": q_near_dup_clusters,
@@ -4761,6 +4764,32 @@ def oracle_sql() -> dict[str, str]:
                     PARTITION BY doc_id ORDER BY s DESC, lang ASC) AS rn
                 FROM scored
             ) WHERE rn = 1
+        """,
+        # PMI collocations: integer-only top-50 selection, then ln of a
+        # two-double-multiply/one-division chain per winner (scalar libm
+        # == DuckDB ln)
+        "pmi_top_bigrams": f"""
+            WITH toks AS MATERIALIZED (
+                SELECT doc_id, unnest({_TOK}) AS t,
+                       unnest(range(len({_TOK}))) AS p
+                FROM documents
+            ),
+            uni AS MATERIALIZED (SELECT t, count(*) AS c FROM toks GROUP BY t),
+            nu AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni),
+            bi AS (
+                SELECT a.t AS ta, b.t AS tb, a.t || ' ' || b.t AS bigram,
+                       count(*) AS c
+                FROM toks a JOIN toks b
+                  ON a.doc_id = b.doc_id AND b.p = a.p + 1
+                GROUP BY 1, 2, 3
+            ),
+            top AS (SELECT * FROM bi ORDER BY c DESC, bigram ASC LIMIT 50)
+            SELECT bigram, CAST(top.c AS BIGINT) AS cnt,
+                   ln((CAST(top.c AS DOUBLE) * (SELECT n FROM nu))
+                      / (CAST(ua.c AS DOUBLE) * CAST(ub.c AS DOUBLE))) AS pmi
+            FROM top
+            JOIN uni ua ON ua.t = top.ta
+            JOIN uni ub ON ub.t = top.tb
         """,
         "shingle_top50": f"""
             WITH toks AS (

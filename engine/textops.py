@@ -1444,3 +1444,149 @@ def dsir_select(
             "gumbel_key": pa.array(keys[keep], type=pa.float64()),
         }
     )
+
+
+def pmi_top_bigrams(ds, top_n: int = 50):
+    """Collocation extraction — pointwise mutual information over
+    adjacent token bigrams (Church & Hanks 1990 association ratio,
+    PMI = ln(c_ab * N / (c_a * c_b)) with N = total token count; the
+    phrase-mining pass a training pipeline runs before tokenizer /
+    stop-phrase decisions).
+
+    Distributed shape: one map_batches pass emits map-side-combined
+    (bigram, first, second, count) partials (np.unique per batch), one
+    groupby sum; the top-``top_n`` selection is per-block partial top-k
+    then a bounded driver reduce, ordered by INTEGER keys (count desc,
+    bigram asc) so no float enters the selection; the two unigram
+    lookups fetch only the winners' constituent terms (is_in filter,
+    <= 2*top_n rows). PMI itself is computed only for the winners:
+    (f64(c_ab) * f64(N)) / (f64(c_a) * f64(c_b)) — two double
+    multiplies and one division, then ONE scalar math.log (libm ==
+    DuckDB ln bit-for-bit, CLAUDE.md) — exactly SQL-replayable.
+    Caveat (documented): the double products round above 2^53; at that
+    corpus size the oracle's DOUBLE arithmetic rounds identically."""
+    import math
+
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def bigram_partial(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        firsts: list[str] = []
+        seconds: list[str] = []
+        for t in texts:
+            toks = TOKEN_RE.findall(t.lower()) if t else []
+            firsts.extend(toks[:-1])
+            seconds.extend(toks[1:])
+        if not firsts:
+            return pa.table(
+                {
+                    "bigram": pa.array([], type=pa.string()),
+                    "ta": pa.array([], type=pa.string()),
+                    "tb": pa.array([], type=pa.string()),
+                    "cnt": pa.array([], type=pa.int64()),
+                }
+            )
+        grams = np.array([f"{a} {b}" for a, b in zip(firsts, seconds)])
+        uniq, idx, inv = np.unique(grams, return_index=True, return_inverse=True)
+        counts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        fa = np.array(firsts)[idx]
+        sa = np.array(seconds)[idx]
+        return pa.table(
+            {
+                "bigram": pa.array(uniq, type=pa.string()),
+                "ta": pa.array(fa, type=pa.string()),
+                "tb": pa.array(sa, type=pa.string()),
+                "cnt": pa.array(counts, type=pa.int64()),
+            }
+        )
+
+    def unigram_partial(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        toks: list[str] = []
+        for t in texts:
+            toks.extend(TOKEN_RE.findall(t.lower()) if t else [])
+        if not toks:
+            return pa.table(
+                {"t": pa.array([], type=pa.string()),
+                 "c": pa.array([], type=pa.int64())}
+            )
+        uniq, inv = np.unique(np.array(toks), return_inverse=True)
+        return pa.table(
+            {
+                "t": pa.array(uniq, type=pa.string()),
+                "c": pa.array(
+                    np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+                ),
+            }
+        )
+
+    ds = ds.materialize()  # two consumers (bigram + unigram passes)
+    bi = (
+        ds.map_batches(bigram_partial, batch_format="pyarrow", **_rargs())
+        .groupby("bigram")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+
+    def block_top(b: pa.Table) -> pa.Table:
+        cnt = b.column("cnt").to_numpy()
+        grams = np.asarray(b.column("bigram").to_pylist())
+        order = np.lexsort((grams, -cnt))[:top_n]
+        return b.take(pa.array(order))
+
+    winners = (
+        bi.map_batches(block_top, batch_format="pyarrow", **_rargs()).take_all()
+    )  # <= top_n per block: bounded
+    winners.sort(key=lambda r: (-int(r["cnt"]), r["bigram"]))
+    winners = winners[:top_n]
+
+    uni = (
+        ds.map_batches(unigram_partial, batch_format="pyarrow", **_rargs())
+        .groupby("t")
+        .aggregate(Sum("c", alias_name="c"))
+    )
+    need = sorted({w["bigram"].split(" ")[0] for w in winners}
+                  | {w["bigram"].split(" ")[1] for w in winners})
+    need_arr = pa.array(need, type=pa.string())
+    uni_rows = uni.map_batches(
+        lambda b: b.filter(pc.is_in(b.column("t"), value_set=need_arr)),
+        batch_format="pyarrow",
+        **_rargs(),
+    ).take_all()  # <= 2*top_n rows
+    uc = {r["t"]: int(r["c"]) for r in uni_rows}
+    n_total = int(
+        ds.map_batches(
+            lambda b: pa.table(
+                {
+                    "n": pa.array(
+                        [
+                            sum(
+                                len(TOKEN_RE.findall(t.lower())) if t else 0
+                                for t in b.column("text").to_pylist()
+                            )
+                        ],
+                        type=pa.int64(),
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+            **_rargs(),
+        )
+        .sum("n")
+    )
+
+    out = {"bigram": [], "cnt": [], "pmi": []}
+    for w in winners:
+        a, b2 = w["bigram"].split(" ")
+        num = float(w["cnt"]) * float(n_total)
+        den = float(uc[a]) * float(uc[b2])
+        out["bigram"].append(w["bigram"])
+        out["cnt"].append(int(w["cnt"]))
+        out["pmi"].append(math.log(num / den))
+    return pa.table(
+        {
+            "bigram": pa.array(out["bigram"], type=pa.string()),
+            "cnt": pa.array(out["cnt"], type=pa.int64()),
+            "pmi": pa.array(out["pmi"], type=pa.float64()),
+        }
+    )

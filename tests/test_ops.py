@@ -1916,3 +1916,42 @@ def test_prf_expansion_changes_and_matches_manual_second_pass(ray_session):
     d2, s2 = searcher.search(" ".join(terms), 10)
     assert list(out["doc_id"]) == [int(x) for x in d2]
     assert list(out["score"]) == [float(x) for x in s2]
+
+
+def test_pmi_top_bigrams_partition_invariant_and_scalar_exact(ray_session):
+    """PMI collocations: repartitioning must not change anything (the
+    map-side combine + groupby sum is partition-invariant), and each
+    winner's PMI must equal the scalar recompute from brute-force
+    counts."""
+    import math
+    from collections import Counter
+
+    import numpy as np
+    import ray.data
+
+    from engine.analyze import TOKEN_RE
+    from engine.textops import pmi_top_bigrams
+
+    rows = [
+        {"doc_id": i, "text": f"new york city w{i % 7} new york is big w{i % 3}"}
+        for i in range(40)
+    ]
+    out1 = pmi_top_bigrams(ray.data.from_items(rows), top_n=10)
+    out2 = pmi_top_bigrams(ray.data.from_items(rows).repartition(7), top_n=10)
+    assert out1.equals(out2)
+
+    uni, bi = Counter(), Counter()
+    total = 0
+    for r in rows:
+        toks = TOKEN_RE.findall(r["text"].lower())
+        uni.update(toks)
+        total += len(toks)
+        bi.update(f"{a} {b}" for a, b in zip(toks, toks[1:]))
+    top = sorted(bi.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert [g for g, _ in top] == out1.column("bigram").to_pylist()
+    for (g, c), pmi in zip(top, out1.column("pmi").to_pylist()):
+        a, b = g.split(" ")
+        assert pmi == math.log((float(c) * float(total)) / (float(uni[a]) * float(uni[b])))
+    # 'new york' must be a high-PMI collocation vs the filler unigrams
+    d = dict(zip(out1.column("bigram").to_pylist(), out1.column("pmi").to_pylist()))
+    assert d["new york"] > 0
