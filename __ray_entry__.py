@@ -320,6 +320,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return dedup.near_dup_clusters(pairs)
 
+    def q_near_dup_keep_best(sf_dir):
+        # same verified-pair input as near_dup_clusters, winner = max
+        # quality per component (ties min doc_id)
+        pairs = dedup.minhash_lsh_dedup(
+            _docs(sf_dir),
+            threshold=0.7,
+            source_path=os.path.join(sf_dir, "documents.parquet"),
+        )
+        quality_ds = _docs(sf_dir).map_batches(
+            textops.QualityScorer,
+            batch_format="pyarrow",
+            concurrency=(1, 4),
+            **_rargs(),
+        )
+        return dedup.near_dup_keep_best(pairs, quality_ds)
+
     def q_simhash(sf_dir):
         return _docs(sf_dir).map_batches(dedup.simhash_batch, batch_format="pyarrow", **_rargs())
 
@@ -688,6 +704,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_doc_counts": q_host_stats,
         "minhash_lsh_pairs": q_minhash,
         "near_dup_clusters": q_near_dup_clusters,
+        "near_dup_keep_best": q_near_dup_keep_best,
         "simhash64": q_simhash,
         "simhash_near_dup_pairs": q_simhash_pairs,
         "ngram_jaccard_pairs": q_ngram_jaccard,
@@ -5343,6 +5360,49 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
             FROM reach GROUP BY node
+        """,
+        # cluster-aware keep-best: the components CTE verbatim + the
+        # bit-exact quality chain, winner = quality desc / doc_id asc
+        "near_dup_keep_best": f"""
+            WITH RECURSIVE pairs AS ({_minhash_pairs_sql}),
+            edges AS (
+                SELECT doc_a AS a, doc_b AS b FROM pairs
+                UNION ALL
+                SELECT doc_b AS a, doc_a AS b FROM pairs
+            ),
+            nodes AS (SELECT DISTINCT a AS node FROM edges),
+            reach(node, lbl) AS (
+                SELECT node, node AS lbl FROM nodes
+                UNION
+                SELECT e.b AS node, r.lbl
+                FROM reach r JOIN edges e ON e.a = r.node
+            ),
+            cl AS (
+                SELECT node AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
+                FROM reach GROUP BY node
+            ),
+            qual AS (
+                SELECT doc_id,
+                       CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+                           0.4 * (least(len(toks), 500) / 500.0)
+                         + 0.2 * (1.0 - least(
+                               ((length(text) - length(regexp_replace(
+                                     text, '[^\\w\\s]', '', 'g')))
+                                / greatest(length(text), 1)) * 5, 1.0))
+                         + 0.2 * least(
+                               (len(list_filter(toks,
+                                    x -> list_contains({_stoplist}, x)))
+                                / len(toks)) * 3, 1.0)
+                         + 0.2 * (len(list_distinct(toks)) / len(toks))
+                       END AS quality
+                FROM (SELECT doc_id, text, {_TOK} AS toks FROM documents)
+            )
+            SELECT cluster_id, doc_id AS kept_doc_id, quality FROM (
+                SELECT cl.cluster_id, cl.doc_id, q.quality,
+                       row_number() OVER (PARTITION BY cl.cluster_id
+                           ORDER BY q.quality DESC, cl.doc_id ASC) AS rn
+                FROM cl JOIN qual q USING (doc_id)
+            ) WHERE rn = 1
         """,
         # exact set-similarity self-join over the recrawl-style union
         # (originals + 3-token-appended copies): distinct 3-token shingles

@@ -1221,3 +1221,52 @@ def bloom_new_keys(ds, m_bits: int = 4096):
         concurrency=(1, 8),
         **_rargs(),
     )
+
+
+def near_dup_keep_best(pairs, quality_ds):
+    """Cluster-aware dedup SELECTION: connected components over verified
+    near-dup pairs, then keep the highest-QUALITY member per cluster
+    (ties -> smallest doc_id) — the CCNet/FineWeb refinement of
+    keep-min-id cluster dedup (drop duplicates, but keep the best copy,
+    not the accidental first).
+
+    ``pairs``: (doc_a, doc_b) Dataset/table of verified near-dup pairs;
+    ``quality_ds``: (doc_id, quality) Dataset (the bit-exact f64 quality
+    chain). Components come from the distributed min-label propagation
+    (near_dup_clusters); quality is then fetched for CLUSTERED docs only
+    — the near-dup population is the small side by construction (a few
+    percent of a web corpus), so the winner selection is a bounded
+    reduce, never a corpus-wide join. At 100 TB the same composition
+    runs with a hash-bucket join on doc_id instead of the bounded
+    collect (documented trade, same as kmeans' ordered-fold note).
+
+    Returns (cluster_id, kept_doc_id, quality)."""
+    import pyarrow.compute as pc
+
+    clusters = near_dup_clusters(pairs).to_pandas()  # bounded: clustered docs
+    if len(clusters) == 0:
+        return pa.table(
+            {
+                "cluster_id": pa.array([], type=pa.int64()),
+                "kept_doc_id": pa.array([], type=pa.int64()),
+                "quality": pa.array([], type=pa.float64()),
+            }
+        )
+    idset = pa.array(sorted(int(d) for d in clusters["doc_id"]), type=pa.int64())
+    qrows = quality_ds.map_batches(
+        lambda b: b.filter(pc.is_in(b.column("doc_id"), value_set=idset)),
+        batch_format="pyarrow",
+        **_rargs(),
+    ).to_pandas()  # bounded: one row per clustered doc
+    merged = clusters.merge(qrows, on="doc_id")
+    merged = merged.sort_values(
+        ["cluster_id", "quality", "doc_id"], ascending=[True, False, True]
+    )
+    win = merged.groupby("cluster_id", as_index=False).first()
+    return pa.table(
+        {
+            "cluster_id": pa.array(win["cluster_id"].astype("int64")),
+            "kept_doc_id": pa.array(win["doc_id"].astype("int64")),
+            "quality": pa.array(win["quality"].astype("float64")),
+        }
+    )

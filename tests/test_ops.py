@@ -1955,3 +1955,34 @@ def test_pmi_top_bigrams_partition_invariant_and_scalar_exact(ray_session):
     # 'new york' must be a high-PMI collocation vs the filler unigrams
     d = dict(zip(out1.column("bigram").to_pylist(), out1.column("pmi").to_pylist()))
     assert d["new york"] > 0
+
+
+def test_near_dup_keep_best_picks_quality_winner(ray_session):
+    """Crafted components: the winner must be the max-quality member per
+    component (ties -> smallest doc_id), independent of pair order."""
+    import pyarrow as pa
+    import ray.data
+
+    from engine.dedup import near_dup_keep_best
+
+    pairs = pa.table(
+        {
+            "doc_a": pa.array([1, 2, 10, 30], type=pa.int64()),
+            "doc_b": pa.array([2, 3, 11, 31], type=pa.int64()),
+        }
+    )
+    quality = ray.data.from_items(
+        [
+            {"doc_id": 1, "quality": 0.2},
+            {"doc_id": 2, "quality": 0.9},   # winner of {1,2,3}
+            {"doc_id": 3, "quality": 0.5},
+            {"doc_id": 10, "quality": 0.4},  # tie in {10,11} -> min id 10
+            {"doc_id": 11, "quality": 0.4},
+            {"doc_id": 30, "quality": 0.1},
+            {"doc_id": 31, "quality": 0.7},  # winner of {30,31}
+        ]
+    )
+    out = near_dup_keep_best(pairs, quality).to_pandas().sort_values("cluster_id")
+    assert list(out["cluster_id"]) == [1, 10, 30]
+    assert list(out["kept_doc_id"]) == [2, 10, 31]
+    assert list(out["quality"]) == [0.9, 0.4, 0.7]
