@@ -701,6 +701,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi_top_bigrams": lambda sf_dir: textops.pmi_top_bigrams(
             _docs(sf_dir), top_n=50
         ),
+        "train_val_test_split": lambda sf_dir: textops.train_val_test_split(
+            __import__("ray.data", fromlist=["x"]).read_parquet(
+                os.path.join(sf_dir, "documents.parquet"),
+                columns=["doc_id", "source"],
+            )
+        ),
+        "tfidf_keywords": lambda sf_dir: textops.tfidf_keywords(
+            _docs(sf_dir),
+            n_docs=__import__("pyarrow.parquet", fromlist=["x"]).read_metadata(
+                os.path.join(sf_dir, "documents.parquet")
+            ).num_rows,
+            top_n=5,
+        ),
         "host_doc_counts": q_host_stats,
         "minhash_lsh_pairs": q_minhash,
         "near_dup_clusters": q_near_dup_clusters,
@@ -4678,6 +4691,17 @@ def oracle_sql() -> dict[str, str]:
         # domain mixing: keep iff fnv(doc_id LE bytes) % 1000 <
         # per-source permille (src0 1000, src1 500, src2 250, src3 0,
         # default 100) — the deterministic-hash sampler replayed exactly
+        # split audit: the FNV residue chain verbatim, integer counts
+        "train_val_test_split": f"""
+            SELECT source,
+                   CASE WHEN r < 900 THEN 'train'
+                        WHEN r < 950 THEN 'val'
+                        ELSE 'test' END AS split,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM (SELECT source, ({_fnv_sql("doc_id")}) % 1000 AS r
+                  FROM documents)
+            GROUP BY 1, 2
+        """,
         "domain_mix_sample": f"""
             SELECT doc_id, source FROM documents
             WHERE ({_fnv_sql("doc_id")}) % 1000 <
@@ -4781,6 +4805,29 @@ def oracle_sql() -> dict[str, str]:
                     PARTITION BY doc_id ORDER BY s DESC, lang ASC) AS rn
                 FROM scored
             ) WHERE rn = 1
+        """,
+        # per-doc tf-idf keywords: the MLT selection arithmetic per
+        # (doc, term) row (scalar ln exact), window top-5, term-asc ties
+        "tfidf_keywords": f"""
+            WITH tf AS MATERIALIZED (
+                SELECT doc_id, t AS term, count(*) AS tf FROM (
+                    SELECT doc_id, unnest({_TOK}) AS t FROM documents
+                ) GROUP BY doc_id, t
+            ),
+            dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            n AS (SELECT count(*) AS n_docs FROM documents),
+            scored AS (
+                SELECT tf.doc_id, tf.term,
+                       tf.tf * (ln((n.n_docs + 1) / (dfs.df + 1.0)) + 1)
+                           AS score
+                FROM tf JOIN dfs USING (term), n
+            )
+            SELECT doc_id, CAST(rn - 1 AS BIGINT) AS rank, term, score FROM (
+                SELECT doc_id, term, score, row_number() OVER (
+                    PARTITION BY doc_id
+                    ORDER BY score DESC, term ASC) AS rn
+                FROM scored
+            ) WHERE rn <= 5
         """,
         # PMI collocations: integer-only top-50 selection, then ln of a
         # two-double-multiply/one-division chain per winner (scalar libm

@@ -1590,3 +1590,129 @@ def pmi_top_bigrams(ds, top_n: int = 50):
             "pmi": pa.array(out["pmi"], type=pa.float64()),
         }
     )
+
+
+def tfidf_keywords(ds, n_docs: int, top_n: int = 5):
+    """Per-document keyword extraction — top-``top_n`` terms by tf·idf
+    with the MoreLikeThis selection arithmetic (tf * (ln((N+1)/(df+1))
+    + 1), queries/mlt MoreLikeThis.java createQueue), the corpus-
+    analytics pass behind tag clouds / doc summarization / routing.
+
+    Distributed shape (NO broadcast dictionary, no driver state): one
+    map_batches pass emits per-(doc, term) tf rows; ONE groupby(term)
+    attaches df as the group SIZE (tf rows are unique per (doc, term),
+    so |group| == doc frequency — a join-free df attach); one
+    groupby(doc_id) selects the winners. idf uses ONE scalar math.log
+    per row (libm == DuckDB ln bit-for-bit), the score is one exact f64
+    division chain + one multiply — the driver-green MLT formula, so
+    the whole output replays exactly. Ties -> term asc."""
+    import math
+
+    from collections import Counter
+
+    def tf_partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out_id: list[int] = []
+        out_t: list[str] = []
+        out_tf: list[int] = []
+        for d, t in zip(ids, texts):
+            for term, c in Counter(TOKEN_RE.findall(t.lower()) if t else []).items():
+                out_id.append(d)
+                out_t.append(term)
+                out_tf.append(c)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, type=pa.int64()),
+                "term": pa.array(out_t, type=pa.string()),
+                "tf": pa.array(out_tf, type=pa.int64()),
+            }
+        )
+
+    def attach_df(g: pa.Table) -> pa.Table:
+        return g.append_column(
+            "df", pa.array(np.full(g.num_rows, g.num_rows, dtype=np.int64))
+        )
+
+    def select_top(g: pa.Table) -> pa.Table:
+        tf = g.column("tf").to_numpy()
+        df = g.column("df").to_numpy()
+        terms = np.asarray(g.column("term").to_pylist())
+        # one scalar libm log per row (rows per doc = its distinct terms)
+        scores = np.array(
+            [
+                float(f) * (math.log((n_docs + 1) / (d + 1.0)) + 1.0)
+                for f, d in zip(tf.tolist(), df.tolist())
+            ],
+            dtype=np.float64,
+        )
+        order = np.lexsort((terms, -scores))[:top_n]
+        n = len(order)
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    np.full(n, g.column("doc_id")[0].as_py(), dtype=np.int64)
+                ),
+                "rank": pa.array(np.arange(n, dtype=np.int64)),
+                "term": pa.array(terms[order], type=pa.string()),
+                "score": pa.array(scores[order], type=pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(tf_partial, batch_format="pyarrow", **_rargs())
+        .groupby("term")
+        .map_groups(attach_df, batch_format="pyarrow", **_rargs())
+        .groupby("doc_id")
+        .map_groups(select_top, batch_format="pyarrow", **_rargs())
+    )
+
+
+def train_val_test_split(ds, bounds: tuple = (900, 950)):
+    """Deterministic train/val/test split + per-source audit counts —
+    the dataset-splitting staple of a training pipeline, with the same
+    resumable FNV-residue discipline as domain_mix_sample (no RNG
+    state; a doc's split is a pure function of doc_id, identical under
+    any partitioning, retry, or cluster size — re-running never leaks
+    validation docs into train).
+
+    r = fnv1a(doc_id) % 1000: train if r < bounds[0], val if r <
+    bounds[1], else test. Returns the (source, split, n_docs) audit
+    table (one groupby over per-batch (source, split) partial counts —
+    the shuffle carries one row per (source, split) per batch); the
+    per-doc assignment never leaves its input task."""
+    from ray.data.aggregate import Sum
+
+    lo, hi = int(bounds[0]), int(bounds[1])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h = fnv1a_u64_vec(batch.column("doc_id").to_numpy())
+        r = (h % np.uint64(1000)).astype(np.int64)
+        split = np.where(r < lo, "train", np.where(r < hi, "val", "test"))
+        src = np.asarray(batch.column("source").to_pylist())
+        key = np.char.add(np.char.add(src, "\x01"), split)  # \x01: numpy U-dtype strips trailing NULs
+        uniq, inv = np.unique(key, return_inverse=True)
+        n = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        srcs, splits = zip(*(k.split("\x01") for k in uniq.tolist()))
+        return pa.table(
+            {
+                "source": pa.array(srcs, type=pa.string()),
+                "split": pa.array(splits, type=pa.string()),
+                "n_docs": pa.array(n),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", **_rargs())
+        .groupby(["source", "split"])
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+    )
+    return agg.map_batches(
+        lambda b: b.set_column(
+            b.schema.get_field_index("n_docs"),
+            "n_docs",
+            b.column("n_docs").cast(pa.int64()),
+        ),
+        batch_format="pyarrow",
+        **_rargs(),
+    )

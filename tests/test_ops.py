@@ -1986,3 +1986,34 @@ def test_near_dup_keep_best_picks_quality_winner(ray_session):
     assert list(out["cluster_id"]) == [1, 10, 30]
     assert list(out["kept_doc_id"]) == [2, 10, 31]
     assert list(out["quality"]) == [0.9, 0.4, 0.7]
+
+
+def test_train_val_test_split_deterministic_partition_invariant(ray_session):
+    """Split audit counts: partition-invariant, cover every doc exactly
+    once, and per-source proportions respect the residue bounds (recompute
+    from the hash directly)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from engine.textops import fnv1a_u64_vec, train_val_test_split
+
+    sf = "/root/testdata/sf0.001"
+    ds = ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "source"])
+    out1 = train_val_test_split(ds).to_pandas().sort_values(["source", "split"]).reset_index(drop=True)
+    out2 = (
+        train_val_test_split(ds.repartition(5))
+        .to_pandas().sort_values(["source", "split"]).reset_index(drop=True)
+    )
+    assert out1.equals(out2)
+
+    t = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "source"]).to_pandas()
+    assert out1["n_docs"].sum() == len(t)
+    r = (fnv1a_u64_vec(t["doc_id"].to_numpy()) % np.uint64(1000)).astype(np.int64)
+    t["split"] = np.where(r < 900, "train", np.where(r < 950, "val", "test"))
+    expect = (
+        t.groupby(["source", "split"]).size().reset_index(name="n_docs")
+        .sort_values(["source", "split"]).reset_index(drop=True)
+    )
+    got = out1[["source", "split", "n_docs"]]
+    assert got.astype(str).values.tolist() == expect.astype(str).values.tolist()
