@@ -742,6 +742,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders": relational.top_orders,
         "unique_event_types": relational.unique_event_types,
         "events_timeseries": relational.events_timeseries,
+        "sessionize_events": lambda sf_dir: relational.sessionize_events(
+            __import__("ray.data", fromlist=["x"]).read_parquet(
+                os.path.join(sf_dir, "events.parquet"),
+                columns=["user_id", "ts"],
+            )
+        ),
         "orders_semi_join": relational.orders_semi_join,
         "customer_orders_left_outer": relational.customer_orders_left_outer,
         "custkeys_intersect": relational.custkeys_intersect,
@@ -5597,6 +5603,34 @@ def oracle_sql() -> dict[str, str]:
             FROM orders ORDER BY rank LIMIT 10
         """,
         "unique_event_types": "SELECT DISTINCT event_type FROM events",
+        # sessionization: lag + gap flags + per-session run lengths,
+        # all integers (gap flags are tie-order-independent)
+        "sessionize_events": """
+            WITH x AS (
+                SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                              OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                 > 1800000000
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            y AS (
+                SELECT user_id,
+                       sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+                FROM x
+            ),
+            runs AS (
+                SELECT user_id, sid, count(*) AS run
+                FROM y GROUP BY user_id, sid
+            )
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n_sessions,
+                   CAST(sum(run) AS BIGINT) AS n_events,
+                   CAST(max(run) AS BIGINT) AS max_session_events
+            FROM runs GROUP BY user_id
+        """,
         "events_timeseries": """
             SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n_events
             FROM events GROUP BY event_type, day

@@ -924,3 +924,44 @@ def group_heads_orders(sf_dir: str):
         )
 
     return agg.map_batches(finish, batch_format="pyarrow", **_rargs())
+
+
+def sessionize_events(ds, gap_s: int = 1800):
+    """Sessionization — the classic event-stream wide op (Solr streaming
+    expressions have no built-in; this is the `sessionize` every
+    clickstream pipeline hand-rolls): a user's events split into
+    sessions at inactivity gaps > ``gap_s`` seconds. One
+    groupby(user_id) shuffle; per-group work is a vectorized sort +
+    diff (no per-event Python). All-integer output, so the SQL window
+    replay (lag + gap flags + cumulative session ids) is exact; with
+    duplicate timestamps the gap flags are tie-order-independent (ties
+    diff to 0, flags fire only on strict increases).
+
+    Returns (user_id, n_sessions, n_events, max_session_events)."""
+    gap_us = int(gap_s) * 1_000_000
+
+    def per_user(g: pa.Table) -> pa.Table:
+        # normalize the unit first: epoch MICROseconds whatever the input
+        # precision (parquet is [us]; from_items can produce [s])
+        ts = np.sort(
+            g.column("ts").cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+        )
+        gaps = np.flatnonzero(np.diff(ts) > gap_us)
+        bounds = np.concatenate([[0], gaps + 1, [len(ts)]])
+        runs = np.diff(bounds)
+        return pa.table(
+            {
+                "user_id": pa.array(
+                    [int(g.column("user_id")[0].as_py())], type=pa.int64()
+                ),
+                "n_sessions": pa.array([len(runs)], type=pa.int64()),
+                "n_events": pa.array([len(ts)], type=pa.int64()),
+                "max_session_events": pa.array(
+                    [int(runs.max()) if len(runs) else 0], type=pa.int64()
+                ),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(
+        per_user, batch_format="pyarrow", **_rargs()
+    )

@@ -2017,3 +2017,34 @@ def test_train_val_test_split_deterministic_partition_invariant(ray_session):
     )
     got = out1[["source", "split", "n_docs"]]
     assert got.astype(str).values.tolist() == expect.astype(str).values.tolist()
+
+
+def test_sessionize_events_gap_semantics(ray_session):
+    """Crafted sessions: gaps strictly over the threshold split, equal-to
+    threshold does not; counts and longest-session length recompute."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import ray.data
+
+    from engine.relational import sessionize_events
+
+    base = dt.datetime(2024, 1, 1)
+    def ts(sec):
+        return base + dt.timedelta(seconds=sec)
+
+    rows = [
+        # user 1: [0, 100, 1900(=gap 1800, same session)], [3701...] -> 2 sessions
+        {"user_id": 1, "ts": ts(0)},
+        {"user_id": 1, "ts": ts(100)},
+        {"user_id": 1, "ts": ts(1900)},
+        {"user_id": 1, "ts": ts(3701)},  # gap 1801 > 1800 -> new session
+        # user 2: single event
+        {"user_id": 2, "ts": ts(5)},
+    ]
+    ds = ray.data.from_items(rows).repartition(3)
+    out = sessionize_events(ds).to_pandas().sort_values("user_id").reset_index(drop=True)
+    assert list(out["user_id"]) == [1, 2]
+    assert list(out["n_sessions"]) == [2, 1]
+    assert list(out["n_events"]) == [4, 1]
+    assert list(out["max_session_events"]) == [3, 1]
