@@ -123,6 +123,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).num_rows
         return anchor_stats(_docs(sf_dir), n_docs=n)
 
+    def q_quantile_trim(sf_dir):
+        import ray.data
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "n_chars"],
+        )
+        return textops.quantile_trim(ds, 0.05, 0.99)
+
     def q_doclen_quantiles(sf_dir):
         import ray.data
 
@@ -675,6 +684,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_vocab_estimate": q_hll_vocab,
         "cms_term_counts": q_cms_terms,
         "doclen_quantiles": q_doclen_quantiles,
+        "quantile_trim": q_quantile_trim,
         "pagerank": q_pagerank,
         "anchor_stats": q_anchor_stats,
         "word_delimiter_terms": pipelines.word_delimiter_terms,
@@ -4579,6 +4589,31 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": _pagerank_sql(),
         # exact type-1 quantiles: smallest value with cumulative count
         # >= ceil(q * N) over the n_chars histogram
+        # dynamic quantile trim: thresholds from the same exact
+        # value-histogram rule, inclusive integer bounds
+        "quantile_trim": """
+            WITH h AS (
+                SELECT n_chars AS v, count(*) AS c FROM documents
+                GROUP BY n_chars
+            ),
+            cum AS (
+                SELECT v, sum(c) OVER (ORDER BY v) AS cc,
+                       (SELECT count(*) FROM documents) AS n
+                FROM h
+            ),
+            thr AS (
+                SELECT
+                    (SELECT min(v) FROM cum
+                     WHERE cc >= GREATEST(1, CAST(ceil(0.05 * cum2.n)
+                                                  AS BIGINT))) AS lo,
+                    (SELECT min(v) FROM cum
+                     WHERE cc >= GREATEST(1, CAST(ceil(0.99 * cum2.n)
+                                                  AS BIGINT))) AS hi
+                FROM (SELECT DISTINCT n FROM cum) cum2
+            )
+            SELECT doc_id, n_chars FROM documents, thr
+            WHERE n_chars >= thr.lo AND n_chars <= thr.hi
+        """,
         "doclen_quantiles": """
             WITH h AS (
                 SELECT n_chars AS v, count(*) AS c FROM documents

@@ -1716,3 +1716,23 @@ def train_val_test_split(ds, bounds: tuple = (900, 950)):
         batch_format="pyarrow",
         **_rargs(),
     )
+
+
+def quantile_trim(ds, lo_q: float = 0.05, hi_q: float = 0.99):
+    """Dynamic outlier trimming — drop documents whose n_chars falls
+    outside the corpus's own [lo_q, hi_q] exact quantiles (the adaptive
+    length filter of C4/Gopher-era pipelines: thresholds derive from
+    the data, not constants). Two-phase: the exact value-histogram
+    quantile pass (doclen_quantiles — reduce bounded by the value
+    domain), then a stateless map_batches filter with the two integer
+    thresholds in the closure. INCLUSIVE bounds, all-integer compare.
+    Returns the kept (doc_id, n_chars) stream."""
+    qt = doclen_quantiles(ds, (lo_q, hi_q))
+    lo_v = int(qt.column("value")[0].as_py())
+    hi_v = int(qt.column("value")[1].as_py())
+
+    def filt(batch: pa.Table) -> pa.Table:
+        n = batch.column("n_chars").to_numpy()
+        return batch.filter(pa.array((n >= lo_v) & (n <= hi_v)))
+
+    return ds.map_batches(filt, batch_format="pyarrow", **_rargs())

@@ -2048,3 +2048,29 @@ def test_sessionize_events_gap_semantics(ray_session):
     assert list(out["n_sessions"]) == [2, 1]
     assert list(out["n_events"]) == [4, 1]
     assert list(out["max_session_events"]) == [3, 1]
+
+
+def test_quantile_trim_bounds_inclusive(ray_session):
+    """Trim thresholds equal the exact type-1 quantiles and bounds are
+    inclusive; trimmed mass matches the brute recompute."""
+    import math
+
+    import numpy as np
+    import ray.data
+
+    from engine.textops import quantile_trim
+
+    rng = np.random.default_rng(3)
+    lens = np.concatenate([rng.integers(50, 100, 200), [1, 2, 5000, 9000]])
+    rows = [{"doc_id": i, "n_chars": int(v)} for i, v in enumerate(lens)]
+    out = quantile_trim(ray.data.from_items(rows).repartition(4), 0.05, 0.99).to_pandas()
+
+    sv = np.sort(lens)
+    n = len(sv)
+    lo = sv[max(1, math.ceil(0.05 * n)) - 1]
+    hi = sv[max(1, math.ceil(0.99 * n)) - 1]
+    kept = [(i, int(v)) for i, v in enumerate(lens) if lo <= v <= hi]
+    got = sorted(zip(out["doc_id"], out["n_chars"]))
+    assert got == kept
+    assert 9000 not in set(out["n_chars"])  # outlier dropped
+    assert 1 not in set(out["n_chars"])
