@@ -114,6 +114,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return pagerank(ds, n_docs=n, n_iters=5)
 
+    def q_bib_coupling(sf_dir):
+        import pyarrow.parquet as _pq
+        import ray.data
+        from engine.graph import bib_coupling_pairs
+
+        n = _pq.read_metadata(
+            os.path.join(sf_dir, "documents.parquet")
+        ).num_rows
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+        )
+        return bib_coupling_pairs(ds, n_docs=n)
+
     def q_anchor_stats(sf_dir):
         import pyarrow.parquet as _pq
         from engine.graph import anchor_stats
@@ -687,6 +700,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantile_trim": q_quantile_trim,
         "pagerank": q_pagerank,
         "anchor_stats": q_anchor_stats,
+        "bib_coupling_pairs": q_bib_coupling,
         "word_delimiter_terms": pipelines.word_delimiter_terms,
         "shingle_top50": q_shingle_top50,
         "stemmed_top_terms": q_stemmed_top_terms,
@@ -4587,6 +4601,23 @@ def oracle_sql() -> dict[str, str]:
         # source-ascending (0.0-seeded left-assoc == reduceat), update
         # = (0.15/N) + 0.85 * s
         "pagerank": _pagerank_sql(),
+        # bibliographic coupling: distinct-edge self-join on the shared
+        # target, all integers
+        "bib_coupling_pairs": f"""
+            WITH arms AS (
+                {" UNION ALL ".join(
+                    f"SELECT doc_id AS s, (doc_id * {a} + {b}) %"
+                    f" (SELECT count(*) FROM documents) AS t FROM documents"
+                    f" WHERE (doc_id * {a} + {b}) %"
+                    f" (SELECT count(*) FROM documents) != doc_id"
+                    for a, b in ((31, 7), (97, 13), (131, 29)))}
+            ),
+            e AS (SELECT DISTINCT s, t FROM arms)
+            SELECT a.s AS doc_a, b.s AS doc_b,
+                   CAST(count(*) AS BIGINT) AS n_common
+            FROM e a JOIN e b ON a.t = b.t AND a.s < b.s
+            GROUP BY 1, 2
+        """,
         # exact type-1 quantiles: smallest value with cumulative count
         # >= ceil(q * N) over the n_chars histogram
         # dynamic quantile trim: thresholds from the same exact

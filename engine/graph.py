@@ -222,3 +222,68 @@ def anchor_stats(ds, n_docs: int):
             Sum("n_anchor_terms", alias_name="n_anchor_terms"),
         )
     )
+
+
+def bib_coupling_pairs(ds, n_docs: int):
+    """Bibliographic coupling over the fixture web graph (Kessler 1963:
+    two pages are coupled iff they LINK TO a common target; the
+    transpose of co-citation, Small 1973) — the "related pages"
+    primitive of link analysis. Returns (doc_a, doc_b, n_common) for
+    doc_a < doc_b with n_common = number of shared DISTINCT out-targets.
+
+    Distributed shape: the edge stream (synth arms, self-loops dropped,
+    parallel edges deduped per (s,t)) shuffles ONCE by target; each
+    target's in-source group emits its C(indeg, 2) source pairs
+    (vectorized triu over the sorted unique sources — indeg is bounded
+    by the arm count's fan-in, not the corpus); one groupby((a,b)) Sum
+    accumulates shared-target counts. All integers — the oracle is a
+    plain distinct-edge self-join."""
+    from ray.data.aggregate import Sum
+
+    def _edges(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        s, t = synth_out_edges(ids, n_docs)
+        key = s * np.int64(n_docs) + t  # batch-local dedupe only
+        _, idx = np.unique(key, return_index=True)
+        return pa.table(
+            {
+                "s": pa.array(s[idx], type=pa.int64()),
+                "t": pa.array(t[idx], type=pa.int64()),
+            }
+        )
+
+    def _pairs(g: pa.Table) -> pa.Table:
+        src = np.unique(g.column("s").to_numpy())  # cross-batch dedupe
+        if len(src) < 2:
+            return pa.table(
+                {
+                    "doc_a": pa.array([], type=pa.int64()),
+                    "doc_b": pa.array([], type=pa.int64()),
+                    "n": pa.array([], type=pa.int64()),
+                }
+            )
+        iu, ju = np.triu_indices(len(src), k=1)
+        return pa.table(
+            {
+                "doc_a": pa.array(src[iu], type=pa.int64()),
+                "doc_b": pa.array(src[ju], type=pa.int64()),
+                "n": pa.array(np.ones(len(iu), dtype=np.int64)),
+            }
+        )
+
+    agg = (
+        ds.map_batches(_edges, batch_format="pyarrow", **_rargs())
+        .groupby("t")
+        .map_groups(_pairs, batch_format="pyarrow", **_rargs())
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Sum("n", alias_name="n_common"))
+    )
+    return agg.map_batches(
+        lambda b: b.set_column(
+            b.schema.get_field_index("n_common"),
+            "n_common",
+            b.column("n_common").cast(pa.int64()),
+        ),
+        batch_format="pyarrow",
+        **_rargs(),
+    )

@@ -2074,3 +2074,35 @@ def test_quantile_trim_bounds_inclusive(ray_session):
     assert got == kept
     assert 9000 not in set(out["n_chars"])  # outlier dropped
     assert 1 not in set(out["n_chars"])
+
+
+def test_bib_coupling_pairs_brute_force(ray_session):
+    """Coupling counts equal the brute-force shared-out-target recompute
+    over the synthesized graph, and are partition-invariant."""
+    from collections import Counter
+    from itertools import combinations
+
+    import ray.data
+
+    from engine.graph import bib_coupling_pairs, synth_out_edges
+    import numpy as np
+
+    n = 60
+    ds = ray.data.from_items([{"doc_id": i} for i in range(n)])
+    out = bib_coupling_pairs(ds, n_docs=n).to_pandas()
+    out2 = bib_coupling_pairs(
+        ray.data.from_items([{"doc_id": i} for i in range(n)]).repartition(7),
+        n_docs=n,
+    ).to_pandas()
+    key = lambda df: sorted(zip(df["doc_a"], df["doc_b"], df["n_common"]))
+    assert key(out) == key(out2)
+
+    s, t = synth_out_edges(np.arange(n), n)
+    by_target: dict[int, set] = {}
+    for a, b in zip(s.tolist(), t.tolist()):
+        by_target.setdefault(b, set()).add(a)
+    cnt = Counter()
+    for srcs in by_target.values():
+        for a, b in combinations(sorted(srcs), 2):
+            cnt[(a, b)] += 1
+    assert key(out) == sorted((a, b, c) for (a, b), c in cnt.items())
