@@ -766,6 +766,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders": relational.top_orders,
         "unique_event_types": relational.unique_event_types,
         "events_timeseries": relational.events_timeseries,
+        "asof_join_events": lambda sf_dir: relational.asof_join_events(
+            __import__("ray.data", fromlist=["x"]).read_parquet(
+                os.path.join(sf_dir, "events.parquet"),
+                columns=["event_id", "user_id", "ts", "event_type"],
+            )
+        ),
+        "range_join_value_bands": lambda sf_dir: relational.range_join_value_bands(
+            __import__("ray.data", fromlist=["x"]).read_parquet(
+                os.path.join(sf_dir, "events.parquet"),
+                columns=["event_id", "value"],
+            )
+        ),
+        "sliding_window_counts": lambda sf_dir: relational.sliding_window_counts(
+            __import__("ray.data", fromlist=["x"]).read_parquet(
+                os.path.join(sf_dir, "events.parquet"),
+                columns=["ts", "event_type"],
+            )
+        ),
         "sessionize_events": lambda sf_dir: relational.sessionize_events(
             __import__("ray.data", fromlist=["x"]).read_parquet(
                 os.path.join(sf_dir, "events.parquet"),
@@ -5669,6 +5687,47 @@ def oracle_sql() -> dict[str, str]:
             FROM orders ORDER BY rank LIMIT 10
         """,
         "unique_event_types": "SELECT DISTINCT event_type FROM events",
+        # as-of join: window rn=1 over strictly-prior rights, the
+        # (ts desc, event_id desc) tie rule; all integers
+        "asof_join_events": """
+            SELECT event_id, prior_event_id, gap_us FROM (
+                SELECT p.event_id, c.event_id AS prior_event_id,
+                       CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT)
+                           AS gap_us,
+                       row_number() OVER (PARTITION BY p.event_id
+                           ORDER BY c.ts DESC, c.event_id DESC) AS rn
+                FROM events p JOIN events c
+                  ON c.user_id = p.user_id AND c.ts < p.ts
+                 AND c.event_type = 'click'
+                WHERE p.event_type = 'purchase'
+            ) WHERE rn = 1
+        """,
+        # range join: a real interval join against the band VALUES table
+        # (integer bounds on the double column — exact compares)
+        "range_join_value_bands": """
+            WITH bands(band_id, lo, hi) AS (VALUES
+                (0, 0, 25), (1, 25, 50), (2, 50, 75), (3, 75, 100),
+                (4, 100, 125), (5, 125, 150), (6, 150, 175),
+                (7, 175, NULL))
+            SELECT e.event_id, CAST(b.band_id AS BIGINT) AS band_id,
+                   CAST(b.lo AS BIGINT) AS lo
+            FROM events e JOIN bands b
+              ON e.value >= b.lo AND (b.hi IS NULL OR e.value < b.hi)
+        """,
+        # sliding windowed aggregate: ROWS 2 PRECEDING moving sum over
+        # the per-(type, day) integer counts
+        "sliding_window_counts": """
+            WITH daily AS (
+                SELECT event_type,
+                       CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM events GROUP BY 1, 2
+            )
+            SELECT event_type, day, n,
+                   CAST(sum(n) OVER (PARTITION BY event_type ORDER BY day
+                        ROWS 2 PRECEDING) AS BIGINT) AS moving_n
+            FROM daily
+        """,
         # sessionization: lag + gap flags + per-session run lengths,
         # all integers (gap flags are tie-order-independent)
         "sessionize_events": """

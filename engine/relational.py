@@ -965,3 +965,139 @@ def sessionize_events(ds, gap_s: int = 1800):
     return ds.groupby("user_id").map_groups(
         per_user, batch_format="pyarrow", **_rargs()
     )
+
+
+def asof_join_events(ds, left_type: str = "purchase", right_type: str = "click"):
+    """AS-OF JOIN — for each ``left_type`` event, the same user's most
+    recent STRICTLY-PRIOR ``right_type`` event (the classic
+    trade-to-quote as-of join, kdb/duckdb ASOF semantics; the brief's
+    named custom-operator class). Inner: lefts with no prior right are
+    dropped.
+
+    Partitioning assumption (documented, the as-of join contract): both
+    sides shuffle ONCE by the equality key (user_id); within a group the
+    right side sorts by (ts, event_id) and each left probes it with one
+    vectorized searchsorted — O((L+R) log R) per group, no per-row
+    Python. Ties: same-ts rights are ordered by event_id, so the match
+    is the lexicographically-last (ts, event_id) among ts < left.ts —
+    the deterministic rule the SQL window replays. All-integer output
+    (ids + microsecond gap)."""
+
+    def per_user(g: pa.Table) -> pa.Table:
+        et = np.asarray(g.column("event_type").to_pylist())
+        ts = g.column("ts").cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+        eid = g.column("event_id").to_numpy()
+        lm = et == left_type
+        rm = et == right_type
+        empty = pa.table(
+            {
+                "event_id": pa.array([], type=pa.int64()),
+                "prior_event_id": pa.array([], type=pa.int64()),
+                "gap_us": pa.array([], type=pa.int64()),
+            }
+        )
+        if not lm.any() or not rm.any():
+            return empty
+        rts, rid = ts[rm], eid[rm]
+        order = np.lexsort((rid, rts))
+        rts, rid = rts[order], rid[order]
+        lts, lid = ts[lm], eid[lm]
+        idx = np.searchsorted(rts, lts, side="left") - 1
+        hit = idx >= 0
+        if not hit.any():
+            return empty
+        return pa.table(
+            {
+                "event_id": pa.array(lid[hit], type=pa.int64()),
+                "prior_event_id": pa.array(rid[idx[hit]], type=pa.int64()),
+                "gap_us": pa.array(lts[hit] - rts[idx[hit]], type=pa.int64()),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(
+        per_user, batch_format="pyarrow", **_rargs()
+    )
+
+
+VALUE_BANDS = [(k * 25, (k + 1) * 25) for k in range(7)] + [(175, None)]
+
+
+def range_join_value_bands(ds):
+    """RANGE JOIN (broadcast-interval form — the brief's named class):
+    each event joins the band whose [lo, hi) interval contains its
+    value; the band table is the SMALL side, shipped in the task
+    closure (ray.put-once semantics at scale), probed with one
+    vectorized np.searchsorted per batch — never a shuffle. Integer
+    band boundaries make the containment compare exact on the double
+    column. Returns (event_id, band_id, lo)."""
+    los = np.array([b[0] for b in VALUE_BANDS], dtype=np.float64)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").to_numpy()
+        band = np.searchsorted(los, v, side="right") - 1
+        band = np.clip(band, 0, len(los) - 1)  # values below band 0 clamp
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "band_id": pa.array(band.astype(np.int64)),
+                "lo": pa.array(los[band].astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(probe, batch_format="pyarrow", **_rargs())
+
+
+def sliding_window_counts(ds, window_days: int = 3):
+    """Sliding-WINDOWED AGGREGATE (the brief's named class): per
+    event_type daily counts, then a ``window_days``-day moving sum over
+    the ROW-wise trailing window (ROWS window_days-1 PRECEDING — the
+    SQL window replayed exactly; all integers). Two shuffles: the
+    distributed (event_type, day) count (one row per (type, day) per
+    batch after the map-side combine), then a groupby(event_type)
+    whose per-group work is one vectorized cumsum over the bounded
+    day series (days span the date range, not the corpus)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        days = (
+            batch.column("ts").cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+            // np.int64(86_400_000_000)
+        )
+        et = np.asarray(batch.column("event_type").to_pylist())
+        key = np.char.add(np.char.add(et, "\x01"), days.astype("U"))
+        uniq, inv = np.unique(key, return_inverse=True)
+        n = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        types, ds_ = zip(*(k.split("\x01") for k in uniq.tolist()))
+        return pa.table(
+            {
+                "event_type": pa.array(types, type=pa.string()),
+                "day": pa.array([int(d) for d in ds_], type=pa.int64()),
+                "n": pa.array(n),
+            }
+        )
+
+    daily = (
+        ds.map_batches(partial, batch_format="pyarrow", **_rargs())
+        .groupby(["event_type", "day"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def window(g: pa.Table) -> pa.Table:
+        order = np.argsort(g.column("day").to_numpy(), kind="stable")
+        g = g.take(pa.array(order))
+        n = g.column("n").to_numpy().astype(np.int64)
+        cs = np.concatenate([[0], np.cumsum(n)])
+        w = window_days
+        mov = cs[1:] - cs[np.maximum(np.arange(len(n)) + 1 - w, 0)]
+        return pa.table(
+            {
+                "event_type": g.column("event_type"),
+                "day": g.column("day"),
+                "n": pa.array(n),
+                "moving_n": pa.array(mov.astype(np.int64)),
+            }
+        )
+
+    return daily.groupby("event_type").map_groups(
+        window, batch_format="pyarrow", **_rargs()
+    )

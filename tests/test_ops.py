@@ -2106,3 +2106,69 @@ def test_bib_coupling_pairs_brute_force(ray_session):
         for a, b in combinations(sorted(srcs), 2):
             cnt[(a, b)] += 1
     assert key(out) == sorted((a, b, c) for (a, b), c in cnt.items())
+
+
+def test_asof_join_strictly_prior_with_tie_rule(ray_session):
+    """As-of join: strictly-prior click per purchase, ties on equal click
+    ts resolved to the larger event_id, no-match purchases dropped."""
+    import datetime as dt
+
+    import ray.data
+
+    from engine.relational import asof_join_events
+
+    base = dt.datetime(2024, 1, 1)
+    ts = lambda s: base + dt.timedelta(seconds=s)
+    rows = [
+        {"event_id": 1, "user_id": 1, "ts": ts(10), "event_type": "click"},
+        {"event_id": 2, "user_id": 1, "ts": ts(10), "event_type": "click"},   # tie: larger id wins
+        {"event_id": 3, "user_id": 1, "ts": ts(20), "event_type": "purchase"},
+        {"event_id": 4, "user_id": 1, "ts": ts(20), "event_type": "click"},   # NOT prior (equal ts)
+        {"event_id": 5, "user_id": 1, "ts": ts(30), "event_type": "purchase"},
+        {"event_id": 6, "user_id": 2, "ts": ts(5), "event_type": "purchase"}, # no prior click
+        {"event_id": 7, "user_id": 2, "ts": ts(9), "event_type": "click"},
+    ]
+    out = (
+        asof_join_events(ray.data.from_items(rows).repartition(3))
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    assert list(out["event_id"]) == [3, 5]
+    assert list(out["prior_event_id"]) == [2, 4]
+    assert list(out["gap_us"]) == [10_000_000, 10_000_000]
+
+
+def test_range_join_and_sliding_window(ray_session):
+    """Range join band containment incl. the open last band; sliding
+    3-day moving sums recompute."""
+    import datetime as dt
+
+    import ray.data
+
+    from engine.relational import range_join_value_bands, sliding_window_counts
+
+    rows = [
+        {"event_id": 0, "value": 0.0},
+        {"event_id": 1, "value": 24.999},
+        {"event_id": 2, "value": 25.0},
+        {"event_id": 3, "value": 174.99},
+        {"event_id": 4, "value": 175.0},
+        {"event_id": 5, "value": 9999.0},
+    ]
+    out = (
+        range_join_value_bands(ray.data.from_items(rows))
+        .to_pandas().sort_values("event_id")
+    )
+    assert list(out["band_id"]) == [0, 0, 1, 6, 7, 7]
+
+    base = dt.datetime(2024, 1, 1)
+    ev = []
+    daily = [3, 1, 4, 1, 5]
+    for d, n in enumerate(daily):
+        for i in range(n):
+            ev.append({"ts": base + dt.timedelta(days=d, seconds=i), "event_type": "x"})
+    w = (
+        sliding_window_counts(ray.data.from_items(ev).repartition(4))
+        .to_pandas().sort_values("day").reset_index(drop=True)
+    )
+    assert list(w["n"]) == daily
+    assert list(w["moving_n"]) == [3, 4, 8, 6, 10]
