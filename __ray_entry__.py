@@ -136,6 +136,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).num_rows
         return anchor_stats(_docs(sf_dir), n_docs=n)
 
+    def q_resumable_sink(sf_dir):
+        import shutil
+
+        import ray.data
+
+        tag = os.path.basename(os.path.normpath(sf_dir))
+        out = os.path.join("/tmp/rayfts-cache", f"sink-{tag}")
+        shutil.rmtree(out, ignore_errors=True)  # fresh: statuses deterministic
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "n_chars"],
+        )
+        return textops.resumable_write_parquet(ds, out, n_buckets=8)
+
     def q_quantile_trim(sf_dir):
         import ray.data
 
@@ -698,6 +712,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_term_counts": q_cms_terms,
         "doclen_quantiles": q_doclen_quantiles,
         "quantile_trim": q_quantile_trim,
+        "resumable_sink_manifest": q_resumable_sink,
         "pagerank": q_pagerank,
         "anchor_stats": q_anchor_stats,
         "bib_coupling_pairs": q_bib_coupling,
@@ -4638,6 +4653,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         # exact type-1 quantiles: smallest value with cumulative count
         # >= ceil(q * N) over the n_chars histogram
+        # resumable sink manifest on a fresh dir: bucket sizes = the
+        # FNV residue histogram, statuses all 'written'
+        "resumable_sink_manifest": f"""
+            SELECT ({_fnv_sql("doc_id")}) % 8 AS bucket,
+                   'written' AS status,
+                   CAST(count(*) AS BIGINT) AS n_rows
+            FROM documents GROUP BY 1
+        """,
         # dynamic quantile trim: thresholds from the same exact
         # value-histogram rule, inclusive integer bounds
         "quantile_trim": """

@@ -1736,3 +1736,70 @@ def quantile_trim(ds, lo_q: float = 0.05, hi_q: float = 0.99):
         return batch.filter(pa.array((n >= lo_v) & (n <= hi_v)))
 
     return ds.map_batches(filt, batch_format="pyarrow", **_rargs())
+
+
+def resumable_write_parquet(ds, out_dir: str, key_col: str = "doc_id", n_buckets: int = 8):
+    """Resumable partitioned parquet SINK — the brief's resumable-output
+    contract for data pipelines (the index build has its own manifest
+    resume in checkpoint.py; this is the generic Dataset sink): rows
+    route to ``n_buckets`` hash buckets of ``key_col`` (FNV — the same
+    partition-invariant key discipline as the split/sample ops), each
+    bucket writes ONE file via tmp+rename (atomic on POSIX), and a
+    bucket whose final file already exists is SKIPPED — pruned at the
+    map stage, so a resumed run never re-shuffles finished partitions'
+    rows, let alone rewrites them. Within-bucket rows sort by key
+    before writing, so a retried write is byte-stable.
+
+    Returns the (bucket, status, n_rows) manifest table; n_rows is -1
+    for skipped buckets (their files are not re-read to count)."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    nb = int(n_buckets)
+    done = frozenset(
+        int(f[5:10]) for f in os.listdir(out_dir)
+        if f.startswith("part-") and f.endswith(".parquet")
+    )
+
+    def route(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_numpy()
+        bucket = (fnv1a_u64_vec(keys) % np.uint64(nb)).astype(np.int64)
+        out = batch.append_column("__bucket", pa.array(bucket))
+        return out.filter(pa.array(~np.isin(bucket, list(done))))
+
+    def write_bucket(g: pa.Table) -> pa.Table:
+        import os
+
+        import pyarrow.parquet as _pq
+
+        b = int(g.column("__bucket")[0].as_py())
+        path = os.path.join(out_dir, f"part-{b:05d}.parquet")
+        order = np.argsort(g.column(key_col).to_numpy(), kind="stable")
+        body = g.take(pa.array(order)).drop_columns(["__bucket"])
+        tmp = f"{path}.tmp-{os.getpid()}"
+        _pq.write_table(body, tmp)
+        os.replace(tmp, path)  # atomic: concurrent retries converge
+        return pa.table(
+            {
+                "bucket": pa.array([b], type=pa.int64()),
+                "status": pa.array(["written"], type=pa.string()),
+                "n_rows": pa.array([g.num_rows], type=pa.int64()),
+            }
+        )
+
+    written = (
+        ds.map_batches(route, batch_format="pyarrow", **_rargs())
+        .groupby("__bucket")
+        .map_groups(write_bucket, batch_format="pyarrow", **_rargs())
+        .take_all()
+    )  # one row per bucket: bounded
+    rows = [(int(r["bucket"]), r["status"], int(r["n_rows"])) for r in written]
+    rows += [(b, "skipped", -1) for b in sorted(done)]
+    rows.sort()
+    return pa.table(
+        {
+            "bucket": pa.array([r[0] for r in rows], type=pa.int64()),
+            "status": pa.array([r[1] for r in rows], type=pa.string()),
+            "n_rows": pa.array([r[2] for r in rows], type=pa.int64()),
+        }
+    )

@@ -85,3 +85,42 @@ def test_retry_idempotence_under_concurrent_write(tmp_path):
     assert m1 == m2
     seg = Segment(d1)
     assert seg.term_stats("a") == (1, 1)
+
+
+def test_resumable_parquet_sink_skips_finished_buckets(ray_session, tmp_path):
+    """The data-sink resume contract: a second run skips every finished
+    bucket (files untouched — same inode mtime), a deleted bucket is
+    rebuilt byte-stably, and the read-back equals the input."""
+    import os
+    import time
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from engine.textops import resumable_write_parquet
+
+    out = str(tmp_path / "sink")
+    rows = [{"doc_id": i, "v": i * 3} for i in range(200)]
+    m1 = resumable_write_parquet(ray.data.from_items(rows), out, n_buckets=6)
+    st1 = dict(zip(m1.column("bucket").to_pylist(), m1.column("status").to_pylist()))
+    assert set(st1.values()) == {"written"} and len(st1) == 6
+
+    mtimes = {f: os.path.getmtime(os.path.join(out, f)) for f in os.listdir(out)}
+    time.sleep(0.05)
+    m2 = resumable_write_parquet(ray.data.from_items(rows), out, n_buckets=6)
+    assert set(m2.column("status").to_pylist()) == {"skipped"}
+    for f, t in mtimes.items():
+        assert os.path.getmtime(os.path.join(out, f)) == t  # untouched
+
+    # delete one bucket -> only it is rebuilt, byte-stable content
+    victim = sorted(mtimes)[2]
+    old_bytes = open(os.path.join(out, victim), "rb").read()
+    os.remove(os.path.join(out, victim))
+    m3 = resumable_write_parquet(ray.data.from_items(rows), out, n_buckets=6)
+    st3 = dict(zip(m3.column("bucket").to_pylist(), m3.column("status").to_pylist()))
+    assert list(st3.values()).count("written") == 1
+    assert open(os.path.join(out, victim), "rb").read() == old_bytes
+
+    back = pq.read_table(out + "/").to_pandas().sort_values("doc_id")
+    assert list(back["doc_id"]) == list(range(200))
+    assert list(back["v"]) == [i * 3 for i in range(200)]
