@@ -712,6 +712,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_term_counts": q_cms_terms,
         "doclen_quantiles": q_doclen_quantiles,
         "quantile_trim": q_quantile_trim,
+        "vocab_coverage": lambda sf_dir: textops.vocab_coverage(_docs(sf_dir)),
+        "group_sample_hash": lambda sf_dir: textops.group_sample_hash(
+            __import__("ray.data", fromlist=["x"]).read_parquet(
+                os.path.join(sf_dir, "documents.parquet"),
+                columns=["doc_id", "source"],
+            ),
+            per_group=16,
+        ),
         "resumable_sink_manifest": q_resumable_sink,
         "pagerank": q_pagerank,
         "anchor_stats": q_anchor_stats,
@@ -4653,6 +4661,32 @@ def oracle_sql() -> dict[str, str]:
         """,
         # exact type-1 quantiles: smallest value with cumulative count
         # >= ceil(q * N) over the n_chars histogram
+        # coverage curve: integer window cumsum over (ttf desc, term asc)
+        "vocab_coverage": f"""
+            WITH tt AS (
+                SELECT t AS term, count(*) AS ttf FROM (
+                    SELECT unnest({_TOK}) AS t FROM documents) GROUP BY t
+            ),
+            r AS (SELECT term, ttf, row_number() OVER (
+                      ORDER BY ttf DESC, term ASC) AS rn FROM tt),
+            tot AS (SELECT CAST(sum(ttf) AS BIGINT) AS total FROM tt),
+            v(v) AS (VALUES (10), (20), (30), (50))
+            SELECT CAST(v.v AS BIGINT) AS v,
+                   CAST((SELECT sum(ttf) FROM r WHERE rn <= v.v) AS BIGINT)
+                       AS covered_ttf,
+                   tot.total AS total_ttf
+            FROM v, tot
+        """,
+        # per-group hash sample: the fmix64(fnv) key chain replayed,
+        # window rn per source
+        "group_sample_hash": f"""
+            SELECT source, doc_id FROM (
+                SELECT source, doc_id, row_number() OVER (
+                    PARTITION BY source
+                    ORDER BY {_fmix64_sql(_fnv_sql("doc_id"))}) AS rn
+                FROM documents
+            ) WHERE rn <= 16
+        """,
         # resumable sink manifest on a fresh dir: bucket sizes = the
         # FNV residue histogram, statuses all 'written'
         "resumable_sink_manifest": f"""

@@ -1803,3 +1803,106 @@ def resumable_write_parquet(ds, out_dir: str, key_col: str = "doc_id", n_buckets
             "n_rows": pa.array([r[2] for r in rows], type=pa.int64()),
         }
     )
+
+
+def vocab_coverage(ds, vs: tuple = (10, 20, 30, 50)):
+    """Vocabulary coverage curve — token mass covered by the top-V terms
+    by total term frequency, for each V (the tokenizer/vocab-size
+    planning table: how much of the corpus a V-entry vocabulary would
+    cover). All-integer output (covered_ttf, total_ttf); the ratio is
+    the consumer's division.
+
+    Distributed shape: per-batch partial (term, ttf) counts -> one
+    groupby sum; the top-max(V) selection is per-block partial top-k
+    (integer keys: ttf desc, term asc) + a bounded driver reduce;
+    total_ttf is one scalar aggregate."""
+    from ray.data.aggregate import Sum
+
+    vmax = max(vs)
+
+    def tf_partial(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        toks: list[str] = []
+        for t in texts:
+            toks.extend(TOKEN_RE.findall(t.lower()) if t else [])
+        if not toks:
+            return pa.table(
+                {"term": pa.array([], type=pa.string()),
+                 "ttf": pa.array([], type=pa.int64())}
+            )
+        uniq, inv = np.unique(np.array(toks), return_inverse=True)
+        return pa.table(
+            {
+                "term": pa.array(uniq, type=pa.string()),
+                "ttf": pa.array(np.bincount(inv, minlength=len(uniq)).astype(np.int64)),
+            }
+        )
+
+    agg = (
+        ds.map_batches(tf_partial, batch_format="pyarrow", **_rargs())
+        .groupby("term")
+        .aggregate(Sum("ttf", alias_name="ttf"))
+    )
+
+    def block_top(b: pa.Table) -> pa.Table:
+        ttf = b.column("ttf").to_numpy()
+        terms = np.asarray(b.column("term").to_pylist())
+        order = np.lexsort((terms, -ttf))[:vmax]
+        return b.take(pa.array(order))
+
+    winners = agg.map_batches(block_top, batch_format="pyarrow", **_rargs()).take_all()
+    winners.sort(key=lambda r: (-int(r["ttf"]), r["term"]))
+    winners = winners[:vmax]
+    total = int(
+        agg.map_batches(
+            lambda b: pa.table({"s": pa.array([int(b.column("ttf").to_numpy().sum())], type=pa.int64())}),
+            batch_format="pyarrow",
+            **_rargs(),
+        ).sum("s")
+    )
+    cum = np.cumsum([int(r["ttf"]) for r in winners])
+    out_v, out_cov = [], []
+    for v in vs:
+        out_v.append(int(v))
+        out_cov.append(int(cum[min(v, len(cum)) - 1]) if len(cum) else 0)
+    return pa.table(
+        {
+            "v": pa.array(out_v, type=pa.int64()),
+            "covered_ttf": pa.array(out_cov, type=pa.int64()),
+            "total_ttf": pa.array([total] * len(vs), type=pa.int64()),
+        }
+    )
+
+
+def group_sample_hash(ds, per_group: int = 16, group_col: str = "source", id_col: str = "doc_id"):
+    """Per-group deterministic uniform sample — the k docs with the
+    SMALLEST fmix64(fnv1a(id)) per group (uniform without replacement
+    under the hash's uniformity; no RNG state, so the sample is
+    resumable and partition/cluster-size-invariant — the per-group
+    counterpart of orders_sample_hash). Ties cannot occur (fmix64 is a
+    bijection on ids). Per-batch partial smallest-k per group, then one
+    groupby(group) final k — only k rows per (group, batch) shuffle."""
+    from .merge import _fmix64
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy()
+        keys = _fmix64(fnv1a_u64_vec(ids))
+        src = np.asarray(batch.column(group_col).to_pylist())
+        out_idx: list[int] = []
+        for g in np.unique(src):
+            m = np.flatnonzero(src == g)
+            out_idx.extend(m[np.argsort(keys[m], kind="stable")[:per_group]].tolist())
+        out_idx.sort()
+        t = batch.select([group_col, id_col]).take(pa.array(out_idx))
+        return t.append_column("hkey", pa.array(keys[out_idx].astype(np.uint64), type=pa.uint64()))
+
+    def final(g: pa.Table) -> pa.Table:
+        keys = g.column("hkey").to_numpy()
+        order = np.argsort(keys, kind="stable")[:per_group]
+        return g.take(pa.array(order)).select([group_col, id_col])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", **_rargs())
+        .groupby(group_col)
+        .map_groups(final, batch_format="pyarrow", **_rargs())
+    )

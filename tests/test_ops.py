@@ -2172,3 +2172,35 @@ def test_range_join_and_sliding_window(ray_session):
     )
     assert list(w["n"]) == daily
     assert list(w["moving_n"]) == [3, 4, 8, 6, 10]
+
+
+def test_vocab_coverage_and_group_sample(ray_session):
+    """Coverage cumsum recomputes from brute counts; per-group hash
+    sample is partition-invariant with exactly per_group rows per group."""
+    from collections import Counter
+
+    import numpy as np
+    import ray.data
+
+    from engine.analyze import TOKEN_RE
+    from engine.textops import vocab_coverage, group_sample_hash
+
+    rows = [
+        {"doc_id": i, "text": f"alpha beta w{i % 9} gamma w{i % 4}", "source": f"s{i % 3}"}
+        for i in range(60)
+    ]
+    ds = ray.data.from_items(rows)
+    cov = vocab_coverage(ds.repartition(5), vs=(3, 5)).to_pandas()
+    cnt = Counter()
+    for r in rows:
+        cnt.update(TOKEN_RE.findall(r["text"]))
+    ordered = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert list(cov["total_ttf"]) == [sum(cnt.values())] * 2
+    assert cov["covered_ttf"][0] == sum(c for _, c in ordered[:3])
+    assert cov["covered_ttf"][1] == sum(c for _, c in ordered[:5])
+
+    s1 = group_sample_hash(ds, per_group=4).to_pandas()
+    s2 = group_sample_hash(ds.repartition(7), per_group=4).to_pandas()
+    k = lambda df: sorted(zip(df["source"], df["doc_id"]))
+    assert k(s1) == k(s2)
+    assert s1.groupby("source").size().tolist() == [4, 4, 4]
