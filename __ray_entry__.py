@@ -807,6 +807,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 columns=["ts", "event_type"],
             )
         ),
+        "burst_windows": lambda sf_dir: relational.burst_windows(
+            __import__("ray.data", fromlist=["x"]).read_parquet(
+                os.path.join(sf_dir, "events.parquet"),
+                columns=["ts", "event_type"],
+            )
+        ),
         "sessionize_events": lambda sf_dir: relational.sessionize_events(
             __import__("ray.data", fromlist=["x"]).read_parquet(
                 os.path.join(sf_dir, "events.parquet"),
@@ -5784,6 +5790,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n) OVER (PARTITION BY event_type ORDER BY day
                         ROWS 2 PRECEDING) AS BIGINT) AS moving_n
             FROM daily
+        """,
+        # burst detection: integer tumbling-window counts + per-type
+        # argmax (ties earliest window)
+        "burst_windows": """
+            WITH c AS (
+                SELECT event_type,
+                       CAST(epoch_us(ts) // 21600000000 AS BIGINT) AS win,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM events GROUP BY 1, 2
+            )
+            SELECT event_type, win AS peak_win, n AS peak_n FROM (
+                SELECT event_type, win, n, row_number() OVER (
+                    PARTITION BY event_type ORDER BY n DESC, win ASC) AS rn
+                FROM c
+            ) WHERE rn = 1
         """,
         # sessionization: lag + gap flags + per-session run lengths,
         # all integers (gap flags are tie-order-independent)

@@ -1101,3 +1101,56 @@ def sliding_window_counts(ds, window_days: int = 3):
     return daily.groupby("event_type").map_groups(
         window, batch_format="pyarrow", **_rargs()
     )
+
+
+def burst_windows(ds, window_hours: int = 6):
+    """Burst detection — each event type's PEAK tumbling window (the
+    max-rate window of Kleinberg-style burst monitoring, reduced to its
+    integer core): count events per (type, window_hours tumbling
+    window), keep each type's max-count window, ties -> earliest
+    window. Two shuffles: the map-side-combined (type, window) count,
+    then a per-type argmax over the bounded window series. All-integer
+    output (window ids in units of ``window_hours`` since epoch)."""
+    from ray.data.aggregate import Sum
+
+    wus = np.int64(window_hours) * np.int64(3_600_000_000)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        win = (
+            batch.column("ts").cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+            // wus
+        )
+        et = np.asarray(batch.column("event_type").to_pylist())
+        key = np.char.add(np.char.add(et, "\x01"), win.astype("U"))
+        uniq, inv = np.unique(key, return_inverse=True)
+        n = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        types, wins = zip(*(k.split("\x01") for k in uniq.tolist()))
+        return pa.table(
+            {
+                "event_type": pa.array(types, type=pa.string()),
+                "win": pa.array([int(w) for w in wins], type=pa.int64()),
+                "n": pa.array(n),
+            }
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow", **_rargs())
+        .groupby(["event_type", "win"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def argmax(g: pa.Table) -> pa.Table:
+        n = g.column("n").to_numpy().astype(np.int64)
+        w = g.column("win").to_numpy()
+        i = int(np.lexsort((w, -n))[0])  # max n, earliest window on ties
+        return pa.table(
+            {
+                "event_type": pa.array([g.column("event_type")[0].as_py()]),
+                "peak_win": pa.array([int(w[i])], type=pa.int64()),
+                "peak_n": pa.array([int(n[i])], type=pa.int64()),
+            }
+        )
+
+    return counts.groupby("event_type").map_groups(
+        argmax, batch_format="pyarrow", **_rargs()
+    )

@@ -2204,3 +2204,29 @@ def test_vocab_coverage_and_group_sample(ray_session):
     k = lambda df: sorted(zip(df["source"], df["doc_id"]))
     assert k(s1) == k(s2)
     assert s1.groupby("source").size().tolist() == [4, 4, 4]
+
+
+def test_burst_windows_argmax_ties_earliest(ray_session):
+    """Peak tumbling window per type: counts recompute, ties go to the
+    earliest window."""
+    import datetime as dt
+
+    import ray.data
+
+    from engine.relational import burst_windows
+
+    base = dt.datetime(2024, 1, 1)
+    ev = []
+    # type a: windows 0,1,2 hold 2,5,5 events -> peak = win of hour 6 (tie w/ hour 12 -> earliest)
+    for w, n in ((0, 2), (1, 5), (2, 5)):
+        for i in range(n):
+            ev.append({"ts": base + dt.timedelta(hours=6 * w, minutes=i), "event_type": "a"})
+    ev.append({"ts": base, "event_type": "b"})
+    out = (
+        burst_windows(ray.data.from_items(ev).repartition(3))
+        .to_pandas().sort_values("event_type").reset_index(drop=True)
+    )
+    w0 = int(base.timestamp() * 1e6) // 21_600_000_000
+    assert list(out["event_type"]) == ["a", "b"]
+    assert list(out["peak_win"]) == [w0 + 1, w0]
+    assert list(out["peak_n"]) == [5, 1]
