@@ -713,6 +713,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doclen_quantiles": q_doclen_quantiles,
         "quantile_trim": q_quantile_trim,
         "vocab_coverage": lambda sf_dir: textops.vocab_coverage(_docs(sf_dir)),
+        "kwic_concordance": lambda sf_dir: textops.kwic_concordance(
+            _docs(sf_dir), term="join", width=3
+        ),
         "group_sample_hash": lambda sf_dir: textops.group_sample_hash(
             __import__("ray.data", fromlist=["x"]).read_parquet(
                 os.path.join(sf_dir, "documents.parquet"),
@@ -805,6 +808,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             __import__("ray.data", fromlist=["x"]).read_parquet(
                 os.path.join(sf_dir, "events.parquet"),
                 columns=["ts", "event_type"],
+            )
+        ),
+        "zscore_outliers": lambda sf_dir: relational.zscore_outliers(
+            __import__("ray.data", fromlist=["x"]).read_parquet(
+                os.path.join(sf_dir, "events.parquet"),
+                columns=["event_id", "event_type", "value"],
             )
         ),
         "burst_windows": lambda sf_dir: relational.burst_windows(
@@ -4667,6 +4676,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         # exact type-1 quantiles: smallest value with cumulative count
         # >= ceil(q * N) over the n_chars histogram
+        # KWIC: duckdb 1-based-inclusive list slice == Python
+        # toks[lo : p+width+1] (the snippet-fragment slice rule)
+        "kwic_concordance": f"""
+            WITH tok AS (SELECT doc_id, {_TOK} AS ts FROM documents),
+            pos AS (
+                SELECT doc_id, ts, CAST(i AS BIGINT) AS p
+                FROM (SELECT doc_id, ts, unnest(range(len(ts))) AS i
+                      FROM tok WHERE len(ts) > 0)
+                WHERE ts[CAST(i + 1 AS INT)] = 'join'
+            )
+            SELECT doc_id, p AS pos,
+                   array_to_string(
+                       ts[greatest(0, p - 3) + 1 : least(len(ts), p + 4)],
+                       ' ') AS context
+            FROM pos
+        """,
         # coverage curve: integer window cumsum over (ttf desc, term asc)
         "vocab_coverage": f"""
             WITH tt AS (
@@ -5790,6 +5815,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n) OVER (PARTITION BY event_type ORDER BY day
                         ROWS 2 PRECEDING) AS BIGINT) AS moving_n
             FROM daily
+        """,
+        # z-score outliers: ordered per-type folds + a fixed single-op
+        # threshold chain (greatest(...) clamp = selection)
+        "zscore_outliers": """
+            WITH g AS (
+                SELECT event_type,
+                       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                           list(value ORDER BY event_id)),
+                           (x, y) -> x + y) AS s,
+                       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                           list(value * value ORDER BY event_id)),
+                           (x, y) -> x + y) AS sq,
+                       CAST(count(*) AS DOUBLE) AS n
+                FROM events GROUP BY event_type
+            ),
+            thr AS (
+                SELECT event_type,
+                       (s / n) + 3.0 * sqrt(greatest(
+                           (sq - ((s * s) / n)) / n, 0.0)) AS t
+                FROM g
+            )
+            SELECT e.event_id, e.event_type, e.value
+            FROM events e JOIN thr ON thr.event_type = e.event_type
+            WHERE e.value > thr.t
         """,
         # burst detection: integer tumbling-window counts + per-type
         # argmax (ties earliest window)

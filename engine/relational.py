@@ -1154,3 +1154,41 @@ def burst_windows(ds, window_hours: int = 6):
     return counts.groupby("event_type").map_groups(
         argmax, batch_format="pyarrow", **_rargs()
     )
+
+
+def zscore_outliers(ds, sigma: float = 3.0):
+    """Per-type statistical outlier detection — events whose value
+    exceeds mean + sigma*std of their event_type (the anomaly-flagging
+    pass of metric pipelines). Exactness discipline: per-type sum and
+    sum-of-squares are ORDERED left folds over event_id order (np.cumsum
+    == SQL's 0.0-seeded list_reduce, the PageRank fold rule), and the
+    threshold is a fixed single-op chain — mean = s/n, var =
+    (sq - (s*s)/n)/n clamped at 0.0 (selection), std = sqrt, thr =
+    mean + sigma*std — every step one correctly-rounded f64 op, so the
+    flagged set replays bit-for-bit. One groupby(event_type) shuffle;
+    outliers only leave the group task."""
+    sg = float(sigma)
+
+    def per_type(g: pa.Table) -> pa.Table:
+        order = np.argsort(g.column("event_id").to_numpy(), kind="stable")
+        g = g.take(pa.array(order))
+        v = g.column("value").to_numpy().astype(np.float64)
+        n = np.float64(len(v))
+        s = np.cumsum(v)[-1] if len(v) else np.float64(0.0)
+        sq = np.cumsum(v * v)[-1] if len(v) else np.float64(0.0)
+        mean = s / n
+        var = (sq - ((s * s) / n)) / n
+        var = max(var, np.float64(0.0))
+        thr = mean + sg * np.sqrt(var)
+        keep = v > thr
+        return pa.table(
+            {
+                "event_id": g.column("event_id").filter(pa.array(keep)),
+                "event_type": g.column("event_type").filter(pa.array(keep)),
+                "value": g.column("value").filter(pa.array(keep)),
+            }
+        )
+
+    return ds.groupby("event_type").map_groups(
+        per_type, batch_format="pyarrow", **_rargs()
+    )

@@ -1906,3 +1906,39 @@ def group_sample_hash(ds, per_group: int = 16, group_col: str = "source", id_col
         .groupby(group_col)
         .map_groups(final, batch_format="pyarrow", **_rargs())
     )
+
+
+def kwic_concordance(ds, term: str = "join", width: int = 3):
+    """KWIC concordance — every occurrence of ``term`` with ±``width``
+    tokens of context (the corpus-linguistics keyword-in-context view;
+    kin to the highlighter's window rule, textops.make_snippet).
+    Streams as one map_batches pass: per doc, occurrence positions via
+    one vectorized equality over the token array, contexts as token
+    slices. Returns (doc_id, pos, context) — exact strings, so the SQL
+    list-slice replay is literal."""
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out_id: list[int] = []
+        out_pos: list[int] = []
+        out_ctx: list[str] = []
+        for d, t in zip(ids, texts):
+            toks = TOKEN_RE.findall(t.lower()) if t else []
+            if not toks:
+                continue
+            arr = np.asarray(toks)
+            for p in np.flatnonzero(arr == term).tolist():
+                lo = max(0, p - width)
+                out_id.append(d)
+                out_pos.append(p)
+                out_ctx.append(" ".join(toks[lo : p + width + 1]))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, type=pa.int64()),
+                "pos": pa.array(out_pos, type=pa.int64()),
+                "context": pa.array(out_ctx, type=pa.string()),
+            }
+        )
+
+    return ds.map_batches(per_batch, batch_format="pyarrow", **_rargs())

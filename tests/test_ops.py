@@ -2230,3 +2230,38 @@ def test_burst_windows_argmax_ties_earliest(ray_session):
     assert list(out["event_type"]) == ["a", "b"]
     assert list(out["peak_win"]) == [w0 + 1, w0]
     assert list(out["peak_n"]) == [5, 1]
+
+
+def test_kwic_and_zscore_semantics(ray_session):
+    """KWIC windows clip at doc edges; z-score flags exactly the crafted
+    spike and nothing else (threshold recomputed with the pinned chain)."""
+    import numpy as np
+    import ray.data
+
+    from engine.relational import zscore_outliers
+    from engine.textops import kwic_concordance
+
+    docs = [
+        {"doc_id": 0, "text": "join a b c"},          # term at pos 0: left-clipped
+        {"doc_id": 1, "text": "x y z join"},          # term at end: right-clipped
+        {"doc_id": 2, "text": "a b c join d e f g"},  # full window
+        {"doc_id": 3, "text": "nothing here"},
+    ]
+    out = (
+        kwic_concordance(ray.data.from_items(docs), term="join", width=3)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert list(out["doc_id"]) == [0, 1, 2]
+    assert list(out["pos"]) == [0, 3, 3]
+    assert list(out["context"]) == ["join a b c", "x y z join", "a b c join d e f"]
+
+    ev = [{"event_id": i, "event_type": "m", "value": 10.0 + (i % 3) * 0.1} for i in range(50)]
+    ev.append({"event_id": 99, "event_type": "m", "value": 1000.0})
+    z = zscore_outliers(ray.data.from_items(ev).repartition(4)).to_pandas()
+    assert list(z["event_id"]) == [99]
+
+    v = np.array([r["value"] for r in sorted(ev, key=lambda r: r["event_id"])])
+    n = np.float64(len(v))
+    s, sq = np.cumsum(v)[-1], np.cumsum(v * v)[-1]
+    thr = (s / n) + 3.0 * np.sqrt(max((sq - ((s * s) / n)) / n, np.float64(0.0)))
+    assert (v > thr).sum() == 1
