@@ -136,6 +136,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).num_rows
         return anchor_stats(_docs(sf_dir), n_docs=n)
 
+    def _doc_ids_n(sf_dir):
+        import pyarrow.parquet as _pq
+        import ray.data
+
+        n = _pq.read_metadata(
+            os.path.join(sf_dir, "documents.parquet")
+        ).num_rows
+        return (
+            ray.data.read_parquet(
+                os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+            ),
+            n,
+        )
+
+    def q_co_citation(sf_dir):
+        from engine.graph import co_citation_pairs
+
+        ds, n = _doc_ids_n(sf_dir)
+        return co_citation_pairs(ds, n_docs=n)
+
+    def q_hits(sf_dir):
+        from engine.graph import hits_scores
+
+        ds, n = _doc_ids_n(sf_dir)
+        return hits_scores(ds, n_docs=n, n_iters=2)
+
+    def q_bfs_hops(sf_dir):
+        from engine.graph import bfs_hops
+
+        ds, n = _doc_ids_n(sf_dir)
+        return bfs_hops(ds, n_docs=n, source=0, max_depth=4)
+
     def q_resumable_sink(sf_dir):
         import shutil
 
@@ -727,6 +759,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": q_pagerank,
         "anchor_stats": q_anchor_stats,
         "bib_coupling_pairs": q_bib_coupling,
+        "co_citation_pairs": q_co_citation,
+        "hits_scores": q_hits,
+        "bfs_hops": q_bfs_hops,
         "word_delimiter_terms": pipelines.word_delimiter_terms,
         "shingle_top50": q_shingle_top50,
         "stemmed_top_terms": q_stemmed_top_terms,
@@ -884,6 +919,70 @@ def oracle_sql() -> dict[str, str]:
             f" + ((CAST(({e}) // 4294967296 AS HUGEINT) * {c})"
             f" % 4294967296) * 4294967296)"
             f" % 18446744073709551616) AS UBIGINT)"
+        )
+
+    def _graph_arms_sql() -> str:
+        """The fixture multigraph edge stream (s, t) — self-loops
+        dropped, parallel edges KEPT (dedupe with DISTINCT at use
+        sites that want the simple graph)."""
+        n = "(SELECT count(*) FROM documents)"
+        return " UNION ALL ".join(
+            f"SELECT doc_id AS s, (doc_id * {a} + {b}) % {n} AS t "
+            f"FROM documents WHERE (doc_id * {a} + {b}) % {n} != doc_id"
+            for a, b in ((31, 7), (97, 13), (131, 29))
+        )
+
+    def _hits_sql(n_iters: int = 2) -> str:
+        # unnormalized integer HITS (path counts): a <- E^T h, h <- E a
+        # from h0 = 1; sums of BIGINT are HUGEINT in DuckDB -> cast back
+        ctes = [
+            f"e AS ({_graph_arms_sql()})",
+            "h0 AS (SELECT doc_id, CAST(1 AS BIGINT) AS h FROM documents)",
+        ]
+        for k in range(n_iters):
+            ctes.append(f"""a{k + 1} AS (
+                SELECT d.doc_id, coalesce(x.v, CAST(0 AS BIGINT)) AS a
+                FROM documents d LEFT JOIN (
+                    SELECT e.t AS doc_id, CAST(sum(h{k}.h) AS BIGINT) AS v
+                    FROM e JOIN h{k} ON h{k}.doc_id = e.s GROUP BY e.t
+                ) x ON x.doc_id = d.doc_id
+            )""")
+            ctes.append(f"""h{k + 1} AS (
+                SELECT d.doc_id, coalesce(x.v, CAST(0 AS BIGINT)) AS h
+                FROM documents d LEFT JOIN (
+                    SELECT e.s AS doc_id, CAST(sum(a{k + 1}.a) AS BIGINT) AS v
+                    FROM e JOIN a{k + 1} ON a{k + 1}.doc_id = e.t GROUP BY e.s
+                ) x ON x.doc_id = d.doc_id
+            )""")
+        return (
+            "WITH " + ",\n".join(ctes)
+            + f"""
+            SELECT d.doc_id, h{n_iters}.h AS hub, a{n_iters}.a AS auth
+            FROM documents d
+            JOIN h{n_iters} ON h{n_iters}.doc_id = d.doc_id
+            JOIN a{n_iters} ON a{n_iters}.doc_id = d.doc_id"""
+        )
+
+    def _bfs_sql(source: int = 0, max_depth: int = 4) -> str:
+        # level-synchronous BFS unrolled: level k expands only dist==k
+        ctes = [
+            f"e AS (SELECT DISTINCT s, t FROM ({_graph_arms_sql()}))",
+            f"d0 AS (SELECT CAST({source} AS BIGINT) AS doc_id,"
+            f" CAST(0 AS BIGINT) AS dist)",
+        ]
+        for k in range(max_depth):
+            ctes.append(f"""d{k + 1} AS (
+                SELECT doc_id, min(dist) AS dist FROM (
+                    SELECT doc_id, dist FROM d{k}
+                    UNION ALL
+                    SELECT e.t AS doc_id, p.dist + 1 AS dist
+                    FROM d{k} p JOIN e ON e.s = p.doc_id
+                    WHERE p.dist = {k}
+                ) GROUP BY doc_id
+            )""")
+        return (
+            "WITH " + ",\n".join(ctes)
+            + f"\nSELECT doc_id, dist FROM d{max_depth}"
         )
 
     def _pagerank_sql(n_iters: int = 5) -> str:
@@ -4674,6 +4773,18 @@ def oracle_sql() -> dict[str, str]:
             FROM e a JOIN e b ON a.t = b.t AND a.s < b.s
             GROUP BY 1, 2
         """,
+        # co-citation = the source-side self-join (transpose of the
+        # coupling join above), over the DISTINCT edge set
+        "co_citation_pairs": f"""
+            WITH arms AS ({_graph_arms_sql()}),
+            e AS (SELECT DISTINCT s, t FROM arms)
+            SELECT a.t AS doc_a, b.t AS doc_b,
+                   CAST(count(*) AS BIGINT) AS n_common
+            FROM e a JOIN e b ON a.s = b.s AND a.t < b.t
+            GROUP BY 1, 2
+        """,
+        "hits_scores": _hits_sql(2),
+        "bfs_hops": _bfs_sql(0, 4),
         # exact type-1 quantiles: smallest value with cumulative count
         # >= ceil(q * N) over the n_chars histogram
         # KWIC: duckdb 1-based-inclusive list slice == Python

@@ -287,3 +287,269 @@ def bib_coupling_pairs(ds, n_docs: int):
         batch_format="pyarrow",
         **_rargs(),
     )
+
+
+def co_citation_pairs(ds, n_docs: int):
+    """Co-citation pairs over the fixture web graph (Small 1973: two
+    pages are related iff a common source LINKS TO both — the transpose
+    of bibliographic coupling). Returns (doc_a, doc_b, n_common) for
+    doc_a < doc_b with n_common = number of distinct sources citing
+    both.
+
+    Distributed shape: ZERO pre-shuffle — a source's distinct targets
+    (<= 3 under the arm rule) are known in-batch, so each map task emits
+    its C(outdeg, 2) target pairs directly; ONE groupby((a, b)) Sum
+    accumulates citing-source counts. All integers; oracle = distinct-
+    edge self-join on the source side."""
+    from ray.data.aggregate import Sum
+
+    def _pairs(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        s, t = synth_out_edges(ids, n_docs)
+        # distinct targets per source (parallel arms can collide)
+        key = s * np.int64(n_docs) + t
+        _, idx = np.unique(key, return_index=True)
+        s, t = s[idx], t[idx]
+        a_out: list[np.ndarray] = []
+        b_out: list[np.ndarray] = []
+        # arm-combination pair emission over the DEDUPED (s, t) stream:
+        # sort by source, emit intra-source combinations vectorized via
+        # the (0,1)/(0,2)/(1,2) rank combos of each source's run
+        order = np.argsort(s, kind="stable")
+        s, t = s[order], t[order]
+        starts = np.flatnonzero(np.concatenate(([True], s[1:] != s[:-1])))
+        sizes = np.diff(np.concatenate((starts, [len(s)])))
+        rank = np.arange(len(s)) - starts[np.repeat(np.arange(len(starts)), sizes)]
+        sz = np.repeat(sizes, sizes)
+        for i, j in ((0, 1), (0, 2), (1, 2)):
+            sel = np.flatnonzero((rank == i) & (sz > j))
+            if len(sel) == 0:
+                continue
+            ta, tb = t[sel], t[sel + (j - i)]
+            lo, hi = np.minimum(ta, tb), np.maximum(ta, tb)
+            a_out.append(lo)
+            b_out.append(hi)
+        if not a_out:
+            return pa.table(
+                {
+                    "doc_a": pa.array([], type=pa.int64()),
+                    "doc_b": pa.array([], type=pa.int64()),
+                    "n": pa.array([], type=pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "doc_a": pa.array(np.concatenate(a_out), type=pa.int64()),
+                "doc_b": pa.array(np.concatenate(b_out), type=pa.int64()),
+                "n": pa.array(
+                    np.ones(sum(len(x) for x in a_out), dtype=np.int64)
+                ),
+            }
+        )
+
+    agg = (
+        ds.map_batches(_pairs, batch_format="pyarrow", **_rargs())
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Sum("n", alias_name="n_common"))
+    )
+    return agg.map_batches(
+        lambda b: b.set_column(
+            b.schema.get_field_index("n_common"),
+            "n_common",
+            b.column("n_common").cast(pa.int64()),
+        ),
+        batch_format="pyarrow",
+        **_rargs(),
+    )
+
+
+def hits_scores(ds, n_docs: int, n_iters: int = 2):
+    """HITS hubs & authorities (Kleinberg 1999, JACM 46(5)) over the
+    fixture multigraph (parallel edges contribute twice, matching the
+    pagerank convention). UNNORMALIZED integer formulation: per-
+    iteration normalization is a uniform positive scale, so the RANKING
+    is identical to normalized HITS while every value stays an exact
+    int64 path count (h0 = 1; a <- E^T h; h <- E a) — order-free
+    distributed sums, partition-invariant, and the oracle replays them
+    as plain integer joins.
+
+    Ray shape per iteration (nothing whole-corpus on the driver):
+      1. state (doc_id, h) -> edge contribution rows (key=target, hc=h)
+         + zero anchors -> groupby(key) Sum = new authority table A.
+      2. A -> identity row (key=doc, src=-1, aval=a) + out-edge request
+         rows (key=target, src=source, aval=0) -> groupby(key)
+         map_groups disperses a_t back to each citing source ->
+         groupby(doc_id) Sum(h), Sum(a) = next state. The cogroup
+         replaces a distributed join; group size is bounded by fan-in.
+    Returns a Dataset (doc_id, hub, auth) after ``n_iters`` rounds."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    def _init(batch: pa.Table) -> pa.Table:
+        docs = batch.column("doc_id")
+        return pa.table(
+            {
+                "doc_id": docs,
+                "h": pa.array(np.ones(len(docs), dtype=np.int64)),
+            }
+        )
+
+    state = ds.select_columns(["doc_id"]).map_batches(
+        _init, batch_format="pyarrow", **_rargs()
+    )
+
+    def _auth_contribs(batch: pa.Table) -> pa.Table:
+        docs = batch.column("doc_id").to_numpy()
+        h = batch.column("h").to_numpy()
+        k_out = [docs]  # zero anchors keep in-link-less docs present
+        c_out = [np.zeros(len(docs), dtype=np.int64)]
+        for a, b in EDGE_MULS:
+            t = (docs * a + b) % n_docs
+            keep = t != docs
+            k_out.append(t[keep])
+            c_out.append(h[keep])
+        return pa.table(
+            {
+                "key": pa.array(np.concatenate(k_out), type=pa.int64()),
+                "hc": pa.array(np.concatenate(c_out), type=pa.int64()),
+            }
+        )
+
+    def _disperse_prep(batch: pa.Table) -> pa.Table:
+        docs = batch.column("key").to_numpy()
+        a_val = batch.column("hc").to_numpy()
+        k_out = [docs]
+        s_out = [np.full(len(docs), -1, dtype=np.int64)]
+        v_out = [a_val]
+        for a, b in EDGE_MULS:
+            t = (docs * a + b) % n_docs
+            keep = t != docs
+            k_out.append(t[keep])
+            s_out.append(docs[keep])
+            v_out.append(np.zeros(int(keep.sum()), dtype=np.int64))
+        return pa.table(
+            {
+                "key": pa.array(np.concatenate(k_out), type=pa.int64()),
+                "src": pa.array(np.concatenate(s_out), type=pa.int64()),
+                "aval": pa.array(np.concatenate(v_out), type=pa.int64()),
+            }
+        )
+
+    def _disperse(g: pa.Table) -> pa.Table:
+        src = g.column("src").to_numpy()
+        aval = g.column("aval").to_numpy()
+        key = int(g.column("key")[0].as_py())
+        ident = src == -1
+        a_t = int(aval[ident].sum())  # exactly one identity row
+        senders = src[~ident]
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    np.concatenate((senders, [key])), type=pa.int64()
+                ),
+                "hp": pa.array(
+                    np.concatenate(
+                        (np.full(len(senders), a_t, dtype=np.int64), [0])
+                    )
+                ),
+                "ap": pa.array(
+                    np.concatenate(
+                        (np.zeros(len(senders), dtype=np.int64), [a_t])
+                    )
+                ),
+            }
+        )
+
+    for i in range(n_iters):
+        auth = (
+            state.map_batches(_auth_contribs, batch_format="pyarrow", **_rargs())
+            .groupby("key")
+            .aggregate(Sum("hc", alias_name="hc"))
+        )
+        state = (
+            auth.map_batches(_disperse_prep, batch_format="pyarrow", **_rargs())
+            .groupby("key")
+            .map_groups(_disperse, batch_format="pyarrow", **_rargs())
+            .groupby("doc_id")
+            .aggregate(Sum("hp", alias_name="h"), Sum("ap", alias_name="a"))
+        )
+        # iterative barrier (pagerank lore: lazy lineage re-executes
+        # iteration k once per downstream iteration otherwise)
+        if i < n_iters - 1:
+            state = state.materialize()
+
+    def _finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "hub": batch.column("h").cast(pa.int64()),
+                "auth": batch.column("a").cast(pa.int64()),
+            }
+        )
+
+    return state.map_batches(_finish, batch_format="pyarrow", **_rargs())
+
+
+def bfs_hops(ds, n_docs: int, source: int = 0, max_depth: int = 4):
+    """Single-source BFS hop distances over the fixture graph — the
+    Solr graph streaming-expression role (shortestPath / gatherNodes,
+    solr/.../graph/ShortestPathStream.java semantics at the hop level:
+    breadth-first frontier expansion to ``max_depth``). Returns
+    (doc_id, dist) for every node reachable within max_depth, dist =
+    minimum hop count.
+
+    Ray shape: the visited set IS a Dataset (doc_id, dist); iteration k
+    expands only the dist==k frontier through the arm rule, unions with
+    the visited set and resolves with groupby(doc_id) Min(dist) —
+    level-synchronous BFS, one bounded shuffle per level, nothing on
+    the driver. ``ds`` is accepted for signature uniformity (the edge
+    universe derives from n_docs)."""
+    import ray.data
+    from ray.data.aggregate import Min
+
+    visited = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([source], type=pa.int64()),
+                "dist": pa.array([0], type=pa.int64()),
+            }
+        )
+    )
+
+    for k in range(max_depth):
+        def _expand(batch: pa.Table, _k=k) -> pa.Table:
+            docs = batch.column("doc_id").to_numpy()
+            dist = batch.column("dist").to_numpy()
+            frontier = docs[dist == _k]
+            s, t = synth_out_edges(frontier, n_docs)
+            return pa.table(
+                {
+                    "doc_id": pa.array(
+                        np.concatenate((docs, t)), type=pa.int64()
+                    ),
+                    "dist": pa.array(
+                        np.concatenate(
+                            (dist, np.full(len(t), _k + 1, dtype=np.int64))
+                        )
+                    ),
+                }
+            )
+
+        visited = (
+            visited.map_batches(_expand, batch_format="pyarrow", **_rargs())
+            .groupby("doc_id")
+            .aggregate(Min("dist", alias_name="dist"))
+        )
+        if k < max_depth - 1:
+            visited = visited.materialize()
+
+    return visited.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b.column("doc_id").cast(pa.int64()),
+                "dist": b.column("dist").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        **_rargs(),
+    )

@@ -2108,6 +2108,127 @@ def test_bib_coupling_pairs_brute_force(ray_session):
     assert key(out) == sorted((a, b, c) for (a, b), c in cnt.items())
 
 
+def test_co_citation_pairs_brute_force(ray_session):
+    """Co-citation counts equal the brute-force shared-in-source
+    recompute (the transpose of coupling) and are partition-invariant."""
+    from collections import Counter
+    from itertools import combinations
+
+    import numpy as np
+    import ray.data
+
+    from engine.graph import co_citation_pairs, synth_out_edges
+
+    n = 60
+    out = co_citation_pairs(
+        ray.data.from_items([{"doc_id": i} for i in range(n)]), n_docs=n
+    ).to_pandas()
+    out2 = co_citation_pairs(
+        ray.data.from_items([{"doc_id": i} for i in range(n)]).repartition(7),
+        n_docs=n,
+    ).to_pandas()
+    key = lambda df: sorted(zip(df["doc_a"], df["doc_b"], df["n_common"]))
+    assert key(out) == key(out2)
+
+    s, t = synth_out_edges(np.arange(n), n)
+    by_source: dict[int, set] = {}
+    for a, b in zip(s.tolist(), t.tolist()):
+        by_source.setdefault(a, set()).add(b)
+    cnt = Counter()
+    for tgts in by_source.values():
+        for a, b in combinations(sorted(tgts), 2):
+            cnt[(a, b)] += 1
+    assert key(out) == sorted((a, b, c) for (a, b), c in cnt.items())
+
+
+def test_hits_scores_path_counts(ray_session):
+    """Unnormalized HITS == exact integer path counts of the scalar
+    recompute over the multigraph (parallel edges contribute twice);
+    iteration 1 authorities equal in-degree."""
+    import numpy as np
+    import ray.data
+
+    from engine.graph import EDGE_MULS, hits_scores
+
+    n = 53
+    edges = []
+    for i in range(n):
+        for a, b in EDGE_MULS:
+            t = (i * a + b) % n
+            if t != i:
+                edges.append((i, t))
+    h = {i: 1 for i in range(n)}
+    for _ in range(2):
+        aa = {i: 0 for i in range(n)}
+        for s, t in edges:
+            aa[t] += h[s]
+        h = {i: 0 for i in range(n)}
+        for s, t in edges:
+            h[s] += aa[t]
+    out = (
+        hits_scores(
+            ray.data.from_items([{"doc_id": i} for i in range(n)]).repartition(5),
+            n_docs=n,
+            n_iters=2,
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(out) == n
+    assert [int(x) for x in out["hub"]] == [h[i] for i in range(n)]
+    assert [int(x) for x in out["auth"]] == [aa[i] for i in range(n)]
+
+    one = (
+        hits_scores(
+            ray.data.from_items([{"doc_id": i} for i in range(n)]),
+            n_docs=n,
+            n_iters=1,
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    indeg = {i: 0 for i in range(n)}
+    for _, t in edges:
+        indeg[t] += 1
+    assert [int(x) for x in one["auth"]] == [indeg[i] for i in range(n)]
+
+
+def test_bfs_hops_levels(ray_session):
+    """BFS distances equal the scalar level-by-level expansion; depth
+    is capped at max_depth and unreachable nodes are absent."""
+    import ray.data
+
+    from engine.graph import EDGE_MULS, bfs_hops
+
+    n = 101
+    dist = {3: 0}
+    frontier = [3]
+    for k in range(3):
+        nxt = []
+        for u in frontier:
+            for a, b in EDGE_MULS:
+                t = (u * a + b) % n
+                if t != u and t not in dist:
+                    dist[t] = k + 1
+                    nxt.append(t)
+        frontier = nxt
+    out = (
+        bfs_hops(
+            ray.data.from_items([{"doc_id": i} for i in range(n)]),
+            n_docs=n,
+            source=3,
+            max_depth=3,
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert dict(zip(out["doc_id"], (int(d) for d in out["dist"]))) == dist
+    assert int(out["dist"].max()) <= 3
+
+
 def test_asof_join_strictly_prior_with_tie_rule(ray_session):
     """As-of join: strictly-prior click per purchase, ties on equal click
     ts resolved to the larger event_id, no-match purchases dropped."""
