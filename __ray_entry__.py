@@ -863,6 +863,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 columns=["user_id", "ts"],
             )
         ),
+        "funnel_steps": lambda sf_dir: relational.funnel_steps(
+            __import__("ray.data", fromlist=["x"]).read_parquet(
+                os.path.join(sf_dir, "events.parquet"),
+                columns=["user_id", "ts", "event_type"],
+            )
+        ),
+        "cohort_retention": lambda sf_dir: relational.cohort_retention(
+            __import__("ray.data", fromlist=["x"]).read_parquet(
+                os.path.join(sf_dir, "events.parquet"),
+                columns=["user_id", "ts"],
+            )
+        ),
         "orders_semi_join": relational.orders_semi_join,
         "customer_orders_left_outer": relational.customer_orders_left_outer,
         "custkeys_intersect": relational.custkeys_intersect,
@@ -5997,6 +6009,52 @@ def oracle_sql() -> dict[str, str]:
         "events_timeseries": """
             SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n_events
             FROM events GROUP BY event_type, day
+        """,
+        # first-touch funnel: step k+1 converts at the earliest event
+        # STRICTLY after step k's conversion and within the window;
+        # all comparisons on integer epoch microseconds
+        "funnel_steps": """
+            WITH ev AS (
+                SELECT user_id, event_type, epoch_us(ts) AS t FROM events
+            ),
+            s1 AS (SELECT user_id, min(t) AS t1 FROM ev
+                   WHERE event_type = 'view' GROUP BY user_id),
+            s2 AS (SELECT ev.user_id, min(t) AS t2 FROM ev
+                   JOIN s1 ON s1.user_id = ev.user_id
+                   WHERE event_type = 'click' AND t > s1.t1
+                     AND t <= s1.t1 + 3600000000 GROUP BY ev.user_id),
+            s3 AS (SELECT ev.user_id, min(t) AS t3 FROM ev
+                   JOIN s2 ON s2.user_id = ev.user_id
+                   WHERE event_type = 'purchase' AND t > s2.t2
+                     AND t <= s2.t2 + 3600000000 GROUP BY ev.user_id),
+            c AS (
+                SELECT 1 AS step, 'view' AS event_type,
+                       (SELECT count(*) FROM s1) AS n
+                UNION ALL
+                SELECT 2, 'click', (SELECT count(*) FROM s2)
+                UNION ALL
+                SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+            )
+            SELECT CAST(step AS BIGINT) AS step, event_type,
+                   CAST(n AS BIGINT) AS n_users
+            FROM c WHERE n > 0
+        """,
+        # integer week buckets (epoch_us // week_us) — no calendar
+        # functions, so Ray and DuckDB agree bit-for-bit
+        "cohort_retention": """
+            WITH w AS (
+                SELECT DISTINCT user_id,
+                       epoch_us(ts) // 604800000000 AS wk
+                FROM events
+            ),
+            c AS (
+                SELECT user_id, wk,
+                       min(wk) OVER (PARTITION BY user_id) AS cw
+                FROM w
+            )
+            SELECT cw AS cohort_week, wk - cw AS week_offset,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM c GROUP BY 1, 2
         """,
         "orders_semi_join": """
             SELECT o_orderkey, o_custkey FROM orders

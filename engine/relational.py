@@ -1192,3 +1192,147 @@ def zscore_outliers(ds, sigma: float = 3.0):
     return ds.groupby("event_type").map_groups(
         per_type, batch_format="pyarrow", **_rargs()
     )
+
+
+def funnel_steps(ds, steps=("view", "click", "purchase"), window_s: int = 3600):
+    """Funnel analysis — the ordered-sequence clickstream op every web
+    analytics stack hand-rolls (first-touch semantics): a user converts
+    to step k+1 iff an event of that type occurs STRICTLY after their
+    step-k conversion time and within ``window_s`` seconds of it; the
+    conversion time is the EARLIEST such event. Returns
+    (step, event_type, n_users) for steps with at least one converter
+    (1-based step index; absent steps have zero users on both sides).
+
+    Shape: ONE groupby(user_id) shuffle of the pruned (user, type, ts)
+    stream; the per-user fold is len(steps) vectorized mask+min passes
+    (no per-event Python). All-integer microsecond comparisons, so the
+    SQL replay (chained min-over-window CTEs) is exact."""
+    step_list = list(steps)
+    w_us = int(window_s) * 1_000_000
+    step_set = set(step_list)
+
+    def _prune(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(
+            batch.column("event_type"),
+            value_set=pa.array(step_list, type=pa.string()),
+        )
+        b = batch.filter(mask)
+        return pa.table(
+            {
+                "user_id": b.column("user_id").cast(pa.int64()),
+                "event_type": b.column("event_type"),
+                # normalize the unit: epoch MICROseconds whatever the
+                # input precision (parquet [us]; from_items can be [s])
+                "ts_us": b.column("ts")
+                .cast(pa.timestamp("us"))
+                .cast(pa.int64()),
+            }
+        )
+
+    def _per_user(g: pa.Table) -> pa.Table:
+        et = np.asarray(g.column("event_type").to_pylist())
+        ts = g.column("ts_us").to_numpy()
+        reached = 0
+        t_prev = None
+        for k, s in enumerate(step_list):
+            if k == 0:
+                cand = ts[et == s]
+            else:
+                cand = ts[(et == s) & (ts > t_prev) & (ts <= t_prev + w_us)]
+            if len(cand) == 0:
+                break
+            t_prev = int(cand.min())
+            reached = k + 1
+        return pa.table(
+            {
+                "step": pa.array(
+                    np.arange(1, reached + 1, dtype=np.int64)
+                )
+            }
+        )
+
+    from ray.data.aggregate import Count
+
+    counts = (
+        ds.map_batches(_prune, batch_format="pyarrow", **_rargs())
+        .groupby("user_id")
+        .map_groups(_per_user, batch_format="pyarrow", **_rargs())
+        .groupby("step")
+        .aggregate(Count(alias_name="n_users"))
+    )
+
+    def _finish(batch: pa.Table) -> pa.Table:
+        st = batch.column("step").to_numpy()
+        return pa.table(
+            {
+                "step": pa.array(st, type=pa.int64()),
+                "event_type": pa.array(
+                    [step_list[int(s) - 1] for s in st], type=pa.string()
+                ),
+                "n_users": batch.column("n_users").cast(pa.int64()),
+            }
+        )
+
+    return counts.map_batches(_finish, batch_format="pyarrow", **_rargs())
+
+
+def cohort_retention(ds, week_us: int = 7 * 86400 * 1_000_000):
+    """Cohort retention — the web-analytics retention matrix: a user's
+    cohort is their first active week (epoch_us // week_us, a pure
+    integer bucket — no calendar functions, so the replay is exact);
+    cell (cohort_week, week_offset) counts DISTINCT users from that
+    cohort active again ``week_offset`` weeks later (offset 0 = the
+    cohort size). Returns (cohort_week, week_offset, n_users).
+
+    Shape: in-batch (user, week) dedup, ONE groupby(user_id) shuffle of
+    the deduped pairs (bounded: at most one row per user-week), per-user
+    offsets from the group minimum, one small groupby((cohort, offset))
+    count. All integers."""
+
+    def _weeks(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").cast(pa.int64()).to_numpy()
+        w = (
+            batch.column("ts").cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+            // week_us
+        )
+        # in-batch dedup so at most one (user, week) row per batch ships
+        key = u * np.int64(1 << 20) + w  # weeks since 1970 < 2^20
+        _, idx = np.unique(key, return_index=True)
+        return pa.table(
+            {
+                "user_id": pa.array(u[idx], type=pa.int64()),
+                "week": pa.array(w[idx], type=pa.int64()),
+            }
+        )
+
+    def _per_user(g: pa.Table) -> pa.Table:
+        w = np.unique(g.column("week").to_numpy())
+        return pa.table(
+            {
+                "cohort_week": pa.array(
+                    np.full(len(w), w[0], dtype=np.int64)
+                ),
+                "week_offset": pa.array(w - w[0], type=pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Count
+
+    agg = (
+        ds.map_batches(_weeks, batch_format="pyarrow", **_rargs())
+        .groupby("user_id")
+        .map_groups(_per_user, batch_format="pyarrow", **_rargs())
+        .groupby(["cohort_week", "week_offset"])
+        .aggregate(Count(alias_name="n_users"))
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "cohort_week": b.column("cohort_week").cast(pa.int64()),
+                "week_offset": b.column("week_offset").cast(pa.int64()),
+                "n_users": b.column("n_users").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        **_rargs(),
+    )

@@ -2229,6 +2229,87 @@ def test_bfs_hops_levels(ray_session):
     assert int(out["dist"].max()) <= 3
 
 
+def test_funnel_steps_window_boundaries(ray_session):
+    """First-touch funnel: conversion uses the EARLIEST qualifying
+    event; the window is strictly-after / inclusive-end (+W converts,
+    +W+1us does not); later cheaper paths don't resurrect a user."""
+    import datetime as dt
+
+    import ray.data
+
+    from engine.relational import funnel_steps
+
+    base = dt.datetime(2024, 1, 1)
+
+    def ev(u, t_s, typ):
+        return {
+            "user_id": u,
+            "ts": base + dt.timedelta(seconds=t_s),
+            "event_type": typ,
+        }
+
+    rows = [
+        # u1: full conversion, click exactly at +W (inclusive end)
+        ev(1, 0, "view"), ev(1, 3600, "click"), ev(1, 3601, "purchase"),
+        # u2: click 1s past the window -> stops at step 1, even though
+        # a LATER view would have put the click in range (first-touch)
+        ev(2, 0, "view"), ev(2, 3601, "click"), ev(2, 3700, "view"),
+        # u3: click at the same instant as view (not strictly after)
+        ev(3, 0, "view"), ev(3, 0, "click"),
+        # u4: no view at all -> contributes to no step
+        ev(4, 0, "purchase"), ev(4, 1, "click"),
+        # u5: two views; funnel anchors on the EARLIEST, whose window
+        # the click misses
+        ev(5, 0, "view"), ev(5, 100, "view"), ev(5, 3650, "click"),
+    ]
+    out = (
+        funnel_steps(ray.data.from_items(rows), window_s=3600)
+        .to_pandas()
+        .sort_values("step")
+        .reset_index(drop=True)
+    )
+    got = {
+        (int(r.step), r.event_type): int(r.n_users) for r in out.itertuples()
+    }
+    assert got == {(1, "view"): 4, (2, "click"): 1, (3, "purchase"): 1}
+
+
+def test_cohort_retention_offsets(ray_session):
+    """Cohort = first active week; offsets count distinct users, week
+    buckets are pure integer division of epoch microseconds."""
+    import datetime as dt
+
+    import ray.data
+
+    from engine.relational import cohort_retention
+
+    week = dt.timedelta(days=7)
+    # week boundary for epoch_us // week_us lands on Thursdays
+    w0 = dt.datetime(2024, 1, 4)  # Thursday: start of an epoch week
+    rows = []
+    # u1: weeks 0, 1, 3 (several events in week 0 dedupe)
+    for t in (w0, w0 + dt.timedelta(days=1), w0 + week, w0 + 3 * week):
+        rows.append({"user_id": 1, "ts": t})
+    # u2: weeks 0, 1
+    rows += [{"user_id": 2, "ts": w0}, {"user_id": 2, "ts": w0 + week}]
+    # u3: cohort week 1 only
+    rows += [{"user_id": 3, "ts": w0 + week}]
+    out = cohort_retention(ray.data.from_items(rows)).to_pandas()
+    base = int(
+        (w0 - dt.datetime(1970, 1, 1)).total_seconds() * 1e6
+    ) // 604800000000
+    got = {
+        (int(r.cohort_week) - base, int(r.week_offset)): int(r.n_users)
+        for r in out.itertuples()
+    }
+    assert got == {
+        (0, 0): 2,
+        (0, 1): 2,
+        (0, 3): 1,
+        (1, 0): 1,
+    }
+
+
 def test_asof_join_strictly_prior_with_tie_rule(ray_session):
     """As-of join: strictly-prior click per purchase, ties on equal click
     ts resolved to the larger event_id, no-match purchases dropped."""
