@@ -786,6 +786,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi_top_bigrams": lambda sf_dir: textops.pmi_top_bigrams(
             _docs(sf_dir), top_n=50
         ),
+        "bpe_learn_merges": lambda sf_dir: textops.bpe_learn_merges(
+            _docs(sf_dir), n_merges=4
+        ),
         "train_val_test_split": lambda sf_dir: textops.train_val_test_split(
             __import__("ray.data", fromlist=["x"]).read_parquet(
                 os.path.join(sf_dir, "documents.parquet"),
@@ -996,6 +999,50 @@ def oracle_sql() -> dict[str, str]:
             "WITH " + ",\n".join(ctes)
             + f"\nSELECT doc_id, dist FROM d{max_depth}"
         )
+
+    def _bpe_sql(n_merges: int = 4) -> str:
+        # paren-delimited symbols: replace() can never match across
+        # token boundaries and needs no RE2-unsupported lookarounds;
+        # counting is list-position based (every adjacent position),
+        # merging is left-to-right non-overlapping — both sides agree
+        ctes = [
+            f"""w AS MATERIALIZED (
+                SELECT t AS word, CAST(count(*) AS BIGINT) AS freq FROM (
+                    SELECT unnest({_TOK}) AS t FROM documents) GROUP BY t
+            )""",
+            "s0 AS MATERIALIZED (SELECT word, freq, '(' ||"
+            " array_to_string(string_split(word, ''), ')(') || ')' AS sym"
+            " FROM w)",
+        ]
+        for k in range(n_merges):
+            ctes.append(f"""p{k + 1} AS MATERIALIZED (
+                SELECT toks[i] AS lhs, toks[i + 1] AS rhs,
+                       CAST(sum(freq) AS BIGINT) AS c
+                FROM (SELECT freq, string_split(trim(sym, '()'), ')(') AS toks
+                      FROM s{k}),
+                     UNNEST(range(1, len(toks))) AS u(i)
+                GROUP BY 1, 2
+            )""")
+            ctes.append(f"""b{k + 1} AS MATERIALIZED (
+                SELECT lhs, rhs, c FROM p{k + 1}
+                ORDER BY c DESC, lhs ASC, rhs ASC LIMIT 1
+            )""")
+            if k < n_merges - 1:
+                ctes.append(f"""s{k + 1} AS MATERIALIZED (
+                    SELECT word, freq,
+                           replace(sym,
+                                   '(' || (SELECT lhs FROM b{k + 1}) || ')(' ||
+                                   (SELECT rhs FROM b{k + 1}) || ')',
+                                   '(' || (SELECT lhs FROM b{k + 1}) ||
+                                   (SELECT rhs FROM b{k + 1}) || ')') AS sym
+                    FROM s{k}
+                )""")
+        sel = " UNION ALL ".join(
+            f"SELECT CAST({k + 1} AS BIGINT) AS merge_rank, lhs, rhs,"
+            f" c AS n_pairs FROM b{k + 1}"
+            for k in range(n_merges)
+        )
+        return "WITH " + ",\n".join(ctes) + "\n" + sel
 
     def _pagerank_sql(n_iters: int = 5) -> str:
         n = "(SELECT count(*) FROM documents)"
@@ -4797,6 +4844,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "hits_scores": _hits_sql(2),
         "bfs_hops": _bfs_sql(0, 4),
+        "bpe_learn_merges": _bpe_sql(4),
         # exact type-1 quantiles: smallest value with cumulative count
         # >= ceil(q * N) over the n_chars histogram
         # KWIC: duckdb 1-based-inclusive list slice == Python

@@ -1942,3 +1942,147 @@ def kwic_concordance(ds, term: str = "join", width: int = 3):
         )
 
     return ds.map_batches(per_batch, batch_format="pyarrow", **_rargs())
+
+
+def bpe_learn_merges(ds, n_merges: int = 4, text_col: str = "text"):
+    """BPE merge learning — tokenizer TRAINING (Sennrich, Haddow & Birch
+    2016, "Neural Machine Translation of Rare Words with Subword
+    Units", the merge-table construction every byte-pair tokenizer
+    pipeline runs over its corpus). Learns ``n_merges`` merges: each
+    round picks the adjacent symbol pair with the highest corpus
+    frequency (weighted by word frequency, every adjacent position
+    counted — the paper's get_stats) and merges it greedily
+    left-to-right non-overlapping in every word (the paper's
+    merge_vocab). Deviation from the paper (documented): no end-of-word
+    marker. Tie rule: count desc, then (lhs, rhs) lexicographic asc.
+    Returns a small Arrow table (merge_rank, lhs, rhs, n_pairs).
+
+    Distributed shape: ONE corpus-wide shuffle builds the word-frequency
+    table (map-side combined partials); it is materialized once and
+    every round streams over the VOCABULARY (not the corpus) — pair
+    partials are map-side combined Counters, one small groupby((l, r))
+    sum, then per-block top-1 partials and a block-count-bounded driver
+    reduce. Words are re-derived from the merge list each round
+    (stateless tasks, nothing whole-corpus on the driver).
+
+    Exactness: symbols ride a paren-delimited encoding "(a)(n)(a)" so
+    the merge is a plain str.replace that can never match across token
+    boundaries (tokens are [a-z0-9]+, parens never occur inside) and
+    needs no RE2-unsupported lookarounds; DuckDB replace() has the same
+    left-to-right non-overlapping semantics, and counting is list-
+    position based on both sides, so the whole chain is integer-exact."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    def word_partial(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        toks: list[str] = []
+        for t in texts:
+            if t:
+                toks.extend(TOKEN_RE.findall(t.lower()))
+        if not toks:
+            return pa.table(
+                {
+                    "word": pa.array([], type=pa.string()),
+                    "freq": pa.array([], type=pa.int64()),
+                }
+            )
+        uniq, inv = np.unique(np.array(toks), return_inverse=True)
+        counts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pa.table(
+            {
+                "word": pa.array(uniq, type=pa.string()),
+                "freq": pa.array(counts, type=pa.int64()),
+            }
+        )
+
+    words = (
+        ds.map_batches(word_partial, batch_format="pyarrow", **_rargs())
+        .groupby("word")
+        .aggregate(Sum("freq", alias_name="freq"))
+        .materialize()
+    )
+
+    merges: list[tuple[str, str]] = []
+    out_rows: list[tuple[int, str, str, int]] = []
+    for k in range(n_merges):
+        cur = list(merges)
+
+        def pair_partial(batch: pa.Table, _m=cur) -> pa.Table:
+            ws = batch.column("word").to_pylist()
+            fs = batch.column("freq").to_numpy().astype(np.int64)
+            c: Counter = Counter()
+            for w, f in zip(ws, fs.tolist()):
+                s = "(" + ")(".join(w) + ")"
+                for l, r in _m:
+                    s = s.replace(f"({l})({r})", f"({l}{r})")
+                syms = s[1:-1].split(")(")
+                for a, b in zip(syms, syms[1:]):
+                    c[(a, b)] += f
+            if not c:
+                return pa.table(
+                    {
+                        "lhs": pa.array([], type=pa.string()),
+                        "rhs": pa.array([], type=pa.string()),
+                        "c": pa.array([], type=pa.int64()),
+                    }
+                )
+            ls, rs, cs = zip(*((a, b, n) for (a, b), n in c.items()))
+            return pa.table(
+                {
+                    "lhs": pa.array(list(ls), type=pa.string()),
+                    "rhs": pa.array(list(rs), type=pa.string()),
+                    "c": pa.array(list(cs), type=pa.int64()),
+                }
+            )
+
+        def top1(batch: pa.Table) -> pa.Table:
+            rows = list(
+                zip(
+                    batch.column("lhs").to_pylist(),
+                    batch.column("rhs").to_pylist(),
+                    batch.column("c").to_numpy().astype(np.int64).tolist(),
+                )
+            )
+            if not rows:
+                return pa.table(
+                    {
+                        "lhs": pa.array([], type=pa.string()),
+                        "rhs": pa.array([], type=pa.string()),
+                        "c": pa.array([], type=pa.int64()),
+                    }
+                )
+            l, r, n = min(rows, key=lambda t: (-t[2], t[0], t[1]))
+            return pa.table(
+                {
+                    "lhs": pa.array([l], type=pa.string()),
+                    "rhs": pa.array([r], type=pa.string()),
+                    "c": pa.array([n], type=pa.int64()),
+                }
+            )
+
+        cand = (
+            words.map_batches(pair_partial, batch_format="pyarrow", **_rargs())
+            .groupby(["lhs", "rhs"])
+            .aggregate(Sum("c", alias_name="c"))
+            .map_batches(top1, batch_format="pyarrow", **_rargs())
+            .take_all()
+        )
+        if not cand:
+            break
+        best = min(
+            ((r["lhs"], r["rhs"], int(r["c"])) for r in cand),
+            key=lambda t: (-t[2], t[0], t[1]),
+        )
+        merges.append((best[0], best[1]))
+        out_rows.append((k + 1, best[0], best[1], best[2]))
+
+    return pa.table(
+        {
+            "merge_rank": pa.array([r[0] for r in out_rows], type=pa.int64()),
+            "lhs": pa.array([r[1] for r in out_rows], type=pa.string()),
+            "rhs": pa.array([r[2] for r in out_rows], type=pa.string()),
+            "n_pairs": pa.array([r[3] for r in out_rows], type=pa.int64()),
+        }
+    )

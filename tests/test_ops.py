@@ -2229,7 +2229,68 @@ def test_bfs_hops_levels(ray_session):
     assert int(out["dist"].max()) <= 3
 
 
-def test_funnel_steps_window_boundaries(ray_session):
+def test_bpe_learn_merges_reference_recompute(ray_session):
+    """Merge table equals the scalar Sennrich-2016 recompute (get_stats
+    counts every adjacent position; merge_vocab is greedy left-to-right
+    non-overlapping), with crafted boundary/overlap hazards: a token
+    ending in a learned pair's lhs must not merge across the boundary,
+    and repeated symbols ('aaa') count two pairs but merge once."""
+    from collections import Counter
+
+    import ray.data
+
+    from engine.textops import bpe_learn_merges
+
+    # 'aaab' x4 drives ('a','a') first (8 positions); after merging,
+    # 'ban' must NOT let the ('a','n') inside 'b a n' be blocked by the
+    # paren encoding, while 'xa nx'-style cross-boundary matches can't
+    # happen because tokenization splits on non-alnum anyway — the
+    # hazard lives INSIDE words: after merging ('a','n'), word 'ban'
+    # is 'b an', and a later pair ('b','an') must match exactly.
+    docs = ["aaab aaab", "aaab aaab ban ban ban", "ban nab", "nan nan nan"]
+    rows = [{"doc_id": i, "text": t} for i, t in enumerate(docs)]
+
+    def ref_bpe(words: Counter, k: int):
+        merges = []
+        vocab = {w: list(w) for w in words}
+        for _ in range(k):
+            stats: Counter = Counter()
+            for w, syms in vocab.items():
+                for a, b in zip(syms, syms[1:]):
+                    stats[(a, b)] += words[w]
+            if not stats:
+                break
+            (l, r), c = min(
+                stats.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            merges.append((l, r, c))
+            for w, syms in vocab.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if (
+                        i + 1 < len(syms)
+                        and syms[i] == l
+                        and syms[i + 1] == r
+                    ):
+                        out.append(l + r)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                vocab[w] = out
+        return merges
+
+    wc: Counter = Counter()
+    for t in docs:
+        wc.update(t.split())
+    exp = ref_bpe(wc, 4)
+    got = bpe_learn_merges(
+        ray.data.from_items(rows).repartition(3), n_merges=4
+    ).to_pandas()
+    assert [
+        (r.lhs, r.rhs, int(r.n_pairs)) for r in got.itertuples()
+    ] == exp
+    assert list(got["merge_rank"]) == [1, 2, 3, 4]
     """First-touch funnel: conversion uses the EARLIEST qualifying
     event; the window is strictly-after / inclusive-end (+W converts,
     +W+1us does not); later cheaper paths don't resurrect a user."""
