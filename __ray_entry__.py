@@ -684,6 +684,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": pipelines.bm25_search_results,
         "bm25_snippets_passages": pipelines.bm25_snippets_passages,
         "bm25_scores_exact": pipelines.bm25_scores_exact,
+        "ltr_rerank_topk": pipelines.ltr_rerank_topk,
         "bm25_bool_scores_exact": pipelines.bm25_bool_scores_exact,
         "bm25_phrase_scores_exact": pipelines.bm25_phrase_scores_exact,
         "phrase_match_docs": pipelines.phrase_match_docs,
@@ -4454,6 +4455,80 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY score DESC, doc_id ASC) - 1 AS BIGINT) AS rank,
                    doc_id, score
             FROM scored
+        """,
+        # Solr LTR contrib: first-pass window (the bool f32 chain above),
+        # feature vector per candidate, LinearModel left-assoc f64 fold
+        "ltr_rerank_topk": f"""
+            WITH lt(b, lo) AS (VALUES {lt_values}),
+            stats AS (
+                SELECT (SELECT count(*) FROM documents) AS n_docs,
+                       (SELECT CAST(sum(len({_TOK})) AS BIGINT)
+                        FROM documents) AS sttf
+            ),
+            tok AS (SELECT doc_id, unnest({_TOK}) AS t FROM documents),
+            tfa AS (SELECT doc_id, count(*) AS freq FROM tok
+                    WHERE t = 'data' GROUP BY doc_id),
+            tfb AS (SELECT doc_id, count(*) AS freq FROM tok
+                    WHERE t = 'merge' GROUP BY doc_id),
+            nb AS (
+                SELECT doc_id, (SELECT max(b) FROM lt WHERE lo <= n) AS b,
+                       (SELECT max(lo) FROM lt WHERE lo <= n) AS dl
+                FROM (SELECT doc_id, len({_TOK}) AS n FROM documents)
+            ),
+            c AS (
+                SELECT {_bm25_w("(SELECT count(*) FROM tfa)")} AS wa,
+                       {_bm25_w("(SELECT count(*) FROM tfb)")} AS wb,
+                       CAST(sttf / CAST(n_docs AS DOUBLE) AS FLOAT) AS avgdl
+                FROM stats
+            ),
+            cache AS (SELECT lt.b, {_bm25_cache_expr} AS inv FROM lt, c),
+            pairs AS (
+                SELECT coalesce(tfa.doc_id, tfb.doc_id) AS doc_id,
+                       tfa.freq AS fa, tfb.freq AS fb
+                FROM tfa FULL OUTER JOIN tfb ON tfa.doc_id = tfb.doc_id
+            ),
+            scored AS (
+                SELECT p.doc_id, p.fa, p.fb, nb.dl,
+                       CAST(
+                         coalesce(CAST({_bm25_score("c.wa", "p.fa", "k.inv")}
+                                       AS DOUBLE), 0.0)
+                       + coalesce(CAST({_bm25_score("c.wb", "p.fb", "k.inv")}
+                                       AS DOUBLE), 0.0)
+                       AS FLOAT) AS f_bm25
+                FROM pairs p
+                JOIN nb ON nb.doc_id = p.doc_id
+                JOIN cache k ON k.b = nb.b, c
+            ),
+            win AS (
+                SELECT * FROM (
+                    SELECT *, row_number() OVER (
+                        ORDER BY f_bm25 DESC, doc_id ASC) AS rn
+                    FROM scored
+                ) WHERE rn <= 50
+            ),
+            feats AS (
+                SELECT doc_id, f_bm25,
+                       CAST(coalesce(fa, 0) + coalesce(fb, 0) AS BIGINT)
+                           AS f_tf_sum,
+                       CAST((CASE WHEN fa IS NULL THEN 0 ELSE 1 END)
+                          + (CASE WHEN fb IS NULL THEN 0 ELSE 1 END)
+                          AS BIGINT) AS f_matched,
+                       CAST(dl AS BIGINT) AS f_doc_len
+                FROM win
+            ),
+            modeled AS (
+                SELECT *,
+                       (((0.5 * CAST(f_bm25 AS DOUBLE))
+                         + (0.05 * CAST(f_tf_sum AS DOUBLE)))
+                        + (0.25 * CAST(f_matched AS DOUBLE)))
+                       + (-0.001 * CAST(f_doc_len AS DOUBLE)) AS score
+                FROM feats
+            )
+            SELECT CAST(row_number() OVER (
+                       ORDER BY score DESC, doc_id ASC) - 1 AS BIGINT) AS rank,
+                   doc_id, f_bm25, f_tf_sum, f_matched, f_doc_len, score
+            FROM modeled
+            ORDER BY score DESC, doc_id ASC LIMIT 20
         """,
         "term_df_ttf": f"""
             SELECT term, count(*) AS df, CAST(sum(cnt) AS BIGINT) AS ttf

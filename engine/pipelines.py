@@ -3523,3 +3523,59 @@ def export_sorted_docs(sf_dir: str, term: str = "data") -> "ray.data.Dataset":
     return ds.map_batches(filt, batch_format="pyarrow", **_rargs()).sort(
         ["n_chars", "doc_id"], descending=[True, False]
     )
+
+
+def ltr_rerank_topk(
+    sf_dir: str,
+    query: str = "data merge",
+    window: int = 50,
+    k: int = 20,
+    weights: tuple = (0.5, 0.05, 0.25, -0.001),
+) -> pa.Table:
+    """Learning-to-rank rescoring — the Solr LTR contrib role
+    (solr/contrib/ltr: LTRScoringQuery rescores the top ``window`` of
+    the first pass, FeatureLogger extracts each candidate's feature
+    vector, LinearModel.java score(...) = sum_i w_i * f_i). Features:
+    f_bm25 (first-pass float32 score), f_tf_sum (total query-term
+    freq), f_matched (matched-clause count), f_doc_len (SmallFloat-
+    decoded norm length — the same value BM25 used). Model score is a
+    LEFT-ASSOCIATED f64 chain of single ops
+    (((w0*f1 + w1*f2) + w2*f3) + w3*f4), so the DuckDB replay is
+    bit-exact; rerank order = (score desc, doc_id asc).
+
+    The per-candidate feature extraction is bounded by ``window`` (the
+    Solr reRankDocs contract — LTR never scores the full corpus), so
+    the driver-side loop here is O(window), matching the existing
+    QueryRescorer shape; the first pass is the searcher's normal
+    distributed/driver path."""
+    from .checkpoint import load_merge_manifest
+    from .search import IndexSearcher
+
+    idx = get_index(sf_dir)
+    searcher = IndexSearcher(load_merge_manifest(idx["index_dir"]))
+    d1, s1 = searcher.search(query, k=window)
+    w0, w1, w2, w3 = (float(w) for w in weights)
+    rows = []
+    for doc, sc in zip(d1.tolist(), s1.tolist()):
+        ex = searcher.explain(query, doc)
+        tf_sum = int(sum(det["freq"] for det in ex["details"]))
+        matched = len(ex["details"])
+        dl = int(ex["details"][0]["doc_len"]) if ex["details"] else 0
+        f1 = float(np.float32(sc))
+        ms = (w0 * f1) + (w1 * float(tf_sum))
+        ms = ms + (w2 * float(matched))
+        ms = ms + (w3 * float(dl))
+        rows.append((int(doc), np.float32(sc), tf_sum, matched, dl, ms))
+    rows.sort(key=lambda r: (-r[5], r[0]))
+    rows = rows[:k]
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(len(rows)), type=pa.int64()),
+            "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "f_bm25": pa.array([r[1] for r in rows], type=pa.float32()),
+            "f_tf_sum": pa.array([r[2] for r in rows], type=pa.int64()),
+            "f_matched": pa.array([r[3] for r in rows], type=pa.int64()),
+            "f_doc_len": pa.array([r[4] for r in rows], type=pa.int64()),
+            "score": pa.array([r[5] for r in rows], type=pa.float64()),
+        }
+    )

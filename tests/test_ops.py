@@ -2528,3 +2528,37 @@ def test_kwic_and_zscore_semantics(ray_session):
     s, sq = np.cumsum(v)[-1], np.cumsum(v * v)[-1]
     thr = (s / n) + 3.0 * np.sqrt(max((sq - ((s * s) / n)) / n, np.float64(0.0)))
     assert (v > thr).sum() == 1
+
+
+def test_ltr_rerank_model_chain(ray_session):
+    """LTR rescoring: every model score equals the left-assoc f64
+    recompute from the candidate's explain-derived features, the output
+    is (score desc, doc_id asc)-ordered, and the rerank actually
+    permutes the first-pass order (non-vacuous model)."""
+    import numpy as np
+
+    from engine.checkpoint import load_merge_manifest
+    from engine.pipelines import get_index, ltr_rerank_topk
+    from engine.search import IndexSearcher
+
+    sf = "/root/testdata/sf0.001"
+    out = ltr_rerank_topk(sf, query="data merge", window=50, k=20).to_pandas()
+    assert len(out) == 20
+    idx = get_index(sf)
+    searcher = IndexSearcher(load_merge_manifest(idx["index_dir"]))
+    for r in out.itertuples():
+        ex = searcher.explain("data merge", int(r.doc_id))
+        tf_sum = sum(d["freq"] for d in ex["details"])
+        dl = ex["details"][0]["doc_len"]
+        assert int(r.f_tf_sum) == tf_sum
+        assert int(r.f_matched) == len(ex["details"])
+        assert int(r.f_doc_len) == dl
+        assert np.float32(r.f_bm25) == ex["value"]
+        ms = (0.5 * float(np.float32(r.f_bm25))) + (0.05 * float(tf_sum))
+        ms = ms + (0.25 * float(len(ex["details"])))
+        ms = ms + (-0.001 * float(dl))
+        assert float(r.score) == ms
+    sc = list(out["score"])
+    assert sc == sorted(sc, reverse=True)
+    d1, _ = searcher.search("data merge", k=50)
+    assert list(out["doc_id"]) != d1[:20].tolist()
