@@ -818,6 +818,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_pages_by_url": q_dedup_by_url,
         # --- similarity search --------------------------------------------
         "ann_cosine_top10": q_ann_brute,
+        "sq8_codes": lambda sf_dir: ann.sq8_quantize_stats(_emb(sf_dir)),
+        "block_join_children": relational.block_join_children,
         "kmeans_clusters": q_kmeans,
         "cluster_balanced_sample": q_cluster_sample,
         "cluster_purity": q_cluster_purity,
@@ -4920,6 +4922,36 @@ def oracle_sql() -> dict[str, str]:
         "hits_scores": _hits_sql(2),
         "bfs_hops": _bfs_sql(0, 4),
         "bpe_learn_merges": _bpe_sql(4),
+        # SQ8: single-f64-op chain on exactly-widened f32 operands;
+        # min/max are selections; clamp is a selection; sums integer
+        "sq8_codes": """
+            WITH x AS (
+                SELECT vec_id,
+                       unnest(range(len(embedding))) AS dim,
+                       CAST(unnest(embedding) AS DOUBLE) AS v
+                FROM embeddings
+            ),
+            mm AS (SELECT dim, min(v) AS mn, max(v) AS mx FROM x GROUP BY dim),
+            codes AS (
+                SELECT vec_id,
+                       CASE WHEN mx = mn THEN CAST(0 AS BIGINT)
+                            ELSE CAST(least(greatest(
+                                floor(((v - mn) * 255.0) / (mx - mn)),
+                                0.0), 255.0) AS BIGINT) END AS c
+                FROM x JOIN mm USING (dim)
+            )
+            SELECT vec_id, CAST(sum(c) AS BIGINT) AS code_sum,
+                   min(c) AS code_min, max(c) AS code_max
+            FROM codes GROUP BY vec_id
+        """,
+        "block_join_children": """
+            SELECT l.l_orderkey,
+                   CAST(l.l_linenumber AS BIGINT) AS l_linenumber,
+                   o.o_totalprice AS parent_price
+            FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+            WHERE o.o_orderpriority = '1-URGENT'
+              AND o.o_totalprice >= 150000.0
+        """,
         # exact type-1 quantiles: smallest value with cumulative count
         # >= ceil(q * N) over the n_chars histogram
         # KWIC: duckdb 1-based-inclusive list slice == Python

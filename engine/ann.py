@@ -709,3 +709,65 @@ def mmr_rerank(
             "mmr": pa.array(out_mmr, type=pa.float64()),
         }
     )
+
+
+def sq8_quantize_stats(ds, levels: int = 255):
+    """Scalar 8-bit embedding quantization (the SQ8 codec of
+    faiss/Lucene-HNSW-style vector stores: per-DIMENSION min/max over
+    the corpus, code = floor((x - mn) * levels / (mx - mn)) clamped to
+    [0, levels]) — the storage-compression pass a 100-TB embedding
+    pipeline runs before ANN serving. Returns per-vector code stats
+    (vec_id, code_sum, code_min, code_max) — all integers.
+
+    Exactness: every float op is a SINGLE f64 op on exactly-widened f32
+    operands ((x - mn), (* levels), (/ range), floor — numpy elementwise
+    +,-,*,/ are IEEE-correctly-rounded, floor exact), and the clamp is a
+    selection, so DuckDB replays the chain bit-for-bit; constant
+    dimensions (mx == mn) code to 0.
+
+    Shape: pass 1 = per-block vectorized per-dim min/max partials, one
+    groupby(dim)-free bounded reduce (2 x n_dims doubles per block —
+    the driver fold is dimension-bounded, never corpus-bounded); pass 2
+    streams codes + per-vector stats in one map_batches with the
+    (mn, mx) table in the task closure."""
+
+    def _mm_partial(batch: pa.Table) -> pa.Table:
+        m = _batch_matrix(batch).astype(np.float64)
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(m.shape[1], dtype=np.int64)),
+                "mn": pa.array(m.min(axis=0), type=pa.float64()),
+                "mx": pa.array(m.max(axis=0), type=pa.float64()),
+            }
+        )
+
+    from ray.data.aggregate import Max, Min
+
+    mm = (
+        ds.map_batches(_mm_partial, batch_format="pyarrow", **_rargs())
+        .groupby("dim")
+        .aggregate(Min("mn", alias_name="mn"), Max("mx", alias_name="mx"))
+        .to_pandas()
+        .sort_values("dim")
+    )
+    mn = mm["mn"].to_numpy()
+    mx = mm["mx"].to_numpy()
+    lv = float(levels)
+
+    def _codes(batch: pa.Table) -> pa.Table:
+        m = _batch_matrix(batch).astype(np.float64)
+        rng = mx - mn  # one op per dim, same both passes
+        with np.errstate(divide="ignore", invalid="ignore"):
+            c = np.floor(((m - mn) * lv) / rng)
+        c = np.where(rng == 0.0, 0.0, c)
+        c = np.minimum(np.maximum(c, 0.0), lv).astype(np.int64)
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id").cast(pa.int64()),
+                "code_sum": pa.array(c.sum(axis=1), type=pa.int64()),
+                "code_min": pa.array(c.min(axis=1), type=pa.int64()),
+                "code_max": pa.array(c.max(axis=1), type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(_codes, batch_format="pyarrow", **_rargs())

@@ -1336,3 +1336,66 @@ def cohort_retention(ds, week_us: int = 7 * 86400 * 1_000_000):
         batch_format="pyarrow",
         **_rargs(),
     )
+
+
+def block_join_children(
+    sf_dir: str, min_price: float = 150000.0, priority: str = "1-URGENT"
+):
+    """ToChildBlockJoinQuery analogue (lucene/join/.../ToChildBlockJoinQuery.java:38-66
+    — the INVERSE of ToParentBlockJoin: a parent-side query selects
+    parents, the scorer walks each matching parent's child block and
+    emits the children, each carrying the parent's score). Parents =
+    orders matching (priority, totalprice >= min_price); children =
+    their lineitems with parent_price = the parent's o_totalprice (a
+    bit-identical double PASSTHROUGH — a selection, never arithmetic,
+    so it hashes safely against the oracle).
+
+    Shape: the matching-parent set is a broadcast (orderkey -> price)
+    lookup (bounded by the parent filter's selectivity — the same
+    contract as the JoinUtil semi-join); children stream through one
+    map_batches with a vectorized searchsorted membership probe, no
+    shuffle of the fact table."""
+    import ray
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_totalprice", "o_orderpriority"]
+    ).to_pandas()
+    sel = orders[
+        (orders["o_orderpriority"] == priority)
+        & (orders["o_totalprice"] >= min_price)
+    ]
+    pk = np.sort(sel["o_orderkey"].to_numpy().astype(np.int64))
+    order_idx = np.argsort(sel["o_orderkey"].to_numpy().astype(np.int64))
+    pv = sel["o_totalprice"].to_numpy()[order_idx]
+    ref = ray.put((pk, pv))
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
+
+    def emit(batch: pa.Table) -> pa.Table:
+        keys, prices = ray.get(ref)
+        ok = batch.column("l_orderkey").to_numpy().astype(np.int64)
+        if len(keys) == 0:
+            return pa.table(
+                {
+                    "l_orderkey": pa.array([], type=pa.int64()),
+                    "l_linenumber": pa.array([], type=pa.int64()),
+                    "parent_price": pa.array([], type=pa.float64()),
+                }
+            )
+        pos = np.searchsorted(keys, ok)
+        pos_c = np.minimum(pos, len(keys) - 1)
+        mask = keys[pos_c] == ok
+        return pa.table(
+            {
+                "l_orderkey": pa.array(ok[mask], type=pa.int64()),
+                "l_linenumber": pa.array(
+                    batch.column("l_linenumber").to_numpy().astype(np.int64)[
+                        mask
+                    ],
+                    type=pa.int64(),
+                ),
+                "parent_price": pa.array(prices[pos_c[mask]], type=pa.float64()),
+            }
+        )
+
+    return li.map_batches(emit, batch_format="pyarrow", **_rargs())

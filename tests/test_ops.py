@@ -2562,3 +2562,81 @@ def test_ltr_rerank_model_chain(ray_session):
     assert sc == sorted(sc, reverse=True)
     d1, _ = searcher.search("data merge", k=50)
     assert list(out["doc_id"]) != d1[:20].tolist()
+
+
+def test_sq8_quantize_scalar_recompute(ray_session):
+    """SQ8 codes equal the scalar per-dim recompute; constant dims code
+    to 0; codes stay in [0, 255]; partition-invariant."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from engine.ann import sq8_quantize_stats
+
+    rng = np.random.RandomState(7)
+    n, d = 40, 6
+    m = rng.randn(n, d).astype(np.float32)
+    m[:, 3] = 2.5  # constant dimension
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array(list(m), type=pa.list_(pa.float32())),
+        }
+    )
+    out = (
+        sq8_quantize_stats(ray.data.from_arrow(t).repartition(5))
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    mn = m.astype(np.float64).min(axis=0)
+    mx = m.astype(np.float64).max(axis=0)
+    exp = np.zeros((n, d), dtype=np.int64)
+    for i in range(n):
+        for j in range(d):
+            if mx[j] == mn[j]:
+                exp[i, j] = 0
+            else:
+                c = math.floor(
+                    ((float(m[i, j]) - mn[j]) * 255.0) / (mx[j] - mn[j])
+                )
+                exp[i, j] = min(max(c, 0), 255)
+    assert list(out["code_sum"]) == exp.sum(axis=1).tolist()
+    assert list(out["code_min"]) == exp.min(axis=1).tolist()
+    assert list(out["code_max"]) == exp.max(axis=1).tolist()
+    assert out["code_max"].max() <= 255 and out["code_min"].min() >= 0
+
+
+def test_block_join_children_brute(ray_session):
+    """ToChildBlockJoin: children of matching parents, parent price
+    carried through bit-identically; empty parent set yields no rows."""
+    import pandas as pd
+
+    from engine.relational import block_join_children
+
+    sf = "/root/testdata/sf0.001"
+    out = block_join_children(sf).to_pandas()
+    orders = pd.read_parquet(sf + "/orders.parquet")
+    li = pd.read_parquet(sf + "/lineitem.parquet")
+    par = orders[
+        (orders["o_orderpriority"] == "1-URGENT")
+        & (orders["o_totalprice"] >= 150000.0)
+    ][["o_orderkey", "o_totalprice"]]
+    exp = li.merge(par, left_on="l_orderkey", right_on="o_orderkey")
+    assert len(out) == len(exp)
+    a = sorted(
+        zip(out["l_orderkey"], out["l_linenumber"], out["parent_price"])
+    )
+    b = sorted(
+        zip(
+            exp["l_orderkey"],
+            (int(x) for x in exp["l_linenumber"]),
+            exp["o_totalprice"],
+        )
+    )
+    assert a == b
+
+    empty = block_join_children(sf, min_price=1e18).to_pandas()
+    assert len(empty) == 0
