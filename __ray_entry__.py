@@ -819,6 +819,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search --------------------------------------------
         "ann_cosine_top10": q_ann_brute,
         "sq8_codes": lambda sf_dir: ann.sq8_quantize_stats(_emb(sf_dir)),
+        "pq_codes": lambda sf_dir: ann.pq_codes(
+            _emb(sf_dir), n_sub=2, k=4, iters=2
+        ),
         "block_join_children": relational.block_join_children,
         "kmeans_clusters": q_kmeans,
         "cluster_balanced_sample": q_cluster_sample,
@@ -1221,6 +1224,82 @@ def oracle_sql() -> dict[str, str]:
                     ORDER BY {dist('e.v', 'c.ce')}, c.cid) AS rn
                 FROM e CROSS JOIN {prev} c) WHERE rn = 1"""
         return sql
+
+    def _pq_sql(n_sub: int = 2, k: int = 4, iters: int = 2, dims: int = 64) -> str:
+        # product quantization: the kmeans chain unrolled INDEPENDENTLY
+        # per contiguous subspace (duckdb list slice v[a:b] is 1-based
+        # inclusive — v[lo+1 : lo+sub] = the engine's [lo, lo+sub) f32
+        # value slice), final = per-subspace nearest-centroid join
+        sub = dims // n_sub
+
+        def dist(va: str, ca: str) -> str:
+            return " + ".join(
+                f"(({va}[{d}]-{ca}[{d}])*({va}[{d}]-{ca}[{d}]))"
+                for d in range(1, sub + 1)
+            )
+
+        folds = ", ".join(
+            "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+            f"list(v[{d}] ORDER BY vec_id)), (x, y) -> x + y) "
+            "/ CAST(count(*) AS DOUBLE)"
+            for d in range(1, sub + 1)
+        )
+        parts = [
+            """e AS (
+                SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings
+            )"""
+        ]
+        finals = []
+        for s in range(n_sub):
+            lo = s * sub
+            p = f"s{s}"
+            parts.append(
+                f"{p}e AS (SELECT vec_id, v[{lo + 1}:{lo + sub}] AS v FROM e)"
+            )
+            parts.append(f"""{p}c0 AS (
+                SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+                           AS cid, v AS ce
+                FROM {p}e ORDER BY vec_id LIMIT {k}
+            )""")
+            prev = f"{p}c0"
+            for it in range(1, iters + 1):
+                parts.append(f"""{p}d{it} AS (
+                    SELECT e.vec_id, c.cid, e.v, {dist('e.v', 'c.ce')} AS dist
+                    FROM {p}e e CROSS JOIN {prev} c
+                )""")
+                parts.append(f"""{p}a{it} AS (
+                    SELECT vec_id, cid, v FROM (
+                        SELECT vec_id, cid, v, row_number() OVER (
+                            PARTITION BY vec_id ORDER BY dist, cid) AS rn
+                        FROM {p}d{it}) WHERE rn = 1
+                )""")
+                parts.append(
+                    f"{p}u{it} AS (SELECT cid, [{folds}] AS ce"
+                    f" FROM {p}a{it} GROUP BY cid)"
+                )
+                parts.append(f"""{p}c{it} AS (
+                    SELECT pp.cid, coalesce(u.ce, pp.ce) AS ce
+                    FROM {prev} pp LEFT JOIN {p}u{it} u ON pp.cid = u.cid
+                )""")
+                prev = f"{p}c{it}"
+            parts.append(f"""{p}f AS (
+                SELECT vec_id, cid AS code FROM (
+                    SELECT e.vec_id, c.cid, row_number() OVER (
+                        PARTITION BY e.vec_id
+                        ORDER BY {dist('e.v', 'c.ce')}, c.cid) AS rn
+                    FROM {p}e e CROSS JOIN {prev} c) WHERE rn = 1
+            )""")
+            finals.append(f"{p}f")
+        joins = " ".join(
+            f"JOIN {f} ON {f}.vec_id = s0f.vec_id" for f in finals[1:]
+        )
+        cols = ", ".join(f"{f}.code AS code_{i}" for i, f in enumerate(finals))
+        return (
+            "WITH " + ",\n".join(parts)
+            + f"\nSELECT s0f.vec_id, {cols} FROM s0f {joins}"
+        )
 
     def _mmr_sql(C: int = 25, k: int = 10, dims: int = 64) -> str:
         # MMR greedy selection unrolled (ann.mmr_rerank): candidates by
@@ -5965,6 +6044,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         # k-means document clustering, exact end-to-end (see _kmeans_sql)
         "kmeans_clusters": _kmeans_sql(k=8, iters=2, dims=64),
+        "pq_codes": _pq_sql(n_sub=2, k=4, iters=2, dims=64),
         # SemDeDup: within-cluster cosine dedup — drop j iff some i<j in
         # its cluster has cos >= 0.3 (the fixture's random 64-dim vectors
         # top out at cos 0.51, so 0.3 exercises real drops); dots/norms

@@ -771,3 +771,81 @@ def sq8_quantize_stats(ds, levels: int = 255):
         )
 
     return ds.map_batches(_codes, batch_format="pyarrow", **_rargs())
+
+
+def pq_codes(ds, n_sub: int = 2, k: int = 4, iters: int = 2):
+    """Product quantization (Jégou, Douze & Schmid 2011, TPAMI 33(1),
+    "Product Quantization for Nearest Neighbor Search"): the embedding
+    is split into ``n_sub`` contiguous subvectors, an independent
+    codebook is learned per subspace with the DETERMINISTIC exact
+    k-means (kmeans_clusters — every float op order-pinned), and each
+    vector is encoded as its per-subspace nearest-centroid ids. The
+    compressed code is what a 100-TB ANN store ships instead of raw
+    floats. Returns (vec_id, code_0, ..., code_{n_sub-1}) — all ints.
+
+    Shape: per subspace, ONE streamed list_slice pass (f32 value slices
+    — exact) feeds the kmeans machinery (stateless assignment with the
+    k×sub centroid matrix in the closure, cluster-grouped ordered-fold
+    updates); the final pivot is a groupby(vec_id) over n_sub bounded
+    rows per vector. The oracle unrolls the same chain per subspace."""
+    import pyarrow.compute as pc
+
+    ds = ds.materialize()
+    dims = len(ds.take(1)[0]["embedding"])
+    sub = dims // n_sub
+    assert sub * n_sub == dims, "dims must divide evenly into subspaces"
+
+    tagged = []
+    for s in range(n_sub):
+        lo = s * sub
+
+        def _slice(batch: pa.Table, _lo=lo, _hi=lo + sub) -> pa.Table:
+            return pa.table(
+                {
+                    "vec_id": batch.column("vec_id").cast(pa.int64()),
+                    "embedding": pc.list_slice(
+                        batch.column("embedding"), _lo, _hi
+                    ),
+                }
+            )
+
+        sliced = ds.map_batches(_slice, batch_format="pyarrow", **_rargs())
+        asg = kmeans_clusters(sliced, k=k, iters=iters)
+
+        def _tag(batch: pa.Table, _s=s) -> pa.Table:
+            return pa.table(
+                {
+                    "vec_id": batch.column("vec_id").cast(pa.int64()),
+                    "sub": pa.array(
+                        np.full(batch.num_rows, _s, dtype=np.int64)
+                    ),
+                    "code": batch.column("cluster").cast(pa.int64()),
+                }
+            )
+
+        tagged.append(
+            asg.map_batches(_tag, batch_format="pyarrow", **_rargs())
+        )
+
+    u = tagged[0]
+    for t in tagged[1:]:
+        u = u.union(t)
+
+    def _pivot(g: pa.Table) -> pa.Table:
+        subs = g.column("sub").to_numpy()
+        codes = g.column("code").to_numpy()
+        order = np.argsort(subs, kind="stable")
+        cols = {
+            "vec_id": pa.array(
+                [int(g.column("vec_id")[0].as_py())], type=pa.int64()
+            )
+        }
+        for i, j in enumerate(order.tolist()):
+            cols[f"code_{int(subs[j])}"] = pa.array(
+                [int(codes[j])], type=pa.int64()
+            )
+        return pa.table(cols)
+
+    return u.groupby("vec_id").map_groups(
+        _pivot, batch_format="pyarrow", **_rargs()
+    )

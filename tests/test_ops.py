@@ -2640,3 +2640,51 @@ def test_block_join_children_brute(ray_session):
 
     empty = block_join_children(sf, min_price=1e18).to_pandas()
     assert len(empty) == 0
+
+
+def test_pq_codes_subspace_equivalence(ray_session):
+    """PQ codes: each subspace's code column equals the exact k-means
+    assignment over that contiguous f32 slice (independent codebooks),
+    and the pivot keeps one row per vector with both codes present."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from engine.ann import kmeans_clusters, pq_codes
+
+    rng = np.random.default_rng(23)
+    n, dims = 50, 8
+    m = (rng.standard_normal((n, dims)) * 2).astype(np.float32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(n), type=pa.int64()),
+            "embedding": pa.array(
+                [row.tolist() for row in m], type=pa.list_(pa.float32())
+            ),
+        }
+    )
+    out = (
+        pq_codes(ray.data.from_arrow(t), n_sub=2, k=3, iters=2)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert len(out) == n
+    assert list(out.columns) == ["vec_id", "code_0", "code_1"]
+    for s, col in ((0, "code_0"), (1, "code_1")):
+        sl = m[:, s * 4 : (s + 1) * 4]
+        ts = pa.table(
+            {
+                "vec_id": pa.array(range(n), type=pa.int64()),
+                "embedding": pa.array(
+                    [row.tolist() for row in sl], type=pa.list_(pa.float32())
+                ),
+            }
+        )
+        ref = (
+            kmeans_clusters(ray.data.from_arrow(ts), k=3, iters=2)
+            .to_pandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+        assert list(out[col]) == list(ref["cluster"]), s
