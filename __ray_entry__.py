@@ -822,6 +822,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pq_codes": lambda sf_dir: ann.pq_codes(
             _emb(sf_dir), n_sub=2, k=4, iters=2
         ),
+        "pq_adc_topk": lambda sf_dir: ann.pq_adc_topk(
+            _emb(sf_dir), n_sub=2, k=4, iters=2, query_vec_id=0, topk=10
+        ),
         "block_join_children": relational.block_join_children,
         "kmeans_clusters": q_kmeans,
         "cluster_balanced_sample": q_cluster_sample,
@@ -1225,7 +1228,14 @@ def oracle_sql() -> dict[str, str]:
                 FROM e CROSS JOIN {prev} c) WHERE rn = 1"""
         return sql
 
-    def _pq_sql(n_sub: int = 2, k: int = 4, iters: int = 2, dims: int = 64) -> str:
+    def _pq_sql(
+        n_sub: int = 2,
+        k: int = 4,
+        iters: int = 2,
+        dims: int = 64,
+        adc_query_vec: int | None = None,
+        topk: int = 10,
+    ) -> str:
         # product quantization: the kmeans chain unrolled INDEPENDENTLY
         # per contiguous subspace (duckdb list slice v[a:b] is 1-based
         # inclusive — v[lo+1 : lo+sub] = the engine's [lo, lo+sub) f32
@@ -1295,10 +1305,42 @@ def oracle_sql() -> dict[str, str]:
         joins = " ".join(
             f"JOIN {f} ON {f}.vec_id = s0f.vec_id" for f in finals[1:]
         )
-        cols = ", ".join(f"{f}.code AS code_{i}" for i, f in enumerate(finals))
+        if adc_query_vec is None:
+            cols = ", ".join(
+                f"{f}.code AS code_{i}" for i, f in enumerate(finals)
+            )
+            return (
+                "WITH " + ",\n".join(parts)
+                + f"\nSELECT s0f.vec_id, {cols} FROM s0f {joins}"
+            )
+        # ADC mode: per-subspace k-entry distance tables from the final
+        # codebooks (same dim fold), sum = left-assoc chain of adds
+        parts.append(
+            f"qe AS (SELECT v FROM e WHERE vec_id = {adc_query_vec})"
+        )
+        for s in range(n_sub):
+            lo = s * sub
+            parts.append(
+                f"q{s} AS (SELECT v[{lo + 1}:{lo + sub}] AS v FROM qe)"
+            )
+            parts.append(
+                f"t{s} AS (SELECT c.cid, {dist('q.v', 'c.ce')} AS dd"
+                f" FROM s{s}c{iters} c, q{s} q)"
+            )
+        adc = "t0.dd"
+        for s in range(1, n_sub):
+            adc = f"({adc} + t{s}.dd)"
+        tjoins = " ".join(
+            f"JOIN t{s} ON t{s}.cid = s{s}f.code" for s in range(n_sub)
+        )
         return (
             "WITH " + ",\n".join(parts)
-            + f"\nSELECT s0f.vec_id, {cols} FROM s0f {joins}"
+            + f"""
+            SELECT CAST(row_number() OVER (ORDER BY adc, vec_id) - 1
+                       AS BIGINT) AS rank, vec_id, adc
+            FROM (SELECT s0f.vec_id, {adc} AS adc
+                  FROM s0f {joins} {tjoins})
+            ORDER BY adc, vec_id LIMIT {topk}"""
         )
 
     def _mmr_sql(C: int = 25, k: int = 10, dims: int = 64) -> str:
@@ -6045,6 +6087,9 @@ def oracle_sql() -> dict[str, str]:
         # k-means document clustering, exact end-to-end (see _kmeans_sql)
         "kmeans_clusters": _kmeans_sql(k=8, iters=2, dims=64),
         "pq_codes": _pq_sql(n_sub=2, k=4, iters=2, dims=64),
+        "pq_adc_topk": _pq_sql(
+            n_sub=2, k=4, iters=2, dims=64, adc_query_vec=0, topk=10
+        ),
         # SemDeDup: within-cluster cosine dedup — drop j iff some i<j in
         # its cluster has cos >= 0.3 (the fixture's random 64-dim vectors
         # top out at cos 0.51, so 0.3 exercises real drops); dots/norms

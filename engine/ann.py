@@ -305,7 +305,13 @@ def ivf_topk_ds(
     )
 
 
-def kmeans_clusters(ds, k: int = 8, iters: int = 2, passthrough: tuple = ()):
+def kmeans_clusters(
+    ds,
+    k: int = 8,
+    iters: int = 2,
+    passthrough: tuple = (),
+    centroids_sink: list | None = None,
+):
     """Deterministic Lloyd's k-means over the embedding column (the Solr
     clustering-contrib document-clustering role, beyond-reference for the
     training-data pipeline: topic bucketing / diversity sampling), with
@@ -404,6 +410,10 @@ def kmeans_clusters(ds, k: int = 8, iters: int = 2, passthrough: tuple = ()):
         for r in upd:
             nxt[int(r["cluster"])] = np.asarray(r["centroid"], dtype=np.float64)
         cents = nxt
+    if centroids_sink is not None:
+        # hand the final k x dims codebook to callers that need it
+        # (PQ ADC distance tables) without changing the return type
+        centroids_sink.append(cents.copy())
     # final assignment carries requested source columns (e.g. label)
     return _assign(cents, carry=tuple(passthrough))
 
@@ -848,4 +858,134 @@ def pq_codes(ds, n_sub: int = 2, k: int = 4, iters: int = 2):
 
     return u.groupby("vec_id").map_groups(
         _pivot, batch_format="pyarrow", **_rargs()
+    )
+
+
+def pq_adc_topk(
+    ds,
+    n_sub: int = 2,
+    k: int = 4,
+    iters: int = 2,
+    query_vec_id: int = 0,
+    topk: int = 10,
+):
+    """PQ asymmetric distance computation search (Jégou et al. 2011 §IV
+    ADC: the query stays a raw vector, each database vector is its PQ
+    code; distance = sum over subspaces of a k-entry lookup table
+    dist(q_sub, centroid[code])). This is the serving-side pair of
+    pq_codes — the scan touches only the code columns, never the raw
+    embeddings. Returns (rank, vec_id, adc) — ascending approximate
+    distance, ties to smallest vec_id.
+
+    Exactness: lookup tables use the SAME left-assoc (q_d - c_d)^2 dim
+    fold as the codebook training, the ADC sum is a left-assoc chain of
+    n_sub single f64 adds, and the top-k selection is over identically
+    computed doubles — the oracle replays codes, tables and sum
+    bit-for-bit. The per-block partial top-k + bounded driver reduce is
+    the standard selection shape."""
+    import pyarrow.compute as pc
+
+    ds = ds.materialize()
+    dims = len(ds.take(1)[0]["embedding"])
+    sub = dims // n_sub
+    assert sub * n_sub == dims
+
+    # bounded: one row fetched by id for the query vector
+    qrow = ds.filter(lambda r: r["vec_id"] == query_vec_id).take(1)
+    qv = np.asarray(qrow[0]["embedding"], dtype=np.float64)
+
+    tagged = []
+    tables = []  # per subspace: np.ndarray of k distances
+    for s in range(n_sub):
+        lo = s * sub
+
+        def _slice(batch: pa.Table, _lo=lo, _hi=lo + sub) -> pa.Table:
+            return pa.table(
+                {
+                    "vec_id": batch.column("vec_id").cast(pa.int64()),
+                    "embedding": pc.list_slice(
+                        batch.column("embedding"), _lo, _hi
+                    ),
+                }
+            )
+
+        sink: list = []
+        asg = kmeans_clusters(
+            ds.map_batches(_slice, batch_format="pyarrow", **_rargs()),
+            k=k,
+            iters=iters,
+            centroids_sink=sink,
+        )
+        cents = sink[0]  # k x sub
+        qs = qv[lo : lo + sub]
+        tab = np.empty(k, dtype=np.float64)
+        for ci in range(k):
+            acc = 0.0
+            for d in range(sub):  # scalar left-assoc fold == SQL chain
+                diff = float(qs[d]) - float(cents[ci][d])
+                acc += diff * diff
+            tab[ci] = acc
+        tables.append(tab)
+
+        def _tag(batch: pa.Table, _s=s) -> pa.Table:
+            return pa.table(
+                {
+                    "vec_id": batch.column("vec_id").cast(pa.int64()),
+                    "sub": pa.array(
+                        np.full(batch.num_rows, _s, dtype=np.int64)
+                    ),
+                    "code": batch.column("cluster").cast(pa.int64()),
+                }
+            )
+
+        tagged.append(asg.map_batches(_tag, batch_format="pyarrow", **_rargs()))
+
+    u = tagged[0]
+    for t in tagged[1:]:
+        u = u.union(t)
+
+    tabs = tables  # closed over: n_sub x k doubles — stop-word-sized
+
+    def _adc(g: pa.Table) -> pa.Table:
+        subs = g.column("sub").to_numpy()
+        codes = g.column("code").to_numpy()
+        order = np.argsort(subs, kind="stable")
+        acc = 0.0
+        for j in order.tolist():  # left-assoc over subspaces
+            acc = acc + float(tabs[int(subs[j])][int(codes[j])])
+        return pa.table(
+            {
+                "vec_id": pa.array(
+                    [int(g.column("vec_id")[0].as_py())], type=pa.int64()
+                ),
+                "adc": pa.array([acc], type=pa.float64()),
+            }
+        )
+
+    scored = u.groupby("vec_id").map_groups(
+        _adc, batch_format="pyarrow", **_rargs()
+    )
+
+    def _part_topk(batch: pa.Table) -> pa.Table:
+        v = batch.column("vec_id").to_numpy()
+        a = batch.column("adc").to_numpy()
+        order = np.lexsort((v, a))[:topk]
+        return pa.table(
+            {
+                "vec_id": pa.array(v[order], type=pa.int64()),
+                "adc": pa.array(a[order], type=pa.float64()),
+            }
+        )
+
+    cand = scored.map_batches(
+        _part_topk, batch_format="pyarrow", **_rargs()
+    ).take_all()  # <= topk rows per block: bounded
+    cand.sort(key=lambda r: (r["adc"], r["vec_id"]))
+    cand = cand[:topk]
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(len(cand)), type=pa.int64()),
+            "vec_id": pa.array([r["vec_id"] for r in cand], type=pa.int64()),
+            "adc": pa.array([r["adc"] for r in cand], type=pa.float64()),
+        }
     )

@@ -2688,3 +2688,71 @@ def test_pq_codes_subspace_equivalence(ray_session):
             .reset_index(drop=True)
         )
         assert list(out[col]) == list(ref["cluster"]), s
+
+
+def test_pq_adc_topk_table_recompute(ray_session):
+    """ADC distances equal the scalar lookup-table recompute from the
+    learned codebooks + codes; output ascending with vec_id ties."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from engine.ann import kmeans_clusters, pq_adc_topk
+
+    rng = np.random.default_rng(5)
+    n, dims, k = 40, 8, 3
+    m = (rng.standard_normal((n, dims)) * 2).astype(np.float32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(n), type=pa.int64()),
+            "embedding": pa.array(
+                [row.tolist() for row in m], type=pa.list_(pa.float32())
+            ),
+        }
+    )
+    out = pq_adc_topk(
+        ray.data.from_arrow(t), n_sub=2, k=k, iters=2, query_vec_id=3, topk=5
+    ).to_pandas()
+    assert len(out) == 5
+    a = list(out["adc"])
+    assert a == sorted(a)
+
+    # scalar recompute: per-subspace codebook + code + table
+    qv = m[3].astype(np.float64)
+    adc_all = np.zeros(n, dtype=np.float64)
+    for s in range(2):
+        sl = m[:, s * 4 : (s + 1) * 4]
+        ts = pa.table(
+            {
+                "vec_id": pa.array(range(n), type=pa.int64()),
+                "embedding": pa.array(
+                    [row.tolist() for row in sl], type=pa.list_(pa.float32())
+                ),
+            }
+        )
+        sink: list = []
+        asg = (
+            kmeans_clusters(
+                ray.data.from_arrow(ts), k=k, iters=2, centroids_sink=sink
+            )
+            .to_pandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+        cents = sink[0]
+        qs = qv[s * 4 : (s + 1) * 4]
+        tab = []
+        for ci in range(k):
+            acc = 0.0
+            for d in range(4):
+                diff = float(qs[d]) - float(cents[ci][d])
+                acc += diff * diff
+            tab.append(acc)
+        for i in range(n):
+            if s == 0:
+                adc_all[i] = tab[int(asg["cluster"][i])]
+            else:
+                adc_all[i] = adc_all[i] + tab[int(asg["cluster"][i])]
+    order = sorted(range(n), key=lambda i: (adc_all[i], i))[:5]
+    assert list(out["vec_id"]) == order
+    assert list(out["adc"]) == [adc_all[i] for i in order]
