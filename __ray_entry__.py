@@ -875,6 +875,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 columns=["user_id", "ts"],
             )
         ),
+        "trend_slopes": lambda sf_dir: relational.trend_slopes(
+            __import__("ray.data", fromlist=["x"]).read_parquet(
+                os.path.join(sf_dir, "events.parquet"),
+                columns=["ts", "event_type"],
+            )
+        ),
+        "crawl_delta": lambda sf_dir: __import__(
+            "engine.dedup", fromlist=["x"]
+        ).crawl_delta(
+            _docs(sf_dir),
+            n_docs=__import__("pyarrow.parquet", fromlist=["x"])
+            .read_metadata(os.path.join(sf_dir, "documents.parquet"))
+            .num_rows,
+        ),
         "funnel_steps": lambda sf_dir: relational.funnel_steps(
             __import__("ray.data", fromlist=["x"]).read_parquet(
                 os.path.join(sf_dir, "events.parquet"),
@@ -6289,6 +6303,51 @@ def oracle_sql() -> dict[str, str]:
         "events_timeseries": """
             SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n_events
             FROM events GROUP BY event_type, day
+        """,
+        # OLS trend kept in integers: slope num/den unreduced, observed
+        # days only, x = epoch_us // day_us pure integer bucket
+        "trend_slopes": """
+            WITH d AS (
+                SELECT event_type, epoch_us(ts) // 86400000000 AS x,
+                       CAST(count(*) AS BIGINT) AS y
+                FROM events GROUP BY 1, 2
+            ),
+            s AS (
+                SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(x) AS BIGINT) AS sx,
+                       CAST(sum(y) AS BIGINT) AS sy,
+                       CAST(sum(x * y) AS BIGINT) AS sxy,
+                       CAST(sum(x * x) AS BIGINT) AS sxx
+                FROM d GROUP BY 1
+            )
+            SELECT event_type, n AS n_days,
+                   n * sxy - sx * sy AS slope_num,
+                   n * sxx - sx * sx AS slope_den
+            FROM s
+        """,
+        # snapshot diff vs the deterministic recrawl (drop %7, mutate %5,
+        # spawn %11 at doc_id + N); md5 identity on both sides
+        "crawl_delta": """
+            WITH a AS (SELECT doc_id AS k, md5(text) AS h FROM documents),
+            b AS (
+                SELECT doc_id AS k,
+                       md5(CASE WHEN doc_id % 5 = 0 THEN text || ' updated'
+                                ELSE text END) AS h
+                FROM documents WHERE doc_id % 7 != 0
+                UNION ALL
+                SELECT doc_id + (SELECT count(*) FROM documents) AS k,
+                       md5('new page ' || CAST(doc_id AS VARCHAR)) AS h
+                FROM documents WHERE doc_id % 11 = 0
+            ),
+            j AS (
+                SELECT CASE WHEN b.k IS NULL THEN 'removed'
+                            WHEN a.k IS NULL THEN 'added'
+                            WHEN a.h = b.h THEN 'unchanged'
+                            ELSE 'changed' END AS status
+                FROM a FULL OUTER JOIN b ON a.k = b.k
+            )
+            SELECT status, CAST(count(*) AS BIGINT) AS n_docs
+            FROM j GROUP BY status
         """,
         # first-touch funnel: step k+1 converts at the earliest event
         # STRICTLY after step k's conversion and within the window;

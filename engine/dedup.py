@@ -1270,3 +1270,85 @@ def near_dup_keep_best(pairs, quality_ds):
             "quality": pa.array(win["quality"].astype("float64")),
         }
     )
+
+
+def crawl_delta(ds, n_docs: int):
+    """Crawl snapshot diff — the incremental-recrawl delta pass of a web
+    pipeline (which pages were added / removed / changed / unchanged
+    between two crawls decides what re-enters the processing DAG).
+    Snapshot A = documents; snapshot B = a DETERMINISTIC recrawl derived
+    from A in the same streamed pass (doc_id % 7 == 0 dropped ⇒ removed;
+    % 5 == 0 re-extracted with ' updated' appended ⇒ changed;
+    % 11 == 0 additionally spawns a brand-new page at doc_id + n_docs ⇒
+    added). Returns (status, n_docs) — 4 integer rows.
+
+    Shape: ONE read emits both sides' (key, md5, side) rows (B derives
+    from A in-task — a real two-crawl diff would union two reads);
+    groupby(key) classifies (group size/side membership + hash
+    equality), then a 4-row groupby(status) count. Content identity is
+    md5 (process-independent), bit-identical to DuckDB's md5()."""
+    import hashlib
+
+    from ray.data.aggregate import Count
+
+    def _emit(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        texts = batch.column("text").to_pylist()
+        k_out: list[int] = []
+        h_out: list[str] = []
+        s_out: list[int] = []
+        for i, t in zip(ids.tolist(), texts):
+            t = t or ""
+            k_out.append(i)
+            h_out.append(hashlib.md5(t.encode("utf-8")).hexdigest())
+            s_out.append(0)
+            if i % 7 != 0:
+                bt = t + " updated" if i % 5 == 0 else t
+                k_out.append(i)
+                h_out.append(hashlib.md5(bt.encode("utf-8")).hexdigest())
+                s_out.append(1)
+            if i % 11 == 0:
+                nt = f"new page {i}"
+                k_out.append(i + n_docs)
+                h_out.append(hashlib.md5(nt.encode("utf-8")).hexdigest())
+                s_out.append(1)
+        return pa.table(
+            {
+                "k": pa.array(k_out, type=pa.int64()),
+                "h": pa.array(h_out, type=pa.string()),
+                "side": pa.array(s_out, type=pa.int64()),
+            }
+        )
+
+    def _classify(g: pa.Table) -> pa.Table:
+        sides = g.column("side").to_numpy()
+        hs = g.column("h").to_pylist()
+        has_a = bool((sides == 0).any())
+        has_b = bool((sides == 1).any())
+        if not has_b:
+            st = "removed"
+        elif not has_a:
+            st = "added"
+        else:
+            ha = hs[int(np.flatnonzero(sides == 0)[0])]
+            hb = hs[int(np.flatnonzero(sides == 1)[0])]
+            st = "unchanged" if ha == hb else "changed"
+        return pa.table({"status": pa.array([st], type=pa.string())})
+
+    return (
+        ds.map_batches(_emit, batch_format="pyarrow", **_rargs())
+        .groupby("k")
+        .map_groups(_classify, batch_format="pyarrow", **_rargs())
+        .groupby("status")
+        .aggregate(Count(alias_name="n_docs"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "status": b.column("status"),
+                    "n_docs": b.column("n_docs").cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+            **_rargs(),
+        )
+    )

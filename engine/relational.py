@@ -1399,3 +1399,98 @@ def block_join_children(
         )
 
     return li.map_batches(emit, batch_format="pyarrow", **_rargs())
+
+
+def trend_slopes(ds):
+    """Per-type activity trend — ordinary-least-squares slope over the
+    (day, daily_count) series, kept ENTIRELY in integers: slope =
+    (n*Σxy − Σx*Σy) / (n*Σxx − Σx²); numerator and denominator are
+    returned unreduced so the whole entry is integer-exact (the sign of
+    slope_num IS the trend direction; regression runs over OBSERVED
+    days only). x = epoch_us // 86400000000 — a pure integer bucket.
+    Returns (event_type, n_days, slope_num, slope_den).
+
+    Shape: map-side combined (type, day) partial counts, one
+    groupby((type, day)) sum, then per-row moment expansion and one
+    tiny groupby(type) of native Sums — nothing on the driver."""
+    from ray.data.aggregate import Count, Sum
+
+    day_us = 86400000000
+
+    def _days(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type")
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "event_type": pa.array([], type=pa.string()),
+                    "x": pa.array([], type=pa.int64()),
+                    "y": pa.array([], type=pa.int64()),
+                }
+            )
+        x = (
+            batch.column("ts").cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+            // day_us
+        )
+        key = np.char.add(
+            np.char.add(np.asarray(et.to_pylist()), "\x01"),
+            x.astype("U20"),
+        )
+        uniq, idx, inv = np.unique(key, return_index=True, return_inverse=True)
+        cnt = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pa.table(
+            {
+                "event_type": pa.array(
+                    [et[int(i)].as_py() for i in idx], type=pa.string()
+                ),
+                "x": pa.array(x[idx], type=pa.int64()),
+                "y": pa.array(cnt, type=pa.int64()),
+            }
+        )
+
+    daily = (
+        ds.map_batches(_days, batch_format="pyarrow", **_rargs())
+        .groupby(["event_type", "x"])
+        .aggregate(Sum("y", alias_name="y"))
+    )
+
+    def _moments(batch: pa.Table) -> pa.Table:
+        x = batch.column("x").to_numpy().astype(np.int64)
+        y = batch.column("y").to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "sx": pa.array(x, type=pa.int64()),
+                "sy": pa.array(y, type=pa.int64()),
+                "sxy": pa.array(x * y, type=pa.int64()),
+                "sxx": pa.array(x * x, type=pa.int64()),
+            }
+        )
+
+    agg = (
+        daily.map_batches(_moments, batch_format="pyarrow", **_rargs())
+        .groupby("event_type")
+        .aggregate(
+            Count(alias_name="n_days"),
+            Sum("sx", alias_name="sx"),
+            Sum("sy", alias_name="sy"),
+            Sum("sxy", alias_name="sxy"),
+            Sum("sxx", alias_name="sxx"),
+        )
+    )
+
+    def _finish(batch: pa.Table) -> pa.Table:
+        n = batch.column("n_days").to_numpy().astype(np.int64)
+        sx = batch.column("sx").to_numpy().astype(np.int64)
+        sy = batch.column("sy").to_numpy().astype(np.int64)
+        sxy = batch.column("sxy").to_numpy().astype(np.int64)
+        sxx = batch.column("sxx").to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "n_days": pa.array(n, type=pa.int64()),
+                "slope_num": pa.array(n * sxy - sx * sy, type=pa.int64()),
+                "slope_den": pa.array(n * sxx - sx * sx, type=pa.int64()),
+            }
+        )
+
+    return agg.map_batches(_finish, batch_format="pyarrow", **_rargs())

@@ -2756,3 +2756,70 @@ def test_pq_adc_topk_table_recompute(ray_session):
     order = sorted(range(n), key=lambda i: (adc_all[i], i))[:5]
     assert list(out["vec_id"]) == order
     assert list(out["adc"]) == [adc_all[i] for i in order]
+
+
+def test_trend_slopes_integer_ols(ray_session):
+    """Slope num/den equal the integer OLS recompute over observed
+    days; a strictly increasing series gives positive slope_num."""
+    import datetime as dt
+
+    import ray.data
+
+    from engine.relational import trend_slopes
+
+    base = dt.datetime(2024, 3, 1)
+    rows = []
+    # 'up': counts 1,2,3,4 on days 0..3; 'flat': 2 on days 0,2
+    for d, c in enumerate((1, 2, 3, 4)):
+        for i in range(c):
+            rows.append(
+                {
+                    "event_type": "up",
+                    "ts": base + dt.timedelta(days=d, seconds=i),
+                }
+            )
+    for d in (0, 2):
+        for i in range(2):
+            rows.append(
+                {
+                    "event_type": "flat",
+                    "ts": base + dt.timedelta(days=d, seconds=i),
+                }
+            )
+    out = trend_slopes(ray.data.from_items(rows)).to_pandas()
+    got = {
+        r.event_type: (int(r.n_days), int(r.slope_num), int(r.slope_den))
+        for r in out.itertuples()
+    }
+    x0 = (base - dt.datetime(1970, 1, 1)).days
+    xs = [x0 + d for d in range(4)]
+    ys = [1, 2, 3, 4]
+    n = 4
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(a * a for a in xs)
+    assert got["up"] == (n, n * sxy - sx * sy, n * sxx - sx * sx)
+    assert got["up"][1] > 0
+    assert got["flat"][1] == 0  # equal counts -> zero numerator
+
+
+def test_crawl_delta_statuses(ray_session):
+    """Snapshot diff counts match the modular recrawl rule exactly."""
+    import ray.data
+
+    from engine.dedup import crawl_delta
+
+    n = 77
+    rows = [{"doc_id": i, "text": f"page body {i}"} for i in range(n)]
+    out = crawl_delta(ray.data.from_items(rows).repartition(4), n_docs=n)
+    got = {r["status"]: r["n_docs"] for r in out.take_all()}
+    removed = sum(1 for i in range(n) if i % 7 == 0)
+    added = sum(1 for i in range(n) if i % 11 == 0)
+    changed = sum(1 for i in range(n) if i % 7 != 0 and i % 5 == 0)
+    unchanged = n - removed - changed
+    assert got == {
+        "removed": removed,
+        "added": added,
+        "changed": changed,
+        "unchanged": unchanged,
+    }
