@@ -790,6 +790,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_learn_merges": lambda sf_dir: textops.bpe_learn_merges(
             _docs(sf_dir), n_merges=4
         ),
+        "winnow_fingerprints": lambda sf_dir: textops.winnow_fingerprints(
+            _docs(sf_dir), k=4, w=5
+        ),
         "train_val_test_split": lambda sf_dir: textops.train_val_test_split(
             __import__("ray.data", fromlist=["x"]).read_parquet(
                 os.path.join(sf_dir, "documents.parquet"),
@@ -5057,6 +5060,52 @@ def oracle_sql() -> dict[str, str]:
         "hits_scores": _hits_sql(2),
         "bfs_hops": _bfs_sql(0, 4),
         "bpe_learn_merges": _bpe_sql(4),
+        # winnowing (k=4, w=5): gram hash = fnv1a over the space-joined
+        # 4-token slice; per window pick (h asc, i desc) first; distinct
+        # positions are the fingerprints; m < w forms a single window
+        "winnow_fingerprints": f"""
+            WITH tok AS (SELECT doc_id, {_TOK} AS ts FROM documents),
+            g0 AS (
+                -- gram built BEFORE the fnv fold: the fold's lambda
+                -- variable is also "i" and would shadow this slice index
+                SELECT doc_id, CAST(i AS BIGINT) AS i,
+                       array_to_string(ts[i : i + 3], ' ') AS gram
+                FROM (SELECT doc_id, ts,
+                             unnest(range(1, len(ts) - 2)) AS i
+                      FROM tok WHERE len(ts) >= 4)
+            ),
+            g AS (
+                SELECT doc_id, i, {_fnv_str_sql('gram')} AS h FROM g0
+            ),
+            wins AS (
+                SELECT doc_id, CAST(p AS BIGINT) AS p
+                FROM (SELECT doc_id,
+                             unnest(range(1,
+                                 greatest(len(ts) - 7, 1) + 1)) AS p
+                      FROM tok WHERE len(ts) >= 4)
+            ),
+            sel AS (
+                SELECT doc_id, i, h FROM (
+                    SELECT w.doc_id, g.i, g.h, row_number() OVER (
+                        PARTITION BY w.doc_id, w.p
+                        ORDER BY g.h ASC, g.i DESC) AS rn
+                    FROM wins w JOIN g ON g.doc_id = w.doc_id
+                        AND g.i >= w.p AND g.i <= w.p + 4
+                ) WHERE rn = 1
+            ),
+            f AS (SELECT DISTINCT doc_id, i, h FROM sel),
+            agg AS (
+                SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fingerprints,
+                       min(h) AS min_fp, max(h) AS max_fp
+                FROM f GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   CAST(greatest(len(t.ts) - 3, 0) AS BIGINT) AS n_grams,
+                   coalesce(a.n_fingerprints, 0) AS n_fingerprints,
+                   CAST(coalesce(a.min_fp, 0) AS UBIGINT) AS min_fp,
+                   CAST(coalesce(a.max_fp, 0) AS UBIGINT) AS max_fp
+            FROM tok t LEFT JOIN agg a ON a.doc_id = t.doc_id
+        """,
         # SQ8: single-f64-op chain on exactly-widened f32 operands;
         # min/max are selections; clamp is a selection; sums integer
         "sq8_codes": """

@@ -2086,3 +2086,80 @@ def bpe_learn_merges(ds, n_merges: int = 4, text_col: str = "text"):
             "n_pairs": pa.array([r[3] for r in out_rows], type=pa.int64()),
         }
     )
+
+
+def winnow_fingerprints(ds, k: int = 4, w: int = 5, text_col: str = "text"):
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    2003, SIGMOD, "Winnowing: Local Algorithms for Document
+    Fingerprinting" — the MOSS algorithm): hash every k-gram of the
+    token stream, slide a w-window over the hash sequence, select the
+    MINIMUM hash per window with ties to the RIGHTMOST position (the
+    paper's simple winnowing; the 'prefer previous selection' robust
+    variant is stateful and intentionally not used — documented), and
+    the distinct selected positions are the document's fingerprints.
+    Guarantees a fingerprint in every w-window (local — position-robust
+    unlike global mod-p selection). Returns per doc
+    (doc_id, n_grams, n_fingerprints, min_fp, max_fp); docs with fewer
+    than k tokens have zero grams and zeroed stats; sequences shorter
+    than w form a single window.
+
+    Exactness: gram hashes ride the fnv1a string chain (uint64,
+    process-independent, = relational.fnv1a_str_sql's HUGEINT-mulmod
+    replay over the space-joined gram), selection/dedup are integer;
+    the oracle replays windows as a bounded range join. Shape: one
+    streamed map_batches — per-doc work is a vectorized
+    sliding-window argmin; no shuffle at all."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        texts = batch.column(text_col).to_pylist()
+        d_out: list[int] = []
+        ng_out: list[int] = []
+        nf_out: list[int] = []
+        mn_out: list[int] = []
+        mx_out: list[int] = []
+        for did, t in zip(ids.tolist(), texts):
+            toks = TOKEN_RE.findall(t.lower()) if t else []
+            m = len(toks) - k + 1
+            if m <= 0:
+                d_out.append(did)
+                ng_out.append(0)
+                nf_out.append(0)
+                mn_out.append(0)
+                mx_out.append(0)
+                continue
+            grams = pa.array(
+                [" ".join(toks[i : i + k]) for i in range(m)],
+                type=pa.string(),
+            )
+            h = fnv1a_vec(grams)
+            if m >= w:
+                wv = sliding_window_view(h, w)
+            else:
+                wv = h[None, :]
+            # rightmost minimal hash per window: argmin over the
+            # REVERSED window (np.argmin picks the first minimum)
+            j = wv.shape[1] - 1 - np.argmin(wv[:, ::-1], axis=1)
+            pos = np.unique(np.arange(len(wv), dtype=np.int64) + j)
+            fps = h[pos]
+            d_out.append(did)
+            ng_out.append(m)
+            nf_out.append(len(pos))
+            mn_out.append(int(fps.min()))
+            mx_out.append(int(fps.max()))
+        return pa.table(
+            {
+                "doc_id": pa.array(d_out, type=pa.int64()),
+                "n_grams": pa.array(ng_out, type=pa.int64()),
+                "n_fingerprints": pa.array(nf_out, type=pa.int64()),
+                "min_fp": pa.array(
+                    np.array(mn_out, dtype=np.uint64), type=pa.uint64()
+                ),
+                "max_fp": pa.array(
+                    np.array(mx_out, dtype=np.uint64), type=pa.uint64()
+                ),
+            }
+        )
+
+    return ds.map_batches(per_batch, batch_format="pyarrow", **_rargs())

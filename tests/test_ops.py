@@ -2823,3 +2823,68 @@ def test_crawl_delta_statuses(ray_session):
         "changed": changed,
         "unchanged": unchanged,
     }
+
+
+def test_winnow_fingerprints_reference(ray_session):
+    """Winnowing matches a scalar reference loop (rightmost minimal
+    hash per window), every w-window contains a selected position (the
+    paper's guarantee), and short docs hit the documented edges."""
+    import numpy as np
+    import ray.data
+
+    from engine.analyze import TOKEN_RE
+    from engine.textops import fnv1a, winnow_fingerprints
+
+    docs = [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "one two three",          # < k tokens: zero grams
+        "one two three four",     # m=1 < w: single window
+        "a b c d e f",            # m=3 < w: single window
+        "x x x x x x x x x x",    # all-equal hashes: rightmost ties
+    ]
+    rows = [{"doc_id": i, "text": t} for i, t in enumerate(docs)]
+    out = (
+        winnow_fingerprints(ray.data.from_items(rows), k=4, w=5)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    def ref(text, k=4, w=5):
+        toks = TOKEN_RE.findall(text.lower())
+        m = len(toks) - k + 1
+        if m <= 0:
+            return (0, 0, 0, 0)
+        h = [fnv1a(" ".join(toks[i : i + k])) for i in range(m)]
+        nwin = max(m - w + 1, 1)
+        sel = set()
+        for p in range(nwin):
+            win = h[p : p + w]
+            best = min(range(len(win)), key=lambda j: (win[j], -j))
+            sel.add(p + best)
+        fps = [h[i] for i in sorted(sel)]
+        return (m, len(sel), min(fps), max(fps))
+
+    for i, t in enumerate(docs):
+        # column access keeps uint64 exact (a row Series would coerce
+        # the mixed dtypes to float64 and round the hashes)
+        assert (
+            int(out.at[i, "n_grams"]),
+            int(out.at[i, "n_fingerprints"]),
+            int(out.at[i, "min_fp"]),
+            int(out.at[i, "max_fp"]),
+        ) == ref(t), i
+
+    # guarantee: doc 0 selections cover every window
+    toks = TOKEN_RE.findall(docs[0].lower())
+    m = len(toks) - 3
+    h = [fnv1a(" ".join(toks[i : i + 4])) for i in range(m)]
+    sel = set()
+    for p in range(m - 4):
+        win = h[p : p + 5]
+        sel.add(p + min(range(5), key=lambda j: (win[j], -j)))
+    for p in range(m - 4):
+        assert any(p <= s <= p + 4 for s in sel)
+    # all-equal doc: rightmost tie per window -> positions w-1, ..., m-1
+    assert int(out.at[4, "n_fingerprints"]) == int(out.at[4, "n_grams"]) - 4
