@@ -793,6 +793,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_fingerprints": lambda sf_dir: textops.winnow_fingerprints(
             _docs(sf_dir), k=4, w=5
         ),
+        "cdc_chunks": lambda sf_dir: textops.cdc_chunks(
+            _docs(sf_dir), window=8, mask_mod=64
+        ),
         "train_val_test_split": lambda sf_dir: textops.train_val_test_split(
             __import__("ray.data", fromlist=["x"]).read_parquet(
                 os.path.join(sf_dir, "documents.parquet"),
@@ -5929,6 +5932,60 @@ def oracle_sql() -> dict[str, str]:
                       PARTITION BY doc_id ORDER BY wh ASC) AS rn
                   FROM allw)
             WHERE rn <= 4
+        """,
+        # CDC: same window-hash chain as fingerprint_rolling; boundary
+        # closes at i+7 when wh % 64 == 0, final chunk at the last token
+        "cdc_chunks": f"""
+            WITH tok AS (SELECT doc_id, {_TOK} AS ts FROM documents),
+            th AS (
+                SELECT doc_id, p,
+                       CAST({_fnv_str_sql("w")} AS HUGEINT) AS h, n
+                FROM (
+                    SELECT doc_id, unnest(ts) AS w,
+                           unnest(range(len(ts))) AS p, len(ts) AS n
+                    FROM tok)
+            ),
+            pw(j, f) AS (VALUES {_fp_pows}),
+            big AS (
+                SELECT doc_id, i,
+                       CAST(sum(
+                           ((h % 4294967296) * f
+                            + ((h // 4294967296) * f % 4294967296)
+                              * 4294967296)
+                           % 18446744073709551616
+                       ) % 18446744073709551616 AS HUGEINT) AS wh
+                FROM (
+                    SELECT th.doc_id, th.p - pw.j AS i, th.h, pw.f
+                    FROM th JOIN pw
+                      ON th.p - pw.j >= 0 AND th.p - pw.j <= th.n - 8
+                    WHERE th.n >= 8
+                )
+                GROUP BY doc_id, i
+            ),
+            ends AS (
+                SELECT DISTINCT doc_id, e FROM (
+                    SELECT doc_id, CAST(i + 7 AS BIGINT) AS e
+                    FROM big WHERE wh % 64 = 0
+                    UNION ALL
+                    SELECT doc_id, CAST(len(ts) - 1 AS BIGINT) AS e
+                    FROM tok WHERE len(ts) > 0
+                )
+            ),
+            sizes AS (
+                SELECT doc_id,
+                       e - coalesce(lag(e) OVER (
+                           PARTITION BY doc_id ORDER BY e), -1) AS sz
+                FROM ends
+            ),
+            agg AS (
+                SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+                       CAST(max(sz) AS BIGINT) AS mx
+                FROM sizes GROUP BY doc_id
+            )
+            SELECT t.doc_id, CAST(len(t.ts) AS BIGINT) AS n_tokens,
+                   coalesce(a.n_chunks, 0) AS n_chunks,
+                   coalesce(a.mx, 0) AS max_chunk_toks
+            FROM tok t LEFT JOIN agg a ON a.doc_id = t.doc_id
         """,
         "fingerprint_md5": """
             SELECT doc_id,

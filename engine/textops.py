@@ -2163,3 +2163,65 @@ def winnow_fingerprints(ds, k: int = 4, w: int = 5, text_col: str = "text"):
         )
 
     return ds.map_batches(per_batch, batch_format="pyarrow", **_rargs())
+
+
+def cdc_chunks(ds, window: int = 8, mask_mod: int = 64, text_col: str = "text"):
+    """Content-defined chunking (Rabin-style CDC, the storage/transfer
+    dedup primitive of LBFS — Muthitacharoen, Chen & Mazières 2001
+    SOSP): a chunk boundary closes after token ``i + window - 1``
+    whenever the polynomial window hash starting at token i satisfies
+    wh % mask_mod == 0; the final chunk always closes at the last
+    token. Unlike fixed-size chunking, boundaries survive insertions
+    (they depend on CONTENT, not offsets) — the property dedup storage
+    relies on. FastCDC's min/max chunk bounds are intentionally
+    omitted: they make the boundary rule stateful-sequential, while
+    this rule is stateless and exactly SQL-replayable (documented
+    deviation). Docs shorter than ``window`` are one chunk; empty docs
+    have zero chunks. Returns (doc_id, n_tokens, n_chunks,
+    max_chunk_toks) — all integers (the window hash is the SAME
+    rolling_window_hashes chain the winnowing fingerprints replay).
+
+    Shape: one streamed map_batches, per-doc vectorized window hash +
+    mask test; no shuffle."""
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        texts = batch.column(text_col).to_pylist()
+        d_out: list[int] = []
+        nt_out: list[int] = []
+        nc_out: list[int] = []
+        mx_out: list[int] = []
+        for did, t in zip(ids.tolist(), texts):
+            toks = TOKEN_RE.findall((t or "").lower())
+            n = len(toks)
+            d_out.append(did)
+            nt_out.append(n)
+            if n == 0:
+                nc_out.append(0)
+                mx_out.append(0)
+                continue
+            if n < window:
+                nc_out.append(1)
+                mx_out.append(n)
+                continue
+            h = fnv1a_vec(pa.array(toks, type=pa.string()))
+            wh = rolling_window_hashes(h, window)
+            bi = np.flatnonzero(wh % np.uint64(mask_mod) == 0)
+            ends = np.unique(
+                np.concatenate(
+                    (bi + (window - 1), np.array([n - 1], dtype=np.int64))
+                )
+            )
+            sizes = np.diff(np.concatenate(([-1], ends)))
+            nc_out.append(len(ends))
+            mx_out.append(int(sizes.max()))
+        return pa.table(
+            {
+                "doc_id": pa.array(d_out, type=pa.int64()),
+                "n_tokens": pa.array(nt_out, type=pa.int64()),
+                "n_chunks": pa.array(nc_out, type=pa.int64()),
+                "max_chunk_toks": pa.array(mx_out, type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(per_batch, batch_format="pyarrow", **_rargs())

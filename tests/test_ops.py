@@ -2888,3 +2888,65 @@ def test_winnow_fingerprints_reference(ray_session):
         assert any(p <= s <= p + 4 for s in sel)
     # all-equal doc: rightmost tie per window -> positions w-1, ..., m-1
     assert int(out.at[4, "n_fingerprints"]) == int(out.at[4, "n_grams"]) - 4
+
+
+def test_cdc_chunks_reference_and_shift_robustness(ray_session):
+    """CDC stats equal the scalar boundary recompute (incl. empty and
+    shorter-than-window docs), and boundaries are CONTENT-defined: a
+    front insertion shifts every surviving boundary by exactly one
+    token instead of rewriting the chunking (the LBFS property)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from engine.analyze import TOKEN_RE
+    from engine.textops import cdc_chunks, fnv1a_vec, rolling_window_hashes
+
+    vocab = ["red", "blue", "green", "gold", "iron", "clay", "moss", "dusk"]
+    rng = np.random.default_rng(3)
+    body = " ".join(vocab[i] for i in rng.integers(0, 8, size=120))
+    docs = [body, "", "one two three", "a b c d e f g h"]
+    rows = [{"doc_id": i, "text": t} for i, t in enumerate(docs)]
+    out = (
+        cdc_chunks(ray.data.from_items(rows), window=8, mask_mod=64)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    def bounds(text, window=8, mod=64):
+        toks = TOKEN_RE.findall(text.lower())
+        n = len(toks)
+        if n < window:
+            return toks, []
+        wh = rolling_window_hashes(
+            fnv1a_vec(pa.array(toks, type=pa.string())), window
+        )
+        return toks, [
+            int(i) + window - 1
+            for i in np.flatnonzero(wh % np.uint64(mod) == 0)
+        ]
+
+    for i, t in enumerate(docs):
+        toks, bs = bounds(t)
+        n = len(toks)
+        if n == 0:
+            exp = (0, 0, 0)
+        else:
+            ends = sorted(set(bs) | {n - 1})
+            sizes = np.diff([-1] + ends)
+            exp = (n, len(ends), int(sizes.max()))
+        assert (
+            int(out.at[i, "n_tokens"]),
+            int(out.at[i, "n_chunks"]),
+            int(out.at[i, "max_chunk_toks"]),
+        ) == exp, i
+
+    # content-defined property: insert one token at the front; every
+    # boundary whose window lies fully inside the old content must
+    # reappear shifted by exactly +1
+    _, ba = bounds(body)
+    _, bb = bounds("slate " + body)
+    surviving = {b for b in ba if b >= 8}
+    assert surviving  # non-vacuous
+    assert {b + 1 for b in surviving} <= set(bb)
