@@ -796,6 +796,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_chunks": lambda sf_dir: textops.cdc_chunks(
             _docs(sf_dir), window=8, mask_mod=64
         ),
+        "char_entropy": lambda sf_dir: textops.char_entropy(_docs(sf_dir)),
+        "source_vocab_jaccard": lambda sf_dir: textops.source_vocab_jaccard(
+            __import__("ray.data", fromlist=["x"]).read_parquet(
+                os.path.join(sf_dir, "documents.parquet"),
+                columns=["source", "text"],
+            )
+        ),
         "train_val_test_split": lambda sf_dir: textops.train_val_test_split(
             __import__("ray.data", fromlist=["x"]).read_parquet(
                 os.path.join(sf_dir, "documents.parquet"),
@@ -5932,6 +5939,54 @@ def oracle_sql() -> dict[str, str]:
                       PARTITION BY doc_id ORDER BY wh ASC) AS rn
                   FROM allw)
             WHERE rn <= 4
+        """,
+        # char-ascending ordered fold; scalar libm ln == DuckDB ln;
+        # division/multiply single f64 ops; one final negation
+        "char_entropy": """
+            WITH f AS (
+                SELECT doc_id,
+                       regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS cnt
+                FROM (SELECT doc_id, unnest(string_split(s, '')) AS ch
+                      FROM f WHERE length(s) > 0)
+                GROUP BY doc_id, ch
+            ),
+            h AS (
+                SELECT c.doc_id,
+                       -(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                           list((c.cnt / CAST(length(f.s) AS DOUBLE))
+                                * ln(c.cnt / CAST(length(f.s) AS DOUBLE))
+                                ORDER BY c.ch)),
+                           (x, y) -> x + y)) AS entropy
+                FROM c JOIN f ON f.doc_id = c.doc_id
+                GROUP BY c.doc_id, f.s
+            )
+            SELECT f.doc_id, CAST(length(f.s) AS BIGINT) AS n_alnum,
+                   coalesce(h.entropy, 0.0) AS entropy
+            FROM f LEFT JOIN h ON h.doc_id = f.doc_id
+        """,
+        "source_vocab_jaccard": f"""
+            WITH st AS (
+                SELECT DISTINCT source, t
+                FROM (SELECT source, unnest({_TOK}) AS t FROM documents)
+            ),
+            sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+                   FROM st GROUP BY source),
+            pr AS (
+                SELECT a.source AS source_a, b.source AS source_b,
+                       CAST(count(*) AS BIGINT) AS n_common
+                FROM st a JOIN st b
+                  ON a.t = b.t AND a.source < b.source
+                GROUP BY 1, 2
+            )
+            SELECT source_a, source_b, n_common,
+                   sa.n + sb.n - n_common AS n_union
+            FROM pr
+            JOIN sz sa ON sa.source = pr.source_a
+            JOIN sz sb ON sb.source = pr.source_b
         """,
         # CDC: same window-hash chain as fingerprint_rolling; boundary
         # closes at i+7 when wh % 64 == 0, final chunk at the last token

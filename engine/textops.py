@@ -2225,3 +2225,144 @@ def cdc_chunks(ds, window: int = 8, mask_mod: int = 64, text_col: str = "text"):
         )
 
     return ds.map_batches(per_batch, batch_format="pyarrow", **_rargs())
+
+
+def char_entropy(ds, text_col: str = "text"):
+    """Character-distribution Shannon entropy per document (nats) — the
+    information-theoretic gibberish/keyboard-mash signal quality
+    pipelines threshold on (low entropy = repeated chars, high =
+    uniform noise), over the [a-z0-9] alphabet of the lowercased text.
+    H = -(fold of (cnt/n)·ln(cnt/n) in CHARACTER-ASCENDING order);
+    every op is a single f64 op (exact division-as-one-op, SCALAR libm
+    ln == DuckDB ln bit-for-bit — never vectorized np.log, CLAUDE.md —
+    multiply, left-assoc adds, one final negation), so the SQL replay
+    is exact. Empty/no-alnum docs get entropy 0.0. Returns
+    (doc_id, n_alnum, entropy). Shape: one streamed map_batches,
+    per-doc work bounded by the 36-symbol alphabet."""
+    import math
+
+    strip = re.compile(r"[^a-z0-9]")
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        ids = batch.column("doc_id").to_numpy()
+        texts = batch.column(text_col).to_pylist()
+        n_out: list[int] = []
+        e_out: list[float] = []
+        for t in texts:
+            s = strip.sub("", (t or "").lower())
+            n = len(s)
+            n_out.append(n)
+            if n == 0:
+                e_out.append(0.0)
+                continue
+            cnt = Counter(s)
+            acc = 0.0
+            nf = float(n)
+            for ch in sorted(cnt):
+                p = cnt[ch] / nf
+                acc = acc + (p * math.log(p))
+            e_out.append(-acc)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "n_alnum": pa.array(n_out, type=pa.int64()),
+                "entropy": pa.array(e_out, type=pa.float64()),
+            }
+        )
+
+    return ds.map_batches(per_batch, batch_format="pyarrow", **_rargs())
+
+
+def source_vocab_jaccard(ds):
+    """Vocabulary-overlap Jaccard between corpus sources — the mixture-
+    design diagnostic (which slices are near-duplicates of each other,
+    which bring novel vocabulary) run before choosing training-mix
+    weights. Jaccard is reported UNREDUCED as (n_common, n_union)
+    integers so the entry is exact; pairs sharing no terms are absent.
+    Returns (source_a, source_b, n_common, n_union), source_a <
+    source_b.
+
+    Shape: in-batch (source, term) dedup, one groupby(term) whose
+    per-group pair emission is bounded by the SOURCE count (not the
+    corpus), one groupby((a, b)) Sum; per-source vocabulary sizes ride
+    a bounded take_all (|sources| rows) into the finish closure."""
+    from itertools import combinations
+
+    from ray.data.aggregate import Count, Sum
+
+    def _pairs_dedup(batch: pa.Table) -> pa.Table:
+        src = np.asarray(batch.column("source").to_pylist())
+        texts = batch.column("text").to_pylist()
+        s_out: list[str] = []
+        t_out: list[str] = []
+        for s, t in zip(src.tolist(), texts):
+            for w in set(TOKEN_RE.findall((t or "").lower())):
+                s_out.append(s)
+                t_out.append(w)
+        tbl = pa.table(
+            {
+                "source": pa.array(s_out, type=pa.string()),
+                "term": pa.array(t_out, type=pa.string()),
+            }
+        )
+        return tbl
+
+    st = (
+        ds.map_batches(_pairs_dedup, batch_format="pyarrow", **_rargs())
+        .groupby(["source", "term"])
+        .aggregate(Count(alias_name="c"))
+        .materialize()  # consumed twice (sizes + pair emission)
+    )
+
+    sizes = {
+        r["source"]: int(r["c"])
+        for r in st.groupby("source")
+        .aggregate(Count(alias_name="c"))
+        .take_all()  # bounded: one row per source
+    }
+
+    def _emit_pairs(g: pa.Table) -> pa.Table:
+        srcs = sorted(set(g.column("source").to_pylist()))
+        if len(srcs) < 2:
+            return pa.table(
+                {
+                    "source_a": pa.array([], type=pa.string()),
+                    "source_b": pa.array([], type=pa.string()),
+                    "n": pa.array([], type=pa.int64()),
+                }
+            )
+        a, b = zip(*combinations(srcs, 2))
+        return pa.table(
+            {
+                "source_a": pa.array(list(a), type=pa.string()),
+                "source_b": pa.array(list(b), type=pa.string()),
+                "n": pa.array(np.ones(len(a), dtype=np.int64)),
+            }
+        )
+
+    agg = (
+        st.groupby("term")
+        .map_groups(_emit_pairs, batch_format="pyarrow", **_rargs())
+        .groupby(["source_a", "source_b"])
+        .aggregate(Sum("n", alias_name="n_common"))
+    )
+
+    def _finish(batch: pa.Table) -> pa.Table:
+        sa = batch.column("source_a").to_pylist()
+        sb = batch.column("source_b").to_pylist()
+        nc = batch.column("n_common").to_numpy().astype(np.int64)
+        nu = np.array(
+            [sizes[x] + sizes[y] for x, y in zip(sa, sb)], dtype=np.int64
+        ) - nc
+        return pa.table(
+            {
+                "source_a": pa.array(sa, type=pa.string()),
+                "source_b": pa.array(sb, type=pa.string()),
+                "n_common": pa.array(nc, type=pa.int64()),
+                "n_union": pa.array(nu, type=pa.int64()),
+            }
+        )
+
+    return agg.map_batches(_finish, batch_format="pyarrow", **_rargs())

@@ -2950,3 +2950,80 @@ def test_cdc_chunks_reference_and_shift_robustness(ray_session):
     surviving = {b for b in ba if b >= 8}
     assert surviving  # non-vacuous
     assert {b + 1 for b in surviving} <= set(bb)
+
+
+def test_char_entropy_known_values(ray_session):
+    """Entropy matches the ordered scalar fold: 0 for single-symbol
+    docs, ln(k) for uniform k-symbol docs, 0 for empty/no-alnum."""
+    import math
+
+    import ray.data
+
+    from engine.textops import char_entropy
+
+    docs = ["aaaa", "abcd", "", "?!, .", "aabb ccdd", "Mixed CASE 123"]
+    rows = [{"doc_id": i, "text": t} for i, t in enumerate(docs)]
+    out = (
+        char_entropy(ray.data.from_items(rows))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    def ref(t):
+        import re as _re
+        from collections import Counter
+
+        s = _re.sub(r"[^a-z0-9]", "", t.lower())
+        if not s:
+            return 0, 0.0
+        c = Counter(s)
+        acc = 0.0
+        for ch in sorted(c):
+            p = c[ch] / float(len(s))
+            acc = acc + (p * math.log(p))
+        return len(s), -acc
+
+    for i, t in enumerate(docs):
+        n, e = ref(t)
+        assert int(out.at[i, "n_alnum"]) == n, i
+        assert float(out.at[i, "entropy"]) == e, i
+    assert float(out.at[0, "entropy"]) == 0.0
+    # uniform 4-symbol: -4 * (0.25 * ln 0.25) folded left-assoc
+    assert abs(float(out.at[1, "entropy"]) - math.log(4)) < 1e-12
+    assert float(out.at[3, "entropy"]) == 0.0 and int(out.at[3, "n_alnum"]) == 0
+
+
+def test_source_vocab_jaccard_brute(ray_session):
+    """Pair overlap/union counts match brute set arithmetic and are
+    partition-invariant; disjoint-vocabulary pairs are absent."""
+    import ray.data
+
+    from engine.analyze import TOKEN_RE
+    from engine.textops import source_vocab_jaccard
+
+    rows = [
+        {"source": "s1", "text": "red blue green"},
+        {"source": "s1", "text": "blue gold"},
+        {"source": "s2", "text": "blue gold iron"},
+        {"source": "s3", "text": "zinc quartz"},  # disjoint from s1/s2
+        {"source": "s3", "text": "zinc"},
+    ]
+    out = source_vocab_jaccard(
+        ray.data.from_items(rows).repartition(3)
+    ).to_pandas()
+    vocab = {}
+    for r in rows:
+        vocab.setdefault(r["source"], set()).update(
+            TOKEN_RE.findall(r["text"])
+        )
+    got = {
+        (r.source_a, r.source_b): (int(r.n_common), int(r.n_union))
+        for r in out.itertuples()
+    }
+    assert got == {
+        ("s1", "s2"): (
+            len(vocab["s1"] & vocab["s2"]),
+            len(vocab["s1"] | vocab["s2"]),
+        )
+    }
