@@ -894,6 +894,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 columns=["ts", "event_type"],
             )
         ),
+        "record_linkage": lambda sf_dir: __import__(
+            "engine.dedup", fromlist=["x"]
+        ).record_linkage_customers(sf_dir, max_dist=2),
         "crawl_delta": lambda sf_dir: __import__(
             "engine.dedup", fromlist=["x"]
         ).crawl_delta(
@@ -6485,6 +6488,33 @@ def oracle_sql() -> dict[str, str]:
                    n * sxy - sx * sy AS slope_num,
                    n * sxx - sx * sx AS slope_den
             FROM s
+        """,
+        # blocked record linkage: anagram blocking key, levenshtein<=2
+        # verify; dirty side = last-two-char transposition at %3
+        "record_linkage": """
+            WITH a AS (
+                SELECT c_custkey AS ck, c_name AS nm,
+                       array_to_string(list_sort(string_split(c_name, '')),
+                                       '') AS blk
+                FROM customer
+            ),
+            b AS (
+                SELECT c_custkey + 1000000 AS ck, nm,
+                       array_to_string(list_sort(string_split(nm, '')),
+                                       '') AS blk
+                FROM (
+                    SELECT c_custkey,
+                           substring(c_name, 1, length(c_name) - 2)
+                           || substring(c_name, length(c_name), 1)
+                           || substring(c_name, length(c_name) - 1, 1) AS nm
+                    FROM customer
+                    WHERE c_custkey % 3 = 0 AND length(c_name) >= 2
+                )
+            )
+            SELECT a.ck AS a_custkey, b.ck AS b_custkey,
+                   CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS dist
+            FROM a JOIN b ON a.blk = b.blk
+            WHERE levenshtein(a.nm, b.nm) <= 2
         """,
         # snapshot diff vs the deterministic recrawl (drop %7, mutate %5,
         # spawn %11 at doc_id + N); md5 identity on both sides

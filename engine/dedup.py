@@ -1352,3 +1352,89 @@ def crawl_delta(ds, n_docs: int):
             **_rargs(),
         )
     )
+
+
+def record_linkage_customers(sf_dir: str, max_dist: int = 2):
+    """Record linkage / entity resolution with blocking (the
+    Fellegi–Sunter pipeline shape every dedup-across-sources system
+    runs: cheap BLOCKING key -> within-block candidate pairs ->
+    expensive pairwise VERIFY): link customer records against a
+    deterministic dirty copy (every third customer re-enters with the
+    last two name characters transposed, keyed at custkey + 1,000,000).
+    Blocking key = the name's sorted-character string (the anagram key —
+    transpositions land in their source's block by construction, unlike
+    phonetic keys which collapse on this fixture's uniform names);
+    verify = banded Levenshtein <= ``max_dist`` (a transposition costs
+    2). Returns (a_custkey, b_custkey, dist) — all integers, candidate
+    work bounded by anagram-class sizes, never all-pairs.
+
+    Shape: ONE read emits both sides' (block, key, name, side) rows (the
+    dirty copy derives in-task), one groupby(block) whose per-group
+    work is |A|x|B| banded DPs within the class."""
+    from .rayenv import read_parquet_clean
+    from .suggest import levenshtein_banded
+
+    import os as _os
+
+    ds = read_parquet_clean(
+        _os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name"],
+    )
+
+    def _emit(batch: pa.Table) -> pa.Table:
+        keys = batch.column("c_custkey").to_numpy()
+        names = batch.column("c_name").to_pylist()
+        k_out: list[str] = []
+        id_out: list[int] = []
+        n_out: list[str] = []
+        s_out: list[int] = []
+        for ck, nm in zip(keys.tolist(), names):
+            nm = nm or ""
+            k_out.append("".join(sorted(nm)))
+            id_out.append(ck)
+            n_out.append(nm)
+            s_out.append(0)
+            if ck % 3 == 0 and len(nm) >= 2:
+                dirty = nm[:-2] + nm[-1] + nm[-2]
+                k_out.append("".join(sorted(dirty)))
+                id_out.append(ck + 1_000_000)
+                n_out.append(dirty)
+                s_out.append(1)
+        return pa.table(
+            {
+                "blk": pa.array(k_out, type=pa.string()),
+                "ck": pa.array(id_out, type=pa.int64()),
+                "nm": pa.array(n_out, type=pa.string()),
+                "side": pa.array(s_out, type=pa.int64()),
+            }
+        )
+
+    def _verify(g: pa.Table) -> pa.Table:
+        sides = g.column("side").to_numpy()
+        cks = g.column("ck").to_numpy()
+        nms = g.column("nm").to_pylist()
+        ai = np.flatnonzero(sides == 0)
+        bi = np.flatnonzero(sides == 1)
+        a_out: list[int] = []
+        b_out: list[int] = []
+        d_out: list[int] = []
+        for i in ai.tolist():
+            for j in bi.tolist():
+                d = levenshtein_banded(nms[i], nms[j], max_dist)
+                if d <= max_dist:
+                    a_out.append(int(cks[i]))
+                    b_out.append(int(cks[j]))
+                    d_out.append(d)
+        return pa.table(
+            {
+                "a_custkey": pa.array(a_out, type=pa.int64()),
+                "b_custkey": pa.array(b_out, type=pa.int64()),
+                "dist": pa.array(d_out, type=pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(_emit, batch_format="pyarrow", **_rargs())
+        .groupby("blk")
+        .map_groups(_verify, batch_format="pyarrow", **_rargs())
+    )

@@ -3027,3 +3027,46 @@ def test_source_vocab_jaccard_brute(ray_session):
             len(vocab["s1"] | vocab["s2"]),
         )
     }
+
+
+def test_record_linkage_brute(ray_session):
+    """Blocked linkage equals the brute cross-product-with-blocking
+    recompute on sf0.001, every true (orig, its-dirty-copy) pair is
+    found at dist 2 (a transposition costs two edits), and cross-links
+    to OTHER originals in the same anagram class appear (the
+    false-candidate surface a verify stage exists for)."""
+    import pandas as pd
+
+    from engine.dedup import record_linkage_customers
+    from engine.suggest import levenshtein_banded
+
+    sf = "/root/testdata/sf0.001"
+    out = record_linkage_customers(sf, max_dist=2).to_pandas()
+    cust = pd.read_parquet(sf + "/customer.parquet")[["c_custkey", "c_name"]]
+    a = [(int(k), n, "".join(sorted(n))) for k, n in cust.itertuples(index=False)]
+    b = []
+    for k, n in cust.itertuples(index=False):
+        if k % 3 == 0 and len(n) >= 2:
+            d = n[:-2] + n[-1] + n[-2]
+            b.append((int(k) + 1_000_000, d, "".join(sorted(d))))
+    exp = set()
+    for ak, an, ab in a:
+        for bk, bn, bb in b:
+            if ab == bb:
+                dd = levenshtein_banded(an, bn, 2)
+                if dd <= 2:
+                    exp.add((ak, bk, dd))
+    got = {
+        (int(r.a_custkey), int(r.b_custkey), int(r.dist))
+        for r in out.itertuples()
+    }
+    assert got == exp
+    # every true pair present: (k, k+1M) at dist 2 (or 0 if the swap
+    # was a no-op because the last two chars were equal)
+    for bk, bn, _ in b:
+        k = bk - 1_000_000
+        orig = cust.set_index("c_custkey")["c_name"][k]
+        want = 0 if orig[-1] == orig[-2] else 2
+        assert (k, bk, want) in got
+    # the false-candidate surface is non-empty on this fixture
+    assert any(ak != bk - 1_000_000 for ak, bk, _ in got)
