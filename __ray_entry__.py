@@ -168,6 +168,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds, n = _doc_ids_n(sf_dir)
         return bfs_hops(ds, n_docs=n, source=0, max_depth=4)
 
+    def q_adamic_adar(sf_dir):
+        from engine.graph import adamic_adar_pairs
+
+        ds, n = _doc_ids_n(sf_dir)
+        return adamic_adar_pairs(ds, n_docs=n)
+
     def q_resumable_sink(sf_dir):
         import shutil
 
@@ -761,6 +767,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anchor_stats": q_anchor_stats,
         "bib_coupling_pairs": q_bib_coupling,
         "co_citation_pairs": q_co_citation,
+        "adamic_adar_pairs": q_adamic_adar,
+        "event_transitions": lambda sf_dir: relational.event_transitions(
+            __import__("ray.data", fromlist=["x"]).read_parquet(
+                os.path.join(sf_dir, "events.parquet"),
+                columns=["user_id", "event_id", "ts", "event_type"],
+            )
+        ),
         "hits_scores": q_hits,
         "bfs_hops": q_bfs_hops,
         "word_delimiter_terms": pipelines.word_delimiter_terms,
@@ -5069,6 +5082,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_common
             FROM e a JOIN e b ON a.s = b.s AND a.t < b.t
             GROUP BY 1, 2
+        """,
+        # Adamic-Adar: 1/ln(indeg) folded target-ascending per pair
+        "adamic_adar_pairs": f"""
+            WITH arms AS ({_graph_arms_sql()}),
+            e AS (SELECT DISTINCT s, t FROM arms),
+            deg AS (SELECT t, CAST(count(*) AS BIGINT) AS d
+                    FROM e GROUP BY t),
+            pr AS (
+                SELECT a.s AS doc_a, b.s AS doc_b, a.t AS t, deg.d
+                FROM e a JOIN e b ON a.t = b.t AND a.s < b.s
+                JOIN deg ON deg.t = a.t
+            )
+            SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS n_common,
+                   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                       list(1.0 / ln(CAST(d AS DOUBLE)) ORDER BY t)),
+                       (x, y) -> x + y) AS aa_score
+            FROM pr GROUP BY doc_a, doc_b
+        """,
+        "event_transitions": """
+            WITH s AS (
+                SELECT user_id, event_type,
+                       lead(event_type) OVER (
+                           PARTITION BY user_id
+                           ORDER BY epoch_us(ts), event_id) AS nxt
+                FROM events
+            )
+            SELECT event_type AS from_type, nxt AS to_type,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2
         """,
         "hits_scores": _hits_sql(2),
         "bfs_hops": _bfs_sql(0, 4),

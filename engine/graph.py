@@ -553,3 +553,82 @@ def bfs_hops(ds, n_docs: int, source: int = 0, max_depth: int = 4):
         batch_format="pyarrow",
         **_rargs(),
     )
+
+
+def adamic_adar_pairs(ds, n_docs: int):
+    """Adamic–Adar link prediction (Adamic & Adar 2003, "Friends and
+    neighbors on the Web": candidate pair score = sum over shared
+    neighbors z of 1/ln(deg(z)) — rare shared neighbors weigh more).
+    Here over the fixture graph's DISTINCT out-edges: pairs of sources
+    sharing out-targets (the bib-coupling candidate set), z's degree =
+    its in-degree. A shared target has in-degree >= 2 by construction,
+    so ln never hits 0. Returns (doc_a, doc_b, n_common, aa_score).
+
+    Exactness: per pair the score folds in TARGET-ASCENDING order —
+    1.0/ln(d) is two single f64 ops (scalar libm ln == DuckDB ln, exact
+    division) and the fold is an np.cumsum sequential scan == the
+    oracle's ordered list_reduce. Shape: one shuffle by target
+    (vectorized triu pair emission, bounded by fan-in), one shuffle by
+    pair (per-group ordered fold — bounded by shared-target counts)."""
+    import math
+
+    def _edges(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        s, t = synth_out_edges(ids, n_docs)
+        key = s * np.int64(n_docs) + t
+        _, idx = np.unique(key, return_index=True)
+        return pa.table(
+            {
+                "s": pa.array(s[idx], type=pa.int64()),
+                "t": pa.array(t[idx], type=pa.int64()),
+            }
+        )
+
+    def _pairs(g: pa.Table) -> pa.Table:
+        src = np.unique(g.column("s").to_numpy())
+        if len(src) < 2:
+            return pa.table(
+                {
+                    "doc_a": pa.array([], type=pa.int64()),
+                    "doc_b": pa.array([], type=pa.int64()),
+                    "t": pa.array([], type=pa.int64()),
+                    "w": pa.array([], type=pa.float64()),
+                }
+            )
+        t = int(g.column("t")[0].as_py())
+        w = 1.0 / math.log(float(len(src)))  # ln + division: single ops
+        iu, ju = np.triu_indices(len(src), k=1)
+        return pa.table(
+            {
+                "doc_a": pa.array(src[iu], type=pa.int64()),
+                "doc_b": pa.array(src[ju], type=pa.int64()),
+                "t": pa.array(np.full(len(iu), t, dtype=np.int64)),
+                "w": pa.array(np.full(len(iu), w, dtype=np.float64)),
+            }
+        )
+
+    def _fold(g: pa.Table) -> pa.Table:
+        order = np.argsort(g.column("t").to_numpy(), kind="stable")
+        w = g.column("w").to_numpy()[order]
+        # cumsum = genuine sequential left fold (CLAUDE.md lore)
+        total = float(np.cumsum(w)[-1])
+        return pa.table(
+            {
+                "doc_a": pa.array(
+                    [int(g.column("doc_a")[0].as_py())], type=pa.int64()
+                ),
+                "doc_b": pa.array(
+                    [int(g.column("doc_b")[0].as_py())], type=pa.int64()
+                ),
+                "n_common": pa.array([len(w)], type=pa.int64()),
+                "aa_score": pa.array([total], type=pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(_edges, batch_format="pyarrow", **_rargs())
+        .groupby("t")
+        .map_groups(_pairs, batch_format="pyarrow", **_rargs())
+        .groupby(["doc_a", "doc_b"])
+        .map_groups(_fold, batch_format="pyarrow", **_rargs())
+    )

@@ -1494,3 +1494,71 @@ def trend_slopes(ds):
         )
 
     return agg.map_batches(_finish, batch_format="pyarrow", **_rargs())
+
+
+def event_transitions(ds):
+    """First-order Markov transition counts over each user's event
+    stream (the clickstream path-analysis primitive: which step follows
+    which). Ordering inside a user is (ts, event_id) — the event_id
+    tiebreak makes equal-timestamp streams deterministic on both sides.
+    Returns (from_type, to_type, n) integer counts.
+
+    Shape: ONE groupby(user_id) shuffle; per-user work is a vectorized
+    sort + shifted zip with an in-group Counter combine, so only the
+    distinct transition pairs leave the group."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch.column("user_id").cast(pa.int64()),
+                "event_id": batch.column("event_id").cast(pa.int64()),
+                "event_type": batch.column("event_type"),
+                "ts_us": batch.column("ts")
+                .cast(pa.timestamp("us"))
+                .cast(pa.int64()),
+            }
+        )
+
+    def _per_user(g: pa.Table) -> pa.Table:
+        ts = g.column("ts_us").to_numpy()
+        eid = g.column("event_id").to_numpy()
+        et = g.column("event_type").to_pylist()
+        order = np.lexsort((eid, ts))
+        seq = [et[int(i)] for i in order]
+        c: Counter = Counter(zip(seq, seq[1:]))
+        if not c:
+            return pa.table(
+                {
+                    "from_type": pa.array([], type=pa.string()),
+                    "to_type": pa.array([], type=pa.string()),
+                    "n": pa.array([], type=pa.int64()),
+                }
+            )
+        fr, to, n = zip(*((a, b, v) for (a, b), v in c.items()))
+        return pa.table(
+            {
+                "from_type": pa.array(list(fr), type=pa.string()),
+                "to_type": pa.array(list(to), type=pa.string()),
+                "n": pa.array(list(n), type=pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(_prep, batch_format="pyarrow", **_rargs())
+        .groupby("user_id")
+        .map_groups(_per_user, batch_format="pyarrow", **_rargs())
+        .groupby(["from_type", "to_type"])
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(
+            lambda b: b.set_column(
+                b.schema.get_field_index("n"),
+                "n",
+                b.column("n").cast(pa.int64()),
+            ),
+            batch_format="pyarrow",
+            **_rargs(),
+        )
+    )

@@ -3070,3 +3070,72 @@ def test_record_linkage_brute(ray_session):
         assert (k, bk, want) in got
     # the false-candidate surface is non-empty on this fixture
     assert any(ak != bk - 1_000_000 for ak, bk, _ in got)
+
+
+def test_adamic_adar_brute(ray_session):
+    """AA scores equal the scalar ordered-fold recompute over the
+    synthesized graph; every coupled pair appears with its bib-coupling
+    n_common; shared targets always have indeg >= 2 (no ln(1))."""
+    import math
+    from itertools import combinations
+
+    import numpy as np
+    import ray.data
+
+    from engine.graph import adamic_adar_pairs, synth_out_edges
+
+    n = 60
+    out = adamic_adar_pairs(
+        ray.data.from_items([{"doc_id": i} for i in range(n)]).repartition(7),
+        n_docs=n,
+    ).to_pandas()
+    s, t = synth_out_edges(np.arange(n), n)
+    edges = set(zip(s.tolist(), t.tolist()))
+    by_target: dict[int, set] = {}
+    for a, b in edges:
+        by_target.setdefault(b, set()).add(a)
+    shared: dict[tuple, list] = {}
+    for tgt, srcs in by_target.items():
+        for a, b in combinations(sorted(srcs), 2):
+            shared.setdefault((a, b), []).append(tgt)
+    exp = {}
+    for (a, b), tgts in shared.items():
+        acc = 0.0
+        for tgt in sorted(tgts):
+            d = len(by_target[tgt])
+            assert d >= 2
+            acc = acc + (1.0 / math.log(float(d)))
+        exp[(a, b)] = (len(tgts), acc)
+    got = {
+        (int(r.doc_a), int(r.doc_b)): (int(r.n_common), float(r.aa_score))
+        for r in out.itertuples()
+    }
+    assert got == exp
+
+
+def test_event_transitions_tie_order(ray_session):
+    """Transition counts follow (ts, event_id) order — equal timestamps
+    break by event_id — and singleton users emit nothing."""
+    import datetime as dt
+
+    import ray.data
+
+    from engine.relational import event_transitions
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        # u1: A(t0,e1) -> B(t0,e2 tie by id) -> A(t1,e3)
+        {"user_id": 1, "event_id": 2, "ts": base, "event_type": "B"},
+        {"user_id": 1, "event_id": 1, "ts": base, "event_type": "A"},
+        {
+            "user_id": 1,
+            "event_id": 3,
+            "ts": base + dt.timedelta(seconds=1),
+            "event_type": "A",
+        },
+        # u2: singleton
+        {"user_id": 2, "event_id": 4, "ts": base, "event_type": "C"},
+    ]
+    out = event_transitions(ray.data.from_items(rows)).to_pandas()
+    got = {(r.from_type, r.to_type): int(r.n) for r in out.itertuples()}
+    assert got == {("A", "B"): 1, ("B", "A"): 1}
