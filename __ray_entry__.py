@@ -901,6 +901,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 columns=["user_id", "ts"],
             )
         ),
+        "time_decayed_topk": lambda sf_dir: relational.time_decayed_topk(
+            __import__("ray.data", fromlist=["x"]).read_parquet(
+                os.path.join(sf_dir, "events.parquet"),
+                columns=["ts", "event_type"],
+            ),
+            k=20,
+        ),
+        "ab_chi_square": lambda sf_dir: relational.ab_chi_square(
+            __import__("ray.data", fromlist=["x"]).read_parquet(
+                os.path.join(sf_dir, "events.parquet"),
+                columns=["user_id", "event_type"],
+            )
+        ),
         "trend_slopes": lambda sf_dir: relational.trend_slopes(
             __import__("ray.data", fromlist=["x"]).read_parquet(
                 os.path.join(sf_dir, "events.parquet"),
@@ -6509,6 +6522,59 @@ def oracle_sql() -> dict[str, str]:
         "events_timeseries": """
             SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n_events
             FROM events GROUP BY event_type, day
+        """,
+        # HN gravity: t = age+2.0, score = votes / (t * sqrt(t)) — one
+        # add, correctly-rounded sqrt, one multiply, one division
+        "time_decayed_topk": """
+            WITH d AS (
+                SELECT event_type, epoch_us(ts) // 86400000000 AS x,
+                       CAST(count(*) AS BIGINT) AS y
+                FROM events GROUP BY 1, 2
+            ),
+            m AS (SELECT max(x) AS mx FROM d),
+            sc AS (
+                SELECT event_type, x AS day_x, y AS votes,
+                       CAST(y AS DOUBLE)
+                       / ((CAST(m.mx - x AS DOUBLE) + 2.0)
+                          * sqrt(CAST(m.mx - x AS DOUBLE) + 2.0)) AS score
+                FROM d, m
+            )
+            SELECT CAST(row_number() OVER (
+                       ORDER BY score DESC, event_type ASC, day_x ASC) - 1
+                       AS BIGINT) AS rank,
+                   event_type, day_x, votes, score
+            FROM sc
+            ORDER BY score DESC, event_type ASC, day_x ASC LIMIT 20
+        """,
+        # 2x2 chi-square of conversion by variant (user_id % 2): exact
+        # integer cells, chi2 = one division of the HUGEINT promotions
+        "ab_chi_square": """
+            WITH u AS (
+                SELECT user_id % 2 AS variant,
+                       CAST(max(CASE WHEN event_type = 'purchase'
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS conv
+                FROM events GROUP BY user_id
+            ),
+            c AS (
+                SELECT
+                    CAST(sum(CASE WHEN variant = 0 AND conv = 1
+                                  THEN 1 ELSE 0 END) AS HUGEINT) AS a,
+                    CAST(sum(CASE WHEN variant = 0 AND conv = 0
+                                  THEN 1 ELSE 0 END) AS HUGEINT) AS b,
+                    CAST(sum(CASE WHEN variant = 1 AND conv = 1
+                                  THEN 1 ELSE 0 END) AS HUGEINT) AS cc,
+                    CAST(sum(CASE WHEN variant = 1 AND conv = 0
+                                  THEN 1 ELSE 0 END) AS HUGEINT) AS d
+                FROM u
+            )
+            SELECT CAST(a + b AS BIGINT) AS n_a, CAST(a AS BIGINT) AS conv_a,
+                   CAST(cc + d AS BIGINT) AS n_b, CAST(cc AS BIGINT) AS conv_b,
+                   CASE WHEN (a+b)*(cc+d)*(a+cc)*(b+d) = 0 THEN 0.0
+                        ELSE CAST((a+b+cc+d) * (a*d - b*cc) * (a*d - b*cc)
+                                  AS DOUBLE)
+                             / CAST((a+b)*(cc+d)*(a+cc)*(b+d) AS DOUBLE)
+                   END AS chi2
+            FROM c
         """,
         # OLS trend kept in integers: slope num/den unreduced, observed
         # days only, x = epoch_us // day_us pure integer bucket

@@ -1562,3 +1562,159 @@ def event_transitions(ds):
             **_rargs(),
         )
     )
+
+
+def time_decayed_topk(ds, k: int = 20, gravity_base: float = 2.0):
+    """Time-decayed popularity ranking — the Hacker-News/Reddit "gravity"
+    formula score = votes / (age + 2)^1.5 over (event_type, day) buckets
+    (votes = daily event count, age in days from the newest observed
+    day). ^1.5 is computed as t * sqrt(t): sqrt is correctly rounded
+    (IEEE) and the multiply/divide are single f64 ops on exact integer
+    promotions, so the replay is bit-exact. Ties -> (event_type asc,
+    day asc). Returns (rank, event_type, day_x, votes, score).
+
+    Shape: map-side combined daily counts + one groupby sum (the only
+    corpus-wide move), a Dataset max for the newest day, then scoring +
+    partial top-k over the day-bounded bucket table."""
+    from ray.data.aggregate import Sum
+
+    day_us = 86400000000
+
+    def _days(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "event_type": pa.array([], type=pa.string()),
+                    "x": pa.array([], type=pa.int64()),
+                    "y": pa.array([], type=pa.int64()),
+                }
+            )
+        et = batch.column("event_type")
+        x = (
+            batch.column("ts").cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+            // day_us
+        )
+        key = np.char.add(
+            np.char.add(np.asarray(et.to_pylist()), "\x01"), x.astype("U20")
+        )
+        uniq, idx, inv = np.unique(key, return_index=True, return_inverse=True)
+        cnt = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pa.table(
+            {
+                "event_type": pa.array(
+                    [et[int(i)].as_py() for i in idx], type=pa.string()
+                ),
+                "x": pa.array(x[idx], type=pa.int64()),
+                "y": pa.array(cnt, type=pa.int64()),
+            }
+        )
+
+    daily = (
+        ds.map_batches(_days, batch_format="pyarrow", **_rargs())
+        .groupby(["event_type", "x"])
+        .aggregate(Sum("y", alias_name="y"))
+        .materialize()  # consumed twice: max(x) + scoring
+    )
+    max_day = int(daily.max("x"))
+
+    def _score(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type").to_pylist()
+        x = batch.column("x").to_numpy().astype(np.int64)
+        y = batch.column("y").to_numpy().astype(np.int64)
+        rows = []
+        for e, xi, yi in zip(et, x.tolist(), y.tolist()):
+            t = float(max_day - xi) + gravity_base  # exact int->f64 + add
+            denom = t * np.sqrt(t)  # correctly-rounded sqrt, one multiply
+            rows.append((e, xi, yi, float(yi) / denom))
+        rows.sort(key=lambda r: (-r[3], r[0], r[1]))
+        rows = rows[:k]
+        return pa.table(
+            {
+                "event_type": pa.array([r[0] for r in rows], type=pa.string()),
+                "day_x": pa.array([r[1] for r in rows], type=pa.int64()),
+                "votes": pa.array([r[2] for r in rows], type=pa.int64()),
+                "score": pa.array([r[3] for r in rows], type=pa.float64()),
+            }
+        )
+
+    cand = daily.map_batches(
+        _score, batch_format="pyarrow", **_rargs()
+    ).take_all()  # <= k per block: bounded
+    cand.sort(key=lambda r: (-r["score"], r["event_type"], r["day_x"]))
+    cand = cand[:k]
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(len(cand)), type=pa.int64()),
+            "event_type": pa.array(
+                [r["event_type"] for r in cand], type=pa.string()
+            ),
+            "day_x": pa.array([r["day_x"] for r in cand], type=pa.int64()),
+            "votes": pa.array([r["votes"] for r in cand], type=pa.int64()),
+            "score": pa.array([r["score"] for r in cand], type=pa.float64()),
+        }
+    )
+
+
+def ab_chi_square(ds):
+    """A/B experiment analysis — 2x2 chi-square test of conversion by
+    variant (variant = user_id % 2, converted = the user has >= 1
+    'purchase' event): chi2 = N*(ad - bc)^2 / ((a+b)(c+d)(a+c)(b+d)).
+    Numerator and denominator are exact PYTHON ints in the bounded
+    4-cell finish (no intermediate overflow); the reported chi2 is ONE
+    f64 division of their float promotions (round-to-nearest on both
+    sides — DuckDB CAST(HUGEINT AS DOUBLE) rounds identically). Returns
+    one row (n_a, conv_a, n_b, conv_b, chi2).
+
+    Shape: one groupby(user) for the per-user conversion flag, one
+    4-row groupby((variant, converted)) count; only 4 cells reach the
+    driver."""
+    from ray.data.aggregate import Count
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch.column("user_id").cast(pa.int64()),
+                "event_type": batch.column("event_type"),
+            }
+        )
+
+    def _per_user(g: pa.Table) -> pa.Table:
+        uid = int(g.column("user_id")[0].as_py())
+        ets = g.column("event_type").to_pylist()
+        return pa.table(
+            {
+                "variant": pa.array([uid % 2], type=pa.int64()),
+                "converted": pa.array(
+                    [1 if "purchase" in ets else 0], type=pa.int64()
+                ),
+            }
+        )
+
+    cells = {
+        (int(r["variant"]), int(r["converted"])): int(r["c"])
+        for r in (
+            ds.map_batches(_prep, batch_format="pyarrow", **_rargs())
+            .groupby("user_id")
+            .map_groups(_per_user, batch_format="pyarrow", **_rargs())
+            .groupby(["variant", "converted"])
+            .aggregate(Count(alias_name="c"))
+            .take_all()  # exactly <= 4 rows
+        )
+    }
+    a = cells.get((0, 1), 0)  # variant A converted
+    b = cells.get((0, 0), 0)
+    c = cells.get((1, 1), 0)
+    d = cells.get((1, 0), 0)
+    n = a + b + c + d
+    den = (a + b) * (c + d) * (a + c) * (b + d)
+    num = n * (a * d - b * c) ** 2
+    chi2 = float(num) / float(den) if den else 0.0
+    return pa.table(
+        {
+            "n_a": pa.array([a + b], type=pa.int64()),
+            "conv_a": pa.array([a], type=pa.int64()),
+            "n_b": pa.array([c + d], type=pa.int64()),
+            "conv_b": pa.array([c], type=pa.int64()),
+            "chi2": pa.array([chi2], type=pa.float64()),
+        }
+    )

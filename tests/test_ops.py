@@ -3139,3 +3139,71 @@ def test_event_transitions_tie_order(ray_session):
     out = event_transitions(ray.data.from_items(rows)).to_pandas()
     got = {(r.from_type, r.to_type): int(r.n) for r in out.itertuples()}
     assert got == {("A", "B"): 1, ("B", "A"): 1}
+
+
+def test_time_decayed_topk_formula(ray_session):
+    """Gravity scores equal votes / (t * sqrt(t)) with t = age + 2.0;
+    newest-day buckets outrank older equal-vote buckets; ties break
+    (event_type, day)."""
+    import datetime as dt
+
+    import numpy as np
+    import ray.data
+
+    from engine.relational import time_decayed_topk
+
+    base = dt.datetime(2024, 5, 1)
+    rows = []
+    # A: 4 events today; B: 4 events 3 days ago; C: 50 events 10 days ago
+    for typ, day, cnt in (("A", 10, 4), ("B", 7, 4), ("C", 0, 50)):
+        for i in range(cnt):
+            rows.append(
+                {
+                    "event_type": typ,
+                    "ts": base + dt.timedelta(days=day, seconds=i),
+                }
+            )
+    out = time_decayed_topk(ray.data.from_items(rows), k=10).to_pandas()
+    x0 = (base - dt.datetime(1970, 1, 1)).days
+    exp = []
+    for typ, day, cnt in (("A", 10, 4), ("B", 7, 4), ("C", 0, 50)):
+        t = float(10 - day) + 2.0
+        exp.append((typ, x0 + day, cnt, float(cnt) / (t * np.sqrt(t))))
+    exp.sort(key=lambda r: (-r[3], r[0], r[1]))
+    got = [
+        (r.event_type, int(r.day_x), int(r.votes), float(r.score))
+        for r in out.itertuples()
+    ]
+    assert got == exp
+    assert got[0][0] == "A"  # fresh beats old despite C's volume
+
+
+def test_ab_chi_square_cells(ray_session):
+    """Chi-square cells and statistic match the textbook 2x2 recompute
+    on a crafted assignment (even users = variant A)."""
+    import datetime as dt
+
+    import ray.data
+
+    from engine.relational import ab_chi_square
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # variant A (even uids): u0, u2 convert; u4 doesn't
+    # variant B (odd uids): u1 converts; u3, u5 don't
+    for uid, conv in ((0, 1), (2, 1), (4, 0), (1, 1), (3, 0), (5, 0)):
+        rows.append(
+            {"user_id": uid, "ts": base, "event_type": "view"}
+        )
+        if conv:
+            rows.append(
+                {"user_id": uid, "ts": base, "event_type": "purchase"}
+            )
+    out = ab_chi_square(ray.data.from_items(rows)).to_pandas()
+    a, b, c, d = 2, 1, 1, 2
+    n = 6
+    num = n * (a * d - b * c) ** 2
+    den = (a + b) * (c + d) * (a + c) * (b + d)
+    assert int(out.at[0, "n_a"]) == 3 and int(out.at[0, "conv_a"]) == 2
+    assert int(out.at[0, "n_b"]) == 3 and int(out.at[0, "conv_b"]) == 1
+    assert float(out.at[0, "chi2"]) == float(num) / float(den)
