@@ -901,6 +901,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 columns=["user_id", "ts"],
             )
         ),
+        "value_quantiles_by_type": lambda sf_dir: (
+            relational.value_quantiles_by_type(
+                __import__("ray.data", fromlist=["x"]).read_parquet(
+                    os.path.join(sf_dir, "events.parquet"),
+                    columns=["event_type", "value"],
+                )
+            )
+        ),
         "time_decayed_topk": lambda sf_dir: relational.time_decayed_topk(
             __import__("ray.data", fromlist=["x"]).read_parquet(
                 os.path.join(sf_dir, "events.parquet"),
@@ -6522,6 +6530,18 @@ def oracle_sql() -> dict[str, str]:
         "events_timeseries": """
             SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n_events
             FROM events GROUP BY event_type, day
+        """,
+        # type-1 grouped quantiles: k-th order statistic, k = ceil(q*n)
+        # (selection of an existing double — no arithmetic on values)
+        "value_quantiles_by_type": """
+            WITH v AS (
+                SELECT event_type, value,
+                       row_number() OVER (
+                           PARTITION BY event_type ORDER BY value) AS rn,
+                       count(*) OVER (PARTITION BY event_type) AS n
+                FROM events
+            )
+            SELECT event_type, 'p50' AS pct, value FROM v WHERE rn = CAST(ceil(0.5 * n) AS BIGINT) UNION ALL SELECT event_type, 'p90' AS pct, value FROM v WHERE rn = CAST(ceil(0.9 * n) AS BIGINT) UNION ALL SELECT event_type, 'p99' AS pct, value FROM v WHERE rn = CAST(ceil(0.99 * n) AS BIGINT)
         """,
         # HN gravity: t = age+2.0, score = votes / (t * sqrt(t)) — one
         # add, correctly-rounded sqrt, one multiply, one division

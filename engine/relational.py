@@ -1718,3 +1718,41 @@ def ab_chi_square(ds):
             "chi2": pa.array([chi2], type=pa.float64()),
         }
     )
+
+
+def value_quantiles_by_type(ds, qs: tuple = (0.5, 0.9, 0.99)):
+    """Grouped exact percentiles — the per-key SLO/quality report (p50 /
+    p90 / p99 of the value column per event type), type-1 (discrete)
+    quantiles: the ceil(q*n)-th smallest value. A quantile is an ORDER
+    STATISTIC — a selection of an existing double, never arithmetic —
+    so the entry hash-compares exactly; the index uses the same single
+    f64 multiply + ceil on both sides. Returns (event_type, pct,
+    value) with pct labels p50/p90/p99.
+
+    Shape: ONE groupby(event_type) whose per-group work is a vectorized
+    sort + integer index picks. (At web scale a per-key histogram /
+    two-phase pass replaces the in-group sort — the doclen_quantiles
+    entry shows that shape; groups here are type-bounded.)"""
+    import math
+
+    labels = ["p" + str(int(q * 100)) for q in qs]
+
+    def _per_type(g: pa.Table) -> pa.Table:
+        et = g.column("event_type")[0].as_py()
+        v = np.sort(g.column("value").to_numpy())
+        n = len(v)
+        vals = []
+        for q in qs:
+            idx = math.ceil(q * n)  # 1-based, same f64 product as SQL
+            vals.append(float(v[max(idx - 1, 0)]))
+        return pa.table(
+            {
+                "event_type": pa.array([et] * len(qs), type=pa.string()),
+                "pct": pa.array(labels, type=pa.string()),
+                "value": pa.array(vals, type=pa.float64()),
+            }
+        )
+
+    return ds.groupby("event_type").map_groups(
+        _per_type, batch_format="pyarrow", **_rargs()
+    )

@@ -3207,3 +3207,38 @@ def test_ab_chi_square_cells(ray_session):
     assert int(out.at[0, "n_a"]) == 3 and int(out.at[0, "conv_a"]) == 2
     assert int(out.at[0, "n_b"]) == 3 and int(out.at[0, "conv_b"]) == 1
     assert float(out.at[0, "chi2"]) == float(num) / float(den)
+
+
+def test_value_quantiles_by_type_order_statistics(ray_session):
+    """Grouped percentiles are the ceil(q*n)-th smallest value (type-1):
+    checked against direct order-statistic picks, including a group
+    whose p50 index lands exactly on a boundary."""
+    import datetime as dt
+    import math
+
+    import ray.data
+
+    from engine.relational import value_quantiles_by_type
+
+    rows = []
+    va = [5.0, 1.0, 3.0, 2.0]          # sorted: 1 2 3 5; p50 -> idx 2 -> 2.0
+    vb = [10.0, 30.0, 20.0, 50.0, 40.0]  # sorted: 10..50; p50 -> idx 3 -> 30
+    for i, v in enumerate(va):
+        rows.append({"event_type": "A", "value": v})
+    for v in vb:
+        rows.append({"event_type": "B", "value": v})
+    out = value_quantiles_by_type(
+        ray.data.from_items(rows), qs=(0.5, 0.9, 0.99)
+    ).to_pandas()
+    got = {
+        (r.event_type, r.pct): float(r.value) for r in out.itertuples()
+    }
+
+    def pick(vals, q):
+        s = sorted(vals)
+        return s[max(math.ceil(q * len(s)) - 1, 0)]
+
+    for typ, vals in (("A", va), ("B", vb)):
+        for q, lab in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+            assert got[(typ, lab)] == pick(vals, q), (typ, lab)
+    assert got[("A", "p50")] == 2.0 and got[("B", "p50")] == 30.0
