@@ -901,6 +901,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 columns=["user_id", "ts"],
             )
         ),
+        "data_profile_orders": relational.data_profile_orders,
         "value_quantiles_by_type": lambda sf_dir: (
             relational.value_quantiles_by_type(
                 __import__("ray.data", fromlist=["x"]).read_parquet(
@@ -6530,6 +6531,28 @@ def oracle_sql() -> dict[str, str]:
         "events_timeseries": """
             SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n_events
             FROM events GROUP BY event_type, day
+        """,
+        "data_profile_orders": """
+            SELECT c AS column_name, CAST(n AS BIGINT) AS n_rows,
+                   CAST(z AS BIGINT) AS n_nulls,
+                   CAST(d AS BIGINT) AS n_distinct
+            FROM (
+                SELECT 'o_orderkey' AS c, count(*) AS n,
+                       sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS z,
+                       count(DISTINCT o_orderkey) AS d FROM orders
+                UNION ALL
+                SELECT 'o_custkey', count(*),
+                       sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+                       count(DISTINCT o_custkey) FROM orders
+                UNION ALL
+                SELECT 'o_orderstatus', count(*),
+                       sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+                       count(DISTINCT o_orderstatus) FROM orders
+                UNION ALL
+                SELECT 'o_orderpriority', count(*),
+                       sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
+                       count(DISTINCT o_orderpriority) FROM orders
+            )
         """,
         # type-1 grouped quantiles: k-th order statistic, k = ceil(q*n)
         # (selection of an existing double — no arithmetic on values)

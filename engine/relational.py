@@ -1756,3 +1756,95 @@ def value_quantiles_by_type(ds, qs: tuple = (0.5, 0.9, 0.99)):
     return ds.groupby("event_type").map_groups(
         _per_type, batch_format="pyarrow", **_rargs()
     )
+
+
+def data_profile_orders(sf_dir: str):
+    """Data-quality profiling — the Deequ/Great-Expectations role every
+    production pipeline runs before trusting an input snapshot:
+    per-column completeness and cardinality. Profiles the orders
+    table's key/status/priority columns as (column, n_rows, n_nulls,
+    n_distinct) — all integers.
+
+    Shape: ONE pass emits in-batch-deduped (column, value-hash) pairs
+    plus map-side-combined null/row partials; cardinality resolves with
+    one groupby((column, h)) + a column-bounded count, so the shuffle
+    carries at most one row per distinct value per batch (never the
+    table). Values hash through md5 of a type-stable rendering (ints as
+    decimal strings) — bit-identical in DuckDB."""
+    import hashlib
+
+    from ray.data.aggregate import Count, Sum
+
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    ds = _read(sf_dir, "orders", cols)
+
+    def _pairs(batch: pa.Table) -> pa.Table:
+        c_out: list[str] = []
+        h_out: list[str] = []
+        for c in cols:
+            vals = batch.column(c).to_pylist()
+            seen = set()
+            for v in vals:
+                if v is None:
+                    continue
+                s = str(v)
+                if s not in seen:
+                    seen.add(s)
+                    c_out.append(c)
+                    h_out.append(hashlib.md5(s.encode()).hexdigest())
+        return pa.table(
+            {
+                "col": pa.array(c_out, type=pa.string()),
+                "h": pa.array(h_out, type=pa.string()),
+            }
+        )
+
+    distinct = (
+        ds.map_batches(_pairs, batch_format="pyarrow", **_rargs())
+        .groupby(["col", "h"])
+        .aggregate(Count(alias_name="c"))
+        .groupby("col")
+        .aggregate(Count(alias_name="n_distinct"))
+    )
+
+    def _null_partial(batch: pa.Table) -> pa.Table:
+        rows = []
+        for c in cols:
+            a = batch.column(c)
+            rows.append((c, batch.num_rows, a.null_count))
+        return pa.table(
+            {
+                "col": pa.array([r[0] for r in rows], type=pa.string()),
+                "n_rows": pa.array([r[1] for r in rows], type=pa.int64()),
+                "n_nulls": pa.array([r[2] for r in rows], type=pa.int64()),
+            }
+        )
+
+    base = (
+        ds.map_batches(_null_partial, batch_format="pyarrow", **_rargs())
+        .groupby("col")
+        .aggregate(
+            Sum("n_rows", alias_name="n_rows"),
+            Sum("n_nulls", alias_name="n_nulls"),
+        )
+    )
+    nd = {r["col"]: int(r["n_distinct"]) for r in distinct.take_all()}
+
+    def _finish(batch: pa.Table) -> pa.Table:
+        cs = batch.column("col").to_pylist()
+        return pa.table(
+            {
+                "column_name": pa.array(cs, type=pa.string()),
+                "n_rows": pa.array(
+                    batch.column("n_rows").to_numpy().astype(np.int64)
+                ),
+                "n_nulls": pa.array(
+                    batch.column("n_nulls").to_numpy().astype(np.int64)
+                ),
+                "n_distinct": pa.array(
+                    [nd.get(c, 0) for c in cs], type=pa.int64()
+                ),
+            }
+        )
+
+    return base.map_batches(_finish, batch_format="pyarrow", **_rargs())

@@ -3242,3 +3242,19 @@ def test_value_quantiles_by_type_order_statistics(ray_session):
         for q, lab in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
             assert got[(typ, lab)] == pick(vals, q), (typ, lab)
     assert got[("A", "p50")] == 2.0 and got[("B", "p50")] == 30.0
+
+
+def test_data_profile_orders_counts(ray_session):
+    """Profile rows match direct pandas recomputes (completeness +
+    cardinality per column)."""
+    import pandas as pd
+
+    from engine.relational import data_profile_orders
+
+    sf = "/root/testdata/sf0.001"
+    out = data_profile_orders(sf).to_pandas().set_index("column_name")
+    df = pd.read_parquet(sf + "/orders.parquet")
+    for c in ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]:
+        assert int(out.at[c, "n_rows"]) == len(df)
+        assert int(out.at[c, "n_nulls"]) == int(df[c].isna().sum())
+        assert int(out.at[c, "n_distinct"]) == int(df[c].nunique())
