@@ -168,6 +168,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds, n = _doc_ids_n(sf_dir)
         return bfs_hops(ds, n_docs=n, source=0, max_depth=4)
 
+    def q_degree_hist(sf_dir):
+        from engine.graph import degree_histogram
+
+        ds, n = _doc_ids_n(sf_dir)
+        return degree_histogram(ds, n_docs=n)
+
     def q_adamic_adar(sf_dir):
         from engine.graph import adamic_adar_pairs
 
@@ -768,6 +774,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bib_coupling_pairs": q_bib_coupling,
         "co_citation_pairs": q_co_citation,
         "adamic_adar_pairs": q_adamic_adar,
+        "degree_histogram": q_degree_hist,
         "event_transitions": lambda sf_dir: relational.event_transitions(
             __import__("ray.data", fromlist=["x"]).read_parquet(
                 os.path.join(sf_dir, "events.parquet"),
@@ -5104,6 +5111,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_common
             FROM e a JOIN e b ON a.s = b.s AND a.t < b.t
             GROUP BY 1, 2
+        """,
+        "degree_histogram": f"""
+            WITH arms AS ({_graph_arms_sql()}),
+            ind AS (
+                SELECT d.doc_id, coalesce(x.c, 0) AS deg
+                FROM documents d LEFT JOIN (
+                    SELECT t AS doc_id, CAST(count(*) AS BIGINT) AS c
+                    FROM arms GROUP BY t) x ON x.doc_id = d.doc_id
+            ),
+            outd AS (
+                SELECT d.doc_id, coalesce(x.c, 0) AS deg
+                FROM documents d LEFT JOIN (
+                    SELECT s AS doc_id, CAST(count(*) AS BIGINT) AS c
+                    FROM arms GROUP BY s) x ON x.doc_id = d.doc_id
+            ),
+            u AS (
+                SELECT 'in' AS kind, deg FROM ind
+                UNION ALL SELECT 'out', deg FROM outd
+            )
+            SELECT kind, CAST(deg AS BIGINT) AS degree,
+                   CAST(count(*) AS BIGINT) AS n_nodes
+            FROM u GROUP BY 1, 2
         """,
         # Adamic-Adar: 1/ln(indeg) folded target-ascending per pair
         "adamic_adar_pairs": f"""

@@ -632,3 +632,77 @@ def adamic_adar_pairs(ds, n_docs: int):
         .groupby(["doc_a", "doc_b"])
         .map_groups(_fold, batch_format="pyarrow", **_rargs())
     )
+
+
+def degree_histogram(ds, n_docs: int):
+    """Degree-distribution histogram over the fixture multigraph — the
+    standard web-graph diagnostic (power-law / hub inspection) a crawl
+    pipeline reports per snapshot. Parallel edges count (multigraph,
+    the pagerank convention); zero-degree nodes are included via anchor
+    rows. Returns (kind, degree, n_nodes) with kind in ('in', 'out').
+
+    Shape: one map_batches emits per-node out-degrees (known in-batch)
+    and (target, 1) in-contributions with zero anchors; groupby(node)
+    Sum resolves in-degrees, then a degree-bounded groupby((kind,
+    degree)) count — the second shuffle carries one row per node."""
+    from ray.data.aggregate import Count, Sum
+
+    def _contrib(batch: pa.Table) -> pa.Table:
+        docs = batch.column("doc_id").to_numpy()
+        deg = out_degree(docs, n_docs)
+        k_out = [docs]
+        c_out = [np.zeros(len(docs), dtype=np.int64)]  # in-deg anchors
+        for a, b in EDGE_MULS:
+            t = (docs * a + b) % n_docs
+            keep = t != docs
+            k_out.append(t[keep])
+            c_out.append(np.ones(int(keep.sum()), dtype=np.int64))
+        n = len(docs)
+        return pa.table(
+            {
+                "node": pa.array(
+                    np.concatenate([docs] + k_out), type=pa.int64()
+                ),
+                "ind": pa.array(
+                    np.concatenate([np.zeros(n, dtype=np.int64)] + c_out)
+                ),
+                "outd": pa.array(
+                    np.concatenate(
+                        [deg] + [np.zeros(len(x), dtype=np.int64) for x in k_out]
+                    )
+                ),
+            }
+        )
+
+    per_node = (
+        ds.select_columns(["doc_id"])
+        .map_batches(_contrib, batch_format="pyarrow", **_rargs())
+        .groupby("node")
+        .aggregate(Sum("ind", alias_name="ind"), Sum("outd", alias_name="outd"))
+    )
+
+    def _explode_kinds(batch: pa.Table) -> pa.Table:
+        ind = batch.column("ind").to_numpy().astype(np.int64)
+        outd = batch.column("outd").to_numpy().astype(np.int64)
+        n = len(ind)
+        return pa.table(
+            {
+                "kind": pa.array(["in"] * n + ["out"] * n, type=pa.string()),
+                "degree": pa.array(np.concatenate((ind, outd)), type=pa.int64()),
+            }
+        )
+
+    return (
+        per_node.map_batches(_explode_kinds, batch_format="pyarrow", **_rargs())
+        .groupby(["kind", "degree"])
+        .aggregate(Count(alias_name="n_nodes"))
+        .map_batches(
+            lambda b: b.set_column(
+                b.schema.get_field_index("n_nodes"),
+                "n_nodes",
+                b.column("n_nodes").cast(pa.int64()),
+            ),
+            batch_format="pyarrow",
+            **_rargs(),
+        )
+    )

@@ -3258,3 +3258,38 @@ def test_data_profile_orders_counts(ray_session):
         assert int(out.at[c, "n_rows"]) == len(df)
         assert int(out.at[c, "n_nulls"]) == int(df[c].isna().sum())
         assert int(out.at[c, "n_distinct"]) == int(df[c].nunique())
+
+
+def test_degree_histogram_brute(ray_session):
+    """Degree histogram equals the brute multigraph recompute, includes
+    zero-in-degree nodes, and the out side is concentrated on 0..3."""
+    from collections import Counter
+
+    import numpy as np
+    import ray.data
+
+    from engine.graph import EDGE_MULS, degree_histogram
+
+    n = 73
+    ind = Counter({i: 0 for i in range(n)})
+    outd = Counter({i: 0 for i in range(n)})
+    for i in range(n):
+        for a, b in EDGE_MULS:
+            t = (i * a + b) % n
+            if t != i:
+                ind[t] += 1
+                outd[i] += 1
+    exp = Counter()
+    for i in range(n):
+        exp[("in", ind[i])] += 1
+        exp[("out", outd[i])] += 1
+    out = degree_histogram(
+        ray.data.from_items([{"doc_id": i} for i in range(n)]).repartition(6),
+        n_docs=n,
+    ).to_pandas()
+    got = {
+        (r.kind, int(r.degree)): int(r.n_nodes) for r in out.itertuples()
+    }
+    assert got == {k: v for k, v in exp.items()}
+    assert sum(v for (k, _), v in got.items() if k == "out") == n
+    assert all(d <= 3 for (k, d) in got if k == "out")
