@@ -936,6 +936,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 columns=["ts", "event_type"],
             )
         ),
+        "merkle_digests": lambda sf_dir: __import__(
+            "engine.dedup", fromlist=["x"]
+        ).merkle_digests(_docs(sf_dir), n_buckets=16),
+        "consistent_hash_rebalance": lambda sf_dir: (
+            relational.consistent_hash_rebalance(
+                __import__("ray.data", fromlist=["x"]).read_parquet(
+                    os.path.join(sf_dir, "documents.parquet"),
+                    columns=["doc_id"],
+                )
+            )
+        ),
         "record_linkage": lambda sf_dir: __import__(
             "engine.dedup", fromlist=["x"]
         ).record_linkage_customers(sf_dir, max_dist=2),
@@ -6668,6 +6679,58 @@ def oracle_sql() -> dict[str, str]:
                    n * sxy - sx * sy AS slope_num,
                    n * sxx - sx * sx AS slope_den
             FROM s
+        """,
+        # Merkle snapshot: order-canonical bucket digests + root row
+        "merkle_digests": """
+            WITH l AS (
+                SELECT doc_id % 16 AS bucket, md5(text) AS h FROM documents
+            ),
+            b AS (
+                SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+                       md5(string_agg(h, '' ORDER BY h)) AS digest
+                FROM l GROUP BY bucket
+            )
+            SELECT CAST(bucket AS BIGINT) AS bucket, n_docs, digest FROM b
+            UNION ALL
+            SELECT -1, (SELECT CAST(count(*) AS BIGINT) FROM documents),
+                   (SELECT md5(string_agg(digest, '' ORDER BY bucket))
+                    FROM b)
+        """,
+        # consistent hashing: fnv ring positions, first-clockwise rule
+        # with wrap; per after-shard before/after/moved-in counts
+        "consistent_hash_rebalance": f"""
+            WITH rb AS (
+                SELECT s, {_fnv_str_sql("'shard' || CAST(s AS VARCHAR) || ':' || CAST(v AS VARCHAR)")} AS pos
+                FROM (SELECT unnest(range(4)) AS s),
+                     (SELECT unnest(range(16)) AS v)
+            ),
+            ra AS (
+                SELECT s, {_fnv_str_sql("'shard' || CAST(s AS VARCHAR) || ':' || CAST(v AS VARCHAR)")} AS pos
+                FROM (SELECT unnest(range(5)) AS s),
+                     (SELECT unnest(range(16)) AS v)
+            ),
+            h AS (SELECT doc_id, {_fnv_sql('doc_id')} AS hh FROM documents),
+            j AS (
+                SELECT h.doc_id,
+                       (SELECT r.s FROM rb r WHERE r.pos = coalesce(
+                            (SELECT min(r2.pos) FROM rb r2
+                             WHERE r2.pos >= h.hh),
+                            (SELECT min(r3.pos) FROM rb r3))) AS s_b,
+                       (SELECT r.s FROM ra r WHERE r.pos = coalesce(
+                            (SELECT min(r2.pos) FROM ra r2
+                             WHERE r2.pos >= h.hh),
+                            (SELECT min(r3.pos) FROM ra r3))) AS s_a
+                FROM h
+            )
+            SELECT CAST(sh AS BIGINT) AS shard,
+                   CAST((SELECT count(*) FROM j WHERE j.s_b = sh)
+                        AS BIGINT) AS n_docs_before,
+                   CAST((SELECT count(*) FROM j WHERE j.s_a = sh)
+                        AS BIGINT) AS n_docs_after,
+                   CAST((SELECT count(*) FROM j
+                         WHERE j.s_a = sh AND j.s_b != sh)
+                        AS BIGINT) AS n_moved_in
+            FROM (SELECT unnest(range(5)) AS sh)
         """,
         # blocked record linkage: anagram blocking key, levenshtein<=2
         # verify; dirty side = last-two-char transposition at %3

@@ -1438,3 +1438,75 @@ def record_linkage_customers(sf_dir: str, max_dist: int = 2):
         .groupby("blk")
         .map_groups(_verify, batch_format="pyarrow", **_rargs())
     )
+
+
+def merkle_digests(ds, n_buckets: int = 16):
+    """Merkle snapshot digests — the anti-entropy integrity check of
+    replicated stores (Dynamo/Cassandra Merkle trees; the replicator
+    module's verification role here): leaf = md5(text), bucket digest =
+    md5 of the bucket's leaf hashes concatenated in ASCENDING leaf-hash
+    order (order-canonical ⇒ partition-invariant), root = md5 of the
+    bucket digests in bucket order, emitted as bucket = -1. Two
+    replicas compare digests top-down and re-sync only differing
+    buckets. Returns (bucket, n_docs, digest).
+
+    Shape: one streamed leaf pass, one groupby(bucket) whose per-group
+    work is a sort + one md5 over the concatenation; the root folds the
+    bucket-bounded digest table on the driver."""
+    import hashlib
+
+    def _leaves(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        texts = batch.column("text").to_pylist()
+        return pa.table(
+            {
+                "bucket": pa.array(ids % n_buckets, type=pa.int64()),
+                "h": pa.array(
+                    [
+                        hashlib.md5((t or "").encode("utf-8")).hexdigest()
+                        for t in texts
+                    ],
+                    type=pa.string(),
+                ),
+            }
+        )
+
+    def _bucket(g: pa.Table) -> pa.Table:
+        hs = sorted(g.column("h").to_pylist())
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    [int(g.column("bucket")[0].as_py())], type=pa.int64()
+                ),
+                "n_docs": pa.array([len(hs)], type=pa.int64()),
+                "digest": pa.array(
+                    [hashlib.md5("".join(hs).encode()).hexdigest()],
+                    type=pa.string(),
+                ),
+            }
+        )
+
+    buckets = (
+        ds.map_batches(_leaves, batch_format="pyarrow", **_rargs())
+        .groupby("bucket")
+        .map_groups(_bucket, batch_format="pyarrow", **_rargs())
+    )
+    rows = sorted(buckets.take_all(), key=lambda r: r["bucket"])  # bounded
+    root = hashlib.md5(
+        "".join(r["digest"] for r in rows).encode()
+    ).hexdigest()
+    return pa.table(
+        {
+            "bucket": pa.array(
+                [r["bucket"] for r in rows] + [-1], type=pa.int64()
+            ),
+            "n_docs": pa.array(
+                [r["n_docs"] for r in rows]
+                + [sum(r["n_docs"] for r in rows)],
+                type=pa.int64(),
+            ),
+            "digest": pa.array(
+                [r["digest"] for r in rows] + [root], type=pa.string()
+            ),
+        }
+    )

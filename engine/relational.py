@@ -450,11 +450,13 @@ def fnv1a_str_sql(col: str) -> str:
     list_reduce fold over character codes with the same HUGEINT
     multiply-mod-2^64 chain as fnv1a_u64_sql. Exact for the engine's
     [a-z0-9]+ tokens (single-byte UTF-8, so unicode(ch) == the byte)."""
+    # ({col})[i]: the parens matter — for a concat EXPRESSION the
+    # indexing would otherwise bind to the last || operand only
     return f"""
         list_reduce(
           list_prepend(CAST(14695981039346656037 AS UBIGINT),
             list_transform(range(1, length({col}) + 1),
-                           i -> CAST(unicode({col}[i]) AS UBIGINT))),
+                           i -> CAST(unicode(({col})[i]) AS UBIGINT))),
           (h, b) -> CAST(((CAST(xor(h, b) AS HUGEINT) * 1099511628211)
                           % 18446744073709551616) AS UBIGINT))
     """
@@ -1848,3 +1850,93 @@ def data_profile_orders(sf_dir: str):
         )
 
     return base.map_batches(_finish, batch_format="pyarrow", **_rargs())
+
+
+def consistent_hash_rebalance(
+    ds, n_before: int = 4, n_after: int = 5, vnodes: int = 16
+):
+    """Consistent-hashing shard rebalance report (Karger et al. 1997 —
+    the ring assignment a fixed-size cluster uses so that adding a
+    shard moves only ~1/n of the keys, the property this entry
+    measures). Ring positions = fnv1a("shard{s}:{v}") per virtual node;
+    a doc routes to the first ring position >= fnv1a_u64(doc_id)
+    (wrapping to the minimum). Returns per AFTER-shard
+    (shard, n_docs_before, n_docs_after, n_moved_in) — all integers;
+    n_docs_before counts the same shard id under the old ring (0 for
+    the new shard).
+
+    Shape: both rings are tiny broadcast arrays in the task closure;
+    assignment is a vectorized searchsorted per batch; one
+    shard-bounded groupby of map-side-combined counts."""
+    from ray.data.aggregate import Sum
+
+    from .textops import fnv1a, fnv1a_u64_vec
+
+    def ring(n):
+        pos, sid = [], []
+        for s in range(n):
+            for v in range(vnodes):
+                pos.append(fnv1a(f"shard{s}:{v}"))
+                sid.append(s)
+        pos = np.array(pos, dtype=np.uint64)
+        sid = np.array(sid, dtype=np.int64)
+        order = np.argsort(pos)
+        return pos[order], sid[order]
+
+    pb, sb = ring(n_before)
+    pa_, sa = ring(n_after)
+
+    def assign(h, pos, sid):
+        idx = np.searchsorted(pos, h)
+        idx = np.where(idx == len(pos), 0, idx)  # wrap past the top
+        return sid[idx]
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        h = fnv1a_u64_vec(batch.column("doc_id").to_numpy())
+        a_b = assign(h, pb, sb)
+        a_a = assign(h, pa_, sa)
+        rows = {}
+        for s in range(n_after):
+            in_a = a_a == s
+            rows[s] = (
+                int((a_b == s).sum()),
+                int(in_a.sum()),
+                int((in_a & (a_b != s)).sum()),
+            )
+        return pa.table(
+            {
+                "shard": pa.array(sorted(rows), type=pa.int64()),
+                "n_docs_before": pa.array(
+                    [rows[s][0] for s in sorted(rows)], type=pa.int64()
+                ),
+                "n_docs_after": pa.array(
+                    [rows[s][1] for s in sorted(rows)], type=pa.int64()
+                ),
+                "n_moved_in": pa.array(
+                    [rows[s][2] for s in sorted(rows)], type=pa.int64()
+                ),
+            }
+        )
+
+    return (
+        ds.select_columns(["doc_id"])
+        .map_batches(_partial, batch_format="pyarrow", **_rargs())
+        .groupby("shard")
+        .aggregate(
+            Sum("n_docs_before", alias_name="n_docs_before"),
+            Sum("n_docs_after", alias_name="n_docs_after"),
+            Sum("n_moved_in", alias_name="n_moved_in"),
+        )
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "shard": b.column("shard").cast(pa.int64()),
+                    "n_docs_before": b.column("n_docs_before").cast(pa.int64()),
+                    "n_docs_after": b.column("n_docs_after").cast(pa.int64()),
+                    "n_moved_in": b.column("n_moved_in").cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+            **_rargs(),
+        )
+    )

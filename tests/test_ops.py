@@ -3293,3 +3293,64 @@ def test_degree_histogram_brute(ray_session):
     assert got == {k: v for k, v in exp.items()}
     assert sum(v for (k, _), v in got.items() if k == "out") == n
     assert all(d <= 3 for (k, d) in got if k == "out")
+
+
+def test_merkle_digests_recompute(ray_session):
+    """Bucket digests equal the order-canonical md5 recompute, are
+    partition-invariant, and the root changes iff any leaf changes."""
+    import hashlib
+
+    import ray.data
+
+    from engine.dedup import merkle_digests
+
+    rows = [{"doc_id": i, "text": f"body {i}"} for i in range(40)]
+    out = merkle_digests(
+        ray.data.from_items(rows).repartition(5), n_buckets=8
+    ).to_pandas()
+    buckets: dict[int, list] = {}
+    for r in rows:
+        buckets.setdefault(r["doc_id"] % 8, []).append(
+            hashlib.md5(r["text"].encode()).hexdigest()
+        )
+    exp = {
+        b: hashlib.md5("".join(sorted(hs)).encode()).hexdigest()
+        for b, hs in buckets.items()
+    }
+    got = {int(r.bucket): r.digest for r in out.itertuples()}
+    root = got.pop(-1)
+    assert got == exp
+    assert root == hashlib.md5(
+        "".join(exp[b] for b in sorted(exp)).encode()
+    ).hexdigest()
+    # one changed leaf flips its bucket digest and the root
+    rows2 = [dict(r) for r in rows]
+    rows2[7]["text"] = "tampered"
+    out2 = merkle_digests(
+        ray.data.from_items(rows2), n_buckets=8
+    ).to_pandas()
+    got2 = {int(r.bucket): r.digest for r in out2.itertuples()}
+    assert got2.pop(-1) != root
+    assert sum(1 for b in exp if got2[b] != exp[b]) == 1
+
+
+def test_consistent_hash_rebalance_property(ray_session):
+    """Adding a shard moves keys only INTO the new shard (first-
+    clockwise rule: old assignments survive unless the new shard's
+    vnode lands between the key and its old successor), totals
+    conserve, and the moved fraction is roughly 1/n_after."""
+    import ray.data
+
+    from engine.relational import consistent_hash_rebalance
+
+    n = 2000
+    ds = ray.data.from_items([{"doc_id": i} for i in range(n)])
+    out = consistent_hash_rebalance(ds).to_pandas().set_index("shard")
+    assert int(out["n_docs_before"].sum()) == n
+    assert int(out["n_docs_after"].sum()) == n
+    # only the NEW shard receives moved keys
+    for s in range(4):
+        assert int(out.at[s, "n_moved_in"]) == 0, s
+    moved = int(out.at[4, "n_moved_in"])
+    assert moved == int(out.at[4, "n_docs_after"])
+    assert 0.10 < moved / n < 0.35  # ~1/5 with vnode variance
