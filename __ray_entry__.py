@@ -817,6 +817,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs(sf_dir), window=8, mask_mod=64
         ),
         "char_entropy": lambda sf_dir: textops.char_entropy(_docs(sf_dir)),
+        "hll_by_source": lambda sf_dir: textops.hll_by_source(
+            __import__("ray.data", fromlist=["x"]).read_parquet(
+                os.path.join(sf_dir, "documents.parquet"),
+                columns=["source", "text"],
+            ),
+            b=6,
+        ),
         "source_vocab_jaccard": lambda sf_dir: textops.source_vocab_jaccard(
             __import__("ray.data", fromlist=["x"]).read_parquet(
                 os.path.join(sf_dir, "documents.parquet"),
@@ -5380,6 +5387,43 @@ def oracle_sql() -> dict[str, str]:
         # rank = 33 - bitlength(h % 2^32) via bin() string length (no
         # floats), untouched buckets rank 0; the raw-HLL estimate folds
         # 2^-rank in bucket order so the f64 arithmetic replays exactly
+        "hll_by_source": f"""
+            WITH vocab AS (
+                SELECT DISTINCT source, w FROM (
+                    SELECT source, unnest({_TOK}) AS w FROM documents)
+            ),
+            h AS (SELECT source, {_fmix64_sql(_fnv_str_sql("w"))} AS hv
+                  FROM vocab),
+            br AS (
+                SELECT source, CAST(hv >> 58 AS BIGINT) AS bucket,
+                       CASE WHEN hv % 4294967296 = 0 THEN 33
+                            ELSE 33 - length(bin(hv % 4294967296))
+                       END AS rank
+                FROM h
+            ),
+            mx AS (SELECT source, bucket, max(rank) AS rank
+                   FROM br GROUP BY source, bucket),
+            fb AS (
+                SELECT s.source, r.i AS bucket, coalesce(mx.rank, 0) AS rank
+                FROM (SELECT DISTINCT source FROM documents) s
+                CROSS JOIN range(0, 64) r(i)
+                LEFT JOIN mx ON mx.source = s.source AND mx.bucket = r.i
+            ),
+            acc AS (
+                SELECT source,
+                       list_reduce(
+                           list_prepend(CAST(0.0 AS DOUBLE),
+                               list(pow(2.0, -CAST(rank AS DOUBLE))
+                                    ORDER BY bucket)),
+                           (x, y) -> x + y) AS s,
+                       CAST(sum(CASE WHEN rank = 0 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS nz
+                FROM fb GROUP BY source
+            )
+            SELECT source, CAST(64 AS BIGINT) AS m, nz AS n_zero_buckets,
+                   ((0.709 * 64.0) * 64.0) / s AS estimate
+            FROM acc
+        """,
         "hll_vocab_estimate": f"""
             WITH vocab AS (
                 SELECT DISTINCT unnest({_TOK}) AS w FROM documents

@@ -2366,3 +2366,91 @@ def source_vocab_jaccard(ds):
         )
 
     return agg.map_batches(_finish, batch_format="pyarrow", **_rargs())
+
+
+def hll_by_source(ds, b: int = 6):
+    """Grouped HyperLogLog — per-SOURCE distinct-vocabulary estimates in
+    one pass (the json.facet 'hll' per-bucket role, and the mergeable-
+    sketch pattern that matters at 100 TB: registers combine by MAX, an
+    order-free idempotent merge, so per-batch partials shuffle <= m
+    rows per (source, batch) regardless of vocabulary size and the
+    reduce is partition-invariant by construction). Same register math
+    as hll_vocab_estimate (fmix64(fnv1a), 2^b buckets, rank over the
+    low 32 bits, raw estimate without range corrections — documented).
+    Returns (source, m, n_zero_buckets, estimate)."""
+    from ray.data.aggregate import Max
+
+    from .merge import _fmix64
+
+    m = 1 << b
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        srcs = batch.column("source").to_pylist()
+        texts = batch.column("text").to_pylist()
+        per_src: dict[str, set] = {}
+        for s, t in zip(srcs, texts):
+            per_src.setdefault(s, set()).update(
+                TOKEN_RE.findall((t or "").lower())
+            )
+        s_out: list[str] = []
+        b_out: list[int] = []
+        r_out: list[int] = []
+        for s, toks in per_src.items():
+            if not toks:
+                continue
+            h = _fmix64(
+                np.fromiter(
+                    (fnv1a(w) for w in toks), dtype=np.uint64, count=len(toks)
+                )
+            )
+            bucket = (h >> np.uint64(64 - b)).astype(np.int64)
+            low = (h & np.uint64(0xFFFFFFFF)).astype(np.int64)
+            bl = np.fromiter(
+                (int(x).bit_length() for x in low),
+                dtype=np.int64,
+                count=len(low),
+            )
+            ranks = np.zeros(m, dtype=np.int64)
+            np.maximum.at(ranks, bucket, 33 - bl)
+            touched = np.flatnonzero(ranks)
+            s_out.extend([s] * len(touched))
+            b_out.extend(touched.tolist())
+            r_out.extend(ranks[touched].tolist())
+        return pa.table(
+            {
+                "source": pa.array(s_out, type=pa.string()),
+                "bucket": pa.array(b_out, type=pa.int64()),
+                "rank": pa.array(r_out, type=pa.int64()),
+            }
+        )
+
+    def _estimate(g: pa.Table) -> pa.Table:
+        ranks = np.zeros(m, dtype=np.int64)
+        for bk, r in zip(
+            g.column("bucket").to_numpy(), g.column("rank").to_numpy()
+        ):
+            ranks[int(bk)] = int(r)
+        acc = 0.0
+        for r in ranks.tolist():  # bucket-ascending ordered fold
+            acc += 2.0 ** (-r)
+        est = (0.709 * float(m) * float(m)) / acc
+        return pa.table(
+            {
+                "source": pa.array(
+                    [g.column("source")[0].as_py()], type=pa.string()
+                ),
+                "m": pa.array([m], type=pa.int64()),
+                "n_zero_buckets": pa.array(
+                    [int((ranks == 0).sum())], type=pa.int64()
+                ),
+                "estimate": pa.array([est], type=pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(_partial, batch_format="pyarrow", **_rargs())
+        .groupby(["source", "bucket"])
+        .aggregate(Max("rank", alias_name="rank"))
+        .groupby("source")
+        .map_groups(_estimate, batch_format="pyarrow", **_rargs())
+    )

@@ -3354,3 +3354,80 @@ def test_consistent_hash_rebalance_property(ray_session):
     moved = int(out.at[4, "n_moved_in"])
     assert moved == int(out.at[4, "n_docs_after"])
     assert 0.10 < moved / n < 0.35  # ~1/5 with vnode variance
+
+
+def test_hll_by_source_merge_and_accuracy(ray_session):
+    """Grouped HLL: per-source register merge is partition-invariant
+    (MAX is order-free), the estimate matches the scalar register
+    recompute exactly, and a disjoint-vocabulary source gets its own
+    independent estimate within raw-HLL error of the truth."""
+    import numpy as np
+    import ray.data
+
+    from engine.merge import _fmix64
+    from engine.textops import fnv1a, hll_by_source
+
+    rng = np.random.default_rng(9)
+    words_a = [f"alpha{i}" for i in range(300)]
+    words_b = [f"beta{i}" for i in range(60)]
+    rows = []
+    for d in range(30):
+        rows.append(
+            {
+                "source": "A",
+                "text": " ".join(
+                    words_a[i] for i in rng.integers(0, 300, size=40)
+                ),
+            }
+        )
+    for d in range(10):
+        rows.append(
+            {
+                "source": "B",
+                "text": " ".join(
+                    words_b[i] for i in rng.integers(0, 60, size=30)
+                ),
+            }
+        )
+    out = (
+        hll_by_source(ray.data.from_items(rows).repartition(6), b=6)
+        .to_pandas()
+        .set_index("source")
+    )
+    out2 = (
+        hll_by_source(ray.data.from_items(rows).repartition(2), b=6)
+        .to_pandas()
+        .set_index("source")
+    )
+    assert out.to_dict() == out2.to_dict()  # partition-invariant
+
+    def ref(words):
+        seen = set()
+        for r in rows:
+            pass
+        ranks = [0] * 64
+        h = _fmix64(
+            np.fromiter(
+                (fnv1a(w) for w in words), dtype=np.uint64, count=len(words)
+            )
+        )
+        for hv in h.tolist():
+            b = hv >> 58
+            low = hv & 0xFFFFFFFF
+            r = 33 - int(low).bit_length()
+            ranks[b] = max(ranks[b], r)
+        acc = 0.0
+        for r in ranks:
+            acc += 2.0 ** (-r)
+        return (0.709 * 64.0 * 64.0) / acc
+
+    # which words actually occurred (all, given the draw sizes)
+    occ_a = set()
+    occ_b = set()
+    for r in rows:
+        (occ_a if r["source"] == "A" else occ_b).update(r["text"].split())
+    assert float(out.at["A", "estimate"]) == ref(sorted(occ_a))
+    assert float(out.at["B", "estimate"]) == ref(sorted(occ_b))
+    # raw HLL at m=64 has ~13% relative error; allow 3 sigma
+    assert abs(float(out.at["A", "estimate"]) - len(occ_a)) < 0.4 * len(occ_a)
+    assert abs(float(out.at["B", "estimate"]) - len(occ_b)) < 0.4 * len(occ_b)
