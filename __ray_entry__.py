@@ -916,6 +916,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             )
         ),
         "data_profile_orders": relational.data_profile_orders,
+        "skyline_orders": relational.skyline_orders,
         "value_quantiles_by_type": lambda sf_dir: (
             relational.value_quantiles_by_type(
                 __import__("ray.data", fromlist=["x"]).read_parquet(
@@ -6615,6 +6616,17 @@ def oracle_sql() -> dict[str, str]:
         "events_timeseries": """
             SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n_events
             FROM events GROUP BY event_type, day
+        """,
+        "skyline_orders": """
+            SELECT a.o_orderkey, a.o_totalprice, a.o_orderdate
+            FROM orders a
+            WHERE NOT EXISTS (
+                SELECT 1 FROM orders b
+                WHERE b.o_totalprice <= a.o_totalprice
+                  AND b.o_orderdate >= a.o_orderdate
+                  AND (b.o_totalprice < a.o_totalprice
+                       OR b.o_orderdate > a.o_orderdate)
+            )
         """,
         "data_profile_orders": """
             SELECT c AS column_name, CAST(n AS BIGINT) AS n_rows,

@@ -1940,3 +1940,57 @@ def consistent_hash_rebalance(
             **_rargs(),
         )
     )
+
+
+def skyline_orders(sf_dir: str):
+    """Skyline / Pareto-front query (Börzsönyi, Kossmann & Stocker,
+    ICDE 2001): the orders no other order dominates under (minimize
+    o_totalprice, maximize o_orderdate) — "at least as cheap AND at
+    least as recent, strictly better somewhere". Pure SELECTIONS (no
+    arithmetic on the doubles/timestamps), so the entry hash-compares
+    exactly; equal (price, date) twins are mutually non-dominated and
+    all kept (the standard strict-dominance rule).
+
+    Distributed shape: the skyline operator is DISTRIBUTIVE — the
+    global skyline is a subset of the union of per-block local
+    skylines — so each block reduces to its local front (vectorized
+    sort + group-max sweep) and only those survivors reach the final
+    front computation (skylines are tiny on real data: O(log^2 n)
+    expected on independent dims). Returns (o_orderkey, o_totalprice,
+    o_orderdate)."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice", "o_orderdate"])
+
+    def _local_front(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        return pa.Table.from_pandas(
+            _front(df), preserve_index=False
+        )
+
+    def _front(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return df
+        d = df.copy()
+        d["_d"] = d["o_orderdate"].astype("int64")
+        # within an equal-price group only the max-date rows survive;
+        # a group's max-date row survives iff strictly more recent than
+        # the best date among strictly cheaper groups
+        d = d.sort_values(["o_totalprice", "_d"], ascending=[True, False])
+        gmax = d.groupby("o_totalprice")["_d"].transform("max")
+        d = d[d["_d"] == gmax]
+        # running best over CHEAPER groups = shifted cummax per group head
+        heads = d.drop_duplicates("o_totalprice")
+        prev_best = heads["_d"].cummax().shift(1)
+        best_of_cheaper = dict(
+            zip(heads["o_totalprice"], prev_best.fillna(-(2**62)))
+        )
+        keep = d["_d"] > d["o_totalprice"].map(best_of_cheaper)
+        out = d[keep].drop(columns=["_d"])
+        return out[["o_orderkey", "o_totalprice", "o_orderdate"]]
+
+    local = ds.map_batches(
+        _local_front, batch_format="pyarrow", **_rargs()
+    ).to_pandas()  # union of local fronts: skyline-sized, bounded
+    return pa.Table.from_pandas(
+        _front(local).sort_values("o_orderkey").reset_index(drop=True),
+        preserve_index=False,
+    )
