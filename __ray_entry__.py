@@ -817,6 +817,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs(sf_dir), window=8, mask_mod=64
         ),
         "char_entropy": lambda sf_dir: textops.char_entropy(_docs(sf_dir)),
+        "kmv_intersection": lambda sf_dir: textops.kmv_intersection(
+            __import__("ray.data", fromlist=["x"]).read_parquet(
+                os.path.join(sf_dir, "documents.parquet"),
+                columns=["source", "text"],
+            ),
+            src_a="src0",
+            src_b="src1",
+            k=64,
+        ),
         "hll_by_source": lambda sf_dir: textops.hll_by_source(
             __import__("ray.data", fromlist=["x"]).read_parquet(
                 os.path.join(sf_dir, "documents.parquet"),
@@ -5388,6 +5397,43 @@ def oracle_sql() -> dict[str, str]:
         # rank = 33 - bitlength(h % 2^32) via bin() string length (no
         # floats), untouched buckets rank 0; the raw-HLL estimate folds
         # 2^-rank in bucket order so the f64 arithmetic replays exactly
+        # KMV synopsis with set ops: pure hash selections; estimate =
+        # ((k-1)*2^64 exact) / h_(k), then (n_common * D_union) / k
+        "kmv_intersection": f"""
+            WITH ka AS (
+                SELECT h FROM (
+                    SELECT DISTINCT {_fmix64_sql(_fnv_str_sql("w"))} AS h
+                    FROM (SELECT DISTINCT unnest({_TOK}) AS w
+                          FROM documents WHERE source = 'src0')
+                ) ORDER BY h LIMIT 64
+            ),
+            kb AS (
+                SELECT h FROM (
+                    SELECT DISTINCT {_fmix64_sql(_fnv_str_sql("w"))} AS h
+                    FROM (SELECT DISTINCT unnest({_TOK}) AS w
+                          FROM documents WHERE source = 'src1')
+                ) ORDER BY h LIMIT 64
+            ),
+            comb AS (
+                SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb)
+                ORDER BY h LIMIT 64
+            ),
+            stats AS (
+                SELECT CAST(count(*) AS BIGINT) AS kk, max(h) AS hk,
+                       CAST(sum(CASE WHEN h IN (SELECT h FROM ka)
+                                      AND h IN (SELECT h FROM kb)
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS nc
+                FROM comb
+            )
+            SELECT kk AS k, nc AS n_common_in_sketch,
+                   (CAST(kk - 1 AS DOUBLE) * 18446744073709551616.0)
+                       / CAST(hk AS DOUBLE) AS d_union,
+                   (CAST(nc AS DOUBLE)
+                    * ((CAST(kk - 1 AS DOUBLE) * 18446744073709551616.0)
+                       / CAST(hk AS DOUBLE)))
+                       / CAST(kk AS DOUBLE) AS d_intersection
+            FROM stats
+        """,
         "hll_by_source": f"""
             WITH vocab AS (
                 SELECT DISTINCT source, w FROM (

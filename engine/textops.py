@@ -2454,3 +2454,93 @@ def hll_by_source(ds, b: int = 6):
         .groupby("source")
         .map_groups(_estimate, batch_format="pyarrow", **_rargs())
     )
+
+
+def kmv_intersection(ds, src_a: str = "src0", src_b: str = "src1", k: int = 64):
+    """KMV (k-minimum-values) distinct synopsis with SET OPERATIONS
+    (Beyer et al., SIGMOD 2007): unlike HLL, the k smallest hash values
+    of a set support union/intersection estimates — D_union ≈
+    (k-1)/u_(k) with u_(k) the k-th smallest normalized hash of the
+    combined sketch, D_∩ ≈ (n_∩/k)·D_union with n_∩ the combined
+    sketch's members present in BOTH sides' sketches. Estimates two
+    sources' vocabulary overlap. Returns one row (k, n_common_in_sketch,
+    d_union, d_intersection).
+
+    Exactness: sketches are pure integer hash SELECTIONS (k smallest —
+    order-free, mergeable: min-of-mins); the estimate chain is
+    ((k-1)·2^64 exact in f64) / h_(k), then (n_∩ · D_union) / k — three
+    single f64 ops, replayed verbatim. Shape: per-batch per-source
+    k-smallest partials (≤k rows per source per batch), one
+    groupby(source) k-smallest resolve, two bounded sketches combine on
+    the driver."""
+    from .merge import _fmix64
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        srcs = batch.column("source").to_pylist()
+        texts = batch.column("text").to_pylist()
+        per: dict[str, set] = {}
+        for s, t in zip(srcs, texts):
+            if s in (src_a, src_b):
+                per.setdefault(s, set()).update(
+                    TOKEN_RE.findall((t or "").lower())
+                )
+        s_out: list[str] = []
+        h_out: list[int] = []
+        for s, toks in per.items():
+            if not toks:
+                continue
+            h = np.unique(
+                _fmix64(
+                    np.fromiter(
+                        (fnv1a(w) for w in toks),
+                        dtype=np.uint64,
+                        count=len(toks),
+                    )
+                )
+            )[:k]
+            s_out.extend([s] * len(h))
+            h_out.extend(int(x) for x in h)
+        return pa.table(
+            {
+                "source": pa.array(s_out, type=pa.string()),
+                "h": pa.array(
+                    np.array(h_out, dtype=np.uint64), type=pa.uint64()
+                ),
+            }
+        )
+
+    def _resolve(g: pa.Table) -> pa.Table:
+        h = np.unique(g.column("h").to_numpy())[:k]
+        return pa.table(
+            {
+                "source": pa.array(
+                    [g.column("source")[0].as_py()] * len(h),
+                    type=pa.string(),
+                ),
+                "h": pa.array(h, type=pa.uint64()),
+            }
+        )
+
+    rows = (
+        ds.map_batches(_partial, batch_format="pyarrow", **_rargs())
+        .groupby("source")
+        .map_groups(_resolve, batch_format="pyarrow", **_rargs())
+        .take_all()  # <= 2k rows: bounded
+    )
+    ka = sorted(int(r["h"]) for r in rows if r["source"] == src_a)
+    kb = sorted(int(r["h"]) for r in rows if r["source"] == src_b)
+    combined = sorted(set(ka) | set(kb))[:k]
+    kk = min(k, len(combined))
+    hk = combined[kk - 1] if kk else 0
+    sa, sb = set(ka), set(kb)
+    n_common = sum(1 for v in combined if v in sa and v in sb)
+    d_union = (float(kk - 1) * 18446744073709551616.0) / float(hk) if hk else 0.0
+    d_inter = (float(n_common) * d_union) / float(kk) if kk else 0.0
+    return pa.table(
+        {
+            "k": pa.array([kk], type=pa.int64()),
+            "n_common_in_sketch": pa.array([n_common], type=pa.int64()),
+            "d_union": pa.array([d_union], type=pa.float64()),
+            "d_intersection": pa.array([d_inter], type=pa.float64()),
+        }
+    )
