@@ -174,6 +174,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds, n = _doc_ids_n(sf_dir)
         return degree_histogram(ds, n_docs=n)
 
+    def q_ppr(sf_dir):
+        from engine.graph import personalized_pagerank
+
+        ds, n = _doc_ids_n(sf_dir)
+        return personalized_pagerank(ds, n_docs=n, seed=0, n_iters=5)
+
     def q_adamic_adar(sf_dir):
         from engine.graph import adamic_adar_pairs
 
@@ -775,6 +781,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "co_citation_pairs": q_co_citation,
         "adamic_adar_pairs": q_adamic_adar,
         "degree_histogram": q_degree_hist,
+        "personalized_pagerank": q_ppr,
         "event_transitions": lambda sf_dir: relational.event_transitions(
             __import__("ray.data", fromlist=["x"]).read_parquet(
                 os.path.join(sf_dir, "events.parquet"),
@@ -1152,6 +1159,46 @@ def oracle_sql() -> dict[str, str]:
             for k in range(n_merges)
         )
         return "WITH " + ",\n".join(ctes) + "\n" + sel
+
+    def _ppr_sql(seed: int = 0, n_iters: int = 5) -> str:
+        n = "(SELECT count(*) FROM documents)"
+        arms = " UNION ALL ".join(
+            f"SELECT doc_id AS source, (doc_id * {a} + {b}) % {n} AS target "
+            f"FROM documents WHERE (doc_id * {a} + {b}) % {n} != doc_id"
+            for a, b in ((31, 7), (97, 13), (131, 29))
+        )
+        deg_terms = " + ".join(
+            f"(CASE WHEN (doc_id * {a} + {b}) % {n} != doc_id THEN 1 ELSE 0 END)"
+            for a, b in ((31, 7), (97, 13), (131, 29))
+        )
+        ctes = [
+            f"edges AS ({arms})",
+            f"deg AS (SELECT doc_id, {deg_terms} AS d FROM documents)",
+            f"r0 AS (SELECT doc_id, CASE WHEN doc_id = {seed} THEN 1.0"
+            f" ELSE 0.0 END AS rank FROM documents)",
+        ]
+        for k in range(n_iters):
+            ctes.append(f"""r{k + 1} AS (
+                SELECT d.doc_id,
+                       (CASE WHEN d.doc_id = {seed} THEN 0.15 ELSE 0.0 END)
+                       + 0.85 * coalesce(f.s, 0.0) AS rank
+                FROM documents d LEFT JOIN (
+                    SELECT e.target AS doc_id,
+                           list_reduce(
+                               list_prepend(CAST(0.0 AS DOUBLE),
+                                   list(r{k}.rank / deg.d
+                                        ORDER BY e.source)),
+                               (x, y) -> x + y) AS s
+                    FROM edges e
+                    JOIN r{k} ON r{k}.doc_id = e.source
+                    JOIN deg ON deg.doc_id = e.source
+                    GROUP BY e.target
+                ) f ON f.doc_id = d.doc_id
+            )""")
+        return (
+            "WITH " + ",\n".join(ctes)
+            + f"\nSELECT doc_id, rank FROM r{n_iters}"
+        )
 
     def _pagerank_sql(n_iters: int = 5) -> str:
         n = "(SELECT count(*) FROM documents)"
@@ -5113,6 +5160,7 @@ def oracle_sql() -> dict[str, str]:
         # source-ascending (0.0-seeded left-assoc == reduceat), update
         # = (0.15/N) + 0.85 * s
         "pagerank": _pagerank_sql(),
+        "personalized_pagerank": _ppr_sql(0, 5),
         # bibliographic coupling: distinct-edge self-join on the shared
         # target, all integers
         "bib_coupling_pairs": f"""

@@ -706,3 +706,88 @@ def degree_histogram(ds, n_docs: int):
             **_rargs(),
         )
     )
+
+
+def personalized_pagerank(ds, n_docs: int, seed: int = 0, n_iters: int = 5):
+    """Personalized PageRank (the related-pages-from-a-seed variant:
+    restart mass returns to the SEED instead of spreading uniformly —
+    r' = 0.15·e_seed + 0.85·(in-contributions)). Same order-pinned fold
+    discipline as pagerank (source-ascending per-target sequential
+    sums, two exact-rounded update ops), so the unrolled-CTE replay is
+    bit-exact; start vector = e_seed. Returns (doc_id, rank) — nodes
+    whose rank is exactly 0.0 after n_iters are still emitted (they
+    ride the anchor rows)."""
+
+    def _init(batch: pa.Table) -> pa.Table:
+        docs = batch.column("doc_id")
+        d = docs.to_numpy()
+        return pa.table(
+            {
+                "doc_id": docs,
+                "rank": pa.array(
+                    np.where(d == seed, 1.0, 0.0).astype(np.float64)
+                ),
+            }
+        )
+
+    ranks = ds.select_columns(["doc_id"]).map_batches(
+        _init, batch_format="pyarrow", **_rargs()
+    )
+
+    def _contribs(batch: pa.Table) -> pa.Table:
+        docs = batch.column("doc_id").to_numpy()
+        r = batch.column("rank").to_numpy()
+        deg = out_degree(docs, n_docs)
+        share = np.where(deg > 0, r / np.maximum(deg, 1), 0.0)
+        s_out: list[np.ndarray] = [np.full(len(docs), -1, dtype=np.int64)]
+        t_out: list[np.ndarray] = [docs]
+        c_out: list[np.ndarray] = [np.zeros(len(docs), dtype=np.float64)]
+        for a, b in EDGE_MULS:
+            t = (docs * a + b) % n_docs
+            keep = t != docs
+            s_out.append(docs[keep])
+            t_out.append(t[keep])
+            c_out.append(share[keep])
+        tgt = np.concatenate(t_out)
+        return pa.table(
+            {
+                "bucket": pa.array((tgt % N_BUCKETS).astype(np.int64)),
+                "target": pa.array(tgt),
+                "source": pa.array(np.concatenate(s_out)),
+                "contrib": pa.array(np.concatenate(c_out), type=pa.float64()),
+            }
+        )
+
+    def _fold(g: pa.Table) -> pa.Table:
+        t = g.column("target").to_numpy()
+        s = g.column("source").to_numpy()
+        c = g.column("contrib").to_numpy()
+        order = np.lexsort((s, t))
+        t, c = t[order], c[order]
+        starts = np.flatnonzero(np.concatenate(([True], t[1:] != t[:-1])))
+        n_groups = len(starts)
+        sizes = np.diff(np.concatenate((starts, [len(t)])))
+        gid = np.repeat(np.arange(n_groups), sizes)
+        rank_in_group = np.arange(len(t)) - starts[gid]
+        sums = np.zeros(n_groups, dtype=np.float64)
+        for k in range(int(sizes.max()) if n_groups else 0):
+            sel = rank_in_group == k
+            sums[gid[sel]] += c[sel]
+        nodes = t[starts]
+        base = np.where(nodes == seed, 0.15, 0.0)
+        return pa.table(
+            {
+                "doc_id": pa.array(nodes, type=pa.int64()),
+                "rank": pa.array(base + DAMPING * sums, type=pa.float64()),
+            }
+        )
+
+    for i in range(n_iters):
+        ranks = (
+            ranks.map_batches(_contribs, batch_format="pyarrow", **_rargs())
+            .groupby("bucket")
+            .map_groups(_fold, batch_format="pyarrow", **_rargs())
+        )
+        if i < n_iters - 1:
+            ranks = ranks.materialize()
+    return ranks

@@ -3569,3 +3569,49 @@ def test_kmv_intersection_estimates(ray_session):
     d_int = float(out.at[0, "d_intersection"])
     assert 0.0 <= d_int <= du
     assert abs(d_int - true_inter) < true_union
+
+
+def test_personalized_pagerank_scalar_replay(ray_session):
+    """PPR matches the scalar ordered-fold recompute (restart mass at
+    the seed only); the seed outranks every node at equal in-link
+    structure and zero-rank nodes are still emitted."""
+    import ray.data
+
+    from engine.graph import EDGE_MULS, personalized_pagerank
+
+    n, seed, iters = 60, 7, 3
+    edges = []
+    deg = {i: 0 for i in range(n)}
+    for i in range(n):
+        for a, b in EDGE_MULS:
+            t = (i * a + b) % n
+            if t != i:
+                edges.append((i, t))
+                deg[i] += 1
+    r = {i: (1.0 if i == seed else 0.0) for i in range(n)}
+    for _ in range(iters):
+        contribs: dict[int, list] = {i: [] for i in range(n)}
+        for s, t in edges:
+            contribs[t].append((s, r[s] / deg[s] if deg[s] else 0.0))
+        nxt = {}
+        for i in range(n):
+            acc = 0.0
+            for _, c in sorted(contribs[i]):  # source-ascending fold
+                acc += c
+            nxt[i] = (0.15 if i == seed else 0.0) + 0.85 * acc
+        r = nxt
+    out = (
+        personalized_pagerank(
+            ray.data.from_items([{"doc_id": i} for i in range(n)]),
+            n_docs=n,
+            seed=seed,
+            n_iters=iters,
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(out) == n
+    for i in range(n):
+        assert float(out.at[i, "rank"]) == r[i], i
+    assert float(out.at[seed, "rank"]) == max(float(x) for x in out["rank"])
