@@ -875,6 +875,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search --------------------------------------------
         "ann_cosine_top10": q_ann_brute,
         "sq8_codes": lambda sf_dir: ann.sq8_quantize_stats(_emb(sf_dir)),
+        "embedding_dim_stats": lambda sf_dir: ann.embedding_dim_stats(
+            _emb(sf_dir)
+        ),
         "pq_codes": lambda sf_dir: ann.pq_codes(
             _emb(sf_dir), n_sub=2, k=4, iters=2
         ),
@@ -5287,6 +5290,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(a.min_fp, 0) AS UBIGINT) AS min_fp,
                    CAST(coalesce(a.max_fp, 0) AS UBIGINT) AS max_fp
             FROM tok t LEFT JOIN agg a ON a.doc_id = t.doc_id
+        """,
+        # StandardScaler stats: vec_id-ordered folds, exact division,
+        # single-op deviations, correctly-rounded sqrt
+        "embedding_dim_stats": """
+            WITH x AS (
+                SELECT vec_id, CAST(i AS BIGINT) AS dim,
+                       CAST(e AS DOUBLE) AS v
+                FROM (SELECT vec_id, unnest(embedding) AS e,
+                             unnest(range(len(embedding))) AS i
+                      FROM embeddings)
+            ),
+            mn AS (
+                SELECT dim,
+                       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                           list(v ORDER BY vec_id)), (a, b) -> a + b)
+                       / CAST(count(*) AS DOUBLE) AS mean
+                FROM x GROUP BY dim
+            ),
+            vr AS (
+                SELECT x.dim,
+                       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                           list((x.v - mn.mean) * (x.v - mn.mean)
+                                ORDER BY x.vec_id)), (a, b) -> a + b)
+                       / CAST(count(*) AS DOUBLE) AS variance
+                FROM x JOIN mn ON mn.dim = x.dim GROUP BY x.dim
+            )
+            SELECT mn.dim, mn.mean, vr.variance,
+                   sqrt(vr.variance) AS std
+            FROM mn JOIN vr ON vr.dim = mn.dim
         """,
         # SQ8: single-f64-op chain on exactly-widened f32 operands;
         # min/max are selections; clamp is a selection; sums integer

@@ -989,3 +989,77 @@ def pq_adc_topk(
             "adc": pa.array([r["adc"] for r in cand], type=pa.float64()),
         }
     )
+
+
+def embedding_dim_stats(ds):
+    """Per-dimension embedding distribution statistics — the
+    StandardScaler / feature-normalization prep (mean, variance, std
+    per dim) every whitening / normalization stage computes before
+    training or indexing. Returns (dim, mean, variance, std).
+
+    Exactness: both reductions are vec_id-ORDERED sequential folds
+    (np.cumsum == ordered list_reduce, the kmeans discipline), mean =
+    one exact division, each deviation term is two single f64 ops
+    ((v − mean), square), std = correctly-rounded sqrt — the oracle
+    replays the whole chain. Two passes (means broadcast into the
+    second); at web scale you'd run per-batch partial moments (tree
+    association) and accept rows-only verification — the documented
+    exactness/scale trade, same as kmeans."""
+    from ray.data.aggregate import AggregateFn  # noqa: F401  (doc pointer)
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        m = _batch_matrix(batch)
+        n, d = m.shape
+        vid = batch.column("vec_id").to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), n)),
+                "vec_id": pa.array(np.repeat(vid, d), type=pa.int64()),
+                "v": pa.array(m.ravel(), type=pa.float64()),
+            }
+        )
+
+    exploded = ds.map_batches(
+        _explode, batch_format="pyarrow", **_rargs()
+    ).materialize()  # consumed by both passes
+
+    def _mean(g: pa.Table) -> pa.Table:
+        order = np.argsort(g.column("vec_id").to_numpy(), kind="stable")
+        v = g.column("v").to_numpy()[order]
+        return pa.table(
+            {
+                "dim": pa.array(
+                    [int(g.column("dim")[0].as_py())], type=pa.int64()
+                ),
+                "mean": pa.array(
+                    [float(np.cumsum(v)[-1]) / float(len(v))],
+                    type=pa.float64(),
+                ),
+            }
+        )
+
+    means = {
+        int(r["dim"]): float(r["mean"])
+        for r in exploded.groupby("dim")
+        .map_groups(_mean, batch_format="pyarrow", **_rargs())
+        .take_all()  # dimension-bounded
+    }
+
+    def _var(g: pa.Table) -> pa.Table:
+        dim = int(g.column("dim")[0].as_py())
+        order = np.argsort(g.column("vec_id").to_numpy(), kind="stable")
+        v = g.column("v").to_numpy()[order]
+        dmu = v - means[dim]  # one op each
+        var = float(np.cumsum(dmu * dmu)[-1]) / float(len(v))
+        return pa.table(
+            {
+                "dim": pa.array([dim], type=pa.int64()),
+                "mean": pa.array([means[dim]], type=pa.float64()),
+                "variance": pa.array([var], type=pa.float64()),
+                "std": pa.array([float(np.sqrt(var))], type=pa.float64()),
+            }
+        )
+
+    return exploded.groupby("dim").map_groups(
+        _var, batch_format="pyarrow", **_rargs()
+    )

@@ -3615,3 +3615,47 @@ def test_personalized_pagerank_scalar_replay(ray_session):
     for i in range(n):
         assert float(out.at[i, "rank"]) == r[i], i
     assert float(out.at[seed, "rank"]) == max(float(x) for x in out["rank"])
+
+
+def test_embedding_dim_stats_scalar_fold(ray_session):
+    """Per-dim mean/var/std equal the scalar vec_id-ordered fold
+    recompute bit-for-bit; constant dims get variance exactly 0."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from engine.ann import embedding_dim_stats
+
+    rng = np.random.default_rng(31)
+    n, d = 30, 5
+    m = rng.standard_normal((n, d)).astype(np.float32)
+    m[:, 2] = 1.5
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(n), type=pa.int64()),
+            "embedding": pa.array(
+                [row.tolist() for row in m], type=pa.list_(pa.float32())
+            ),
+        }
+    )
+    out = (
+        embedding_dim_stats(ray.data.from_arrow(t).repartition(4))
+        .to_pandas()
+        .sort_values("dim")
+        .reset_index(drop=True)
+    )
+    v64 = m.astype(np.float64)
+    for j in range(d):
+        acc = 0.0
+        for i in range(n):
+            acc += v64[i, j]
+        mean = acc / float(n)
+        acc2 = 0.0
+        for i in range(n):
+            dd = v64[i, j] - mean
+            acc2 += dd * dd
+        var = acc2 / float(n)
+        assert float(out.at[j, "mean"]) == mean, j
+        assert float(out.at[j, "variance"]) == var, j
+        assert float(out.at[j, "std"]) == float(np.sqrt(var)), j
+    assert float(out.at[2, "variance"]) == 0.0
