@@ -824,6 +824,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs(sf_dir), window=8, mask_mod=64
         ),
         "char_entropy": lambda sf_dir: textops.char_entropy(_docs(sf_dir)),
+        "df_histogram": lambda sf_dir: textops.df_histogram(_docs(sf_dir)),
         "kmv_intersection": lambda sf_dir: textops.kmv_intersection(
             __import__("ray.data", fromlist=["x"]).read_parquet(
                 os.path.join(sf_dir, "documents.parquet"),
@@ -5477,6 +5478,13 @@ def oracle_sql() -> dict[str, str]:
         # rank = 33 - bitlength(h % 2^32) via bin() string length (no
         # floats), untouched buckets rank 0; the raw-HLL estimate folds
         # 2^-rank in bucket order so the f64 arithmetic replays exactly
+        "df_histogram": f"""
+            SELECT df, CAST(count(*) AS BIGINT) AS n_terms FROM (
+                SELECT t, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+                FROM (SELECT doc_id, unnest({_TOK}) AS t FROM documents)
+                GROUP BY t
+            ) GROUP BY df
+        """,
         # KMV synopsis with set ops: pure hash selections; estimate =
         # ((k-1)*2^64 exact) / h_(k), then (n_common * D_union) / k
         "kmv_intersection": f"""

@@ -2544,3 +2544,56 @@ def kmv_intersection(ds, src_a: str = "src0", src_b: str = "src1", k: int = 64):
             "d_intersection": pa.array([d_inter], type=pa.float64()),
         }
     )
+
+
+def df_histogram(ds):
+    """Document-frequency histogram — the index-skew diagnostic behind
+    the merge path's heavy-term salting (how many terms have df == k;
+    the long tail is singletons, the short head is the stop band that
+    must be salted or it serializes the shuffle). Returns
+    (df, n_terms) — all integers.
+
+    Shape: in-batch distinct (doc, term) pairs, groupby(term) count
+    (df), then a df-bounded groupby(df) count."""
+    from ray.data.aggregate import Count
+
+    def _pairs(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        texts = batch.column("text").to_pylist()
+        d_out: list[int] = []
+        t_out: list[str] = []
+        for did, t in zip(ids.tolist(), texts):
+            for w in set(TOKEN_RE.findall((t or "").lower())):
+                d_out.append(did)
+                t_out.append(w)
+        return pa.table(
+            {
+                "doc_id": pa.array(d_out, type=pa.int64()),
+                "term": pa.array(t_out, type=pa.string()),
+            }
+        )
+
+    return (
+        ds.map_batches(_pairs, batch_format="pyarrow", **_rargs())
+        .groupby("term")
+        .count()
+        .map_batches(
+            lambda b: pa.table(
+                {"df": b.column("count()").cast(pa.int64())}
+            ),
+            batch_format="pyarrow",
+            **_rargs(),
+        )
+        .groupby("df")
+        .aggregate(Count(alias_name="n_terms"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "df": b.column("df").cast(pa.int64()),
+                    "n_terms": b.column("n_terms").cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+            **_rargs(),
+        )
+    )

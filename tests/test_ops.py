@@ -3659,3 +3659,29 @@ def test_embedding_dim_stats_scalar_fold(ray_session):
         assert float(out.at[j, "variance"]) == var, j
         assert float(out.at[j, "std"]) == float(np.sqrt(var)), j
     assert float(out.at[2, "variance"]) == 0.0
+
+
+def test_df_histogram_brute(ray_session):
+    """df histogram equals the brute distinct-doc count recompute;
+    within-doc repeats don't inflate df."""
+    from collections import Counter
+
+    import ray.data
+
+    from engine.textops import df_histogram
+
+    docs = [
+        "red red red blue",     # red df+1 despite repeats
+        "red green",
+        "blue green green",
+        "red",
+    ]
+    rows = [{"doc_id": i, "text": t} for i, t in enumerate(docs)]
+    out = df_histogram(ray.data.from_items(rows).repartition(3)).to_pandas()
+    df_per_term = Counter()
+    for t in docs:
+        for w in set(t.split()):
+            df_per_term[w] += 1
+    hist = Counter(df_per_term.values())
+    got = {int(r.df): int(r.n_terms) for r in out.itertuples()}
+    assert got == dict(hist)  # red:3, blue:2, green:2 -> {3:1, 2:2}
