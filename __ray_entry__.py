@@ -825,6 +825,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "char_entropy": lambda sf_dir: textops.char_entropy(_docs(sf_dir)),
         "df_histogram": lambda sf_dir: textops.df_histogram(_docs(sf_dir)),
+        "gazetteer_mentions": lambda sf_dir: textops.gazetteer_mentions(
+            _docs(sf_dir)
+        ),
         "kmv_intersection": lambda sf_dir: textops.kmv_intersection(
             __import__("ray.data", fromlist=["x"]).read_parquet(
                 os.path.join(sf_dir, "documents.parquet"),
@@ -5478,6 +5481,34 @@ def oracle_sql() -> dict[str, str]:
         # rank = 33 - bitlength(h % 2^32) via bin() string length (no
         # floats), untouched buckets rank 0; the raw-HLL estimate folds
         # 2^-rank in bucket order so the f64 arithmetic replays exactly
+        "gazetteer_mentions": f"""
+            WITH tok AS (SELECT doc_id, {_TOK} AS ts FROM documents)
+            
+            SELECT doc_id, 'table hash' AS entity,
+                   CAST(count(*) AS BIGINT) AS n_mentions
+            FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 0)) AS i
+                  FROM tok WHERE len(ts) >= 2)
+            WHERE ts[i + 0] = 'table' AND ts[i + 1] = 'hash'
+            GROUP BY doc_id UNION ALL 
+            SELECT doc_id, 'merge group' AS entity,
+                   CAST(count(*) AS BIGINT) AS n_mentions
+            FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 0)) AS i
+                  FROM tok WHERE len(ts) >= 2)
+            WHERE ts[i + 0] = 'merge' AND ts[i + 1] = 'group'
+            GROUP BY doc_id UNION ALL 
+            SELECT doc_id, 'data' AS entity,
+                   CAST(count(*) AS BIGINT) AS n_mentions
+            FROM (SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS i
+                  FROM tok WHERE len(ts) >= 1)
+            WHERE ts[i] = 'data'
+            GROUP BY doc_id UNION ALL 
+            SELECT doc_id, 'join' AS entity,
+                   CAST(count(*) AS BIGINT) AS n_mentions
+            FROM (SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS i
+                  FROM tok WHERE len(ts) >= 1)
+            WHERE ts[i] = 'join'
+            GROUP BY doc_id
+        """,
         "df_histogram": f"""
             SELECT df, CAST(count(*) AS BIGINT) AS n_terms FROM (
                 SELECT t, CAST(count(DISTINCT doc_id) AS BIGINT) AS df

@@ -2597,3 +2597,50 @@ def df_histogram(ds):
             **_rargs(),
         )
     )
+
+
+GAZETTEER = (("table", "hash"), ("merge", "group"), ("data",), ("join",))
+
+
+def gazetteer_mentions(ds, entities: tuple = GAZETTEER):
+    """Gazetteer / dictionary entity tagging — the broadcast-dictionary
+    mention counter every NER-bootstrap and weak-labeling pipeline runs
+    (multi-word entities matched against the token stream; at real
+    dictionary sizes the per-actor state is an Aho–Corasick automaton
+    built once in __init__ — this fixture-sized dictionary rides the
+    task closure). Counts EVERY starting position (overlap allowed,
+    the same convention as the BPE pair counts). Returns
+    (doc_id, entity, n_mentions) for mentions > 0 — all integers.
+
+    Shape: one streamed map_batches; per-doc work is a vectorized
+    shifted-equality test per entity; no shuffle."""
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        texts = batch.column("text").to_pylist()
+        d_out: list[int] = []
+        e_out: list[str] = []
+        n_out: list[int] = []
+        for did, t in zip(ids.tolist(), texts):
+            toks = np.asarray(TOKEN_RE.findall((t or "").lower()))
+            for ent in entities:
+                L = len(ent)
+                if len(toks) < L:
+                    continue
+                mask = toks[: len(toks) - L + 1] == ent[0]
+                for j in range(1, L):
+                    mask = mask & (toks[j : len(toks) - L + 1 + j] == ent[j])
+                n = int(mask.sum())
+                if n:
+                    d_out.append(did)
+                    e_out.append(" ".join(ent))
+                    n_out.append(n)
+        return pa.table(
+            {
+                "doc_id": pa.array(d_out, type=pa.int64()),
+                "entity": pa.array(e_out, type=pa.string()),
+                "n_mentions": pa.array(n_out, type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(per_batch, batch_format="pyarrow", **_rargs())

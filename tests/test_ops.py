@@ -3685,3 +3685,32 @@ def test_df_histogram_brute(ray_session):
     hist = Counter(df_per_term.values())
     got = {int(r.df): int(r.n_terms) for r in out.itertuples()}
     assert got == dict(hist)  # red:3, blue:2, green:2 -> {3:1, 2:2}
+
+
+def test_gazetteer_mentions_overlap(ray_session):
+    """Mention counts match the every-starting-position convention
+    (overlaps counted), zero-mention pairs are absent, multi-word
+    entities respect token boundaries."""
+    import ray.data
+
+    from engine.textops import gazetteer_mentions
+
+    docs = [
+        "table hash table hash join",   # 2x 'table hash', 1x 'join'
+        "a a a",                         # no entities
+        "merge group merge group merge group",  # 3x bigram
+        "data data data",                # 3x 'data' (overlap-free anyway)
+        "tablehash",                     # no boundary-crossing match
+    ]
+    rows = [{"doc_id": i, "text": t} for i, t in enumerate(docs)]
+    out = gazetteer_mentions(ray.data.from_items(rows)).to_pandas()
+    got = {
+        (int(r.doc_id), r.entity): int(r.n_mentions)
+        for r in out.itertuples()
+    }
+    assert got == {
+        (0, "table hash"): 2,
+        (0, "join"): 1,
+        (2, "merge group"): 3,
+        (3, "data"): 3,
+    }
