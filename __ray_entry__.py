@@ -825,6 +825,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "char_entropy": lambda sf_dir: textops.char_entropy(_docs(sf_dir)),
         "df_histogram": lambda sf_dir: textops.df_histogram(_docs(sf_dir)),
+        "lexical_diversity": lambda sf_dir: textops.lexical_diversity(
+            _docs(sf_dir)
+        ),
         "gazetteer_mentions": lambda sf_dir: textops.gazetteer_mentions(
             _docs(sf_dir)
         ),
@@ -5481,6 +5484,25 @@ def oracle_sql() -> dict[str, str]:
         # rank = 33 - bitlength(h % 2^32) via bin() string length (no
         # floats), untouched buckets rank 0; the raw-HLL estimate folds
         # 2^-rank in bucket order so the f64 arithmetic replays exactly
+        "lexical_diversity": f"""
+            WITH tok AS (SELECT doc_id, {_TOK} AS ts FROM documents),
+            c AS (
+                SELECT doc_id, t, count(*) AS c FROM (
+                    SELECT doc_id, unnest(ts) AS t FROM tok)
+                GROUP BY doc_id, t
+            ),
+            agg AS (
+                SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                       CAST(count(*) AS BIGINT) AS n_types,
+                       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_hapax
+                FROM c GROUP BY doc_id
+            )
+            SELECT t.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
+                   coalesce(a.n_types, 0) AS n_types,
+                   coalesce(a.n_hapax, 0) AS n_hapax
+            FROM tok t LEFT JOIN agg a ON a.doc_id = t.doc_id
+        """,
         "gazetteer_mentions": f"""
             WITH tok AS (SELECT doc_id, {_TOK} AS ts FROM documents)
             

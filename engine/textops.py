@@ -2644,3 +2644,40 @@ def gazetteer_mentions(ds, entities: tuple = GAZETTEER):
         )
 
     return ds.map_batches(per_batch, batch_format="pyarrow", **_rargs())
+
+
+def lexical_diversity(ds):
+    """Lexical-diversity signals per document — type-token ratio inputs
+    and hapax counts (the vocabulary-richness quality features used
+    alongside the Gopher gates: templated/spammy pages have low TTR,
+    gibberish has TTR near 1 with hapax-heavy tails). Reported as
+    integers (n_tokens, n_types, n_hapax) so the ratio stays exact on
+    the consumer's side. One streamed map_batches, per-doc np.unique."""
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        texts = batch.column("text").to_pylist()
+        nt: list[int] = []
+        ny: list[int] = []
+        nh: list[int] = []
+        for t in texts:
+            toks = TOKEN_RE.findall((t or "").lower())
+            if not toks:
+                nt.append(0)
+                ny.append(0)
+                nh.append(0)
+                continue
+            uniq, counts = np.unique(np.asarray(toks), return_counts=True)
+            nt.append(len(toks))
+            ny.append(len(uniq))
+            nh.append(int((counts == 1).sum()))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "n_tokens": pa.array(nt, type=pa.int64()),
+                "n_types": pa.array(ny, type=pa.int64()),
+                "n_hapax": pa.array(nh, type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(per_batch, batch_format="pyarrow", **_rargs())

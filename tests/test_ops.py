@@ -3714,3 +3714,26 @@ def test_gazetteer_mentions_overlap(ray_session):
         (2, "merge group"): 3,
         (3, "data"): 3,
     }
+
+
+def test_lexical_diversity_counts(ray_session):
+    """TTR inputs match hand counts; empty docs zeroed."""
+    import ray.data
+
+    from engine.textops import lexical_diversity
+
+    docs = ["red red blue green", "", "one one one", "a b c d"]
+    rows = [{"doc_id": i, "text": t} for i, t in enumerate(docs)]
+    out = (
+        lexical_diversity(ray.data.from_items(rows))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    exp = [(4, 3, 2), (0, 0, 0), (3, 1, 0), (4, 4, 4)]
+    for i, (nt, ny, nh) in enumerate(exp):
+        assert (
+            int(out.at[i, "n_tokens"]),
+            int(out.at[i, "n_types"]),
+            int(out.at[i, "n_hapax"]),
+        ) == (nt, ny, nh), i
