@@ -825,6 +825,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "char_entropy": lambda sf_dir: textops.char_entropy(_docs(sf_dir)),
         "df_histogram": lambda sf_dir: textops.df_histogram(_docs(sf_dir)),
+        "balanced_shards": lambda sf_dir: textops.balanced_shards(
+            __import__("ray.data", fromlist=["x"]).read_parquet(
+                os.path.join(sf_dir, "documents.parquet"),
+                columns=["doc_id", "n_chars"],
+            ),
+            n_shards=8,
+        ),
         "lexical_diversity": lambda sf_dir: textops.lexical_diversity(
             _docs(sf_dir)
         ),
@@ -5484,6 +5491,26 @@ def oracle_sql() -> dict[str, str]:
         # rank = 33 - bitlength(h % 2^32) via bin() string length (no
         # floats), untouched buckets rank 0; the raw-HLL estimate folds
         # 2^-rank in bucket order so the f64 arithmetic replays exactly
+        # serpentine sharding: closed-form integer rule over the
+        # (n_chars desc, doc_id asc) rank
+        "balanced_shards": """
+            WITH r AS (
+                SELECT doc_id, n_chars,
+                       row_number() OVER (
+                           ORDER BY n_chars DESC, doc_id ASC) - 1 AS rank
+                FROM documents
+            ),
+            a AS (
+                SELECT n_chars,
+                       CASE WHEN (rank // 8) % 2 = 0 THEN rank % 8
+                            ELSE 7 - (rank % 8) END AS shard
+                FROM r
+            )
+            SELECT CAST(shard AS BIGINT) AS shard,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM a GROUP BY shard
+        """,
         "lexical_diversity": f"""
             WITH tok AS (SELECT doc_id, {_TOK} AS ts FROM documents),
             c AS (

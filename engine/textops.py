@@ -2681,3 +2681,86 @@ def lexical_diversity(ds):
         )
 
     return ds.map_batches(per_batch, batch_format="pyarrow", **_rargs())
+
+
+def balanced_shards(ds, n_shards: int = 8):
+    """Size-balanced shard assignment — serpentine (snake) partitioning
+    over the size-sorted corpus: rank docs by (n_chars desc, doc_id
+    asc), then shard = pos if block even else n_shards-1-pos with
+    block = rank // n_shards, pos = rank % n_shards. A closed-form
+    integer rule (unlike greedy LPT it needs no sequential state), so
+    it is exactly replayable AND deterministic/resumable; balance is
+    near-LPT for mildly skewed sizes. This is the equal-byte export
+    sharding a training pipeline wants where the resumable sink's HASH
+    buckets give equal counts but not equal bytes. Returns per shard
+    (shard, n_docs, sum_chars).
+
+    Shape: the rank needs one global sort by (n_chars, doc_id) — the
+    same single range-partitioned sort the epoch shuffle uses — then a
+    stateless closed-form map and a shard-bounded groupby."""
+    from ray.data.aggregate import Count, Sum
+
+    # stateless global rank (no sort, no sequential state): rank of a
+    # doc = cumulative count of strictly larger n_chars values + its
+    # doc_id position within its own size class — the offsets come from
+    # a value-domain-bounded histogram (the quantile-trim shape) and
+    # ride the task CLOSURE (never a bare ray.put handle referenced
+    # only by the lazy plan — the owner-death hazard in CLAUDE.md)
+    hist = (
+        ds.groupby("n_chars")
+        .aggregate(Count(alias_name="c"))
+        .to_pandas()
+        .sort_values("n_chars", ascending=False)
+    )
+    hist["off"] = hist["c"].cumsum() - hist["c"]
+    offs = dict(zip((int(x) for x in hist["n_chars"]), (int(x) for x in hist["off"])))
+
+    def _assign(batch: pa.Table) -> pa.Table:
+        nc = batch.column("n_chars").to_numpy()
+        did = batch.column("doc_id").to_numpy()
+        base = np.array([offs[int(x)] for x in nc], dtype=np.int64)
+        return pa.table(
+            {
+                "n_chars": pa.array(nc, type=pa.int64()),
+                "doc_id": pa.array(did, type=pa.int64()),
+                "base": pa.array(base, type=pa.int64()),
+            }
+        )
+
+    def _per_size(g: pa.Table) -> pa.Table:
+        # within one n_chars value: rank = base + position by doc_id asc
+        did = g.column("doc_id").to_numpy()
+        order = np.argsort(did, kind="stable")
+        rank = int(g.column("base")[0].as_py()) + np.argsort(order)
+        block = rank // n_shards
+        pos = rank % n_shards
+        shard = np.where(block % 2 == 0, pos, n_shards - 1 - pos)
+        return pa.table(
+            {
+                "shard": pa.array(shard.astype(np.int64)),
+                "n_chars": g.column("n_chars"),
+            }
+        )
+
+    return (
+        ds.select_columns(["doc_id", "n_chars"])
+        .map_batches(_assign, batch_format="pyarrow", **_rargs())
+        .groupby("n_chars")
+        .map_groups(_per_size, batch_format="pyarrow", **_rargs())
+        .groupby("shard")
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Sum("n_chars", alias_name="sum_chars"),
+        )
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "shard": b.column("shard").cast(pa.int64()),
+                    "n_docs": b.column("n_docs").cast(pa.int64()),
+                    "sum_chars": b.column("sum_chars").cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+            **_rargs(),
+        )
+    )

@@ -3737,3 +3737,47 @@ def test_lexical_diversity_counts(ray_session):
             int(out.at[i, "n_types"]),
             int(out.at[i, "n_hapax"]),
         ) == (nt, ny, nh), i
+
+
+def test_balanced_shards_snake_rule(ray_session):
+    """Serpentine assignment matches the scalar rank rule, conserves
+    docs/bytes, is partition-invariant, and balances a skewed size
+    distribution to within one max-doc of even bytes."""
+    import numpy as np
+    import ray.data
+
+    from engine.textops import balanced_shards
+
+    rng = np.random.default_rng(41)
+    sizes = (rng.zipf(1.5, size=200) * 10).clip(10, 5000).astype(int)
+    rows = [
+        {"doc_id": i, "n_chars": int(s)} for i, s in enumerate(sizes)
+    ]
+    k = 4
+    out = (
+        balanced_shards(ray.data.from_items(rows).repartition(5), n_shards=k)
+        .to_pandas()
+        .set_index("shard")
+    )
+    out2 = (
+        balanced_shards(ray.data.from_items(rows).repartition(2), n_shards=k)
+        .to_pandas()
+        .set_index("shard")
+    )
+    assert out.to_dict() == out2.to_dict()
+
+    order = sorted(range(len(rows)), key=lambda i: (-sizes[i], i))
+    exp_docs = {s: 0 for s in range(k)}
+    exp_chars = {s: 0 for s in range(k)}
+    for rank, i in enumerate(order):
+        block, pos = divmod(rank, k)
+        shard = pos if block % 2 == 0 else k - 1 - pos
+        exp_docs[shard] += 1
+        exp_chars[shard] += int(sizes[i])
+    for s in range(k):
+        assert int(out.at[s, "n_docs"]) == exp_docs[s], s
+        assert int(out.at[s, "sum_chars"]) == exp_chars[s], s
+    assert int(out["n_docs"].sum()) == len(rows)
+    assert int(out["sum_chars"].sum()) == int(sizes.sum())
+    spread = int(out["sum_chars"].max() - out["sum_chars"].min())
+    assert spread <= int(sizes.max())  # snake keeps shards within 1 doc
